@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main. Forces each query with the `noop` sink —
+  * every row and every column of the result is materialized (VERDICT r1:
+  * `.count()` let Catalyst prune all columns and flatter scan-heavy
+  * plans). Failures are NOT silently timed: a failed query reports -1.0
+  * and lands in the `errors` list. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +14,31 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

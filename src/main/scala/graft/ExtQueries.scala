@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Events, Similarity}
+
+/** [EXT] LLM-data-pipeline operators (dedup, similarity search, text
+  * analysis, event windows) as driver-contract queries. See the module
+  * scaladocs (operators.Dedup / operators.Similarity / operators.Events /
+  * functions.TextFunctions) for the 100 TB design arguments.
+  *
+  * Queries with a DuckDB-mirrorable formulation carry an oracle; the
+  * hash-based LSH ops (MinHash/SimHash/hyperplane buckets) cannot be
+  * reproduced in DuckDB (different hash primitives), so they are
+  * registered rows-only and verified by ScalaTest against brute-force
+  * ground truth on small fixtures instead.
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Exact dedup: deterministic keeper (min id) per identical text.
+    "ext_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id"), col("n_copies"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Fingerprint dedup: md5-of-normalized-text groups; the shuffle
+    //    carries digests, not bodies (Dedup.byFingerprint scaladoc).
+    "ext_fingerprint_dedup" -> ((s, dir) => {
+      Dedup.byFingerprint(t(s, dir, "documents"), col("text"), col("doc_id"))
+        .select(col("fingerprint"), col("keep_id"), col("n_copies"))
+        .orderBy("fingerprint")
+    }),
+
+    // ── Text stats: token counting + shape stats, all map-side codegen.
+    "ext_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.distinctTokenCount(col("text")).as("n_distinct_tokens"),
+          TextFunctions.avgTokenLen(col("text")).as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Quality scoring: stopword/punct ratios + composite score.
+    "ext_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Language ID (stopword-family votes; see TextFunctions.langId).
+    "ext_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ── JSON extraction from the events props column.
+    "ext_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    }),
+
+    // ── Tumbling-window aggregate (batch twin of the streaming op).
+    "ext_event_tumbling" -> ((s, dir) =>
+      Events.tumblingAgg(t(s, dir, "events"), "hour")),
+
+    // ── Gap sessionization (30 min), per-user session stats.
+    "ext_sessionize" -> ((s, dir) =>
+      Events.sessionStats(t(s, dir, "events"), gapMs = 1800000L)),
+
+    // ── Top-k per group via ranked window.
+    "ext_topk_per_group" -> ((s, dir) => {
+      Events.topKPerGroup(
+        t(s, dir, "events"), col("event_type"),
+        Seq(col("value").desc, col("event_id")), 3)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("rn").cast("long").as("rank"))
+        .orderBy("event_type", "rank")
+    }),
+
+    // ── Similarity search: exact brute-force cosine top-10 (baseline).
+    "ext_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.bruteForceTopK(probes, e.select("vec_id", "embedding"), 10)
+    }),
+
+    // ── Similarity search, scale path: LSH-bucketed ANN (rows-only; the
+    //    ScalaTest suite checks recall vs the brute-force baseline).
+    "ext_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.lshTopK(probes, e.select("vec_id", "embedding"), 10)
+    }),
+
+    // ── Near-dup dedup, MinHash+LSH banding (rows-only; hash primitives
+    //    are engine-specific — verified vs brute-force Jaccard in tests).
+    "ext_minhash_neardup" -> ((s, dir) => {
+      // This corpus has no true near-dups (max 5-gram Jaccard ≈ 0.30), so
+      // the query runs in top-K report mode: the 50 most-similar pairs the
+      // banded LSH surfaces. The high-similarity threshold regime is
+      // exercised by the ScalaTest suite on crafted duplicate fixtures.
+      Dedup.minhashNearDupPairs(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        shingleN = 5, numHashes = 32, bands = 8, threshold = 0.0,
+        topK = Some(50))
+    }),
+
+    // ── Near-dup dedup, SimHash chunks (rows-only).
+    "ext_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashNearDupPairs(
+        t(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 3)
+    }),
+
+    // ── Near-dup dedup over embeddings (rows-only).
+    "ext_embedding_neardup" -> ((s, dir) => {
+      // Corpus max pairwise cosine ≈ 0.49 — top-K report mode again.
+      Dedup.embeddingNearDupPairs(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        threshold = 0.0, topK = Some(50))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ext_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "ext_fingerprint_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |       MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "ext_text_stats" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |         AS n_distinct_tokens,
+        |       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |    t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_ratio,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0)
+        |  + 0.4 * least(1.0, CAST(len(list_filter(string_split(text,' '),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |      / len(string_split(text,' ')) * 5.0)
+        |  + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |      / length(text)) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_lang_id" ->
+      """WITH v AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(text,' '),
+        |      t -> t IN ('the','a','and','of','is'))) AS en,
+        |  len(list_filter(string_split(text,' '),
+        |      t -> t IN ('der','die','das','und','ist'))) AS de,
+        |  len(list_filter(string_split(text,' '),
+        |      t -> t IN ('el','la','los','y','es'))) AS es
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+        |       WHEN de >= es AND de > 0 THEN 'de'
+        |       WHEN es > 0 THEN 'es'
+        |       ELSE 'unk' END AS pred_lang
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "ext_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "ext_event_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "ext_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |f AS (
+        |  SELECT user_id, ms, event_id,
+        |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS nf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |g AS (
+        |  SELECT user_id,
+        |    SUM(nf) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f),
+        |s AS (SELECT user_id, sess, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(MAX(cnt) AS BIGINT) AS longest_session,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ext_topk_per_group" ->
+      """SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "ext_cosine_topk" ->
+      """WITH p AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |sc AS (
+        |  SELECT p.query_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  )
+}

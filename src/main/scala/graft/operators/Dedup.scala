@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+import scala.util.Random
+
+/** [EXT] Deduplication operators for a training-data pipeline.
+  *
+  * 100 TB design rules baked into every variant here:
+  *  - never shuffle document BODIES when a (fingerprint, id) pair will do;
+  *  - never generate all-pairs candidates — LSH banding turns the
+  *    quadratic pair space into per-bucket joins;
+  *  - keep-winner selection is deterministic (min id), not "first seen".
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving id per identical key. groupBy(min) rather
+    * than dropDuplicates: dropDuplicates keeps an ARBITRARY row per key
+    * (whichever partition wins), which is nondeterministic at scale. */
+  def exact(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup by content fingerprint (md5 of normalized text): the
+    * shuffle carries 16-byte digests instead of document bodies. */
+  def byFingerprint(df: DataFrame, text: Column, id: Column): DataFrame =
+    exact(df, TextFunctions.fingerprint(text), id)
+      .withColumnRenamed("dedup_key", "fingerprint")
+
+  // ────────────────────────────── MinHash + LSH ──────────────────────────
+
+  /** Deterministic universal-hash coefficients for MinHash. The prime is
+    * 31-bit so a*h + b stays well inside Long (ANSI mode errors on
+    * overflow); a 2^31 minhash domain is ample for per-document shingle
+    * sets. */
+  private val MinhashPrime = 1000000007L
+
+  def minhashCoefficients(k: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new Random(seed)
+    Array.fill(k)((1L + rnd.nextInt((MinhashPrime - 1).toInt),
+      rnd.nextInt(MinhashPrime.toInt).toLong))
+  }
+
+  /** k-permutation MinHash signature over a shingle array column.
+    * h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p, minimized over
+    * shingles. Both the shingle array and its base hashes are let-bound
+    * (TextFunctions.bound) so they evaluate ONCE per row — naive column
+    * reuse lets CollapseProject copy the whole (expensive) shingle
+    * expression into each of the k min-hash columns. */
+  def minhashSignature(shingleArr: Column, coeffs: Array[(Long, Long)]): Column = {
+    val coeffArr = array(coeffs.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }.toSeq: _*)
+    TextFunctions.bound(
+      TextFunctions.bound(shingleArr)(sh =>
+        transform(sh, s => pmod(xxhash64(s), lit(MinhashPrime))))) { hs =>
+      transform(coeffArr, c =>
+        array_min(transform(hs, h =>
+          pmod(c("a") * h + c("b"), lit(MinhashPrime)))))
+    }
+  }
+
+  /** Near-dup candidate pairs via banded LSH over MinHash signatures.
+    *
+    * bands × rowsPerBand = signature length. Docs sharing ANY band hash
+    * land in one bucket; pairs are generated per bucket via a self-join
+    * on (band, band_hash) — the classic MinHash-LSH layout that avoids
+    * the O(n²) cross join entirely. Returned pairs are verified with the
+    * EXACT Jaccard over shingle sets, keeping only >= `threshold`.
+    *
+    * At 100 TB: the exploded band table is |docs| × bands rows of
+    * (band_hash, id, signature) — linear; hot buckets (boilerplate docs)
+    * are the skew risk, mitigated by capping bucket width upstream
+    * (count per bucket, drop degenerate buckets > cap as "trivially
+    * duplicated cluster" to be handled by exact dedup of the dominating
+    * fingerprint). */
+  def minhashNearDupPairs(
+      df: DataFrame, // (id, text)
+      id: Column,
+      text: Column,
+      shingleN: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      bucketCap: Int = 1000,
+      topK: Option[Int] = None): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val coeffs = minhashCoefficients(numHashes, seed)
+    val named = df.select(id.as("id"), text.as("txt"))
+    // One let-bound expression computes shingles → signature → band
+    // hashes, so the whole chain evaluates once per row; the shuffle then
+    // carries only (band, bhash, id) — never shingle arrays or text.
+    val banded = named.select(
+      col("id"),
+      explode(TextFunctions.bound(
+        minhashSignature(TextFunctions.shingles(col("txt"), shingleN), coeffs)) { sig =>
+        array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band"),
+            xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bhash"))
+        }: _*)
+      }).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    // skew guard: drop degenerate hot buckets (see scaladoc)
+    val bucketSizes = banded.groupBy("band", "bhash").agg(count(lit(1)).as("bsz"))
+    val pruned = banded
+      .join(broadcast(bucketSizes.filter(col("bsz") > bucketCap)),
+        Seq("band", "bhash"), "left_anti")
+    val pairs = pruned.select(col("band"), col("bhash"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("bhash"), col("id").as("id_b")),
+        Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // verify stage: join texts back by id (shuffles candidate ids, not
+    // bodies) and compute the exact Jaccard once per surviving pair.
+    val verified = pairs
+      .join(named.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
+      .join(named.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(ngramJaccard(col("txt_a"), col("txt_b"), shingleN), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    topK match {
+      // top-K report mode: most-similar surfaced pairs (distributed top-k)
+      case Some(k) => verified.orderBy(col("jaccard").desc, col("id_a"), col("id_b")).limit(k)
+      case None    => verified.orderBy("id_a", "id_b")
+    }
+  }
+
+  // ────────────────────────────── SimHash ────────────────────────────────
+
+  /** 64-bit SimHash of a token array: per-bit majority vote of token
+    * hashes, packed into one long. Token hashes are let-bound so the
+    * tokenization + hashing runs once per row, and the 64 bit-votes are
+    * pure arithmetic over the bound hash array. */
+  def simhash(tokenArr: Column): Column =
+    TextFunctions.bound(
+      TextFunctions.bound(tokenArr)(ts => transform(ts, t => xxhash64(t)))) { hs =>
+      (0 until 64).map { b =>
+        when(
+          aggregate(hs, lit(0L), (acc, h) =>
+            acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+              .otherwise(-1L)) > 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _) // disjoint bits: OR == +, overflow-free
+    }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs, candidate-blocked on 16-bit chunks: two docs
+    * within Hamming distance 3 of each other MUST share at least one of
+    * the four 16-bit chunks (pigeonhole) — so the join is an equi-join on
+    * (chunk_idx, chunk_value), never all-pairs. */
+  def simhashNearDupPairs(
+      df: DataFrame, // (id, text)
+      id: Column,
+      text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    // simhash is let-bound and carried INSIDE the exploded struct so the
+    // whole hash chain evaluates once per row, not once per chunk.
+    val chunked = df.select(
+      id.as("id"),
+      explode(TextFunctions.bound(
+        simhash(TextFunctions.tokens(TextFunctions.normalize(text)))) { sh =>
+        array((0 until 4).map { c =>
+          struct(
+            lit(c).as("chunk"),
+            shiftright(sh, c * 16).bitwiseAND(lit(0xFFFFL)).as("cval"),
+            sh.as("sh"))
+        }: _*)
+      }).as("cc"))
+      .select(col("id"), col("cc.sh").as("sh"),
+        col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
+    val l = chunked.select(col("chunk"), col("cval"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("cval"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk", "cval"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** N-gram Jaccard similarity of two text columns (exact, for verify
+    * stages and tests — the scalable candidate generation is LSH above). */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
+    TextFunctions.bound(TextFunctions.shingles(a, n)) { sa =>
+      TextFunctions.bound(TextFunctions.shingles(b, n)) { sb =>
+        size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
+      }
+    }
+
+  /** Embedding near-dup: cosine >= `threshold` pairs, LSH-bucketed via
+    * Similarity.signatureBuckets — the same no-cross-join discipline. */
+  def embeddingNearDupPairs(
+      df: DataFrame, // (id, vec)
+      id: Column,
+      vec: Column,
+      threshold: Double,
+      dim: Int = 64,
+      nPlanes: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L,
+      topK: Option[Int] = None): DataFrame = {
+    val planes = Similarity.hyperplanes(dim, nPlanes, seed)
+    val bucketed = df
+      .select(id.as("id"), vec.as("v"))
+      .withColumn("bucket", explode(Similarity.signatureBuckets(col("v"), planes, bands)))
+    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val verified = l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+    topK match {
+      case Some(k) => verified.orderBy(col("sim").desc, col("id_a"), col("id_b")).limit(k)
+      case None    => verified.orderBy("id_a", "id_b")
+    }
+  }
+}

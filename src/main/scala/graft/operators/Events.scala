@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators in batch form (the Structured Streaming twins
+  * live in graft.streaming.EventStreams). [EXT] — the reference has no
+  * streaming surface (SURVEY.md §2.C); the `events` fixture table is the
+  * driver's hook for these.
+  */
+object Events {
+
+  /** Tumbling-window aggregate. In batch, date_trunc IS the tumbling
+    * window assignment (window($"ts","1 hour").start == date_trunc):
+    * a pure map-side expression followed by one partial-aggregated
+    * shuffle on (window, key) — the canonical scalable shape. */
+  def tumblingAgg(events: DataFrame, unit: String): DataFrame =
+    events
+      .groupBy(
+        date_format(date_trunc(unit, col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Gap-based sessionization (gaps-and-islands): a new session starts
+    * when the per-user gap exceeds `gapMs`. Two window passes over data
+    * partitioned BY USER — at 100 TB this shuffles once on user_id and
+    * each user's timeline sorts locally; no global ordering anywhere.
+    * (Streaming twin: session_window / flatMapGroupsWithState.) */
+  def sessionize(events: DataFrame, gapMs: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val withMs = events.withColumn("ms", unix_millis(col("ts")))
+    val flagged = withMs
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+    flagged.withColumn(
+      "session_id",
+      sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-user session stats on top of sessionize(). */
+  def sessionStats(events: DataFrame, gapMs: Long): DataFrame =
+    sessionize(events, gapMs)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("cnt")).as("longest_session"),
+        sum(col("cnt")).as("n_events"))
+      .orderBy("user_id")
+
+  /** Top-k per group via ranked window — the distributed replacement for
+    * the reference's client-side sort (ref backend/app.py:318-328). */
+  def topKPerGroup(df: DataFrame, group: Column, rankBy: Seq[Column], k: Int): DataFrame =
+    df.withColumn("rn", row_number().over(Window.partitionBy(group).orderBy(rankBy: _*)))
+      .filter(col("rn") <= k)
+}

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.car.CarSchema
+
+/** Sources & sinks (SURVEY.md §2 A5/A6/B16).
+  *
+  * The reference's write path is a hand-built mega `INSERT INTO … VALUES`
+  * over Thrift with string-interpolated literals (ref: backend/utils.py:
+  * 61-125 — SQL-injectable, unbatched); here the literal-formatting layer
+  * disappears entirely: rows are DataFrames, sinks are Parquet writes.
+  * A5 CREATE TABLE ≈ overwrite write; A6 INSERT ≈ append write.
+  */
+object Ingest {
+
+  /** A5 — (re)create the car_data table (ref: backend/utils.py:15-58). */
+  def createTable(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** A6 — append rows (ref: backend/utils.py:61-125). */
+  def appendRows(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** B16 — tabular-file ingestion (ref: backend/app.py:174-249). The
+    * reference reads Excel via pandas; Excel connectors are out of scope
+    * offline, so the semantics — schema-on-read + API→DB field rename +
+    * passthrough of unmapped fields + append — are carried by CSV.
+    * Returns the ingested row count (ref replies with it, :235-238). */
+  def ingestCsv(spark: SparkSession, csvPath: String, tablePath: String): Long = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(csvPath)
+    if (raw.isEmpty)
+      throw new IllegalArgumentException("上传的文件中没有数据") // ref :200-202
+    val renamed = CarSchema.reverseMapping.foldLeft(raw) {
+      case (df, (api, db)) =>
+        if (df.columns.contains(api)) df.withColumnRenamed(api, db) else df
+    }
+    // align to schema: add missing columns as nulls, cast, order
+    val aligned = CarSchema.schema.fields.foldLeft(renamed) { (df, f) =>
+      if (df.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(CarSchema.schema.fieldNames.map(col): _*)
+    appendRows(aligned, tablePath)
+    aligned.count()
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class EventsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // base aligned to the top of an hour so same-hour fixtures stay in one
+  // tumbling window (1699999200000 = 2023-11-14 22:00:00 UTC)
+  private def ts(min: Long) = new Timestamp(1699999200000L + min * 60000L)
+
+  /** user 1: events at t0, t0+10min, t0+50min (40-min gap → 2 sessions);
+    * user 2: one event. */
+  private lazy val events = Seq(
+    (1L, 1L, ts(0), "click", 1.0),
+    (2L, 1L, ts(10), "view", 2.0),
+    (3L, 1L, ts(50), "click", 3.0),
+    (4L, 2L, ts(5), "view", 4.0))
+    .toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  test("sessionize splits on the 30-min gap") {
+    val got = Events.sessionStats(events, gapMs = 1800000L).collect()
+    val byUser = got.map(r =>
+      r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("longest_session"),
+          r.getAs[Long]("n_events"))).toMap
+    assert(byUser(1L) == ((2L, 2L, 3L)))
+    assert(byUser(2L) == ((1L, 1L, 1L)))
+  }
+
+  test("sessionize boundary: gap of exactly 30 min does NOT split") {
+    val e = Seq((1L, 1L, ts(0), "c", 1.0), (2L, 1L, ts(30), "c", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.sessionStats(e, gapMs = 1800000L).collect().head
+    assert(got.getAs[Long]("n_sessions") == 1L)
+  }
+
+  test("tumbling hour agg groups by window start") {
+    val got = Events.tumblingAgg(events, "hour").collect()
+    // all four events fall in the same hour → one row per event_type
+    assert(got.map(_.getAs[String]("event_type")).toSet == Set("click", "view"))
+    val click = got.find(_.getAs[String]("event_type") == "click").get
+    assert(click.getAs[Long]("n") == 2L)
+    assert(click.getAs[Double]("total_value") == 4.0)
+  }
+
+  test("topKPerGroup keeps k best with deterministic ties") {
+    val got = Events.topKPerGroup(
+      events, col("user_id"), Seq(col("value").desc, col("event_id")), 2)
+      .collect()
+    val u1 = got.filter(_.getAs[Long]("user_id") == 1L).map(_.getAs[Long]("event_id"))
+    assert(u1.toSet == Set(3L, 2L)) // values 3.0, 2.0
+  }
+}

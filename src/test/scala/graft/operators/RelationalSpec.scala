@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class RelationalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("histogram keeps empty buckets and guards div-zero") {
+    val df = Seq(5.0, 250.0, 251.0, 999.0).toDF("v")
+    val got = Relational.histogram(
+      spark, df, col("v"), col("v"),
+      Seq(
+        Relational.Bucket(0, "low", 0.0, Some(100.0)),
+        Relational.Bucket(1, "mid", 100.0, Some(200.0)),
+        Relational.Bucket(2, "high", 200.0, None))).collect()
+    assert(got.map(_.getAs[Long]("n")).toSeq == Seq(1L, 0L, 3L))
+    assert(got.map(_.getAs[Double]("avg_value")).toSeq == Seq(5.0, 0.0, 500.0))
+  }
+
+  test("histogram bucket boundaries are half-open [lo, hi)") {
+    val df = Seq(100.0).toDF("v") // exactly on the edge → upper bucket
+    val got = Relational.histogram(
+      spark, df, col("v"), col("v"),
+      Seq(
+        Relational.Bucket(0, "low", 0.0, Some(100.0)),
+        Relational.Bucket(1, "high", 100.0, None))).collect()
+    assert(got.map(_.getAs[Long]("n")).toSeq == Seq(0L, 1L))
+  }
+
+  test("shareOfTotal shares sum to 1") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4)).toDF("k", "v")
+    val got = Relational.shareOfTotal(df, col("k"), sum(col("v"))).collect()
+    assert(math.abs(got.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+  }
+
+  test("argmax is deterministic under ties (tiebreak asc)") {
+    val df = Seq((1L, 10.0), (2L, 10.0), (3L, 5.0)).toDF("id", "m")
+    val got = Relational.argmax(df, col("m"), col("id")).collect().head
+    assert(got.getAs[Long]("id") == 1L)
+  }
+
+  test("conjunctiveFilter applies only present conjuncts") {
+    val df = Seq((1, "x"), (2, "y"), (3, "x")).toDF("n", "s")
+    val got = Relational.conjunctiveFilter(
+      df, Seq(Some(col("s") === "x"), None, Some(col("n") > 1))).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(3))
+  }
+
+  test("distinctValues and renameProject") {
+    val df = Seq((1, "x"), (2, "x"), (3, "y")).toDF("n", "s")
+    assert(Relational.distinctValues(df, "s").count() == 2)
+    val renamed = Relational.renameProject(df, Seq("n" -> "id", "s" -> "tag"))
+    assert(renamed.columns.toSeq == Seq("id", "tag"))
+  }
+}

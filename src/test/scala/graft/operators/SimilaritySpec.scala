@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (11L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (12L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+    (13L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (14L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  private lazy val probes = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    .toDF("query_id", "query_vec")
+
+  test("cosine: parallel → 1, orthogonal → 0") {
+    val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 4.0f), Array(-2.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("par"),
+      Similarity.cosine(col("a"), col("c")).as("orth")).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1)) < 1e-9)
+  }
+
+  test("brute-force top-k orders by cosine desc and excludes self") {
+    val got = Similarity.bruteForceTopK(probes, corpus, 3).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(11L, 12L, 13L))
+    assert(got.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    val sims = got.map(_.getAs[Double]("sim"))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("LSH ANN recalls the strongly-similar neighbor and never cross-joins") {
+    val q = Similarity.lshTopK(probes, corpus, 3, nPlanes = 8, bands = 4, dim = 4)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val ids = q.collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.contains(11L)) // cos ≈ 0.994 — always shares hyperplane buckets
+  }
+
+  test("LSH results are a subset of brute-force candidates with equal sims") {
+    val bf = Similarity.bruteForceTopK(probes, corpus, 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    Similarity.lshTopK(probes, corpus, 10, nPlanes = 8, bands = 4, dim = 4)
+      .collect().foreach { r =>
+        assert(bf(r.getAs[Long]("vec_id")) == r.getAs[Double]("sim"))
+      }
+  }
+}
