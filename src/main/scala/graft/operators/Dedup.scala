@@ -89,15 +89,16 @@ object Dedup {
       bucketCap: Int = 1000,
       topK: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val coeffs = minhashCoefficients(numHashes, seed)
     val named = df.select(id.as("id"), text.as("txt"))
-    // One let-bound expression computes shingles → signature → band
-    // hashes, so the whole chain evaluates once per row; the shuffle then
-    // carries only (band, bhash, id) — never shingle arrays or text.
+    // The signature comes from the custom MinHashSig expression (one JVM
+    // loop per row — see functions.expressions.HashExpressions); banding
+    // is one let-bound expression, and the shuffle carries only
+    // (band, bhash, id) — never shingle arrays or text bodies.
     val banded = named.select(
       col("id"),
       explode(TextFunctions.bound(
-        minhashSignature(TextFunctions.shingles(col("txt"), shingleN), coeffs)) { sig =>
+        graft.functions.expressions.GraftFunctions
+          .minhash_sig(col("txt"), shingleN, numHashes, seed)) { sig =>
         array((0 until bands).map { b =>
           struct(
             lit(b).as("band"),
@@ -161,12 +162,13 @@ object Dedup {
       id: Column,
       text: Column,
       maxHamming: Int = 3): DataFrame = {
-    // simhash is let-bound and carried INSIDE the exploded struct so the
-    // whole hash chain evaluates once per row, not once per chunk.
+    // simhash comes from the custom SimHash64 expression (one JVM loop per
+    // row), let-bound and carried INSIDE the exploded struct so it
+    // evaluates once per row, not once per chunk.
     val chunked = df.select(
       id.as("id"),
       explode(TextFunctions.bound(
-        simhash(TextFunctions.tokens(TextFunctions.normalize(text)))) { sh =>
+        graft.functions.expressions.GraftFunctions.simhash64(text)) { sh =>
         array((0 until 4).map { c =>
           struct(
             lit(c).as("chunk"),
