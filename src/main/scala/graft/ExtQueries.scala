@@ -138,6 +138,21 @@ object ExtQueries {
       Dedup.embeddingNearDupPairs(
         t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         threshold = 0.0, topK = Some(50))
+    }),
+
+    // ── Multimodal plumbing demo (rows-only): binary payloads → per-
+    //    partition feature extraction → per-kind stats. The decode is a
+    //    deterministic stub (no codec libs offline); the schema/batch/
+    //    partitioning plumbing is the real, tested part — see
+    //    graft.multimodal.Multimodal.
+    "ext_multimodal_features" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.syntheticMedia(s, 120)
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 16)
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"))
+        .orderBy("kind")
     })
   )
 

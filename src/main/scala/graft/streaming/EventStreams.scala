@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** [EXT] Structured Streaming twins of the batch event operators
+  * (operators.Events). The reference has no streaming surface at all
+  * (SURVEY.md §2.C); these give the engine the readStream → transform →
+  * writeStream path a training-data pipeline needs for event feeds.
+  *
+  * Each transform takes the streaming DataFrame (readStream source with
+  * the events schema) and returns the aggregated stream; callers attach
+  * their own writeStream sink. Watermarks bound state: at 100 TB/day the
+  * state store only holds windows newer than the watermark horizon.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type (batch twin:
+    * Events.tumblingAgg). Watermark allows 10 min of lateness; append
+    * mode emits each window once, when it finalizes. */
+  def tumblingAgg(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based session windows per user (batch twin: Events.sessionize).
+    * session_window keeps one open session per key in the state store and
+    * closes it when the watermark passes ts + gap. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom state: running per-user totals via flatMapGroupsWithState —
+    * the escape hatch when built-in windows can't express the state
+    * machine. Emits an updated running row per user per micro-batch. */
+  def runningTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          batch.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.Event
+
+/** Drives the streaming transforms with MemoryStream micro-batches and a
+  * memory sink — the synchronous local harness for readStream pipelines. */
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // 2023-11-14 22:00:00 UTC, top of hour
+  private def ts(min: Long) = new Timestamp(1699999200000L + min * 60000L)
+
+  test("streaming tumbling window aggregates per hour/type") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.tumblingAgg(in.toDF(), "1 hour")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("tumble_out").start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(70), 2, "view", 3.0)) // next hour
+      q.processAllAvailable()
+      val got = spark.table("tumble_out").collect()
+      assert(got.length == 2)
+      val click = got.find(_.getAs[String]("event_type") == "click").get
+      assert(click.getAs[Long]("n") == 2L)
+      assert(click.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming session window splits on the gap") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionAgg(in.toDF(), "30 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("session_out").start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "c", 1.0),
+        Event(2, ts(10), 1, "c", 1.0),
+        Event(3, ts(60), 1, "c", 1.0)) // 50-min gap → second session
+      q.processAllAvailable()
+      val got = spark.table("session_out").collect()
+      assert(got.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running totals across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.runningTotals(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("running_out").start()
+    try {
+      in.addData(Event(1, ts(0), 7, "c", 1.5))
+      q.processAllAvailable()
+      in.addData(Event(2, ts(1), 7, "c", 2.5))
+      q.processAllAvailable()
+      val last = spark.table("running_out").collect()
+        .filter(_.getAs[Long]("user_id") == 7L)
+        .maxBy(_.getAs[Long]("n_events"))
+      assert(last.getAs[Long]("n_events") == 2L)
+      assert(last.getAs[Double]("total_value") == 4.0)
+    } finally q.stop()
+  }
+}
