@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local-mode Spark: driver heap is the only memory knob; the bench box
+  // has 128 GiB — a small heap makes late bench queries pay GC/broadcast
+  // pressure accumulated by earlier ones.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -31,6 +31,10 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
         }
+      // drop per-query artifacts (broadcast blocks, codegen refs) so later
+      // queries aren't taxed by earlier ones' heap residue
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

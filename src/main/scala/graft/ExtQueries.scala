@@ -135,9 +135,12 @@ object ExtQueries {
     // ── Near-dup dedup over embeddings (rows-only).
     "ext_embedding_neardup" -> ((s, dir) => {
       // Corpus max pairwise cosine ≈ 0.49 — top-K report mode again.
+      // 32 planes / 4 bands (8 bits per band) keeps random-pair bucket
+      // collisions ≈ 1.5% instead of 28% at r=4 — the candidate set stays
+      // near-linear while high-cosine recall stays ≈ 90%.
       Dedup.embeddingNearDupPairs(
         t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
-        threshold = 0.0, topK = Some(50))
+        threshold = 0.0, nPlanes = 32, topK = Some(50))
     }),
 
     // ── Multimodal plumbing demo (rows-only): binary payloads → per-

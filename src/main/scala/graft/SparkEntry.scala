@@ -279,15 +279,23 @@ object SparkEntry {
         .orderBy("region")
     }),
 
-    // ── J2: large-large equi-join (sort-merge / shuffled-hash territory at
-    //    scale; both sides shuffle on the join key once, then the group-by
-    //    reuses nothing bigger than |priorities| rows).
+    // ── J2: large-large equi-join (sort-merge / shuffled-hash territory
+    //    at scale). lineitem is PRE-AGGREGATED to one row per orderkey
+    //    before the join, so the join input shrinks ~4× and the shuffle
+    //    carries (orderkey, n, qty) instead of raw line items — decimal
+    //    partial sums re-aggregate exactly, so results are unchanged.
     "j2_join_agg" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+          count(lit(1)).as("n0"),
+          sum(col("l_quantity").cast("decimal(18,6)")).as("q0"))
       val o = t(s, dir, "orders")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderpriority").as("priority"))
-        .agg(count(lit(1)).as("n_items"), xsum(col("l_quantity")).as("total_qty"))
+        .agg(
+          sum(col("n0")).cast("long").as("n_items"),
+          sum(col("q0")).cast("double").as("total_qty"))
         .orderBy("priority")
     }),
 

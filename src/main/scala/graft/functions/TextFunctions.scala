@@ -63,11 +63,14 @@ object TextFunctions {
 
   /** N-gram-heuristic language ID: vote by stopword families. On a real
     * corpus the family lists are per-language character n-grams; the
-    * deterministic token-vote form keeps DuckDB-oracle parity. */
+    * deterministic token-vote form keeps DuckDB-oracle parity. Counting
+    * runs in the custom TokenMatchCount expression (one JVM pass) with
+    * semantics identical to size(filter(split(text,' '), isin(...))). */
   def langId(c: Column): Column = {
-    val en = size(filter(tokens(c), t => t.isin("the", "a", "and", "of", "is")))
-    val de = size(filter(tokens(c), t => t.isin("der", "die", "das", "und", "ist")))
-    val es = size(filter(tokens(c), t => t.isin("el", "la", "los", "y", "es")))
+    import graft.functions.expressions.GraftFunctions.token_match_count
+    val en = token_match_count(c, Seq("the", "a", "and", "of", "is"))
+    val de = token_match_count(c, Seq("der", "die", "das", "und", "ist"))
+    val es = token_match_count(c, Seq("el", "la", "los", "y", "es"))
     when(en >= de && en >= es && en > 0, "en")
       .when(de >= es && de > 0, "de")
       .when(es > 0, "es")

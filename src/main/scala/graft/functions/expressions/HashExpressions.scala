@@ -177,6 +177,81 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact n-gram Jaccard of two text columns in one JVM pass: both
+  * normalized shingle sets are built as hash sets and |A∩B|/|A∪B|
+  * computed directly. Matches the composed shingles/array_intersect
+  * formulation exactly (modulo 2^-64 hash collisions); used as the
+  * verify stage of MinHash-LSH, where the interpreted form cost ~8 ms
+  * per candidate pair. */
+case class NgramJaccard(left: Expression, right: Expression, shingleN: Int)
+    extends BinaryExpression with CodegenFallback {
+  import HashExpressions._
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  private def shingleSet(text: String): java.util.HashSet[Long] = {
+    val norm = normalize(text)
+    val out = new java.util.HashSet[Long]()
+    val n = math.max(1, norm.length - shingleN + 1)
+    var i = 0
+    while (i < n) {
+      out.add(fnv1a(norm, i, math.min(i + shingleN, norm.length)))
+      i += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = shingleSet(a.asInstanceOf[UTF8String].toString)
+    val sb = shingleSet(b.asInstanceOf[UTF8String].toString)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size() + sb.size() - inter
+    java.lang.Double.valueOf(inter.toDouble / union)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of whitespace-split tokens that belong to a fixed word set —
+  * the language-ID / stopword primitive, one pass per row. Splits on the
+  * single space character, mirroring split(text, ' '). */
+case class TokenMatchCount(child: Expression, words: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    var count = 0
+    var start = 0
+    var i = 0
+    val len = text.length
+    while (i <= len) {
+      if (i == len || text.charAt(i) == ' ') {
+        if (i > start && set.contains(text.substring(start, i))) count += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    java.lang.Integer.valueOf(count)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenMatchCount =
+    copy(child = c)
+}
+
 /** Column-level constructors. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -188,4 +263,10 @@ object GraftFunctions {
 
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+
+  def ngram_jaccard(a: Column, b: Column, shingleN: Int): Column =
+    column(NgramJaccard(expression(a), expression(b), shingleN))
+
+  def token_match_count(text: Column, words: Seq[String]): Column =
+    column(TokenMatchCount(expression(text), words))
 }

@@ -122,7 +122,8 @@ object Dedup {
       .join(named.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
       .join(named.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
       .withColumn("jaccard",
-        round(ngramJaccard(col("txt_a"), col("txt_b"), shingleN), 6))
+        round(graft.functions.expressions.GraftFunctions
+          .ngram_jaccard(col("txt_a"), col("txt_b"), shingleN), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     topK match {

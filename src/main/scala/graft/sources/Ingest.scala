@@ -23,6 +23,17 @@ object Ingest {
   def appendRows(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
+  /** B18 — bulk random insert with the reference's 10k cap
+    * (ref: backend/app.py:252-279, cap at :263 — the only scale limit the
+    * reference states anywhere). */
+  def bulkRandomInsert(spark: SparkSession, path: String, n: Int, seed: Long = 42L): Long = {
+    require(n > 0 && n <= 10000, s"rows must be in (0, 10000], got $n")
+    graft.car.CarDataGen.generate(spark, n.toLong, seed).transform { df =>
+      appendRows(df, path); df
+    }
+    n.toLong
+  }
+
   /** B16 — tabular-file ingestion (ref: backend/app.py:174-249). The
     * reference reads Excel via pandas; Excel connectors are out of scope
     * offline, so the semantics — schema-on-read + API→DB field rename +

@@ -37,6 +37,18 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
       .doubleValue() == 300000.0)
   }
 
+  test("B18 bulk random insert enforces the 10k cap (ref app.py:263)") {
+    val dir = Files.createTempDirectory("graft-bulk").toString + "/t"
+    assert(Ingest.bulkRandomInsert(spark, dir, 100) == 100L)
+    assert(spark.read.parquet(dir).count() == 100)
+    intercept[IllegalArgumentException] {
+      Ingest.bulkRandomInsert(spark, dir, 10001)
+    }
+    intercept[IllegalArgumentException] {
+      Ingest.bulkRandomInsert(spark, dir, 0)
+    }
+  }
+
   test("B16 empty upload is rejected (ref app.py:200-202)") {
     val tmp = Files.createTempDirectory("graft-csv2")
     val csv = tmp.resolve("empty.csv")
