@@ -362,6 +362,42 @@ object SparkEntry {
         .drop("ms")
     }),
 
+    // ── G1: distinct aggregation (capability; SURVEY §2.C notes the
+    //    reference has none). Spark expands count(distinct) into a
+    //    two-phase aggregate — partial distinct per partition first.
+    "g1_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("rf")
+    }),
+
+    // ── G2: hierarchical ROLLUP subtotals (capability). Grouping nulls
+    //    are labeled 'ALL' on both engines to dodge NULL-ordering
+    //    divergence (Spark sorts NULLS FIRST, DuckDB NULLS LAST).
+    "g2_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"))
+        .orderBy("rf", "ls")
+    }),
+
+    // ── G3: approximate distinct (HyperLogLog++) — the sketch-aggregate
+    //    capability; rows-only (DuckDB's approx sketch differs), the
+    //    exact counterpart g1 is the oracle-checked twin.
+    "g3_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("rf")
+    }),
+
     // ── S1/S2: set operations (capability; SURVEY §2.C "none in ref").
     "s1_intersect" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").cast("long").as("nationkey"))
@@ -545,6 +581,19 @@ object SparkEntry {
         |         AS running_value
         |FROM events WHERE user_id < 10
         |ORDER BY user_id, epoch_ms(ts), event_id""".stripMargin,
+
+    "g1_count_distinct" ->
+      """SELECT l_returnflag AS rf,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+
+    "g2_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
 
     "s1_intersect" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer

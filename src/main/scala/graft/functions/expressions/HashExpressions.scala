@@ -252,6 +252,50 @@ case class TokenMatchCount(child: Expression, words: Seq[String])
     copy(child = c)
 }
 
+/** Random-hyperplane LSH band keys for a float-vector column: sign bits
+  * of `planes` dot products, grouped into `bands` strings of
+  * "band:bits". One JVM pass replaces nPlanes interpreted fold
+  * expressions. Plane layout matches Similarity.hyperplanes(seed). */
+case class HyperplaneBands(child: Expression, planes: Array[Array[Double]], bands: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val bits = new Array[Boolean](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      val m = math.min(n, plane.length)
+      while (i < m) { dot += v.getFloat(i).toDouble * plane(i); i += 1 }
+      bits(p) = dot >= 0
+      p += 1
+    }
+    val perBand = planes.length / bands
+    val out = new Array[UTF8String](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder(perBand + 4)
+      sb.append(b).append(':')
+      var j = 0
+      while (j < perBand) {
+        sb.append(if (bits(b * perBand + j)) '1' else '0'); j += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBands =
+    copy(child = c)
+}
+
 /** Column-level constructors. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -269,4 +313,7 @@ object GraftFunctions {
 
   def token_match_count(text: Column, words: Seq[String]): Column =
     column(TokenMatchCount(expression(text), words))
+
+  def hyperplane_bands(vec: Column, planes: Array[Array[Double]], bands: Int): Column =
+    column(HyperplaneBands(expression(vec), planes, bands))
 }
