@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.expressions.{CosineSim, MinHashSig, NgramJaccard, SimHash64}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * expressions as SQL functions, so `spark.sql("SELECT simhash64(text)
+  * …")` works exactly like the Column API. Install with
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)
+  * // or: .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  *
+  * or retro-fit an existing session with `GraftExtensions.register`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _)  => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    ("ngram_jaccard",
+      new ExpressionInfo(classOf[NgramJaccard].getName, "ngram_jaccard"),
+      (args: Seq[Expression]) =>
+        NgramJaccard(args(0), args(1), intArg(args(2), "shingleN"))),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(
+        args.head,
+        intArg(args(1), "shingleN"),
+        intArg(args(2), "numHashes"),
+        longArg(args(3), "seed"))))
+
+  /** Retro-fit registration into an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    registrations.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+}
