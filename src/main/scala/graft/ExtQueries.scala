@@ -69,6 +69,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ── N-gram Jaccard similarity, oracle-checked on consecutive-id
+    //    pairs (the scalable candidate generation is LSH; this pins the
+    //    similarity MEASURE itself against DuckDB's list algebra).
+    "ext_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = d.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(graft.functions.expressions.GraftFunctions
+            .ngram_jaccard(col("ta"), col("tb"), 3), 6).as("jaccard"))
+        .orderBy("id_a")
+    }),
+
     // ── JSON extraction from the events props column.
     "ext_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
@@ -208,6 +222,19 @@ object ExtQueries {
         |       WHEN es > 0 THEN 'es'
         |       ELSE 'unk' END AS pred_lang
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    "ext_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(2, length(trim(regexp_replace(lower(text),'\s+',' ','g'))) - 1)),
+        |      i -> substr(trim(regexp_replace(lower(text),'\s+',' ','g')), i, 3))) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
 
     "ext_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioning strategies for 100 TB joins: bucketing (pre-shuffled
+  * storage → co-located, Exchange-free joins) and key salting (break a
+  * hot key across `factor` sub-partitions). AQE's skew-join split covers
+  * moderate skew at runtime; salting is the explicit tool for the
+  * pathological single-hot-key case (e.g. one boilerplate document hash
+  * owning 1% of a corpus).
+  */
+object Partitioning {
+
+  /** Write `df` bucketed+sorted by `key` as a managed table. A join of
+    * two tables bucketed the same way on the join key needs NO shuffle —
+    * both sides are already hash-partitioned on disk, so the sort-merge
+    * join reads co-located buckets (BucketingSpec asserts the plan has
+    * no Exchange). At 100 TB this converts every recurring join/groupBy
+    * on the bucket key from a full shuffle into a local merge. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Equi-join with the LEFT side's hot keys salted across `factor`
+    * sub-keys: left rows get a deterministic salt from `saltSource`
+    * (any roughly-unique column — an id, not the join key), and the
+    * right side is replicated `factor` ways so every (key, salt) pair
+    * still meets. Results are identical to a plain join; the hot key's
+    * rows now spread over `factor` reducers instead of one.
+    *
+    * Cost: right side × factor — use for big-left/small-right joins
+    * where one left key dominates. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      saltSource: Column,
+      factor: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt", pmod(xxhash64(saltSource), lit(factor)))
+    val saltedRight = right.withColumn(
+      "__salt", explode(array((0 until factor).map(i => lit(i.toLong)): _*)))
+    saltedLeft
+      .join(saltedRight,
+        saltedLeft(leftKey) === saltedRight(rightKey) &&
+          saltedLeft("__salt") === saltedRight("__salt"))
+      .drop("__salt")
+  }
+
+  /** Repartition-by-range + sort-within-partitions writer: produces
+    * parquet whose files are range-clustered on `key`, so min/max
+    * row-group stats let later range predicates skip whole files. */
+  def writeRangeClustered(df: DataFrame, path: String, key: String, partitions: Int): Unit =
+    df.repartitionByRange(partitions, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(path)
+
+  private[graft] def sessionWarehouse(spark: SparkSession): String =
+    spark.conf.get("spark.sql.warehouse.dir")
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class PartitioningSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("bucketed-by-join-key tables sort-merge join with NO shuffle") {
+    val left = (1L to 2000L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (1L to 2000L).map(i => (i, s"r$i")).toDF("k", "rv")
+    Partitioning.writeBucketed(left, "bkt_left", "k", 8)
+    Partitioning.writeBucketed(right, "bkt_right", "k", 8)
+    // force the non-broadcast path: tiny test tables would otherwise take
+    // BroadcastHashJoin and the planner would ignore bucketing entirely
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketing unused:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 2000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join returns exactly the plain-join result on skewed data") {
+    // one hot key (90% of rows) + a tail
+    val left = ((1 to 900).map(_ => (1L, "hot")) ++ (2 to 101).map(i => (i.toLong, "cold")))
+      .zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+      .toDF("k", "v", "row_id")
+    val right = (1 to 101).map(i => (i.toLong, s"dim$i")).toDF("rk", "dim")
+    val plain = left.join(right, left("k") === right("rk"))
+      .select("row_id", "dim").orderBy("row_id")
+    val salted = Partitioning.saltedJoin(left, right, "k", "rk", col("row_id"), 4)
+      .select("row_id", "dim").orderBy("row_id")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+    // salt really spreads the hot key across sub-keys
+    val saltSpread = left.filter(col("k") === 1L)
+      .select(pmod(xxhash64(col("row_id")), lit(4)).as("s"))
+      .distinct().count()
+    assert(saltSpread == 4)
+  }
+
+  test("range-clustered parquet files carry disjoint key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-range").toString + "/t"
+    val df = (1L to 10000L).toDF("k").withColumn("v", col("k") * 2)
+    Partitioning.writeRangeClustered(df, dir, "k", 4)
+    // per-file min/max must not overlap if range clustering worked
+    val stats = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("k"))
+      .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+      .orderBy("lo").collect()
+    assert(stats.length == 4)
+    stats.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"))
+      case _ =>
+    }
+  }
+}
