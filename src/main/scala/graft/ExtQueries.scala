@@ -127,6 +127,15 @@ object ExtQueries {
       Similarity.lshTopK(probes, e.select("vec_id", "embedding"), 10)
     }),
 
+    // ── Similarity search, IVF variant (rows-only): inverted-file cells
+    //    from sampled centroids, nprobe-cell search.
+    "ext_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfTopK(probes, e.select("vec_id", "embedding"), 10)
+    }),
+
     // ── Near-dup dedup, MinHash+LSH banding (rows-only; hash primitives
     //    are engine-specific — verified vs brute-force Jaccard in tests).
     "ext_minhash_neardup" -> ((s, dir) => {

@@ -45,6 +45,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(ids.contains(11L)) // cos ≈ 0.994 — always shares hyperplane buckets
   }
 
+  test("IVF recalls strong neighbors; sims agree with brute force") {
+    val bf = Similarity.bruteForceTopK(probes, corpus, 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    val ivf = Similarity.ivfTopK(probes, corpus, 3, nCells = 3, nprobe = 2).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.map(_.getAs[Long]("vec_id")).contains(11L)) // cos ≈ 0.994
+    ivf.foreach(r => assert(bf(r.getAs[Long]("vec_id")) == r.getAs[Double]("sim")))
+  }
+
   test("LSH results are a subset of brute-force candidates with equal sims") {
     val bf = Similarity.bruteForceTopK(probes, corpus, 10).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
