@@ -398,6 +398,49 @@ object SparkEntry {
         .orderBy("rf")
     }),
 
+    // ── G4: pivot — priorities × order status counts (empty cells → 0
+    //    on both engines).
+    "g4_pivot" -> ((s, dir) => {
+      val statuses = Seq("F", "O", "P")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", statuses)
+        .count()
+        .select(col("priority") +:
+          statuses.map(st => coalesce(col(st), lit(0L)).as(s"n_$st")): _*)
+        .orderBy("priority")
+    }),
+
+    // ── F1: scalar string functions (upper/substr/lpad/length/concat).
+    "f1_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")
+        .limit(2000)
+    }),
+
+    // ── D1: date part extraction + arithmetic (year/quarter/month/day,
+    //    +30 days). dayofweek is omitted: Spark counts 1=Sunday, DuckDB
+    //    0=Sunday — a genuine cross-engine divergence.
+    "d1_date_parts" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"))
+        .orderBy("o_orderkey")
+        .limit(2000)
+    }),
+
     // ── S1/S2: set operations (capability; SURVEY §2.C "none in ref").
     "s1_intersect" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").cast("long").as("nationkey"))
@@ -594,6 +637,30 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+
+    "g4_pivot" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_F,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_O,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_P
+        |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
+
+    "f1_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_uc,
+        |       substr(p_name, 1, 8) AS name_prefix,
+        |       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        |       CAST(length(p_name) AS BIGINT) AS name_len,
+        |       concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey LIMIT 2000""".stripMargin,
+
+    "d1_date_parts" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       CAST(day(o_orderdate) AS BIGINT) AS d,
+        |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+        |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin,
 
     "s1_intersect" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
