@@ -4,8 +4,27 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.expressions.{CosineSim, MinHashSig, NgramJaccard, SimHash64}
+
+/** Optimizer rule: self-similarity is the identity — `cosine_sim(x, x)`
+  * and `ngram_jaccard(x, x, n)` fold to 1.0 at plan time, so a
+  * self-join pipeline (dedup against itself, diagonal of a similarity
+  * matrix) never evaluates the dot product or builds shingle sets.
+  * A small domain rewrite, but it demonstrates the injectOptimizerRule
+  * surface and composes with Catalyst's own constant folding. */
+object FoldSelfSimilarity extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSim(a, b) if a.deterministic && a.semanticEquals(b) =>
+        Literal(1.0, DoubleType)
+      case NgramJaccard(a, b, _) if a.deterministic && a.semanticEquals(b) =>
+        Literal(1.0, DoubleType)
+    }
+}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(text)
@@ -20,10 +39,12 @@ import graft.functions.expressions.{CosineSim, MinHashSig, NgramJaccard, SimHash
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectOptimizerRule(_ => FoldSelfSimilarity)
+  }
 }
 
 object GraftExtensions {

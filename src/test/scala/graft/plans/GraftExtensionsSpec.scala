@@ -22,6 +22,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Int]("k") == 16)
   }
 
+  test("FoldSelfSimilarity rewrites cosine_sim(x,x) to a literal 1.0") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f))).toDF("v")
+      .select(graft.functions.expressions.GraftFunctions
+        .cosine_sim(col("v"), col("v")).as("self"))
+    val folded = FoldSelfSimilarity(df.queryExecution.analyzed)
+    assert(!folded.toString.contains("cosine_sim"),
+      s"self-similarity not folded:\n$folded")
+    assert(df.collect().head.getDouble(0) == 1.0 ||
+      math.abs(df.collect().head.getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("SQL simhash64 equals the Column-API simhash64") {
     import spark.implicits._
     GraftExtensions.register(spark)
