@@ -16,6 +16,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** File-source readStream over the events parquet layout. The testdata
+    * stores ts as INT64 TIMESTAMP(NANOS) (read as Long under
+    * nanosAsLong, same as the batch path in graft.Tables) — rebuilt here
+    * to a µs timestamp before any windowing. */
+  def readEventStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // nanos-as-long
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Tumbling-window counts/sums per event type (batch twin:
     * Events.tumblingAgg). Watermark allows 10 min of lateness; append
     * mode emits each window once, when it finalizes. */

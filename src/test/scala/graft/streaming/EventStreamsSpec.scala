@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.sum
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -50,6 +51,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
       val got = spark.table("session_out").collect()
       assert(got.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("file-source readStream over the real events parquet matches the batch twin") {
+    // file streaming source wants a directory — stage the sf0.001 file
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.tumblingAgg(
+      EventStreams.readEventStream(spark, dir.toString), "1 hour")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("file_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_out")
+      val batch = graft.operators.Events.tumblingAgg(
+        graft.Tables(spark, "/root/testdata/sf0.001", "events"), "hour")
+      assert(streamed.agg(sum("n")).collect().head.getLong(0) ==
+        batch.agg(sum("n")).collect().head.getLong(0))
+      assert(streamed.count() == batch.count())
     } finally q.stop()
   }
 
