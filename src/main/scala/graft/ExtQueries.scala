@@ -100,6 +100,23 @@ object ExtQueries {
     "ext_sessionize" -> ((s, dir) =>
       Events.sessionStats(t(s, dir, "events"), gapMs = 1800000L)),
 
+    // ── As-of join: latest click value at-or-before each purchase, per
+    //    user. Spark side is the union+carry-forward composition
+    //    (Events.asofJoin scaladoc); the oracle is DuckDB's NATIVE
+    //    ASOF LEFT JOIN — two independent formulations, one answer.
+    "ext_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ms")
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ms"))
+      Events.asofJoin(purchases, clicks, "event_id", "user_id", "ms", "click_value")
+        .select(col("event_id"), col("user_id"), col("click_value"))
+        .orderBy("event_id")
+    }),
+
     // ── Top-k per group via ranked window.
     "ext_topk_per_group" -> ((s, dir) => {
       Events.topKPerGroup(
@@ -274,6 +291,20 @@ object ExtQueries {
         |       CAST(MAX(cnt) AS BIGINT) AS longest_session,
         |       CAST(SUM(cnt) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ext_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, value
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, ms, max_by(value, event_id) AS click_value
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ms FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ms >= c.ms
+        |ORDER BY p.event_id""".stripMargin,
 
     "ext_topk_per_group" ->
       """SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rank FROM (

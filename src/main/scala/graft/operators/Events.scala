@@ -57,6 +57,38 @@ object Events {
         sum(col("cnt")).as("n_events"))
       .orderBy("user_id")
 
+  /** As-of join: for each left row, the most recent right value with
+    * right.ms <= left.ms for the same key (inclusive). Composed as
+    * union + carry-forward window rather than a range join: ONE shuffle
+    * on the key and a local per-key sort — the formulation that holds at
+    * 100 TB, where a range-predicate join would either cartesian within
+    * key or need interval buckets. Right side must be unique per
+    * (key, ms) — pre-aggregate with max_by upstream.
+    *
+    * left: (leftId, key, ms); right: (key, ms, value).
+    * Returns (leftId, key, ms, value) with null when no prior right row. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      key: String,
+      ms: String,
+      value: String): DataFrame = {
+    val l = left.select(col(leftId), col(key), col(ms))
+      .withColumn("__side", lit(1)).withColumn(value, lit(null).cast("double"))
+    val r = right.select(col(key), col(ms), col(value))
+      .withColumn("__side", lit(0)).withColumn(leftId, lit(null).cast("long"))
+      .select(col(leftId), col(key), col(ms), col("__side"), col(value))
+    // right rows sort BEFORE left rows at equal ms → inclusive (<=)
+    val w = Window.partitionBy(col(key)).orderBy(col(ms), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.select(col(leftId), col(key), col(ms), col("__side"), col(value))
+      .unionByName(r)
+      .withColumn("__carry", last(col(value), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col(leftId), col(key), col(ms), col("__carry").as(value))
+  }
+
   /** Top-k per group via ranked window — the distributed replacement for
     * the reference's client-side sort (ref backend/app.py:318-328). */
   def topKPerGroup(df: DataFrame, group: Column, rankBy: Seq[Column], k: Int): DataFrame =

@@ -49,6 +49,26 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(click.getAs[Double]("total_value") == 4.0)
   }
 
+  test("asofJoin carries the latest at-or-before value, inclusive boundary") {
+    val right = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (2L, 100L, 99.0))
+      .toDF("k", "ms", "v")
+    val left = Seq(
+      (101L, 1L, 50L),   // before any right row → null
+      (102L, 1L, 100L),  // exactly at 100 → inclusive → 10.0
+      (103L, 1L, 150L),  // between → 10.0
+      (104L, 1L, 500L),  // after all → 20.0
+      (105L, 3L, 100L))  // key with no right rows → null
+      .toDF("id", "k", "ms")
+    val got = Events.asofJoin(left, right, "id", "k", "ms", "v")
+      .orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[java.lang.Double]("v"))).toMap
+    assert(got(101L).isEmpty)
+    assert(got(102L).contains(10.0))
+    assert(got(103L).contains(10.0))
+    assert(got(104L).contains(20.0))
+    assert(got(105L).isEmpty)
+  }
+
   test("topKPerGroup keeps k best with deterministic ties") {
     val got = Events.topKPerGroup(
       events, col("user_id"), Seq(col("value").desc, col("event_id")), 2)
