@@ -83,10 +83,14 @@ object ExtQueries {
         .orderBy("id_a")
     }),
 
-    // ── JSON extraction from the events props column.
+    // ── JSON extraction from the events props column. The extracted key
+    //    is nullable (missing/malformed $.k): coalesce to sentinel -1 on
+    //    BOTH engines, because Spark sorts NULL groups first and DuckDB
+    //    last — the same convention g2_rollup uses (gotcha list).
     "ext_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
-        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .select(coalesce(
+          get_json_object(col("props"), "$.k").cast("long"), lit(-1L)).as("k"))
         .groupBy("k")
         .agg(count(lit(1)).as("n"))
         .orderBy("k")
@@ -263,7 +267,7 @@ object ExtQueries {
         |ORDER BY id_a""".stripMargin,
 
     "ext_json_extract" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      """SELECT COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 

@@ -262,6 +262,11 @@ case class HyperplaneBands(child: Expression, planes: Array[Array[Double]], band
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
+  // array<double> inputs must read via getDouble — getFloat on a double
+  // array returns garbage sign bits (same branch CosineSim carries).
+  @transient private lazy val isDouble =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
@@ -272,7 +277,10 @@ case class HyperplaneBands(child: Expression, planes: Array[Array[Double]], band
       var dot = 0.0
       var i = 0
       val m = math.min(n, plane.length)
-      while (i < m) { dot += v.getFloat(i).toDouble * plane(i); i += 1 }
+      while (i < m) {
+        val xi = if (isDouble) v.getDouble(i) else v.getFloat(i).toDouble
+        dot += xi * plane(i); i += 1
+      }
       bits(p) = dot >= 0
       p += 1
     }

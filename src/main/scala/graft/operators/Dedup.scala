@@ -157,12 +157,19 @@ object Dedup {
   /** SimHash near-dup pairs, candidate-blocked on 16-bit chunks: two docs
     * within Hamming distance 3 of each other MUST share at least one of
     * the four 16-bit chunks (pigeonhole) — so the join is an equi-join on
-    * (chunk_idx, chunk_value), never all-pairs. */
+    * (chunk_idx, chunk_value), never all-pairs.
+    *
+    * Skew guard: a boilerplate-dominated corpus puts a huge cluster into
+    * one (chunk, cval) bucket, making the self-join quadratic. Buckets
+    * wider than `bucketCap` are dropped via a broadcast anti-join (same
+    * guard as the MinHash path) — such a cluster is better handled by
+    * exact/fingerprint dedup of its dominating representative. */
   def simhashNearDupPairs(
       df: DataFrame, // (id, text)
       id: Column,
       text: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      bucketCap: Int = 1000): DataFrame = {
     // simhash comes from the custom SimHash64 expression (one JVM loop per
     // row), let-bound and carried INSIDE the exploded struct so it
     // evaluates once per row, not once per chunk.
@@ -179,8 +186,13 @@ object Dedup {
       }).as("cc"))
       .select(col("id"), col("cc.sh").as("sh"),
         col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
-    val l = chunked.select(col("chunk"), col("cval"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = chunked.select(col("chunk"), col("cval"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // skew guard: drop degenerate hot buckets before the self-join
+    val bucketSizes = chunked.groupBy("chunk", "cval").agg(count(lit(1)).as("bsz"))
+    val pruned = chunked
+      .join(broadcast(bucketSizes.filter(col("bsz") > bucketCap)),
+        Seq("chunk", "cval"), "left_anti")
+    val l = pruned.select(col("chunk"), col("cval"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = pruned.select(col("chunk"), col("cval"), col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk", "cval"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -200,7 +212,13 @@ object Dedup {
     }
 
   /** Embedding near-dup: cosine >= `threshold` pairs, LSH-bucketed via
-    * Similarity.signatureBuckets — the same no-cross-join discipline. */
+    * Similarity.signatureBuckets — the same no-cross-join discipline.
+    *
+    * Scale shape mirrors the MinHash path exactly: the bucket self-join
+    * carries only (bucket, id) — vectors are rehydrated by id at the
+    * verify stage — and buckets wider than `bucketCap` (an embedding
+    * cluster of boilerplate/duplicated content) are dropped via a
+    * broadcast anti-join rather than exploding quadratically. */
   def embeddingNearDupPairs(
       df: DataFrame, // (id, vec)
       id: Column,
@@ -210,16 +228,26 @@ object Dedup {
       nPlanes: Int = 16,
       bands: Int = 4,
       seed: Long = 42L,
+      bucketCap: Int = 1000,
       topK: Option[Int] = None): DataFrame = {
     val planes = Similarity.hyperplanes(dim, nPlanes, seed)
-    val bucketed = df
-      .select(id.as("id"), vec.as("v"))
+    val named = df.select(id.as("id"), vec.as("v"))
+    val bucketed = named
       .withColumn("bucket", explode(Similarity.signatureBuckets(col("v"), planes, bands)))
-    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    val verified = l.join(r, Seq("bucket"))
+      .select(col("bucket"), col("id")) // ids only through the LSH join
+    // skew guard: drop degenerate hot buckets before the self-join
+    val bucketSizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+    val pruned = bucketed
+      .join(broadcast(bucketSizes.filter(col("bsz") > bucketCap)),
+        Seq("bucket"), "left_anti")
+    val pairs = pruned.select(col("bucket"), col("id").as("id_a"))
+      .join(pruned.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // verify stage: rehydrate vectors by id, exact cosine once per pair
+    val verified = pairs
+      .join(named.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(named.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("sim", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))

@@ -65,7 +65,14 @@ object Events {
     * key or need interval buckets. Right side must be unique per
     * (key, ms) — pre-aggregate with max_by upstream.
     *
-    * left: (leftId, key, ms); right: (key, ms, value).
+    * left: (leftId, key, ms); right: (key, ms, value). Column types are
+    * taken from the input schemas (no assumed long/double). Limitation,
+    * by construction of the carry-forward trick: a right row whose
+    * `value` is genuinely NULL is indistinguishable from "no row" —
+    * `last(ignoreNulls)` skips it and carries the previous value
+    * forward, where a native ASOF JOIN would surface the NULL. Callers
+    * with nullable right values should pre-coalesce them to a sentinel.
+    *
     * Returns (leftId, key, ms, value) with null when no prior right row. */
   def asofJoin(
       left: DataFrame,
@@ -74,10 +81,12 @@ object Events {
       key: String,
       ms: String,
       value: String): DataFrame = {
+    val valueType = right.schema(value).dataType
+    val leftIdType = left.schema(leftId).dataType
     val l = left.select(col(leftId), col(key), col(ms))
-      .withColumn("__side", lit(1)).withColumn(value, lit(null).cast("double"))
+      .withColumn("__side", lit(1)).withColumn(value, lit(null).cast(valueType))
     val r = right.select(col(key), col(ms), col(value))
-      .withColumn("__side", lit(0)).withColumn(leftId, lit(null).cast("long"))
+      .withColumn("__side", lit(0)).withColumn(leftId, lit(null).cast(leftIdType))
       .select(col(leftId), col(key), col(ms), col("__side"), col(value))
     // right rows sort BEFORE left rows at equal ms → inclusive (<=)
     val w = Window.partitionBy(col(key)).orderBy(col(ms), col("__side"))

@@ -3,26 +3,28 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.expressions.{CosineSim, MinHashSig, NgramJaccard, SimHash64}
 
-/** Optimizer rule: self-similarity is the identity — `cosine_sim(x, x)`
-  * and `ngram_jaccard(x, x, n)` fold to 1.0 at plan time, so a
-  * self-join pipeline (dedup against itself, diagonal of a similarity
-  * matrix) never evaluates the dot product or builds shingle sets.
+/** Optimizer rule: self-similarity is the identity — `ngram_jaccard(x,
+  * x, n)` folds to 1.0 at plan time, so a self-join pipeline (dedup
+  * against itself, diagonal of a similarity matrix) never builds
+  * shingle sets. The fold is semantics-preserving: a nullable input
+  * rewrites to `IF(x IS NULL, NULL, 1.0)` so NULL rows stay NULL, and
+  * `cosine_sim(x, x)` is deliberately NOT folded — a zero-norm vector
+  * evaluates to NaN (0/0), which a constant 1.0 would silently mask.
   * A small domain rewrite, but it demonstrates the injectOptimizerRule
   * surface and composes with Catalyst's own constant folding. */
 object FoldSelfSimilarity extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case CosineSim(a, b) if a.deterministic && a.semanticEquals(b) =>
-        Literal(1.0, DoubleType)
       case NgramJaccard(a, b, _) if a.deterministic && a.semanticEquals(b) =>
-        Literal(1.0, DoubleType)
+        if (a.nullable) If(IsNull(a), Literal(null, DoubleType), Literal(1.0, DoubleType))
+        else Literal(1.0, DoubleType)
     }
 }
 

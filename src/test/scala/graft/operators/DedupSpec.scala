@@ -88,6 +88,54 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("skew guard: a degenerate boilerplate cluster stays linear (simhash)") {
+    // 200 identical boilerplate docs — without the bucket cap this is
+    // 200*199/2 = 19900 quadratic pairs inside one (chunk, cval) bucket.
+    val boiler = "standard boilerplate disclaimer all rights reserved " +
+      "please read these terms carefully before proceeding any further"
+    val cluster = (100L until 300L).map(i => (i, boiler))
+    val mixed = (Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")),
+      (3L, "completely different content about spark query engines and shuffles"),
+      (5L, "identical twin document body"),
+      (6L, "identical twin document body")) ++ cluster).toDF("doc_id", "text")
+    val got = Dedup.simhashNearDupPairs(
+      mixed, col("doc_id"), col("text"), maxHamming = 8, bucketCap = 50)
+      .collect()
+    val pairs = got.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((5L, 6L)), "small-bucket near-dups must survive the cap")
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 >= 100L || p._2 >= 100L),
+      "over-cap cluster buckets must be dropped, not joined quadratically")
+    assert(got.length <= 20, s"candidate volume must stay linear, got ${got.length}")
+    // surfaced hamming values still match a brute-force recompute
+    val sh = mixed.select(col("doc_id"), graft.functions.expressions.GraftFunctions
+      .simhash64(col("text")).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val expect = java.lang.Long.bitCount(
+        sh(r.getAs[Long]("id_a")) ^ sh(r.getAs[Long]("id_b")))
+      assert(r.getAs[Long]("hamming") == expect)
+    }
+  }
+
+  test("skew guard: a degenerate embedding cluster stays linear") {
+    val cluster = (100L until 300L).map(i => (i, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+    val vecs = (Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // ~parallel to 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))) ++ cluster).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupPairs(
+      vecs, col("vec_id"), col("embedding"), threshold = 0.95, dim = 4,
+      nPlanes = 16, bands = 4, bucketCap = 50).collect()
+    val pairs = got.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)), "small-bucket near-dup must survive the cap")
+    assert(!pairs.exists(p => p._1 >= 100L || p._2 >= 100L),
+      "over-cap cluster buckets must be dropped")
+    assert(got.length <= 20, s"candidate volume must stay linear, got ${got.length}")
+  }
+
   test("ngramJaccard: identical → 1, disjoint → 0") {
     val df = Seq(("abcdefgh", "abcdefgh", "zzzzyyyy")).toDF("a", "b", "c")
     val r = df.select(

@@ -22,17 +22,31 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Int]("k") == 16)
   }
 
-  test("FoldSelfSimilarity rewrites cosine_sim(x,x) to a literal 1.0") {
+  test("FoldSelfSimilarity rewrites ngram_jaccard(x,x,n), preserving NULLs") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val df = Seq((Array(1.0f, 2.0f, 3.0f))).toDF("v")
+    val df = Seq(Some("some document"), None).toDF("t")
+      .select(graft.functions.expressions.GraftFunctions
+        .ngram_jaccard(col("t"), col("t"), 3).as("self"))
+    val folded = FoldSelfSimilarity(df.queryExecution.analyzed)
+    assert(!folded.toString.toLowerCase.contains("ngramjaccard"),
+      s"self-similarity not folded:\n$folded")
+    // nullable input folds to IF(ISNULL(t), NULL, 1.0) — NULL rows stay NULL
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 1.0)
+    assert(rows(1).isNullAt(0), "NULL input must stay NULL after the fold")
+  }
+
+  test("FoldSelfSimilarity leaves cosine_sim(x,x) alone (zero-norm → NaN)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(Array(0.0f, 0.0f)).toDF("v")
       .select(graft.functions.expressions.GraftFunctions
         .cosine_sim(col("v"), col("v")).as("self"))
     val folded = FoldSelfSimilarity(df.queryExecution.analyzed)
-    assert(!folded.toString.contains("cosine_sim"),
-      s"self-similarity not folded:\n$folded")
-    assert(df.collect().head.getDouble(0) == 1.0 ||
-      math.abs(df.collect().head.getDouble(0) - 1.0) < 1e-12)
+    assert(folded.toString.toLowerCase.contains("cosinesim"),
+      s"cosine_sim self-fold must NOT fire (would mask zero-vector NaN):\n$folded")
+    assert(df.collect().head.getDouble(0).isNaN)
   }
 
   test("SQL simhash64 equals the Column-API simhash64") {
