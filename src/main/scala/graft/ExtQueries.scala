@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Events, Similarity}
+import graft.operators.{Dedup, Events, Partitioning, Similarity}
 
 /** [EXT] LLM-data-pipeline operators (dedup, similarity search, text
   * analysis, event windows) as driver-contract queries. See the module
@@ -121,6 +121,26 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // ── Salted skew join: events carry a power-law user_id — the kind of
+    //    hot key that stalls one reducer in a plain shuffle join. The left
+    //    side is salted on event_id, the small per-user profile replicated
+    //    `factor` ways (Partitioning.saltedJoin). The ORACLE is the plain
+    //    unsalted join in DuckDB, so a green row IS the parity proof.
+    "ext_salted_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val profile = e.groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("user_total"))
+        .withColumnRenamed("user_id", "p_user_id")
+      Partitioning.saltedJoin(
+        e, profile, "user_id", "p_user_id",
+        saltSource = col("event_id"), factor = 8)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("user_total")).cast("double").as("sum_user_total"))
+        .orderBy("event_type")
+    }),
+
     // ── Top-k per group via ranked window.
     "ext_topk_per_group" -> ((s, dir) => {
       Events.topKPerGroup(
@@ -199,6 +219,26 @@ object ExtQueries {
         .agg(
           count(lit(1)).as("n"),
           sum(col("n_bytes")).as("total_bytes"))
+        .orderBy("kind")
+    }),
+
+    // ── Multimodal relational spine, hash-checked: the deterministic
+    //    media fixture (id, kind, BINARY payload) is materialized to
+    //    parquet, then the decode-INDEPENDENT stats (n, total payload
+    //    bytes per kind) aggregate from the written files. The oracle
+    //    reads the same parquet and computes octet_length in DuckDB —
+    //    two engines measuring the same blobs. (Decode itself stays a
+    //    stub → ext_multimodal_features remains rows-only.)
+    "ext_multimodal_meta" -> ((s, dir) => {
+      val fixture = "/tmp/graft_fixtures/media_meta"
+      graft.multimodal.Multimodal.syntheticMedia(s, 120)
+        .select(col("media_id"), col("kind"), col("payload"))
+        .write.mode("overwrite").parquet(fixture)
+      s.read.parquet(fixture)
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(octet_length(col("payload")).cast("long")).as("total_bytes"))
         .orderBy("kind")
     })
   )
@@ -310,6 +350,15 @@ object ExtQueries {
         |  ON p.user_id = c.user_id AND p.ms >= c.ms
         |ORDER BY p.event_id""".stripMargin,
 
+    "ext_salted_join" ->
+      """WITH u AS (
+        |  SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS user_total
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_type AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(u.user_total) AS DOUBLE) AS sum_user_total
+        |FROM events e JOIN u ON e.user_id = u.user_id
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "ext_topk_per_group" ->
       """SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rank FROM (
         |  SELECT event_type, event_id, value,
@@ -336,6 +385,12 @@ object ExtQueries {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM sc)
         |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ext_multimodal_meta" ->
+      """SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
+        |FROM read_parquet('/tmp/graft_fixtures/media_meta/*.parquet')
+        |GROUP BY kind ORDER BY kind""".stripMargin
   )
 }

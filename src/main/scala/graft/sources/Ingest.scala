@@ -44,6 +44,8 @@ object Ingest {
       .option("header", "true")
       .option("inferSchema", "true")
       .csv(csvPath)
+    // empty-upload rejection must happen BEFORE any write (ref :200-202);
+    // isEmpty is a limit-1 probe, not a full scan.
     if (raw.isEmpty)
       throw new IllegalArgumentException("上传的文件中没有数据") // ref :200-202
     val renamed = CarSchema.reverseMapping.foldLeft(raw) {
@@ -55,7 +57,38 @@ object Ingest {
       if (df.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
       else df.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(CarSchema.schema.fieldNames.map(col): _*)
-    appendRows(aligned, tablePath)
-    aligned.count()
+    // the returned count rides on the write job via observe() — the
+    // read-rename-cast pipeline runs exactly once, not once per count
+    val obs = org.apache.spark.sql.Observation()
+    appendRows(aligned.observe(obs, count(lit(1)).as("n")), tablePath)
+    obs.get("n").asInstanceOf[Long]
   }
+
+  /** JDBC source passthrough — the reference reads its car table over a
+    * Hive Thrift connection (ref: backend/utils.py:142, config.py:1-6);
+    * `spark.read.jdbc` is the engine-side equivalent for any warehouse
+    * that speaks JDBC. Single-connection read: the whole table comes
+    * through one partition — fine for dimension tables, wrong for facts
+    * (use [[readJdbcPartitioned]]). */
+  def readJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Partitioned JDBC read: `numPartitions` parallel connections, each
+    * scanning a [lower, upper) stride of `partitionColumn` — the shape
+    * that survives a big source table, since every executor pulls its
+    * own slice instead of one connection bottlenecking the cluster. */
+  def readJdbcPartitioned(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound, numPartitions, props)
 }

@@ -26,4 +26,21 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(empty.filterNot(_ == "j3_anti_join").isEmpty,
       s"empty results: $empty")
   }
+
+  test("g3 approx distinct stays within the configured error of exact g1") {
+    // approx_count_distinct is run with rsd=0.02; HLL++ error is
+    // probabilistic, so allow 3 sigma. The oracle can't check this
+    // (DuckDB's sketch differs) — this test is g3's correctness gate.
+    val exact = SparkEntry.queries("g1_count_distinct")(spark, sf)
+      .collect().map(r => r.getAs[String]("rf") -> r.getAs[Long]("n_parts")).toMap
+    val approx = SparkEntry.queries("g3_approx_distinct")(spark, sf)
+      .collect().map(r => r.getAs[String]("rf") -> r.getAs[Long]("approx_parts")).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (rf, est) =>
+      val truth = exact(rf).toDouble
+      val relErr = math.abs(est - truth) / truth
+      assert(relErr <= 0.06, f"g3 group $rf: estimate $est vs exact ${exact(rf)} " +
+        f"(rel err $relErr%.4f > 3×rsd)")
+    }
+  }
 }

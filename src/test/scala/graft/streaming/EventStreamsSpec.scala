@@ -75,6 +75,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming sessions match the batch sessionize twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.sessionAgg(
+      EventStreams.readEventStream(spark, dir.toString), "30 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("file_sess_out").start()
+    try {
+      q.processAllAvailable()
+      // per-user (n_sessions, n_events) from the streaming session windows
+      val streamed = spark.table("file_sess_out")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_sessions"),
+          sum("n_events").as("n_events"))
+        .collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+      val batch = graft.operators.Events.sessionStats(
+        graft.Tables(spark, "/root/testdata/sf0.001", "events"), gapMs = 1800000L)
+        .collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+      assert(streamed == batch,
+        s"streaming sessions diverge from batch for users: " +
+          (streamed.keySet ++ batch.keySet).filter(k =>
+            streamed.get(k) != batch.get(k)).take(5))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running totals across micro-batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
