@@ -8,14 +8,17 @@ object DevProfile {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra confs: SPARK_GRAFT_CONF="k=v;k=v" (dev bisection)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     (1 to sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt).foreach { i =>

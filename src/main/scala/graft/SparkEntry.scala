@@ -322,15 +322,27 @@ object SparkEntry {
     }),
 
     // ── J5: three-way join + top-k revenue (TPC-H Q3-flavored). The
-    //    orderBy+limit is a distributed top-k, not a full sort.
+    //    orderBy+limit is a distributed top-k, not a full sort. Revenue
+    //    is pre-aggregated per orderkey BELOW the join (j2's discipline):
+    //    the raw formulation carried every lineitem row through the join
+    //    and ran the final aggregate over |lineitem| rows keyed by
+    //    (custkey, name) — at 10× volume that hash table was the bench's
+    //    worst memory hog. Decimal sums re-aggregate exactly, so the
+    //    result is bit-identical; c_name joins AFTER the per-customer
+    //    aggregate, touching |customers| rows instead of |lineitem|.
     "j5_revenue_topk" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(li, o("o_orderkey") === li("l_orderkey"))
-        .groupBy(col("c_custkey"), col("c_name").as("name"))
-        .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      val liRev = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("rev0"))
+      val custRev = liRev
+        .join(o, liRev("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev0")).cast("double").as("revenue"))
+      val c = t(s, dir, "customer")
+      custRev.join(c, custRev("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name").as("name"), col("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),

@@ -66,12 +66,12 @@ object Events {
     * (key, ms) — pre-aggregate with max_by upstream.
     *
     * left: (leftId, key, ms); right: (key, ms, value). Column types are
-    * taken from the input schemas (no assumed long/double). Limitation,
-    * by construction of the carry-forward trick: a right row whose
-    * `value` is genuinely NULL is indistinguishable from "no row" —
-    * `last(ignoreNulls)` skips it and carries the previous value
-    * forward, where a native ASOF JOIN would surface the NULL. Callers
-    * with nullable right values should pre-coalesce them to a sentinel.
+    * taken from the input schemas (no assumed long/double). The carried
+    * payload is a one-field STRUCT wrapping `value`, non-null for every
+    * right row — so a right row whose value is genuinely NULL still
+    * counts as "a row exists" and surfaces its NULL, exactly like a
+    * native ASOF JOIN (the raw-value formulation would skip it via
+    * last(ignoreNulls) and wrongly carry an older value forward).
     *
     * Returns (leftId, key, ms, value) with null when no prior right row. */
   def asofJoin(
@@ -83,19 +83,22 @@ object Events {
       value: String): DataFrame = {
     val valueType = right.schema(value).dataType
     val leftIdType = left.schema(leftId).dataType
+    val wrapType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("v", valueType)))
     val l = left.select(col(leftId), col(key), col(ms))
-      .withColumn("__side", lit(1)).withColumn(value, lit(null).cast(valueType))
-    val r = right.select(col(key), col(ms), col(value))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(wrapType))
+    val r = right.select(col(key), col(ms), struct(col(value).as("v")).as("__rv"))
       .withColumn("__side", lit(0)).withColumn(leftId, lit(null).cast(leftIdType))
-      .select(col(leftId), col(key), col(ms), col("__side"), col(value))
+      .select(col(leftId), col(key), col(ms), col("__side"), col("__rv"))
     // right rows sort BEFORE left rows at equal ms → inclusive (<=)
     val w = Window.partitionBy(col(key)).orderBy(col(ms), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.select(col(leftId), col(key), col(ms), col("__side"), col(value))
+    l.select(col(leftId), col(key), col(ms), col("__side"), col("__rv"))
       .unionByName(r)
-      .withColumn("__carry", last(col(value), ignoreNulls = true).over(w))
+      .withColumn("__carry", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(col(leftId), col(key), col(ms), col("__carry").as(value))
+      .select(col(leftId), col(key), col(ms), col("__carry")("v").as(value))
   }
 
   /** Top-k per group via ranked window — the distributed replacement for

@@ -69,6 +69,22 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(got(105L).isEmpty)
   }
 
+  test("asofJoin surfaces a genuinely-NULL right value (native ASOF semantics)") {
+    // right row at ms=200 exists but its value is NULL: a native ASOF
+    // join matches the ROW and returns NULL — the carry must not skip
+    // it and resurrect the older 10.0.
+    val right = Seq(
+      (1L, 100L, Some(10.0)),
+      (1L, 200L, Option.empty[Double]))
+      .toDF("k", "ms", "v")
+    val left = Seq((201L, 1L, 150L), (202L, 1L, 300L)).toDF("id", "k", "ms")
+    val got = Events.asofJoin(left, right, "id", "k", "ms", "v")
+      .orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[java.lang.Double]("v"))).toMap
+    assert(got(201L).contains(10.0)) // before the NULL row
+    assert(got(202L).isEmpty, "NULL right value must surface, not carry 10.0 forward")
+  }
+
   test("topKPerGroup keeps k best with deterministic ties") {
     val got = Events.topKPerGroup(
       events, col("user_id"), Seq(col("value").desc, col("event_id")), 2)
