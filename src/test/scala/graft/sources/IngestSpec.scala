@@ -101,6 +101,17 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
       (1L to 40L).toSeq)
   }
 
+  test("API envelope matches the reference read contract (utils.py:166)") {
+    import spark.implicits._
+    val df = Seq((1L, "奥迪"), (2L, "宝马")).toDF("id", "car_brand")
+    val json = ApiEnvelope.read(df.orderBy("id"), "car_data")
+    assert(json.startsWith("""{"status":"success","data":["""))
+    assert(json.contains(""""car_brand":"奥迪""""))
+    assert(json.contains("读取 2 行数据"))
+    val err = ApiEnvelope.error(new RuntimeException("boom"))
+    assert(err == """{"status":"error","message":"读取数据失败: boom"}""")
+  }
+
   test("B16 empty upload is rejected (ref app.py:200-202)") {
     val tmp = Files.createTempDirectory("graft-csv2")
     val csv = tmp.resolve("empty.csv")
