@@ -202,6 +202,67 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // ─────────────────────────── LSH auto-sizing ───────────────────────────
+  // The scaling receipt (SCALE.md "LSH sizing law") showed fixed band
+  // parameters make candidate volume quadratic as the corpus grows; these
+  // helpers turn the law into engine behavior.
+
+  /** Bits per hyperplane-LSH band that hold the expected RANDOM-pair
+    * bucket width at ~`targetBucketWidth`: b = ⌈log₂(n / w)⌉. Use
+    * nPlanes = bands × sizedBandBits(n). */
+  def sizedBandBits(n: Long, targetBucketWidth: Int = 4): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(2.0, n.toDouble / targetBucketWidth)) / math.log(2.0)).toInt)
+
+  /** Calibrate MinHash banding against the corpus's own background
+    * similarity. Samples `sampleDocs` documents (hash-ordered —
+    * deterministic and id-uniform), pairs them up, and measures the
+    * 90th-percentile pairwise Jaccard s₀ of NON-duplicate text. A band
+    * of r rows collides for such a pair with probability s₀^r; choosing
+    * r ≥ ln(1/n)/ln(s₀) keeps expected random collisions per doc O(1),
+    * so candidates scale with true near-dup density instead of n².
+    * Returns the band count (numHashes / r), at least 1.
+    *
+    * The sample is a bounded driver pull (sampleDocs rows of text) — an
+    * index-build step, same budget class as IVF centroid sampling. */
+  def calibrateMinhashBands(
+      df: DataFrame,
+      text: Column,
+      n: Long,
+      shingleN: Int = 5,
+      numHashes: Int = 32,
+      sampleDocs: Int = 200): Int = {
+    require(numHashes >= 2)
+    val sample = df.select(text.as("t"))
+      .orderBy(xxhash64(col("t")), col("t"))
+      .limit(sampleDocs)
+      .collect().map(_.getString(0))
+    if (sample.length < 4 || n < 2) return numHashes / 2
+    val jac = sample.grouped(2).collect { case Array(a, b) =>
+      jaccardOf(a, b, shingleN)
+    }.toArray.sorted
+    val s0 = jac((jac.length * 9) / 10) // 90th percentile background sim
+    val r =
+      if (s0 <= 0.0) 2 // disjoint background: any band is selective
+      else if (s0 >= 1.0) numHashes // duplicate-saturated: max selectivity
+      else math.min(numHashes,
+        math.max(2, math.ceil(math.log(1.0 / n) / math.log(s0)).toInt))
+    math.max(1, numHashes / r)
+  }
+
+  /** Driver-side exact n-gram Jaccard of two strings (calibration only —
+    * same normalize/shingle semantics as the NgramJaccard expression). */
+  private def jaccardOf(a: String, b: String, n: Int): Double = {
+    def set(s: String): Set[String] = {
+      val norm = s.toLowerCase.replaceAll("\\s+", " ").trim
+      (0 until math.max(1, norm.length - n + 1))
+        .map(i => norm.substring(i, math.min(i + n, norm.length))).toSet
+    }
+    val (sa, sb) = (set(a), set(b))
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
   /** N-gram Jaccard similarity of two text columns (exact, for verify
     * stages and tests — the scalable candidate generation is LSH above). */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =

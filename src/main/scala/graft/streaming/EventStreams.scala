@@ -60,6 +60,18 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact-dedup twin (batch twin: operators.Dedup.exact):
+    * drops rows whose key columns repeat within the watermark horizon.
+    * dropDuplicatesWithinWatermark bounds the dedup state store to the
+    * lateness window — the streaming analogue of the batch rule "never
+    * hold unbounded state": at 100 TB/day the state holds only the keys
+    * seen in the last `lateness`, evicted as the watermark advances. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

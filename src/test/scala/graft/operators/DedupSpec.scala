@@ -136,6 +136,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.length <= 20, s"candidate volume must stay linear, got ${got.length}")
   }
 
+  test("LSH auto-sizing: band bits grow with corpus, calibration sees background sim") {
+    // hyperplane bits: hold expected random bucket width at ~4
+    assert(Dedup.sizedBandBits(1000) == 8)     // 2^8 = 256 ≈ 1000/4
+    assert(Dedup.sizedBandBits(60000) == 14)   // 2^14 ≈ 15k
+    assert(Dedup.sizedBandBits(100000000L) == 25)
+    assert(Dedup.sizedBandBits(10) == 4)       // floor
+
+    // vocabulary-limited corpus (high background Jaccard): calibration
+    // must pick MORE rows per band (fewer bands) than a diverse corpus
+    val vocab = Seq("spark", "line", "sort", "fast", "query", "agg",
+      "table", "hash", "scan", "group", "value", "key")
+    val rnd = new scala.util.Random(7)
+    val lookalike = (1L to 300L).map(i =>
+      (i, Seq.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val diverse = (1L to 300L).map(i =>
+      (i, Seq.fill(40)(s"w${rnd.nextInt(100000)}x${i}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bandsLookalike = Dedup.calibrateMinhashBands(lookalike, col("text"), 300L)
+    val bandsDiverse = Dedup.calibrateMinhashBands(diverse, col("text"), 300L)
+    assert(bandsLookalike < bandsDiverse,
+      s"lookalike corpus must get fewer bands (more rows/band): " +
+        s"$bandsLookalike vs $bandsDiverse")
+    assert(bandsLookalike <= 5, s"r>=6 expected on the 12-word corpus, got bands=$bandsLookalike")
+  }
+
   test("ngramJaccard: identical → 1, disjoint → 0") {
     val df = Seq(("abcdefgh", "abcdefgh", "zzzzyyyy")).toDF("a", "b", "c")
     val r = df.select(

@@ -107,6 +107,23 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeated keys across micro-batches within the watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.dedupStream(in.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      in.addData(Event(1, ts(0), 1, "c", 1.0), Event(2, ts(1), 1, "c", 2.0))
+      q.processAllAvailable()
+      // same event_id 1 again, next micro-batch, still inside the watermark
+      in.addData(Event(1, ts(2), 1, "c", 9.9), Event(3, ts(3), 1, "c", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running totals across micro-batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
