@@ -184,9 +184,16 @@ object ExtQueries {
       // the query runs in top-K report mode: the 50 most-similar pairs the
       // banded LSH surfaces. The high-similarity threshold regime is
       // exercised by the ScalaTest suite on crafted duplicate fixtures.
+      // Banding is CORPUS-CALIBRATED (Dedup.calibrateMinhashBands): the
+      // sample-measured background Jaccard picks rows-per-band so random
+      // collisions stay O(1)/doc at any corpus size — the SCALE.md
+      // sizing law applied by the engine itself, not by hand.
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val bands = Dedup.calibrateMinhashBands(docs, col("text"), n)
       Dedup.minhashNearDupPairs(
-        t(s, dir, "documents"), col("doc_id"), col("text"),
-        shingleN = 5, numHashes = 32, bands = 8, threshold = 0.0,
+        docs, col("doc_id"), col("text"),
+        shingleN = 5, numHashes = 32, bands = bands, threshold = 0.0,
         topK = Some(50))
     }),
 
@@ -199,12 +206,15 @@ object ExtQueries {
     // ── Near-dup dedup over embeddings (rows-only).
     "ext_embedding_neardup" -> ((s, dir) => {
       // Corpus max pairwise cosine ≈ 0.49 — top-K report mode again.
-      // 32 planes / 4 bands (8 bits per band) keeps random-pair bucket
-      // collisions ≈ 1.5% instead of 28% at r=4 — the candidate set stays
-      // near-linear while high-cosine recall stays ≈ 90%.
+      // Band bits are CORPUS-SIZED (Dedup.sizedBandBits): expected
+      // random bucket width stays O(1) as the corpus grows, so candidate
+      // volume scales linearly instead of n²/2^bits (SCALE.md law).
+      val e = t(s, dir, "embeddings")
+      val bands = 4
+      val nPlanes = bands * Dedup.sizedBandBits(e.count())
       Dedup.embeddingNearDupPairs(
-        t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
-        threshold = 0.0, nPlanes = 32, topK = Some(50))
+        e, col("vec_id"), col("embedding"),
+        threshold = 0.0, nPlanes = nPlanes, bands = bands, topK = Some(50))
     }),
 
     // ── Multimodal plumbing demo (rows-only): binary payloads → per-
