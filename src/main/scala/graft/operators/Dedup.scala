@@ -216,12 +216,20 @@ object Dedup {
 
   /** Calibrate MinHash banding against the corpus's own background
     * similarity. Samples `sampleDocs` documents (hash-ordered —
-    * deterministic and id-uniform), pairs them up, and measures the
-    * 90th-percentile pairwise Jaccard s₀ of NON-duplicate text. A band
+    * deterministic and id-uniform), pairs them up, and takes s₀ = the
+    * DENSEST observed non-duplicate pairwise Jaccard (max below the
+    * dup threshold 0.95 — exact dups are exact-dedup territory). A band
     * of r rows collides for such a pair with probability s₀^r; choosing
     * r ≥ ln(1/n)/ln(s₀) keeps expected random collisions per doc O(1),
     * so candidates scale with true near-dup density instead of n².
     * Returns the band count (numHashes / r), at least 1.
+    *
+    * Max, not a mid quantile: a heterogeneous corpus (language clusters,
+    * per-source boilerplate families) has LOW global background but HIGH
+    * within-cluster background, and the quadratic blowup happens inside
+    * the densest cluster — sizing must target it (measured on the 10×
+    * replica: a 90th-percentile rule picked r=4 and ran 1000+ s; the
+    * max rule picks r≈16 and runs in seconds).
     *
     * The sample is a bounded driver pull (sampleDocs rows of text) — an
     * index-build step, same budget class as IVF centroid sampling. */
@@ -240,8 +248,9 @@ object Dedup {
     if (sample.length < 4 || n < 2) return numHashes / 2
     val jac = sample.grouped(2).collect { case Array(a, b) =>
       jaccardOf(a, b, shingleN)
-    }.toArray.sorted
-    val s0 = jac((jac.length * 9) / 10) // 90th percentile background sim
+    }.toArray
+    val nonDup = jac.filter(_ < 0.95)
+    val s0 = if (nonDup.isEmpty) 1.0 else nonDup.max // densest non-dup background
     val r =
       if (s0 <= 0.0) 2 // disjoint background: any band is selective
       else if (s0 >= 1.0) numHashes // duplicate-saturated: max selectivity
