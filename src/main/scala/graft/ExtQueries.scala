@@ -22,6 +22,17 @@ object ExtQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Fixture root for queries that materialize their own parquet (the
+    * multimodal relational spine). Per-PROCESS by default so concurrent
+    * Verify/Bench runs never race on a shared /tmp path — the oracle SQL
+    * below embeds the same resolved path (both maps are rendered in the
+    * same JVM, so Verify's oracle_sql.json always points at the files this
+    * process wrote). Override with SPARK_GRAFT_FIXTURE_DIR if the oracle
+    * runs on another host. */
+  private lazy val fixtureRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+      s"/tmp/graft_fixtures_pid${ProcessHandle.current().pid()}")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── Exact dedup: deterministic keeper (min id) per identical text.
     "ext_dedup_exact" -> ((s, dir) => {
@@ -240,7 +251,7 @@ object ExtQueries {
     //    two engines measuring the same blobs. (Decode itself stays a
     //    stub → ext_multimodal_features remains rows-only.)
     "ext_multimodal_meta" -> ((s, dir) => {
-      val fixture = "/tmp/graft_fixtures/media_meta"
+      val fixture = s"$fixtureRoot/media_meta"
       graft.multimodal.Multimodal.syntheticMedia(s, 120)
         .select(col("media_id"), col("kind"), col("payload"))
         .write.mode("overwrite").parquet(fixture)
@@ -398,9 +409,9 @@ object ExtQueries {
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "ext_multimodal_meta" ->
-      """SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
-        |FROM read_parquet('/tmp/graft_fixtures/media_meta/*.parquet')
-        |GROUP BY kind ORDER BY kind""".stripMargin
+      s"""SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
+         |FROM read_parquet('$fixtureRoot/media_meta/*.parquet')
+         |GROUP BY kind ORDER BY kind""".stripMargin
   )
 }

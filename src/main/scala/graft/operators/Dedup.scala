@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 
+import java.util.concurrent.atomic.AtomicLong
 import scala.util.Random
 
 /** [EXT] Deduplication operators for a training-data pipeline.
@@ -13,9 +14,43 @@ import scala.util.Random
   *  - never shuffle document BODIES when a (fingerprint, id) pair will do;
   *  - never generate all-pairs candidates — LSH banding turns the
   *    quadratic pair space into per-bucket joins;
-  *  - keep-winner selection is deterministic (min id), not "first seen".
+  *  - keep-winner selection is deterministic (min id), not "first seen";
+  *  - no silent caps: every skew guard reports what it dropped via
+  *    observe() metrics (see [[skewGuardMetricPrefix]]).
   */
 object Dedup {
+
+  /** Every bucket-cap anti-join emits a CollectMetrics node named
+    * `graft_skew_guard_<op>_<seq>` with columns `dropped_buckets` /
+    * `dropped_rows` — readable from a QueryExecutionListener's
+    * `qe.observedMetrics`. Dropping a hot bucket truncates recall; the
+    * repo rule is that such truncation must be observable, never silent.
+    *
+    * When NOTHING is over the cap, AQE's empty-relation propagation may
+    * eliminate the (empty) guard subtree — and its metrics node — from
+    * the final plan, so the metric can be ABSENT on a clean corpus.
+    * Whenever truncation actually happens the build side is non-empty and
+    * the metric is guaranteed present: absent ⇒ nothing was dropped. */
+  val skewGuardMetricPrefix = "graft_skew_guard_"
+
+  // observe() names must be unique within one query plan; a caller may
+  // compose several near-dup ops, so each guard gets a sequence suffix.
+  private val skewGuardSeq = new AtomicLong(0)
+
+  /** Shared hot-bucket skew guard: drops candidate buckets wider than
+    * `cap` via a broadcast anti-join (such a bucket is a degenerate
+    * boilerplate cluster — quadratic in the self-join, better handled by
+    * exact/fingerprint dedup of its representative), and reports the
+    * truncation through named observe() metrics (no silent caps). */
+  private def capBuckets(
+      df: DataFrame, keys: Seq[String], cap: Int, op: String): DataFrame = {
+    val sizes = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz"))
+    val over = sizes.filter(col("bsz") > cap)
+      .observe(s"$skewGuardMetricPrefix${op}_${skewGuardSeq.incrementAndGet()}",
+        count(lit(1)).as("dropped_buckets"),
+        coalesce(sum("bsz"), lit(0L)).as("dropped_rows"))
+    df.join(broadcast(over), keys, "left_anti")
+  }
 
   /** Exact dedup: one surviving id per identical key. groupBy(min) rather
     * than dropDuplicates: dropDuplicates keeps an ARBITRARY row per key
@@ -106,11 +141,8 @@ object Dedup {
         }: _*)
       }).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-    // skew guard: drop degenerate hot buckets (see scaladoc)
-    val bucketSizes = banded.groupBy("band", "bhash").agg(count(lit(1)).as("bsz"))
-    val pruned = banded
-      .join(broadcast(bucketSizes.filter(col("bsz") > bucketCap)),
-        Seq("band", "bhash"), "left_anti")
+    // skew guard: drop degenerate hot buckets, observably (see capBuckets)
+    val pruned = capBuckets(banded, Seq("band", "bhash"), bucketCap, "minhash")
     val pairs = pruned.select(col("band"), col("bhash"), col("id").as("id_a"))
       .join(pruned.select(col("band"), col("bhash"), col("id").as("id_b")),
         Seq("band", "bhash"))
@@ -186,11 +218,9 @@ object Dedup {
       }).as("cc"))
       .select(col("id"), col("cc.sh").as("sh"),
         col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
-    // skew guard: drop degenerate hot buckets before the self-join
-    val bucketSizes = chunked.groupBy("chunk", "cval").agg(count(lit(1)).as("bsz"))
-    val pruned = chunked
-      .join(broadcast(bucketSizes.filter(col("bsz") > bucketCap)),
-        Seq("chunk", "cval"), "left_anti")
+    // skew guard: drop degenerate hot buckets before the self-join,
+    // observably (see capBuckets)
+    val pruned = capBuckets(chunked, Seq("chunk", "cval"), bucketCap, "simhash")
     val l = pruned.select(col("chunk"), col("cval"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = pruned.select(col("chunk"), col("cval"), col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk", "cval"))
@@ -241,7 +271,10 @@ object Dedup {
       numHashes: Int = 32,
       sampleDocs: Int = 200): Int = {
     require(numHashes >= 2)
+    // NULL texts sort together under xxhash64 and would land in the sample
+    // (then NPE in jaccardOf) — they carry no shingle signal, so drop them.
     val sample = df.select(text.as("t"))
+      .filter(col("t").isNotNull)
       .orderBy(xxhash64(col("t")), col("t"))
       .limit(sampleDocs)
       .collect().map(_.getString(0))
@@ -305,11 +338,9 @@ object Dedup {
     val bucketed = named
       .withColumn("bucket", explode(Similarity.signatureBuckets(col("v"), planes, bands)))
       .select(col("bucket"), col("id")) // ids only through the LSH join
-    // skew guard: drop degenerate hot buckets before the self-join
-    val bucketSizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("bsz"))
-    val pruned = bucketed
-      .join(broadcast(bucketSizes.filter(col("bsz") > bucketCap)),
-        Seq("bucket"), "left_anti")
+    // skew guard: drop degenerate hot buckets before the self-join,
+    // observably (see capBuckets)
+    val pruned = capBuckets(bucketed, Seq("bucket"), bucketCap, "embedding")
     val pairs = pruned.select(col("bucket"), col("id").as("id_a"))
       .join(pruned.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))

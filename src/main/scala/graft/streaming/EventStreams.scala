@@ -67,10 +67,12 @@ object EventStreams {
     * hold unbounded state": at 100 TB/day the state holds only the keys
     * seen in the last `lateness`, evicted as the watermark advances. */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
-      lateness: String = "10 minutes"): DataFrame =
+      lateness: String = "10 minutes", tsCol: String = "ts"): DataFrame = {
+    require(keyCols.nonEmpty, "dedupStream needs at least one key column")
     events
-      .withWatermark("ts", lateness)
+      .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -36,6 +36,13 @@ object ScaleReplica {
   def main(args: Array[String]): Unit = {
     val Array(src, dest, factorStr) = args.take(3)
     val factor = factorStr.toInt
+    // Content distinctness holds only while each copy gets a UNIQUE cipher
+    // rotation (25 non-identity rotations + identity) — past that, copies
+    // would repeat texts and reintroduce the quadratic-pair artifact this
+    // tool exists to avoid. Embedding rotations cycle at dim-1 (=63 for
+    // the 64-d testdata), so 26 is the binding bound.
+    require(factor >= 1 && factor <= 26,
+      s"factor must be in [1, 26] to keep per-copy content distinct (got $factor)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -69,7 +76,11 @@ object ScaleReplica {
     // cross-copy texts are unrelated, so LSH sees factor× more clusters
     val az = "abcdefghijklmnopqrstuvwxyz"
     replicate(spark, src, dest, "documents", factor) { (df, i) =>
-      val rot = az.drop(i % 26) + az.take(i % 26)
+      // copy 0 = identity; copies 1..25 each get a distinct nonzero
+      // rotation (1 + (i-1) % 25 never maps back to 0 within the factor
+      // bound above)
+      val k = if (i == 0) 0 else 1 + ((i - 1) % 25)
+      val rot = az.drop(k) + az.take(k)
       shifted(df, i, Seq("doc_id"))
         .withColumn("text", translate(col("text"), az, rot))
     }
@@ -79,10 +90,17 @@ object ScaleReplica {
     replicate(spark, src, dest, "embeddings", factor) { (df, i) =>
       val d = shifted(df, i, Seq("vec_id"))
       if (i == 0) d
-      else d.withColumn("embedding",
-        concat(
-          slice(col("embedding"), i + 1, 10000),
-          slice(col("embedding"), 1, i)))
+      else {
+        // rotation offset cycles in [1, dim-1] for ANY dim — never the
+        // empty-slice identity that a fixed `i` offset degenerates to
+        // once i >= dim
+        val dim = size(col("embedding"))
+        val off = (pmod(lit(i - 1), dim - 1) + 1).cast("int")
+        d.withColumn("embedding",
+          concat(
+            slice(col("embedding"), off + 1, dim),
+            slice(col("embedding"), lit(1), off)))
+      }
     }
 
     println(s"replica written: $dest (${factor}x $src)")

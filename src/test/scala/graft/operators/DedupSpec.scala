@@ -162,6 +162,50 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(bandsLookalike <= 5, s"r>=6 expected on the 12-word corpus, got bands=$bandsLookalike")
   }
 
+  test("calibration tolerates NULL text rows") {
+    // NULLs sort together under xxhash64 ordering and used to land in the
+    // collected sample, NPE-ing in the driver-side jaccard (ADVICE r3).
+    val withNulls = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")),
+      (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]),
+      (5L, "some other unrelated text body here"),
+      (6L, "and one more different document text")).toDF("doc_id", "text")
+    val bands = Dedup.calibrateMinhashBands(withNulls, col("text"), 6L)
+    assert(bands >= 1 && bands <= 32)
+  }
+
+  test("skew-guard truncation is observable, never silent") {
+    val boiler = "standard boilerplate disclaimer all rights reserved " +
+      "please read these terms carefully before proceeding any further"
+    val mixed = (Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")),
+      (5L, "identical twin document body"),
+      (6L, "identical twin document body")) ++
+      (100L until 300L).map(i => (i, boiler))).toDF("doc_id", "text")
+    val q = Dedup.simhashNearDupPairs(
+      mixed, col("doc_id"), col("text"), maxHamming = 8, bucketCap = 50)
+    q.collect()
+    val metrics = q.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith(Dedup.skewGuardMetricPrefix) => row
+    }
+    assert(metrics.nonEmpty, "the bucket cap must emit an observe() metric")
+    assert(metrics.head.getAs[Long]("dropped_buckets") > 0L)
+    assert(metrics.head.getAs[Long]("dropped_rows") >= 200L,
+      "the 200-doc boilerplate cluster rows must be reported as dropped")
+    // ... and a corpus with no hot buckets reports zero truncation (the
+    // metric may be absent entirely: AQE eliminates the empty guard
+    // subtree — absent ⇒ nothing dropped, see skewGuardMetricPrefix doc)
+    val clean = Dedup.simhashNearDupPairs(docs, col("doc_id"), col("text"))
+    clean.collect()
+    val zero = clean.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith(Dedup.skewGuardMetricPrefix) => row
+    }
+    assert(zero.forall(_.getAs[Long]("dropped_buckets") == 0L))
+  }
+
   test("ngramJaccard: identical → 1, disjoint → 0") {
     val df = Seq(("abcdefgh", "abcdefgh", "zzzzyyyy")).toDF("a", "b", "c")
     val r = df.select(
