@@ -228,6 +228,49 @@ object ExtQueries {
         threshold = 0.0, nPlanes = nPlanes, bands = bands, topK = Some(50))
     }),
 
+    // ── TF-IDF keyword extraction: top-3 terms per document, ranked by
+    //    integers only (tf desc, df asc, term) so the ordering is exactly
+    //    reproducible in DuckDB; score is the linear-IDF variant tf·N/df
+    //    (pure IEEE +,·,/ — bit-identical cross-engine, unlike log).
+    "ext_tfidf_topterms" -> ((s, dir) => {
+      graft.operators.TfIdf.topTerms(
+        t(s, dir, "documents"), col("doc_id"), col("text"), 3)
+        .orderBy("doc_id", "rank")
+    }),
+
+    // ── Deterministic stratified sample: 10 rows per returnflag stratum,
+    //    chosen by rank over an integer mixing hash of the row key —
+    //    reproducible on any engine (no RNG), integer-only arithmetic
+    //    inside 63 bits (ANSI-safe). Sampling IS top-k per group over the
+    //    hash, so it reuses the ranked-window operator: one shuffle on
+    //    the stratum key, no global sort. The scale story for "sample my
+    //    100 TB corpus deterministically" with per-stratum quotas.
+    "ext_stratified_sample" -> ((s, dir) => {
+      val h = pmod(
+        col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(40503L),
+        lit(1000000007L))
+      Events.topKPerGroup(
+        t(s, dir, "lineitem").withColumn("hv", h),
+        col("l_returnflag"),
+        Seq(col("hv").asc, col("l_orderkey").asc, col("l_linenumber").asc), 10)
+        .select(col("l_returnflag").as("rf"), col("rn").cast("long").as("rank"),
+          col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
+        .orderBy("rf", "rank")
+    }),
+
+    // ── Rolling-hash document fingerprint (Rabin-Karp polynomial over
+    //    code points, mod 1e9+7): the cheap content-address primitive for
+    //    incremental/streaming dedup — pure map-side custom expression
+    //    (functions.expressions.RollingHash), oracle-mirrored by a
+    //    DuckDB list_reduce over ord() codepoints.
+    "ext_rolling_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.expressions.GraftFunctions
+            .rolling_hash(col("text")).as("rhash"))
+        .orderBy("doc_id")
+    }),
+
     // ── Multimodal plumbing demo (rows-only): binary payloads → per-
     //    partition feature extraction → per-kind stats. The decode is a
     //    deterministic stub (no codec libs offline); the schema/batch/
@@ -407,6 +450,48 @@ object ExtQueries {
         |  FROM sc)
         |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ext_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    CAST(tf.tf AS DOUBLE) * n.n_docs / dfq.df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rank
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+        |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "ext_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS rf, l_orderkey, l_linenumber,
+        |    (l_orderkey * 2654435761 + l_linenumber * 40503) % 1000000007 AS hv
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT rf, l_orderkey, l_linenumber,
+        |    ROW_NUMBER() OVER (PARTITION BY rf
+        |      ORDER BY hv, l_orderkey, l_linenumber) AS rank
+        |  FROM h)
+        |SELECT rf, CAST(rank AS BIGINT) AS rank, l_orderkey,
+        |       CAST(l_linenumber AS BIGINT) AS l_linenumber
+        |FROM r WHERE rank <= 10 ORDER BY rf, rank""".stripMargin,
+
+    "ext_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    list_reduce(
+        |      list_transform(range(1, length(text) + 1),
+        |                     i -> CAST(ord(substr(text, i, 1)) AS BIGINT)),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007)
+        |  END AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ext_multimodal_meta" ->
       s"""SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,

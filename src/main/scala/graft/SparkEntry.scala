@@ -423,6 +423,53 @@ object SparkEntry {
         .orderBy("priority")
     }),
 
+    // ── G5: Pearson correlation from exact decimal moment sums. The six
+    //    sums (n, Σx, Σy, Σx², Σy², Σxy) accumulate in DECIMAL — exact,
+    //    partition-order independent, one map-side-partial shuffle — and
+    //    the closed-form corr is evaluated in double from those exact
+    //    inputs, so both engines compute identical IEEE arithmetic.
+    //    (Built-in corr() streams doubles → partition-order dependent;
+    //    this formulation is the reproducible twin of the same moment
+    //    math.) One (18,6) operand is widened to (20,6) so the product
+    //    runs at 128-bit width on both engines.
+    "g5_corr_moments" -> ((s, dir) => {
+      val dx = col("l_quantity").cast("decimal(18,6)")
+      val dy = col("l_extendedprice").cast("decimal(18,6)")
+      val dx20 = col("l_quantity").cast("decimal(20,6)")
+      val dy20 = col("l_extendedprice").cast("decimal(20,6)")
+      val sums = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(dx).cast("double").as("sx"),
+          sum(dy).cast("double").as("sy"),
+          sum(dx20 * dx).cast("double").as("sxx"),
+          sum(dy20 * dy).cast("double").as("syy"),
+          sum(dx20 * dy).cast("double").as("sxy"))
+      sums.select(
+        col("rf"),
+        col("n").cast("long").as("n"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qty_price"))
+        .orderBy("rf")
+    }),
+
+    // ── G6: exact discrete quantiles per group (p25/p50/p75 of
+    //    extendedprice per returnflag) — actual data elements at rank
+    //    ⌈p·n⌉, no interpolation (see Relational.exactQuantiles; the
+    //    at-scale approximate twin is g3-style approx_percentile).
+    "g6_quantiles_exact" -> ((s, dir) => {
+      graft.operators.Relational.exactQuantiles(
+        t(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_extendedprice"),
+        Seq(0.25, 0.50, 0.75))
+        .withColumnRenamed("group_key", "rf")
+        .orderBy("rf")
+    }),
+
     // ── F1: scalar string functions (upper/substr/lpad/length/concat).
     "f1_string_funcs" -> ((s, dir) => {
       t(s, dir, "part")
@@ -684,6 +731,38 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS nationkey FROM nation
         |EXCEPT
         |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
-        |ORDER BY nationkey""".stripMargin
+        |ORDER BY nationkey""".stripMargin,
+
+    "g5_corr_moments" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))
+        |             * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
+        |             * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))
+        |             * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT rf, CAST(n AS BIGINT) AS n,
+        |  round((n*sxy - sx*sy)
+        |        / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+        |    AS corr_qty_price
+        |FROM sums ORDER BY rf""".stripMargin,
+
+    "g6_quantiles_exact" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS rf, l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT rf,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.25*n) AS BIGINT) THEN v END) AS p25,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN v END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN v END) AS p75
+        |FROM r GROUP BY rf ORDER BY rf""".stripMargin
   ) ++ ExtQueries.oracleSql
 }

@@ -217,6 +217,38 @@ case class NgramJaccard(left: Expression, right: Expression, shingleN: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Polynomial (Rabin-Karp) rolling fingerprint of a text column:
+  * h = fold over Unicode code points of (h * 31 + cp) mod P, P =
+  * 1000000007. The 31-bit prime keeps every intermediate product inside
+  * 63 bits (Spark 4 ANSI mode errors on Long overflow), and iterating
+  * CODE POINTS (not UTF-16 units) makes the hash byte-layout independent
+  * — the same fold any engine can reproduce over ord()/codepoint
+  * primitives. One JVM pass per row; reference semantics source:
+  * content-addressed dedup fingerprints over Hive rows
+  * (/root/reference/backend/utils.py:87-110 formats rows to stable
+  * strings before insert — same "canonical string → key" idea). */
+case class RollingHash(child: Expression) extends UnaryExpression with CodegenFallback {
+  import HashExpressions._
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % Prime
+      i += Character.charCount(cp)
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingHash =
+    copy(child = c)
+}
+
 /** Count of whitespace-split tokens that belong to a fixed word set —
   * the language-ID / stopword primitive, one pass per row. Splits on the
   * single space character, mirroring split(text, ' '). */
@@ -321,6 +353,8 @@ object GraftFunctions {
 
   def token_match_count(text: Column, words: Seq[String]): Column =
     column(TokenMatchCount(expression(text), words))
+
+  def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
 
   def hyperplane_bands(vec: Column, planes: Array[Array[Double]], bands: Int): Column =
     column(HyperplaneBands(expression(vec), planes, bands))

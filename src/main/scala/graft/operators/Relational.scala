@@ -123,4 +123,28 @@ object Relational {
   /** Exact average built the same way (exact sum / count). */
   def exactAvg(c: Column): Column =
     sum(c.cast("decimal(18,6)")).cast("double") / count(c)
+
+  /** Exact DISCRETE per-group quantiles: for each probability p the
+    * returned value is the ACTUAL data element at rank ⌈p·n⌉ — no
+    * interpolation, so the output is an existing value reproducible
+    * bit-for-bit by any engine (interpolated quantiles differ in final
+    * ulps between implementations). One shuffle on the group key and a
+    * per-group local sort (the same shape as any ranked window); n per
+    * group rides the same window, no second scan. For quantiles over
+    * 100 TB where a per-group sort is too hot, approx_percentile
+    * (t-digest, g3-style bounded error) is the scale path — this is the
+    * exact gate. Output: group_key, then one `p<pct>` column per p. */
+  def exactQuantiles(
+      df: DataFrame, group: Column, value: Column, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0))
+    val byGroup = Window.partitionBy(col("group_key"))
+    val ranked = df.select(group.as("group_key"), value.as("v"))
+      .withColumn("rn", row_number().over(byGroup.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(byGroup))
+    val picks = ps.map { p =>
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("v")))
+        .as(s"p${math.round(p * 100)}")
+    }
+    ranked.groupBy("group_key").agg(picks.head, picks.tail: _*)
+  }
 }

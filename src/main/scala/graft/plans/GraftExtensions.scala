@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{CosineSim, MinHashSig, NgramJaccard, SimHash64}
+import graft.functions.expressions.{CosineSim, MinHashSig, NgramJaccard, RollingHash, SimHash64}
 
 /** Optimizer rule: self-similarity is the identity — `ngram_jaccard(x,
   * x, n)` folds to 1.0 at plan time, so a self-join pipeline (dedup
@@ -81,7 +81,10 @@ object GraftExtensions {
         args.head,
         intArg(args(1), "shingleN"),
         intArg(args(2), "numHashes"),
-        longArg(args(3), "seed"))))
+        longArg(args(3), "seed"))),
+    ("rolling_hash",
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => RollingHash(args.head)))
 
   /** Retro-fit registration into an already-built session. */
   def register(spark: SparkSession): Unit = {

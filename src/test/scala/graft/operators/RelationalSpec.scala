@@ -55,4 +55,19 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     val renamed = Relational.renameProject(df, Seq("n" -> "id", "s" -> "tag"))
     assert(renamed.columns.toSeq == Seq("id", "tag"))
   }
+
+  test("exactQuantiles picks actual elements at rank ceil(p*n)") {
+    // group a: values 10..100 step 10 (n=10) → p25 = rank ceil(2.5)=3 → 30,
+    // p50 = rank 5 → 50, p75 = rank ceil(7.5)=8 → 80
+    // group b: 1,2,3 (n=3) → p25 = rank 1 → 1, p50 = rank ceil(1.5)=2 → 2,
+    // p75 = rank ceil(2.25)=3 → 3
+    val df = ((1 to 10).map(i => ("a", i * 10.0)) ++
+      Seq(("b", 1.0), ("b", 2.0), ("b", 3.0))).toDF("g", "v")
+    val got = Relational.exactQuantiles(
+      df, col("g"), col("v"), Seq(0.25, 0.50, 0.75))
+      .orderBy("group_key").collect()
+    assert(got.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3))).toSeq ==
+      Seq(("a", 30.0, 50.0, 80.0), ("b", 1.0, 2.0, 3.0)))
+  }
 }

@@ -22,6 +22,29 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Int]("k") == 16)
   }
 
+  test("rolling_hash: reference fold, SQL parity, null/empty/unicode") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // independent reference fold over code points
+    def ref(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    val df = Seq(
+      Some("the quick brown fox"),
+      Some(""),
+      Some("héllo wörld 你好"), // multi-byte code points
+      None).toDF("t")
+    val got = df.select(graft.functions.expressions.GraftFunctions
+      .rolling_hash(col("t")).as("h")).collect()
+    assert(got(0).getLong(0) == ref("the quick brown fox"))
+    assert(got(1).getLong(0) == 0L)
+    assert(got(2).getLong(0) == ref("héllo wörld 你好"))
+    assert(got(3).isNullAt(0), "NULL text must hash to NULL")
+    val viaSql = spark.sql("SELECT rolling_hash('the quick brown fox') AS h")
+      .collect().head.getLong(0)
+    assert(viaSql == got(0).getLong(0))
+  }
+
   test("FoldSelfSimilarity rewrites ngram_jaccard(x,x,n), preserving NULLs") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
