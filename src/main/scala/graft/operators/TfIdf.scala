@@ -13,11 +13,18 @@ import org.apache.spark.sql.functions._
   *  - term frequencies: one shuffle on (doc_id, term) with map-side
   *    partial aggregation — the corpus bodies are exploded ONCE and only
   *    (id, term, count) triples move;
-  *  - document frequencies: aggregate of the tf table (term, count) —
-  *    never re-reads text;
-  *  - corpus size N: a single-row aggregate, broadcast;
-  *  - per-doc top-k: ranked window partitioned by doc_id — never a
-  *    global sort.
+  *  - document frequencies: a count-window over the tf table partitioned
+  *    by term — NOT a separate aggregate joined back. A join formulation
+  *    either re-scans and re-explodes the corpus for a second tf subtree
+  *    (Catalyst does not dedupe common subplans) or broadcasts the full
+  *    vocabulary df table, which at web-corpus scale is millions of
+  *    terms — both wrong; the window costs one shuffle of the small
+  *    (doc, term, tf) triples instead;
+  *  - corpus size N: a single-row count aggregate, broadcast — the scan
+  *    is column-pruned to row-group metadata, no text pages read;
+  *  - per-doc top-k: ranked window partitioned by doc_id (Spark inserts
+  *    WindowGroupLimit, so each partition keeps only k candidates
+  *    pre-shuffle) — never a global sort.
   */
 object TfIdf {
 
@@ -35,11 +42,10 @@ object TfIdf {
   def topTerms(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     val toks = docs.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val total = docs.select(count(lit(1)).as("n_docs"))
     val ranked = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(dfreq, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(total)) // single-row N: broadcast, never shuffled
       .withColumn("score",
         col("tf").cast("double") * col("n_docs") / col("df"))
