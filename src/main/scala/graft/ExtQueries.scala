@@ -228,6 +228,47 @@ object ExtQueries {
         threshold = 0.0, nPlanes = nPlanes, bands = bands, topK = Some(50))
     }),
 
+    // ── Edit-distance similarity (Levenshtein) on consecutive-id pairs:
+    //    the character-level verify primitive complementing n-gram
+    //    Jaccard (built-in codegen'd levenshtein — no UDF). Prefixes
+    //    (60 chars) keep the O(m·n) DP bounded per pair; at corpus scale
+    //    the candidate pairs come from LSH, never all-pairs.
+    "ext_edit_distance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("tp"))
+      val a = d.select(col("doc_id").as("id_a"), col("tp").as("ta"))
+      val b = d.select(col("doc_id").as("id_b"), col("tp").as("tb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+        .orderBy("id_a")
+    }),
+
+    // ── Interval (leadup-attribution) join: clicks within 10 min before
+    //    each purchase by the same user, counted per purchase. Equi-join
+    //    on user_id with a bounded time-range conjunct — one shuffle per
+    //    side on the key; the range bound keeps per-key match volume
+    //    proportional to click rate × horizon, not history length.
+    //    Streaming twin: EventStreams.leadupJoinStream (stream-stream
+    //    join with watermark-evicted state, proven equivalent in
+    //    EventStreamsSpec).
+    "ext_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("ms", unix_millis(col("ts")))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ms").as("p_ms"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ms").as("c_ms"))
+      p.join(c,
+        col("c_user") === col("p_user") &&
+          col("c_ms") <= col("p_ms") && col("c_ms") > col("p_ms") - 600000L,
+        "left")
+        .groupBy("purchase_id")
+        .agg(count(col("click_id")).as("n_leadup_clicks"))
+        .orderBy("purchase_id")
+    }),
+
     // ── TF-IDF keyword extraction: top-3 terms per document, ranked by
     //    integers only (tf desc, df asc, term) so the ordering is exactly
     //    reproducible in DuckDB; score is the linear-IDF variant tf·N/df
@@ -450,6 +491,24 @@ object ExtQueries {
         |  FROM sc)
         |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ext_edit_distance" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60))
+        |       AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
+
+    "ext_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type
+        |  FROM events)
+        |SELECT p.event_id AS purchase_id,
+        |       CAST(COUNT(c.event_id) AS BIGINT) AS n_leadup_clicks
+        |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id AND c.ms <= p.ms AND c.ms > p.ms - 600000
+        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin,
 
     "ext_tfidf_topterms" ->
       """WITH tok AS (

@@ -423,6 +423,38 @@ object SparkEntry {
         .orderBy("priority")
     }),
 
+    // ── W3: navigation window functions (lag/lead/ntile) per customer
+    //    order timeline — (custkey, orderdate, orderkey) is a unique
+    //    ordering, so prev/next/quartile are deterministic. One shuffle
+    //    on the partition key, local sort, all three functions ride the
+    //    same window.
+    "w3_window_leadlag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ── G7: CUBE grouping sets — all 4 (rf × ls) grouping combinations
+    //    in one pass (Expand + single partial-aggregated shuffle). NULL
+    //    group labels coalesced to 'ALL' on both engines (same
+    //    NULL-ordering dodge as g2_rollup).
+    "g7_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"))
+        .orderBy("rf", "ls")
+    }),
+
     // ── G5: Pearson correlation from exact decimal moment sums. The six
     //    sums (n, Σx, Σy, Σx², Σy², Σxy) accumulate in DECIMAL — exact,
     //    partition-order independent, one map-side-partial shuffle — and
@@ -732,6 +764,22 @@ object SparkEntry {
         |EXCEPT
         |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    "w3_window_leadlag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER w AS prev_order,
+        |  lead(o_orderkey) OVER w AS next_order,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "g7_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
 
     "g5_corr_moments" ->
       """WITH sums AS (

@@ -74,6 +74,31 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
 
+  /** Stream-stream interval join (leadup attribution): each purchase is
+    * matched to the same user's clicks with click.ts in
+    * (purchase.ts − horizon, purchase.ts]. Both sides carry watermarks
+    * and the join predicate bounds event-time distance, so Spark can
+    * evict join state older than horizon + lateness — the state store
+    * holds a sliding window of clicks per user, never the full history.
+    * INNER join: matches emit as soon as both sides arrive (append
+    * mode), with no dependence on watermark finalization. Batch twin:
+    * the ext_interval_join contract query. */
+  def leadupJoinStream(events: DataFrame, horizon: String = "10 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr(s"interval $horizon"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

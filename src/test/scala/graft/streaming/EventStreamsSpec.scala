@@ -107,6 +107,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch leadup counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ivj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.leadupJoinStream(
+      EventStreams.readEventStream(spark, dir.toString), "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ivj_out").start()
+    try {
+      q.processAllAvailable()
+      // streamed inner matches, aggregated per purchase
+      val streamed = spark.table("ivj_out")
+        .groupBy("purchase_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect()
+        .map(r => r.getAs[Long]("purchase_id") -> r.getAs[Long]("n")).toMap
+      // batch twin (the ext_interval_join contract query), matched rows only
+      val batch = graft.ExtQueries.queries("ext_interval_join")(
+        spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => r.getAs[Long]("purchase_id") ->
+          r.getAs[Long]("n_leadup_clicks")).toMap
+        .filter(_._2 > 0L)
+      assert(streamed == batch,
+        s"stream/batch leadup counts diverge for purchases: " +
+          (streamed.keySet ++ batch.keySet).filter(k =>
+            streamed.get(k) != batch.get(k)).take(5))
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated keys across micro-batches within the watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
