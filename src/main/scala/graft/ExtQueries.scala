@@ -228,6 +228,28 @@ object ExtQueries {
         threshold = 0.0, nPlanes = nPlanes, bands = bands, topK = Some(50))
     }),
 
+    // ── Near-dup CLUSTERS: connected components over a similarity pair
+    //    graph (Dedup.clusters — pointer-jumping label propagation,
+    //    O(log n) rounds). The edge set here is deterministic and
+    //    DuckDB-mirrorable (consecutive-id pairs with 3-gram Jaccard
+    //    >= 0.5, the ext_ngram_jaccard formulation), so the CLUSTERING
+    //    itself is oracle-checked against a recursive-CTE reachability
+    //    closure — two completely different algorithms, one answer. In
+    //    production the same operator consumes minhashNearDupPairs
+    //    output (tested on crafted fixtures in DedupSpec).
+    "ext_dedup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = d.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      val pairs = a.join(b, col("id_b") === col("id_a") + 1)
+        .filter(round(graft.functions.expressions.GraftFunctions
+          .ngram_jaccard(col("ta"), col("tb"), 3), 6) >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.clusters(d, pairs, col("doc_id"), col("id_a"), col("id_b"))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // ── Edit-distance similarity (Levenshtein) on consecutive-id pairs:
     //    the character-level verify primitive complementing n-gram
     //    Jaccard (built-in codegen'd levenshtein — no UDF). Prefixes
@@ -491,6 +513,28 @@ object ExtQueries {
         |  FROM sc)
         |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ext_dedup_clusters" ->
+      """WITH RECURSIVE sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(2, length(trim(regexp_replace(lower(text),'\s+',' ','g'))) - 1)),
+        |      i -> substr(trim(regexp_replace(lower(text),'\s+',' ','g')), i, 3))) AS s
+        |  FROM documents),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM e0
+        |  UNION ALL SELECT id_b, id_a FROM e0),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON r.id = e.dst)
+        |SELECT id AS doc_id, MIN(label) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "ext_edit_distance" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,

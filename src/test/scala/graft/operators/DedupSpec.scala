@@ -206,6 +206,36 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(zero.forall(_.getAs[Long]("dropped_buckets") == 0L))
   }
 
+  test("clusters: connected components match brute-force union-find") {
+    import graft.SparkSpec
+    // chain 1-2-3-...-40 (diameter 39: plain propagation would need 39
+    // rounds; pointer jumping must do it well under maxIters=50 — and in
+    // ~log n rounds), plus a pair, a triangle, and isolated nodes
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val extra = Seq((100L, 101L), (200L, 201L), (201L, 202L), (200L, 202L))
+    val pairsDf = (chain ++ extra).toDF("id_a", "id_b")
+    val nodesDf = ((1L to 40L) ++ Seq(100L, 101L, 200L, 201L, 202L, 999L))
+      .toDF("id")
+    val got = Dedup.clusters(
+      nodesDf, pairsDf, col("id"), col("id_a"), col("id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (chain ++ extra).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = ((1L to 40L) ++ Seq(100L, 101L, 200L, 201L, 202L, 999L))
+      .map(n => n -> find(n)).toMap
+    assert(got == want)
+    assert(got(40L) == 1L, "chain end must reach the component min")
+    assert(got(999L) == 999L, "isolated node stays a singleton cluster")
+  }
+
   test("ngramJaccard: identical → 1, disjoint → 0") {
     val df = Seq(("abcdefgh", "abcdefgh", "zzzzyyyy")).toDF("a", "b", "c")
     val r = df.select(
