@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Events, Partitioning, Similarity}
+import graft.operators.{Dedup, Events, Partitioning, Similarity, TextPipeline}
 
 /** [EXT] LLM-data-pipeline operators (dedup, similarity search, text
   * analysis, event windows) as driver-contract queries. See the module
@@ -334,6 +334,59 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Benchmark decontamination: distinct word-5-gram overlap between
+    //    each corpus doc and a held-out "eval suite" (docs with
+    //    doc_id % 97 == 0 stand in for the benchmark set). Eval n-grams
+    //    broadcast; corpus n-grams map-side (WordNgrams expression) —
+    //    see TextPipeline.contamination for the 100 TB shape.
+    "ext_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val eval = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      TextPipeline.contamination(corpus, eval, col("doc_id"), col("text"), 5)
+        .orderBy("doc_id")
+    }),
+
+    // ── PII redaction: inject deterministic email/phone spans (the
+    //    synthetic corpus has none), then scrub them with RE2-compatible
+    //    patterns and count matches — TextPipeline.piiScrub.
+    "ext_pii_scrub" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents")
+        .withColumn("text",
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com or call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      TextPipeline.piiScrub(withPii, col("text"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Gopher-style repetition metrics: top-bigram fraction and
+    //    duplicate-bigram fraction per doc — TextPipeline
+    //    .repetitionMetrics (exact-integer divisions, engine-portable).
+    "ext_repetition" -> ((s, dir) => {
+      TextPipeline.repetitionMetrics(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // ── BM25 retrieval scoring for a fixed probe query; linear idf for
+    //    cross-engine bit-parity, decimal-accumulated per-doc sum —
+    //    TextPipeline.bm25.
+    "ext_bm25" -> ((s, dir) => {
+      TextPipeline.bm25(t(s, dir, "documents"), col("doc_id"), col("text"),
+        Seq("spark", "join", "fast"), 20)
+    }),
+
+    // ── Domain-mix resampling weights over (lang, source) cells,
+    //    α = 0.5 temperature flattening — TextPipeline.domainMixWeights.
+    "ext_domain_mix" -> ((s, dir) => {
+      TextPipeline.domainMixWeights(
+        t(s, dir, "documents"), Seq(col("lang"), col("source")))
+        .select(col("lang"), col("source"), col("n"), col("share"), col("weight"))
+        .orderBy("lang", "source")
+    }),
+
     // ── Multimodal plumbing demo (rows-only): binary payloads → per-
     //    partition feature extraction → per-kind stats. The decode is a
     //    deterministic stub (no codec libs offline); the schema/batch/
@@ -595,6 +648,110 @@ object ExtQueries {
         |      (acc, c) -> (acc * 31 + c) % 1000000007)
         |  END AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // list_slice is 1-based and inclusive on both ends; range(a,b) is
+    // [a,b) — i runs 1 .. len-4, one start per 5-gram, mirroring
+    // WordNgrams(n=5) string-for-string (string_split keeps empties on
+    // both engines).
+    "ext_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ts) - 3),
+        |    i -> array_to_string(list_slice(ts, i, i + 4), ' ')))) AS gram
+        |  FROM tok),
+        |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |ov AS (
+        |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |  FROM g JOIN eg USING (gram) WHERE g.doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |       COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN ov USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin,
+
+    "ext_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com or call 555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{4}')) AS BIGINT)
+        |    AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(t2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |                   '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "ext_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> array_to_string(list_slice(ts, i, i + 1), ' '))) AS gram
+        |  FROM tok),
+        |pg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |         CAST(MAX(cnt) AS BIGINT) AS top_cnt
+        |  FROM pg GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(pd.n_distinct, 0) AS n_distinct,
+        |  CAST(pd.top_cnt AS DOUBLE) / pd.n_bigrams AS top_bigram_frac,
+        |  CAST(pd.n_bigrams - pd.n_distinct AS DOUBLE) / pd.n_bigrams
+        |    AS dup_bigram_frac
+        |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // constants 2.25 / 1.25 / 0.25 / 0.75 are exact binary doubles and the
+    // expression tree mirrors TextPipeline.bm25 op-for-op, so every score
+    // is bit-identical before the DECIMAL(18,6) accumulation.
+    "ext_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'join', 'fast') GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    (CAST(st.n_docs AS DOUBLE) / dfq.df) *
+        |    (CAST(tf.tf AS DOUBLE) * 2.25 /
+        |     (CAST(tf.tf AS DOUBLE) +
+        |      1.25 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))) AS ts
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st)
+        |SELECT doc_id, CAST(SUM(CAST(ts AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "ext_domain_mix" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+        |sh AS (
+        |  SELECT lang, source, n,
+        |    CAST(n AS DOUBLE) / n_total AS share,
+        |    CAST(CAST(sqrt(CAST(n AS DOUBLE) / n_total) AS DECIMAL(18,12))
+        |         AS DOUBLE) AS sqrt_share
+        |  FROM cells CROSS JOIN tot),
+        |dn AS (
+        |  SELECT CAST(SUM(CAST(sqrt_share AS DECIMAL(28,12))) AS DOUBLE)
+        |    AS denom FROM sh)
+        |SELECT lang, source, n, share, sqrt_share / denom AS weight
+        |FROM sh CROSS JOIN dn ORDER BY lang, source""".stripMargin,
 
     "ext_multimodal_meta" ->
       s"""SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,

@@ -336,6 +336,50 @@ case class HyperplaneBands(child: Expression, planes: Array[Array[Double]], band
     copy(child = c)
 }
 
+/** Word n-grams of a single-space-tokenized text column: the map-side
+  * primitive behind decontamination and repetition analysis. Emits the
+  * array of all `n`-token windows joined by ' ' (empty array when the
+  * text has fewer than `n` tokens). Split semantics mirror
+  * `split(text, ' ')` / DuckDB `string_split(text, ' ')` exactly —
+  * consecutive spaces yield empty tokens — so a DuckDB oracle can
+  * reproduce the output string-for-string. One pass per row; no
+  * interpreted HOF, no re-evaluated split (the CollapseProject trap
+  * that made the composed formulation quadratic — see SCALE.md). */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    // token start offsets (split on single space, keeping empties)
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == ' ') starts.add(i + 1)
+      i += 1
+    }
+    val nTok = starts.size()
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[UTF8String](nTok - n + 1)
+    var k = 0
+    while (k <= nTok - n) {
+      val from = starts.get(k)
+      val until =
+        if (k + n < nTok) starts.get(k + n) - 1 else text.length
+      out(k) = UTF8String.fromString(text.substring(from, until))
+      k += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordNgrams =
+    copy(child = c)
+}
+
 /** Column-level constructors. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -355,6 +399,9 @@ object GraftFunctions {
     column(TokenMatchCount(expression(text), words))
 
   def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
+
+  def word_ngrams(text: Column, n: Int): Column =
+    column(WordNgrams(expression(text), n))
 
   def hyperplane_bands(vec: Column, planes: Array[Array[Double]], bands: Int): Column =
     column(HyperplaneBands(expression(vec), planes, bands))

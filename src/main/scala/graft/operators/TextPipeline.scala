@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.GraftFunctions
+
+/** [EXT] Training-data curation operators beyond dedup: benchmark
+  * decontamination, PII redaction, repetition analysis, BM25 retrieval
+  * scoring, and domain-mix resampling — the standard curation passes an
+  * LLM pretraining pipeline runs between raw crawl and tokenizer.
+  *
+  * Shared scale discipline (100 TB corpus):
+  *  - n-gram generation is a MAP-SIDE custom expression
+  *    (expressions.WordNgrams, one compiled pass per row) — the corpus
+  *    is never shuffled as token rows just to build windows;
+  *  - small sides (eval-set n-grams, per-term document frequencies,
+  *    corpus-level scalars) are broadcast, never shuffled against the
+  *    corpus;
+  *  - everything that does shuffle carries ids + small values (grams as
+  *    strings, counts), not document bodies;
+  *  - all scoring arithmetic is reproducible cross-engine: integer
+  *    counts, IEEE +,·,/,sqrt (exact-rounded), and DECIMAL-accumulated
+  *    sums where addition order is partition-dependent.
+  */
+object TextPipeline {
+
+  /** Benchmark decontamination: for each corpus document, the number of
+    * distinct word `n`-grams it shares with an evaluation set — the
+    * overlap filter every pretraining pipeline runs so eval benchmarks
+    * don't leak into training data (the GPT-3/PaLM 13-gram rule, here
+    * parameterized).
+    *
+    * Shape: eval n-grams are deduplicated and BROADCAST (an eval suite
+    * is a few thousand documents — tiny next to the corpus); corpus
+    * n-grams are generated map-side and joined without any corpus-wide
+    * shuffle before the per-doc count. Docs with no overlap (or fewer
+    * than n tokens) are preserved with n_overlap = 0 via the final
+    * left join against the id spine.
+    *
+    * Output: (doc_id, n_overlap, contaminated) — callers drop
+    * `contaminated` rows or route them to review. */
+  def contamination(
+      corpus: DataFrame, eval: DataFrame,
+      id: Column, text: Column, n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(GraftFunctions.word_ngrams(text, n)).as("gram"))
+      .distinct()
+    val overlap = corpus
+      .select(id.as("doc_id"), explode(GraftFunctions.word_ngrams(text, n)).as("gram"))
+      .distinct() // per-doc distinct grams: overlap counts grams once each
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus.select(id.as("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** PII redaction: replace email- and phone-shaped spans with typed
+    * placeholder tokens and report per-document match counts. Pure
+    * map-side (regexp_count/regexp_replace are codegen'd built-ins);
+    * patterns stay inside the RE2-compatible subset (character classes
+    * and bounded repetition only — no backrefs, no lookaround) so the
+    * same pattern text runs identically on Java regex and RE2-family
+    * engines, which is what makes the pass oracle-checkable.
+    *
+    * Output: original columns + (n_emails, n_phones, scrubbed). */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{4}"
+
+  def piiScrub(docs: DataFrame, text: Column): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(text, lit(EmailPattern)).cast("long"))
+      .withColumn("n_phones", regexp_count(text, lit(PhonePattern)).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(text, EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
+
+  /** Gopher-style repetition metrics: per document, the fraction of
+    * word bigrams occupied by the single most frequent bigram
+    * (`top_bigram_frac`) and the fraction that are duplicates of an
+    * earlier bigram (`dup_bigram_frac`) — the two cheapest signals for
+    * degenerate/boilerplate text (Rae et al. 2021, Gopher §A1.1).
+    *
+    * Shape: bigrams generated map-side, then ONE shuffle of
+    * (doc_id, gram) pairs for the per-gram counts and a second over the
+    * already-tiny (doc_id) groups — bodies never move. Both fractions
+    * are a single IEEE division of exact integers, so the values are
+    * bit-identical on any engine. Docs with fewer than 2 tokens keep
+    * NULL fractions (nothing to measure) via the id-spine left join. */
+  def repetitionMetrics(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val perGram = docs
+      .select(id.as("doc_id"), explode(GraftFunctions.word_ngrams(text, 2)).as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = perGram.groupBy("doc_id").agg(
+      sum("cnt").as("n_bigrams"),
+      count(lit(1)).as("n_distinct"),
+      max("cnt").as("top_cnt"))
+    docs.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        (col("top_cnt").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        ((col("n_bigrams") - col("n_distinct")).cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"))
+  }
+
+  /** BM25 relevance scores for a fixed bag of query terms — the
+    * retrieval-quality primitive (rank corpus documents against a probe
+    * query; also the scoring half of quality-classifier bootstrapping).
+    *
+    * Uses the LINEAR idf variant N/df in place of log((N-df+.5)/(df+.5)):
+    * rank-equivalent per term (monotone in df), but bit-identical across
+    * engines because it avoids libm log, whose last-ulp behavior differs
+    * (same trade TfIdf.topTerms documents). Doc-length normalization is
+    * the standard tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)).
+    *
+    * Shape: the corpus is exploded to tokens ONCE and filtered to the
+    * query terms BEFORE the aggregate, so only matching (doc, term)
+    * pairs shuffle; per-term df and the corpus scalars (N, avgdl) are
+    * single-digit-row aggregates, broadcast. The per-doc sum over term
+    * scores runs in DECIMAL(18,6) — addition order across partitions
+    * cannot perturb the result.
+    *
+    * Output: (doc_id, score) for the top `k` docs, ties broken by id. */
+  def bm25(
+      docs: DataFrame, id: Column, text: Column,
+      terms: Seq[String], k: Int,
+      // defaults chosen so k1, k1+1, b, 1-b are all EXACT binary doubles:
+      // a literal "2.25" parsed by another engine is bit-identical to the
+      // k1+1 computed here (1.2 would land the sum on a round-half tie).
+      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val lengths = docs.select(id.as("doc_id"),
+      TextFunctions.tokenCount(text).as("dl"))
+    val toks = docs.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
+      .filter(col("term").isin(terms: _*)) // pushed below the shuffle
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(text)).as("total_tokens"))
+    val scored = tf
+      .join(lengths, Seq("doc_id")) // tf side is small: only matching docs
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .withColumn("term_score",
+        (col("n_docs").cast("double") / col("df")) *
+          (col("tf").cast("double") * lit(k1 + 1.0) /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))))
+    scored.groupBy("doc_id")
+      .agg(sum(col("term_score").cast("decimal(18,6)")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Domain-mix resampling weights: per (grouping) cell, the
+    * temperature-flattened sampling weight w ∝ share^(1/2), normalized
+    * to sum 1 — the mixture-rebalancing step (upweight rare domains /
+    * languages, downweight dominant ones) every multilingual pretraining
+    * recipe applies before sampling.
+    *
+    * α = 0.5 is hard-wired because sqrt is EXACT-ROUNDED under IEEE 754
+    * (pow(x, α) for general α is not), which keeps every weight
+    * bit-identical across engines. The normalizer sums the per-cell
+    * sqrt-shares in DECIMAL(28,12) — cell order cannot perturb it.
+    *
+    * Shape: one groupBy over the corpus (count only — map-side partial
+    * agg, no bodies in the shuffle), then arithmetic over the tiny cell
+    * table with the corpus total broadcast. */
+  def domainMixWeights(docs: DataFrame, dims: Seq[Column]): DataFrame = {
+    val cells = docs.groupBy(dims: _*).agg(count(lit(1)).as("n"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val shared = cells.crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("n_total"))
+      .withColumn("sqrt_share",
+        sqrt(col("share")).cast("decimal(18,12)").cast("double"))
+    val denom = shared.agg(
+      sum(col("sqrt_share").cast("decimal(28,12)")).cast("double").as("denom"))
+    shared.crossJoin(broadcast(denom))
+      .withColumn("weight", col("sqrt_share") / col("denom"))
+      .drop("n_total", "sqrt_share", "denom")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.expressions.GraftFunctions
+
+class TextPipelineSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("word_ngrams emits all n-token windows, split-compatible") {
+    val df = Seq(
+      ("a b c d", 1L),
+      ("a b", 2L),          // fewer tokens than n → empty
+      ("x  y", 3L),         // double space → empty middle token, like split
+      ("solo", 4L))
+      .toDF("text", "id")
+    val got = df
+      .select(col("id"), GraftFunctions.word_ngrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq.empty)
+    assert(got(3L) == Seq("x  y")) // tokens: ["x", "", "y"]
+    assert(got(4L) == Seq.empty)
+    // parity with the composed split() formulation
+    val viaSplit = df.select(col("id"), split(col("text"), " ").as("ts"))
+      .select(col("id"), expr(
+        // sequence(1, 0) steps BACKWARDS in Spark, so guard short docs
+        "case when size(ts) >= 3 then transform(sequence(1, size(ts) - 2), " +
+          "i -> concat_ws(' ', slice(ts, i, 3))) else array() end").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got == viaSplit)
+  }
+
+  test("contamination counts distinct shared n-grams, keeps clean docs") {
+    val eval = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "we saw the quick brown fox jumps high"), // 2 shared 5-grams... distinct windows
+      (2L, "completely different words entirely here now"),
+      (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.contamination(
+      corpus, eval, col("doc_id"), col("text"), 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // doc 1 contains the eval doc's single 5-gram "the quick brown fox jumps"
+    assert(got(1L) == (1L, true))
+    assert(got(2L) == (0L, false))
+    assert(got(3L) == (0L, false)) // < 5 tokens, still present with 0
+  }
+
+  test("piiScrub redacts emails and phones and counts matches") {
+    val df = Seq(
+      (1L, "mail me at a.b@test.org or b@x.io today"),
+      (2L, "call 555-1234 and 555-9876"),
+      (3L, "nothing here"))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.piiScrub(df, col("text"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("scrubbed"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got(1L) == (2L, 0L, "mail me at <EMAIL> or <EMAIL> today"))
+    assert(got(2L) == (0L, 2L, "call <PHONE> and <PHONE>"))
+    assert(got(3L) == (0L, 0L, "nothing here"))
+  }
+
+  test("repetitionMetrics matches hand-computed bigram fractions") {
+    val df = Seq(
+      (1L, "a a a a"),      // bigrams: "a a" x3 → top 1.0, dup 2/3
+      (2L, "a b c d"),      // 3 distinct bigrams → top 1/3, dup 0
+      (3L, "x"))            // no bigrams → NULL fractions
+      .toDF("doc_id", "text")
+    val rows = TextPipeline.repetitionMetrics(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) == 3L && rows(1L).getLong(2) == 1L)
+    assert(rows(1L).getDouble(3) == 1.0)
+    assert(math.abs(rows(1L).getDouble(4) - 2.0 / 3.0) < 1e-15)
+    assert(rows(2L).getDouble(3) == 1.0 / 3.0)
+    assert(rows(2L).getDouble(4) == 0.0)
+    assert(rows(3L).getLong(1) == 0L && rows(3L).isNullAt(3) && rows(3L).isNullAt(4))
+  }
+
+  test("bm25 ranks higher tf above lower at equal length, penalizes length") {
+    val df = Seq(
+      (1L, "spark spark spark pad"),
+      (2L, "spark pad pad pad"),
+      (3L, "spark pad pad pad pad pad pad pad pad pad pad pad pad pad pad pad"),
+      (4L, "no match here at all"))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.bm25(df, col("doc_id"), col("text"), Seq("spark"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val score = got.toMap
+    assert(!score.contains(4L), "non-matching doc must not appear")
+    assert(score(1L) > score(2L), "higher tf wins at equal length")
+    assert(score(2L) > score(3L), "longer doc with same tf is penalized")
+    assert(got.map(_._1).toSeq == got.sortBy { case (id, s) => (-s, id) }.map(_._1).toSeq)
+  }
+
+  test("domainMixWeights: weights sum to 1 and flatten the mixture") {
+    val df = (Seq.fill(90)("en") ++ Seq.fill(9)("de") ++ Seq("yo"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("doc_id", "lang")
+    val rows = TextPipeline.domainMixWeights(df, Seq(col("lang")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getAs[Double]("share"), r.getAs[Double]("weight"))).toMap
+    val wsum = rows.values.map(_._3).sum
+    assert(math.abs(wsum - 1.0) < 1e-9)
+    // α=0.5 flattening: rare languages get weight > share, dominant < share
+    assert(rows("yo")._3 > rows("yo")._2)
+    assert(rows("de")._3 > rows("de")._2)
+    assert(rows("en")._3 < rows("en")._2)
+    // order between languages preserved
+    assert(rows("en")._3 > rows("de")._3 && rows("de")._3 > rows("yo")._3)
+  }
+}
