@@ -387,6 +387,34 @@ object ExtQueries {
         .orderBy("lang", "source")
     }),
 
+    // ── Curation funnel: the end-to-end pretraining filter chain
+    //    (lang-id → quality → repetition → dedup) as ONE pass over the
+    //    corpus, reporting per-stage survivor counts. All flags are
+    //    computed map-side off already-oracled primitives (langId,
+    //    qualityScore, repetitionMetrics); the only shuffles are the
+    //    repetition bigram agg and the final distinct — no stage
+    //    re-scans the corpus. The operational "how much data survives
+    //    my pipeline" query a curation run starts with.
+    "ext_curation_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val rep = TextPipeline.repetitionMetrics(d, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("top_bigram_frac"))
+      val flagged = d.join(rep, Seq("doc_id"))
+        .withColumn("lang_ok", TextFunctions.langId(col("text")) === "en")
+        .withColumn("q_ok",
+          col("lang_ok") && TextFunctions.qualityScore(col("text")) >= 0.5)
+        .withColumn("rep_ok",
+          col("q_ok") && coalesce(col("top_bigram_frac") <= 0.2, lit(false)))
+      flagged.agg(
+          count(lit(1)).as("0_total"),
+          sum(when(col("lang_ok"), 1L).otherwise(0L)).as("1_lang_en"),
+          sum(when(col("q_ok"), 1L).otherwise(0L)).as("2_quality"),
+          sum(when(col("rep_ok"), 1L).otherwise(0L)).as("3_repetition"),
+          countDistinct(when(col("rep_ok"), col("text"))).as("4_dedup"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column], "stage", "n_docs")
+        .orderBy("stage")
+    }),
+
     // ── Multimodal plumbing demo (rows-only): binary payloads → per-
     //    partition feature extraction → per-kind stats. The decode is a
     //    deterministic stub (no codec libs offline); the schema/batch/
@@ -735,6 +763,53 @@ object ExtQueries {
         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st)
         |SELECT doc_id, CAST(SUM(CAST(ts AS DECIMAL(18,6))) AS DOUBLE) AS score
         |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // mirrors langId / qualityScore formulas proven hash-identical by
+    // ext_lang_id / ext_text_quality, so the >= / <= cuts agree bitwise.
+    "ext_curation_funnel" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+        |v AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(ts, t -> t IN ('the','a','and','of','is'))) AS en,
+        |    len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS de,
+        |    len(list_filter(ts, t -> t IN ('el','la','los','y','es'))) AS es,
+        |    0.4 * least(1.0, CAST(len(ts) AS DOUBLE) / 100.0)
+        |    + 0.4 * least(1.0, CAST(len(list_filter(ts,
+        |        t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |        / len(ts) * 5.0)
+        |    + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |        / length(text)) AS quality
+        |  FROM toks),
+        |rep AS (
+        |  SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS topf
+        |  FROM (
+        |    SELECT doc_id, gram, COUNT(*) AS cnt FROM (
+        |      SELECT doc_id, unnest(list_transform(
+        |        range(1, len(string_split(text, ' '))),
+        |        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))) AS gram
+        |      FROM documents) GROUP BY 1, 2) GROUP BY 1),
+        |f AS (
+        |  SELECT v.doc_id, v.text,
+        |    (en >= de AND en >= es AND en > 0) AS lang_ok,
+        |    (en >= de AND en >= es AND en > 0) AND quality >= 0.5 AS q_ok,
+        |    (en >= de AND en >= es AND en > 0) AND quality >= 0.5
+        |      AND COALESCE(rep.topf <= 0.2, false) AS rep_ok
+        |  FROM v LEFT JOIN rep USING (doc_id)),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(COUNT(DISTINCT CASE WHEN rep_ok THEN text END) AS BIGINT) AS c4
+        |  FROM f)
+        |SELECT stage, n_docs FROM (
+        |  SELECT '0_total' AS stage, c0 AS n_docs FROM c
+        |  UNION ALL SELECT '1_lang_en', c1 FROM c
+        |  UNION ALL SELECT '2_quality', c2 FROM c
+        |  UNION ALL SELECT '3_repetition', c3 FROM c
+        |  UNION ALL SELECT '4_dedup', c4 FROM c)
+        |ORDER BY stage""".stripMargin,
 
     "ext_domain_mix" ->
       """WITH cells AS (

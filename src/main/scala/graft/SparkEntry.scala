@@ -455,6 +455,44 @@ object SparkEntry {
         .orderBy("rf", "ls")
     }),
 
+    // ── G8: explicit GROUPING SETS — the general form behind rollup/
+    //    cube (arbitrary grouping combinations, one Expand + one
+    //    partial-aggregated shuffle). Decimal-accumulated qty sum keeps
+    //    the measure partition-order independent.
+    "g8_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+            .as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    }),
+
+    // ── F2: UNPIVOT — wide metric columns to long (metric, value) rows
+    //    (Spark's native unpivot/melt, an Expand node: no shuffle until
+    //    the downstream aggregate, which then partial-aggregates). The
+    //    DuckDB twin is the equivalent UNION ALL spelling.
+    "f2_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"),
+          col("l_tax").as("tax"))
+        .unpivot(Array.empty[Column], "metric", "value")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy("metric")
+    }),
+
     // ── G5: Pearson correlation from exact decimal moment sums. The six
     //    sums (n, Σx, Σy, Σx², Σy², Σxy) accumulate in DECIMAL — exact,
     //    partition-order independent, one map-side-partial shuffle — and
@@ -780,6 +818,26 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+
+    "g8_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())
+        |ORDER BY rf, ls""".stripMargin,
+
+    "f2_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+        |SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM u GROUP BY metric ORDER BY metric""".stripMargin,
 
     "g5_corr_moments" ->
       """WITH sums AS (
