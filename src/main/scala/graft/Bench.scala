@@ -29,7 +29,12 @@ object Bench {
           .mode("overwrite").save()
       }
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional selective run for local iteration (driver leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try {

@@ -350,18 +350,23 @@ object Dedup {
       nodes: DataFrame, pairs: DataFrame,
       id: Column, idA: Column, idB: Column,
       maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.Observation
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(idA.as("src"), idB.as("dst"))
       .union(pairs.select(idB.as("src"), idA.as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(id.as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d
+    // the convergence sum rides each round's ONE action (the eager
+    // localCheckpoint) via observe() — no second per-round job
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = Observation()
+      val out = df
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("lsum"))
+        .localCheckpoint(true) // cut lineage — see scaladoc
+      val d = obs.get("lsum").asInstanceOf[java.math.BigDecimal]
+      (out, if (d == null) java.math.BigDecimal.ZERO else d)
     }
-    var prevSum = labelSum(labels)
+    var (labels, prevSum) = checkpointWithSum(
+      nodes.select(id.as("id")).distinct().withColumn("label", col("id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -377,12 +382,10 @@ object Dedup {
             .as("label"))
       // pointer jump: label := label(label) — label is always a node id,
       // and label(x) <= x, so this only ever shrinks labels
-      val jumped = stepped
+      val (jumped, s) = checkpointWithSum(stepped
         .join(stepped.select(col("id").as("label"), col("label").as("parent")),
           Seq("label"), "left")
-        .select(col("id"), coalesce(col("parent"), col("label")).as("label"))
-        .localCheckpoint(true) // cut lineage — see scaladoc
-      val s = labelSum(jumped)
+        .select(col("id"), coalesce(col("parent"), col("label")).as("label")))
       labels = jumped
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -98,6 +98,25 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._1).toSeq == got.sortBy { case (id, s) => (-s, id) }.map(_._1).toSeq)
   }
 
+  test("contamination broadcasts the eval grams, never a cartesian") {
+    val eval = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n"))
+      .toDF("doc_id", "text")
+    val plan = TextPipeline.contamination(
+      corpus, eval, col("doc_id"), col("text"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval n-gram set must join as a broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("bm25 plan broadcasts df and corpus stats, never a cartesian") {
+    val df = Seq((1L, "spark pad"), (2L, "join pad")).toDF("doc_id", "text")
+    val plan = TextPipeline.bm25(df, col("doc_id"), col("text"),
+      Seq("spark", "join"), 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("domainMixWeights: weights sum to 1 and flatten the mixture") {
     val df = (Seq.fill(90)("en") ++ Seq.fill(9)("de") ++ Seq("yo"))
       .zipWithIndex.map { case (l, i) => (i.toLong, l) }
