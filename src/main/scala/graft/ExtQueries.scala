@@ -387,6 +387,17 @@ object ExtQueries {
         .orderBy("lang", "source")
     }),
 
+    // ── Substring-level dup candidates: winnowed Rabin-Karp fingerprints
+    //    (32-codepoint windows, 0-mod-8 sampling), per-fingerprint
+    //    equi-join — Dedup.substringFingerprintPairs. Unlike the LSH
+    //    paths, the fingerprint polynomial is engine-portable, so the
+    //    WHOLE candidate pipeline is DuckDB-oracled (hash for hash).
+    "ext_substring_dedup" -> ((s, dir) => {
+      Dedup.substringFingerprintPairs(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ── Curation funnel: the end-to-end pretraining filter chain
     //    (lang-id → quality → repetition → dedup) as ONE pass over the
     //    corpus, reporting per-stage survivor counts. All flags are
@@ -763,6 +774,24 @@ object ExtQueries {
         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st)
         |SELECT doc_id, CAST(SUM(CAST(ts AS DECIMAL(18,6))) AS DOUBLE) AS score
         |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // window hash = list_reduce over ord() codepoints, identical
+    // polynomial (Σ c·31^j mod 1e9+7) to WinnowedFingerprints' rolling
+    // pass; range(1, len-30) starts windows at 1..len-31 (k = 32).
+    "ext_substring_dedup" ->
+      """WITH fp AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id, unnest(list_filter(list_transform(
+        |      range(1, length(text) - 30),
+        |      i -> list_reduce(list_transform(range(i, i + 32),
+        |             j -> CAST(ord(substr(text, j, 1)) AS BIGINT)),
+        |           (acc, c) -> (acc * 31 + c) % 1000000007)),
+        |      h -> h % 8 = 0)) AS fp
+        |    FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
 
     // mirrors langId / qualityScore formulas proven hash-identical by
     // ext_lang_id / ext_text_quality, so the >= / <= cuts agree bitwise.

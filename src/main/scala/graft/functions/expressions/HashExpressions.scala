@@ -380,6 +380,66 @@ case class WordNgrams(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Winnowed substring fingerprints: Rabin-Karp hashes of every k-codepoint
+  * window (same polynomial as RollingHash: Σ c·31^j mod 1e9+7), sampled by
+  * the 0-mod-p rule (keep h where h % modP == 0) — the MOSS/winnowing
+  * family's content-defined selection (Schleimer et al., SIGMOD'03;
+  * "0 mod p" per Broder/Manber). Selection depends only on CONTENT, so two
+  * documents sharing any sufficiently long substring share its sampled
+  * fingerprints regardless of alignment — the substring-level dup signal
+  * that token n-gram MinHash misses.
+  *
+  * One O(len) rolling pass per row (subtract the outgoing codepoint's
+  * 31^(k-1) term, shift, add incoming) — not O(len·k) rehashing. All
+  * arithmetic stays far inside 63 bits (max |term| < 2^51). Emits window
+  * hashes in order, duplicates included (callers distinct at the
+  * DataFrame level); docs shorter than k codepoints yield an empty
+  * array. */
+case class WinnowedFingerprints(child: Expression, k: Int, modP: Int)
+    extends UnaryExpression with CodegenFallback {
+  import HashExpressions.Prime
+  require(k >= 2, s"window must be >= 2 codepoints, got $k")
+  require(modP >= 1, s"modP must be >= 1, got $modP")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    // codepoint array (windows are k CODEPOINTS, mirroring ord()/substr
+    // character semantics in SQL engines)
+    val cps = new Array[Long](text.codePointCount(0, text.length))
+    var i = 0
+    var n = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      cps(n) = cp.toLong
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    var pow = 1L // 31^(k-1) mod Prime
+    var e = 0
+    while (e < k - 1) { pow = pow * 31L % Prime; e += 1 }
+    var h = 0L
+    var j = 0
+    while (j < k) { h = (h * 31L + cps(j)) % Prime; j += 1 }
+    val out = new java.util.ArrayList[Any](n - k + 1)
+    if (h % modP == 0) out.add(java.lang.Long.valueOf(h))
+    var s = 1
+    while (s <= n - k) {
+      val dropped = cps(s - 1) * pow % Prime
+      h = ((h - dropped + Prime) * 31L + cps(s + k - 1)) % Prime
+      if (h % modP == 0) out.add(java.lang.Long.valueOf(h))
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowedFingerprints =
+    copy(child = c)
+}
+
 /** Column-level constructors. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -402,6 +462,9 @@ object GraftFunctions {
 
   def word_ngrams(text: Column, n: Int): Column =
     column(WordNgrams(expression(text), n))
+
+  def winnowed_fingerprints(text: Column, k: Int, modP: Int): Column =
+    column(WinnowedFingerprints(expression(text), k, modP))
 
   def hyperplane_bands(vec: Column, planes: Array[Array[Double]], bands: Int): Column =
     column(HyperplaneBands(expression(vec), planes, bands))

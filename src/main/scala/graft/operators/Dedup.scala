@@ -314,6 +314,34 @@ object Dedup {
       }
     }
 
+  /** Substring-level near-dup candidates via winnowed rolling-hash
+    * fingerprints (expressions.WinnowedFingerprints): k-codepoint
+    * Rabin-Karp window hashes, 0-mod-p sampled, so any shared substring
+    * of >= ~k+modP chars yields shared fingerprints REGARDLESS of where
+    * it sits in each document — the copy-paste/boilerplate signal that
+    * token-shingle MinHash (whole-doc similarity) dilutes away.
+    *
+    * Scale shape: fingerprinting is one map-side O(len) pass per doc;
+    * the shuffle carries (fp, id) pairs only; candidate pairs come from
+    * a per-fingerprint equi-join (never all-pairs), hot fingerprints
+    * (site-wide boilerplate) are dropped by the shared capBuckets guard
+    * with observable metrics. Output: (id_a, id_b, n_shared) candidate
+    * pairs for a downstream exact verify (e.g. ngramJaccard or
+    * levenshtein on the aligned windows). */
+  def substringFingerprintPairs(
+      df: DataFrame, id: Column, text: Column,
+      k: Int = 32, modP: Int = 8, bucketCap: Int = 1000): DataFrame = {
+    val fps = df.select(id.as("doc_id"),
+        explode(graft.functions.expressions.GraftFunctions
+          .winnowed_fingerprints(text, k, modP)).as("fp"))
+      .distinct()
+    val capped = capBuckets(fps, Seq("fp"), bucketCap, "substr")
+    val l = capped.select(col("fp"), col("doc_id").as("id_a"))
+    val r = capped.select(col("fp"), col("doc_id").as("id_b"))
+    l.join(r, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Connected components over a near-dup pair graph: every node gets
     * the MIN id reachable through the pairs — the deterministic cluster
     * representative, turning pairwise near-dup output into dedup GROUPS

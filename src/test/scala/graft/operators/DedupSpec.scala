@@ -236,6 +236,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got(999L) == 999L, "isolated node stays a singleton cluster")
   }
 
+  test("substringFingerprintPairs finds shared substrings at any offset") {
+    val shared = "the quick brown fox jumps over the lazy dog today"
+    val fx = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"completely different prefix text then $shared"),
+      (3L, "no overlap with anybody here at all, totally distinct words"),
+      (4L, "x")) // shorter than the window → no fingerprints
+      .toDF("doc_id", "text")
+    val q = Dedup.substringFingerprintPairs(
+      fx, col("doc_id"), col("text"), k = 32, modP = 2)
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val pairs = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)),
+      "only the docs sharing the long substring may pair")
+    // brute-force ground truth: shared sampled window hashes
+    def fps(s: String, k: Int, p: Int): Set[Long] = {
+      val prime = 1000000007L
+      (0 to s.length - k).map { i =>
+        s.substring(i, i + k).foldLeft(0L)((h, c) => (h * 31 + c) % prime)
+      }.filter(_ % p == 0).toSet
+    }
+    val expected = (fps(s"AAAA $shared BBBB", 32, 2)
+      intersect fps(s"completely different prefix text then $shared", 32, 2)).size
+    assert(pairs((1L, 2L)) == expected.toLong && expected > 0)
+  }
+
   test("ngramJaccard: identical → 1, disjoint → 0") {
     val df = Seq(("abcdefgh", "abcdefgh", "zzzzyyyy")).toDF("a", "b", "c")
     val r = df.select(
