@@ -47,12 +47,15 @@ object TextPipeline {
     val evalGrams = eval
       .select(explode(GraftFunctions.word_ngrams(text, n)).as("gram"))
       .distinct()
+    // broadcast-join BEFORE any distinct: the map-side hash probe filters
+    // the (vast) non-matching majority of corpus grams, so the only
+    // shuffle is the per-doc distinct-overlap count of MATCHING grams —
+    // a corpus-wide pre-distinct would shuffle every gram of every doc
     val overlap = corpus
       .select(id.as("doc_id"), explode(GraftFunctions.word_ngrams(text, n)).as("gram"))
-      .distinct() // per-doc distinct grams: overlap counts grams once each
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_overlap"))
+      .agg(count_distinct(col("gram")).as("n_overlap"))
     corpus.select(id.as("doc_id"))
       .join(overlap, Seq("doc_id"), "left")
       .select(col("doc_id"),
