@@ -57,6 +57,7 @@ object ExtQueries {
           col("n_chars"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"),
           TextFunctions.distinctTokenCount(col("text")).as("n_distinct_tokens"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
           TextFunctions.avgTokenLen(col("text")).as("avg_token_len"))
         .orderBy("doc_id")
     }),
@@ -477,6 +478,8 @@ object ExtQueries {
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
         |         AS n_distinct_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))
+        |         AS BIGINT) AS n_bpe_tokens,
         |       CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |         / len(string_split(text, ' ')) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -374,6 +374,38 @@ object SparkEntry {
         .drop("ms")
     }),
 
+    // ── W4: bounded window FRAME (moving aggregate over the last 3
+    //    orders per customer). Frames are evaluated per-key after one
+    //    shuffle on the partition key; the decimal frame-sum / exact
+    //    count division keeps the average bit-identical cross-engine.
+    "w4_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .withColumn("mov_sum",
+          sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"))
+        .withColumn("n_win", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("mov_sum"), (col("mov_sum") / col("n_win")).as("mov_avg"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ── F3: ordered array aggregation — collect_list is partition-order
+    //    dependent, so the engine convention is sort_array(collect_list)
+    //    (deterministic on any cluster) plus element ops (size, first).
+    "f3_array_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+        .select(col("o_custkey"), col("order_keys"),
+          size(col("order_keys")).cast("long").as("n_orders"),
+          element_at(col("order_keys"), 1).as("first_order"))
+        .orderBy("o_custkey")
+    }),
+
     // ── G1: distinct aggregation (capability; SURVEY §2.C notes the
     //    reference has none). Spark expands count(distinct) into a
     //    two-phase aggregate — partial distinct per partition first.
@@ -753,6 +785,26 @@ object SparkEntry {
         |         AS running_value
         |FROM events WHERE user_id < 10
         |ORDER BY user_id, epoch_ms(ts), event_id""".stripMargin,
+
+    "w4_moving_avg" ->
+      """WITH m AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |      AS mov_sum,
+        |    COUNT(*) OVER w AS n_win
+        |  FROM orders WHERE o_custkey < 50
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |SELECT o_custkey, o_orderkey, mov_sum, mov_sum / n_win AS mov_avg
+        |FROM m ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "f3_array_agg" ->
+      """SELECT o_custkey,
+        |       list_sort(list(o_orderkey)) AS order_keys,
+        |       CAST(len(list(o_orderkey)) AS BIGINT) AS n_orders,
+        |       list_sort(list(o_orderkey))[1] AS first_order
+        |FROM orders WHERE o_custkey < 50
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "g1_count_distinct" ->
       """SELECT l_returnflag AS rf,

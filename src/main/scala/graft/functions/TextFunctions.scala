@@ -33,6 +33,17 @@ object TextFunctions {
   def distinctTokenCount(c: Column): Column =
     size(array_distinct(tokens(c))).cast("long")
 
+  /** BPE-ish subword token count: letter runs, single digits, and single
+    * non-alphanumeric marks each count as one token (the GPT-2 pretoken
+    * pattern family, reduced to the RE2-compatible subset so the SAME
+    * pattern runs on Java regex and RE2 engines — oracle-checkable). A
+    * real BPE merge table refines WITHIN these pretokens, so this is the
+    * standard cheap lower-bound estimator for token budgets. */
+  val BpeTokenPattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpeTokenPattern)).cast("long")
+
   /** Mean token length = non-space chars / token count (exact int/int → double). */
   def avgTokenLen(c: Column): Column =
     length(regexp_replace(c, " ", "")).cast("double") / size(tokens(c))
