@@ -388,6 +388,16 @@ object ExtQueries {
         .orderBy("lang", "source")
     }),
 
+    // ── Quality-decile bucketing: cutoffs from a deterministic modular-
+    //    hash sample (global rank window bounded to the sample BY
+    //    CONSTRUCTION), broadcast as one array row, buckets assigned
+    //    map-side — TextPipeline.qualityDecileBuckets.
+    "ext_quality_buckets" -> ((s, dir) => {
+      TextPipeline.qualityDecileBuckets(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("bucket")
+    }),
+
     // ── Substring-level dup candidates: winnowed Rabin-Karp fingerprints
     //    (32-codepoint windows, 0-mod-8 sampling), per-fingerprint
     //    equi-join — Dedup.substringFingerprintPairs. Unlike the LSH
@@ -777,6 +787,37 @@ object ExtQueries {
         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st)
         |SELECT doc_id, CAST(SUM(CAST(ts AS DECIMAL(18,6))) AS DOUBLE) AS score
         |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // quality formula mirrors ext_text_quality (hash-proven identical);
+    // rank-based cutoffs, no interpolation — cross-engine exact.
+    "ext_quality_buckets" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0)
+        |    + 0.4 * least(1.0, CAST(len(list_filter(string_split(text,' '),
+        |        t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |        / len(string_split(text,' ')) * 5.0)
+        |    + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |        / length(text)) AS quality
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, quality FROM q
+        |  WHERE ((doc_id * 2654435761) % 1000000007) % 4 = 0),
+        |r AS (
+        |  SELECT quality, ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM s),
+        |c AS (
+        |  SELECT list_sort(list(quality)) AS cuts
+        |  FROM r CROSS JOIN (SELECT unnest(range(1, 10)) AS i) t
+        |  WHERE rn = CAST(ceil(i * n / 10.0) AS BIGINT)),
+        |b AS (
+        |  SELECT q.doc_id,  q.quality,
+        |    CAST(len(list_filter(c.cuts, x -> q.quality >= x)) AS BIGINT) AS bucket
+        |  FROM q CROSS JOIN c)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       MIN(quality) AS min_quality, MAX(quality) AS max_quality
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // window hash = list_reduce over ord() codepoints, identical
     // polynomial (Σ c·31^j mod 1e9+7) to WinnowedFingerprints' rolling

@@ -167,6 +167,53 @@ object TextPipeline {
       .limit(k)
   }
 
+  /** Quality-decile bucketing: assign every document a 0-9 bucket by
+    * where its quality score falls among decile CUTOFFS estimated from a
+    * deterministic hash sample — the sampling-prep step before
+    * quality-weighted corpus selection.
+    *
+    * Scale shape: exact global quantiles over a 100 TB corpus would need
+    * a global sort (or a single-partition rank window — the one shape
+    * this repo bans on base tables). Instead the cutoffs come from a
+    * 1/sampleMod MODULAR-HASH sample (integer arithmetic only — no RNG,
+    * no engine-specific hash, reproducible anywhere), whose global rank
+    * window is bounded BY CONSTRUCTION to the sample size; the 9 cutoffs
+    * then broadcast, and bucket assignment is a map-side count of
+    * cutoffs ≤ quality. Rank-based (type-1) quantiles, no interpolation
+    * — the same cross-engine-exact formulation as g6_quantiles_exact.
+    *
+    * Output: (bucket, n_docs, min_quality, max_quality), bucket 0-9. */
+  def qualityDecileBuckets(
+      docs: DataFrame, id: Column, text: Column,
+      sampleMod: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = docs.select(id.as("doc_id"),
+      TextFunctions.qualityScore(text).as("quality"))
+    val sample = q.filter(
+      pmod(pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)),
+        lit(sampleMod.toLong)) === 0)
+    // global rank window: bounded to the sample by construction
+    val ranked = sample
+      .select(col("quality"), col("doc_id"),
+        row_number().over(Window.orderBy(col("quality"), col("doc_id"))).as("rn"))
+      .crossJoin(broadcast(sample.agg(count(lit(1)).as("n"))))
+    val iDf = { import docs.sparkSession.implicits._; (1 to 9).toDF("i") }
+    // 9 cutoffs packed into ONE broadcast array row: bucket assignment is
+    // then a map-side 9-element filter — no doc×cutoff row explosion, no
+    // extra shuffle keyed by doc
+    val cutArr = ranked
+      .crossJoin(broadcast(iDf))
+      .filter(col("rn") === ceil(col("i") * col("n") / lit(10.0)).cast("long"))
+      .agg(sort_array(collect_list(col("quality"))).as("cuts"))
+    q.crossJoin(broadcast(cutArr))
+      .withColumn("bucket",
+        size(filter(col("cuts"), c => col("quality") >= c)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+  }
+
   /** Domain-mix resampling weights: per (grouping) cell, the
     * temperature-flattened sampling weight w ∝ share^(1/2), normalized
     * to sum 1 — the mixture-rebalancing step (upweight rare domains /

@@ -117,6 +117,26 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("qualityDecileBuckets partitions the corpus into ordered buckets") {
+    // 400 docs with smoothly varying quality (token count drives the
+    // length term); sampleMod=2 keeps the cutoff sample dense
+    val docs = (1L to 400L)
+      .map(i => (i, Seq.fill(1 + (i % 100).toInt)("the word").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextPipeline.qualityDecileBuckets(
+      docs, col("doc_id"), col("text"), sampleMod = 2)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getLong(1)).sum == 400L, "every doc lands in a bucket")
+    assert(rows.length >= 5, "quality spread must fill most deciles")
+    // bucket ranges are ordered and non-overlapping
+    val ordered = rows.map(r =>
+      (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    ordered.sliding(2).foreach {
+      case Array((_, _, maxLo), (_, minHi, _)) => assert(maxLo <= minHi)
+      case _ => ()
+    }
+  }
+
   test("domainMixWeights: weights sum to 1 and flatten the mixture") {
     val df = (Seq.fill(90)("en") ++ Seq.fill(9)("de") ++ Seq("yo"))
       .zipWithIndex.map { case (l, i) => (i.toLong, l) }
