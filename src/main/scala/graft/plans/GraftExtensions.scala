@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{CosineSim, MinHashSig, NgramJaccard, RollingHash, SimHash64}
+import graft.functions.expressions.{CosineSim, MinHashSig, NgramJaccard, RollingHash, SimHash64, WinnowedFingerprints, WordNgrams}
 
 /** Optimizer rule: self-similarity is the identity — `ngram_jaccard(x,
   * x, n)` folds to 1.0 at plan time, so a self-join pipeline (dedup
@@ -84,7 +84,14 @@ object GraftExtensions {
         longArg(args(3), "seed"))),
     ("rolling_hash",
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (args: Seq[Expression]) => RollingHash(args.head)))
+      (args: Seq[Expression]) => RollingHash(args.head)),
+    ("word_ngrams",
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (args: Seq[Expression]) => WordNgrams(args.head, intArg(args(1), "n"))),
+    ("winnowed_fingerprints",
+      new ExpressionInfo(classOf[WinnowedFingerprints].getName, "winnowed_fingerprints"),
+      (args: Seq[Expression]) => WinnowedFingerprints(
+        args.head, intArg(args(1), "k"), intArg(args(2), "modP"))))
 
   /** Retro-fit registration into an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -14,12 +14,16 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         |  cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
         |             array(CAST(2.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cs,
         |  ngram_jaccard('abcdefgh', 'abcdefgh', 3) AS jac,
-        |  size(minhash_sig('some document text', 5, 16, 42L)) AS k
+        |  size(minhash_sig('some document text', 5, 16, 42L)) AS k,
+        |  word_ngrams('a b c', 2) AS wg,
+        |  size(winnowed_fingerprints('abcdefghij', 4, 1)) AS nfp
         |""".stripMargin).collect().head
     assert(r.getAs[Long]("sh") != 0L)
     assert(math.abs(r.getAs[Double]("cs") - 1.0) < 1e-9)
     assert(r.getAs[Double]("jac") == 1.0)
     assert(r.getAs[Int]("k") == 16)
+    assert(r.getSeq[String](r.fieldIndex("wg")) == Seq("a b", "b c"))
+    assert(r.getAs[Int]("nfp") == 7) // 10 - 4 + 1 windows, modP=1 keeps all
   }
 
   test("rolling_hash: reference fold, SQL parity, null/empty/unicode") {
