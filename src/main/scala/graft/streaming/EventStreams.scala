@@ -103,6 +103,65 @@ object EventStreams {
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class FpHit(fp: Long, doc_id: Long, ts: java.sql.Timestamp)
+  final case class FpDup(fp: Long, doc_id: Long, first_doc_id: Long)
+
+  /** Streaming substring near-dup flagger — the incremental twin of
+    * Dedup.substringFingerprintPairs: as documents arrive, each explodes
+    * map-side into its winnowed Rabin-Karp fingerprints
+    * (expressions.WinnowedFingerprints), and per-fingerprint state
+    * remembers the FIRST document that carried it; any later document
+    * sharing a fingerprint is emitted as (fp, doc_id, first_doc_id) —
+    * "this new crawl page substring-overlaps something already in the
+    * corpus", without ever re-scanning the corpus.
+    *
+    * State discipline: keyed by fingerprint (bounded by distinct
+    * sampled fingerprints in the horizon, ~len/(modP) per doc), with an
+    * event-time timeout at watermark + `horizon` so the store holds a
+    * sliding recent-corpus window, never the full history — dedup
+    * against ALL history is the batch operator's job. Within a
+    * micro-batch, rows sort by doc_id so the surviving "first" is the
+    * MIN id — deterministic, matching the batch keeper rule. */
+  def substringDupStream(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String = "ts",
+      k: Int = 32, modP: Int = 8,
+      lateness: String = "10 minutes",
+      horizonMs: Long = 3600000L): Dataset[FpDup] = {
+    import docs.sparkSession.implicits._
+    val hits = docs
+      .withWatermark(tsCol, lateness)
+      .select(
+        explode(graft.functions.expressions.GraftFunctions
+          .winnowed_fingerprints(col(textCol), k, modP)).as("fp"),
+        col(idCol).as("doc_id"), col(tsCol).as("ts"))
+      .as[FpHit]
+    hits
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Long, FpDup](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (fp: Long, batch: Iterator[FpHit], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = batch.toArray.sortBy(_.doc_id)
+            var first = state.getOption.getOrElse(Long.MaxValue)
+            val out = Array.newBuilder[FpDup]
+            rows.foreach { h =>
+              if (first == Long.MaxValue) first = h.doc_id
+              else if (h.doc_id != first) out += FpDup(fp, h.doc_id, first)
+            }
+            state.update(first)
+            // expire when the watermark passes last-seen + horizon; NOT
+            // watermark + horizon, which on the first micro-batch (wm
+            // still 0) would arm a timeout the very next watermark
+            // advance blows past
+            val maxMs = rows.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxMs + horizonMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Custom state: running per-user totals via flatMapGroupsWithState —
     * the escape hatch when built-in windows can't express the state
     * machine. Emits an updated running row per user per micro-batch. */

@@ -156,6 +156,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("substringDupStream flags cross-batch substring overlap, min-id keeper") {
+    implicit val sc = spark.sqlContext
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStreams.substringDupStream(
+      docs, "doc_id", "text", "ts", k = 32, modP = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("subdup_out").start()
+    try {
+      in.addData((1L, s"PREFIX $shared SUFFIX", ts(0)))
+      q.processAllAvailable()
+      in.addData(
+        (2L, s"other lead-in then $shared", ts(1)),
+        (3L, "entirely unrelated content with distinct words only", ts(2)))
+      q.processAllAvailable()
+      val rows = spark.table("subdup_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("first_doc_id")))
+      assert(rows.nonEmpty, "doc 2 must be flagged against doc 1")
+      assert(rows.forall(_ == (2L, 1L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running totals across micro-batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
