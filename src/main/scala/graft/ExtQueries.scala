@@ -403,9 +403,14 @@ object ExtQueries {
     //    equi-join — Dedup.substringFingerprintPairs. Unlike the LSH
     //    paths, the fingerprint polynomial is engine-portable, so the
     //    WHOLE candidate pipeline is DuckDB-oracled (hash for hash).
+    //    The DuckDB oracle has no bucketCap equivalent, so the contract
+    //    query disables the skew guard (cap = MaxValue) to keep parity
+    //    exact on ANY fixture; the engine default (1000) stays for
+    //    production callers — see Dedup.substringFingerprintPairs.
     "ext_substring_dedup" -> ((s, dir) => {
       Dedup.substringFingerprintPairs(
-        t(s, dir, "documents"), col("doc_id"), col("text"))
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        bucketCap = Int.MaxValue)
         .orderBy("id_a", "id_b")
     }),
 
@@ -802,13 +807,13 @@ object ExtQueries {
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, quality FROM q
-        |  WHERE ((doc_id * 2654435761) % 1000000007) % 4 = 0),
+        |  WHERE (((doc_id % 1000000007) * 2654435761) % 1000000007) % 4 = 0),
         |r AS (
         |  SELECT quality, ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rn,
         |         COUNT(*) OVER () AS n
         |  FROM s),
         |c AS (
-        |  SELECT list_sort(list(quality)) AS cuts
+        |  SELECT list_sort(coalesce(list(quality), [])) AS cuts
         |  FROM r CROSS JOIN (SELECT unnest(range(1, 10)) AS i) t
         |  WHERE rn = CAST(ceil(i * n / 10.0) AS BIGINT)),
         |b AS (

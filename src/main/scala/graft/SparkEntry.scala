@@ -395,14 +395,18 @@ object SparkEntry {
     // ── F3: ordered array aggregation — collect_list is partition-order
     //    dependent, so the engine convention is sort_array(collect_list)
     //    (deterministic on any cluster) plus element ops (size, first).
+    //    The array is emitted string-joined: the driver's pandas comparer
+    //    cannot sort/hash a raw array column (r4 failure), and the joined
+    //    form hash-checks the same ordered contents.
     "f3_array_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .filter(col("o_custkey") < 50)
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
-        .select(col("o_custkey"), col("order_keys"),
-          size(col("order_keys")).cast("long").as("n_orders"),
-          element_at(col("order_keys"), 1).as("first_order"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("keys_arr"))
+        .select(col("o_custkey"),
+          array_join(col("keys_arr"), ",").as("order_keys"),
+          size(col("keys_arr")).cast("long").as("n_orders"),
+          element_at(col("keys_arr"), 1).as("first_order"))
         .orderBy("o_custkey")
     }),
 
@@ -800,7 +804,7 @@ object SparkEntry {
 
     "f3_array_agg" ->
       """SELECT o_custkey,
-        |       list_sort(list(o_orderkey)) AS order_keys,
+        |       array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
         |       CAST(len(list(o_orderkey)) AS BIGINT) AS n_orders,
         |       list_sort(list(o_orderkey))[1] AS first_order
         |FROM orders WHERE o_custkey < 50

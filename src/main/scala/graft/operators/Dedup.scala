@@ -414,12 +414,20 @@ object Dedup {
         .join(stepped.select(col("id").as("label"), col("label").as("parent")),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("parent"), col("label")).as("label")))
+      // jumped is already materialized (eager checkpoint) — the previous
+      // round's checkpoint blocks are dead; release them now instead of
+      // waiting for ContextCleaner GC
+      labels.unpersist()
       labels = jumped
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1
     }
     edges.unpersist()
+    // no silent caps: a partially-converged labeling is NOT a clustering
+    require(converged,
+      s"clusters: min-label propagation did not converge within $maxIters " +
+        "rounds — raise maxIters (pointer jumping needs ~log2(n) rounds)")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: laying variable-length documents into fixed-size
+  * training context windows — the step between curation and batching in
+  * every LLM pretraining pipeline. [EXT] beyond the reference surface.
+  *
+  * Two formulations, both sharded so no global order exists anywhere:
+  *
+  *  - [[concatChunk]]: GPT-style concat-and-chunk. Documents are laid
+  *    back-to-back in id order within a shard and the token stream is cut
+  *    every `capacity` tokens (documents may straddle chunk boundaries).
+  *    Pure window arithmetic — fully DuckDB-oracle-able.
+  *  - [[greedy]]: first-fit sequential bin packing. A document never
+  *    splits; a new pack opens when the current one cannot fit the next
+  *    document. Inherently a sequential fold, so it runs as a
+  *    constant-memory streaming pass per shard (sortWithinPartitions +
+  *    mapPartitions), not a window.
+  *
+  * Scale shape: ONE shuffle on the shard key for either form. Shards are
+  * the parallelism unit — at 100 TB you size `nShards` to O(cluster
+  * cores), each shard's documents sort locally (Spark external sort,
+  * spills fine), and the per-shard scan state is O(1). Only (doc_id,
+  * n_tokens) ever shuffles — never text bodies; join token counts back
+  * by id downstream if payloads are needed.
+  */
+object Packing {
+
+  /** One document's packing input after sharding. */
+  case class PackDoc(shard: Long, doc_id: Long, n_tokens: Long)
+
+  /** Greedy assignment: `pack_id` is dense per shard, `pack_pos` is the
+    * document's position within its pack, `pack_fill` the pack's token
+    * total after this document. */
+  case class PackAssign(
+      shard: Long, doc_id: Long, n_tokens: Long,
+      pack_id: Long, pack_pos: Long, pack_fill: Long)
+
+  /** Concat-and-chunk packing: within each shard (pmod(id, nShards)),
+    * documents concatenate in doc_id order and the token stream is
+    * chunked at `capacity`. Emits per document the token offset where it
+    * starts and the first/last chunk it touches.
+    *
+    * The cumulative offset is an UNBOUNDED PRECEDING window per shard —
+    * bounded by shard size, never a global sort. Chunk indices use
+    * integer `div` (exact on longs; floor(double) would wobble past
+    * 2^53 tokens — real at 100 TB). */
+  def concatChunk(
+      docs: DataFrame, id: Column, nTokens: Column,
+      capacity: Int, nShards: Int): DataFrame = {
+    require(capacity > 0 && nShards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(id.as("doc_id"), nTokens.as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("first_chunk", expr(s"start_off div ${capacity.toLong}"))
+      // an (impossible-for-real-text) zero-token doc still lands IN the
+      // chunk at its offset rather than producing last < first
+      .withColumn("last_chunk",
+        expr(s"(start_off + ${math.max(0, 1).toLong} * greatest(n_tokens, 1L) - 1) " +
+          s"div ${capacity.toLong}"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1L)
+      .select("doc_id", "shard", "n_tokens", "start_off",
+        "first_chunk", "last_chunk", "n_chunks")
+  }
+
+  /** First-fit sequential packing: documents in doc_id order within a
+    * shard; a doc longer than `capacity` is clipped to one full pack of
+    * its own (the truncate-don't-split convention). Runs as ONE
+    * repartition on shard + per-partition sorted streaming fold —
+    * constant memory, no per-group materialization (a flatMapGroups
+    * would buffer the whole shard).
+    *
+    * Deterministic: shard assignment, order, and fold are all pure
+    * functions of (doc_id, n_tokens). */
+  def greedy(
+      docs: DataFrame, id: Column, nTokens: Column,
+      capacity: Int, nShards: Int): Dataset[PackAssign] = {
+    require(capacity > 0 && nShards > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        pmod(id, lit(nShards.toLong)).as("shard"),
+        id.as("doc_id"),
+        nTokens.as("n_tokens"))
+      .as[PackDoc]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .mapPartitions { it =>
+        // several shards may share a partition (hash collision): the
+        // fold resets whenever the shard key changes — input is sorted
+        // by (shard, doc_id) so each shard is a contiguous run
+        var shard = Long.MinValue
+        var pack = 0L; var pos = 0L; var fill = 0L
+        it.map { d =>
+          if (d.shard != shard) { shard = d.shard; pack = 0L; pos = 0L; fill = 0L }
+          val tk = math.min(math.max(d.n_tokens, 1L), capacity.toLong)
+          if (fill + tk > capacity && fill > 0L) { pack += 1L; pos = 0L; fill = 0L }
+          fill += tk; pos += 1L
+          PackAssign(d.shard, d.doc_id, d.n_tokens, pack, pos - 1L, fill)
+        }
+      }
+  }
+
+  /** Pack-level utilization summary of [[greedy]] output: tokens per
+    * pack vs capacity — the padding-waste number a packing run is judged
+    * by. */
+  def packStats(assign: Dataset[PackAssign], capacity: Int): DataFrame =
+    assign.toDF()
+      .groupBy("shard", "pack_id")
+      .agg(max(col("pack_fill")).as("tokens"), count(lit(1)).as("n_docs"))
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum(col("tokens")).as("total_tokens"),
+        (sum(col("tokens")).cast("double") /
+          (count(lit(1)) * lit(capacity.toLong)).cast("double")).as("utilization"))
+}

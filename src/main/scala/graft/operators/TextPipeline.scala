@@ -189,9 +189,12 @@ object TextPipeline {
     import org.apache.spark.sql.expressions.Window
     val q = docs.select(id.as("doc_id"),
       TextFunctions.qualityScore(text).as("quality"))
+    // fold the id into [0, 1e9) BEFORE the Knuth multiply: the product
+    // then tops out near 2.65e18 < Long.Max, so the arithmetic never
+    // overflows under ANSI even for ids past 2^33 (100 TB id ranges)
     val sample = q.filter(
-      pmod(pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)),
-        lit(sampleMod.toLong)) === 0)
+      pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+        lit(1000000007L)), lit(sampleMod.toLong)) === 0)
     // global rank window: bounded to the sample by construction
     val ranked = sample
       .select(col("quality"), col("doc_id"),

@@ -142,12 +142,16 @@ object EventStreams {
         (fp: Long, batch: Iterator[FpHit], state: GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val rows = batch.toArray.sortBy(_.doc_id)
+            val rows = batch.toArray
+            // a doc can carry the same sampled fingerprint several times
+            // in its text — emit at most one FpDup per (fp, doc), the
+            // batch twin's .distinct() discipline
+            val docIds = rows.map(_.doc_id).distinct.sorted
             var first = state.getOption.getOrElse(Long.MaxValue)
             val out = Array.newBuilder[FpDup]
-            rows.foreach { h =>
-              if (first == Long.MaxValue) first = h.doc_id
-              else if (h.doc_id != first) out += FpDup(fp, h.doc_id, first)
+            docIds.foreach { d =>
+              if (first == Long.MaxValue) first = d
+              else if (d != first) out += FpDup(fp, d, first)
             }
             state.update(first)
             // expire when the watermark passes last-seen + horizon; NOT

