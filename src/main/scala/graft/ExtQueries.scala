@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Events, Partitioning, Similarity, TextPipeline}
+import graft.operators.{Dedup, Events, Packing, Partitioning, Relational, Similarity, TextPipeline}
 
 /** [EXT] LLM-data-pipeline operators (dedup, similarity search, text
   * analysis, event windows) as driver-contract queries. See the module
@@ -440,6 +440,62 @@ object ExtQueries {
           countDistinct(when(col("rep_ok"), col("text"))).as("4_dedup"))
         .unpivot(Array.empty[org.apache.spark.sql.Column], "stage", "n_docs")
         .orderBy("stage")
+    }),
+
+    // ── Sequence packing, concat-and-chunk: documents lay back-to-back
+    //    per shard (pmod(doc_id, 8)) and the token stream cuts every 512
+    //    tokens — Packing.concatChunk. Whitespace token counts keep the
+    //    oracle formula identical (same split as ext_text_stats).
+    "ext_seq_pack" -> ((s, dir) => {
+      Packing.concatChunk(
+        t(s, dir, "documents"),
+        col("doc_id"), TextFunctions.tokenCount(col("text")),
+        capacity = 512, nShards = 8)
+        .orderBy("doc_id")
+    }),
+
+    // ── Sequence packing, greedy first-fit (docs never split): an
+    //    order-dependent sequential fold per shard, so no SQL
+    //    formulation exists — rows-only, ground-truthed against a
+    //    serial reference fold in PackingSpec.
+    "ext_pack_greedy" -> ((s, dir) => {
+      Packing.greedy(
+        t(s, dir, "documents"),
+        col("doc_id"), TextFunctions.tokenCount(col("text")),
+        capacity = 512, nShards = 8)
+        .toDF().orderBy("shard", "doc_id")
+    }),
+
+    // ── Sliding (hopping) event windows: 1 h windows every 30 min —
+    //    Events.slidingAgg; each event fans out map-side into exactly
+    //    size/slide = 2 windows before the one aggregate shuffle.
+    "ext_event_sliding" -> ((s, dir) =>
+      Events.slidingAgg(t(s, dir, "events"), sizeSec = 3600, slideSec = 1800)),
+
+    // ── Snapshot merge (SCD1 upsert): a delta of updated (keys ≡ 0
+    //    mod 7, +5% price) and inserted (shifted-key) orders merges
+    //    into the base snapshot via ONE full-outer join —
+    //    Relational.upsert.
+    "ext_merge_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val updates = base.filter(pmod(col("o_orderkey"), lit(7L)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.05)
+      val inserts = base.filter(pmod(col("o_orderkey"), lit(13L)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      Relational.upsert(base, updates.unionByName(inserts), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ── Mixture quotas: largest-remainder apportionment of a 10k-doc
+    //    sample budget over the (lang, source) mix weights —
+    //    TextPipeline.mixAllocation; Σ quota = budget exactly, unlike
+    //    naive per-cell rounding.
+    "ext_mix_allocation" -> ((s, dir) => {
+      TextPipeline.mixAllocation(
+        t(s, dir, "documents"), Seq(col("lang"), col("source")), 10000L)
+        .select(col("lang"), col("source"), col("n"), col("weight"), col("quota"))
+        .orderBy("lang", "source")
     }),
 
     // ── Multimodal plumbing demo (rows-only): binary payloads → per-
@@ -888,6 +944,88 @@ object ExtQueries {
         |  UNION ALL SELECT '3_repetition', c3 FROM c
         |  UNION ALL SELECT '4_dedup', c4 FROM c)
         |ORDER BY stage""".stripMargin,
+
+    // integer `//` division mirrors Spark's `div` exactly on BIGINTs
+    "ext_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens, start_off,
+        |       start_off // 512 AS first_chunk,
+        |       (start_off + greatest(n_tokens, 1) - 1) // 512 AS last_chunk,
+        |       (start_off + greatest(n_tokens, 1) - 1) // 512
+        |         - start_off // 512 + 1 AS n_chunks
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // windows containing t start at (t div 1800 - k) * 1800, k in {0,1}
+    // — the closed form of Spark's window(ts, '3600s', '1800s') fan-out
+    "ext_event_sliding" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) // 1000 AS es, event_type, value FROM events),
+        |x AS (
+        |  SELECT strftime(make_timestamp((((es // 1800) - k) * 1800) * 1000000),
+        |           '%Y-%m-%d %H:%M:%S') AS window_start,
+        |         event_type, value
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) t)
+        |SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ext_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |delta AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 1.05 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 13 = 0)
+        |SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |       COALESCE(d.o_custkey, b.o_custkey) AS o_custkey,
+        |       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice
+        |            ELSE b.o_totalprice END AS o_totalprice
+        |FROM base b FULL JOIN delta d ON b.o_orderkey = d.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // weight formula = ext_domain_mix (hash-proven); quotas by floor +
+    // largest fractional remainder, ties broken by weight then cell
+    "ext_mix_allocation" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+        |sh AS (
+        |  SELECT lang, source, n,
+        |    CAST(n AS DOUBLE) / n_total AS share,
+        |    CAST(CAST(sqrt(CAST(n AS DOUBLE) / n_total) AS DECIMAL(18,12))
+        |         AS DOUBLE) AS sqrt_share
+        |  FROM cells CROSS JOIN tot),
+        |dn AS (
+        |  SELECT CAST(SUM(CAST(sqrt_share AS DECIMAL(28,12))) AS DOUBLE)
+        |    AS denom FROM sh),
+        |w AS (
+        |  SELECT lang, source, n, share, sqrt_share / denom AS weight
+        |  FROM sh CROSS JOIN dn),
+        |q AS (
+        |  SELECT lang, source, n, share, weight,
+        |    CAST(floor(weight * 10000.0) AS BIGINT) AS floor_q,
+        |    weight * 10000.0 - floor(weight * 10000.0) AS frac
+        |  FROM w),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY frac DESC, weight DESC, lang, source)
+        |      AS pri,
+        |    10000 - SUM(floor_q) OVER () AS deficit
+        |  FROM q)
+        |SELECT lang, source, n, weight,
+        |       floor_q + CASE WHEN pri <= deficit THEN 1 ELSE 0 END AS quota
+        |FROM r ORDER BY lang, source""".stripMargin,
 
     "ext_domain_mix" ->
       """WITH cells AS (

@@ -25,6 +25,30 @@ object Events {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
       .orderBy("window_start", "event_type")
 
+  /** Sliding (hopping) window aggregate: each event lands in
+    * size/slide overlapping windows. window() is a map-side generator —
+    * the fan-out happens BEFORE the one partial-aggregated shuffle on
+    * (window, key), so the cost is (size/slide)× input rows in the
+    * shuffle, never a self-join of window spines. `sizeSec` must be a
+    * multiple of `slideSec` (the only alignment with a closed-form
+    * window assignment — same rule Structured Streaming enforces).
+    * Window starts are epoch-aligned, matching `(t div slide - k) ×
+    * slide` for k in [0, size/slide). */
+  def slidingAgg(events: DataFrame, sizeSec: Long, slideSec: Long): DataFrame = {
+    require(sizeSec % slideSec == 0, "window size must be a multiple of slide")
+    events
+      .groupBy(
+        window(col("ts"), s"$sizeSec seconds", s"$slideSec seconds"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** Gap-based sessionization (gaps-and-islands): a new session starts
     * when the per-user gap exceeds `gapMs`. Two window passes over data
     * partitioned BY USER — at 100 TB this shuffles once on user_id and

@@ -62,8 +62,7 @@ object Packing {
       // an (impossible-for-real-text) zero-token doc still lands IN the
       // chunk at its offset rather than producing last < first
       .withColumn("last_chunk",
-        expr(s"(start_off + ${math.max(0, 1).toLong} * greatest(n_tokens, 1L) - 1) " +
-          s"div ${capacity.toLong}"))
+        expr(s"(start_off + greatest(n_tokens, 1L) - 1) div ${capacity.toLong}"))
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1L)
       .select("doc_id", "shard", "n_tokens", "start_off",
         "first_chunk", "last_chunk", "n_chunks")

@@ -113,6 +113,32 @@ object Relational {
       .orderBy("bucket_id")
   }
 
+  /** SCD1 snapshot merge (upsert): rows from `delta` replace same-key
+    * rows in `base`; delta-only keys insert; base-only keys carry
+    * through. The MERGE INTO every incremental ingest pipeline runs,
+    * expressed as ONE full-outer equi-join on the key — both sides
+    * shuffle-partition on the key once and merge locally; nothing is
+    * collected, nothing rewrites untouched partitions' content.
+    *
+    * `base` and `delta` must share a schema; delta must be unique per
+    * key (pre-aggregate with max_by(ts) upstream for CDC streams —
+    * last-writer-wins is the caller's reduction, not this operator's).
+    * A whole-row struct per side (not per-column coalesce) decides
+    * precedence, so a delta row carrying genuine NULLs still replaces
+    * its base row outright. */
+  def upsert(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && base.columns.sameElements(delta.columns),
+      "upsert: base/delta schemas must match")
+    val nonKeys = base.columns.filterNot(keys.contains)
+    val b = base.withColumn("__b", struct(nonKeys.map(col): _*))
+      .select(keys.map(col) :+ col("__b"): _*)
+    val d = delta.withColumn("__d", struct(nonKeys.map(col): _*))
+      .select(keys.map(col) :+ col("__d"): _*)
+    b.join(d, keys, "full_outer")
+      .withColumn("__m", coalesce(col("__d"), col("__b")))
+      .select(keys.map(col) ++ nonKeys.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
   /** Exact sum that is bitwise-reproducible across engines and partition
     * orders: doubles are summed in fixed-point DECIMAL (associative,
     * order-independent) and the exact total is cast back to double.

@@ -231,6 +231,34 @@ object TextPipeline {
     * Shape: one groupBy over the corpus (count only — map-side partial
     * agg, no bodies in the shuffle), then arithmetic over the tiny cell
     * table with the corpus total broadcast. */
+  /** Largest-remainder apportionment of a sample budget over the
+    * [[domainMixWeights]] cells: every cell gets floor(weight × total)
+    * docs, and the leftover seats go to the largest fractional parts
+    * (ties broken by weight desc then cell id — fully deterministic).
+    * This is the step that turns resampling WEIGHTS into concrete
+    * per-domain quotas a sampler executes, with Σ quota = total exactly
+    * (naive rounding drifts by up to #cells/2).
+    *
+    * Shape: all arithmetic happens on the tiny cell table (the corpus
+    * was already reduced by domainMixWeights' one groupBy); the rank
+    * window spans #cells rows — never corpus rows. */
+  def mixAllocation(
+      docs: DataFrame, dims: Seq[Column], total: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = domainMixWeights(docs, dims)
+      .withColumn("raw", col("weight") * lit(total.toDouble))
+      .withColumn("floor_q", floor(col("raw")).cast("long"))
+      .withColumn("frac", col("raw") - col("floor_q"))
+    val deficit = w.agg((lit(total) - sum(col("floor_q"))).as("deficit"))
+    w.crossJoin(broadcast(deficit))
+      .withColumn("pri",
+        row_number().over(Window.orderBy(
+          col("frac").desc +: col("weight").desc +: dims.map(_.asc): _*)))
+      .withColumn("quota",
+        col("floor_q") + when(col("pri") <= col("deficit"), 1L).otherwise(0L))
+      .drop("raw", "floor_q", "frac", "pri", "deficit")
+  }
+
   def domainMixWeights(docs: DataFrame, dims: Seq[Column]): DataFrame = {
     val cells = docs.groupBy(dims: _*).agg(count(lit(1)).as("n"))
     val total = docs.agg(count(lit(1)).as("n_total"))

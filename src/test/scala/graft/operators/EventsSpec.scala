@@ -49,6 +49,21 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(click.getAs[Double]("total_value") == 4.0)
   }
 
+  test("slidingAgg lands each event in size/slide overlapping windows") {
+    // base is :00-aligned → ts(0), ts(10) fall in windows starting at
+    // 21:30 and 22:00; ts(50) in 22:00 and 22:30
+    val got = Events.slidingAgg(events, sizeSec = 3600, slideSec = 1800)
+      .collect()
+    val clicks = got.filter(_.getAs[String]("event_type") == "click")
+      .map(r => r.getAs[String]("window_start") -> r.getAs[Long]("n")).toMap
+    assert(clicks == Map(
+      "2023-11-14 21:30:00" -> 1L, // t0 only
+      "2023-11-14 22:00:00" -> 2L, // t0 + t50
+      "2023-11-14 22:30:00" -> 1L)) // t50 only
+    // total (window, event) memberships = 2 per event
+    assert(got.map(_.getAs[Long]("n")).sum == events.count() * 2)
+  }
+
   test("asofJoin carries the latest at-or-before value, inclusive boundary") {
     val right = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (2L, 100L, 99.0))
       .toDF("k", "ms", "v")
