@@ -228,9 +228,9 @@ object TextPipeline {
     * bit-identical across engines. The normalizer sums the per-cell
     * sqrt-shares in DECIMAL(28,12) — cell order cannot perturb it.
     *
-    * Shape: one groupBy over the corpus (count only — map-side partial
-    * agg, no bodies in the shuffle), then arithmetic over the tiny cell
-    * table with the corpus total broadcast. */
+    * Shape: ONE groupBy over the corpus (count only — map-side partial
+    * agg, no bodies in the shuffle), then pure window arithmetic over
+    * the tiny cell table — the corpus is never scanned twice. */
   /** Largest-remainder apportionment of a sample budget over the
     * [[domainMixWeights]] cells: every cell gets floor(weight × total)
     * docs, and the leftover seats go to the largest fractional parts
@@ -245,12 +245,14 @@ object TextPipeline {
   def mixAllocation(
       docs: DataFrame, dims: Seq[Column], total: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = domainMixWeights(docs, dims)
+    domainMixWeights(docs, dims)
       .withColumn("raw", col("weight") * lit(total.toDouble))
       .withColumn("floor_q", floor(col("raw")).cast("long"))
       .withColumn("frac", col("raw") - col("floor_q"))
-    val deficit = w.agg((lit(total) - sum(col("floor_q"))).as("deficit"))
-    w.crossJoin(broadcast(deficit))
+      // deficit rides a window over the same tiny cell table — a
+      // separate .agg would re-evaluate the whole weights subtree
+      // (and with it the corpus scan)
+      .withColumn("deficit", lit(total) - sum(col("floor_q")).over(Window.partitionBy()))
       .withColumn("pri",
         row_number().over(Window.orderBy(
           col("frac").desc +: col("weight").desc +: dims.map(_.asc): _*)))
@@ -260,15 +262,21 @@ object TextPipeline {
   }
 
   def domainMixWeights(docs: DataFrame, dims: Seq[Column]): DataFrame = {
-    val cells = docs.groupBy(dims: _*).agg(count(lit(1)).as("n"))
-    val total = docs.agg(count(lit(1)).as("n_total"))
-    val shared = cells.crossJoin(broadcast(total))
+    import org.apache.spark.sql.expressions.Window
+    // corpus total and normalizer are window sums over the tiny POST-AGG
+    // cell table (the b6 discipline: global windows are fine after
+    // aggregation, never on a base table) — a separate docs.agg for the
+    // total would scan the corpus a second time, and stacking
+    // mixAllocation's aggregate on top measured 4× scan amplification
+    val allCells = Window.partitionBy()
+    docs.groupBy(dims: _*).agg(count(lit(1)).as("n"))
+      .withColumn("n_total", sum(col("n")).over(allCells))
       .withColumn("share", col("n").cast("double") / col("n_total"))
       .withColumn("sqrt_share",
         sqrt(col("share")).cast("decimal(18,12)").cast("double"))
-    val denom = shared.agg(
-      sum(col("sqrt_share").cast("decimal(28,12)")).cast("double").as("denom"))
-    shared.crossJoin(broadcast(denom))
+      .withColumn("denom",
+        sum(col("sqrt_share").cast("decimal(28,12)")).over(allCells)
+          .cast("double"))
       .withColumn("weight", col("sqrt_share") / col("denom"))
       .drop("n_total", "sqrt_share", "denom")
   }
