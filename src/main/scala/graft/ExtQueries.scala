@@ -472,6 +472,15 @@ object ExtQueries {
     "ext_event_sliding" -> ((s, dir) =>
       Events.slidingAgg(t(s, dir, "events"), sizeSec = 3600, slideSec = 1800)),
 
+    // ── Time-series resample + gap fill: hourly per-user buckets with
+    //    empty buckets emitted (n = 0) and last observed total carried
+    //    forward — Events.resampleFill; spine via sequence()+explode,
+    //    never a driver loop.
+    "ext_resample_fill" -> ((s, dir) => {
+      Events.resampleFill(t(s, dir, "events"), bucketSec = 3600L)
+        .orderBy("user_id", "bucket_start")
+    }),
+
     // ── Snapshot merge (SCD1 upsert): a delta of updated (keys ≡ 0
     //    mod 7, +5% price) and inserted (shifted-key) orders merges
     //    into the base snapshot via ONE full-outer join —
@@ -976,6 +985,27 @@ object ExtQueries {
         |SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ext_resample_fill" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_ms(ts) // 1000 // 3600 AS h, value FROM events),
+        |agg AS (
+        |  SELECT user_id, h, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS tv
+        |  FROM b GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(range(mn, mx + 1)) AS h
+        |  FROM (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM agg GROUP BY 1)),
+        |j AS (
+        |  SELECT s.user_id, s.h, COALESCE(a.n, 0) AS n, a.tv AS tv
+        |  FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.h = a.h)
+        |SELECT user_id,
+        |       strftime(make_timestamp(h * 3600 * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        |       n, COALESCE(tv, 0.0) AS total_value,
+        |       last_value(tv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM j ORDER BY user_id, bucket_start""".stripMargin,
 
     "ext_merge_upsert" ->
       """WITH base AS (

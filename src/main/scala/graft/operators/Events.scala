@@ -125,6 +125,44 @@ object Events {
       .select(col(leftId), col(key), col(ms), col("__carry")("v").as(value))
   }
 
+  /** Time-series resample + gap fill: per-user fixed-width buckets
+    * spanning the user's first to last event; missing buckets emit with
+    * n = 0 and carry the last observed bucket total forward
+    * (`filled_value`) — the densification step before any
+    * constant-cadence downstream (forecasting features, rate charts).
+    *
+    * Shape: one aggregate shuffle on (user, bucket); the spine comes
+    * from sequence()+explode over the per-user [min, max] bucket range —
+    * a GENERATOR expression, so spine rows materialize distributed
+    * inside tasks, never via a driver loop or a global calendar table;
+    * the gap-fill is a per-user window (local sort per user). Spine
+    * volume is span/bucketSec rows per user — pick `bucketSec` to match
+    * the horizon (an hourly spine over a year is 8.8k rows/user). */
+  def resampleFill(events: DataFrame, bucketSec: Long): DataFrame = {
+    require(bucketSec > 0)
+    val agg = events
+      .select(col("user_id"),
+        expr(s"unix_millis(ts) div 1000 div ${bucketSec}L").as("h"),
+        col("value"))
+      .groupBy("user_id", "h")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("tv"))
+    val spine = agg.groupBy("user_id")
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(agg, Seq("user_id", "h"), "left")
+      .select(
+        col("user_id"),
+        date_format(timestamp_seconds(col("h") * bucketSec),
+          "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("tv"), lit(0.0)).as("total_value"),
+        last(col("tv"), ignoreNulls = true).over(w).as("filled_value"))
+  }
+
   /** Top-k per group via ranked window — the distributed replacement for
     * the reference's client-side sort (ref backend/app.py:318-328). */
   def topKPerGroup(df: DataFrame, group: Column, rankBy: Seq[Column], k: Int): DataFrame =

@@ -47,6 +47,23 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding (hopping) window counts/sums per event type (batch twin:
+    * Events.slidingAgg): each event fans out map-side into size/slide
+    * windows before the one stateful aggregate; the watermark closes a
+    * window once it passes window.end + lateness, so the state store
+    * holds only the size/slide currently-open windows per key. */
+  def slidingAgg(events: DataFrame, size: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Gap-based session windows per user (batch twin: Events.sessionize).
     * session_window keeps one open session per key in the state store and
     * closes it when the watermark passes ts + gap. */

@@ -100,6 +100,22 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(got(202L).isEmpty, "NULL right value must surface, not carry 10.0 forward")
   }
 
+  test("resampleFill emits gap buckets with n=0 and carries totals forward") {
+    // user 1: events in hours 22 and 24 (UTC) → hour 23 is a gap
+    val e = Seq(
+      (1L, 1L, ts(0), "c", 1.0),
+      (2L, 1L, ts(10), "c", 2.0),
+      (3L, 1L, ts(125), "c", 7.0)) // 22:00 + 125min = hour 24 bucket
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.resampleFill(e, 3600L).orderBy("bucket_start").collect()
+    assert(got.length == 3) // hours 22, 23, 24
+    val (h22, h23, h24) = (got(0), got(1), got(2))
+    assert(h22.getAs[Long]("n") == 2L && h22.getAs[Double]("total_value") == 3.0)
+    assert(h23.getAs[Long]("n") == 0L && h23.getAs[Double]("total_value") == 0.0)
+    assert(h23.getAs[Double]("filled_value") == 3.0) // carried from hour 22
+    assert(h24.getAs[Long]("n") == 1L && h24.getAs[Double]("filled_value") == 7.0)
+  }
+
   test("topKPerGroup keeps k best with deterministic ties") {
     val got = Events.topKPerGroup(
       events, col("user_id"), Seq(col("value").desc, col("event_id")), 2)

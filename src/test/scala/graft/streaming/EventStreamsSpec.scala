@@ -75,6 +75,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming sliding windows match the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-slide")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.slidingAgg(
+      EventStreams.readEventStream(spark, dir.toString), "1 hour", "30 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("slide_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("slide_out")
+      val batch = graft.operators.Events.slidingAgg(
+        graft.Tables(spark, "/root/testdata/sf0.001", "events"), 3600, 1800)
+      // every event fans into exactly 2 windows on both paths
+      assert(streamed.agg(sum("n")).collect().head.getLong(0) ==
+        batch.agg(sum("n")).collect().head.getLong(0))
+      assert(streamed.count() == batch.count())
+    } finally q.stop()
+  }
+
   test("file-source streaming sessions match the batch sessionize twin") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-sess")
     java.nio.file.Files.copy(
