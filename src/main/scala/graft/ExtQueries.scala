@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Events, Packing, Partitioning, Relational, Similarity, TextPipeline}
+import graft.operators.{Clustering, Dedup, Events, Packing, Partitioning, Relational, Similarity, TextPipeline}
 
 /** [EXT] LLM-data-pipeline operators (dedup, similarity search, text
   * analysis, event windows) as driver-contract queries. See the module
@@ -540,6 +540,59 @@ object ExtQueries {
           count(lit(1)).as("n"),
           sum(octet_length(col("payload")).cast("long")).as("total_bytes"))
         .orderBy("kind")
+    }),
+
+    // ── KMeans assignment step (the inner loop of Lloyd, isolated so it
+    //    is oracle-able): fixed centroids = the 8 lowest vec_ids, every
+    //    vector to its max-cosine centroid, deterministic low-id
+    //    tie-break — Clustering.assign. The full iterative fit is
+    //    exercised (rows-only) by ext_semdedup and ClusteringSpec.
+    "ext_kmeans_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy("vec_id")
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      Clustering.assign(e.select("vec_id", "embedding"), col("embedding"), centroids)
+        .select(col("vec_id"), col("cluster"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
+    // ── SemDeDup (rows-only): KMeans-cluster the embeddings, then emit
+    //    the 50 most-cosine-similar WITHIN-cluster pairs — the cluster
+    //    assignment replaces all-pairs candidate generation
+    //    (Clustering.semDedupPairs; iterative fit ⇒ no SQL oracle;
+    //    ground truth in ClusteringSpec).
+    "ext_semdedup" -> ((s, dir) => {
+      Clustering.semDedupPairs(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        k = 8, maxIters = 3, topK = Some(50))
+    }),
+
+    // ── Int8 scalar quantization of the embedding column: per-dimension
+    //    min/max ranges (one tiny-shuffle agg pass) then a pure-map code
+    //    assignment — Similarity.scalarQuantize. Codes are integers, so
+    //    the oracle compare is exact; emitted string-joined (the
+    //    harness comparer cannot hash raw array cells).
+    "ext_embed_quantize" -> ((s, dir) => {
+      val (quantized, _) = Similarity.scalarQuantize(
+        t(s, dir, "embeddings").select("vec_id", "embedding"),
+        col("embedding"))
+      quantized
+        .select(col("vec_id"),
+          array_join(col("codes"), ",").as("codes_str"))
+        .orderBy("vec_id")
+    }),
+
+    // ── Boolean AND search over an inverted index built in-flight:
+    //    distinct (term, doc) postings filtered to the query terms
+    //    BEFORE any shuffle, docs holding all three terms —
+    //    TextPipeline.booleanSearch.
+    "ext_inverted_search" -> ((s, dir) => {
+      TextPipeline.booleanSearch(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        Seq("vector", "stream", "merge"))
     })
   )
 
@@ -1078,6 +1131,68 @@ object ExtQueries {
       s"""SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
          |       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
          |FROM read_parquet('$fixtureRoot/media_meta/*.parquet')
-         |GROUP BY kind ORDER BY kind""".stripMargin
+         |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // Assignment to FIXED centroids is pure argmax-cosine — the same
+    // serial-fold list arithmetic the ext_cosine_topk oracle proved
+    // bit-compatible with the engine's CosineSim expression.
+    "ext_kmeans_assign" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cluster_id, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT e.vec_id, c.cluster_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))) AS sim
+        |  FROM embeddings e CROSS JOIN c),
+        |r AS (
+        |  SELECT vec_id, cluster_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                       ORDER BY sim DESC, cluster_id) AS rn
+        |  FROM sc)
+        |SELECT vec_id, CAST(cluster_id AS INTEGER) AS cluster,
+        |       round(sim, 6) AS sim
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // Integer codes from per-dimension min/max ranges: min/max and floor
+    // are exact in IEEE double, so the compare is bit-exact.
+    "ext_embed_quantize" ->
+      """WITH dims AS (
+        |  SELECT t.i AS pos,
+        |    min(CAST(e.embedding[t.i] AS DOUBLE)) AS mn,
+        |    max(CAST(e.embedding[t.i] AS DOUBLE)) AS mx
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        |  GROUP BY t.i),
+        |rng AS (
+        |  SELECT list(mn ORDER BY pos) AS mns,
+        |    list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END
+        |         ORDER BY pos) AS scales
+        |  FROM dims)
+        |SELECT e.vec_id,
+        |  array_to_string(list_transform(range(1, 65),
+        |    i -> CAST(least(255, greatest(0,
+        |      CAST(floor((CAST(e.embedding[i] AS DOUBLE) - mns[i]) * scales[i])
+        |           AS INTEGER))) AS VARCHAR)), ',') AS codes_str
+        |FROM embeddings e CROSS JOIN rng
+        |ORDER BY e.vec_id""".stripMargin,
+
+    "ext_inverted_search" ->
+      """WITH postings AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents)
+        |  WHERE term IN ('vector', 'stream', 'merge')
+        |  GROUP BY doc_id, term)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |       CAST(SUM(tf) AS BIGINT) AS total_tf
+        |FROM postings GROUP BY doc_id
+        |HAVING COUNT(*) = 3 ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Distributed KMeans (Lloyd) over an embedding column, plus the
+  * SemDeDup-style semantic dedup built on top of it (Abbas et al. 2023,
+  * arXiv:2303.09540: cluster the corpus, then look for near-duplicate
+  * pairs only WITHIN a cluster — the cluster assignment is the candidate
+  * generator, replacing all-pairs with k small self-joins).
+  *
+  * 100 TB design:
+  *  - Each Lloyd iteration is ONE map pass (argmax-cosine against a
+  *    broadcast literal of k centroids — k·dim multiplies per row, pure
+  *    codegen'd expressions) plus ONE tiny shuffle: per-dimension sums
+  *    are computed by `groupBy(cluster, dim)` with map-side partial
+  *    aggregation, so at most k×dim rows leave each task regardless of
+  *    corpus size. The driver only ever holds k×dim sums (the new
+  *    centroids) — never corpus rows.
+  *  - Sums accumulate in DECIMAL(38,15), not double: decimal addition is
+  *    exact, so centroid updates are independent of partition order and
+  *    the whole fit is bit-deterministic run-to-run (same discipline as
+  *    the engine's decimal-accumulated aggregates elsewhere).
+  *  - Initial centroids are an id-uniform deterministic sample (rank by
+  *    xxhash64(id), distributed top-k) — the same bounded "index build"
+  *    budget class as IVF centroid sampling in [[Similarity.ivfTopK]].
+  *  - The within-cluster self-join in [[semDedupPairs]] carries (id,
+  *    vector) only, is guarded by the shared hot-bucket cap (a degenerate
+  *    mega-cluster must not go quadratic — it gets truncated OBSERVABLY,
+  *    never silently), and verifies candidates with exact cosine.
+  *
+  * Reference scope note: the reference app has no clustering surface at
+  * all (single Hive table, client-side Python — SURVEY.md §0); this file
+  * is part of the [EXT] LLM-data-pipeline tier the brief requires.
+  */
+object Clustering {
+
+  /** k centroids as one literal array-of-structs column. k·dim literals —
+    * broadcast with the plan itself, no join. */
+  private def centroidArr(centroids: Array[(Int, Array[Double])]): Column =
+    array(centroids.map { case (cid, vec) =>
+      struct(lit(cid).as("cluster_id"),
+        array(vec.toIndexedSeq.map(lit(_)): _*).as("centroid"))
+    }.toIndexedSeq: _*)
+
+  /** Assign every row to its max-cosine centroid (ties → lowest
+    * cluster_id, so assignment is total and deterministic). One map pass;
+    * output (input columns…, cluster, sim). */
+  def assign(
+      df: DataFrame,
+      vec: Column,
+      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "assign() needs at least one centroid")
+    // array_sort on (negsim, cluster_id) structs: lexicographic struct
+    // ordering gives argmax-cosine with the deterministic tie-break.
+    val best = graft.functions.TextFunctions.bound(
+      array_sort(
+        transform(centroidArr(centroids), c =>
+          struct(
+            (lit(-1.0) * Similarity.cosine(vec, c("centroid"))).as("negsim"),
+            c("cluster_id").as("cluster_id"))))
+    )(sorted => element_at(sorted, 1))
+    df.withColumn("_best", best)
+      .withColumn("cluster", col("_best.cluster_id"))
+      .withColumn("sim", round(lit(-1.0) * col("_best.negsim"), 6))
+      .drop("_best")
+  }
+
+  /** Result of a KMeans fit: the final centroids (k×dim doubles — driver
+    * sized by construction) and whether the fit converged before
+    * `maxIters` (exposed, not silent — repo rule). */
+  final case class KMeansModel(
+      centroids: Array[(Int, Array[Double])],
+      iterations: Int,
+      converged: Boolean)
+
+  /** Lloyd's algorithm. Per iteration: one assignment map pass + one
+    * k×dim-row shuffle (partial-agg'd per-dimension decimal sums) + a
+    * k×dim driver collect for the centroid update. `df` is re-read per
+    * iteration — cache it upstream if the source is expensive.
+    *
+    * Convergence = max centroid L∞ movement < `tol`. Empty clusters keep
+    * their previous centroid (standard Lloyd fallback; deterministic). */
+  def kmeans(
+      df: DataFrame, // (id, vec, …)
+      id: Column,
+      vec: Column,
+      k: Int,
+      maxIters: Int = 10,
+      tol: Double = 1e-6): KMeansModel = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val seedRows = df
+      .select(id.as("_sid"), vec.cast("array<double>").as("_svec"))
+      .filter(col("_svec").isNotNull)
+      .orderBy(xxhash64(col("_sid")), col("_sid")) // hash-uniform, deterministic
+      .limit(k) // distributed top-k: the driver receives exactly k rows
+      .collect()
+    require(seedRows.nonEmpty, "kmeans on an empty corpus")
+    var centroids = seedRows.zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Double](1).toArray)
+    }
+    val dim = centroids.head._2.length
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIters && moved >= tol) {
+      // per-(cluster, dim) exact sums; map-side combine caps the shuffle
+      // at k*dim rows per task
+      val sums = assign(df.select(vec.as("_v")), col("_v"), centroids)
+        .select(col("cluster"), posexplode(col("_v").cast("array<double>")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col").cast("decimal(38,15)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      val next = centroids.map { case (cid, prev) =>
+        byCluster.get(cid) match {
+          case Some(rows) =>
+            val mean = Array.fill(dim)(0.0)
+            var n = 0L
+            rows.foreach { r =>
+              n = r.getLong(3)
+              mean(r.getInt(1)) = (r.getDecimal(2).doubleValue() / n)
+            }
+            (cid, mean)
+          case None => (cid, prev) // empty cluster: keep previous centroid
+        }
+      }
+      moved = centroids.zip(next).map { case ((_, a), (_, b)) =>
+        a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+      }.max
+      centroids = next
+      iter += 1
+    }
+    KMeansModel(centroids, iter, converged = moved < tol)
+  }
+
+  /** SemDeDup: fit (or take) a KMeans model, assign every vector, and
+    * emit near-duplicate candidate pairs from WITHIN-cluster self-joins
+    * only, verified with exact cosine.
+    *
+    * `threshold` keeps pairs with cosine >= threshold; `topK = Some(n)`
+    * switches to report mode (n most-similar pairs) for corpora with no
+    * true dups. The per-cluster self-join is capped at `bucketCap` rows
+    * per cluster via the shared observable skew guard — a mega-cluster
+    * is a boilerplate family, quadratic by nature, and belongs to
+    * exact/fingerprint dedup instead. */
+  def semDedupPairs(
+      df: DataFrame, // (id, vec, …)
+      id: Column,
+      vec: Column,
+      k: Int,
+      maxIters: Int = 5,
+      threshold: Double = 0.9,
+      topK: Option[Int] = None,
+      bucketCap: Int = 10000): DataFrame = {
+    val base = df.select(id.as("id"), vec.as("vec"))
+    val model = kmeans(base, col("id"), col("vec"), k, maxIters)
+    val assigned = Dedup.capBuckets(
+      assign(base, col("vec"), model.centroids).select("cluster", "id", "vec"),
+      Seq("cluster"), bucketCap, "semdedup")
+    val l = assigned.select(col("cluster"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = assigned.select(col("cluster"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val pairs = l.join(r, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.cosine(col("vec_a"), col("vec_b")), 6))
+      .select(col("cluster"), col("id_a"), col("id_b"), col("sim"))
+    topK match {
+      case Some(n) =>
+        import org.apache.spark.sql.expressions.Window
+        // global top-n report: rank within a single ordered frame is fine
+        // because candidate volume is already cluster-bounded (≤ k·cap²/2)
+        pairs.orderBy(col("sim").desc, col("id_a"), col("id_b")).limit(n)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("sim").desc, col("id_a"), col("id_b"))).cast("long"))
+          .orderBy("rank")
+      case None =>
+        pairs.filter(col("sim") >= threshold).orderBy("id_a", "id_b")
+    }
+  }
+
+  /** SemDeDup keep-set: from the pair graph, drop every id that has a
+    * lower-id neighbor above threshold (deterministic min-id keeper —
+    * same discipline as [[Dedup.exact]]). Returns surviving ids. */
+  def semDedupKeep(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      maxIters: Int = 5,
+      threshold: Double = 0.9): DataFrame = {
+    val pairs = semDedupPairs(df, id, vec, k, maxIters, threshold)
+    val losers = pairs.select(col("id_b").as("drop_id")).distinct()
+    df.select(id.as("keep_id"))
+      .join(losers, col("keep_id") === col("drop_id"), "left_anti")
+      .orderBy("keep_id")
+  }
+}

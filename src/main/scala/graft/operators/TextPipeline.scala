@@ -280,4 +280,36 @@ object TextPipeline {
       .withColumn("weight", col("sqrt_share") / col("denom"))
       .drop("n_total", "sqrt_share", "denom")
   }
+
+  /** Boolean AND search over an on-the-fly inverted index: build distinct
+    * (term, doc_id) postings, keep only the query's terms, and a document
+    * matches when it holds ALL of them. Returns (doc_id, n_terms,
+    * total_tf) — total_tf = summed per-term occurrence count, the raw
+    * material a ranking stage (e.g. [[bm25]]) would consume.
+    *
+    * 100 TB shape: the term filter applies BEFORE the explode output ever
+    * shuffles — only (query-term, doc_id) survivor rows reach the
+    * aggregate (the decontamination lesson from SCALE.md: discard the
+    * non-matching majority map-side). The explode itself is map-side; no
+    * document bodies move. A persisted postings table would replace the
+    * explode with a pushed-down `term IN (…)` parquet scan — same plan
+    * from the join up. */
+  def booleanSearch(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "booleanSearch needs at least one term")
+    val postings = docs
+      .select(id.as("doc_id"),
+        explode(split(lower(text), "[^a-z]+")).as("term"))
+      .filter(col("term").isin(terms: _*)) // map-side: non-query terms never shuffle
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    postings
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
+      .filter(col("n_terms") === terms.size)
+      .orderBy("doc_id")
+  }
 }

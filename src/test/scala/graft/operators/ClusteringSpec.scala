@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ClusteringSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // three well-separated direction clusters in 4-d, plus a planted
+  // near-duplicate pair inside the first cluster
+  private lazy val vecs = {
+    val a = (0 until 20).map(i => (100L + i, Array(1.0f, 0.01f * i, 0.0f, 0.0f)))
+    val b = (0 until 20).map(i => (200L + i, Array(0.0f, 1.0f, 0.01f * i, 0.0f)))
+    val c = (0 until 20).map(i => (300L + i, Array(0.0f, 0.0f, 1.0f, 0.01f * i)))
+    val dup = Seq((199L, Array(1.0f, 0.05f, 0.0f, 0.0f))) // ≈ id 105
+    (a ++ b ++ c ++ dup).toDF("vec_id", "embedding")
+  }
+
+  test("assign: every row goes to its true argmax-cosine centroid") {
+    val centroids = Array(
+      (0, Array(1.0, 0.0, 0.0, 0.0)),
+      (1, Array(0.0, 1.0, 0.0, 0.0)),
+      (2, Array(0.0, 0.0, 1.0, 0.0)))
+    val got = Clustering.assign(vecs, col("embedding"), centroids)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    vecs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val want = centroids.map { case (cid, cv) =>
+        val dot = v.zip(cv).map { case (x, y) => x * y }.sum
+        val n = math.sqrt(v.map(x => x * x).sum) * math.sqrt(cv.map(x => x * x).sum)
+        (-dot / n, cid)
+      }.min._2
+      assert(got(id) == want, s"vec $id")
+    }
+  }
+
+  test("kmeans: recovers the three planted clusters and is deterministic") {
+    val m1 = Clustering.kmeans(vecs, col("vec_id"), col("embedding"), k = 3, maxIters = 10)
+    val m2 = Clustering.kmeans(vecs, col("vec_id"), col("embedding"), k = 3, maxIters = 10)
+    assert(m1.converged)
+    // bit-deterministic run-to-run (decimal-accumulated updates)
+    m1.centroids.zip(m2.centroids).foreach { case ((_, a), (_, b)) =>
+      assert(a.sameElements(b))
+    }
+    val assigned = Clustering.assign(vecs, col("embedding"), m1.centroids)
+      .select("vec_id", "cluster").as[(Long, Int)].collect()
+    // each planted group lands in exactly one cluster
+    def clusterOf(prefix: Long) =
+      assigned.filter(t => t._1 >= prefix && t._1 < prefix + 20).map(_._2).distinct
+    assert(clusterOf(100L).length == 1)
+    assert(clusterOf(200L).length == 1)
+    assert(clusterOf(300L).length == 1)
+    assert(Set(clusterOf(100L).head, clusterOf(200L).head, clusterOf(300L).head).size == 3)
+  }
+
+  test("kmeans: final centroids are the member means (self-consistency)") {
+    val m = Clustering.kmeans(vecs, col("vec_id"), col("embedding"), k = 3, maxIters = 10)
+    assert(m.converged)
+    val members = Clustering.assign(vecs, col("embedding"), m.centroids)
+      .select("cluster", "embedding").as[(Int, Array[Float])].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    m.centroids.foreach { case (cid, cv) =>
+      val vs = members(cid)
+      cv.indices.foreach { d =>
+        val mean = vs.map(_(d).toDouble).sum / vs.length
+        assert(math.abs(cv(d) - mean) < 1e-9, s"cluster $cid dim $d")
+      }
+    }
+  }
+
+  test("semDedupPairs: finds the planted near-dup, pairs match brute force") {
+    val pairs = Clustering.semDedupPairs(
+      vecs, col("vec_id"), col("embedding"), k = 3, maxIters = 5, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    assert(pairs.exists { case (a, b) => (a, b) == (105L, 199L) })
+    // every emitted pair really is >= threshold (exact cosine on driver)
+    val byId = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    pairs.foreach { case (a, b) =>
+      val (x, y) = (byId(a), byId(b))
+      val cos = x.zip(y).map(t => t._1 * t._2).sum /
+        (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+      assert(cos >= 0.999 - 1e-9, s"pair ($a,$b) cos=$cos")
+    }
+  }
+
+  test("semDedupPairs: within-cluster joins only — no cartesian product") {
+    val q = Clustering.semDedupPairs(
+      vecs, col("vec_id"), col("embedding"), k = 3, maxIters = 2, topK = Some(10))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("semDedupKeep keeps the min-id representative of each dup chain") {
+    // at threshold 0.999 adjacent ramp vectors (Δangle ≈ 0.57°) pair up,
+    // so each planted group collapses to its lowest id
+    val keep = Clustering.semDedupKeep(
+      vecs, col("vec_id"), col("embedding"), k = 3, maxIters = 5, threshold = 0.999)
+      .as[Long].collect().toSet
+    assert(keep == Set(100L, 200L, 300L))
+  }
+
+  test("kmeans surfaces non-convergence instead of silently capping") {
+    val m = Clustering.kmeans(vecs, col("vec_id"), col("embedding"), k = 3, maxIters = 1)
+    assert(m.iterations == 1)
+    assert(!m.converged) // 1 Lloyd step from hash-sampled seeds cannot settle
+  }
+}

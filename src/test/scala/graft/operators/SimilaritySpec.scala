@@ -54,6 +54,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     ivf.foreach(r => assert(bf(r.getAs[Long]("vec_id")) == r.getAs[Double]("sim")))
   }
 
+  test("scalarQuantize: codes in [0,255], reconstruction within half a step") {
+    val (quantized, ranges) = Similarity.scalarQuantize(corpus, col("embedding"))
+    val rows = quantized.select("embedding", "codes")
+      .as[(Array[Float], Array[Int])].collect()
+    assert(rows.forall(_._2.forall(c => c >= 0 && c <= 255)))
+    rows.foreach { case (v, codes) =>
+      v.indices.foreach { d =>
+        val (mn, mx) = ranges(d)
+        val step = if (mx > mn) (mx - mn) / 255.0 else 0.0
+        val deq = mn + codes(d) * step
+        // floor-quantization: v ∈ [deq, deq + step)
+        assert(v(d) >= deq - 1e-9 && v(d) <= deq + step + 1e-9,
+          s"dim $d: v=${v(d)} deq=$deq step=$step")
+      }
+    }
+    // extremes hit the code range ends
+    val d0 = rows.map { case (v, c) => (v(0), c(0)) }
+    assert(d0.minBy(_._1)._2 == 0)
+    assert(d0.maxBy(_._1)._2 == 255)
+  }
+
+  test("scalarQuantize: constant dimension maps to code 0") {
+    val (q, _) = Similarity.scalarQuantize(corpus, col("embedding"))
+    // dim 3 is 0.0 in every corpus vector
+    assert(q.select("codes").as[Array[Int]].collect().forall(_(3) == 0))
+  }
+
   test("LSH results are a subset of brute-force candidates with equal sims") {
     val bf = Similarity.bruteForceTopK(probes, corpus, 10).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap

@@ -153,4 +153,22 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     // order between languages preserved
     assert(rows("en")._3 > rows("de")._3 && rows("de")._3 > rows("yo")._3)
   }
+
+  test("booleanSearch: AND semantics, tf summed, term filter before shuffle") {
+    val docs = Seq(
+      (1L, "spark joins Spark and streams"), // spark×2, joins, streams(≠stream)
+      (2L, "spark stream"),                  // both terms
+      (3L, "stream stream stream"),          // missing spark
+      (4L, "spark stream spark stream"),     // both, tf 2+2
+      (5L, "nothing relevant")).toDF("doc_id", "text")
+    val got = TextPipeline.booleanSearch(
+      docs, col("doc_id"), col("text"), Seq("spark", "stream"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L, 2L), (4L, 2L, 4L)))
+    // single-term degenerates to a contains-scan with tf
+    val one = TextPipeline.booleanSearch(
+      docs, col("doc_id"), col("text"), Seq("spark"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(one == Seq((1L, 1L, 2L), (2L, 1L, 1L), (4L, 1L, 2L)))
+  }
 }
