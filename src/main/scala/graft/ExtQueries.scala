@@ -593,6 +593,34 @@ object ExtQueries {
       TextPipeline.booleanSearch(
         t(s, dir, "documents"), col("doc_id"), col("text"),
         Seq("vector", "stream", "merge"))
+    }),
+
+    // ── Two-stage quantized ANN: coarse top-40 on the int8 codes, exact
+    //    re-rank of the candidates only — Similarity.quantizedTopK. The
+    //    whole pipeline (ranges → codes → dequant → coarse rank → exact
+    //    rerank) is deterministic arithmetic, so it oracles end-to-end.
+    "ext_ann_quantized" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.quantizedTopK(probes, e.select("vec_id", "embedding"), 10)
+    }),
+
+    // ── Incremental ingest dedup: a synthetic "daily drop" (fresh docs +
+    //    re-crawls of corpus docs + an in-batch double) lands next to the
+    //    existing corpus; only genuinely-new content is admitted, one
+    //    winner per fingerprint — Dedup.incremental. The corpus reduces
+    //    to distinct digests before the anti-join; bodies never shuffle.
+    "ext_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250) // genuinely new
+        .unionByName(docs.filter(col("doc_id") < 40) // re-crawl of corpus docs
+          .withColumn("doc_id", col("doc_id") + 1000L))
+        .unionByName(docs.filter(col("doc_id").between(250, 259)) // in-batch double
+          .withColumn("doc_id", col("doc_id") + 2000L))
+      Dedup.incremental(batch, corpus, col("text"), col("doc_id"), col("text"))
+        .orderBy("fingerprint")
     })
   )
 
@@ -1180,6 +1208,92 @@ object ExtQueries {
         |           AS INTEGER))) AS VARCHAR)), ',') AS codes_str
         |FROM embeddings e CROSS JOIN rng
         |ORDER BY e.vec_id""".stripMargin,
+
+    // The quantize oracle's code pipeline composed with the cosine
+    // oracle's serial-fold arithmetic: coarse rank on dequantized codes,
+    // exact re-rank of the 40 survivors.
+    "ext_ann_quantized" ->
+      """WITH dims AS (
+        |  SELECT t.i AS pos,
+        |    min(CAST(e.embedding[t.i] AS DOUBLE)) AS mn,
+        |    max(CAST(e.embedding[t.i] AS DOUBLE)) AS mx
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        |  GROUP BY t.i),
+        |rng AS (
+        |  SELECT list(mn ORDER BY pos) AS mns,
+        |    list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END
+        |         ORDER BY pos) AS scales,
+        |    list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END
+        |         ORDER BY pos) AS steps
+        |  FROM dims),
+        |ap AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(1, 65),
+        |      i -> mns[i] + CAST(least(255, greatest(0,
+        |             CAST(floor((CAST(e.embedding[i] AS DOUBLE) - mns[i])
+        |                  * scales[i]) AS INTEGER))) AS DOUBLE) * steps[i])
+        |      AS av
+        |  FROM embeddings e CROSS JOIN rng),
+        |p AS (
+        |  SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |coarse AS (
+        |  SELECT p.query_id, ap.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * av[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> av[i] * av[i])))) AS qsim
+        |  FROM ap CROSS JOIN p WHERE ap.vec_id <> p.query_id),
+        |cand AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |                         ORDER BY qsim DESC, vec_id) AS qrank
+        |    FROM coarse) WHERE qrank <= 40),
+        |rer AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(p.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM cand c
+        |  JOIN embeddings e ON e.vec_id = c.vec_id
+        |  JOIN p ON p.query_id = c.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, vec_id) AS rank
+        |  FROM rer)
+        |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ext_incremental_dedup" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 2000, text FROM documents
+        |  WHERE doc_id BETWEEN 250 AND 259),
+        |seen AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |    AS fingerprint FROM corpus)
+        |SELECT b.fingerprint, MIN(b.doc_id) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+        |FROM (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM batch) b
+        |ANTI JOIN seen s ON b.fingerprint = s.fingerprint
+        |GROUP BY b.fingerprint ORDER BY b.fingerprint""".stripMargin,
 
     "ext_inverted_search" ->
       """WITH postings AS (

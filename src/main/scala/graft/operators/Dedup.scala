@@ -65,6 +65,35 @@ object Dedup {
     exact(df, TextFunctions.fingerprint(text), id)
       .withColumnRenamed("dedup_key", "fingerprint")
 
+  /** Incremental ingest dedup: admit only `batch` rows whose content
+    * fingerprint appears neither in the already-deduped `corpus` nor
+    * earlier (lower id) in the batch itself — the shape of a daily crawl
+    * drop landing next to a 100 TB corpus.
+    *
+    * Scale story: the corpus side reduces to DISTINCT 16-byte digests
+    * BEFORE the join (never bodies, and the reduction is map-side partial
+    * — at most one row per digest per task ever shuffles), then a
+    * left_anti equi-join on the digest; the within-batch keeper is the
+    * deterministic min-id rule of [[exact]], computed on the batch only
+    * (the small side). The corpus is never re-deduplicated and never
+    * moves; re-running with the admitted rows appended is idempotent. */
+  def incremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      batchText: Column,
+      batchId: Column,
+      corpusText: Column): DataFrame = {
+    val seen = corpus
+      .select(TextFunctions.fingerprint(corpusText).as("fingerprint"))
+      .distinct()
+    val fresh = batch
+      .select(batchId.as("doc_id"), TextFunctions.fingerprint(batchText).as("fingerprint"))
+      .join(seen, Seq("fingerprint"), "left_anti")
+    fresh
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_batch_copies"))
+  }
+
   // ────────────────────────────── MinHash + LSH ──────────────────────────
 
   /** Deterministic universal-hash coefficients for MinHash. The prime is

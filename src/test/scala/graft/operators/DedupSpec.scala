@@ -271,4 +271,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 0.0)
   }
+
+  test("incremental: rejects corpus re-crawls, keeps min id within the batch") {
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA   text"), // corpus dup modulo normalization → rejected
+      (11L, "gamma text"),   // new
+      (12L, "gamma  TEXT"),  // in-batch dup of 11 → folded into its group
+      (13L, "delta text")    // new
+    ).toDF("doc_id", "text")
+    val got = Dedup.incremental(batch, corpus, col("text"), col("doc_id"), col("text"))
+      .select("keep_id", "n_batch_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((11L, 2L), (13L, 1L)))
+    // idempotent: re-running with the admitted rows appended admits nothing new
+    val admitted = batch.filter(col("doc_id").isin(11L, 13L))
+    val again = Dedup.incremental(
+      batch, corpus.unionByName(admitted), col("text"), col("doc_id"), col("text"))
+      .select("keep_id").as[Long].collect()
+    assert(again.isEmpty)
+  }
 }

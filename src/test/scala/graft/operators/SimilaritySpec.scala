@@ -75,6 +75,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(d0.maxBy(_._1)._2 == 255)
   }
 
+  test("quantizedTopK: two-stage search agrees with brute force on this corpus") {
+    val bf = Similarity.bruteForceTopK(probes, corpus, 3).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"), r.getAs[Long]("rank")))
+    val qt = Similarity.quantizedTopK(probes, corpus, 3).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"), r.getAs[Long]("rank")))
+    // well-separated sims + exact re-rank ⇒ identical ids, sims, ranks
+    assert(qt.toSeq == bf.toSeq)
+  }
+
   test("scalarQuantize: constant dimension maps to code 0") {
     val (q, _) = Similarity.scalarQuantize(corpus, col("embedding"))
     // dim 3 is 0.0 in every corpus vector
