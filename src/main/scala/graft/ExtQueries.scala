@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Clustering, Dedup, Events, Packing, Partitioning, Relational, Similarity, TextPipeline}
+import graft.operators.{Clustering, Dedup, Events, Packing, Partitioning, Relational, Similarity, TextPipeline, TfIdf}
 
 /** [EXT] LLM-data-pipeline operators (dedup, similarity search, text
   * analysis, event windows) as driver-contract queries. See the module
@@ -621,6 +621,34 @@ object ExtQueries {
           .withColumn("doc_id", col("doc_id") + 2000L))
       Dedup.incremental(batch, corpus, col("text"), col("doc_id"), col("text"))
         .orderBy("fingerprint")
+    }),
+
+    // ── Tokenizer vocabulary build: corpus term frequencies cut at
+    //    min_count, capped to the most frequent, dense ids by
+    //    (freq DESC, token) — TfIdf.buildVocab; the cap is a distributed
+    //    top-k, never a global vocabulary sort.
+    "ext_vocab_build" -> ((s, dir) => {
+      TfIdf.buildVocab(t(s, dir, "documents"), col("text"),
+        minCount = 2L, maxSize = 30000)
+        .orderBy("token_id")
+    }),
+
+    // ── Unigram LM quality scoring: mean −ln p(token) per document
+    //    under the corpus's own unigram model — TfIdf.unigramLogProb;
+    //    per-token −ln p quantized to DECIMAL(18,6) pre-sum so the
+    //    score is partition-order independent and libm-ulp immune.
+    "ext_unigram_nll" -> ((s, dir) => {
+      TfIdf.unigramLogProb(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Token scrub: stopword/short-token removal + reassembly, pure
+    //    map-side array ops — TextPipeline.tokenScrub.
+    "ext_token_scrub" -> ((s, dir) => {
+      TextPipeline.tokenScrub(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        stopwords = Seq("the", "a", "and", "of"), minLen = 3)
+        .orderBy("doc_id")
     })
   )
 
@@ -1294,6 +1322,53 @@ object ExtQueries {
         |  FROM batch) b
         |ANTI JOIN seen s ON b.fingerprint = s.fingerprint
         |GROUP BY b.fingerprint ORDER BY b.fingerprint""".stripMargin,
+
+    "ext_vocab_build" ->
+      """WITH freq AS (
+        |  SELECT term AS token, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents)
+        |  WHERE len(term) > 0
+        |  GROUP BY term HAVING COUNT(*) >= 2),
+        |ids AS (
+        |  SELECT token, freq,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+        |      AS token_id
+        |  FROM freq)
+        |SELECT token, token_id, freq FROM ids
+        |WHERE token_id <= 30000 ORDER BY token_id""".stripMargin,
+
+    // −ln p per token quantized to DECIMAL(18,6) on both engines before
+    // the sum (see TfIdf.unigramLogProb reproducibility note).
+    "ext_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents)
+        |  WHERE len(term) > 0),
+        |model AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY term),
+        |tot AS (SELECT COUNT(*) AS n_total FROM toks)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST(-ln(CAST(m.freq AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS nll
+        |FROM toks t JOIN model m ON t.term = m.term CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "ext_token_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> len(t) >= 3
+        |        AND NOT list_contains(['the', 'a', 'and', 'of'], t)) AS kept,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> len(t) > 0) AS allt
+        |  FROM documents)
+        |SELECT doc_id, array_to_string(kept, ' ') AS scrubbed,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(len(allt) - len(kept) AS BIGINT) AS n_dropped
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "ext_inverted_search" ->
       """WITH postings AS (

@@ -576,6 +576,24 @@ object SparkEntry {
         .orderBy("rf")
     }),
 
+    // ── G9: approximate quantiles — the SCALE path for g6. The exact
+    //    formulation needs a per-group global sort; percentile_approx
+    //    merges bounded sketches map-side, one tiny shuffle regardless
+    //    of data size. Sketch contents are engine-specific → rows-only;
+    //    SparkEntrySpec bounds the rank error against g6's exact values.
+    "g9_approx_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(percentile_approx(
+          col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(10000)).as("qs"))
+        .select(col("rf"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"))
+        .orderBy("rf")
+    }),
+
     // ── F1: scalar string functions (upper/substr/lpad/length/concat).
     "f1_string_funcs" -> ((s, dir) => {
       t(s, dir, "part")

@@ -294,6 +294,33 @@ object TextPipeline {
     * document bodies move. A persisted postings table would replace the
     * explode with a pushed-down `term IN (…)` parquet scan — same plan
     * from the join up. */
+  /** Token scrub: drop stopwords and sub-`minLen` tokens from every
+    * document and reassemble it — the normalization pass that runs
+    * between raw text and the tokenizer. Entirely map-side (split →
+    * filter → array_join inside one projection, no UDF, no shuffle):
+    * at 100 TB this is pure scan throughput, and the filter/projection
+    * pushes into whole-stage codegen.
+    *
+    * Output: (doc_id, scrubbed, n_kept, n_dropped). */
+  def tokenScrub(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      stopwords: Seq[String],
+      minLen: Int = 3): DataFrame = {
+    // NOTE each output column re-evaluates the split — a per-ROW ×3
+    // constant (fine), not the per-ELEMENT CollapseProject trap that
+    // TextFunctions.bound guards against inside lambdas.
+    val toks = split(lower(text), "[^a-z]+")
+    val kept = filter(toks, t => length(t) >= minLen && !t.isin(stopwords: _*))
+    docs.select(
+      id.as("doc_id"),
+      array_join(kept, " ").as("scrubbed"),
+      size(kept).cast("long").as("n_kept"),
+      (size(filter(toks, t => length(t) > 0)) - size(kept)).cast("long")
+        .as("n_dropped"))
+  }
+
   def booleanSearch(
       docs: DataFrame,
       id: Column,

@@ -54,4 +54,74 @@ object TfIdf {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"),
         col("df"), col("score"))
   }
+
+  /** Tokenizer-vocabulary build: corpus-wide term frequencies, cut at
+    * `minCount`, capped at the `maxSize` most frequent, with dense
+    * deterministic ids assigned by (freq DESC, token ASC) — the standard
+    * "train the vocab" pass before tokenization.
+    *
+    * Scale shape: one (token) shuffle with map-side partial counts, then
+    * the cap is a distributed top-k (TakeOrderedAndProject keeps maxSize
+    * rows per partition pre-merge — never a global sort of the
+    * vocabulary), and only the ≤ maxSize survivors see the id-assignment
+    * window. Output: (token, token_id, freq). */
+  def buildVocab(
+      docs: DataFrame,
+      text: Column,
+      minCount: Long = 2L,
+      maxSize: Int = 30000): DataFrame = {
+    val freq = docs
+      .select(explode(split(lower(text), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+      .orderBy(col("freq").desc, col("token"))
+      .limit(maxSize)
+    freq
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("freq").desc, col("token")))
+          .cast("long"))
+      .select(col("token"), col("token_id"), col("freq"))
+  }
+
+  /** Unigram language-model scoring: every document's mean negative log
+    * probability under the corpus's own unigram distribution — the
+    * classic perplexity-style quality signal (CCNet-family pipelines
+    * score against an LM and drop the worst tail; a unigram model is its
+    * engine-friendly degenerate case, exact and fully relational).
+    *
+    * Scale shape: the model (token → freq) is an aggregate over the
+    * exploded corpus; scoring joins tokens to the model on the token key
+    * — at web scale the model table is vocabulary-sized, so the join is
+    * a broadcast when it fits and a plain equi-join when it doesn't
+    * (Spark/AQE decides from stats; nothing here forces either).
+    *
+    * Reproducibility: each token's −ln p is quantized to DECIMAL(18,6)
+    * BEFORE accumulating (the repo's xsum discipline). This makes the
+    * per-doc sum exact and partition-order independent, and absorbs the
+    * last-ulp disagreement between libm implementations of ln (Java vs
+    * DuckDB) that a raw double sum would amplify into a hash mismatch —
+    * a 1-ulp input difference lands on a 1e-6 rounding boundary with
+    * probability ~1e-9 per distinct vocabulary value.
+    *
+    * Output: (doc_id, n_tokens, nll) — nll = mean −ln p(token). */
+  def unigramLogProb(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs
+      .select(id.as("doc_id"),
+        explode(split(lower(text), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val model = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = toks.select(count(lit(1)).as("n_total"))
+    toks
+      .join(model, Seq("token")) // trained on the same corpus: never misses
+      .crossJoin(broadcast(total)) // single-row scalar
+      .withColumn("neglogp",
+        (-log(col("freq").cast("double") / col("n_total").cast("double")))
+          .cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("neglogp")).cast("double") / count(lit(1))).as("nll"))
+  }
 }

@@ -43,4 +43,30 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
         f"(rel err $relErr%.4f > 3×rsd)")
     }
   }
+
+  test("g9 approx quantiles stay within sketch error of exact g6") {
+    // percentile_approx(accuracy=10000) guarantees rank error ≤ n/10000;
+    // values at rank ± that distance bound the estimate. The oracle
+    // can't check this (sketches are engine-specific) — this test is
+    // g9's correctness gate.
+    def triple(name: String) = SparkEntry.queries(name)(spark, sf)
+      .selectExpr("rf", "CAST(p25 AS DOUBLE)", "CAST(p50 AS DOUBLE)",
+        "CAST(p75 AS DOUBLE)")
+      .collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = triple("g6_quantiles_exact")
+    val approx = triple("g9_approx_quantiles")
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (rf, qs) =>
+      qs.zip(exact(rf)).zip(Seq("p25", "p50", "p75")).foreach {
+        case ((est, truth), p) =>
+          val relErr = math.abs(est - truth) / truth
+          // value-space slack for the tiny sf0.001 test set: rank error
+          // n/10000 < 1 row there, so estimates should be near-exact
+          assert(relErr <= 0.02,
+            f"g9 $rf $p: $est vs exact $truth (rel err $relErr%.4f)")
+      }
+    }
+  }
 }

@@ -154,6 +154,20 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(rows("en")._3 > rows("de")._3 && rows("de")._3 > rows("yo")._3)
   }
 
+  test("tokenScrub drops stopwords and short tokens, keeps order") {
+    val docs = Seq(
+      (1L, "The cat and the big dog"),
+      (2L, "a of an it"), // everything scrubbed
+      (3L, "keep--all,, these! words")).toDF("doc_id", "text")
+    val got = TextPipeline.tokenScrub(
+      docs, col("doc_id"), col("text"), Seq("the", "and"), minLen = 3)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "cat big dog", 3L, 3L),
+      (2L, "", 0L, 4L),
+      (3L, "keep all these words", 4L, 0L)))
+  }
+
   test("booleanSearch: AND semantics, tf summed, term filter before shuffle") {
     val docs = Seq(
       (1L, "spark joins Spark and streams"), // spark×2, joins, streams(≠stream)

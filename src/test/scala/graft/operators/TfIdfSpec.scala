@@ -36,4 +36,35 @@ class TfIdfSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("Broadcast"),
       "the single-row corpus count must arrive via broadcast")
   }
+
+  test("buildVocab: min_count cut, freq-desc dense ids, size cap") {
+    val corpus = Seq(
+      (1L, "aa bb aa cc"),
+      (2L, "aa bb dd"),
+      (3L, "aa zz")).toDF("doc_id", "text")
+    // freqs: aa=4 bb=2 cc=1 dd=1 zz=1 → minCount=2 keeps aa, bb
+    val v = TfIdf.buildVocab(corpus, col("text"), minCount = 2L, maxSize = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(v == Seq(("aa", 1L, 4L), ("bb", 2L, 2L)))
+    // cap: maxSize=1 keeps only the most frequent
+    val capped = TfIdf.buildVocab(corpus, col("text"), minCount = 1L, maxSize = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(capped == Seq(("aa", 1L, 4L)))
+  }
+
+  test("unigramLogProb matches a hand-computed mean -ln p") {
+    val corpus = Seq(
+      (1L, "x x y"),
+      (2L, "y z")).toDF("doc_id", "text")
+    // freqs: x=2 y=2 z=1, total=5
+    def q6(p: Double) = // the engine's DECIMAL(18,6) per-token quantization
+      BigDecimal(-math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val want1 = ((q6(0.4) * 2 + q6(0.4)) / 3).toDouble
+    val want2 = ((q6(0.4) + q6(0.2)) / 2).toDouble
+    val got = TfIdf.unigramLogProb(corpus, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - want1) < 1e-9)
+    assert(math.abs(got(2L)._2 - want2) < 1e-9)
+  }
 }
