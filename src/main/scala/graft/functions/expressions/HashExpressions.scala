@@ -21,7 +21,10 @@ import scala.util.Random
   * partition-order independent, so plans using them stay reproducible.
   *
   * (CodegenFallback: the per-row call is virtual, but the loop body is
-  * compiled Scala — the interpretation overhead that mattered is gone.)
+  * compiled Scala — the interpretation overhead that mattered is gone.
+  * [[CosineSim]] alone also implements doGenCode: it runs
+  * |corpus|×|probes| times inside similarity scans, where even the
+  * boxed per-row eval call is worth eliminating.)
   */
 object HashExpressions {
 
@@ -141,9 +144,16 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 /** Cosine similarity of two float-array columns, computed in double with
   * the SAME left-to-right accumulation order as the higher-order
   * `aggregate` fold (and DuckDB's serial list_sum) — results are
-  * bit-identical to the composed form, just ~100× cheaper. */
+  * bit-identical to the composed form, just ~100× cheaper.
+  *
+  * Unlike the other expressions here this one implements `doGenCode`
+  * (not CodegenFallback): it sits in the innermost loop of every
+  * similarity scan — brute-force top-k scores it |corpus|×|probes|
+  * times — so it's the one place the per-row boxed `eval` call and the
+  * InternalRow round-trip are worth eliminating. The generated loop is
+  * the same arithmetic in the same order as [[nullSafeEval]]. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
@@ -171,6 +181,36 @@ case class CosineSim(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val getX = if (leftIsDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val getY = if (rightIsDouble) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |double $nx = 0.0;
+         |double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $getX;
+         |  double $yi = $getY;
+         |  $dot += $xi * $yi;
+         |  $nx += $xi * $xi;
+         |  $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =

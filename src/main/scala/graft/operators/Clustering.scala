@@ -76,8 +76,10 @@ object Clustering {
 
   /** Lloyd's algorithm. Per iteration: one assignment map pass + one
     * k×dim-row shuffle (partial-agg'd per-dimension decimal sums) + a
-    * k×dim driver collect for the centroid update. `df` is re-read per
-    * iteration — cache it upstream if the source is expensive.
+    * k×dim driver collect for the centroid update. The (id, vec)
+    * working set is persisted for the fit's duration — an iterative
+    * algorithm must not re-run its upstream per round (MLlib's own
+    * discipline) — and unpersisted before returning.
     *
     * Convergence = max centroid L∞ movement < `tol`. Empty clusters keep
     * their previous centroid (standard Lloyd fallback; deterministic). */
@@ -89,49 +91,53 @@ object Clustering {
       maxIters: Int = 10,
       tol: Double = 1e-6): KMeansModel = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val seedRows = df
+    val work = df
       .select(id.as("_sid"), vec.cast("array<double>").as("_svec"))
       .filter(col("_svec").isNotNull)
-      .orderBy(xxhash64(col("_sid")), col("_sid")) // hash-uniform, deterministic
-      .limit(k) // distributed top-k: the driver receives exactly k rows
-      .collect()
-    require(seedRows.nonEmpty, "kmeans on an empty corpus")
-    var centroids = seedRows.zipWithIndex.map { case (r, i) =>
-      (i, r.getSeq[Double](1).toArray)
-    }
-    val dim = centroids.head._2.length
-    var iter = 0
-    var moved = Double.MaxValue
-    while (iter < maxIters && moved >= tol) {
-      // per-(cluster, dim) exact sums; map-side combine caps the shuffle
-      // at k*dim rows per task
-      val sums = assign(df.select(vec.as("_v")), col("_v"), centroids)
-        .select(col("cluster"), posexplode(col("_v").cast("array<double>")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("col").cast("decimal(38,15)")).as("s"),
-          count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRows = work
+        .orderBy(xxhash64(col("_sid")), col("_sid")) // hash-uniform, deterministic
+        .limit(k) // distributed top-k: the driver receives exactly k rows
         .collect()
-      val byCluster = sums.groupBy(_.getInt(0))
-      val next = centroids.map { case (cid, prev) =>
-        byCluster.get(cid) match {
-          case Some(rows) =>
-            val mean = Array.fill(dim)(0.0)
-            var n = 0L
-            rows.foreach { r =>
-              n = r.getLong(3)
-              mean(r.getInt(1)) = (r.getDecimal(2).doubleValue() / n)
-            }
-            (cid, mean)
-          case None => (cid, prev) // empty cluster: keep previous centroid
-        }
+      require(seedRows.nonEmpty, "kmeans on an empty corpus")
+      var centroids = seedRows.zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](1).toArray)
       }
-      moved = centroids.zip(next).map { case ((_, a), (_, b)) =>
-        a.zip(b).map { case (x, y) => math.abs(x - y) }.max
-      }.max
-      centroids = next
-      iter += 1
-    }
-    KMeansModel(centroids, iter, converged = moved < tol)
+      val dim = centroids.head._2.length
+      var iter = 0
+      var moved = Double.MaxValue
+      while (iter < maxIters && moved >= tol) {
+        // per-(cluster, dim) exact sums; map-side combine caps the shuffle
+        // at k*dim rows per task
+        val sums = assign(work.select(col("_svec").as("_v")), col("_v"), centroids)
+          .select(col("cluster"), posexplode(col("_v")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(sum(col("col").cast("decimal(38,15)")).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val byCluster = sums.groupBy(_.getInt(0))
+        val next = centroids.map { case (cid, prev) =>
+          byCluster.get(cid) match {
+            case Some(rows) =>
+              val mean = Array.fill(dim)(0.0)
+              var n = 0L
+              rows.foreach { r =>
+                n = r.getLong(3)
+                mean(r.getInt(1)) = (r.getDecimal(2).doubleValue() / n)
+              }
+              (cid, mean)
+            case None => (cid, prev) // empty cluster: keep previous centroid
+          }
+        }
+        moved = centroids.zip(next).map { case ((_, a), (_, b)) =>
+          a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+        }.max
+        centroids = next
+        iter += 1
+      }
+      KMeansModel(centroids, iter, converged = moved < tol)
+    } finally work.unpersist(blocking = false)
   }
 
   /** SemDeDup: fit (or take) a KMeans model, assign every vector, and
