@@ -649,6 +649,20 @@ object ExtQueries {
         t(s, dir, "documents"), col("doc_id"), col("text"),
         stopwords = Seq("the", "a", "and", "of"), minLen = 3)
         .orderBy("doc_id")
+    }),
+
+    // ── Quota execution: the other half of ext_mix_allocation — each
+    //    (lang, source) cell deterministically downsampled to its
+    //    largest-remainder quota by md5(id) rank (seed-free, engine-
+    //    portable) — TextPipeline.sampleToQuota.
+    "ext_quota_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quotas = TextPipeline.mixAllocation(
+        docs, Seq(col("lang"), col("source")), 200L)
+      TextPipeline.sampleToQuota(
+        docs, col("doc_id"), Seq(col("lang"), col("source")), quotas)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     })
   )
 
@@ -1322,6 +1336,48 @@ object ExtQueries {
         |  FROM batch) b
         |ANTI JOIN seen s ON b.fingerprint = s.fingerprint
         |GROUP BY b.fingerprint ORDER BY b.fingerprint""".stripMargin,
+
+    // The ext_mix_allocation largest-remainder CTE at budget 200, plus
+    // the md5(id)-ranked keep — both engines derive the same sample.
+    "ext_quota_sample" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+        |sh AS (
+        |  SELECT lang, source, n,
+        |    CAST(CAST(sqrt(CAST(n AS DOUBLE) / n_total) AS DECIMAL(18,12))
+        |         AS DOUBLE) AS sqrt_share
+        |  FROM cells CROSS JOIN tot),
+        |dn AS (
+        |  SELECT CAST(SUM(CAST(sqrt_share AS DECIMAL(28,12))) AS DOUBLE)
+        |    AS denom FROM sh),
+        |w AS (
+        |  SELECT lang, source, n, sqrt_share / denom AS weight
+        |  FROM sh CROSS JOIN dn),
+        |q AS (
+        |  SELECT lang, source, n, weight,
+        |    CAST(floor(weight * 200.0) AS BIGINT) AS floor_q,
+        |    weight * 200.0 - floor(weight * 200.0) AS frac
+        |  FROM w),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY frac DESC, weight DESC, lang, source)
+        |      AS pri,
+        |    200 - SUM(floor_q) OVER () AS deficit
+        |  FROM q),
+        |quota AS (
+        |  SELECT lang, source,
+        |    floor_q + CASE WHEN pri <= deficit THEN 1 ELSE 0 END AS quota
+        |  FROM r),
+        |ranked AS (
+        |  SELECT d.doc_id, d.lang, d.source, qu.quota,
+        |    ROW_NUMBER() OVER (PARTITION BY d.lang, d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |  FROM documents d
+        |  JOIN quota qu ON d.lang = qu.lang AND d.source = qu.source)
+        |SELECT doc_id, lang, source FROM ranked
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
 
     "ext_vocab_build" ->
       """WITH freq AS (

@@ -294,6 +294,37 @@ object TextPipeline {
     * document bodies move. A persisted postings table would replace the
     * explode with a pushed-down `term IN (…)` parquet scan — same plan
     * from the join up. */
+  /** Execute mix quotas: deterministically downsample each cell to its
+    * quota row count. Rows rank within their cell by md5 of the id — a
+    * content-independent, seed-free, engine-portable shuffle order (the
+    * same sample comes out of any engine, any partitioning, any run) —
+    * and rank > quota rows drop. Cells smaller than their quota keep
+    * everything.
+    *
+    * Scale shape: the quota table is cell-count sized (tiny — it came
+    * out of an aggregate) and broadcasts; the rank is a window
+    * partitioned BY CELL, so per-partition state is one cell's rows,
+    * never a global sort. Pairs with [[mixAllocation]], which produces
+    * the quota table from the same dims. */
+  def sampleToQuota(
+      docs: DataFrame,
+      id: Column,
+      dims: Seq[Column],
+      quotas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the quota table's non-metric columns are the cell dims
+    val metrics = Set("quota", "n", "weight", "share")
+    val dimNames = quotas.columns.filterNot(metrics)
+    val w = Window.partitionBy(dims: _*)
+      .orderBy(md5(id.cast("string")), id)
+    docs
+      .join(broadcast(quotas.select((dimNames.map(col) :+ col("quota")): _*)),
+        dimNames.toIndexedSeq)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col("quota"))
+      .drop("_rn", "quota")
+  }
+
   /** Token scrub: drop stopwords and sub-`minLen` tokens from every
     * document and reassemble it — the normalization pass that runs
     * between raw text and the tokenizer. Entirely map-side (split →

@@ -154,6 +154,29 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(rows("en")._3 > rows("de")._3 && rows("de")._3 > rows("yo")._3)
   }
 
+  test("sampleToQuota keeps exactly quota rows per cell, deterministically") {
+    val docs = (1L to 20L).map(i => (i, if (i <= 12) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val quotas = Seq(("en", 3L), ("zh", 99L)).toDF("lang", "quota")
+    val got = TextPipeline.sampleToQuota(
+      docs, col("doc_id"), Seq(col("lang")), quotas)
+      .select("doc_id", "lang").as[(Long, String)].collect().sorted
+    // en downsampled to 3; zh quota exceeds cell size → all 8 kept
+    assert(got.count(_._2 == "en") == 3)
+    assert(got.count(_._2 == "zh") == 8)
+    // deterministic: the kept en ids are the 3 smallest by md5(id) rank
+    val wantEn = (1L to 12L).sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).take(3).toSet
+    assert(got.filter(_._2 == "en").map(_._1).toSet == wantEn)
+    // run-to-run stability
+    val again = TextPipeline.sampleToQuota(
+      docs, col("doc_id"), Seq(col("lang")), quotas)
+      .select("doc_id", "lang").as[(Long, String)].collect().sorted
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("tokenScrub drops stopwords and short tokens, keeps order") {
     val docs = Seq(
       (1L, "The cat and the big dog"),
