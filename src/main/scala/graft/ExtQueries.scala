@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Clustering, Dedup, Events, Packing, Partitioning, Relational, Similarity, TextPipeline, TfIdf}
+import graft.operators.{Clustering, Dedup, Events, FuzzyJoin, Packing, Partitioning, Relational, Similarity, TextPipeline, TfIdf}
 
 /** [EXT] LLM-data-pipeline operators (dedup, similarity search, text
   * analysis, event windows) as driver-contract queries. See the module
@@ -649,6 +649,24 @@ object ExtQueries {
         t(s, dir, "documents"), col("doc_id"), col("text"),
         stopwords = Seq("the", "a", "and", "of"), minLen = 3)
         .orderBy("doc_id")
+    }),
+
+    // ── Fuzzy string join: every (part, perturbed-part) pair within
+    //    edit distance 1, via prefix-filtered q-gram blocking —
+    //    FuzzyJoin.editDistanceJoin. The right side drops each name's
+    //    first character, so every row has at least its own origin as a
+    //    match. The DuckDB oracle is the full QUADRATIC join: a green
+    //    hash row certifies the blocking's exact recall, not just the
+    //    arithmetic.
+    "ext_fuzzy_join" -> ((s, dir) => {
+      val parts = t(s, dir, "part").filter(pmod(col("p_partkey"), lit(4L)) === 0)
+      val leftT = parts.select(col("p_partkey").as("id"), col("p_name").as("key"))
+      val rightT = parts.select(
+        (col("p_partkey") + 5000000L).as("id"),
+        expr("substring(p_name, 2)").as("key"))
+      FuzzyJoin.editDistanceJoin(leftT, rightT, maxDist = 1)
+        .select("id_l", "id_r", "edit_dist")
+        .orderBy("id_l", "id_r")
     }),
 
     // ── Quota execution: the other half of ext_mix_allocation — each
@@ -1336,6 +1354,22 @@ object ExtQueries {
         |  FROM batch) b
         |ANTI JOIN seen s ON b.fingerprint = s.fingerprint
         |GROUP BY b.fingerprint ORDER BY b.fingerprint""".stripMargin,
+
+    // The FULL quadratic join — no blocking — so a hash match proves the
+    // engine's prefix-filtered blocking recalled every qualifying pair.
+    "ext_fuzzy_join" ->
+      """WITH l AS (
+        |  SELECT p_partkey AS id_l, p_name AS key_l
+        |  FROM part WHERE p_partkey % 4 = 0),
+        |r AS (
+        |  SELECT p_partkey + 5000000 AS id_r, substring(p_name, 2) AS key_r
+        |  FROM part WHERE p_partkey % 4 = 0)
+        |SELECT id_l, id_r,
+        |       CAST(levenshtein(key_l, key_r) AS BIGINT) AS edit_dist
+        |FROM l CROSS JOIN r
+        |WHERE abs(length(key_l) - length(key_r)) <= 1
+        |  AND levenshtein(key_l, key_r) <= 1
+        |ORDER BY id_l, id_r""".stripMargin,
 
     // The ext_mix_allocation largest-remainder CTE at budget 200, plus
     // the md5(id)-ranked keep — both engines derive the same sample.
