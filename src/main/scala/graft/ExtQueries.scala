@@ -651,6 +651,29 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Tokenize: encode each document as token ids under the built
+    //    vocabulary (OOV → 0), order reassembled inside one aggregate —
+    //    TfIdf.encode ∘ TfIdf.buildVocab. Ids emitted string-joined
+    //    (array cells don't hash in the harness comparer).
+    "ext_tokenize_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TfIdf.buildVocab(docs, col("text"), minCount = 2L, maxSize = 30000)
+      TfIdf.encode(docs, col("doc_id"), col("text"), vocab)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(col("ids"), ",").as("ids_str"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Deterministic train/val split: first md5 nibble of the id,
+    //    14/16 train — TextPipeline.hashSplit; documents never migrate
+    //    between splits as the corpus grows.
+    "ext_train_split" -> ((s, dir) => {
+      TextPipeline.hashSplit(t(s, dir, "documents"), col("doc_id"), 14)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
+    }),
+
     // ── Fuzzy string join: every (part, perturbed-part) pair within
     //    edit distance 1, via prefix-filtered q-gram blocking —
     //    FuzzyJoin.editDistanceJoin. The right side drops each name's
@@ -1354,6 +1377,46 @@ object ExtQueries {
         |  FROM batch) b
         |ANTI JOIN seen s ON b.fingerprint = s.fingerprint
         |GROUP BY b.fingerprint ORDER BY b.fingerprint""".stripMargin,
+
+    // Positional tokens via per-row range() indexing; ids reassembled
+    // with list(... ORDER BY pos) against the same vocab CTE.
+    "ext_tokenize_ids" ->
+      """WITH freq AS (
+        |  SELECT term AS token, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents)
+        |  WHERE len(term) > 0
+        |  GROUP BY term HAVING COUNT(*) >= 2),
+        |vocab AS (
+        |  SELECT token, token_id FROM (
+        |    SELECT token,
+        |      CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+        |        AS token_id
+        |    FROM freq)
+        |  WHERE token_id <= 30000),
+        |t0 AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS ts
+        |  FROM documents),
+        |t1 AS (
+        |  SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM t0),
+        |toks AS (
+        |  SELECT doc_id, pos, ts[pos] AS term FROM t1 WHERE len(ts[pos]) > 0),
+        |enc AS (
+        |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    list(COALESCE(v.token_id, 0) ORDER BY t.pos) AS ids
+        |  FROM toks t LEFT JOIN vocab v ON t.term = v.token
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, array_to_string(ids, ',') AS ids_str
+        |FROM enc ORDER BY doc_id""".stripMargin,
+
+    "ext_train_split" ->
+      """SELECT
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |       IN ('0','1','2','3','4','5','6','7','8','9','a','b','c','d')
+        |       THEN 'train' ELSE 'val' END AS split,
+        |  lang, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
 
     // The FULL quadratic join — no blocking — so a hash match proves the
     // engine's prefix-filtered blocking recalled every qualifying pair.

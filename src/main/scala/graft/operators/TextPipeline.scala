@@ -325,6 +325,25 @@ object TextPipeline {
       .drop("_rn", "quota")
   }
 
+  /** Deterministic train/validation split: a row's assignment is the
+    * first hex nibble of md5(id) — seed-free, independent of
+    * partitioning and row order, identical in any engine with md5, and
+    * stable as the corpus grows (a document never migrates between
+    * splits when new data arrives — the property a random split lacks).
+    * `trainSixteenths`/16 of the id space goes to "train", the rest to
+    * "val". Pure map-side. */
+  def hashSplit(
+      docs: DataFrame,
+      id: Column,
+      trainSixteenths: Int = 14): DataFrame = {
+    require(trainSixteenths >= 1 && trainSixteenths <= 15,
+      s"trainSixteenths must be in [1, 15], got $trainSixteenths")
+    val trainDigits = "0123456789abcdef".take(trainSixteenths).map(_.toString)
+    docs.withColumn("split",
+      when(substring(md5(id.cast("string")), 1, 1).isin(trainDigits: _*),
+        "train").otherwise("val"))
+  }
+
   /** Token scrub: drop stopwords and sub-`minLen` tokens from every
     * document and reassemble it — the normalization pass that runs
     * between raw text and the tokenizer. Entirely map-side (split →

@@ -85,6 +85,39 @@ object TfIdf {
       .select(col("token"), col("token_id"), col("freq"))
   }
 
+  /** Encode documents as token-id sequences under a vocabulary from
+    * [[buildVocab]] — the tokenize step between scrubbed text and
+    * sequence packing. Out-of-vocabulary tokens map to `oovId` (0; the
+    * vocab's dense ids start at 1).
+    *
+    * Scale shape: tokens explode WITH their position, join the
+    * vocabulary on the token key (vocab is capped at maxSize, so Spark
+    * broadcasts it when it fits — the common case), and each document
+    * reassembles by sorting its (pos, id) pairs inside one aggregate —
+    * order survives the shuffle without a window or a global sort.
+    *
+    * Output: (doc_id, n_tokens, ids: array<long>). */
+  def encode(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      vocab: DataFrame, // (token, token_id, …) from buildVocab
+      oovId: Long = 0L): DataFrame = {
+    val toks = docs
+      .select(id.as("doc_id"),
+        posexplode(split(lower(text), "[^a-z]+")).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+    toks
+      .join(vocab.select(col("token"), col("token_id")), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("token_id"), lit(oovId)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          s => s("tid")).as("ids"))
+  }
+
   /** Unigram language-model scoring: every document's mean negative log
     * probability under the corpus's own unigram distribution — the
     * classic perplexity-style quality signal (CCNet-family pipelines

@@ -154,6 +154,27 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(rows("en")._3 > rows("de")._3 && rows("de")._3 > rows("yo")._3)
   }
 
+  test("hashSplit: deterministic, stable under corpus growth, ratio sane") {
+    val docs = (1L to 1000L).map(i => Tuple1(i)).toDF("doc_id")
+    val got = TextPipeline.hashSplit(docs, col("doc_id"), 14)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // matches a driver-side md5 nibble computation exactly
+    got.foreach { case (i, s) =>
+      val nibble = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).head
+      val want = if (((nibble >> 4) & 0xF) < 14) "train" else "val"
+      assert(s == want, s"doc $i")
+    }
+    // growth stability: the first 100 docs keep their split in a bigger corpus
+    val bigger = TextPipeline.hashSplit(
+      (1L to 5000L).map(i => Tuple1(i)).toDF("doc_id"), col("doc_id"), 14)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    (1L to 100L).foreach(i => assert(bigger(i) == got(i)))
+    // 14/16 = 87.5% expected; binomial 3σ ≈ 3% at n=1000
+    val frac = got.values.count(_ == "train").toDouble / got.size
+    assert(math.abs(frac - 0.875) < 0.05, s"train frac $frac")
+  }
+
   test("sampleToQuota keeps exactly quota rows per cell, deterministically") {
     val docs = (1L to 20L).map(i => (i, if (i <= 12) "en" else "zh"))
       .toDF("doc_id", "lang")

@@ -52,6 +52,21 @@ class TfIdfSpec extends AnyFunSuite with SparkSpec {
     assert(capped == Seq(("aa", 1L, 4L)))
   }
 
+  test("encode maps tokens to vocab ids in document order, OOV → 0") {
+    val corpus = Seq(
+      (1L, "aa bb aa cc"),
+      (2L, "cc aa zz bb")).toDF("doc_id", "text")
+    // vocab (minCount=2): aa→1 (freq 3), bb→2, cc→2... freqs: aa=3 bb=2 cc=2
+    // ids by (freq desc, token): aa=1, bb=2, cc=3; zz freq 1 → OOV
+    val vocab = TfIdf.buildVocab(corpus, col("text"), minCount = 2L, maxSize = 10)
+    val got = TfIdf.encode(corpus, col("doc_id"), col("text"), vocab)
+      .select("doc_id", "n_tokens", "ids")
+      .as[(Long, Long, Array[Long])].collect()
+      .map(t => t._1 -> (t._2, t._3.toSeq)).toMap
+    assert(got(1L) == (4L, Seq(1L, 2L, 1L, 3L)))
+    assert(got(2L) == (4L, Seq(3L, 1L, 0L, 2L))) // zz → OOV id 0, order kept
+  }
+
   test("unigramLogProb matches a hand-computed mean -ln p") {
     val corpus = Seq(
       (1L, "x x y"),
