@@ -62,8 +62,16 @@ object ScaleReplica {
       shifted(df, i, Seq("o_orderkey", "o_custkey")))
     replicate(spark, src, dest, "lineitem", factor)((df, i) =>
       shifted(df, i, Seq("l_orderkey", "l_partkey", "l_suppkey")))
+    // part names get the same per-copy cipher as documents (below):
+    // fuzzy-join workloads must see factor× more DISTINCT dirty keys,
+    // not the same 64 names at factor× multiplicity — which would
+    // measure the replica's construction (quadratic match expansion),
+    // not the engine
+    val azPart = "abcdefghijklmnopqrstuvwxyz"
     replicate(spark, src, dest, "part", factor)((df, i) =>
-      shifted(df, i, Seq("p_partkey")))
+      shifted(df, i, Seq("p_partkey"))
+        .withColumn("p_name",
+          translate(col("p_name"), azPart, azPart.drop(i) + azPart.take(i))))
     replicate(spark, src, dest, "supplier", factor)((df, i) =>
       shifted(df, i, Seq("s_suppkey")))
     // events.ts stays nanos-long (raw read) so graft.Tables rebuilds it
