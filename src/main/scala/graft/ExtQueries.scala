@@ -651,6 +651,15 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Ordered funnel: earliest view → click → purchase chain per
+    //    user in ONE exchange (k full-partition window mins over
+    //    user_id, sequential dependency riding the same partitioning) —
+    //    Events.funnel.
+    "ext_funnel" -> ((s, dir) => {
+      Events.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    }),
+
     // ── Tokenize: encode each document as token ids under the built
     //    vocabulary (OOV → 0), order reassembled inside one aggregate —
     //    TfIdf.encode ∘ TfIdf.buildVocab. Ids emitted string-joined
@@ -1377,6 +1386,35 @@ object ExtQueries {
         |  FROM batch) b
         |ANTI JOIN seen s ON b.fingerprint = s.fingerprint
         |GROUP BY b.fingerprint ORDER BY b.fingerprint""".stripMargin,
+
+    // Independent formulation: stepwise conditional aggregation with
+    // re-joins (vs the engine's single-exchange window chain) — two
+    // different plans must land on one answer.
+    "ext_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |s1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ms END) AS t1_ms
+        |  FROM e GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, s1.t1_ms,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ms > s1.t1_ms
+        |             THEN e.ms END) AS t2_ms
+        |  FROM e JOIN s1 USING (user_id)
+        |  GROUP BY e.user_id, s1.t1_ms),
+        |s3 AS (
+        |  SELECT e.user_id, s2.t1_ms, s2.t2_ms,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ms > s2.t2_ms
+        |             THEN e.ms END) AS t3_ms
+        |  FROM e JOIN s2 USING (user_id)
+        |  GROUP BY e.user_id, s2.t1_ms, s2.t2_ms)
+        |SELECT user_id, t1_ms, t2_ms, t3_ms,
+        |  CAST(CASE WHEN t1_ms IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN t2_ms IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN t3_ms IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS steps_completed
+        |FROM s3 ORDER BY user_id""".stripMargin,
 
     // Positional tokens via per-row range() indexing; ids reassembled
     // with list(... ORDER BY pos) against the same vocab CTE.

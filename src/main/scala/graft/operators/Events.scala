@@ -177,6 +177,45 @@ object Events {
         col("filled_value"))
   }
 
+  /** Ordered-funnel analysis: for each user, the earliest strictly-
+    * increasing completion chain through `steps` — t₁ = min ts of the
+    * first step, tᵢ = min ts of step i AFTER tᵢ₋₁ — plus how many steps
+    * completed. Every user with any event gets a row (uncompleted steps
+    * are null).
+    *
+    * ONE exchange total: each step is a full-partition window min over
+    * user_id — `min(when(type = step AND ms > t_{i-1}, ms))` — and the
+    * chain's sequential dependency rides through k window passes over
+    * the SAME partitioning, which the final per-user aggregate then
+    * reuses. The join-chain formulation (step table per level,
+    * re-joined on user) costs k extra shuffles and re-evaluates each
+    * level's subtree per later level; this one scans events once.
+    *
+    * Output: (user_id, t1_ms…tk_ms, steps_completed). */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col("user_id"))
+    val base = events.select(
+      col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val withSteps = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === step
+        else col("event_type") === step && col("ms") > col(s"t${i}_ms")
+      df.withColumn(s"t${i + 1}_ms", min(when(cond, col("ms"))).over(w))
+    }
+    // every row of a user carries identical tᵢ (full-partition windows),
+    // so min() just collapses the duplicates — deterministically
+    val firsts = steps.indices.map(i =>
+      min(col(s"t${i + 1}_ms")).as(s"t${i + 1}_ms"))
+    withSteps
+      .groupBy("user_id") // same key as the windows: no second exchange
+      .agg(firsts.head, firsts.tail: _*)
+      .withColumn("steps_completed",
+        steps.indices.map(i =>
+          when(col(s"t${i + 1}_ms").isNotNull, 1L).otherwise(0L))
+          .reduce(_ + _))
+  }
+
   /** Top-k per group via ranked window — the distributed replacement for
     * the reference's client-side sort (ref backend/app.py:318-328). */
   def topKPerGroup(df: DataFrame, group: Column, rankBy: Seq[Column], k: Int): DataFrame =

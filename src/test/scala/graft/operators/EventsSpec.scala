@@ -116,6 +116,39 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(h24.getAs[Long]("n") == 1L && h24.getAs[Double]("filled_value") == 7.0)
   }
 
+  test("funnel: earliest strictly-increasing chain, per-user nulls") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val events = Seq(
+      // user 1 completes A→B→C but only via the SECOND A (first A has no
+      // B after it within the chain rule? no — chain uses the EARLIEST A)
+      (1L, ts(10), "A"), (1L, ts(20), "B"), (1L, ts(15), "A"), (1L, ts(30), "C"),
+      // user 2: B before A — B must not count; chain stops after A
+      (2L, ts(10), "B"), (2L, ts(20), "A"),
+      // user 3: A and B at the same ts — strict > rejects the tie
+      (3L, ts(10), "A"), (3L, ts(10), "B"),
+      // user 4: no step events at all
+      (4L, ts(5), "X"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(events, Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+    assert(got(1L) == (Some(10000L), Some(20000L), Some(30000L), 3L))
+    assert(got(2L) == (Some(20000L), None, None, 1L))
+    assert(got(3L) == (Some(10000L), None, None, 1L))
+    assert(got(4L) == (None, None, None, 0L))
+  }
+
+  test("funnel plans one exchange: windows and aggregate share the user key") {
+    val events = Seq((1L, new java.sql.Timestamp(0L), "A"))
+      .toDF("user_id", "ts", "event_type")
+    val plan = Events.funnel(events, Seq("A", "B"))
+      .queryExecution.executedPlan.toString
+    // exactly one shuffle for windows + aggregate (ignoring the local
+    // input's initial distribution)
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+  }
+
   test("topKPerGroup keeps k best with deterministic ties") {
     val got = Events.topKPerGroup(
       events, col("user_id"), Seq(col("value").desc, col("event_id")), 2)
