@@ -183,6 +183,56 @@ object EventStreams {
       }
   }
 
+  final case class FunnelState(times: Array[Long])
+  final case class FunnelRow(
+      user_id: Long, t1_ms: Long, t2_ms: Long, t3_ms: Long, steps_completed: Long)
+
+  /** Streaming twin of [[graft.operators.Events.funnel]] for a 3-step
+    * funnel: per-user earliest strictly-increasing step chain,
+    * maintained incrementally in one Long per step of state. Each
+    * micro-batch re-folds the user's new events IN TIMESTAMP ORDER into
+    * the chain and emits the updated row (Long.MinValue marks an
+    * uncompleted step — case-class state can't carry nullable longs
+    * without boxing; the spec maps it back to null-equivalence).
+    *
+    * Caveat vs the batch twin: a chain never un-completes, but a LATE
+    * event can only improve step times if it arrives before the fold
+    * reaches that step — exactly-batch equivalence holds when each
+    * user's events arrive in order across micro-batches (the file
+    * source's layout here), the standard trade of incremental funnels.
+    * State is 3 longs per user, bounded by the user population. */
+  def funnelStream(events: Dataset[Event], steps: Seq[String]): Dataset[FunnelRow] = {
+    require(steps.length == 3, "funnelStream is specialized to 3 steps")
+    import events.sparkSession.implicits._
+    val none = Long.MinValue
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val t = state.getOption.map(_.times.clone())
+            .getOrElse(Array.fill(steps.length)(none))
+          batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val ms = e.ts.getTime
+            var i = 0
+            while (i < steps.length) {
+              if (e.event_type == steps(i)) {
+                val prevOk = i == 0 || (t(i - 1) != none && ms > t(i - 1))
+                if (prevOk && (t(i) == none || ms < t(i))) {
+                  t(i) = ms
+                  // a better earlier step invalidates nothing: later
+                  // steps stay — they are still > the improved time
+                }
+              }
+              i += 1
+            }
+          }
+          state.update(FunnelState(t))
+          Iterator.single(FunnelRow(uid, t(0), t(1), t(2),
+            t.count(_ != none).toLong))
+      }
+  }
+
   /** Custom state: running per-user totals via flatMapGroupsWithState —
     * the escape hatch when built-in windows can't express the state
     * machine. Emits an updated running row per user per micro-batch. */

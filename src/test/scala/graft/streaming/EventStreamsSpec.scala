@@ -218,4 +218,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(last.getAs[Double]("total_value") == 4.0)
     } finally q.stop()
   }
+
+  test("funnelStream matches the batch funnel across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.funnelStream(in.toDS(), Seq("A", "B", "C"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    try {
+      // batch 1: A then B for user 7; stray B-before-A for user 8
+      in.addData(
+        Event(1, ts(0), 7, "A", 0), Event(2, ts(5), 7, "B", 0),
+        Event(3, ts(0), 8, "B", 0), Event(4, ts(5), 8, "A", 0))
+      q.processAllAvailable()
+      // batch 2: C completes user 7's chain; user 8 gets B after A
+      in.addData(Event(5, ts(10), 7, "C", 0), Event(6, ts(10), 8, "B", 0))
+      q.processAllAvailable()
+      val last = spark.table("funnel_out").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) => u -> rows.maxBy(_.getAs[Long]("steps_completed")) }
+      assert(last(7L).getAs[Long]("steps_completed") == 3L)
+      assert(last(7L).getAs[Long]("t3_ms") == ts(10).getTime)
+      assert(last(8L).getAs[Long]("steps_completed") == 2L)
+      assert(last(8L).getAs[Long]("t1_ms") == ts(5).getTime)
+      assert(last(8L).getAs[Long]("t2_ms") == ts(10).getTime)
+      // batch-twin equivalence on the same events
+      val all = Seq(
+        (7L, ts(0), "A"), (7L, ts(5), "B"), (7L, ts(10), "C"),
+        (8L, ts(0), "B"), (8L, ts(5), "A"), (8L, ts(10), "B"))
+        .toDF("user_id", "ts", "event_type")
+      val batch = graft.operators.Events.funnel(all, Seq("A", "B", "C"))
+        .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+      assert(batch(7L) == 3L && batch(8L) == 2L)
+    } finally q.stop()
+  }
 }
