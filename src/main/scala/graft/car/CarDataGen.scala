@@ -76,6 +76,6 @@ object CarDataGen {
               pmod(pick(15, cities.size) + i, lit(cities.size)).cast("int") + 1)),
           transform(sequence(lit(0), pick(14, 4) + 1),
             i => (pmod(xxhash64(col("id"), i, lit(16)), lit(99001L)) + 1000L).cast("int"))))
-      .select(CarSchema.schema.fieldNames.map(col): _*)
+      .select(CarSchema.schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 }

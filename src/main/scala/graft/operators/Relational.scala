@@ -130,9 +130,9 @@ object Relational {
     require(keys.nonEmpty && base.columns.sameElements(delta.columns),
       "upsert: base/delta schemas must match")
     val nonKeys = base.columns.filterNot(keys.contains)
-    val b = base.withColumn("__b", struct(nonKeys.map(col): _*))
+    val b = base.withColumn("__b", struct(nonKeys.toIndexedSeq.map(col): _*))
       .select(keys.map(col) :+ col("__b"): _*)
-    val d = delta.withColumn("__d", struct(nonKeys.map(col): _*))
+    val d = delta.withColumn("__d", struct(nonKeys.toIndexedSeq.map(col): _*))
       .select(keys.map(col) :+ col("__d"): _*)
     b.join(d, keys, "full_outer")
       .withColumn("__m", coalesce(col("__d"), col("__b")))

@@ -318,7 +318,7 @@ object TextPipeline {
     val w = Window.partitionBy(dims: _*)
       .orderBy(md5(id.cast("string")), id)
     docs
-      .join(broadcast(quotas.select((dimNames.map(col) :+ col("quota")): _*)),
+      .join(broadcast(quotas.select((dimNames.toIndexedSeq.map(col) :+ col("quota")): _*)),
         dimNames.toIndexedSeq)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= col("quota"))

@@ -56,7 +56,7 @@ object Ingest {
     val aligned = CarSchema.schema.fields.foldLeft(renamed) { (df, f) =>
       if (df.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
       else df.withColumn(f.name, lit(null).cast(f.dataType))
-    }.select(CarSchema.schema.fieldNames.map(col): _*)
+    }.select(CarSchema.schema.fieldNames.toIndexedSeq.map(col): _*)
     // the returned count rides on the write job via observe() — the
     // read-rename-cast pipeline runs exactly once, not once per count
     val obs = org.apache.spark.sql.Observation()
