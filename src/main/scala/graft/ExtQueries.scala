@@ -310,8 +310,12 @@ object ExtQueries {
     //    the stratum key, no global sort. The scale story for "sample my
     //    100 TB corpus deterministically" with per-stratum quotas.
     "ext_stratified_sample" -> ((s, dir) => {
+      // fold the key into the modulus BEFORE the Knuth multiply: raw
+      // l_orderkey * 2654435761 overflows Long (ANSI error) once keys
+      // pass ~3.5e9 — caught by the 10× replica's shifted key space
       val h = pmod(
-        col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(40503L),
+        pmod(col("l_orderkey"), lit(1000000007L)) * lit(2654435761L)
+          + col("l_linenumber") * lit(40503L),
         lit(1000000007L))
       Events.topKPerGroup(
         t(s, dir, "lineitem").withColumn("hv", h),
@@ -923,7 +927,8 @@ object ExtQueries {
     "ext_stratified_sample" ->
       """WITH h AS (
         |  SELECT l_returnflag AS rf, l_orderkey, l_linenumber,
-        |    (l_orderkey * 2654435761 + l_linenumber * 40503) % 1000000007 AS hv
+        |    ((l_orderkey % 1000000007) * 2654435761
+        |     + l_linenumber * 40503) % 1000000007 AS hv
         |  FROM lineitem),
         |r AS (
         |  SELECT rf, l_orderkey, l_linenumber,
