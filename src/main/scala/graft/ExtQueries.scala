@@ -567,11 +567,16 @@ object ExtQueries {
     //    the 50 most-cosine-similar WITHIN-cluster pairs — the cluster
     //    assignment replaces all-pairs candidate generation
     //    (Clustering.semDedupPairs; iterative fit ⇒ no SQL oracle;
-    //    ground truth in ClusteringSpec).
+    //    ground truth in ClusteringSpec). k is CORPUS-SIZED
+    //    (Clustering.sizedK): fixed k makes candidate volume n²/(2k) —
+    //    quadratic; k ∝ n holds cluster width (and the within-cluster
+    //    joins) constant at any scale.
     "ext_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
       Clustering.semDedupPairs(
-        t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
-        k = 8, maxIters = 3, topK = Some(50))
+        e, col("vec_id"), col("embedding"),
+        k = Clustering.sizedK(e.count(), targetClusterSize = 650),
+        maxIters = 3, topK = Some(50))
     }),
 
     // ── Int8 scalar quantization of the embedding column: per-dimension

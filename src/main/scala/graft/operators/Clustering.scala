@@ -66,6 +66,23 @@ object Clustering {
       .drop("_best")
   }
 
+  /** Corpus-sized cluster count: k = ⌈n / targetClusterSize⌉ (min 2).
+    * SemDeDup's candidate volume is Σ|cluster|²/2 ≈ n²/(2k) — with FIXED
+    * k it grows quadratically in corpus size (measured: 16× wall at 26×
+    * data with k=8), with k ∝ n it stays linear (clusters hold
+    * ~targetClusterSize vectors at any scale). Same engine-applies-the-
+    * law design as [[Dedup.sizedBandBits]]; the driver-side cost of a
+    * bigger k is k·dim centroid doubles — 10⁵ clusters × 64 dims is
+    * still ~50 MB, fine.
+    *
+    * Honest limit: [[assign]] is O(n·k·dim) per pass (every vector
+    * scores every centroid), so k beyond ~10³ wants a two-level fit —
+    * cluster a sample into √k coarse cells, then refine within cells.
+    * The single-level form here is correct and linear-in-n for the k
+    * ranges the sizing rule produces at the tested scales. */
+  def sizedK(n: Long, targetClusterSize: Int = 1000): Int =
+    math.max(2, math.ceil(n.toDouble / targetClusterSize)).toInt
+
   /** Result of a KMeans fit: the final centroids (k×dim doubles — driver
     * sized by construction) and whether the fit converged before
     * `maxIters` (exposed, not silent — repo rule). */

@@ -104,6 +104,13 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert(keep == Set(100L, 200L, 300L))
   }
 
+  test("sizedK holds cluster width constant as the corpus grows") {
+    assert(Clustering.sizedK(100, 1000) == 2) // floor
+    assert(Clustering.sizedK(5000, 650) == 8)
+    assert(Clustering.sizedK(50000, 650) == 77)
+    assert(Clustering.sizedK(130000, 650) == 200)
+  }
+
   test("kmeans surfaces non-convergence instead of silently capping") {
     val m = Clustering.kmeans(vecs, col("vec_id"), col("embedding"), k = 3, maxIters = 1)
     assert(m.iterations == 1)
