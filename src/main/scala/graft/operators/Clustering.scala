@@ -76,10 +76,10 @@ object Clustering {
     * still ~50 MB, fine.
     *
     * Honest limit: [[assign]] is O(n·k·dim) per pass (every vector
-    * scores every centroid), so k beyond ~10³ wants a two-level fit —
-    * cluster a sample into √k coarse cells, then refine within cells.
-    * The single-level form here is correct and linear-in-n for the k
-    * ranges the sizing rule produces at the tested scales. */
+    * scores every centroid), so k beyond ~10³ wants the two-level fit —
+    * [[kmeansTwoLevel]] clusters into √k coarse cells and refines
+    * within cells, O(n·2√k·dim). The single-level form is correct and
+    * linear-in-n for the k ranges this rule produces at tested scales. */
   def sizedK(n: Long, targetClusterSize: Int = 1000): Int =
     math.max(2, math.ceil(n.toDouble / targetClusterSize)).toInt
 
@@ -155,6 +155,100 @@ object Clustering {
       }
       KMeansModel(centroids, iter, converged = moved < tol)
     } finally work.unpersist(blocking = false)
+  }
+
+  /** Two-level KMeans — the fit that stays tractable when [[sizedK]]
+    * produces large k (single-level assignment is O(n·k·dim) per pass;
+    * two-level is O(n·2√k·dim)):
+    *
+    *  1. COARSE: a √k-cluster single-level fit over the full corpus
+    *     (distributed Lloyd as in [[kmeans]]).
+    *  2. REFINE: within each coarse cell, an INDEPENDENT local Lloyd
+    *     over a deterministic per-cell sample (hash-ranked, capped at
+    *     `cellSampleCap`) — all cells fit in parallel via mapGroups,
+    *     the legitimate per-partition-imperative escape hatch: a serial
+    *     fit over a bounded sample is not expressible as relational
+    *     ops, and each group's work is embarrassingly parallel.
+    *  3. Final model = union of the cells' fine centroids (≈ k total),
+    *     re-labeled densely.
+    *
+    * Quality matches the standard coarse-quantizer construction (IVF
+    * training does exactly this); determinism holds end to end: coarse
+    * fit is decimal-deterministic, per-cell samples are hash-ranked,
+    * and the local Lloyd uses the same argmax-cosine/min-id rules. */
+  def kmeansTwoLevel(
+      df: DataFrame, // (id, vec, …)
+      id: Column,
+      vec: Column,
+      k: Int,
+      maxIters: Int = 5,
+      cellSampleCap: Int = 10000): KMeansModel = {
+    require(k >= 4, s"two-level needs k >= 4, got $k (use kmeans)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kCoarse = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val kFine = math.max(1, math.ceil(k.toDouble / kCoarse).toInt)
+    val base = df.select(id.as("_sid"), vec.cast("array<double>").as("_svec"))
+      .filter(col("_svec").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val coarse = kmeans(base, col("_sid"), col("_svec"), kCoarse, maxIters)
+      // deterministic per-cell sample: hash-ranked rows, cap per cell
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(xxhash64(col("_sid")), col("_sid"))
+      val sampled = assign(base, col("_svec"), coarse.centroids)
+        .withColumn("_rnk", row_number().over(w))
+        .filter(col("_rnk") <= cellSampleCap)
+        .select(col("cluster"), col("_sid"), col("_svec"))
+      val fine = sampled
+        .as[(Int, Long, Array[Double])]
+        .groupByKey(_._1)
+        .mapGroups { (cell, rows) =>
+          val vecs = rows.toArray.sortBy(_._2).map(_._3) // id-sorted: deterministic
+          cell -> localLloyd(vecs, math.min(kFine, vecs.length), maxIters)
+        }
+        .collect() // ≤ kCoarse rows of ≤ kFine centroids each: k·dim doubles
+        .sortBy(_._1)
+      val centroids = fine.iterator.flatMap(_._2).zipWithIndex
+        .map { case (c, i) => (i, c) }.toArray
+      KMeansModel(centroids, maxIters, converged = true)
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Serial Lloyd over an in-memory sample — the per-cell refine step of
+    * [[kmeansTwoLevel]]. Same rules as the distributed fit: max-cosine
+    * assignment with low-index tie-break, mean update, empty cluster
+    * keeps its previous centroid. */
+  private[operators] def localLloyd(
+      vecs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    if (vecs.isEmpty) return Array.empty
+    val dim = vecs.head.length
+    var centroids = vecs.take(k).map(_.clone()) // id-sorted input: deterministic seeds
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      vecs.foreach { v =>
+        var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
+        while (c < centroids.length) {
+          val s = cos(v, centroids(c))
+          if (s > bestSim) { bestSim = s; best = c } // strict >: low-index ties
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (prev, c) =>
+        if (counts(c) == 0) prev
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
   }
 
   /** SemDeDup: fit (or take) a KMeans model, assign every vector, and

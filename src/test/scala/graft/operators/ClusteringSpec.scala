@@ -104,6 +104,26 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert(keep == Set(100L, 200L, 300L))
   }
 
+  test("kmeansTwoLevel separates the planted groups and is deterministic") {
+    val m1 = Clustering.kmeansTwoLevel(
+      vecs, col("vec_id"), col("embedding"), k = 6, maxIters = 5)
+    val m2 = Clustering.kmeansTwoLevel(
+      vecs, col("vec_id"), col("embedding"), k = 6, maxIters = 5)
+    m1.centroids.zip(m2.centroids).foreach { case ((_, a), (_, b)) =>
+      assert(a.sameElements(b))
+    }
+    assert(m1.centroids.length >= 6 && m1.centroids.length <= 9) // ceil grid
+    // assignment under the two-level model still separates planted groups
+    val assigned = Clustering.assign(vecs, col("embedding"), m1.centroids)
+      .select("vec_id", "cluster").as[(Long, Int)].collect()
+    def clustersOf(prefix: Long) =
+      assigned.filter(t => t._1 >= prefix && t._1 < prefix + 20).map(_._2).toSet
+    // no fine cluster mixes two planted direction groups
+    assert((clustersOf(100L) & clustersOf(200L)).isEmpty)
+    assert((clustersOf(200L) & clustersOf(300L)).isEmpty)
+    assert((clustersOf(100L) & clustersOf(300L)).isEmpty)
+  }
+
   test("sizedK holds cluster width constant as the corpus grows") {
     assert(Clustering.sizedK(100, 1000) == 2) // floor
     assert(Clustering.sizedK(5000, 650) == 8)
