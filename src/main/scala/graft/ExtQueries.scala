@@ -669,6 +669,25 @@ object ExtQueries {
         .orderBy("user_id")
     }),
 
+    // ── Incremental NEAR-dup screening (rows-only; MinHash primitives
+    //    are engine-specific, ground truth in DedupSpec): a daily drop
+    //    of fresh docs plus lightly-edited re-crawls (trailing sentence
+    //    appended) is screened against the corpus — batch bands probe
+    //    the corpus's band table, never batch×batch or corpus×corpus —
+    //    Dedup.incrementalNearDup.
+    "ext_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+        .unionByName(docs.filter(col("doc_id") < 40)
+          .withColumn("doc_id", col("doc_id") + 1000L)
+          .withColumn("text",
+            concat(col("text"), lit(" minor trailing edit appended here"))))
+      Dedup.incrementalNearDup(
+        batch, corpus, col("doc_id"), col("text"), col("doc_id"), col("text"),
+        threshold = 0.5)
+    }),
+
     // ── Tokenize: encode each document as token ids under the built
     //    vocabulary (OOV → 0), order reassembled inside one aggregate —
     //    TfIdf.encode ∘ TfIdf.buildVocab. Ids emitted string-joined

@@ -194,6 +194,66 @@ object Dedup {
     }
   }
 
+  /** Incremental NEAR-dup screening: which `batch` documents are
+    * near-duplicates of the existing `corpus` — the fuzzy counterpart of
+    * [[incremental]], run on every daily drop so re-crawls with cosmetic
+    * edits don't re-enter the corpus.
+    *
+    * Same banded-MinHash layout as [[minhashNearDupPairs]], but the
+    * candidate join is batch-bands ⨝ corpus-bands (never batch×batch or
+    * corpus×corpus): the corpus side reduces to its (band, bhash, id)
+    * table — at 100 TB that's the persisted LSH index a real deployment
+    * keeps between drops, and only buckets the BATCH actually touches do
+    * any work (the batch band table is small, so Spark/AQE broadcasts
+    * it; non-matching corpus buckets die in the map-side hash probe).
+    * Verify = exact n-gram Jaccard, bodies rehydrated by id.
+    *
+    * Output: (batch_id, corpus_id, jaccard) — one row per batch doc per
+    * matched corpus doc at >= threshold; callers drop matched batch ids
+    * or route them to review. */
+  def incrementalNearDup(
+      batch: DataFrame, // (id, text)
+      corpus: DataFrame, // (id, text)
+      batchId: Column, batchText: Column,
+      corpusId: Column, corpusText: Column,
+      shingleN: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      bucketCap: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame, id: Column, text: Column, idName: String) =
+      df.select(id.as(idName), text.as("txt")).select(
+        col(idName),
+        explode(TextFunctions.bound(
+          graft.functions.expressions.GraftFunctions
+            .minhash_sig(col("txt"), shingleN, numHashes, seed)) { sig =>
+          array((0 until bands).map { b =>
+            struct(
+              lit(b).as("band"),
+              xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bhash"))
+          }: _*)
+        }).as("bb"))
+        .select(col(idName), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    val cb = capBuckets(
+      banded(corpus, corpusId, corpusText, "corpus_id"),
+      Seq("band", "bhash"), bucketCap, "incr_minhash")
+    val candidates = banded(batch, batchId, batchText, "batch_id")
+      .join(cb, Seq("band", "bhash")) // batch side is the small probe
+      .select("batch_id", "corpus_id")
+      .dropDuplicates("batch_id", "corpus_id")
+    candidates
+      .join(batch.select(batchId.as("batch_id"), batchText.as("txt_b")), Seq("batch_id"))
+      .join(corpus.select(corpusId.as("corpus_id"), corpusText.as("txt_c")), Seq("corpus_id"))
+      .withColumn("jaccard",
+        round(graft.functions.expressions.GraftFunctions
+          .ngram_jaccard(col("txt_b"), col("txt_c"), shingleN), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      .orderBy("batch_id", "corpus_id")
+  }
+
   // ────────────────────────────── SimHash ────────────────────────────────
 
   /** 64-bit SimHash of a token array: per-bit majority vote of token

@@ -272,6 +272,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(1) == 0.0)
   }
 
+  test("incrementalNearDup flags edited re-crawls, passes fresh docs") {
+    val body = "the quick brown fox jumps over the lazy dog and then naps " * 4
+    val corpus = Seq(
+      (1L, body),
+      (2L, "an entirely different corpus document about spark plans etc " * 4))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, body.replace("lazy", "sleepy")), // near-dup of corpus doc 1
+      (11L, "completely novel content that matches nothing in the corpus " * 4))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(
+      batch, corpus, col("doc_id"), col("text"), col("doc_id"), col("text"),
+      threshold = 0.5)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L)))
+    // plan shape: candidates come from band equi-join, never all-pairs
+    val plan = Dedup.incrementalNearDup(
+      batch, corpus, col("doc_id"), col("text"), col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("incremental: rejects corpus re-crawls, keeps min id within the batch") {
     val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
     val batch = Seq(
