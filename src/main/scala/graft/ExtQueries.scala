@@ -660,6 +660,12 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Cohort retention triangle: first-activity-day cohorts × day
+    //    offsets, distinct active users per cell — Events.retention;
+    //    cohort day is a window min, never a first-day self-join.
+    "ext_retention" -> ((s, dir) =>
+      Events.retention(t(s, dir, "events"))),
+
     // ── Ordered funnel: earliest view → click → purchase chain per
     //    user in ONE exchange (k full-partition window mins over
     //    user_id, sequential dependency riding the same partitioning) —
@@ -1415,6 +1421,19 @@ object ExtQueries {
         |  FROM batch) b
         |ANTI JOIN seen s ON b.fingerprint = s.fingerprint
         |GROUP BY b.fingerprint ORDER BY b.fingerprint""".stripMargin,
+
+    "ext_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (
+        |  SELECT user_id, d,
+        |    min(d) OVER (PARTITION BY user_id) AS cohort
+        |  FROM e)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |       CAST(d - cohort AS BIGINT) AS day_offset,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM f GROUP BY cohort, d - cohort
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     // Independent formulation: stepwise conditional aggregation with
     // re-joins (vs the engine's single-exchange window chain) — two

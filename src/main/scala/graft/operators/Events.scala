@@ -177,6 +177,27 @@ object Events {
         col("filled_value"))
   }
 
+  /** Cohort retention: users cohort by their first-activity day; each
+    * (cohort day, day offset) cell counts distinct users active that
+    * many days after joining — the classic retention triangle.
+    *
+    * Single-scan shape: the cohort day is a full-partition window min
+    * over user_id (not a self-join against a first-day aggregate, which
+    * would scan events twice), and the cell count's distinct-aggregate
+    * reuses nothing heavier than (cohort, offset, user_id) triples.
+    * Output: (cohort_day: 'yyyy-MM-dd', day_offset, n_active). */
+  def retention(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .withColumn("cohort", min(col("d")).over(w))
+      .groupBy(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Ordered-funnel analysis: for each user, the earliest strictly-
     * increasing completion chain through `steps` — t₁ = min ts of the
     * first step, tᵢ = min ts of step i AFTER tᵢ₋₁ — plus how many steps

@@ -116,6 +116,24 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(h24.getAs[Long]("n") == 1L && h24.getAs[Double]("filled_value") == 7.0)
   }
 
+  test("retention: cohorts by first day, distinct users per offset cell") {
+    import java.sql.Timestamp
+    def day(d: Int, h: Int = 12) =
+      Timestamp.valueOf(f"2024-01-${d}%02d $h%02d:00:00")
+    val events = Seq(
+      (1L, day(1)), (1L, day(1, 23)), (1L, day(3)), // cohort 01-01: d0 (twice), d2
+      (2L, day(1)), (2L, day(2)),                   // cohort 01-01: d0, d1
+      (3L, day(2)), (3L, day(2, 1)))                // cohort 01-02: d0 only
+      .toDF("user_id", "ts")
+    val got = Events.retention(events)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L), // users 1 and 2 active on their day 0
+      ("2024-01-01", 1L, 1L), // user 2 on day 1
+      ("2024-01-01", 2L, 1L), // user 1 on day 2
+      ("2024-01-02", 0L, 1L)))
+  }
+
   test("funnel: earliest strictly-increasing chain, per-user nulls") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000)
