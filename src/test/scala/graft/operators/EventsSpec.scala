@@ -157,6 +157,35 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) == (None, None, None, 0L))
   }
 
+  test("funnel fuzz: random event streams match a serial reference fold") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(20260813L)
+    val types = Seq("A", "B", "C", "X")
+    (1 to 4).foreach { trial =>
+      val events = (1 to 120).map { _ =>
+        (rnd.nextInt(8).toLong, // 8 users → dense per-user histories
+          new Timestamp(1700000000000L + rnd.nextInt(5000) * 1000L),
+          types(rnd.nextInt(types.length)))
+      }
+      val df = events.toDF("user_id", "ts", "event_type")
+      val got = Events.funnel(df, Seq("A", "B", "C"))
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+      // serial reference: earliest strictly-increasing chain
+      events.groupBy(_._1).foreach { case (uid, evs) =>
+        def minAfter(tpe: String, after: Option[Long]): Option[Long] = {
+          val c = evs.filter(e => e._3 == tpe &&
+            after.forall(a => e._2.getTime > a)).map(_._2.getTime)
+          if (c.isEmpty) None else Some(c.min)
+        }
+        val t1 = minAfter("A", None)
+        val t2 = if (t1.isEmpty) None else minAfter("B", t1)
+        val t3 = if (t2.isEmpty) None else minAfter("C", t2)
+        assert(got(uid) == (t1, t2, t3), s"trial $trial user $uid")
+      }
+    }
+  }
+
   test("funnel plans one exchange: windows and aggregate share the user key") {
     val events = Seq((1L, new java.sql.Timestamp(0L), "A"))
       .toDF("user_id", "ts", "event_type")
