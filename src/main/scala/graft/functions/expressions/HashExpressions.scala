@@ -480,6 +480,38 @@ case class WinnowedFingerprints(child: Expression, k: Int, modP: Int)
     copy(child = c)
 }
 
+/** Bit-interleaved Z-order value of two non-negative long columns —
+  * the multi-column data-layout key: sorting files by z(a, b) clusters
+  * BOTH dimensions, so parquet min/max statistics prune point/range
+  * predicates on either column (Delta's OPTIMIZE ZORDER, as one plain
+  * expression). Each input contributes its low `bits` bits (≤ 31),
+  * interleaved a₀b₀a₁b₁…; inputs are masked, so out-of-range values
+  * degrade to coarser clustering, never to an error. */
+case class ZOrder2(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Long] & ((1L << bits) - 1)
+    val y = b.asInstanceOf[Long] & ((1L << bits) - 1)
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    java.lang.Long.valueOf(z)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level constructors. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -508,4 +540,7 @@ object GraftFunctions {
 
   def hyperplane_bands(vec: Column, planes: Array[Array[Double]], bands: Int): Column =
     column(HyperplaneBands(expression(vec), planes, bands))
+
+  def zorder2(a: Column, b: Column, bits: Int = 21): Column =
+    column(ZOrder2(expression(a), expression(b), bits))
 }

@@ -60,6 +60,41 @@ object Partitioning {
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
 
+  /** Z-order clustered writer: files sort by the bit-interleaved
+    * z-value of TWO columns, so parquet min/max statistics prune point
+    * and range predicates on EITHER column — the multi-dimensional
+    * upgrade of [[writeRangeClustered]], whose single-key layout leaves
+    * the second column's values scattered across every file.
+    *
+    * Each column is grid-normalized into [0, 2^bits) from its (min,
+    * max) — ONE tiny aggregate broadcast as two scalars, then a pure
+    * map pass; no global window, no rank shuffle (an equal-frequency
+    * ntile would funnel the whole table through one partition). Equal
+    * width wastes interleave bits under heavy skew — callers pre-
+    * transform (log, clamp) skewed domains, same as every grid-based
+    * z-order. */
+  def writeZOrdered(
+      df: DataFrame, path: String, keyA: String, keyB: String,
+      partitions: Int, bits: Int = 16): Unit = {
+    val Array(row) = df.agg(
+      min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
+      min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).collect()
+    val (loA, hiA, loB, hiB) = (row.getDouble(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3))
+    val top = (1L << bits) - 1
+    def gridded(c: Column, lo: Double, hi: Double): Column =
+      if (hi > lo)
+        least(lit(top), floor((c.cast("double") - lo) * ((top + 1) / (hi - lo))).cast("long"))
+      else lit(0L)
+    df
+      .withColumn("__z", graft.functions.expressions.GraftFunctions
+        .zorder2(gridded(col(keyA), loA, hiA), gridded(col(keyB), loB, hiB), bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   private[graft] def sessionWarehouse(spark: SparkSession): String =
     spark.conf.get("spark.sql.warehouse.dir")
 }

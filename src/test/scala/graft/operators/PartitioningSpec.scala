@@ -61,4 +61,31 @@ class PartitioningSpec extends AnyFunSuite with SparkSpec {
       case _ =>
     }
   }
+
+  test("z-ordered files prune point slices on BOTH columns") {
+    import spark.implicits._
+    // 64×64 grid — every (a, b) combination, so clustering is all layout
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b))
+      .toDF("a", "b")
+    def matchingFiles(dir: String, c: String, v: Long): Long = {
+      spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col(c))
+        .groupBy("f").agg(min(c).as("lo"), max(c).as("hi"))
+        .filter(col("lo") <= v && col("hi") >= v)
+        .count()
+    }
+    val zdir = java.nio.file.Files.createTempDirectory("graft-z").toString + "/t"
+    Partitioning.writeZOrdered(grid, zdir, "a", "b", partitions = 16, bits = 6)
+    val nFiles = spark.read.parquet(zdir)
+      .select(input_file_name()).distinct().count()
+    assert(nFiles == 16)
+    // a z-layout bounds BOTH columns per file: a point slice on either
+    // column touches ~√files, never all of them
+    assert(matchingFiles(zdir, "a", 33L) <= 8, "a-slice should prune")
+    assert(matchingFiles(zdir, "b", 33L) <= 8, "b-slice should prune")
+    // contrast: single-key range clustering leaves column b unprunable
+    val rdir = java.nio.file.Files.createTempDirectory("graft-z0").toString + "/t"
+    Partitioning.writeRangeClustered(grid.withColumn("k", col("a")), rdir, "k", 16)
+    assert(matchingFiles(rdir, "b", 33L) == 16, "b scatters across every file")
+  }
 }
