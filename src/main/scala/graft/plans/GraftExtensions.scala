@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{CosineSim, MinHashSig, NgramJaccard, RollingHash, SimHash64, WinnowedFingerprints, WordNgrams}
+import graft.functions.expressions.{CosineSim, MinHashSig, NgramJaccard, RollingHash, SimHash64, WinnowedFingerprints, WordNgrams, ZOrder2}
 
 /** Optimizer rule: self-similarity is the identity — `ngram_jaccard(x,
   * x, n)` folds to 1.0 at plan time, so a self-join pipeline (dedup
@@ -91,7 +91,10 @@ object GraftExtensions {
     ("winnowed_fingerprints",
       new ExpressionInfo(classOf[WinnowedFingerprints].getName, "winnowed_fingerprints"),
       (args: Seq[Expression]) => WinnowedFingerprints(
-        args.head, intArg(args(1), "k"), intArg(args(2), "modP"))))
+        args.head, intArg(args(1), "k"), intArg(args(2), "modP"))),
+    ("zorder2",
+      new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
+      (args: Seq[Expression]) => ZOrder2(args(0), args(1), intArg(args(2), "bits"))))
 
   /** Retro-fit registration into an already-built session. */
   def register(spark: SparkSession): Unit = {
