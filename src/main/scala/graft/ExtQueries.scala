@@ -660,6 +660,14 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ── One-pass column profile over the documents drop — per-column
+    //    non-null/distinct counts and stringified min/max, single scan
+    //    via one multi-distinct aggregate — Relational.profile.
+    "ext_profile" -> ((s, dir) =>
+      Relational.profile(
+        t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+
     // ── Cohort retention triangle: first-activity-day cohorts × day
     //    offsets, distinct active users per cell — Events.retention;
     //    cohort day is a window min, never a first-day self-join.
@@ -1421,6 +1429,30 @@ object ExtQueries {
         |  FROM batch) b
         |ANTI JOIN seen s ON b.fingerprint = s.fingerprint
         |GROUP BY b.fingerprint ORDER BY b.fingerprint""".stripMargin,
+
+    "ext_profile" ->
+      """WITH p AS (
+        |  SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+        |    COUNT(doc_id) AS n_nonnull,
+        |    COUNT(DISTINCT doc_id) AS n_distinct,
+        |    CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+        |    CAST(MAX(doc_id) AS VARCHAR) AS max_value
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', COUNT(*), COUNT(lang), COUNT(DISTINCT lang),
+        |    MIN(lang), MAX(lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', COUNT(*), COUNT(source), COUNT(DISTINCT source),
+        |    MIN(source), MAX(source) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', COUNT(*), COUNT(n_chars), COUNT(DISTINCT n_chars),
+        |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+        |  FROM documents)
+        |SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_nonnull AS BIGINT) AS n_nonnull,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  min_value, max_value
+        |FROM p ORDER BY "column"""".stripMargin,
 
     "ext_retention" ->
       """WITH e AS (

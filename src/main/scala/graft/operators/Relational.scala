@@ -173,4 +173,40 @@ object Relational {
     }
     ranked.groupBy("group_key").agg(picks.head, picks.tail: _*)
   }
+
+  /** One-pass column profile — the data-quality summary every ingest
+    * runs before accepting a drop: per column, non-null count, distinct
+    * count, and min/max (stringified so one schema fits every type).
+    *
+    * All columns aggregate in a SINGLE `agg` call: Catalyst plans the
+    * multi-column distinct aggregates with one Expand over the scan —
+    * the table is still read once, which at 100 TB is the difference
+    * between a profile and a full re-scan per column. Output: one row
+    * per column, ordered by name. */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: columns.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__${c}__nonnull"),
+        count_distinct(col(c)).as(s"__${c}__distinct"),
+        min(col(c)).cast("string").as(s"__${c}__min"),
+        max(col(c)).cast("string").as(s"__${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = explode(array(columns.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"__${c}__nonnull").as("n_nonnull"),
+        col(s"__${c}__distinct").as("n_distinct"),
+        col(s"__${c}__min").as("min_value"),
+        col(s"__${c}__max").as("max_value"))
+    }: _*))
+    one.select(col("n_rows"), perCol.as("p"))
+      .select(col("p.column").as("column"), col("n_rows"),
+        col("p.n_nonnull").as("n_nonnull"),
+        col("p.n_distinct").as("n_distinct"),
+        col("p.min_value").as("min_value"),
+        col("p.max_value").as("max_value"))
+      .orderBy("column")
+  }
 }

@@ -70,4 +70,21 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       r.getDouble(3))).toSeq ==
       Seq(("a", 30.0, 50.0, 80.0), ("b", 1.0, 2.0, 3.0)))
   }
+
+  test("profile: one row per column, nulls counted, stringified extrema") {
+    val df = Seq(
+      (1L, Option("x"), 10),
+      (2L, Option.empty[String], 20),
+      (3L, Option("y"), 10)).toDF("id", "s", "v")
+    val got = Relational.profile(df, Seq("id", "s", "v"))
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("id", 3L, 3L, 3L, "1", "3"),
+      ("s", 3L, 2L, 2L, "x", "y"),
+      ("v", 3L, 3L, 2L, "10", "20")))
+    // single pass: the whole profile is ONE aggregate over ONE scan
+    val plan = Relational.profile(df, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("LocalTableScan").length - 1 <= 1, plan)
+  }
 }
