@@ -27,6 +27,19 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
       s"empty results: $empty")
   }
 
+  test("plan hygiene: no contract query ever plans a CartesianProduct") {
+    // BroadcastNestedLoopJoin is fine where it appears — it's the
+    // explicit crossJoin(broadcast(tiny)) probe/scalar pattern. A raw
+    // CartesianProduct means two non-broadcast sides met without keys:
+    // always a bug at scale.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("g3 approx distinct stays within the configured error of exact g1") {
     // approx_count_distinct is run with rsd=0.02; HLL++ error is
     // probabilistic, so allow 3 sigma. The oracle can't check this
