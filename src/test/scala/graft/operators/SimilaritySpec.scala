@@ -84,6 +84,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(qt.toSeq == bf.toSeq)
   }
 
+  test("scalarQuantize fuzz: bounds hold on random corpora") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 3).foreach { trial =>
+      val dim = 2 + rnd.nextInt(6)
+      val vecs = (1 to 30).map(i =>
+        (i.toLong, Array.fill(dim)((rnd.nextDouble() * 200 - 100).toFloat)))
+        .toDF("vec_id", "embedding")
+      val (q, ranges) = Similarity.scalarQuantize(vecs, col("embedding"))
+      q.select("embedding", "codes").as[(Array[Float], Array[Int])]
+        .collect().foreach { case (v, codes) =>
+          v.indices.foreach { d =>
+            val (mn, mx) = ranges(d)
+            val step = if (mx > mn) (mx - mn) / 255.0 else 0.0
+            assert(codes(d) >= 0 && codes(d) <= 255)
+            val deq = mn + codes(d) * step
+            assert(v(d) >= deq - 1e-9 && v(d) <= deq + step + 1e-9,
+              s"trial $trial dim $d")
+          }
+        }
+    }
+  }
+
   test("scalarQuantize: constant dimension maps to code 0") {
     val (q, _) = Similarity.scalarQuantize(corpus, col("embedding"))
     // dim 3 is 0.0 in every corpus vector
