@@ -64,6 +64,28 @@ object Ingest {
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** B16 companion — JSON-lines ingestion with the same semantics as
+    * [[ingestCsv]]: schema-on-read, API→DB field rename, null-fill +
+    * cast to the car schema, append, count via observe() (one job).
+    * JSON is the other tabular drop format a real upload endpoint
+    * accepts; the rename/align/append spine is shared. */
+  def ingestJsonLines(spark: SparkSession, jsonPath: String, tablePath: String): Long = {
+    val raw = spark.read.json(jsonPath)
+    if (raw.isEmpty)
+      throw new IllegalArgumentException("上传的文件中没有数据") // ref backend/app.py:200-202
+    val renamed = CarSchema.reverseMapping.foldLeft(raw) {
+      case (df, (api, db)) =>
+        if (df.columns.contains(api)) df.withColumnRenamed(api, db) else df
+    }
+    val aligned = CarSchema.schema.fields.foldLeft(renamed) { (df, f) =>
+      if (df.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(CarSchema.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val obs = org.apache.spark.sql.Observation()
+    appendRows(aligned.observe(obs, count(lit(1)).as("n")), tablePath)
+    obs.get("n").asInstanceOf[Long]
+  }
+
   /** JDBC source passthrough — the reference reads its car table over a
     * Hive Thrift connection (ref: backend/utils.py:142, config.py:1-6);
     * `spark.read.jdbc` is the engine-side equivalent for any warehouse

@@ -120,4 +120,43 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
       Ingest.ingestCsv(spark, csv.toString, tmp.resolve("t").toString)
     }
   }
+
+  test("JSON-lines ingest: rename + align + append, counted in one job") {
+    val tmp = Files.createTempDirectory("graft-jsonl")
+    val jsonl = tmp.resolve("drop.jsonl")
+    // API field names (brand/attention) + one passthrough + one unknown
+    Files.writeString(jsonl,
+      """{"brand":"奥迪","attention":55,"city":"北京","mystery":1}
+        |{"brand":"宝马","attention":66,"city":"上海","mystery":2}
+        |""".stripMargin)
+    val table = tmp.resolve("t").toString
+    val n = Ingest.ingestJsonLines(spark, jsonl.toString, table)
+    assert(n == 2L)
+    val got = spark.read.parquet(table)
+    assert(got.schema.fieldNames.toSeq == CarSchema.schema.fieldNames.toSeq)
+    assert(got.select("car_brand").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("奥迪", "宝马"))
+    assert(got.select("popularity").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(55, 66)) // attention → popularity rename
+  }
+
+  test("every shipped columnar/text format round-trips the same rows") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-formats")
+    val df = CarDataGen.generate(spark, 40L, seed = 7L)
+      .select("car_brand", "city", "popularity") // flat slice: json/csv-safe
+    val want = df.orderBy("car_brand", "city", "popularity").collect().toSeq
+    Seq("parquet", "orc", "json", "csv").foreach { fmt =>
+      val dir = tmp.resolve(fmt).toString
+      val w = df.write.mode("overwrite").format(fmt)
+      (if (fmt == "csv") w.option("header", "true") else w).save(dir)
+      val r = spark.read.format(fmt)
+      val back = (if (fmt == "csv")
+        r.option("header", "true").option("inferSchema", "true").load(dir)
+      else r.load(dir))
+        .select(col("car_brand"), col("city"), col("popularity").cast("int"))
+        .orderBy("car_brand", "city", "popularity").collect().toSeq
+      assert(back == want, s"format $fmt")
+    }
+  }
 }
