@@ -660,6 +660,21 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ── SQL-text surface, harness-verified: the same adjacent-pair
+    //    Jaccard as ext_ngram_jaccard but written as a `spark.sql`
+    //    statement calling the INJECTED ngram_jaccard function
+    //    (plans.GraftExtensions.register) — the oracle hash-checks the
+    //    SparkSessionExtensions path itself, not just the Column API.
+    "ext_sql_functions" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_v")
+      s.sql(
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       round(ngram_jaccard(a.text, b.text, 3), 6) AS jaccard
+          |FROM graft_docs_v a JOIN graft_docs_v b ON b.doc_id = a.doc_id + 1
+          |ORDER BY id_a""".stripMargin)
+    }),
+
     // ── One-pass column profile over the documents drop — per-column
     //    non-null/distinct counts and stringified min/max, single scan
     //    via one multi-distinct aggregate — Relational.profile.
@@ -811,6 +826,21 @@ object ExtQueries {
         |FROM v ORDER BY doc_id""".stripMargin,
 
     "ext_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(2, length(trim(regexp_replace(lower(text),'\s+',' ','g'))) - 1)),
+        |      i -> substr(trim(regexp_replace(lower(text),'\s+',' ','g')), i, 3))) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
+
+    // identical formulation to the ext_ngram_jaccard oracle — the engine
+    // side differs only in the path (SQL text + injected function)
+    "ext_sql_functions" ->
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(
