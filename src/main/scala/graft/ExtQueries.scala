@@ -1200,7 +1200,12 @@ object ExtQueries {
         |  UNION ALL SELECT '4_dedup', c4 FROM c)
         |ORDER BY stage""".stripMargin,
 
-    // integer `//` division mirrors Spark's `div` exactly on BIGINTs
+    // integer `//` division mirrors Spark's `div` exactly on BIGINTs.
+    // Every derived column is CAST to BIGINT: DuckDB's SUM(BIGINT) OVER
+    // returns HUGEINT, which pandas widens to float64 — hashing 5.0
+    // against Spark's INT64 5 fails even though every cell compares
+    // equal (the r5 `hash_match: false` root cause; this was the ONLY
+    // oracle in the contract with a HUGEINT output column).
     "ext_seq_pack" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
@@ -1208,14 +1213,16 @@ object ExtQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, shard, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
         |  FROM d)
         |SELECT doc_id, shard, n_tokens, start_off,
-        |       start_off // 512 AS first_chunk,
-        |       (start_off + greatest(n_tokens, 1) - 1) // 512 AS last_chunk,
-        |       (start_off + greatest(n_tokens, 1) - 1) // 512
-        |         - start_off // 512 + 1 AS n_chunks
+        |       CAST(start_off // 512 AS BIGINT) AS first_chunk,
+        |       CAST((start_off + greatest(n_tokens, 1) - 1) // 512 AS BIGINT)
+        |         AS last_chunk,
+        |       CAST((start_off + greatest(n_tokens, 1) - 1) // 512
+        |         - start_off // 512 + 1 AS BIGINT) AS n_chunks
         |FROM c ORDER BY doc_id""".stripMargin,
 
     // windows containing t start at (t div 1800 - k) * 1800, k in {0,1}
