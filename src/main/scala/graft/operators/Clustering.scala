@@ -175,7 +175,12 @@ object Clustering {
     * Quality matches the standard coarse-quantizer construction (IVF
     * training does exactly this); determinism holds end to end: coarse
     * fit is decimal-deterministic, per-cell samples are hash-ranked,
-    * and the local Lloyd uses the same argmax-cosine/min-id rules. */
+    * and the local Lloyd uses the same argmax-cosine/min-id rules.
+    *
+    * Convergence reporting: the returned flag is the COARSE fit's —
+    * the refine level runs a fixed `maxIters` iterations per cell with
+    * no tolerance check (bounded local work, standard for the refine
+    * stage), so it has no convergence signal of its own. */
   def kmeansTwoLevel(
       df: DataFrame, // (id, vec, …)
       id: Column,
@@ -211,7 +216,9 @@ object Clustering {
         .sortBy(_._1)
       val centroids = fine.iterator.flatMap(_._2).zipWithIndex
         .map { case (c, i) => (i, c) }.toArray
-      KMeansModel(centroids, maxIters, converged = true)
+      // surface the coarse fit's convergence — the refine level is a
+      // fixed-iteration local pass with no signal to report (scaladoc)
+      KMeansModel(centroids, maxIters, converged = coarse.converged)
     } finally base.unpersist(blocking = false)
   }
 

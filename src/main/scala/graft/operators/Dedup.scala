@@ -76,7 +76,13 @@ object Dedup {
     * left_anti equi-join on the digest; the within-batch keeper is the
     * deterministic min-id rule of [[exact]], computed on the batch only
     * (the small side). The corpus is never re-deduplicated and never
-    * moves; re-running with the admitted rows appended is idempotent. */
+    * moves; re-running with the admitted rows appended is idempotent —
+    * INCLUDING for null-text rows: a null digest would never equi-match
+    * in the anti-join (SQL null semantics) and would be re-admitted on
+    * every run, so null digests coalesce to the [[NullDigest]] sentinel
+    * on both sides (it cannot collide with a real 32-hex md5). */
+  val NullDigest = "__null_text__"
+
   def incremental(
       batch: DataFrame,
       corpus: DataFrame,
@@ -84,10 +90,13 @@ object Dedup {
       batchId: Column,
       corpusText: Column): DataFrame = {
     val seen = corpus
-      .select(TextFunctions.fingerprint(corpusText).as("fingerprint"))
+      .select(coalesce(TextFunctions.fingerprint(corpusText), lit(NullDigest))
+        .as("fingerprint"))
       .distinct()
     val fresh = batch
-      .select(batchId.as("doc_id"), TextFunctions.fingerprint(batchText).as("fingerprint"))
+      .select(batchId.as("doc_id"),
+        coalesce(TextFunctions.fingerprint(batchText), lit(NullDigest))
+          .as("fingerprint"))
       .join(seen, Seq("fingerprint"), "left_anti")
     fresh
       .groupBy(col("fingerprint"))

@@ -79,6 +79,13 @@ object Partitioning {
     val Array(row) = df.agg(
       min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
       min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).collect()
+    if (row.isNullAt(0) || row.isNullAt(2)) {
+      // empty input or an all-null key column: min/max are NULL and
+      // there is nothing to grid — any ordering is trivially clustered,
+      // so write as-is instead of NPEing on the null aggregate
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (loA, hiA, loB, hiB) = (row.getDouble(0), row.getDouble(1),
       row.getDouble(2), row.getDouble(3))
     val top = (1L << bits) - 1

@@ -281,19 +281,6 @@ object TextPipeline {
       .drop("n_total", "sqrt_share", "denom")
   }
 
-  /** Boolean AND search over an on-the-fly inverted index: build distinct
-    * (term, doc_id) postings, keep only the query's terms, and a document
-    * matches when it holds ALL of them. Returns (doc_id, n_terms,
-    * total_tf) — total_tf = summed per-term occurrence count, the raw
-    * material a ranking stage (e.g. [[bm25]]) would consume.
-    *
-    * 100 TB shape: the term filter applies BEFORE the explode output ever
-    * shuffles — only (query-term, doc_id) survivor rows reach the
-    * aggregate (the decontamination lesson from SCALE.md: discard the
-    * non-matching majority map-side). The explode itself is map-side; no
-    * document bodies move. A persisted postings table would replace the
-    * explode with a pushed-down `term IN (…)` parquet scan — same plan
-    * from the join up. */
   /** Execute mix quotas: deterministically downsample each cell to its
     * quota row count. Rows rank within their cell by md5 of the id — a
     * content-independent, seed-free, engine-portable shuffle order (the
@@ -371,6 +358,19 @@ object TextPipeline {
         .as("n_dropped"))
   }
 
+  /** Boolean AND search over an on-the-fly inverted index: build distinct
+    * (term, doc_id) postings, keep only the query's terms, and a document
+    * matches when it holds ALL of them. Returns (doc_id, n_terms,
+    * total_tf) — total_tf = summed per-term occurrence count, the raw
+    * material a ranking stage (e.g. [[bm25]]) would consume.
+    *
+    * 100 TB shape: the term filter applies BEFORE the explode output ever
+    * shuffles — only (query-term, doc_id) survivor rows reach the
+    * aggregate (the decontamination lesson from SCALE.md: discard the
+    * non-matching majority map-side). The explode itself is map-side; no
+    * document bodies move. A persisted postings table would replace the
+    * explode with a pushed-down `term IN (…)` parquet scan — same plan
+    * from the join up. */
   def booleanSearch(
       docs: DataFrame,
       id: Column,

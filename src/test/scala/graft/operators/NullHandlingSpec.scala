@@ -43,15 +43,21 @@ class NullHandlingSpec extends AnyFunSuite with SparkSpec {
     assert(got(1L) == false && got(2L) == true && got(3L) == false)
   }
 
-  test("incremental: null-text batch rows collapse to one null-digest group") {
+  test("incremental: null-text batch rows collapse to one sentinel group, idempotently") {
     val corpus = Seq((1L, "seen")).toDF("doc_id", "text")
     val batch = Seq((10L, null.asInstanceOf[String]),
       (11L, null.asInstanceOf[String]), (12L, "fresh")).toDF("doc_id", "text")
     val got = Dedup.incremental(batch, corpus, col("text"), col("doc_id"), col("text"))
       .select("keep_id", "n_batch_copies").as[(Long, Long)].collect().toSet
-    // md5(NULL) = NULL: the null digests group together (min id 10) and,
-    // by SQL null-join semantics, never match the corpus side
+    // null digests coalesce to the sentinel: one group (min id 10)
     assert(got == Set((10L, 2L), (12L, 1L)))
+    // idempotency INCLUDING the null group: admit the output, re-run the
+    // same batch — nothing is re-admitted (a raw null digest would never
+    // equi-match in the anti-join and rows 10/11 would bounce forever)
+    val corpus2 = corpus.unionByName(
+      Seq((10L, null.asInstanceOf[String]), (12L, "fresh")).toDF("doc_id", "text"))
+    val again = Dedup.incremental(batch, corpus2, col("text"), col("doc_id"), col("text"))
+    assert(again.count() == 0L)
   }
 
   test("kmeans skips null vectors; semDedup ignores them in pairs") {

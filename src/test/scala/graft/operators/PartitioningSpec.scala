@@ -88,4 +88,18 @@ class PartitioningSpec extends AnyFunSuite with SparkSpec {
     Partitioning.writeRangeClustered(grid.withColumn("k", col("a")), rdir, "k", 16)
     assert(matchingFiles(rdir, "b", 33L) == 16, "b scatters across every file")
   }
+
+  test("z-ordered write degrades gracefully on empty and all-null input") {
+    import spark.implicits._
+    val empty = Seq.empty[(java.lang.Long, java.lang.Long)].toDF("a", "b")
+    val edir = java.nio.file.Files.createTempDirectory("graft-ze").toString + "/t"
+    Partitioning.writeZOrdered(empty, edir, "a", "b", partitions = 4)
+    assert(spark.read.parquet(edir).count() == 0L)
+
+    val allNull = Seq((null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(2L))).toDF("a", "b")
+    val ndir = java.nio.file.Files.createTempDirectory("graft-zn").toString + "/t"
+    Partitioning.writeZOrdered(allNull, ndir, "a", "b", partitions = 4)
+    assert(spark.read.parquet(ndir).count() == 2L)
+  }
 }
