@@ -4,12 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import java.util.concurrent.atomic.AtomicLong
+
 /** Event-stream operators in batch form (the Structured Streaming twins
   * live in graft.streaming.EventStreams). [EXT] — the reference has no
   * streaming surface (SURVEY.md §2.C); the `events` fixture table is the
   * driver's hook for these.
   */
 object Events {
+
+  // observe() names must be unique within one plan (see Dedup.skewGuardSeq)
+  private val clampSeq = new AtomicLong(0)
 
   /** Tumbling-window aggregate. In batch, date_trunc IS the tumbling
     * window assignment (window($"ts","1 hour").start == date_trunc):
@@ -137,9 +142,20 @@ object Events {
     * inside tasks, never via a driver loop or a global calendar table;
     * the gap-fill is a per-user window (local sort per user). Spine
     * volume is span/bucketSec rows per user — pick `bucketSec` to match
-    * the horizon (an hourly spine over a year is 8.8k rows/user). */
-  def resampleFill(events: DataFrame, bucketSec: Long): DataFrame = {
-    require(bucketSec > 0)
+    * the horizon (an hourly spine over a year is 8.8k rows/user).
+    *
+    * `maxGapBuckets` clamps the per-row explode: ONE user silent for
+    * ~100 M buckets would otherwise hand sequence() an array over
+    * Spark's element cap and kill the query at scale. A longer gap
+    * fills only its first maxGapBuckets empty buckets and the
+    * truncation is REPORTED via the `graft_resample_clamp_*` observe()
+    * metric (`clamped_gaps`) — never silent (same discipline as
+    * [[Dedup.skewGuardMetricPrefix]]). The default (1 M buckets ≈ 114
+    * years of hourly silence) never fires on sane cadences. */
+  def resampleFill(
+      events: DataFrame, bucketSec: Long,
+      maxGapBuckets: Long = 1000000L): DataFrame = {
+    require(bucketSec > 0 && maxGapBuckets > 0)
     val agg = events
       .select(col("user_id"),
         expr(s"unix_millis(ts) div 1000 div ${bucketSec}L").as("h"),
@@ -163,10 +179,16 @@ object Events {
     agg
       .withColumn("filled_value", last(col("tv"), ignoreNulls = true).over(w))
       .withColumn("next_h", lead(col("h"), 1).over(byUser))
+      .withColumn("fill_to",
+        least(coalesce(col("next_h") - 1, col("h")), col("h") + maxGapBuckets))
+      // no silent caps: clamped gaps are counted and observable
+      .observe(s"graft_resample_clamp_${clampSeq.incrementAndGet()}",
+        coalesce(sum(when(
+          coalesce(col("next_h") - 1, col("h")) > col("h") + maxGapBuckets, 1L)),
+          lit(0L)).as("clamped_gaps"))
       .select(col("user_id"), col("n"), col("tv"), col("filled_value"),
         col("h"),
-        explode(sequence(col("h"), coalesce(col("next_h") - 1, col("h"))))
-          .as("h2"))
+        explode(sequence(col("h"), col("fill_to"))).as("h2"))
       .select(
         col("user_id"),
         date_format(timestamp_seconds(col("h2") * bucketSec),

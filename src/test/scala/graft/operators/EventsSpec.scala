@@ -116,6 +116,32 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(h24.getAs[Long]("n") == 1L && h24.getAs[Double]("filled_value") == 7.0)
   }
 
+  test("resampleFill clamps pathological gaps observably") {
+    // user 1: a 10-bucket silent gap; maxGapBuckets=3 must fill only the
+    // first 3 empty buckets and REPORT one clamped gap — a 100M-bucket
+    // gap at scale would otherwise overflow sequence()'s array cap
+    val e = Seq(
+      (1L, 1L, ts(0), "c", 1.0),
+      (2L, 1L, ts(600), "c", 2.0)) // 10 hours later
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val clamped = Events.resampleFill(e, 3600L, maxGapBuckets = 3L)
+    val rows = clamped.collect()
+    // observed bucket + 3 clamped fill buckets + the far bucket = 5
+    assert(rows.length == 5, s"expected clamped spine of 5, got ${rows.length}")
+    val metrics = clamped.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith("graft_resample_clamp_") => row
+    }
+    assert(metrics.nonEmpty && metrics.head.getAs[Long]("clamped_gaps") == 1L)
+    // the default horizon leaves sane cadences untouched: full 11-bucket
+    // spine, zero clamps reported
+    val full = Events.resampleFill(e, 3600L)
+    assert(full.count() == 11L)
+    val zero = full.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith("graft_resample_clamp_") => row
+    }
+    assert(zero.nonEmpty && zero.head.getAs[Long]("clamped_gaps") == 0L)
+  }
+
   test("retention: cohorts by first day, distinct users per offset cell") {
     import java.sql.Timestamp
     def day(d: Int, h: Int = 12) =
