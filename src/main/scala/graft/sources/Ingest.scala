@@ -23,6 +23,25 @@ object Ingest {
   def appendRows(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
+  /** A5, catalog tier — CREATE-or-replace a MANAGED table in the session
+    * catalog (`spark.sql.warehouse.dir`-backed), the engine-side shape of
+    * the reference's Hive `DROP TABLE IF EXISTS` + `CREATE TABLE` DDL
+    * (ref: backend/utils.py:32-50): the table gets a catalog identity —
+    * schema, stats, name resolution via `spark.table` — not just a path.
+    * On a cluster with a Hive metastore the SAME call persists there;
+    * nothing here is local-mode-specific. */
+  def createCatalogTable(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+
+  /** A6, catalog tier — INSERT INTO the managed table
+    * (ref: backend/utils.py:61-125). */
+  def appendCatalogTable(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+
+  /** A1, catalog tier — name-resolved scan of a managed table. */
+  def readCatalogTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** B18 — bulk random insert with the reference's 10k cap
     * (ref: backend/app.py:252-279, cap at :263 — the only scale limit the
     * reference states anywhere). */

@@ -18,6 +18,27 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() == 75)
   }
 
+  test("A5/A6 catalog round trip: saveAsTable, INSERT-append, spark.table") {
+    // the metastore-shaped path: tables get catalog identity (name
+    // resolution, schema), not just a filesystem path — the engine-side
+    // equivalent of the reference's Hive DDL tier (utils.py:40-50)
+    Ingest.createCatalogTable(CarDataGen.generate(spark, 50), "car_data_cat")
+    try {
+      assert(spark.catalog.tableExists("car_data_cat"))
+      assert(Ingest.readCatalogTable(spark, "car_data_cat").count() == 50)
+      Ingest.appendCatalogTable(CarDataGen.generate(spark, 25, seed = 9L), "car_data_cat")
+      assert(spark.table("car_data_cat").count() == 75)
+      // SQL name resolution works against the same catalog identity
+      assert(spark.sql("SELECT count(*) AS n FROM car_data_cat")
+        .collect().head.getLong(0) == 75L)
+      // overwrite = the reference's DROP-IF-EXISTS + CREATE semantics
+      Ingest.createCatalogTable(CarDataGen.generate(spark, 10, seed = 3L), "car_data_cat")
+      assert(spark.table("car_data_cat").count() == 10)
+      assert(spark.table("car_data_cat").schema.fieldNames.toSeq ==
+        CarSchema.schema.fieldNames.toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS car_data_cat")
+  }
+
   test("B16 CSV ingestion renames API fields to DB fields and appends") {
     val tmp = Files.createTempDirectory("graft-csv")
     val csv = tmp.resolve("upload.csv")
