@@ -29,8 +29,13 @@ object Dedup {
     * When NOTHING is over the cap, AQE's empty-relation propagation may
     * eliminate the (empty) guard subtree — and its metrics node — from
     * the final plan, so the metric can be ABSENT on a clean corpus.
-    * Whenever truncation actually happens the build side is non-empty and
-    * the metric is guaranteed present: absent ⇒ nothing was dropped. */
+    * The same elimination strikes from the OTHER side if the cap drops
+    * EVERY bucket and the consuming plan branch collapses empty
+    * (measured in the round-6 fuzzy-join guard work — which is why that
+    * guard fail-fasts with require() instead). For these in-join guards
+    * a whole-corpus drop means the operator's output itself collapses —
+    * pair the metric with a result-count sanity check; in the partial-
+    * drop regime (some buckets survive) the metric is reliably present. */
   val skewGuardMetricPrefix = "graft_skew_guard_"
 
   // observe() names must be unique within one query plan; a caller may

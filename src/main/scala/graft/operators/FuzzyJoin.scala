@@ -31,7 +31,16 @@ import org.apache.spark.sql.functions._
   * plus the maxDist slack their partners may add) fall into one SHORT
   * block joined all-pairs — bounded by the count of near-q-length
   * strings, and any corpus where that set is large is exact-dedup
-  * territory, not fuzzy-join territory.
+  * territory, not fuzzy-join territory. That boundary is ENFORCED, not
+  * hoped for: each side's distinct short-key count is probed with a
+  * bounded `limit(cap+1).count()` job at plan-build time and the join
+  * REFUSES (require, with the remedy in the message) when it exceeds
+  * `shortKeyCap` — fail-fast chosen over an observe() metric here
+  * because dropping the whole block empties that plan branch and AQE's
+  * empty-relation propagation eliminates the metric node with it
+  * (measured): the drop would be exactly as silent as the quadratic
+  * blowup it prevents. Exact recall therefore always holds for the
+  * pairs this operator returns.
   *
   * 100 TB shape: gram tables carry (id, gram) only — keys travel once,
   * for the verify stage; the frequency table is gram-vocabulary sized;
@@ -66,8 +75,9 @@ object FuzzyJoin {
       left: DataFrame,
       right: DataFrame,
       maxDist: Int,
-      q: Int = 3): DataFrame = {
-    require(maxDist >= 0 && q >= 2)
+      q: Int = 3,
+      shortKeyCap: Int = 1000): DataFrame = {
+    require(maxDist >= 0 && q >= 2 && shortKeyCap > 0)
     val sigLen = maxDist * q + 1
     // partner of a short string is at most maxDist longer — both land SHORT
     val shortMax = (maxDist * q + q - 1) + maxDist
@@ -90,8 +100,18 @@ object FuzzyJoin {
     val candidates = signature(gl).withColumnRenamed("sid", "key_l")
       .join(signature(gr).withColumnRenamed("sid", "key_r"), Seq("gram"))
       .select("key_l", "key_r")
-    val shortL = lk.filter(length(col("key_l")) <= shortMax)
-    val shortR = rk.filter(length(col("key_r")) <= shortMax)
+    // the all-pairs short block is bounded by construction — and
+    // ENFORCED by a bounded fail-fast probe (scaladoc: why not observe())
+    def boundedShort(df: DataFrame, side: String): DataFrame = {
+      val n = df.limit(shortKeyCap + 1).count()
+      require(n <= shortKeyCap,
+        s"fuzzy join: > $shortKeyCap distinct short keys on the $side side — " +
+          "the all-pairs short block would go quadratic. Exact-dedup the " +
+          "short tail first, or raise shortKeyCap knowingly.")
+      df
+    }
+    val shortL = boundedShort(lk.filter(length(col("key_l")) <= shortMax), "left")
+    val shortR = boundedShort(rk.filter(length(col("key_r")) <= shortMax), "right")
     val keyPairs = candidates
       .unionAll(shortL.crossJoin(shortR)) // all-pairs ONLY among near-q-length distinct keys
       .dropDuplicates("key_l", "key_r")

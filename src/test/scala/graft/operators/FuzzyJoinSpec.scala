@@ -64,4 +64,26 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkSpec {
     // plans as BroadcastNestedLoopJoin over the tiny short sets
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("degenerate short-key corpus fails fast, never quadratic silently") {
+    // 40 distinct 2-char keys per side — all SHORT for q=3 — with a cap
+    // of 10: the join must REFUSE loudly (an observe() metric would be
+    // eliminated with the emptied branch by AQE — measured), naming the
+    // remedy, instead of running a 40×40 all-pairs join or silently
+    // dropping every short pair
+    val shorts = (0 until 40).map(i => (i.toLong, f"$i%02d"))
+    val err = intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceJoin(
+        shorts.toDF("id", "key"), shorts.toDF("id", "key"),
+        maxDist = 1, shortKeyCap = 10)
+    }
+    assert(err.getMessage.contains("short keys") &&
+      err.getMessage.contains("shortKeyCap"))
+    // under the cap the same corpus keeps exact recall through the block
+    val ok = FuzzyJoin.editDistanceJoin(
+      shorts.toDF("id", "key"), shorts.toDF("id", "key"),
+      maxDist = 1, shortKeyCap = 100)
+      .select("id_l", "id_r", "edit_dist").as[(Long, Long, Long)].collect().toSet
+    assert(ok == brute(shorts, shorts, 1))
+  }
 }
