@@ -157,6 +157,26 @@ object Clustering {
     } finally work.unpersist(blocking = false)
   }
 
+  /** Dispatching fit: single-level [[kmeans]] below `twoLevelThreshold`,
+    * [[kmeansTwoLevel]] at or above it — so callers that auto-size k
+    * with [[sizedK]] get the tractable algorithm automatically as the
+    * corpus (and therefore k) grows. The default threshold of 128 comes
+    * from a measured crossover (tools/KmeansCrossoverProbe, sf0.1,
+    * maxIters=5): single vs two-level wall = 3.8 s vs 1.9 s at k=128,
+    * 6.4 vs 2.5 at k=256, 9.2 vs 1.9 at k=512 — the O(n·k·dim)
+    * assignment pass dominates from the low hundreds of k. Note
+    * two-level may return slightly MORE than k centroids (⌈k/√k⌉·√k
+    * rounding); callers needing exactly k use [[kmeans]] directly. */
+  def fit(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      maxIters: Int = 5,
+      twoLevelThreshold: Int = 128): KMeansModel =
+    if (k >= twoLevelThreshold) kmeansTwoLevel(df, id, vec, k, maxIters)
+    else kmeans(df, id, vec, k, maxIters)
+
   /** Two-level KMeans — the fit that stays tractable when [[sizedK]]
     * produces large k (single-level assignment is O(n·k·dim) per pass;
     * two-level is O(n·2√k·dim)):
@@ -278,7 +298,8 @@ object Clustering {
       topK: Option[Int] = None,
       bucketCap: Int = 10000): DataFrame = {
     val base = df.select(id.as("id"), vec.as("vec"))
-    val model = kmeans(base, col("id"), col("vec"), k, maxIters)
+    // dispatcher: corpus-sized k flips to the two-level fit automatically
+    val model = fit(base, col("id"), col("vec"), k, maxIters)
     val assigned = Dedup.capBuckets(
       assign(base, col("vec"), model.centroids).select("cluster", "id", "vec"),
       Seq("cluster"), bucketCap, "semdedup")

@@ -136,4 +136,23 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert(m.iterations == 1)
     assert(!m.converged) // 1 Lloyd step from hash-sampled seeds cannot settle
   }
+
+  test("fit dispatches to the two-level algorithm at large k and still separates") {
+    // below the threshold: plain Lloyd, exactly k centroids
+    val small = Clustering.fit(vecs, col("vec_id"), col("embedding"), k = 3)
+    assert(small.centroids.length == 3)
+    // at/above the (lowered) threshold: the two-level path — recognizable
+    // by its ceil-grid centroid count overshoot on non-square k
+    val big = Clustering.fit(
+      vecs, col("vec_id"), col("embedding"), k = 6, twoLevelThreshold = 6)
+    assert(big.centroids.length >= 6 && big.centroids.length <= 9)
+    // and the dispatched large-k model still separates the planted groups
+    val assigned = Clustering.assign(vecs, col("embedding"), big.centroids)
+      .select("vec_id", "cluster").as[(Long, Int)].collect()
+    def clustersOf(prefix: Long) =
+      assigned.filter(t => t._1 >= prefix && t._1 < prefix + 20).map(_._2).toSet
+    assert((clustersOf(100L) & clustersOf(200L)).isEmpty)
+    assert((clustersOf(200L) & clustersOf(300L)).isEmpty)
+    assert((clustersOf(100L) & clustersOf(300L)).isEmpty)
+  }
 }
