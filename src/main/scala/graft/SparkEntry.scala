@@ -436,13 +436,21 @@ object SparkEntry {
         .orderBy("rf", "ls")
     }),
 
-    // ── G3: approximate distinct (HyperLogLog++) — the sketch-aggregate
-    //    capability; rows-only (DuckDB's approx sketch differs), the
-    //    exact counterpart g1 is the oracle-checked twin.
+    // ── G3: approximate distinct (HyperLogLog++) — ORACLED as an
+    //    error-bound certificate: the sketch value itself is
+    //    engine-specific, but |approx − exact| ≤ 5%·exact is a
+    //    deterministic fact the oracle can state (rsd 0.02 ⇒ 5% is
+    //    2.5σ). The row emits the exact count and the bound verdict;
+    //    a sketch drifting out of spec flips within_bound → hash red.
     "g3_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("rf"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("rf"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")).cast("double")
+            <= lit(0.05) * col("exact_parts").cast("double")).as("within_bound"))
         .orderBy("rf")
     }),
 
@@ -576,21 +584,34 @@ object SparkEntry {
         .orderBy("rf")
     }),
 
-    // ── G9: approximate quantiles — the SCALE path for g6. The exact
+    // ── G9: approximate quantiles — the SCALE path for g6 (the exact
     //    formulation needs a per-group global sort; percentile_approx
     //    merges bounded sketches map-side, one tiny shuffle regardless
-    //    of data size. Sketch contents are engine-specific → rows-only;
-    //    SparkEntrySpec bounds the rank error against g6's exact values.
+    //    of data size), ORACLED as a rank-error certificate: sketch
+    //    values are engine-specific, but "the returned value's rank sits
+    //    within (p ± 0.001)·n" is deterministic and oracle-stateable
+    //    (accuracy 10000 guarantees ±1e-4·n; the certificate allows
+    //    10×). Rank of a value with duplicates is the interval
+    //    [count(v<q)+1, count(v<=q)] — the check is interval overlap.
+    //    SparkEntrySpec additionally bounds the values against g6.
     "g9_approx_quantiles" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag").as("rf"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("v"))
+      val approx = li.groupBy("rf")
         .agg(percentile_approx(
-          col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75)),
-          lit(10000)).as("qs"))
-        .select(col("rf"),
-          element_at(col("qs"), 1).as("p25"),
-          element_at(col("qs"), 2).as("p50"),
-          element_at(col("qs"), 3).as("p75"))
+          col("v"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+      val eps = 0.001
+      def okAt(i: Int, p: Double) = {
+        val q = element_at(col("qs"), i)
+        val lo = sum(when(col("v") < q, 1L).otherwise(0L)) + lit(1L)
+        val hi = sum(when(col("v") <= q, 1L).otherwise(0L))
+        (lo.cast("double") <= (lit(p) + lit(eps)) * count(lit(1)) &&
+          hi.cast("double") >= (lit(p) - lit(eps)) * count(lit(1)))
+          .as(s"p${(p * 100).toInt}_ok")
+      }
+      li.join(broadcast(approx), Seq("rf"))
+        .groupBy("rf")
+        .agg(okAt(1, 0.25), okAt(2, 0.50), okAt(3, 0.75))
         .orderBy("rf")
     }),
 
@@ -840,6 +861,23 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+
+    // the sketch's VALUE is engine-specific; its 5% error bound is not —
+    // the oracle states the exact counts and that the bound held
+    "g3_approx_distinct" ->
+      """SELECT l_returnflag AS rf,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       CAST(1 AS BOOLEAN) AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+
+    // rank-error certificate: the oracle states that each approximate
+    // quantile's rank interval overlapped (p ± 0.001)·n
+    "g9_approx_quantiles" ->
+      """SELECT l_returnflag AS rf,
+        |       CAST(1 AS BOOLEAN) AS p25_ok,
+        |       CAST(1 AS BOOLEAN) AS p50_ok,
+        |       CAST(1 AS BOOLEAN) AS p75_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
 
     "g4_pivot" ->
       """SELECT o_orderpriority AS priority,

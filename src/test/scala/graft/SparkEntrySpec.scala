@@ -57,19 +57,28 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("g9 approx quantiles stay within sketch error of exact g6") {
+  test("approx quantiles stay within sketch error of exact g6") {
+    import org.apache.spark.sql.functions._
     // percentile_approx(accuracy=10000) guarantees rank error ≤ n/10000;
-    // values at rank ± that distance bound the estimate. The oracle
-    // can't check this (sketches are engine-specific) — this test is
-    // g9's correctness gate.
-    def triple(name: String) = SparkEntry.queries(name)(spark, sf)
+    // values at rank ± that distance bound the estimate. The contract g9
+    // row certifies the rank bound by hash; this test additionally pins
+    // the VALUES against the exact g6 formulation.
+    val approx = graft.Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(percentile_approx(
+        col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(10000)).as("qs"))
+      .selectExpr("rf", "CAST(qs[0] AS DOUBLE)", "CAST(qs[1] AS DOUBLE)",
+        "CAST(qs[2] AS DOUBLE)")
+      .collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = SparkEntry.queries("g6_quantiles_exact")(spark, sf)
       .selectExpr("rf", "CAST(p25 AS DOUBLE)", "CAST(p50 AS DOUBLE)",
         "CAST(p75 AS DOUBLE)")
       .collect()
       .map(r => r.getString(0) ->
         Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val exact = triple("g6_quantiles_exact")
-    val approx = triple("g9_approx_quantiles")
     assert(approx.keySet == exact.keySet)
     approx.foreach { case (rf, qs) =>
       qs.zip(exact(rf)).zip(Seq("p25", "p50", "p75")).foreach {
@@ -78,8 +87,12 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
           // value-space slack for the tiny sf0.001 test set: rank error
           // n/10000 < 1 row there, so estimates should be near-exact
           assert(relErr <= 0.02,
-            f"g9 $rf $p: $est vs exact $truth (rel err $relErr%.4f)")
+            f"approx $rf $p: $est vs exact $truth (rel err $relErr%.4f)")
       }
     }
+    // and the contract certificate itself must be all-true here
+    val cert = SparkEntry.queries("g9_approx_quantiles")(spark, sf).collect()
+    assert(cert.nonEmpty && cert.forall(r =>
+      r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3)))
   }
 }
