@@ -40,13 +40,16 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
-  test("g3 approx distinct stays within the configured error of exact g1") {
-    // approx_count_distinct is run with rsd=0.02; HLL++ error is
-    // probabilistic, so allow 3 sigma. The oracle can't check this
-    // (DuckDB's sketch differs) — this test is g3's correctness gate.
+  test("approx distinct stays within the configured error of exact g1") {
+    import org.apache.spark.sql.functions._
+    // approx_count_distinct runs with rsd=0.02; HLL++ error is
+    // probabilistic, so allow 3 sigma on the raw values. The contract g3
+    // row certifies a 5% bound by hash; this pins the estimate itself.
     val exact = SparkEntry.queries("g1_count_distinct")(spark, sf)
       .collect().map(r => r.getAs[String]("rf") -> r.getAs[Long]("n_parts")).toMap
-    val approx = SparkEntry.queries("g3_approx_distinct")(spark, sf)
+    val approx = graft.Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .collect().map(r => r.getAs[String]("rf") -> r.getAs[Long]("approx_parts")).toMap
     assert(approx.keySet == exact.keySet)
     approx.foreach { case (rf, est) =>
@@ -55,6 +58,9 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
       assert(relErr <= 0.06, f"g3 group $rf: estimate $est vs exact ${exact(rf)} " +
         f"(rel err $relErr%.4f > 3×rsd)")
     }
+    // and the contract certificate itself must be all-true here
+    val cert = SparkEntry.queries("g3_approx_distinct")(spark, sf).collect()
+    assert(cert.nonEmpty && cert.forall(_.getAs[Boolean]("within_bound")))
   }
 
   test("approx quantiles stay within sketch error of exact g6") {
