@@ -232,27 +232,19 @@ object ExtQueries {
         shingleN = 5, numHashes = 64, bands = 8, threshold = 0.5)
     }),
 
-    // ── Near-dup dedup, SimHash chunks — planted-pair recall
-    //    CERTIFICATE: 50 cosmetically-edited copies (uppercased,
-    //    doubled spaces) are planted at doc_id+100000. SimHash
-    //    normalizes case/whitespace, so each planted pair has hamming
-    //    EXACTLY 0 and the 16-bit-chunk pigeonhole guarantees candidate
-    //    generation — the oracle knows the full answer without
-    //    replaying the (xxhash-based, non-portable) signature. The
-    //    hamming 1–3 tolerance regime is DedupSpec-verified on crafted
-    //    fixtures; drop-one-token edits measured hamming up to 8 on
-    //    this corpus (tools/PlantedNearDupProbe), hence the
-    //    normalization-invariant planting.
+    // ── Near-dup dedup, SimHash chunks — ORACLED END-TO-END on the
+    //    real corpus: SimHash64's token hash is FNV-1a, which is pure
+    //    mod-2^64 arithmetic DuckDB replays exactly with HUGEINT
+    //    wrap-multiply, so the oracle recomputes every signature, the
+    //    full-quadratic hamming ground truth, and the <=3 answer (17
+    //    genuine pairs at sf0.01) with no planting and no Spark
+    //    involved. Recall is not probabilistic here: two docs within
+    //    hamming 3 of a 64-bit signature MUST share one of the four
+    //    16-bit chunks (pigeonhole), so a hash-green row proves the
+    //    chunk-blocked candidate join found exactly the true pair set.
     "ext_simhash_neardup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val planted = docs.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 100000L).as("doc_id"),
-          regexp_replace(upper(col("text")), lit(" "), lit("  ")).as("text"))
       Dedup.simhashNearDupPairs(
-        docs.select("doc_id", "text").unionByName(planted),
-        col("doc_id"), col("text"), maxHamming = 3)
-        .filter(col("id_b") === col("id_a") + 100000L)
-        .orderBy("id_a")
+        t(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 3)
     }),
 
     // ── Near-dup dedup over embeddings — planted-pair recall
@@ -1088,13 +1080,49 @@ object ExtQueries {
         |        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // Planted cosmetic-edit pairs: normalization makes each planted
-    // simhash equal its original's (hamming exactly 0), so the answer
-    // is the planted list itself — no engine-specific hash replayed.
+    // Full end-to-end SimHash replay: FNV-1a token hashes (signed-64
+    // Java semantics emulated via HUGEINT wrap-multiply mod 2^64),
+    // 64-bit majority-vote signatures, full-quadratic hamming, <= 3
+    // filter. (h >> b) & 1 is shift-mode agnostic: arithmetic vs
+    // logical shifts differ only above the extracted bit.
     "ext_simhash_neardup" ->
-      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
-        |       CAST(0 AS BIGINT) AS hamming
-        |FROM documents WHERE doc_id < 50 ORDER BY id_a""".stripMargin,
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM n),
+        |th AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(-3750763034362895579 AS BIGINT),
+        |      list_transform(range(1, length(t)+1), i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+        |    (h, c) -> CAST(
+        |      CASE WHEN ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616::HUGEINT
+        |                  ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211::HUGEINT)
+        |                 % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT
+        |        THEN ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616::HUGEINT
+        |                  ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211::HUGEINT)
+        |                 % 18446744073709551616::HUGEINT - 18446744073709551616::HUGEINT
+        |        ELSE ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616::HUGEINT
+        |                  ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211::HUGEINT)
+        |                 % 18446744073709551616::HUGEINT
+        |      END AS BIGINT)) AS h
+        |  FROM tok WHERE t <> ''),
+        |agg AS (SELECT doc_id, list(h) AS hs FROM th GROUP BY doc_id),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |         THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS sh
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_sum(list_transform(range(0, 64), b ->
+        |        CASE WHEN list_sum(list_transform(hs, h ->
+        |               CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |        THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS s
+        |    FROM agg))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Full-quadratic cosine ground truth over the corpus + 50 planted
     // zero-last-coordinate copies: the >= 0.9 answer is exactly the 50
