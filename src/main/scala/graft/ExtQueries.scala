@@ -498,9 +498,13 @@ object ExtQueries {
     }),
 
     // ── Sequence packing, greedy first-fit (docs never split): an
-    //    order-dependent sequential fold per shard, so no SQL
-    //    formulation exists — rows-only, ground-truthed against a
-    //    serial reference fold in PackingSpec.
+    //    order-dependent sequential fold per shard — which a RECURSIVE
+    //    CTE replays exactly (one recursion step per within-shard rank,
+    //    all shards advancing in parallel; depth = widest shard), so
+    //    even this "inherently sequential" operator is DuckDB-oracled.
+    //    The engine runs it as a constant-memory mapPartitions fold
+    //    (the right tool at scale); PackingSpec keeps the serial
+    //    reference ground truth.
     "ext_pack_greedy" -> ((s, dir) => {
       Packing.greedy(
         t(s, dir, "documents"),
@@ -1491,6 +1495,32 @@ object ExtQueries {
         |       CAST((start_off + greatest(n_tokens, 1) - 1) // 512
         |         - start_off // 512 + 1 AS BIGINT) AS n_chunks
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Recursive-CTE replay of the greedy first-fit fold: step k extends
+    // every shard's state from its rank-k row to rank k+1, so recursion
+    // depth = the widest shard, not the corpus. The Scala fold's
+    // `fill > 0` guard is vacuous here (tk >= 1 keeps fill positive
+    // after every row), so the CASE mirrors it exactly.
+    "ext_pack_greedy" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id % 8 AS shard, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         LEAST(GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 1), 512) AS tk,
+        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |f AS (
+        |  SELECT shard, doc_id, n_tokens, rn,
+        |         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_pos,
+        |         tk AS pack_fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.doc_id, n.n_tokens, n.rn,
+        |         f.pack_id + CASE WHEN f.pack_fill + n.tk > 512 THEN 1 ELSE 0 END,
+        |         CASE WHEN f.pack_fill + n.tk > 512 THEN 0 ELSE f.pack_pos + 1 END,
+        |         CASE WHEN f.pack_fill + n.tk > 512 THEN n.tk ELSE f.pack_fill + n.tk END
+        |  FROM f JOIN d n ON n.shard = f.shard AND n.rn = f.rn + 1)
+        |SELECT shard, doc_id, n_tokens, pack_id, pack_pos, pack_fill
+        |FROM f ORDER BY shard, doc_id""".stripMargin,
 
     // windows containing t start at (t div 1800 - k) * 1800, k in {0,1}
     // — the closed form of Spark's window(ts, '3600s', '1800s') fan-out
