@@ -19,6 +19,14 @@ import graft.operators.{Clustering, Dedup, Events, FuzzyJoin, Packing, Partition
   */
 object ExtQueries {
 
+  /** The seed-42 hyperplanes as a DuckDB list literal, so the LSH oracle
+    * replays the exact planes the engine uses. Double.toString emits the
+    * shortest decimal that round-trips to the same double, and DuckDB's
+    * parser returns the nearest double — bit-identical planes. */
+  private lazy val lshPlanesSql: String =
+    Similarity.hyperplanes(64, 16, 42L)
+      .map(p => p.mkString("[", ",", "]")).mkString("[", ",", "]")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
@@ -171,9 +179,11 @@ object ExtQueries {
       Similarity.bruteForceTopK(probes, e.select("vec_id", "embedding"), 10)
     }),
 
-    // ── Similarity search, scale path: LSH-bucketed ANN (rows-only; the
-    //    ScalaTest suite checks recall vs the brute-force baseline, and
-    //    ext_ann_lsh_recall below hash-certifies full recall at
+    // ── Similarity search, scale path: LSH-bucketed ANN — ORACLED
+    //    END-TO-END: the seed-42 hyperplanes embed in the oracle SQL as
+    //    exact double literals, so DuckDB replays sign-bit banding,
+    //    the bucket join, and the exact re-rank bit-for-bit (and
+    //    ext_ann_lsh_recall additionally hash-certifies full recall at
     //    recall-oriented band settings).
     "ext_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -989,6 +999,47 @@ object ExtQueries {
         |  FROM sc)
         |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Full LSH replay: the engine's seed-42 hyperplanes ride into the
+    // SQL as exact double literals (lshPlanesSql); sign-bit band keys,
+    // the per-bucket candidate join, pair dedup, and the exact rounded
+    // cosine re-rank all recompute in DuckDB — verified bit-for-bit
+    // against the Spark output before wiring in.
+    "ext_ann_lsh" ->
+      s"""WITH pl AS (SELECT $lshPlanesSql AS ps),
+         |bk AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(0, 4), b ->
+         |      CAST(b AS VARCHAR) || ':' ||
+         |      array_to_string(list_transform(range(1, 5), j ->
+         |        CASE WHEN list_sum(list_transform(range(1, 65),
+         |          i -> CAST(embedding[i] AS DOUBLE) * ps[b*4 + j][i])) >= 0
+         |        THEN '1' ELSE '0' END), '')) AS buckets
+         |  FROM embeddings, pl),
+         |cb AS (SELECT vec_id, embedding, unnest(buckets) AS bucket FROM bk),
+         |pb AS (SELECT vec_id AS query_id, embedding AS qv, unnest(buckets) AS bucket
+         |       FROM bk WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT DISTINCT pb.query_id, cb.vec_id, pb.qv, cb.embedding
+         |  FROM cb JOIN pb USING (bucket)
+         |  WHERE cb.vec_id <> pb.query_id),
+         |sc AS (
+         |  SELECT query_id, vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+         |      6) AS sim
+         |  FROM cand),
+         |r AS (
+         |  SELECT query_id, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM sc)
+         |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // The recall certificate: the Spark side semi-joins the exact top-10
     // against the LSH answer, so full recall ⇒ output == exact top-10,
