@@ -564,19 +564,24 @@ object ExtQueries {
         .orderBy("lang", "source")
     }),
 
-    // ── Multimodal plumbing demo (rows-only): binary payloads → per-
-    //    partition feature extraction → per-kind stats. The decode is a
-    //    deterministic stub (no codec libs offline); the schema/batch/
-    //    partitioning plumbing is the real, tested part — see
-    //    graft.multimodal.Multimodal.
+    // ── Multimodal decode pipeline — ORACLED: the decode is still a
+    //    deterministic stub (no codec libs offline; the scaladoc says
+    //    so loudly), but stub + synthetic payloads are pure integer
+    //    arithmetic, so DuckDB replays the whole mapPartitions path —
+    //    payload reconstruction, the running FNV-1a byte hash, the
+    //    16-bin histogram, float normalization — and hash-checks the
+    //    emitted per-media features. What the green row certifies is
+    //    the PLUMBING (schema, batch shape, null handling, ordering)
+    //    end to end, with the stub as a replayable stand-in.
     "ext_multimodal_features" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.syntheticMedia(s, 120)
       graft.multimodal.Multimodal.extractFeatures(media, dim = 16)
-        .groupBy("kind")
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("n_bytes")).as("total_bytes"))
-        .orderBy("kind")
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("features"), 9).cast("double"), 6).as("f8"),
+          round(element_at(col("features"), 16).cast("double"), 6).as("f15"))
+        .orderBy("media_id")
     }),
 
     // ── Multimodal relational spine, hash-checked: the deterministic
@@ -1680,6 +1685,62 @@ object ExtQueries {
          |       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
          |FROM read_parquet('$fixtureRoot/media_meta/*.parquet')
          |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // Full replay of the (deterministic-stub) decode pipeline: payload
+    // byte b of media i is (b*(i+7)) % 127; the stub runs FNV-1a over
+    // the bytes (signed-64 wrap via HUGEINT, same emulation as the
+    // simhash oracle), bins abs(h % 16) after each byte, and normalizes
+    // by payload length in FLOAT. The recursive CTE advances all 120
+    // media in parallel, one byte per step.
+    "ext_multimodal_features" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT CAST(i AS BIGINT) AS i FROM range(0, 120) t(i)),
+        |st AS (
+        |  SELECT i, CAST(0 AS BIGINT) AS b,
+        |    (SELECT CAST(
+        |      CASE WHEN ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616::HUGEINT
+        |                  ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211::HUGEINT)
+        |                 % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT
+        |        THEN ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616::HUGEINT
+        |                  ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211::HUGEINT)
+        |                 % 18446744073709551616::HUGEINT - 18446744073709551616::HUGEINT
+        |        ELSE ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616::HUGEINT
+        |                  ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211::HUGEINT)
+        |                 % 18446744073709551616::HUGEINT
+        |      END AS BIGINT)
+        |     FROM (SELECT CAST(-3750763034362895579 AS BIGINT) AS h,
+        |                  (0 * (i + 7)) % 127 AS c)) AS h
+        |  FROM m
+        |  UNION ALL
+        |  SELECT i, b + 1,
+        |    (SELECT CAST(
+        |      CASE WHEN ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616::HUGEINT
+        |                  ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211::HUGEINT)
+        |                 % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT
+        |        THEN ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616::HUGEINT
+        |                  ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211::HUGEINT)
+        |                 % 18446744073709551616::HUGEINT - 18446744073709551616::HUGEINT
+        |        ELSE ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616::HUGEINT
+        |                  ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211::HUGEINT)
+        |                 % 18446744073709551616::HUGEINT
+        |      END AS BIGINT)
+        |     FROM (SELECT st.h AS h, ((st.b + 1) * (st.i + 7)) % 127 AS c)) AS h
+        |  FROM st WHERE st.b + 1 < 64 + st.i % 64),
+        |hist AS (
+        |  SELECT i, abs(h % 16) AS idx, count(*) AS c FROM st GROUP BY 1, 2),
+        |f AS (
+        |  SELECT m.i,
+        |    COALESCE(MAX(CASE WHEN idx = 0  THEN c END), 0) AS c0,
+        |    COALESCE(MAX(CASE WHEN idx = 8  THEN c END), 0) AS c8,
+        |    COALESCE(MAX(CASE WHEN idx = 15 THEN c END), 0) AS c15
+        |  FROM m LEFT JOIN hist ON hist.i = m.i GROUP BY m.i)
+        |SELECT i AS media_id,
+        |  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  64 + i % 64 AS n_bytes,
+        |  round(CAST(CAST(c0 AS FLOAT) / CAST(64 + i % 64 AS FLOAT) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(c8 AS FLOAT) / CAST(64 + i % 64 AS FLOAT) AS DOUBLE), 6) AS f8,
+        |  round(CAST(CAST(c15 AS FLOAT) / CAST(64 + i % 64 AS FLOAT) AS DOUBLE), 6) AS f15
+        |FROM f ORDER BY media_id""".stripMargin,
 
     // Assignment to FIXED centroids is pure argmax-cosine — the same
     // serial-fold list arithmetic the ext_cosine_topk oracle proved
