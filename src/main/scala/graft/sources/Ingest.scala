@@ -53,56 +53,66 @@ object Ingest {
     n.toLong
   }
 
-  /** B16 — tabular-file ingestion (ref: backend/app.py:174-249). The
-    * reference reads Excel via pandas; Excel connectors are out of scope
-    * offline, so the semantics — schema-on-read + API→DB field rename +
-    * passthrough of unmapped fields + append — are carried by CSV.
-    * Returns the ingested row count (ref replies with it, :235-238). */
-  def ingestCsv(spark: SparkSession, csvPath: String, tablePath: String): Long = {
-    val raw = spark.read
-      .option("header", "true")
-      .option("inferSchema", "true")
-      .csv(csvPath)
-    // empty-upload rejection must happen BEFORE any write (ref :200-202);
-    // isEmpty is a limit-1 probe, not a full scan.
+  /** The shared B16 ingestion spine: empty-upload rejection BEFORE any
+    * write (ref backend/app.py:200-202; isEmpty is a limit-1 probe, not
+    * a full scan), API→DB field rename (REVERSE_MAPPING, ref :208-226),
+    * null-fill + cast + reorder to the car schema, append, and the row
+    * count riding on the write job via observe() — the whole pipeline
+    * runs exactly once, not once per count. */
+  private def alignAppendCount(raw: org.apache.spark.sql.DataFrame, tablePath: String): Long = {
     if (raw.isEmpty)
       throw new IllegalArgumentException("上传的文件中没有数据") // ref :200-202
     val renamed = CarSchema.reverseMapping.foldLeft(raw) {
       case (df, (api, db)) =>
         if (df.columns.contains(api)) df.withColumnRenamed(api, db) else df
     }
-    // align to schema: add missing columns as nulls, cast, order
     val aligned = CarSchema.schema.fields.foldLeft(renamed) { (df, f) =>
       if (df.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
       else df.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(CarSchema.schema.fieldNames.toIndexedSeq.map(col): _*)
-    // the returned count rides on the write job via observe() — the
-    // read-rename-cast pipeline runs exactly once, not once per count
     val obs = org.apache.spark.sql.Observation()
     appendRows(aligned.observe(obs, count(lit(1)).as("n")), tablePath)
     obs.get("n").asInstanceOf[Long]
   }
 
-  /** B16 companion — JSON-lines ingestion with the same semantics as
-    * [[ingestCsv]]: schema-on-read, API→DB field rename, null-fill +
-    * cast to the car schema, append, count via observe() (one job).
-    * JSON is the other tabular drop format a real upload endpoint
-    * accepts; the rename/align/append spine is shared. */
-  def ingestJsonLines(spark: SparkSession, jsonPath: String, tablePath: String): Long = {
-    val raw = spark.read.json(jsonPath)
-    if (raw.isEmpty)
-      throw new IllegalArgumentException("上传的文件中没有数据") // ref backend/app.py:200-202
-    val renamed = CarSchema.reverseMapping.foldLeft(raw) {
-      case (df, (api, db)) =>
-        if (df.columns.contains(api)) df.withColumnRenamed(api, db) else df
+  /** B16 — tabular-file ingestion (ref: backend/app.py:174-249), CSV
+    * flavor: schema-on-read + the shared [[alignAppendCount]] spine.
+    * Returns the ingested row count (ref replies with it, :235-238). */
+  def ingestCsv(spark: SparkSession, csvPath: String, tablePath: String): Long =
+    alignAppendCount(
+      spark.read.option("header", "true").option("inferSchema", "true").csv(csvPath),
+      tablePath)
+
+  /** B16 companion — JSON-lines ingestion, same spine. */
+  def ingestJsonLines(spark: SparkSession, jsonPath: String, tablePath: String): Long =
+    alignAppendCount(spark.read.json(jsonPath), tablePath)
+
+  /** B16, NATIVE Excel flavor — the reference's actual upload format
+    * (`pd.read_excel`, ref backend/app.py:198), read with the
+    * dependency-free [[ExcelIngest]] parser (an .xlsx is ZIP + XML; the
+    * JDK has both). First row = header, like pandas. The parse is a
+    * bounded driver-side read of ONE uploaded file — the same budget
+    * class as the reference's web-tier pandas read; distributed ingest
+    * stays on CSV/JSON/parquet. All cells arrive as strings and the
+    * shared spine's per-column cast applies the car schema types. */
+  def ingestExcel(spark: SparkSession, xlsxPath: String, tablePath: String): Long = {
+    val rows = ExcelIngest.readRows(xlsxPath)
+    if (rows.isEmpty)
+      throw new IllegalArgumentException("上传的文件中没有数据") // ref :200-202
+    val header = rows.head.map(h => if (h == null) "" else h.trim)
+    val width = header.length
+    val data = rows.tail.map { r =>
+      org.apache.spark.sql.Row.fromSeq(
+        (0 until width).map(i => if (i < r.length) r(i) else null))
     }
-    val aligned = CarSchema.schema.fields.foldLeft(renamed) { (df, f) =>
-      if (df.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
-      else df.withColumn(f.name, lit(null).cast(f.dataType))
-    }.select(CarSchema.schema.fieldNames.toIndexedSeq.map(col): _*)
-    val obs = org.apache.spark.sql.Observation()
-    appendRows(aligned.observe(obs, count(lit(1)).as("n")), tablePath)
-    obs.get("n").asInstanceOf[Long]
+    val schema = org.apache.spark.sql.types.StructType(
+      header.toIndexedSeq.map(h =>
+        org.apache.spark.sql.types.StructField(
+          h, org.apache.spark.sql.types.StringType, nullable = true)))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toIndexedSeq, math.max(1, data.size / 5000)),
+      schema)
+    alignAppendCount(raw, tablePath)
   }
 
   /** JDBC source passthrough — the reference reads its car table over a

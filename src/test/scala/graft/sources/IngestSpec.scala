@@ -39,6 +39,55 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS car_data_cat")
   }
 
+  test("B16 NATIVE Excel ingestion: zip+xml parse, rename, cast, append") {
+    // build a real minimal .xlsx (ZIP of XML) with shared strings,
+    // inline strings, and numeric cells — the shapes pandas-written
+    // upload sheets contain
+    val tmp = Files.createTempDirectory("graft-xlsx")
+    val xlsx = tmp.resolve("upload.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(xlsx))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><t>brand</t></si><si><t>model</t></si>
+        |<si><t>guide_price</t></si><si><t>attention</t></si><si><t>奥迪</t></si>
+        |<si><r><t>A4</t></r><r><t>L</t></r></si></sst>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>
+        |  <c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>4</v></c><c r="B2" t="s"><v>5</v></c>
+        |  <c r="C2"><v>300000.00</v></c><c r="D2"><v>500</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>宝马</t></is></c>
+        |  <c r="B3" t="inlineStr"><is><t>3系</t></is></c>
+        |  <c r="C3"><v>350000</v></c><c r="D3"><v>800</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val table = tmp.resolve("table").toString
+    val n = Ingest.ingestExcel(spark, xlsx.toString, table)
+    assert(n == 2)
+    val back = spark.read.parquet(table)
+    assert(back.schema.fieldNames.toSeq == CarSchema.schema.fieldNames.toSeq)
+    val audi = back.filter(back("car_brand") === "奥迪").collect().head
+    assert(audi.getAs[String]("car_model") == "A4L") // rich-text runs concatenate
+    assert(audi.getAs[Int]("popularity") == 500) // attention → popularity
+    assert(audi.getAs[java.math.BigDecimal]("manufacturer_suggested_price")
+      .doubleValue() == 300000.0)
+    assert(back.filter(back("car_brand") === "宝马").count() == 1)
+
+    // empty workbook (header only) rejected before any write, ref :200-202
+    val empty = tmp.resolve("empty.xlsx")
+    val z2 = new java.util.zip.ZipOutputStream(Files.newOutputStream(empty))
+    z2.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    z2.write("""<?xml version="1.0"?><worksheet><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>brand</t></is></c></row></sheetData></worksheet>""".getBytes("UTF-8"))
+    z2.closeEntry(); z2.close()
+    intercept[IllegalArgumentException] {
+      Ingest.ingestExcel(spark, empty.toString, tmp.resolve("t2").toString)
+    }
+  }
+
   test("B16 CSV ingestion renames API fields to DB fields and appends") {
     val tmp = Files.createTempDirectory("graft-csv")
     val csv = tmp.resolve("upload.csv")
