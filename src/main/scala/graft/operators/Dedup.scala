@@ -273,7 +273,13 @@ object Dedup {
   /** 64-bit SimHash of a token array: per-bit majority vote of token
     * hashes, packed into one long. Token hashes are let-bound so the
     * tokenization + hashing runs once per row, and the 64 bit-votes are
-    * pure arithmetic over the bound hash array. */
+    * pure arithmetic over the bound hash array.
+    *
+    * NOTE: this composed form hashes tokens with xxhash64, while the
+    * production [[simhashNearDupPairs]] path uses the SimHash64
+    * expression whose token hash is FNV-1a (chosen so a SQL oracle can
+    * replay signatures cross-engine) — same construction, different
+    * (non-interchangeable) signature values. */
   def simhash(tokenArr: Column): Column =
     TextFunctions.bound(
       TextFunctions.bound(tokenArr)(ts => transform(ts, t => xxhash64(t)))) { hs =>
