@@ -120,4 +120,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         assert(bf(r.getAs[Long]("vec_id")) == r.getAs[Double]("sim"))
       }
   }
+
+  test("topKPerQuery equals the naive global window rank (fuzz)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    // random scored tables with duplicate sims (tie-break matters) and
+    // more rows than saltBuckets, so both phases genuinely trim
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val rows = (0 until 500).map { i =>
+        (rnd.nextInt(5).toLong, i.toLong, (rnd.nextInt(40) / 10.0))
+      }
+      val scored = rows.toDF("query_id", "vec_id", "sim")
+      val got = Similarity.topKPerQuery(
+          scored, 7, Seq(col("sim").desc, col("vec_id")), saltBuckets = 8)
+        .select("query_id", "vec_id", "sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+      val want = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 7)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
 }
