@@ -55,6 +55,14 @@ def main(sf_dir, out_dir):
         try:
             want = con.sql(sql)
             want_cols = [c.lower() for c in want.columns]
+            # HUGEINT oracle columns become float64 in pandas-based hash
+            # canonicalization and mismatch Spark's INT64 even when every
+            # cell is equal (the round-5 ext_seq_pack red row) — flag them
+            huge = [c for c, t in zip(want.columns, want.types)
+                    if str(t) == "HUGEINT"]
+            if huge:
+                print(f"WARN {name}: HUGEINT oracle columns {huge} — "
+                      "CAST them to BIGINT or the driver hash will diverge")
             want_rows = want.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
