@@ -233,6 +233,65 @@ object EventStreams {
       }
   }
 
+  final case class UserSilence(
+      user_id: Long, last_seen: java.sql.Timestamp, silence_at: java.sql.Timestamp)
+
+  /** Silence/gap detector — the streaming twin of
+    * [[graft.operators.Events.resampleFill]]'s gap handling, and the one
+    * stateful pattern the other twins don't exercise: output born from a
+    * TIMER, not from data. Per user the state holds the last event time;
+    * a gap is reported in two ways:
+    *
+    *  - REAPPEARANCE: a user returning after more than `gapMs` of
+    *    event-time silence emits the closed gap immediately with its
+    *    arriving batch;
+    *  - OPEN FRONTIER: a user who simply stops emits once the event-time
+    *    watermark passes last_seen + gapMs — the timeout itself produces
+    *    the row ("this feed went quiet"), then clears the state, so a
+    *    firing costs nothing for users who never return.
+    *
+    * `silence_at` = last_seen + gapMs on both paths — a pure function of
+    * the data, so results don't depend on micro-batch boundaries. State
+    * is ONE long per active user, evicted on firing — bounded by the
+    * currently-active population, never history (100 TB/day discipline:
+    * historical gap-fill is the batch operator's job). */
+  def silenceGaps(
+      events: Dataset[Event], gapMs: Long,
+      lateness: String = "10 minutes"): Dataset[UserSilence] = {
+    import events.sparkSession.implicits._
+    require(gapMs > 0)
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserSilence](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(UserSilence(uid,
+              new java.sql.Timestamp(last), new java.sql.Timestamp(last + gapMs)))
+          } else {
+            val times = batch.map(_.ts.getTime).toArray.sorted
+            val out = Array.newBuilder[UserSilence]
+            var last = state.getOption.getOrElse(Long.MinValue)
+            times.foreach { t =>
+              // reappearance after a closed gap — report it with the data
+              if (last != Long.MinValue && t - last > gapMs)
+                out += UserSilence(uid,
+                  new java.sql.Timestamp(last), new java.sql.Timestamp(last + gapMs))
+              if (t > last) last = t
+            }
+            state.update(last)
+            // arm the frontier timer; never at-or-behind the watermark
+            // (same guard as substringDupStream)
+            state.setTimeoutTimestamp(
+              math.max(last + gapMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Custom state: running per-user totals via flatMapGroupsWithState —
     * the escape hatch when built-in windows can't express the state
     * machine. Emits an updated running row per user per micro-batch. */

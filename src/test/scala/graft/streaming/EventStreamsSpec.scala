@@ -252,4 +252,41 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(batch(7L) == 3L && batch(8L) == 2L)
     } finally q.stop()
   }
+
+  test("silenceGaps reports reappearance gaps with data and frontier gaps by timer") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    // 30-minute gap threshold, 10-minute lateness
+    val q = EventStreams.silenceGaps(in.toDS(), gapMs = 30L * 60000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gap_out").start()
+    try {
+      // batch 1: users 1 and 2 both active around t0
+      in.addData(Event(1, ts(0), 1, "c", 0), Event(2, ts(5), 1, "c", 0),
+        Event(3, ts(0), 2, "c", 0))
+      q.processAllAvailable()
+      // batch 2: user 2 reappears 120 min later → CLOSED gap emitted with
+      // the data (last_seen t0, silence_at t0+30)
+      in.addData(Event(4, ts(120), 2, "c", 0))
+      q.processAllAvailable()
+      val afterB2 = spark.table("gap_out").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("last_seen"), r.getAs[Timestamp]("silence_at")))
+      // (user 1's frontier timer may ALSO have fired already: batch 2's
+      // data advances the watermark past t5+30, and processAllAvailable
+      // runs the follow-up micro-batch where timers evaluate)
+      assert(afterB2.toSet.contains((2L, ts(0), ts(30))), s"got ${afterB2.toSeq}")
+      // batch 3: unrelated user 9 keeps the query moving; by now user 1's
+      // FRONTIER gap must have fired from the TIMER (user 1 has no data
+      // after t5); user 2's timer is at t150 — still open, must not fire
+      in.addData(Event(5, ts(125), 9, "c", 0))
+      q.processAllAvailable()
+      val afterB3 = spark.table("gap_out").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("last_seen"), r.getAs[Timestamp]("silence_at")))
+      assert(afterB3.toSet == Set(
+        (2L, ts(0), ts(30)),
+        (1L, ts(5), ts(35))), s"got ${afterB3.toSeq}")
+    } finally q.stop()
+  }
 }
