@@ -66,11 +66,14 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               failed = true
           }
+          // stop the clock BEFORE cleanup: billing the GC pause of the
+          // just-finished query to its own sample biased even min-of-N up
+          val elapsed = (System.nanoTime() - t0) / 1e9
           // drop per-query artifacts (broadcast blocks, codegen refs) so
           // later runs aren't taxed by earlier ones' heap residue
           spark.sharedState.cacheManager.clearCache()
           System.gc()
-          (System.nanoTime() - t0) / 1e9
+          elapsed
         }.toVector
         if (failed) (name, -1.0, -1.0, false)
         else {
@@ -86,11 +89,25 @@ object Bench {
     val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._4).map(_._2).sum
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$meds,"repeats":$repeats,""" +
         s""""load_avg_before":${arr(loadBefore)},"load_avg_after":${arr(loadAfter)},""" +
-        s""""errors":$errs,"sf":"$sfDir"}""")
+        s""""errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the FULL per-query JSON as a repo artifact: the
+    // driver's stdout tail truncates at 2000 chars, which loses the
+    // first ~40 queries of the alphabetical map every round and makes
+    // regressions there unauditable from the round artifacts alone.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_latest.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full JSON written to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write skipped: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

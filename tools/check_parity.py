@@ -57,12 +57,16 @@ def main(sf_dir, out_dir):
             want_cols = [c.lower() for c in want.columns]
             # HUGEINT oracle columns become float64 in pandas-based hash
             # canonicalization and mismatch Spark's INT64 even when every
-            # cell is equal (the round-5 ext_seq_pack red row) — flag them
+            # cell is equal (the round-5 ext_seq_pack red row). A warning
+            # was shippable-past; make it a hard parity failure so this
+            # class can never reach the driver gate silently again.
             huge = [c for c, t in zip(want.columns, want.types)
                     if str(t) == "HUGEINT"]
             if huge:
-                print(f"WARN {name}: HUGEINT oracle columns {huge} — "
+                print(f"FAIL {name}: HUGEINT oracle columns {huge} — "
                       "CAST them to BIGINT or the driver hash will diverge")
+                n_fail += 1
+                continue
             want_rows = want.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
