@@ -564,16 +564,40 @@ object ExtQueries {
         .orderBy("lang", "source")
     }),
 
-    // ── Multimodal decode pipeline — ORACLED: the decode is still a
-    //    deterministic stub (no codec libs offline; the scaladoc says
-    //    so loudly), but stub + synthetic payloads are pure integer
-    //    arithmetic, so DuckDB replays the whole mapPartitions path —
-    //    payload reconstruction, the running FNV-1a byte hash, the
-    //    16-bin histogram, float normalization — and hash-checks the
-    //    emitted per-media features. What the green row certifies is
-    //    the PLUMBING (schema, batch shape, null handling, ordering)
-    //    end to end, with the stub as a replayable stand-in.
+    // ── REAL image decode, ORACLED end to end: deterministic formula
+    //    pixels → JDK PNG encode → parquet → bytes → JDK ImageIO decode
+    //    → dimensions + per-channel means. PNG is lossless, so the
+    //    DuckDB oracle replays the PIXEL FORMULA (pure integer
+    //    arithmetic) for the expected means and reads n_bytes with
+    //    octet_length from the SAME parquet the engine scanned — the
+    //    green row certifies a genuine bytes→pixels decode, not a stub
+    //    replay (VERDICT r6 ask #1).
     "ext_multimodal_features" -> ((s, dir) => {
+      val fixture = s"$fixtureRoot/media_images"
+      graft.multimodal.Multimodal.syntheticImages(s, 120)
+        .select(col("media_id"), col("kind"), col("payload"))
+        .write.mode("overwrite").parquet(fixture)
+      graft.multimodal.Multimodal.imageStats(s.read.parquet(fixture))
+        .toDF()
+        .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("media_id")
+    }),
+
+    // ── Audio/video stub pipeline — ORACLED as a REPLAY: those codecs
+    //    aren't in the JDK, so non-image kinds go through a
+    //    deterministic stub (the scaladoc says so loudly); stub +
+    //    synthetic payloads are pure integer arithmetic, so DuckDB
+    //    replays the whole mapPartitions path — payload reconstruction,
+    //    the running FNV-1a byte hash, the 16-bin histogram, float
+    //    normalization — and hash-checks the emitted per-media
+    //    features. What the green row certifies is the PLUMBING
+    //    (schema, batch shape, null handling, ordering) end to end,
+    //    with the stub as a replayable stand-in. (Image payloads in
+    //    syntheticMedia are random bytes, not a real codec stream, so
+    //    ImageIO recognizes none of them and every row takes the stub
+    //    branch — which is exactly what this row is meant to pin.)
+    "ext_multimodal_stub_replay" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.syntheticMedia(s, 120)
       graft.multimodal.Multimodal.extractFeatures(media, dim = 16)
         .toDF()
@@ -1686,13 +1710,40 @@ object ExtQueries {
          |FROM read_parquet('$fixtureRoot/media_meta/*.parquet')
          |GROUP BY kind ORDER BY kind""".stripMargin,
 
-    // Full replay of the (deterministic-stub) decode pipeline: payload
-    // byte b of media i is (b*(i+7)) % 127; the stub runs FNV-1a over
-    // the bytes (signed-64 wrap via HUGEINT, same emulation as the
-    // simhash oracle), bins abs(h % 16) after each byte, and normalizes
-    // by payload length in FLOAT. The recursive CTE advances all 120
-    // media in parallel, one byte per step.
+    // REAL-decode oracle: expected means replay the deterministic pixel
+    // formula (exact integer sums, then one double division — both
+    // engines divide the same exact integers, so the doubles are
+    // bit-identical); n_bytes reads octet_length from the very parquet
+    // the engine decoded. A wrong pixel anywhere (codec, channel order,
+    // color profile) moves a mean and reds the row.
     "ext_multimodal_features" ->
+      s"""WITH imgs AS (
+         |  SELECT CAST(media_id AS BIGINT) AS media_id,
+         |         CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+         |         8 + media_id % 5 AS w, 6 + media_id % 4 AS h
+         |  FROM read_parquet('$fixtureRoot/media_images/*.parquet')),
+         |px AS (
+         |  SELECT i.media_id, i.n_bytes, i.w, i.h,
+         |    (x.x * 3  + y.y * 5  + i.media_id * 7)  % 256 AS r,
+         |    (x.x * 11 + y.y * 13 + i.media_id * 17) % 256 AS g,
+         |    (x.x * 19 + y.y * 23 + i.media_id * 29) % 256 AS b
+         |  FROM imgs i
+         |  JOIN range(0, 12) x(x) ON x.x < i.w
+         |  JOIN range(0, 9)  y(y) ON y.y < i.h)
+         |SELECT media_id, n_bytes,
+         |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+         |  CAST(SUM(r) AS DOUBLE) / CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_r,
+         |  CAST(SUM(g) AS DOUBLE) / CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_g,
+         |  CAST(SUM(b) AS DOUBLE) / CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_b
+         |FROM px GROUP BY media_id, n_bytes ORDER BY media_id""".stripMargin,
+
+    // Full replay of the (deterministic-stub) audio/video pipeline:
+    // payload byte b of media i is (b*(i+7)) % 127; the stub runs
+    // FNV-1a over the bytes (signed-64 wrap via HUGEINT, same emulation
+    // as the simhash oracle), bins abs(h % 16) after each byte, and
+    // normalizes by payload length in FLOAT. The recursive CTE advances
+    // all 120 media in parallel, one byte per step.
+    "ext_multimodal_stub_replay" ->
       """WITH RECURSIVE m AS (
         |  SELECT CAST(i AS BIGINT) AS i FROM range(0, 120) t(i)),
         |st AS (

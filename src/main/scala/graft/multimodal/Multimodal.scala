@@ -11,13 +11,17 @@ import org.apache.spark.sql.types._
   * scannable without touching the blobs.
   *
   * Codec-touching steps (decode/resize/frame-sample) run per-partition in
-  * `mapPartitions` so a real implementation can amortize codec/model
-  * initialization per partition (the Scala analogue of a batched Pandas
-  * UDF). The image/audio libraries are not available in this offline
-  * container, so `fakeDecode` below is a clearly-marked DETERMINISTIC
-  * STUB — the Spark-side plumbing (schema, batch shape, partitioning,
-  * output contract) is real and tested; swap `fakeDecode` for a codec
-  * call to productionize.
+  * `mapPartitions` so codec/model initialization amortizes per partition
+  * (the Scala analogue of a batched Pandas UDF).
+  *
+  * IMAGES decode for REAL: the JDK ships PNG/JPEG codecs
+  * (`javax.imageio.ImageIO`), so no external dependency is needed — the
+  * same zero-dependency argument as `sources.ExcelIngest`. `imageStats`
+  * and the image branch of `extractFeatures` run an actual
+  * bytes→pixels decode. Audio/video codecs are NOT in the JDK, so those
+  * kinds still go through `fakeDecode`, a clearly-marked DETERMINISTIC
+  * STUB with the same signature and cost shape (reads every byte once);
+  * swap it for a codec call to productionize those two kinds.
   */
 object Multimodal {
 
@@ -35,9 +39,63 @@ object Multimodal {
   final case class MediaFeature(
       media_id: Long, kind: String, n_bytes: Long, features: Array[Float])
 
+  final case class ImageStats(
+      media_id: Long, n_bytes: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Decode one image payload with the JDK's ImageIO. Returns None when
+    * no registered reader recognizes the bytes (wrong magic, truncated
+    * stream) — callers treat that as "not an image", never as an error,
+    * so one corrupt blob can't fail a 100 TB scan. */
+  private[multimodal] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.length == 0) None
+    else scala.util.Try(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      .toOption.flatMap(Option(_))
+
+  /** Per-channel sums over a decoded image, via the sRGB int view —
+    * exact for 8-bit truecolor PNG (lossless codec, no color profile). */
+  private def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
+  /** REAL decode features for an image: a dim-bin luminance histogram
+    * (integer BT.601-ish weights, integer division — exactly replayable
+    * arithmetic) normalized by pixel count. */
+  private[multimodal] def imageHistogram(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        val lum = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+        out(lum * dim / 256) += 1.0f
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(1, img.getWidth * img.getHeight)
+    var j = 0
+    while (j < dim) { out(j) /= n; j += 1 }
+    out
+  }
+
   /** STUB decode: deterministic features derived from the payload bytes.
-    * Stands in for image-decode → embed; same signature and cost shape
-    * (reads every byte once), so the pipeline around it is honest. */
+    * Stands in for audio/video-decode → embed (no such codecs in the
+    * JDK); same signature and cost shape (reads every byte once), so the
+    * pipeline around it is honest. */
   private[multimodal] def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 0xcbf29ce484222325L
@@ -54,16 +112,47 @@ object Multimodal {
   }
 
   /** Feature extraction over the binary column: per-partition batches so
-    * codec/model init would amortize. Returns a typed Dataset. */
+    * codec/model init amortizes. Image rows that ImageIO can decode get
+    * REAL pixel-derived features (luminance histogram); image rows whose
+    * bytes aren't a recognized codec, and audio/video rows, fall through
+    * to the deterministic stub. Returns a typed Dataset. */
   def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // real impl: initialize the decoder/model ONCE here
+        javax.imageio.ImageIO.setUseCache(false) // decode in-memory, no temp-file cache
         rows.map { case (id, kind, payload) =>
           val bytes = if (payload == null) Array.empty[Byte] else payload
-          MediaFeature(id, kind, bytes.length.toLong, fakeDecode(bytes, dim))
+          val feats =
+            if (kind == "image") decodeImage(bytes) match {
+              case Some(img) => imageHistogram(img, dim)
+              case None => fakeDecode(bytes, dim)
+            }
+            else fakeDecode(bytes, dim)
+          MediaFeature(id, kind, bytes.length.toLong, feats)
+        }
+      }
+  }
+
+  /** REAL image decode: bytes → pixels via JDK ImageIO, per-partition so
+    * reader lookup amortizes. Emits dimensions + per-channel means; rows
+    * whose payload no reader recognizes are dropped (pair with a count
+    * upstream when the drop rate matters). */
+  def imageStats(media: DataFrame): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, payload) =>
+          decodeImage(payload).map { img =>
+            val (sr, sg, sb) = channelSums(img)
+            val n = img.getWidth.toLong * img.getHeight
+            ImageStats(id, payload.length.toLong, img.getWidth, img.getHeight,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          }
         }
       }
   }
@@ -92,6 +181,38 @@ object Multimodal {
         }
       }
       .toDF("media_id", "frame_idx", "frame_feature")
+  }
+
+  /** Deterministic REAL-PNG fixture: image i is (8 + i%5) × (6 + i%4)
+    * with pixel (x, y) = RGB((x*3 + y*5 + i*7) % 256,
+    * (x*11 + y*13 + i*17) % 256, (x*19 + y*23 + i*29) % 256), encoded
+    * with the JDK PNG writer. PNG is lossless and these images carry no
+    * color profile, so bytes→pixels decode recovers the formula EXACTLY
+    * — which is what lets a SQL oracle replay the decoded values. */
+  def syntheticImages(spark: SparkSession, n: Int): DataFrame = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val rows = (0 until n).map { i =>
+      val w = 8 + i % 5
+      val h = 6 + i % 4
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = (x * 3 + y * 5 + i * 7) % 256
+          val g = (x * 11 + y * 13 + i * 17) % 256
+          val b = (x * 19 + y * 23 + i * 29) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Row(i.toLong, "image", Row(w, h, null, "png"), bos.toByteArray)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), mediaSchema)
   }
 
   /** Synthetic media fixture (deterministic) for tests/demos. */

@@ -43,6 +43,67 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     perVideo.foreach(r => assert(r.getAs[Long]("count") <= 5L))
   }
 
+  test("PNG encode -> ImageIO decode recovers the generator formula exactly") {
+    val imgs = Multimodal.syntheticImages(spark, 12)
+      .select("media_id", "payload").collect()
+    assert(imgs.length == 12)
+    imgs.foreach { r =>
+      val i = r.getLong(0).toInt
+      val decoded = Multimodal.decodeImage(r.getAs[Array[Byte]](1))
+      assert(decoded.isDefined, s"image $i did not decode")
+      val img = decoded.get
+      assert(img.getWidth == 8 + i % 5 && img.getHeight == 6 + i % 4)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        assert(((p >> 16) & 0xff) == (x * 3 + y * 5 + i * 7) % 256, s"r at ($x,$y) img $i")
+        assert(((p >> 8) & 0xff) == (x * 11 + y * 13 + i * 17) % 256, s"g at ($x,$y) img $i")
+        assert((p & 0xff) == (x * 19 + y * 23 + i * 29) % 256, s"b at ($x,$y) img $i")
+      }
+    }
+  }
+
+  test("imageStats decodes real PNGs distributed and matches the formula means") {
+    val stats = Multimodal.imageStats(Multimodal.syntheticImages(spark, 20))
+      .collect().sortBy(_.media_id)
+    assert(stats.length == 20)
+    stats.foreach { s =>
+      val i = s.media_id.toInt
+      val w = 8 + i % 5; val h = 6 + i % 4
+      assert(s.width == w && s.height == h)
+      val pix = for (y <- 0 until h; x <- 0 until w)
+        yield ((x * 3 + y * 5 + i * 7) % 256, (x * 11 + y * 13 + i * 17) % 256,
+          (x * 19 + y * 23 + i * 29) % 256)
+      assert(s.mean_r == pix.map(_._1).sum.toDouble / (w * h))
+      assert(s.mean_g == pix.map(_._2).sum.toDouble / (w * h))
+      assert(s.mean_b == pix.map(_._3).sum.toDouble / (w * h))
+      assert(s.n_bytes > 0)
+    }
+  }
+
+  test("extractFeatures uses REAL pixel histograms for decodable images, stub otherwise") {
+    val real = Multimodal.extractFeatures(Multimodal.syntheticImages(spark, 6), dim = 16)
+      .collect().sortBy(_.media_id)
+    real.foreach { f =>
+      val i = f.media_id.toInt
+      val w = 8 + i % 5; val h = 6 + i % 4
+      val expected = new Array[Float](16)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (x * 3 + y * 5 + i * 7) % 256
+        val g = (x * 11 + y * 13 + i * 17) % 256
+        val b = (x * 19 + y * 23 + i * 29) % 256
+        expected((r * 299 + g * 587 + b * 114) / 1000 * 16 / 256) += 1.0f
+      }
+      (0 until 16).foreach(j => expected(j) /= (w * h))
+      assert(f.features.toSeq == expected.toSeq, s"histogram mismatch for image $i")
+    }
+    // syntheticMedia image payloads are not a real codec stream: every
+    // row must fall back to the deterministic stub (pins the fallback)
+    val stub = Multimodal.extractFeatures(media, dim = 16).collect()
+    stub.filter(_.kind == "image").foreach { f =>
+      assert(f.features.toSeq.map(_.toDouble).sum > 0)
+    }
+  }
+
   test("round trip through parquet preserves binary payloads") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString + "/t"
     media.write.parquet(dir)
