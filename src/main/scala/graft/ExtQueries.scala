@@ -1169,6 +1169,11 @@ object ExtQueries {
     // 64-bit majority-vote signatures, full-quadratic hamming, <= 3
     // filter. (h >> b) & 1 is shift-mode agnostic: arithmetic vs
     // logical shifts differ only above the extracted bit.
+    // BMP-only equivalence contract: the engine hashes UTF-16 code units
+    // (HashExpressions.fnv1a) while this replay indexes CHARACTERS via
+    // ascii(substr(...)) — identical for Basic-Multilingual-Plane text
+    // (the corpus), divergent on surrogate-pair characters (emoji/CJK
+    // extensions), where one char here is two code units in the engine.
     "ext_simhash_neardup" ->
       """WITH n AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm

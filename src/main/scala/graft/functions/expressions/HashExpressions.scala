@@ -30,7 +30,14 @@ object HashExpressions {
 
   private[expressions] val Prime = 1000000007L
 
-  /** 64-bit FNV-1a over UTF-8 bytes of a char window — cheap, stable. */
+  /** 64-bit FNV-1a over the UTF-16 CODE UNITS of a char window (charAt,
+    * not UTF-8 bytes) — cheap, stable, and chosen deliberately: the
+    * DuckDB oracles replay this hash with character-indexed ascii()/
+    * substr(), so engine and oracle agree exactly for Basic-Multilingual-
+    * Plane text (one code unit per character). Supplementary-plane
+    * characters (emoji, CJK extensions) split into surrogate pairs here
+    * but count as one character in SQL — the BMP-only equivalence
+    * contract is stated next to each replaying oracle. */
   @inline private[expressions] def fnv1a(s: String, from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
     var i = from

@@ -38,6 +38,15 @@ object Dedup {
     * drop regime (some buckets survive) the metric is reliably present. */
   val skewGuardMetricPrefix = "graft_skew_guard_"
 
+  /** Estimate-then-verify prefilters report how many candidates the
+    * cheap signature estimate culled before exact verification, via a
+    * CollectMetrics node `graft_prefilter_<op>_<seq>` with columns
+    * `culled_candidates` / `candidates`. The node sits UPSTREAM of the
+    * cull filter on a join output, so it survives AQE in the partial-cull
+    * regime; as with [[skewGuardMetricPrefix]], it can be absent when the
+    * candidate set itself is empty (nothing to cull ⇒ nothing silent). */
+  val prefilterMetricPrefix = "graft_prefilter_"
+
   // observe() names must be unique within one query plan; a caller may
   // compose several near-dup ops, so each guard gets a sequence suffix.
   private val skewGuardSeq = new AtomicLong(0)
@@ -56,6 +65,36 @@ object Dedup {
         coalesce(sum("bsz"), lit(0L)).as("dropped_rows"))
     df.join(broadcast(over), keys, "left_anti")
   }
+
+  /** Estimate-then-verify prefilter shared by the near-dup verify stages:
+    * joins per-id MinHash signatures onto a candidate-pair table and keeps
+    * only pairs whose signature-agreement fraction (an unbiased Jaccard
+    * estimator, sd ≈ √(J(1−J)/numHashes)) is >= `estFloor` — killing the
+    * background BEFORE text bodies are rehydrated for the O(len) exact
+    * verify. Shuffles only (id, signature) tables, never text. Culled
+    * counts are reported via observe() (see [[prefilterMetricPrefix]]). */
+  private def sigAgreementPrefilter(
+      candidates: DataFrame, // two id columns: (leftId, rightId)
+      leftSigs: DataFrame, // (leftId, sig_l)
+      rightSigs: DataFrame, // (rightId, sig_r)
+      leftId: String, rightId: String,
+      numHashes: Int, estFloor: Double, op: String): DataFrame =
+    candidates
+      .join(leftSigs, Seq(leftId))
+      .join(rightSigs, Seq(rightId))
+      .withColumn("est_ok",
+        size(filter(zip_with(col("sig_l"), col("sig_r"), _ === _), x => x))
+          .cast("double") / numHashes >= estFloor)
+      // no silent culls: the metric sits UPSTREAM of the est_ok filter on
+      // a join output whose emptiness isn't statically known, so it
+      // survives AQE in the partial-cull regime (the round-6 CollectMetrics
+      // trap strikes only when the observed branch itself is emptied)
+      .observe(s"$prefilterMetricPrefix${op}_${skewGuardSeq.incrementAndGet()}",
+        coalesce(sum(when(col("est_ok"), 0L).otherwise(1L)), lit(0L))
+          .as("culled_candidates"),
+        count(lit(1)).as("candidates"))
+      .filter(col("est_ok"))
+      .select(leftId, rightId)
 
   /** Exact dedup: one surviving id per identical key. groupBy(min) rather
     * than dropDuplicates: dropDuplicates keeps an ARBITRARY row per key
@@ -165,7 +204,8 @@ object Dedup {
       threshold: Double = 0.5,
       seed: Long = 42L,
       bucketCap: Int = 1000,
-      topK: Option[Int] = None): DataFrame = {
+      topK: Option[Int] = None,
+      estimateMargin: Double = 0.15): DataFrame = {
     val rowsPerBand = numHashes / bands
     val named = df.select(id.as("id"), text.as("txt"))
     // The signature comes from the custom MinHashSig expression (one JVM
@@ -191,9 +231,23 @@ object Dedup {
         Seq("band", "bhash"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // estimate-then-verify: recall-oriented banding is background-heavy,
+    // so the cheap signature-agreement estimate culls candidates BEFORE
+    // text rehydration (same prefilter as incrementalNearDup; culls are
+    // observe()-reported, estimateMargin >= threshold disables)
+    val estFloor = threshold - estimateMargin
+    def sigs(idName: String) = named.select(col("id").as(idName),
+      graft.functions.expressions.GraftFunctions
+        .minhash_sig(col("txt"), shingleN, numHashes, seed).as(s"sig_${idName.last}"))
+    val prefiltered =
+      if (estFloor <= 0.0) pairs
+      else sigAgreementPrefilter(pairs,
+        sigs("id_a").withColumnRenamed("sig_a", "sig_l"),
+        sigs("id_b").withColumnRenamed("sig_b", "sig_r"),
+        "id_a", "id_b", numHashes, estFloor, "minhash")
     // verify stage: join texts back by id (shuffles candidate ids, not
     // bodies) and compute the exact Jaccard once per surviving pair.
-    val verified = pairs
+    val verified = prefiltered
       .join(named.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
       .join(named.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -230,7 +284,8 @@ object Dedup {
     * near-dup-ish pairs (measured at sf0.1: 3.9 s → 2.0 s min-of-3, identical
     * output). The final gate is still the EXACT n-gram Jaccard. A
     * margin of 0.15 is 2.5σ below threshold at 64 hashes; set
-    * estimateMargin >= threshold to disable the prefilter.
+    * estimateMargin >= threshold to disable the prefilter. Culled
+    * candidates are counted, not silent: see [[prefilterMetricPrefix]].
     *
     * Output: (batch_id, corpus_id, jaccard) — one row per batch doc per
     * matched corpus doc at >= threshold; callers drop matched batch ids
@@ -272,21 +327,16 @@ object Dedup {
     // (id, 64-long signature) tables, never text bodies — kills the
     // background before the O(len) exact verify
     val estFloor = threshold - estimateMargin
+    def sigs(df: DataFrame, id: Column, text: Column, idName: String, sigName: String) =
+      df.select(id.as(idName),
+        graft.functions.expressions.GraftFunctions
+          .minhash_sig(text, shingleN, numHashes, seed).as(sigName))
     val prefiltered =
       if (estFloor <= 0.0) candidates
-      else {
-        def sigs(df: DataFrame, id: Column, text: Column, idName: String, sigName: String) =
-          df.select(id.as(idName),
-            graft.functions.expressions.GraftFunctions
-              .minhash_sig(text, shingleN, numHashes, seed).as(sigName))
-        candidates
-          .join(sigs(batch, batchId, batchText, "batch_id", "sig_b"), Seq("batch_id"))
-          .join(sigs(corpus, corpusId, corpusText, "corpus_id", "sig_c"), Seq("corpus_id"))
-          .filter(
-            size(filter(zip_with(col("sig_b"), col("sig_c"), _ === _), x => x))
-              .cast("double") / numHashes >= estFloor)
-          .select("batch_id", "corpus_id")
-      }
+      else sigAgreementPrefilter(candidates,
+        sigs(batch, batchId, batchText, "batch_id", "sig_l"),
+        sigs(corpus, corpusId, corpusText, "corpus_id", "sig_r"),
+        "batch_id", "corpus_id", numHashes, estFloor, "incr_neardup")
     prefiltered
       .join(batch.select(batchId.as("batch_id"), batchText.as("txt_b")), Seq("batch_id"))
       .join(corpus.select(corpusId.as("corpus_id"), corpusText.as("txt_c")), Seq("corpus_id"))

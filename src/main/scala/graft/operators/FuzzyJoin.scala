@@ -32,10 +32,13 @@ import org.apache.spark.sql.functions._
   * block joined all-pairs — bounded by the count of near-q-length
   * strings, and any corpus where that set is large is exact-dedup
   * territory, not fuzzy-join territory. That boundary is ENFORCED, not
-  * hoped for: each side's distinct short-key count is probed with a
-  * bounded `limit(cap+1).count()` job at plan-build time and the join
-  * REFUSES (require, with the remedy in the message) when it exceeds
-  * `shortKeyCap` — fail-fast chosen over an observe() metric here
+  * hoped for: each side's distinct short keys are pulled with a bounded
+  * `limit(cap+1).collect()` job at CALL time (editDistanceJoin is eager
+  * to this extent — two bounded jobs run before the returned plan does)
+  * and the join REFUSES (require, with the remedy in the message) when
+  * the count exceeds `shortKeyCap`; the pulled keys re-enter the plan as
+  * a LocalRelation, so the short-key lineage is materialized once, never
+  * recomputed inside the join — fail-fast chosen over an observe() metric
   * because dropping the whole block empties that plan branch and AQE's
   * empty-relation propagation eliminates the metric node with it
   * (measured): the drop would be exactly as silent as the quadratic
@@ -101,14 +104,22 @@ object FuzzyJoin {
       .join(signature(gr).withColumnRenamed("sid", "key_r"), Seq("gram"))
       .select("key_l", "key_r")
     // the all-pairs short block is bounded by construction — and
-    // ENFORCED by a bounded fail-fast probe (scaladoc: why not observe())
+    // ENFORCED by a bounded fail-fast probe (scaladoc: why not observe()).
+    // The probe IS the materialization: one limit(cap+1) pull of short
+    // DISTINCT keys (≤ cap+1 near-q-length strings — same bounded-driver-
+    // pull budget class as calibration samples) becomes a LocalRelation,
+    // so the short-key lineage is never recomputed inside the join and
+    // the cross join's short side is local/broadcast by construction.
+    // NOTE: this makes editDistanceJoin eager — it runs one bounded Spark
+    // job per side at call time, before the returned plan is acted on.
     def boundedShort(df: DataFrame, side: String): DataFrame = {
-      val n = df.limit(shortKeyCap + 1).count()
-      require(n <= shortKeyCap,
+      val rows = df.limit(shortKeyCap + 1).collect()
+      require(rows.length <= shortKeyCap,
         s"fuzzy join: > $shortKeyCap distinct short keys on the $side side — " +
           "the all-pairs short block would go quadratic. Exact-dedup the " +
           "short tail first, or raise shortKeyCap knowingly.")
-      df
+      import scala.jdk.CollectionConverters._
+      df.sparkSession.createDataFrame(rows.toSeq.asJava, df.schema)
     }
     val shortL = boundedShort(lk.filter(length(col("key_l")) <= shortMax), "left")
     val shortR = boundedShort(rk.filter(length(col("key_r")) <= shortMax), "right")

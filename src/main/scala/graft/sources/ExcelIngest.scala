@@ -64,7 +64,12 @@ object ExcelIngest {
           }
           val v = c.getAttribute("t") match {
             case "s"         => tag("v").flatMap(s => shared.lift(s.trim.toInt)).orNull
-            case "inlineStr" => tag("t").orNull
+            case "inlineStr" =>
+              // rich-text runs: concatenate every <t> under the cell's
+              // <is>, mirroring the sharedStrings handling above
+              val ts = c.getElementsByTagName("t")
+              if (ts.getLength == 0) null
+              else (0 until ts.getLength).map(j => ts.item(j).getTextContent).mkString
             case "b"         => tag("v").map(s => if (s.trim == "1") "true" else "false").orNull
             case _           => tag("v").orNull // numbers and t="str" formula strings
           }

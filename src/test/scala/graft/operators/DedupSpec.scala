@@ -206,6 +206,30 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(zero.forall(_.getAs[Long]("dropped_buckets") == 0L))
   }
 
+  test("estimate-then-verify prefilter culls are observable, output unchanged") {
+    // single-row bands: ANY agreeing minhash makes a candidate pair, so
+    // the crafted near-dup (1,2) at J≈0.8 band-collides — and at
+    // threshold 0.99 the signature-agreement estimate (estFloor 0.95)
+    // must cull it BEFORE text rehydration, observably
+    def run(margin: Double) = Dedup.minhashNearDupPairs(
+      docs, col("doc_id"), col("text"),
+      shingleN = 5, numHashes = 32, bands = 32, threshold = 0.99,
+      estimateMargin = margin)
+    val q = run(0.04)
+    val got = q.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == Set((5L, 6L))) // only the exact dup reaches 0.99
+    val m = q.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith(Dedup.prefilterMetricPrefix) => row
+    }
+    assert(m.nonEmpty, "the prefilter must emit an observe() metric")
+    assert(m.head.getAs[Long]("candidates") > m.head.getAs[Long]("culled_candidates"))
+    assert(m.head.getAs[Long]("culled_candidates") > 0L,
+      "the J≈0.8 candidate pair must be reported as culled")
+    // disabling the prefilter (margin >= threshold) — identical output
+    val off = run(1.0).collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(off == got)
+  }
+
   test("clusters: connected components match brute-force union-find") {
     import graft.SparkSpec
     // chain 1-2-3-...-40 (diameter 39: plain propagation would need 39

@@ -61,7 +61,7 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
         |<row r="2"><c r="A2" t="s"><v>4</v></c><c r="B2" t="s"><v>5</v></c>
         |  <c r="C2"><v>300000.00</v></c><c r="D2"><v>500</v></c></row>
         |<row r="3"><c r="A3" t="inlineStr"><is><t>宝马</t></is></c>
-        |  <c r="B3" t="inlineStr"><is><t>3系</t></is></c>
+        |  <c r="B3" t="inlineStr"><is><r><t>3</t></r><r><t>系</t></r></is></c>
         |  <c r="C3"><v>350000</v></c><c r="D3"><v>800</v></c></row>
         |</sheetData></worksheet>""".stripMargin)
     zos.close()
@@ -75,7 +75,10 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(audi.getAs[Int]("popularity") == 500) // attention → popularity
     assert(audi.getAs[java.math.BigDecimal]("manufacturer_suggested_price")
       .doubleValue() == 300000.0)
-    assert(back.filter(back("car_brand") === "宝马").count() == 1)
+    val bmw = back.filter(back("car_brand") === "宝马").collect()
+    assert(bmw.length == 1)
+    // inlineStr rich-text runs concatenate too (not just first <t>)
+    assert(bmw.head.getAs[String]("car_model") == "3系")
 
     // empty workbook (header only) rejected before any write, ref :200-202
     val empty = tmp.resolve("empty.xlsx")
