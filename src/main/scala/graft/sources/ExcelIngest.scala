@@ -10,13 +10,51 @@ import scala.collection.mutable
   * a ZIP of XML, and the JDK ships both `java.util.zip` and
   * `javax.xml.parsers`. Supported surface = what an upload sheet
   * contains: one worksheet, a header row, shared / inline / formula
-  * strings, numbers, booleans. Not supported (loudly out of scope):
-  * dates-as-serials, styles, multiple sheets, streaming XML for
-  * multi-GB workbooks — upload ingestion is a driver-side, bounded,
-  * single-small-file read in the reference too (Flask + pandas on the
-  * web tier); the DISTRIBUTED ingest paths remain CSV/JSON/parquet.
+  * strings, numbers, booleans, and dates-as-serials (numeric cells
+  * whose style resolves to a date/time number format surface as ISO
+  * strings, matching what the reference's `pd.read_excel` hands
+  * downstream). Not supported (loudly out of scope): multiple sheets,
+  * streaming XML for multi-GB workbooks — upload ingestion is a
+  * driver-side, bounded, single-small-file read in the reference too
+  * (Flask + pandas on the web tier); the DISTRIBUTED ingest paths
+  * remain CSV/JSON/parquet.
   */
 object ExcelIngest {
+
+  /** Built-in OOXML number-format ids that render as dates/times
+    * (ECMA-376 §18.8.30): 14–22 date/time, 27–36 locale calendars,
+    * 45–47 elapsed-time. Custom formats (id >= 164) are classified by
+    * their format code instead. */
+  private val BuiltinDateFmts: Set[Int] = ((14 to 22) ++ (27 to 36) ++ (45 to 47)).toSet
+
+  /** Does a custom format code render a date/time? After stripping
+    * quoted literals, [bracketed] sections, and backslash-escaped
+    * chars, any remaining y/m/d/h/s token is a date or time field
+    * (m is month-or-minute — either way a date/time format); pure
+    * numeric formats ("0.00", "#,##0") contain none. */
+  private[sources] def isDateFormat(code: String): Boolean = {
+    val clean = code
+      .replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\[[^\\]]*\\]", "")
+      .replaceAll("\\\\.", "")
+    clean.exists(c => c == 'y' || c == 'Y' || c == 'm' || c == 'M' ||
+      c == 'd' || c == 'D' || c == 'h' || c == 'H' || c == 's' || c == 'S')
+  }
+
+  /** Excel date serial → ISO-8601 string. Serials count days from the
+    * 1899-12-30 epoch (the epoch choice absorbs Excel's phantom
+    * 1900-02-29 for every date after Feb 1900 — the only serials real
+    * upload workbooks contain); the fraction is the time of day.
+    * Whole serials render date-only, like pandas' midnight Timestamps. */
+  private[sources] def serialToIso(serial: Double): String = {
+    val days = math.floor(serial).toLong
+    val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+    val secs = math.round((serial - days) * 86400.0)
+    if (secs == 0L) date.toString
+    else if (secs >= 86400L) date.plusDays(1).toString
+    else date.atStartOfDay.plusSeconds(secs)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+  }
 
   /** "BC23" → 0-based column index 54. */
   private[sources] def colIndex(ref: String, fallback: Int): Int = {
@@ -49,6 +87,27 @@ object ExcelIngest {
           (0 until ts.getLength).map(j => ts.item(j).getTextContent).mkString
         }.toIndexedSeq
       }.getOrElse(IndexedSeq.empty)
+      // style index → "is a date/time style", from xl/styles.xml cellXfs
+      // (cells reference styles by position via their s attribute)
+      val dateStyle: IndexedSeq[Boolean] = parse("xl/styles.xml").map { d =>
+        val custom = {
+          val nf = d.getElementsByTagName("numFmt")
+          (0 until nf.getLength).map { i =>
+            val e = nf.item(i).asInstanceOf[Element]
+            e.getAttribute("numFmtId").toInt -> e.getAttribute("formatCode")
+          }.toMap
+        }
+        val cellXfs = d.getElementsByTagName("cellXfs")
+        if (cellXfs.getLength == 0) IndexedSeq.empty
+        else {
+          val xfs = cellXfs.item(0).asInstanceOf[Element].getElementsByTagName("xf")
+          (0 until xfs.getLength).map { i =>
+            val idStr = xfs.item(i).asInstanceOf[Element].getAttribute("numFmtId")
+            val id = if (idStr.isEmpty) 0 else idStr.trim.toInt
+            BuiltinDateFmts(id) || custom.get(id).exists(isDateFormat)
+          }.toIndexedSeq
+        }
+      }.getOrElse(IndexedSeq.empty)
       val sheet = parse("xl/worksheets/sheet1.xml").getOrElse(
         throw new IllegalArgumentException(s"$path: no xl/worksheets/sheet1.xml — not an .xlsx?"))
       val rowNodes = sheet.getElementsByTagName("row")
@@ -71,7 +130,15 @@ object ExcelIngest {
               if (ts.getLength == 0) null
               else (0 until ts.getLength).map(j => ts.item(j).getTextContent).mkString
             case "b"         => tag("v").map(s => if (s.trim == "1") "true" else "false").orNull
-            case _           => tag("v").orNull // numbers and t="str" formula strings
+            case "" | "n" => // numeric: date-styled serials surface as ISO
+              tag("v").map { s =>
+                val styled = c.getAttribute("s") match {
+                  case "" => false
+                  case si => dateStyle.lift(si.trim.toInt).getOrElse(false)
+                }
+                if (styled) s.trim.toDoubleOption.map(serialToIso).getOrElse(s) else s
+              }.orNull
+            case _           => tag("v").orNull // t="str" formula strings etc.
           }
           if (v != null) m(idx) = v
         }

@@ -91,6 +91,43 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("B16 Excel date serials: date-styled numeric cells surface as ISO") {
+    val tmp = Files.createTempDirectory("graft-xlsx-dates")
+    val xlsx = tmp.resolve("dates.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(xlsx))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    // style 1 = builtin date (14), style 2 = custom datetime (164),
+    // style 3 = plain numeric "0.00" (NOT a date)
+    entry("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet>
+        |<numFmts count="2"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd hh:mm"/>
+        |<numFmt numFmtId="165" formatCode="0.00"/></numFmts>
+        |<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14"/>
+        |<xf numFmtId="164"/><xf numFmtId="165"/></cellXfs></styleSheet>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>d</t></is></c>
+        |  <c r="B1" t="inlineStr"><is><t>ts</t></is></c>
+        |  <c r="C1" t="inlineStr"><is><t>num</t></is></c>
+        |  <c r="D1" t="inlineStr"><is><t>raw</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>45000</v></c>
+        |  <c r="B2" s="2" t="n"><v>45000.5</v></c>
+        |  <c r="C2" s="3"><v>45000</v></c>
+        |  <c r="D2"><v>45000</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val rows = ExcelIngest.readRows(xlsx.toString)
+    assert(rows.head.toSeq == Seq("d", "ts", "num", "raw"))
+    assert(rows(1).toSeq == Seq(
+      "2023-03-15",          // builtin date style, whole serial → date-only
+      "2023-03-15 12:00:00", // custom datetime format code
+      "45000",               // numeric style: untouched
+      "45000"))              // unstyled: untouched
+  }
+
   test("B16 CSV ingestion renames API fields to DB fields and appends") {
     val tmp = Files.createTempDirectory("graft-csv")
     val csv = tmp.resolve("upload.csv")
