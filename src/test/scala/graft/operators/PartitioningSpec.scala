@@ -46,6 +46,40 @@ class PartitioningSpec extends AnyFunSuite with SparkSpec {
     assert(saltSpread == 4)
   }
 
+  test("salting bounds the hot-key straggler partition (skew receipt)") {
+    // companion to tools.SkewReceiptProbe (SCALE.md "skew receipt"):
+    // AQE off for a deterministic reducer histogram, broadcast off to
+    // force the shuffle-join regime the receipt is about
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevShuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // enough reducers that the 8 salt sub-keys don't re-collide into the
+    // suite's 4 default partitions
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val hot = 3000
+      val left = ((1 to hot).map(i => (-1L, i.toLong)) ++
+        (1 to 2000).map(i => (i.toLong, (10000 + i).toLong)))
+        .toDF("k", "row_id")
+      val right = left.select(col("k").as("rk")).distinct()
+      def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Long =
+        df.withColumn("pid", spark_partition_id()).groupBy("pid").count()
+          .agg(max("count")).first().getLong(0)
+      val plainMax = maxPartitionRows(left.join(right, col("k") === col("rk")))
+      val saltedMax = maxPartitionRows(
+        Partitioning.saltedJoin(left, right, "k", "rk", col("row_id"), 8))
+      assert(plainMax >= hot, "unsalted: every hot-key row lands in ONE reducer")
+      assert(saltedMax < hot / 2,
+        s"salted: hot key must spread across salt sub-keys (max $saltedMax)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
+    }
+  }
+
   test("range-clustered parquet files carry disjoint key ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft-range").toString + "/t"
     val df = (1L to 10000L).toDF("k").withColumn("v", col("k") * 2)
