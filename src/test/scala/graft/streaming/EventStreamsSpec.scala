@@ -200,6 +200,41 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupScreenStream matches batch incrementalNearDup on a file stream") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    // arrivals: the odd half (background) + edited re-crawls of corpus
+    // docs (guaranteed near-dup hits)
+    val arrivals = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(corpus.filter(col("doc_id") < 60)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(col("text"), lit(" minor trailing edit"))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-stream")
+    arrivals.repartition(3).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", "1") // several micro-batches
+      .parquet(dir.toString)
+    val q = EventStreams.nearDupScreenStream(
+      stream, corpus, col("doc_id"), col("text"), col("doc_id"), col("text"),
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_stream_out")
+        .select("batch_id", "corpus_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.operators.Dedup.incrementalNearDup(
+        arrivals, corpus, col("doc_id"), col("text"), col("doc_id"), col("text"),
+        numHashes = 64, bands = 16, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch.size >= 30, s"fixture must produce near-dup hits, got ${batch.size}")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running totals across micro-batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
