@@ -10,12 +10,13 @@ import scala.collection.mutable
   * a ZIP of XML, and the JDK ships both `java.util.zip` and
   * `javax.xml.parsers`. Supported surface = what an upload sheet
   * contains: one worksheet, a header row, shared / inline / formula
-  * strings, numbers, booleans, and dates-as-serials (numeric cells
-  * whose style resolves to a date/time number format surface as ISO
-  * strings, matching what the reference's `pd.read_excel` hands
-  * downstream). Not supported (loudly out of scope): multiple sheets,
-  * streaming XML for multi-GB workbooks — upload ingestion is a
-  * driver-side, bounded, single-small-file read in the reference too
+  * strings, numbers, booleans, dates-as-serials (numeric cells whose
+  * style resolves to a date/time number format surface as ISO strings,
+  * matching what the reference's `pd.read_excel` hands downstream),
+  * and sheet selection by name (default: first sheet in workbook
+  * order, pandas' `sheet_name=0`). Not supported (loudly out of
+  * scope): streaming XML for multi-GB workbooks — upload ingestion is
+  * a driver-side, bounded, single-small-file read in the reference too
   * (Flask + pandas on the web tier); the DISTRIBUTED ingest paths
   * remain CSV/JSON/parquet.
   */
@@ -66,9 +67,11 @@ object ExcelIngest {
     if (acc == 0) fallback else acc - 1
   }
 
-  /** Parse sheet1 of an .xlsx into rows of nullable strings (ragged rows
-    * padded with null to each row's own width; callers align widths). */
-  def readRows(path: String): Seq[Array[String]] = {
+  /** Parse one sheet of an .xlsx into rows of nullable strings (ragged
+    * rows padded with null to each row's own width; callers align
+    * widths). `sheet = None` reads the FIRST sheet in workbook order
+    * (pandas' default); `Some(name)` selects by tab name. */
+  def readRows(path: String, sheet: Option[String] = None): Seq[Array[String]] = {
     val zf = new java.util.zip.ZipFile(path)
     try {
       def parse(name: String): Option[org.w3c.dom.Document] =
@@ -108,9 +111,40 @@ object ExcelIngest {
           }.toIndexedSeq
         }
       }.getOrElse(IndexedSeq.empty)
-      val sheet = parse("xl/worksheets/sheet1.xml").getOrElse(
-        throw new IllegalArgumentException(s"$path: no xl/worksheets/sheet1.xml — not an .xlsx?"))
-      val rowNodes = sheet.getElementsByTagName("row")
+      // resolve the sheet via xl/workbook.xml (tab order + names) and the
+      // workbook rels (r:id → worksheets/sheetN.xml); fall back to the
+      // conventional sheet1.xml only for workbooks without a manifest
+      val sheetPath: String = parse("xl/workbook.xml").flatMap { wb =>
+        val rels: Map[String, String] = parse("xl/_rels/workbook.xml.rels").map { d =>
+          val rs = d.getElementsByTagName("Relationship")
+          (0 until rs.getLength).map { i =>
+            val e = rs.item(i).asInstanceOf[Element]
+            e.getAttribute("Id") -> e.getAttribute("Target")
+          }.toMap
+        }.getOrElse(Map.empty)
+        val ss = wb.getElementsByTagName("sheet")
+        val entries = (0 until ss.getLength).map { i =>
+          val e = ss.item(i).asInstanceOf[Element]
+          e.getAttribute("name") -> e.getAttribute("r:id")
+        }
+        val chosen = sheet match {
+          case Some(n) => Some(entries.find(_._1 == n).getOrElse(
+            throw new IllegalArgumentException(
+              s"$path: no sheet named '$n' — workbook has " +
+                entries.map(_._1).mkString("[", ", ", "]"))))
+          case None => entries.headOption
+        }
+        chosen.flatMap { case (_, rid) => rels.get(rid) }
+          .map(t => if (t.startsWith("/")) t.drop(1)
+            else if (t.startsWith("xl/")) t else "xl/" + t)
+      }.getOrElse {
+        sheet.foreach(n => throw new IllegalArgumentException(
+          s"$path: sheet '$n' requested but the workbook has no xl/workbook.xml manifest"))
+        "xl/worksheets/sheet1.xml"
+      }
+      val sheetDoc = parse(sheetPath).getOrElse(
+        throw new IllegalArgumentException(s"$path: no $sheetPath — not an .xlsx?"))
+      val rowNodes = sheetDoc.getElementsByTagName("row")
       (0 until rowNodes.getLength).map { r =>
         val cells = rowNodes.item(r).asInstanceOf[Element].getElementsByTagName("c")
         val m = mutable.Map[Int, String]()

@@ -128,6 +128,44 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
       "45000"))              // unstyled: untouched
   }
 
+  test("B16 Excel multi-sheet: workbook order default, by-name selection") {
+    val tmp = Files.createTempDirectory("graft-xlsx-sheets")
+    val xlsx = tmp.resolve("sheets.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(xlsx))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    // tab order (summary first) deliberately disagrees with file
+    // numbering (summary lives in sheet2.xml) — the manifest must win
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets>
+        |<sheet name="summary" sheetId="5" r:id="rId2"/>
+        |<sheet name="data" sheetId="1" r:id="rId1"/>
+        |</sheets></workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships>
+        |<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>from_data</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    entry("xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>from_summary</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    assert(ExcelIngest.readRows(xlsx.toString).head.toSeq == Seq("from_summary"))
+    assert(ExcelIngest.readRows(xlsx.toString, Some("data")).head.toSeq ==
+      Seq("from_data"))
+    val err = intercept[IllegalArgumentException] {
+      ExcelIngest.readRows(xlsx.toString, Some("nope"))
+    }
+    assert(err.getMessage.contains("summary") && err.getMessage.contains("data"))
+  }
+
   test("B16 CSV ingestion renames API fields to DB fields and appends") {
     val tmp = Files.createTempDirectory("graft-csv")
     val csv = tmp.resolve("upload.csv")
