@@ -205,7 +205,7 @@ object Dedup {
       seed: Long = 42L,
       bucketCap: Int = 1000,
       topK: Option[Int] = None,
-      estimateMargin: Double = 0.15): DataFrame = {
+      estimateMargin: Double = Double.PositiveInfinity): DataFrame = {
     val rowsPerBand = numHashes / bands
     val named = df.select(id.as("id"), text.as("txt"))
     // The signature comes from the custom MinHashSig expression (one JVM
@@ -231,10 +231,15 @@ object Dedup {
         Seq("band", "bhash"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // estimate-then-verify: recall-oriented banding is background-heavy,
-    // so the cheap signature-agreement estimate culls candidates BEFORE
-    // text rehydration (same prefilter as incrementalNearDup; culls are
-    // observe()-reported, estimateMargin >= threshold disables)
+    // estimate-then-verify, OPT-IN here (finite estimateMargin): the
+    // prefilter pays two extra signature passes + joins, which wins only
+    // when the candidate set is background-heavy. Measured at sf0.1
+    // (r7): the incremental batch×corpus path went 3.6 s → 1.8 s (its
+    // recall banding floods candidates with background), but THIS
+    // self-join path at calibrated banding is background-light and the
+    // same default-on prefilter REGRESSED it 2.1 s → 2.8 s — so the
+    // default stays off and skew-prone corpora opt in. Culls are
+    // observe()-reported either way (see prefilterMetricPrefix).
     val estFloor = threshold - estimateMargin
     def sigs(idName: String) = named.select(col("id").as(idName),
       graft.functions.expressions.GraftFunctions
