@@ -584,8 +584,31 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
-    // ── Audio/video stub pipeline — ORACLED as a REPLAY: those codecs
-    //    aren't in the JDK, so non-image kinds go through a
+    // ── REAL audio decode, ORACLED end to end: deterministic formula
+    //    samples → JDK WAV encode → parquet → bytes → JDK AudioSystem
+    //    decode → format facts + exact integer sample stats. WAV PCM is
+    //    lossless, so the DuckDB oracle replays the SAMPLE FORMULA for
+    //    n_frames/peak/sumsq and reads n_bytes with octet_length from
+    //    the SAME parquet the engine scanned (header included — a
+    //    container-level cross-check); rms is sqrt of the same exact
+    //    integers on both sides (IEEE sqrt is correctly rounded).
+    "ext_multimodal_audio" -> ((s, dir) => {
+      val fixture = s"$fixtureRoot/media_audio"
+      graft.multimodal.Multimodal.syntheticWavs(s, 120)
+        .select(col("media_id"), col("kind"), col("payload"))
+        .write.mode("overwrite").parquet(fixture)
+      graft.multimodal.Multimodal.audioStats(s.read.parquet(fixture))
+        .toDF()
+        .select(col("media_id"), col("n_bytes"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"), col("peak_abs"), col("sumsq"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy("media_id")
+    }),
+
+    // ── Compressed-audio/video stub pipeline — ORACLED as a REPLAY:
+    //    those codecs aren't in the JDK, so such payloads go through a
     //    deterministic stub (the scaladoc says so loudly); stub +
     //    synthetic payloads are pure integer arithmetic, so DuckDB
     //    replays the whole mapPartitions path — payload reconstruction,
@@ -593,10 +616,11 @@ object ExtQueries {
     //    normalization — and hash-checks the emitted per-media
     //    features. What the green row certifies is the PLUMBING
     //    (schema, batch shape, null handling, ordering) end to end,
-    //    with the stub as a replayable stand-in. (Image payloads in
-    //    syntheticMedia are random bytes, not a real codec stream, so
-    //    ImageIO recognizes none of them and every row takes the stub
-    //    branch — which is exactly what this row is meant to pin.)
+    //    with the stub as a replayable stand-in. (Payloads in
+    //    syntheticMedia are random bytes, not real codec streams, so
+    //    neither ImageIO nor AudioSystem recognizes any of them and
+    //    every row takes the stub branch — which is exactly what this
+    //    row is meant to pin.)
     "ext_multimodal_stub_replay" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.syntheticMedia(s, 120)
       graft.multimodal.Multimodal.extractFeatures(media, dim = 16)
@@ -613,8 +637,7 @@ object ExtQueries {
     //    parquet, then the decode-INDEPENDENT stats (n, total payload
     //    bytes per kind) aggregate from the written files. The oracle
     //    reads the same parquet and computes octet_length in DuckDB —
-    //    two engines measuring the same blobs. (Decode itself stays a
-    //    stub → ext_multimodal_features remains rows-only.)
+    //    two engines measuring the same blobs.
     "ext_multimodal_meta" -> ((s, dir) => {
       val fixture = s"$fixtureRoot/media_meta"
       graft.multimodal.Multimodal.syntheticMedia(s, 120)
@@ -1741,6 +1764,36 @@ object ExtQueries {
          |  CAST(SUM(g) AS DOUBLE) / CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_g,
          |  CAST(SUM(b) AS DOUBLE) / CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_b
          |FROM px GROUP BY media_id, n_bytes ORDER BY media_id""".stripMargin,
+
+    // REAL-audio-decode oracle: n_frames/peak/sumsq replay the
+    // deterministic sample formula (exact integers on both sides — every
+    // aggregate is CAST to BIGINT because DuckDB's SUM/COUNT over
+    // integers returns HUGEINT, the r5 hash trap); n_bytes reads
+    // octet_length from the very parquet the engine decoded, so a wrong
+    // byte anywhere (WAV header math, endianness, sample parse) reds the
+    // row. rms = sqrt of the same exact integer ratio on both sides.
+    "ext_multimodal_audio" ->
+      s"""WITH m AS (
+         |  SELECT CAST(media_id AS BIGINT) AS media_id,
+         |         CAST(octet_length(payload) AS BIGINT) AS n_bytes
+         |  FROM read_parquet('$fixtureRoot/media_audio/*.parquet')),
+         |s AS (
+         |  SELECT m.media_id,
+         |         ((t.t * 31 + m.media_id * 97) * 509) % 65536 - 32768 AS smp
+         |  FROM m JOIN range(0, 1440) t(t) ON t.t < 800 + (m.media_id % 5) * 160),
+         |agg AS (
+         |  SELECT media_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |         CAST(MAX(abs(smp)) AS BIGINT) AS peak_abs,
+         |         CAST(SUM(smp * smp) AS BIGINT) AS sumsq
+         |  FROM s GROUP BY media_id)
+         |SELECT m.media_id, m.n_bytes,
+         |  CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(1 AS BIGINT) AS channels,
+         |  a.n_frames, a.peak_abs, a.sumsq,
+         |  round(sqrt(CAST(a.sumsq AS DOUBLE) / CAST(a.n_frames AS DOUBLE)), 6) AS rms
+         |FROM m JOIN agg a USING (media_id)
+         |ORDER BY media_id""".stripMargin,
 
     // Full replay of the (deterministic-stub) audio/video pipeline:
     // payload byte b of media i is (b*(i+7)) % 127; the stub runs

@@ -18,10 +18,15 @@ import org.apache.spark.sql.types._
   * (`javax.imageio.ImageIO`), so no external dependency is needed — the
   * same zero-dependency argument as `sources.ExcelIngest`. `imageStats`
   * and the image branch of `extractFeatures` run an actual
-  * bytes→pixels decode. Audio/video codecs are NOT in the JDK, so those
-  * kinds still go through `fakeDecode`, a clearly-marked DETERMINISTIC
-  * STUB with the same signature and cost shape (reads every byte once);
-  * swap it for a codec call to productionize those two kinds.
+  * bytes→pixels decode. AUDIO also decodes for REAL: the JDK ships
+  * WAV/AIFF/AU container parsing and PCM decoding
+  * (`javax.sound.sampled.AudioSystem`) — `audioStats` and the audio
+  * branch of `extractFeatures` run an actual bytes→samples decode for
+  * 16-bit PCM payloads (the dominant raw-audio interchange format).
+  * Compressed audio (mp3/aac) and video codecs are NOT in the JDK, so
+  * those payloads still go through `fakeDecode`, a clearly-marked
+  * DETERMINISTIC STUB with the same signature and cost shape (reads
+  * every byte once); swap it for a codec call to productionize them.
   */
 object Multimodal {
 
@@ -92,6 +97,62 @@ object Multimodal {
     out
   }
 
+  final case class AudioStats(
+      media_id: Long, n_bytes: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, peak_abs: Long, sumsq: Long, rms: Double)
+
+  /** Decode one audio payload with the JDK's AudioSystem. Returns the
+    * parsed format plus the interleaved 16-bit samples for PCM_SIGNED
+    * 16-bit streams (both endiannesses); None when no registered reader
+    * recognizes the container or the encoding isn't 16-bit PCM — callers
+    * treat that as "not decodable audio", never as an error, same
+    * contract as [[decodeImage]]. */
+  private[multimodal] def decodeAudio(
+      payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Short])] =
+    if (payload == null || payload.length == 0) None
+    else scala.util.Try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Short](n)
+          var i = 0
+          if (fmt.isBigEndian)
+            while (i < n) {
+              out(i) = (((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+              i += 1
+            }
+          else
+            while (i < n) {
+              out(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+              i += 1
+            }
+          Some((fmt, out))
+        }
+      } finally in.close()
+    }.toOption.flatten
+
+  /** REAL decode features for 16-bit PCM audio: a dim-bin amplitude
+    * histogram (integer arithmetic — exactly replayable) normalized by
+    * sample count. */
+  private[multimodal] def audioHistogram(samples: Array[Short], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < samples.length) {
+      out(((samples(i).toInt + 32768) * dim) / 65536) += 1.0f
+      i += 1
+    }
+    val n = math.max(1, samples.length)
+    var j = 0
+    while (j < dim) { out(j) /= n; j += 1 }
+    out
+  }
+
   /** STUB decode: deterministic features derived from the payload bytes.
     * Stands in for audio/video-decode → embed (no such codecs in the
     * JDK); same signature and cost shape (reads every byte once), so the
@@ -113,9 +174,11 @@ object Multimodal {
 
   /** Feature extraction over the binary column: per-partition batches so
     * codec/model init amortizes. Image rows that ImageIO can decode get
-    * REAL pixel-derived features (luminance histogram); image rows whose
-    * bytes aren't a recognized codec, and audio/video rows, fall through
-    * to the deterministic stub. Returns a typed Dataset. */
+    * REAL pixel-derived features (luminance histogram); audio rows that
+    * AudioSystem can decode to 16-bit PCM get REAL sample-derived
+    * features (amplitude histogram); unrecognized payloads and video
+    * rows fall through to the deterministic stub. Returns a typed
+    * Dataset. */
   def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -124,13 +187,49 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false) // decode in-memory, no temp-file cache
         rows.map { case (id, kind, payload) =>
           val bytes = if (payload == null) Array.empty[Byte] else payload
-          val feats =
-            if (kind == "image") decodeImage(bytes) match {
+          val feats = kind match {
+            case "image" => decodeImage(bytes) match {
               case Some(img) => imageHistogram(img, dim)
               case None => fakeDecode(bytes, dim)
             }
-            else fakeDecode(bytes, dim)
+            case "audio" => decodeAudio(bytes) match {
+              case Some((_, samples)) => audioHistogram(samples, dim)
+              case None => fakeDecode(bytes, dim)
+            }
+            case _ => fakeDecode(bytes, dim)
+          }
           MediaFeature(id, kind, bytes.length.toLong, feats)
+        }
+      }
+  }
+
+  /** REAL audio decode: bytes → samples via JDK AudioSystem, per
+    * partition so reader lookup amortizes. Emits format facts plus exact
+    * integer sample statistics (peak, sum of squares — both exact in
+    * Long for any realistic clip) and the IEEE rms; rows whose payload
+    * isn't decodable 16-bit PCM are dropped (pair with a count upstream
+    * when the drop rate matters). */
+  def audioStats(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeAudio(payload).map { case (fmt, samples) =>
+            var peak = 0L; var sumsq = 0L
+            var i = 0
+            while (i < samples.length) {
+              val s = samples(i).toLong
+              if (math.abs(s) > peak) peak = math.abs(s)
+              sumsq += s * s
+              i += 1
+            }
+            val nFrames = samples.length.toLong / math.max(1, fmt.getChannels)
+            AudioStats(id, payload.length.toLong, fmt.getSampleRate.toInt,
+              fmt.getChannels, nFrames, peak, sumsq,
+              math.sqrt(sumsq.toDouble / math.max(1, samples.length)))
+          }
         }
       }
   }
@@ -211,6 +310,35 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       Row(i.toLong, "image", Row(w, h, null, "png"), bos.toByteArray)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), mediaSchema)
+  }
+
+  /** Deterministic REAL-WAV fixture: clip i is mono 16-bit PCM at
+    * 8 kHz with 800 + (i%5)·160 samples, sample(i, t) =
+    * ((t·31 + i·97) · 509) mod 65536 − 32768 — pure integer arithmetic,
+    * and WAV PCM is lossless, so bytes→samples decode recovers the
+    * formula EXACTLY, which is what lets a SQL oracle replay the
+    * decoded statistics (same construction as [[syntheticImages]]). */
+  def syntheticWavs(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val nSamples = 800 + (i % 5) * 160
+      val data = new Array[Byte](nSamples * 2)
+      var t = 0
+      while (t < nSamples) {
+        val s = ((t * 31 + i * 97) * 509) % 65536 - 32768
+        data(2 * t) = (s & 0xff).toByte // little-endian
+        data(2 * t + 1) = ((s >> 8) & 0xff).toByte
+        t += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      Row(i.toLong, "audio", Row(null, null, nSamples * 1000 / 8000, "wav"),
+        bos.toByteArray)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), mediaSchema)
   }

@@ -104,6 +104,54 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("WAV encode -> AudioSystem decode recovers the generator formula exactly") {
+    val wavs = Multimodal.syntheticWavs(spark, 10)
+      .select("media_id", "payload").collect()
+    assert(wavs.length == 10)
+    wavs.foreach { r =>
+      val i = r.getLong(0).toInt
+      val decoded = Multimodal.decodeAudio(r.getAs[Array[Byte]](1))
+      assert(decoded.isDefined, s"clip $i did not decode")
+      val (fmt, samples) = decoded.get
+      assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1)
+      assert(samples.length == 800 + i % 5 * 160)
+      samples.zipWithIndex.foreach { case (s, t) =>
+        assert(s == ((t * 31 + i * 97) * 509) % 65536 - 32768, s"sample $t clip $i")
+      }
+    }
+  }
+
+  test("audioStats decodes real WAVs distributed and matches the formula") {
+    val stats = Multimodal.audioStats(Multimodal.syntheticWavs(spark, 15))
+      .collect().sortBy(_.media_id)
+    assert(stats.length == 15)
+    stats.foreach { s =>
+      val i = s.media_id.toInt
+      val smp = (0 until 800 + i % 5 * 160).map(t => ((t * 31 + i * 97) * 509) % 65536 - 32768)
+      assert(s.sample_rate == 8000 && s.channels == 1)
+      assert(s.n_frames == smp.length.toLong)
+      assert(s.peak_abs == smp.map(v => math.abs(v).toLong).max)
+      assert(s.sumsq == smp.map(v => v.toLong * v).sum)
+      assert(s.rms == math.sqrt(s.sumsq.toDouble / smp.length))
+    }
+  }
+
+  test("extractFeatures uses REAL amplitude histograms for decodable audio") {
+    val real = Multimodal.extractFeatures(Multimodal.syntheticWavs(spark, 6), dim = 16)
+      .collect().sortBy(_.media_id)
+    real.foreach { f =>
+      val i = f.media_id.toInt
+      val expected = new Array[Float](16)
+      val n = 800 + i % 5 * 160
+      (0 until n).foreach { t =>
+        val s = ((t * 31 + i * 97) * 509) % 65536 - 32768
+        expected((s + 32768) * 16 / 65536) += 1.0f
+      }
+      (0 until 16).foreach(j => expected(j) /= n)
+      assert(f.features.toSeq == expected.toSeq, s"histogram mismatch for clip $i")
+    }
+  }
+
   test("round trip through parquet preserves binary payloads") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString + "/t"
     media.write.parquet(dir)
