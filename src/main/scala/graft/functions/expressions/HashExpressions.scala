@@ -383,6 +383,46 @@ case class HyperplaneBands(child: Expression, planes: Array[Array[Double]], band
     copy(child = c)
 }
 
+/** Sign bits of a vector under up to 64 hyperplanes, packed into ONE
+  * long (bit p set ⇔ dot(v, planes(p)) >= 0). The compact signature for
+  * estimate-then-verify over embedding candidates: agreement fraction =
+  * (nPlanes − bit_count(xor(a, b))) / nPlanes estimates the angle, so a
+  * cheap (id, long) join can cull background pairs before vectors are
+  * rehydrated for the exact cosine. Same dot-fold as [[HyperplaneBands]]. */
+case class HyperplaneSigns(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(planes.length <= 64, "HyperplaneSigns packs into one long")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val isDouble =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      val m = math.min(n, plane.length)
+      while (i < m) {
+        val xi = if (isDouble) v.getDouble(i) else v.getFloat(i).toDouble
+        dot += xi * plane(i); i += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSigns =
+    copy(child = c)
+}
+
 /** Word n-grams of a single-space-tokenized text column: the map-side
   * primitive behind decontamination and repetition analysis. Emits the
   * array of all `n`-token windows joined by ' ' (empty array when the
@@ -547,6 +587,9 @@ object GraftFunctions {
 
   def hyperplane_bands(vec: Column, planes: Array[Array[Double]], bands: Int): Column =
     column(HyperplaneBands(expression(vec), planes, bands))
+
+  def hyperplane_signs(vec: Column, planes: Array[Array[Double]]): Column =
+    column(HyperplaneSigns(expression(vec), planes))
 
   def zorder2(a: Column, b: Column, bits: Int = 21): Column =
     column(ZOrder2(expression(a), expression(b), bits))

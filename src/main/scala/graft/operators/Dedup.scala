@@ -632,7 +632,27 @@ object Dedup {
     * carries only (bucket, id) — vectors are rehydrated by id at the
     * verify stage — and buckets wider than `bucketCap` (an embedding
     * cluster of boilerplate/duplicated content) are dropped via a
-    * broadcast anti-join rather than exploding quadratically. */
+    * broadcast anti-join rather than exploding quadratically.
+    *
+    * Estimate-then-verify, OPT-IN (`estimatePlanes > 0`): each id gets
+    * ONE packed 64-bit hyperplane-sign signature (HyperplaneSigns,
+    * seed+1 so the estimate is independent of the banding planes), and
+    * candidates whose sign-agreement estimate of the angle falls a
+    * conservative 2.5σ below `threshold` are culled BEFORE vectors are
+    * rehydrated — an (id, long) join instead of an (id, 64-float) join
+    * for the background. The final gate is still the exact cosine.
+    * MEASURED default-off: despite a background-heavy candidate set
+    * (~486 k candidates / 50 true pairs at sf0.1) the prefilter is
+    * wall-clock NEUTRAL locally (2.43 vs 2.38 s — CosineSim is codegen'd
+    * and the vector rehydrate join is not the bottleneck) and SLOWER on
+    * the 10× replica (3.8 vs 3.0 s — there the bucket cap empties the
+    * candidate set, so the two signature passes buy nothing). Opt in
+    * when the verify join's shuffle VOLUME is the binding constraint
+    * (256 B of vector vs 8 B of signature per candidate — a cluster
+    * regime this box can't exhibit). Recall caveat (same class as the
+    * MinHash prefilter): a true pair AT the exact threshold carries a
+    * ~0.6 % estimate-miss risk, vanishing above it; culls are
+    * observe()-reported (see [[prefilterMetricPrefix]]). */
   def embeddingNearDupPairs(
       df: DataFrame, // (id, vec)
       id: Column,
@@ -643,7 +663,8 @@ object Dedup {
       bands: Int = 4,
       seed: Long = 42L,
       bucketCap: Int = 1000,
-      topK: Option[Int] = None): DataFrame = {
+      topK: Option[Int] = None,
+      estimatePlanes: Int = 0): DataFrame = {
     val planes = Similarity.hyperplanes(dim, nPlanes, seed)
     val named = df.select(id.as("id"), vec.as("v"))
     val bucketed = named
@@ -656,8 +677,37 @@ object Dedup {
       .join(pruned.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val prefiltered =
+      if (estimatePlanes <= 0) pairs
+      else {
+        val estPlanes = Similarity.hyperplanes(dim, estimatePlanes, seed + 1)
+        // expected sign agreement at the threshold angle, minus 2.5σ of
+        // the estimator (sd bounded by √(0.25/planes))
+        val expectAgree = 1.0 -
+          math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+        val floor = expectAgree - 2.5 * math.sqrt(0.25 / estimatePlanes)
+        def sigs(idName: String, sigName: String) = named.select(
+          col("id").as(idName),
+          graft.functions.expressions.GraftFunctions
+            .hyperplane_signs(col("v"), estPlanes).as(sigName))
+        pairs
+          .join(sigs("id_a", "sig_l"), Seq("id_a"))
+          .join(sigs("id_b", "sig_r"), Seq("id_b"))
+          .withColumn("est_ok",
+            (lit(estimatePlanes) - bit_count(col("sig_l").bitwiseXOR(col("sig_r"))))
+              .cast("double") / estimatePlanes >= floor)
+          // same no-silent-culls discipline as sigAgreementPrefilter:
+          // metric upstream of the cull filter, on a join output
+          .observe(s"$prefilterMetricPrefix" +
+            s"embedding_${skewGuardSeq.incrementAndGet()}",
+            coalesce(sum(when(col("est_ok"), 0L).otherwise(1L)), lit(0L))
+              .as("culled_candidates"),
+            count(lit(1)).as("candidates"))
+          .filter(col("est_ok"))
+          .select("id_a", "id_b")
+      }
     // verify stage: rehydrate vectors by id, exact cosine once per pair
-    val verified = pairs
+    val verified = prefiltered
       .join(named.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(named.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("sim", round(Similarity.cosine(col("v_a"), col("v_b")), 6))

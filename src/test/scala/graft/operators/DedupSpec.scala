@@ -88,6 +88,31 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("embedding prefilter (opt-in) leaves the answer unchanged, culls observably") {
+    // near-orthogonal noise pairs band-collide at this loose banding,
+    // so the opt-in sign-signature estimate has background to cull
+    val rnd = new scala.util.Random(7)
+    val vecs = (Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.001f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f))) ++
+      (10L to 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    def run(est: Int) = Dedup.embeddingNearDupPairs(
+      vecs, col("vec_id"), col("embedding"), threshold = 0.95, dim = 8,
+      nPlanes = 8, bands = 8, estimatePlanes = est)
+    val q = run(64)
+    val got = q.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == Set((1L, 2L)))
+    val off = run(0).collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(off == got) // identical answer with and without the estimate
+    val m = q.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith(Dedup.prefilterMetricPrefix) => row
+    }
+    assert(m.nonEmpty, "the embedding prefilter must emit an observe() metric")
+    assert(m.head.getAs[Long]("culled_candidates") > 0L,
+      "background candidates must be reported as culled")
+  }
+
   test("skew guard: a degenerate boilerplate cluster stays linear (simhash)") {
     // 200 identical boilerplate docs — without the bucket cap this is
     // 200*199/2 = 19900 quadratic pairs inside one (chunk, cval) bucket.
