@@ -524,16 +524,21 @@ object SparkEntry {
     //    the downstream aggregate, which then partial-aggregates). The
     //    DuckDB twin is the equivalent UNION ALL spelling.
     "f2_unpivot" -> ((s, dir) => {
+      // aggregate BELOW the reshape: melting 600 k rows into 2.4 M
+      // (metric, value) rows just to re-aggregate them is backwards at
+      // any scale — one pass computes all per-column aggregates, and
+      // unpivot reshapes the single result row (r7 measured: 1.7 →
+      // 1.3 s; the exact decimal sums dominate, the row expansion was
+      // the rest). count(col) preserves unpivot's drop-nulls semantics
+      // per metric.
+      def m(c: String) = struct(count(col(c)).as("n"), xsum(col(c)).as("total"))
       t(s, dir, "lineitem")
-        .select(
-          col("l_quantity").as("quantity"),
-          col("l_extendedprice").as("extendedprice"),
-          col("l_discount").as("discount"),
-          col("l_tax").as("tax"))
-        .unpivot(Array.empty[Column], "metric", "value")
-        .groupBy("metric")
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+        .agg(m("l_quantity").as("quantity"),
+          m("l_extendedprice").as("extendedprice"),
+          m("l_discount").as("discount"),
+          m("l_tax").as("tax"))
+        .unpivot(Array.empty[Column], "metric", "v")
+        .select(col("metric"), col("v.n").as("n"), col("v.total").as("total"))
         .orderBy("metric")
     }),
 
