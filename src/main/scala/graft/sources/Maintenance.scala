@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** [EXT] Table maintenance: small-file compaction. A 100 TB lakehouse
+  * accretes small files from every incremental append, streaming
+  * micro-batch, and over-partitioned write; scan throughput then dies on
+  * per-file open/footer costs and scheduler overhead (one task per tiny
+  * file). Compaction rewrites a parquet directory into
+  * ceil(totalBytes / targetFileBytes) files and swaps it in place.
+  *
+  * Shape: `coalesce` (NO shuffle — existing files are merged by read
+  * tasks) unless `sortBy` is given, in which case the rewrite goes
+  * through `repartitionByRange` + `sortWithinPartitions` so the
+  * compacted files also carry disjoint min/max ranges on the sort key
+  * (restoring pruning that incremental appends destroyed — see
+  * Partitioning.writeRangeClustered).
+  *
+  * The swap is crash-safe at the directory level: data is fully written
+  * to a staging dir first, the live dir is moved aside, staging renamed
+  * in, then the old data deleted — a reader sees the old files or the
+  * new ones, never a half-written mix. (On object stores a real
+  * deployment would use a table format's atomic commit instead; the
+  * HDFS-rename protocol here is the classic baseline.)
+  */
+object Maintenance {
+
+  final case class CompactionReport(
+      filesBefore: Long, filesAfter: Long, bytes: Long, rows: Long)
+
+  def compactParquet(
+      spark: SparkSession,
+      dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortBy: Option[String] = None): CompactionReport = {
+    require(targetFileBytes > 0)
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(path).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+
+    val staging = new Path(path.getParent, s".${path.getName}__compact_staging")
+    val retired = new Path(path.getParent, s".${path.getName}__compact_retired")
+    fs.delete(staging, true); fs.delete(retired, true)
+
+    val df = spark.read.parquet(dir)
+    val rows = df.count() // invariant receipt, and warms the file index
+    val out = sortBy match {
+      case Some(k) => df.repartitionByRange(nOut, org.apache.spark.sql.functions.col(k))
+        .sortWithinPartitions(k)
+      case None => df.coalesce(nOut)
+    }
+    out.write.mode("overwrite").parquet(staging.toString)
+
+    // dir-level atomic swap: old aside, staging in, old deleted
+    if (!fs.rename(path, retired))
+      throw new java.io.IOException(s"compact: could not retire $path")
+    if (!fs.rename(staging, path)) {
+      fs.rename(retired, path) // roll back
+      throw new java.io.IOException(s"compact: could not install $staging")
+    }
+    fs.delete(retired, true)
+
+    val after = spark.read.parquet(dir)
+    val rowsAfter = after.count()
+    require(rowsAfter == rows,
+      s"compact: row count changed ($rows -> $rowsAfter) — retired data kept? bug")
+    val filesAfter = fs.listStatus(path).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    CompactionReport(dataFiles.length.toLong, filesAfter.toLong, totalBytes, rows)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class MaintenanceSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def fileNames(dir: String): Set[String] =
+    new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      .toSet
+
+  test("compaction merges small files, preserves rows and content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1L to 5000L).toDF("k").withColumn("v", col("k") * 3)
+    df.repartition(40).write.parquet(dir)
+    assert(fileNames(dir).size == 40)
+    val before = spark.read.parquet(dir).orderBy("k").collect().toSeq
+
+    val report = Maintenance.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    assert(report.filesBefore == 40L && report.filesAfter == 1L)
+    assert(report.rows == 5000L)
+    assert(fileNames(dir).size == 1)
+    assert(spark.read.parquet(dir).orderBy("k").collect().toSeq == before)
+    // no staging/retired residue
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("__compact")))
+  }
+
+  test("compaction with sortBy restores disjoint per-file key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-sort").toString + "/t"
+    // shuffled appends: every file carries the full key range (no pruning)
+    (1L to 8000L).toDF("k").withColumn("grp", pmod(col("k"), lit(4)))
+      .repartition(16, col("grp")).write.parquet(dir)
+
+    Maintenance.compactParquet(spark, dir, targetFileBytes = 20_000L, sortBy = Some("k"))
+    val stats = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("k"))
+      .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+      .orderBy("lo").collect()
+    assert(stats.length > 1, "target size should yield multiple files")
+    stats.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"),
+        "compacted files must carry disjoint key ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == 8000L)
+  }
+}
