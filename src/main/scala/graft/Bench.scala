@@ -10,10 +10,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Determinism on a shared box (VERDICT r5: run-to-run spread was the
   * noisiest part of the evidence): each query runs `SPARK_GRAFT_REPEATS`
-  * times (default 3) and the headline `queries`/`value` numbers are the
-  * per-query MIN — the run least polluted by neighbors — with medians in
-  * `queries_median` and 1/5/15-min load averages stamped before and
-  * after, so the JSON is self-describing about how noisy the box was. */
+  * times (default 5 — raised from 3 in r7 after whole-RUN totals of
+  * otherwise-identical exclusive runs spread 60.5→78.7 s with the
+  * inflation concentrated in CPU-heavy queries; the in-VM load average
+  * never saw the neighbor) and the headline `queries`/`value` numbers
+  * are the per-query MIN — the repeat least polluted by neighbors —
+  * with medians in `queries_median` and 1/5/15-min load averages
+  * stamped before and after, so the JSON is self-describing about how
+  * noisy the box was. */
 object Bench {
   private def loadAvg(): Seq[Double] = {
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -28,7 +32,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt)
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "5").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -353,6 +353,119 @@ object Dedup {
       .orderBy("batch_id", "corpus_id")
   }
 
+  /** Build the PERSISTED MinHash-LSH corpus index that incremental
+    * screening probes between drops — the artifact that turns "screen
+    * today's crawl against a 100 TB corpus" from a corpus-wide signature
+    * pass per drop into a one-time build plus equi-joins:
+    *
+    *   `indexDir/bands` — (band, bhash, corpus_id): the candidate-probe
+    *                      table, hot buckets already capped (build time
+    *                      is the right place to audit the drop — it is
+    *                      a plain batch query with observable metrics);
+    *   `indexDir/sigs`  — (corpus_id, sig): for the estimate prefilter;
+    *   `indexDir/meta`  — one row of the banding parameters, so a
+    *                      screening run CANNOT apply mismatched
+    *                      parameters (it reads them from here).
+    *
+    * Append-only corpora rebuild incrementally by unioning a new drop's
+    * bands/sigs (the same two selects over only the new rows). */
+  def buildMinhashIndex(
+      corpus: DataFrame, // (id, text)
+      corpusId: Column, corpusText: Column,
+      indexDir: String,
+      shingleN: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      seed: Long = 42L,
+      bucketCap: Int = 1000): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    val sigs = corpus.select(corpusId.as("corpus_id"),
+      graft.functions.expressions.GraftFunctions
+        .minhash_sig(corpusText, shingleN, numHashes, seed).as("sig"))
+    sigs.write.mode("overwrite").parquet(s"$indexDir/sigs")
+    // bands derive from the WRITTEN sigs — one signature pass total
+    val banded = spark.read.parquet(s"$indexDir/sigs").select(
+      col("corpus_id"),
+      explode(TextFunctions.bound(col("sig")) { sig =>
+        array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bhash"))
+        }: _*)
+      }).as("bb"))
+      .select(col("corpus_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    capBuckets(banded, Seq("band", "bhash"), bucketCap, "index_build")
+      .write.mode("overwrite").parquet(s"$indexDir/bands")
+    Seq((shingleN, numHashes, bands, seed, bucketCap))
+      .toDF("shingle_n", "num_hashes", "bands", "seed", "bucket_cap")
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** Incremental near-dup screening against a PERSISTED index (built by
+    * [[buildMinhashIndex]]): identical output to [[incrementalNearDup]]
+    * at the index's parameters, but the per-drop work is
+    *
+    *  - one signature pass over the BATCH only (the corpus side comes
+    *    from `indexDir/sigs` — at 100 TB this is the whole point),
+    *  - band equi-joins against `indexDir/bands`,
+    *  - text rehydration from `corpus` ONLY for prefilter survivors.
+    *
+    * Banding parameters are READ FROM THE INDEX meta — a caller cannot
+    * screen with parameters the index wasn't built with. */
+  def incrementalNearDupIndexed(
+      batch: DataFrame, // (id, text)
+      corpus: DataFrame, // (id, text) — verify-stage text source
+      batchId: Column, batchText: Column,
+      corpusId: Column, corpusText: Column,
+      indexDir: String,
+      threshold: Double = 0.5,
+      estimateMargin: Double = 0.15): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$indexDir/meta").collect().head
+    val shingleN = meta.getAs[Int]("shingle_n")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val seed = meta.getAs[Long]("seed")
+    val rowsPerBand = numHashes / bands
+    val indexBands = spark.read.parquet(s"$indexDir/bands")
+    val corpusSigs = spark.read.parquet(s"$indexDir/sigs")
+      .withColumnRenamed("sig", "sig_r")
+    val batchBands = batch
+      .select(batchId.as("batch_id"), batchText.as("txt"))
+      .select(col("batch_id"),
+        explode(TextFunctions.bound(
+          graft.functions.expressions.GraftFunctions
+            .minhash_sig(col("txt"), shingleN, numHashes, seed)) { sig =>
+          array((0 until bands).map { b =>
+            struct(lit(b).as("band"),
+              xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bhash"))
+          }: _*)
+        }).as("bb"))
+      .select(col("batch_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    val candidates = batchBands
+      .join(indexBands, Seq("band", "bhash"))
+      .select("batch_id", "corpus_id")
+      .dropDuplicates("batch_id", "corpus_id")
+    val estFloor = threshold - estimateMargin
+    val prefiltered =
+      if (estFloor <= 0.0) candidates
+      else sigAgreementPrefilter(candidates,
+        batch.select(batchId.as("batch_id"),
+          graft.functions.expressions.GraftFunctions
+            .minhash_sig(batchText, shingleN, numHashes, seed).as("sig_l")),
+        corpusSigs, "batch_id", "corpus_id", numHashes, estFloor, "incr_indexed")
+    prefiltered
+      .join(batch.select(batchId.as("batch_id"), batchText.as("txt_b")), Seq("batch_id"))
+      .join(corpus.select(corpusId.as("corpus_id"), corpusText.as("txt_c")), Seq("corpus_id"))
+      .withColumn("jaccard",
+        round(graft.functions.expressions.GraftFunctions
+          .ngram_jaccard(col("txt_b"), col("txt_c"), shingleN), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      .orderBy("batch_id", "corpus_id")
+  }
+
   // ────────────────────────────── SimHash ────────────────────────────────
 
   /** 64-bit SimHash of a token array: per-bit majority vote of token

@@ -344,6 +344,38 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("persisted index screening matches direct incrementalNearDup exactly") {
+    val body = "the quick brown fox jumps over the lazy dog and then naps " * 4
+    val corpus = Seq(
+      (1L, body),
+      (2L, "an entirely different corpus document about spark plans etc " * 4),
+      (3L, "a third corpus document concerning parquet readers and codecs " * 4))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, body.replace("lazy", "sleepy")), // near-dup of corpus doc 1
+      (11L, "completely novel content that matches nothing in the corpus " * 4))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+    Dedup.buildMinhashIndex(corpus, col("doc_id"), col("text"), idx,
+      numHashes = 64, bands = 16)
+    val indexed = Dedup.incrementalNearDupIndexed(
+      batch, corpus, col("doc_id"), col("text"), col("doc_id"), col("text"),
+      idx, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Dedup.incrementalNearDup(
+      batch, corpus, col("doc_id"), col("text"), col("doc_id"), col("text"),
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(indexed == direct && indexed.map(p => (p._1, p._2)) == Set((10L, 1L)))
+    // the index artifact has the advertised layout
+    assert(spark.read.parquet(s"$idx/bands").columns.toSet ==
+      Set("corpus_id", "band", "bhash"))
+    assert(spark.read.parquet(s"$idx/sigs").columns.toSet == Set("corpus_id", "sig"))
+    // screening reads parameters FROM the index meta
+    val meta = spark.read.parquet(s"$idx/meta").collect().head
+    assert(meta.getAs[Int]("num_hashes") == 64 && meta.getAs[Int]("bands") == 16)
+  }
+
   test("incremental: rejects corpus re-crawls, keeps min id within the batch") {
     val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
     val batch = Seq(
