@@ -54,6 +54,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     ivf.foreach(r => assert(bf(r.getAs[Long]("vec_id")) == r.getAs[Double]("sim")))
   }
 
+  test("portableRank matches the BigInt reference at replica-scale ids") {
+    // The naive (id * 2654435761) % 2147483647 overflows Long under ANSI
+    // once id > ~3.47e9 — exactly the ids a 10x ScaleReplica (stride 1e9)
+    // produces. The pre-reduced form must equal the wide-integer value
+    // for the whole long range, small ids included (oracle compatibility).
+    val ids = Seq(0L, 1L, 123L, 59999L, 3_470_000_000L, 9_000_000_123L,
+      Long.MaxValue / 2, Long.MaxValue)
+    val got = ids.toDF("id")
+      .select(Similarity.portableRank(col("id")).as("r"))
+      .as[Long].collect().toSeq
+    val want = ids.map(i =>
+      ((BigInt(i) * BigInt(2654435761L)) mod BigInt(2147483647L)).toLong)
+    assert(got == want)
+  }
+
   test("scalarQuantize: codes in [0,255], reconstruction within half a step") {
     val (quantized, ranges) = Similarity.scalarQuantize(corpus, col("embedding"))
     val rows = quantized.select("embedding", "codes")
