@@ -130,10 +130,35 @@ object FuzzyJoin {
       .filter(abs(length(col("key_l")) - length(col("key_r"))) <= maxDist)
       .withColumn("edit_dist", levenshtein(col("key_l"), col("key_r")).cast("long"))
       .filter(col("edit_dist") <= maxDist)
-    // expand back to id pairs: multiplicity returns only at the edge
-    keyPairs
-      .join(l, Seq("key_l"))
-      .join(r, Seq("key_r"))
+    // Expand back to id pairs: multiplicity returns only at the edge.
+    // Join ORIENTATION is load-bearing: the corpus sides (l, r) STREAM
+    // and the verified key-pair set BROADCASTS. Left to stats, Catalyst
+    // does the opposite here — l and r are small in BYTES at test scale,
+    // so it broadcasts the corpus and streams the pair set, which AQE
+    // has already coalesced to ONE partition (72 rows), and the entire
+    // output multiplicity then materializes on a single core (measured:
+    // 5.4 s single-partition vs sub-second streamed at the 10× replica).
+    // At 100 TB the same stats-driven choice is an OOM, not a slowdown.
+    // The pair set is dimension-sized by construction (pairs over
+    // DISTINCT keys); if it ever outgrew a broadcast, the id-expanded
+    // output — |pairs| × multiplicity² — would be the real problem.
+    // Each corpus side expands against the broadcast pair set
+    // independently, then the two expansions meet on the PAIR key
+    // (key_l, key_r) — |pairs| distinct join keys, vs the raw
+    // vocabulary-sized (hence skewed) key_r alternative.
+    // The pair-key shuffle feeding the final join carries the PRE-
+    // expansion rows — small in bytes — so AQE's byte-based coalescing
+    // would fold it to one partition and the multiplicity explosion
+    // (which happens AT the join, invisible to byte stats) would run
+    // serially (measured: "number of partitions: 1" at the 10× replica).
+    // An explicit partition count by pair key is exempt from AQE
+    // coalescing and keeps the expansion parallel.
+    val nShuffle = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val lx = l.join(broadcast(keyPairs), Seq("key_l"))
+      .repartition(nShuffle, col("key_l"), col("key_r"))
+    val rx = r.join(broadcast(keyPairs.select("key_l", "key_r")), Seq("key_r"))
+      .repartition(nShuffle, col("key_l"), col("key_r"))
+    lx.join(rx, Seq("key_l", "key_r"))
       .select(col("id_l"), col("id_r"), col("key_l"), col("key_r"), col("edit_dist"))
   }
 }
