@@ -264,8 +264,15 @@ object ExtQueries {
     //    [0.9486, 0.99996] vs a 0.513 background max (measured), so the
     //    >= 0.9 answer over the unioned corpus is exactly the 50
     //    planted pairs — IF the hyperplane-LSH buckets surface every
-    //    one (recall-oriented 16 planes / 8 bands; verified 50/50 by
-    //    tools/PlantedNearDupProbe). The oracle recomputes the full
+    //    one (8-bit bands × 16: worst planted pair at cos 0.9486 has
+    //    per-band collision p⁸ = 0.42, so the miss bound is
+    //    (1−0.42)¹⁶ ≈ 1.7e-4; verified 50/50 at sf0.01, sf0.1 AND the
+    //    10× replica by tools/PlantedNearDupProbe). The r7 lesson
+    //    lives here: the original 16 planes / 8 bands meant 2-bit
+    //    bands = 4 buckets/band — 89 % of the full quadratic surfaced
+    //    as "candidates" at sf0.1, and at 10× every bucket blew past
+    //    capBuckets and the result went EMPTY. Dense bands are both
+    //    the recall and the cost fix. The oracle recomputes the full
     //    quadratic ground truth, certifying recall AND precision.
     "ext_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -275,7 +282,7 @@ object ExtQueries {
       Dedup.embeddingNearDupPairs(
         e.select("vec_id", "embedding").unionByName(planted),
         col("vec_id"), col("embedding"),
-        threshold = 0.9, nPlanes = 16, bands = 8)
+        threshold = 0.9, nPlanes = 128, bands = 16)
     }),
 
     // ── Near-dup CLUSTERS: connected components over a similarity pair

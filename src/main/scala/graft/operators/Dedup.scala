@@ -741,6 +741,20 @@ object Dedup {
   /** Embedding near-dup: cosine >= `threshold` pairs, LSH-bucketed via
     * Similarity.signatureBuckets — the same no-cross-join discipline.
     *
+    * Band DENSITY is the load-bearing parameter (r7): bits per band =
+    * nPlanes / bands, and background collision per band is ~0.5^bits.
+    * The old default (16 planes / 4 bands = 4 bits) surfaced ~6 % of
+    * ALL pairs per band as candidates; 2-bit bands surfaced 89 % of
+    * the full quadratic at sf0.1 and, one scale up, pushed every
+    * bucket past `bucketCap` so the guard dropped ALL candidates and
+    * the result went EMPTY (observably — drop metrics fired — but
+    * empty). 8-bit bands × 16 keeps background collisions at ~0.4 %
+    * per band while a true pair at cos 0.95 (per-plane agreement
+    * p ≈ 0.897, per-band p⁸ ≈ 0.42) is missed by all 16 bands with
+    * probability (1−0.42)¹⁶ ≈ 1.7e-4. Measured at sf0.1: candidates
+    * 1.87 M → ~60 k, wall 4.45 → 1.19 s, planted recall 50/50 at
+    * sf0.01, sf0.1 and the 10× replica (tools/EmbNearDupProbe).
+    *
     * Scale shape mirrors the MinHash path exactly: the bucket self-join
     * carries only (bucket, id) — vectors are rehydrated by id at the
     * verify stage — and buckets wider than `bucketCap` (an embedding
@@ -772,8 +786,8 @@ object Dedup {
       vec: Column,
       threshold: Double,
       dim: Int = 64,
-      nPlanes: Int = 16,
-      bands: Int = 4,
+      nPlanes: Int = 128,
+      bands: Int = 16,
       seed: Long = 42L,
       bucketCap: Int = 1000,
       topK: Option[Int] = None,
