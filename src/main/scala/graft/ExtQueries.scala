@@ -855,6 +855,17 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Deterministic global shuffle into training shards: shard =
+    //    2-hex-char md5 prefix (256 shards), pos = dense rank within
+    //    shard by (md5, id) — TextPipeline.shuffleShards. The step
+    //    between a curated corpus and the training job; ids-only
+    //    shuffle, seed-free, engine-portable (DuckDB replays the md5
+    //    rank exactly — same identity hashSplit/sampleToQuota rely on).
+    "ext_shuffle_shards" -> ((s, dir) => {
+      TextPipeline.shuffleShards(t(s, dir, "documents"), col("doc_id"))
+        .orderBy("shard", "pos")
+    }),
+
     // ── Deterministic train/val split: first md5 nibble of the id,
     //    14/16 train — TextPipeline.hashSplit; documents never migrate
     //    between splits as the corpus grows.
@@ -2089,6 +2100,14 @@ object ExtQueries {
         |  GROUP BY t.doc_id)
         |SELECT doc_id, n_tokens, array_to_string(ids, ',') AS ids_str
         |FROM enc ORDER BY doc_id""".stripMargin,
+
+    "ext_shuffle_shards" ->
+      """WITH r AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk FROM documents)
+        |SELECT doc_id, substring(rk, 1, 2) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY substring(rk, 1, 2) ORDER BY rk, doc_id) AS BIGINT) AS pos
+        |FROM r ORDER BY shard, pos""".stripMargin,
 
     "ext_train_split" ->
       """SELECT

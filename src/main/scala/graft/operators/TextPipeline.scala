@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -389,4 +390,38 @@ object TextPipeline {
       .filter(col("n_terms") === terms.size)
       .orderBy("doc_id")
   }
+
+  /** Deterministic global shuffle into training shards — the step
+    * between a curated corpus and the training job: every example gets
+    * a shard and a dense position within it, in an order uncorrelated
+    * with ingest order, crawl source, or storage layout (md5 of the
+    * id — seed-free and engine-portable, the same shuffle order
+    * `sampleToQuota`/`hashSplit` rank by; replaying the run reproduces
+    * the exact same shards).
+    *
+    * shard = the first `hexDigits` hex chars of md5(id) → 16^hexDigits
+    * shards; pos = row_number within the shard ordered by (md5, id).
+    *
+    * Scale shape: the only shuffle carries (id, 32-char rank) — bodies
+    * NEVER ride the shuffle; the training writer joins payload back by
+    * id per shard, so each reducer rehydrates only its own shard. The
+    * per-shard sort is the honest cost of dense positions, and
+    * `hexDigits` is the dial that sizes it: shards must fit one task
+    * (hexDigits=3 → 4096 shards ≈ 25 GB each at 100 TB; raise it
+    * before raising executor memory). uniform-by-construction: md5
+    * spreads ids evenly, so no shard is hot. */
+  def shuffleShards(
+      docs: DataFrame,
+      id: Column,
+      hexDigits: Int = 2): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8,
+      s"hexDigits must be in [1, 8], got $hexDigits")
+    val w = Window.partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))
+    docs
+      .select(id.as("doc_id"), md5(id.cast("string")).as("rk"))
+      .withColumn("shard", substring(col("rk"), 1, hexDigits))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
 }

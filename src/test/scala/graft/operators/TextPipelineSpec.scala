@@ -229,4 +229,31 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(one == Seq((1L, 1L, 2L), (2L, 1L, 1L), (4L, 1L, 2L)))
   }
+
+  test("shuffleShards: total coverage, dense positions, deterministic, shard=md5 prefix") {
+    val docs = (0L until 500L).toDF("doc_id")
+    val got = TextPipeline.shuffleShards(docs, col("doc_id"), hexDigits = 1)
+      .as[(Long, String, Long)].collect()
+    // every doc exactly once
+    assert(got.length == 500 && got.map(_._1).distinct.length == 500)
+    // positions dense 1..n within each shard
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // shard is the md5 prefix of the id (engine-portable contract)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (id, shard, _) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(shard == hex.substring(0, 1))
+    }
+    // a second run reproduces the exact assignment (seed-free determinism)
+    val again = TextPipeline.shuffleShards(docs, col("doc_id"), hexDigits = 1)
+      .as[(Long, String, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // shuffle actually decorrelates ingest order: within a shard,
+    // consecutive positions are not consecutive ids
+    val oneShard = got.filter(_._2 == got.head._2).sortBy(_._3).map(_._1)
+    assert(oneShard.sliding(2).count(p => p(1) == p(0) + 1) < oneShard.length / 4)
+  }
 }
