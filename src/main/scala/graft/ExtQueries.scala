@@ -408,6 +408,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Same decontamination, bloom-prefiltered: eval grams become a
+    //    Bloom filter probed map-side, the exact semi-join verifies the
+    //    fpp-bounded survivors — output bit-identical to
+    //    ext_decontaminate (shared oracle), which IS the check that the
+    //    bloom path loses nothing. See TextPipeline.contaminationBloom.
+    "ext_decontaminate_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val eval = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      TextPipeline.contaminationBloom(corpus, eval, col("doc_id"), col("text"), 5,
+        expectedGrams = 1L << 17, fpp = 0.01)
+        .orderBy("doc_id")
+    }),
+
     // ── PII redaction: inject deterministic email/phone spans (the
     //    synthetic corpus has none), then scrub them with RE2-compatible
     //    patterns and count matches — TextPipeline.piiScrub.
@@ -908,6 +922,26 @@ object ExtQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** Shared by ext_decontaminate and ext_decontaminate_bloom — the bloom
+    * variant's correctness claim is exactly "same output as the exact
+    * path". */
+  private val DecontaminateOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(ts) - 3),
+      |    i -> array_to_string(list_slice(ts, i, i + 4), ' ')))) AS gram
+      |  FROM tok),
+      |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      |ov AS (
+      |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      |  FROM g JOIN eg USING (gram) WHERE g.doc_id % 97 <> 0 GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+      |       COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN ov USING (doc_id)
+      |WHERE d.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ext_dedup_exact" ->
@@ -1418,22 +1452,12 @@ object ExtQueries {
     // [a,b) — i runs 1 .. len-4, one start per 5-gram, mirroring
     // WordNgrams(n=5) string-for-string (string_split keeps empties on
     // both engines).
-    "ext_decontaminate" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(ts) - 3),
-        |    i -> array_to_string(list_slice(ts, i, i + 4), ' ')))) AS gram
-        |  FROM tok),
-        |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-        |ov AS (
-        |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
-        |  FROM g JOIN eg USING (gram) WHERE g.doc_id % 97 <> 0 GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
-        |       COALESCE(ov.n_overlap, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN ov USING (doc_id)
-        |WHERE d.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin,
+    "ext_decontaminate" -> DecontaminateOracle,
+
+    // bloom prefilter has no false negatives + exact verify ⇒ the bloom
+    // path must reproduce the exact path's output bit-for-bit; sharing
+    // the oracle text IS that claim, checked per round.
+    "ext_decontaminate_bloom" -> DecontaminateOracle,
 
     "ext_pii_scrub" ->
       """WITH p AS (

@@ -527,6 +527,41 @@ case class WinnowedFingerprints(child: Expression, k: Int, modP: Int)
     copy(child = c)
 }
 
+/** Bloom-filter membership probe against a pre-built, serialized
+  * `org.apache.spark.util.sketch.BloomFilter` — the map-side cull that
+  * replaces an exact broadcast hash set when the small side of a
+  * semi-join stops being small (a 10^8-element string set is gigabytes;
+  * its 1 %-fpp bloom is ~120 MB). The filter bytes ride the task binary
+  * (plan serialization is itself a broadcast) and deserialize once per
+  * task via the transient lazy val, so per-row work is just the probe.
+  *
+  * Probes the UTF-8 bytes of the string directly
+  * (`UTF8String.getBytes`): the sketch library defines
+  * `putString(s) ≡ putBinary(s.getBytes(UTF_8))`, so a filter built
+  * from a string column with `df.stat.bloomFilter` answers byte-probe
+  * queries without materializing a java.lang.String per row.
+  *
+  * May return false-positive `true` (fpp-bounded), never a false
+  * negative — callers MUST re-verify survivors exactly (a semi-join)
+  * when the answer has to be exact; see TextPipeline.contaminationBloom
+  * for the pattern. */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+}
+
 /** Bit-interleaved Z-order value of two non-negative long columns —
   * the multi-column data-layout key: sorting files by z(a, b) clusters
   * BOTH dimensions, so parquet min/max statistics prune point/range
@@ -593,4 +628,7 @@ object GraftFunctions {
 
   def zorder2(a: Column, b: Column, bits: Int = 21): Column =
     column(ZOrder2(expression(a), expression(b), bits))
+
+  def bloom_might_contain(c: Column, serializedBloom: Array[Byte]): Column =
+    column(BloomMightContain(expression(c), serializedBloom))
 }

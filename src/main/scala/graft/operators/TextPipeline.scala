@@ -64,6 +64,70 @@ object TextPipeline {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** [[contamination]] for the scale where the eval n-gram set no
+    * longer fits an exact broadcast hash table. An eval SUITE is tiny,
+    * but decontamination against a held-out corpus slice or another
+    * crawl snapshot easily reaches 10^8–10^9 distinct grams — gigabytes
+    * as strings, far past broadcast limits, forcing the exact path into
+    * a full corpus-wide shuffle join. This variant restores the
+    * map-side cull with a Bloom filter of the eval grams (~1.2 bytes
+    * per gram at 1 % fpp): corpus grams that miss the bloom — the vast
+    * majority — die in the scan stage, and only survivors (true
+    * overlaps + the fpp-bounded false-positive trickle) enter the
+    * shuffle, where an exact semi-join against the eval grams kills
+    * the false positives. Blooms have no false negatives and the
+    * verify join is exact, so the output is BIT-IDENTICAL to
+    * [[contamination]] — fpp trades shuffle volume, never correctness
+    * (the contract row ext_decontaminate_bloom shares
+    * ext_decontaminate's oracle SQL verbatim).
+    *
+    * The bloom bit-array is an OR of item hashes — insertion-order and
+    * partition independent — so the filter, and every plan decision
+    * downstream of it, is deterministic for fixed (expectedGrams, fpp).
+    *
+    * NOTE: calling this triggers one eager Spark job (the distributed
+    * `stat.bloomFilter` build) before the returned frame is acted on,
+    * and the eval-gram lineage is evaluated again by the verify join —
+    * callers screening many drops against one eval set should persist
+    * `eval` or pre-build with [[gramBloom]] and reuse it. */
+  def contaminationBloom(
+      corpus: DataFrame, eval: DataFrame,
+      id: Column, text: Column, n: Int,
+      expectedGrams: Long, fpp: Double = 0.01): DataFrame = {
+    val evalGrams = eval
+      .select(explode(GraftFunctions.word_ngrams(text, n)).as("gram"))
+      .distinct()
+    val survivors = corpus
+      .select(id.as("doc_id"),
+        explode(GraftFunctions.word_ngrams(text, n)).as("gram"))
+      .where(GraftFunctions.bloom_might_contain(
+        col("gram"), gramBloom(evalGrams, expectedGrams, fpp)))
+    val overlap = survivors
+      .join(evalGrams, Seq("gram"), "left_semi") // exact verify: fpp → 0
+      .groupBy("doc_id")
+      .agg(count_distinct(col("gram")).as("n_overlap"))
+    corpus.select(id.as("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** Distributed bloom build over a one-column gram frame, serialized
+    * for [[graft.functions.expressions.BloomMightContain]]. Exposed so
+    * callers screening many corpus drops against one eval set build
+    * the filter once. The build is a Spark aggregate job (executors
+    * hash their partitions into partial bit-arrays, the driver ORs
+    * them); driver memory holds one bit-array of
+    * ~1.44·log2(1/fpp)·expectedGrams bits — 120 MB at 10^8 grams /
+    * 1 % — not the gram strings themselves. */
+  def gramBloom(grams: DataFrame, expectedGrams: Long, fpp: Double): Array[Byte] = {
+    val bloom = grams.stat.bloomFilter(grams.columns.head, expectedGrams, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
   /** PII redaction: replace email- and phone-shaped spans with typed
     * placeholder tokens and report per-document match counts. Pure
     * map-side (regexp_count/regexp_replace are codegen'd built-ins);

@@ -50,6 +50,56 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == (0L, false)) // < 5 tokens, still present with 0
   }
 
+  test("contaminationBloom is bit-identical to the exact path and culls") {
+    // corpus big enough that bloom false positives are plausible and
+    // the cull is measurable: 200 docs of distinct filler + 3 planted
+    // overlaps against a 2-doc eval set
+    val eval = Seq(
+      (97L * 1, "the quick brown fox jumps over lazy dogs"),
+      (97L * 2, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val filler = (1L to 200L).filter(_ % 97 != 0).map(i =>
+      (i, s"filler doc $i with unique words w${i}a w${i}b w${i}c w${i}d w${i}e"))
+    val planted = Seq(
+      (301L, "he saw the quick brown fox jumps over lazy walls"),
+      (302L, "please pack my box with five dozen liquor jugs now"),
+      (303L, "the quick brown fox jumps right past pack my box with five dozen"))
+    val corpus = (filler ++ planted).toDF("doc_id", "text")
+
+    val exact = TextPipeline.contamination(
+      corpus, eval, col("doc_id"), col("text"), 5)
+    val bloomed = TextPipeline.contaminationBloom(
+      corpus, eval, col("doc_id"), col("text"), 5,
+      expectedGrams = 1024, fpp = 0.01)
+    // bit-identical: no false negatives from the bloom, no false
+    // positives past the verify join
+    assert(exact.exceptAll(bloomed).isEmpty && bloomed.exceptAll(exact).isEmpty)
+    val byId = bloomed.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(byId(301L)._2 && byId(302L)._2 && byId(303L)._2)
+    assert(byId(1L) == (0L, false))
+
+    // the map-side cull is real: far fewer corpus grams survive the
+    // bloom than exist (filler grams are unique, so ~all of them miss)
+    val evalGrams = eval
+      .select(explode(GraftFunctions.word_ngrams(col("text"), 5)).as("gram"))
+      .distinct()
+    val bytes = TextPipeline.gramBloom(evalGrams, 1024, 0.01)
+    val corpusGrams = corpus.select(
+      explode(GraftFunctions.word_ngrams(col("text"), 5)).as("gram"))
+    val total = corpusGrams.count()
+    val survived = corpusGrams
+      .where(GraftFunctions.bloom_might_contain(col("gram"), bytes)).count()
+    assert(survived < total / 10,
+      s"bloom should cull most grams: $survived of $total survived")
+
+    // membership semantics of the expression itself: every eval gram
+    // probes true (no false negatives, guaranteed)
+    val members = evalGrams
+      .where(GraftFunctions.bloom_might_contain(col("gram"), bytes)).count()
+    assert(members == evalGrams.count())
+  }
+
   test("piiScrub redacts emails and phones and counts matches") {
     val df = Seq(
       (1L, "mail me at a.b@test.org or b@x.io today"),
