@@ -422,6 +422,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Exact heavy hitters: tokens with count > totalTokens/400 and
+    //    their exact counts, via per-partition Misra-Gries candidates +
+    //    one broadcast-verified exact count — the full token stream
+    //    never shuffles. Output is partitioning-independent, so plain
+    //    DuckDB GROUP BY/HAVING oracles it. TextPipeline.heavyHitters.
+    "ext_heavy_hitters" -> ((s, dir) => {
+      TextPipeline.heavyHitters(t(s, dir, "documents"), col("text"), 400)
+        .orderBy("token")
+    }),
+
     // ── PII redaction: inject deterministic email/phone spans (the
     //    synthetic corpus has none), then scrub them with RE2-compatible
     //    patterns and count matches — TextPipeline.piiScrub.
@@ -1458,6 +1468,16 @@ object ExtQueries {
     // path must reproduce the exact path's output bit-for-bit; sharing
     // the oracle text IS that claim, checked per round.
     "ext_decontaminate_bloom" -> DecontaminateOracle,
+
+    // the sketch only proposes candidates; the exact verify makes the
+    // output equal to the full GROUP BY, which is the whole oracle
+    "ext_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM tok)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tok, tot GROUP BY token, n
+        |HAVING COUNT(*) * 400 > n ORDER BY token""".stripMargin,
 
     "ext_pii_scrub" ->
       """WITH p AS (

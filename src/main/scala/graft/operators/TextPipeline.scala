@@ -149,6 +149,79 @@ object TextPipeline {
           regexp_replace(text, EmailPattern, "<EMAIL>"),
           PhonePattern, "<PHONE>"))
 
+  /** EXACT corpus-wide heavy hitters: every token whose count strictly
+    * exceeds totalTokens / k, with its exact count — the vocabulary
+    * head a tokenizer-training or stopword-mining pass wants, computed
+    * without ever shuffling the full token stream.
+    *
+    * Why not plain groupBy(token): the full-token aggregate shuffles
+    * one row per DISTINCT token — at 100 TB that is billions of
+    * long-tail rows moved to answer a question about the top ~k. Shape
+    * here is two map-side scans and one tiny shuffle:
+    *
+    *  1. CANDIDATES — per-partition Misra-Gries with k counters
+    *     (mapPartitions: the summary is an order-dependent streaming
+    *     fold over the partition, the justified non-expression case).
+    *     Averaging argument: if a token's global count > n/k, then on
+    *     some partition its local count > n_p/k, and MG with k counters
+    *     keeps every such token — so the union of partition summaries
+    *     (≤ k × partitions tokens, tiny) is a SUPERSET of the true
+    *     heavy hitters regardless of how rows are partitioned.
+    *  2. EXACT VERIFY — second token scan, broadcast-hash left join
+    *     against the candidate set, grouped by `token for candidates /
+    *     NULL for everything else`: partial aggregation collapses each
+    *     partition to ≤ candidates+1 rows before the only shuffle; the
+    *     NULL background group keeps the total token count in the same
+    *     single pass (no third scan). The global total then comes from
+    *     a window over the already-tiny aggregate (the share-of-total
+    *     pattern), and the strict `cnt · k > total` filter drops every
+    *     candidate that was only locally hot.
+    *
+    * MG summaries differ across partitionings, but the output does
+    * not: candidates are always a superset and counts are exact, so
+    * the final frame is deterministic — and DuckDB can oracle it with
+    * a plain GROUP BY / HAVING (contract row ext_heavy_hitters). */
+  def heavyHitters(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val tokens = docs.select(
+      explode(GraftFunctions.word_ngrams(text, 1)).as("token"))
+    val cands = tokens
+      .as(org.apache.spark.sql.Encoders.STRING)
+      .mapPartitions(it => misraGries(it, k))(org.apache.spark.sql.Encoders.STRING)
+      .toDF("token")
+      .distinct()
+    tokens
+      .join(broadcast(cands.withColumn("__cand", lit(true))), Seq("token"), "left")
+      .groupBy(when(col("__cand"), col("token")).as("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum("cnt").over(Window.partitionBy()))
+      .where(col("token").isNotNull && col("cnt") * lit(k.toLong) > col("total"))
+      .select(col("token"), col("cnt"))
+  }
+
+  /** One Misra-Gries pass: ≤ k surviving counters; every item occurring
+    * more than (items seen)/k times is guaranteed to survive. */
+  private def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counts = new java.util.HashMap[String, java.lang.Long](2 * k)
+    while (it.hasNext) {
+      val t = it.next()
+      val c = counts.get(t)
+      if (c ne null) counts.put(t, c + 1L)
+      else if (counts.size < k) counts.put(t, 1L)
+      else {
+        // decrement-all: O(k) but amortized O(1) per input item, since
+        // each trigger cancels k prior increments
+        val entries = counts.entrySet().iterator()
+        while (entries.hasNext) {
+          val e = entries.next()
+          if (e.getValue == 1L) entries.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counts.keySet().iterator().asScala
+  }
+
   /** Gopher-style repetition metrics: per document, the fraction of
     * word bigrams occupied by the single most frequent bigram
     * (`top_bigram_frac`) and the fraction that are duplicates of an

@@ -100,6 +100,43 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(members == evalGrams.count())
   }
 
+  test("heavyHitters equals the naive full groupBy, any partitioning") {
+    // 3 hot tokens + a long unique tail; n = 60 + 940 = 1000 tokens,
+    // k = 50 → threshold 20: "alpha"(30) and "beta"(21) qualify,
+    // "gamma"(9) and every tail token do not
+    val words =
+      Seq.fill(30)("alpha") ++ Seq.fill(21)("beta") ++ Seq.fill(9)("gamma") ++
+        (1 to 940).map(i => s"tail$i")
+    def run(numParts: Int, shuffled: Boolean): Map[String, Long] = {
+      val ws = if (shuffled) new scala.util.Random(7).shuffle(words) else words
+      val docs = ws.grouped(10).map(_.mkString(" ")).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toSeq
+        .toDF("doc_id", "text").repartition(numParts)
+      TextPipeline.heavyHitters(docs, col("text"), 50)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val want = Map("alpha" -> 30L, "beta" -> 21L)
+    // the MG summaries differ per partitioning; the output must not
+    assert(run(1, shuffled = false) == want)
+    assert(run(7, shuffled = false) == want)
+    assert(run(7, shuffled = true) == want)
+    assert(run(32, shuffled = true) == want)
+  }
+
+  test("heavyHitters never shuffles the raw token stream") {
+    val docs = (1L to 50L)
+      .map(i => (i, s"common common rare$i words here"))
+      .toDF("doc_id", "text")
+    val plan = TextPipeline.heavyHitters(docs, col("text"), 10)
+      .queryExecution.executedPlan.toString
+    // the verify join against candidates must be broadcast, and the
+    // only aggregation shuffle sits above a partial aggregate
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate join should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no token-keyed shuffle join allowed:\n$plan")
+  }
+
   test("piiScrub redacts emails and phones and counts matches") {
     val df = Seq(
       (1L, "mail me at a.b@test.org or b@x.io today"),
