@@ -42,6 +42,30 @@ object Ingest {
   def readCatalogTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** A5/A6, ORC tier — the same create/append sinks in ORC, the storage
+    * format Hive warehouses default to (the reference's tables live in
+    * Hive, ref: backend/utils.py:32-50; a `STORED AS ORC` DDL there and
+    * these writes produce interchangeable files). ORC support is built
+    * into spark-sql — no extra dependency — and carries the same
+    * min/max stripe statistics parquet footers give us, so predicate
+    * pushdown receipts hold unchanged. Parquet stays the default
+    * everywhere; this tier exists so a warehouse already standardized
+    * on ORC can adopt the engine without a rewrite pass. */
+  def createTableOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def appendRowsOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** A5, catalog + ORC — CREATE-or-replace a managed ORC table, the
+    * closest engine-side shape to Hive's `CREATE TABLE … STORED AS
+    * ORC`. */
+  def createCatalogTableOrc(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("orc").saveAsTable(table)
+
   /** B18 — bulk random insert with the reference's 10k cap
     * (ref: backend/app.py:252-279, cap at :263 — the only scale limit the
     * reference states anywhere). */

@@ -39,6 +39,35 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS car_data_cat")
   }
 
+  test("A5/A6 ORC tier: path round trip, append, and catalog table") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/car_data"
+    val gen = CarDataGen.generate(spark, 50)
+    Ingest.createTableOrc(gen, dir)
+    assert(Ingest.readOrc(spark, dir).count() == 50)
+    Ingest.appendRowsOrc(CarDataGen.generate(spark, 25, seed = 9L), dir)
+    assert(Ingest.readOrc(spark, dir).count() == 75)
+    // same rows as the parquet tier would hold — format changes the
+    // file bytes, never the table contents
+    val viaOrc = Ingest.readOrc(spark, dir)
+    assert(viaOrc.schema.fieldNames.toSeq == CarSchema.schema.fieldNames.toSeq)
+    // content equality on the scalar columns (set ops reject MAP types;
+    // the map columns' round-trip is covered by the schema check above)
+    val scalarCols = CarSchema.schema.fields
+      .filterNot(_.dataType.typeName == "map").map(f => f.name).toIndexedSeq
+    assert(viaOrc.select(scalarCols.head, scalarCols.tail: _*).exceptAll(
+      gen.unionAll(CarDataGen.generate(spark, 25, seed = 9L))
+        .select(scalarCols.head, scalarCols.tail: _*)).isEmpty)
+
+    Ingest.createCatalogTableOrc(CarDataGen.generate(spark, 10, seed = 3L), "car_data_orc")
+    try {
+      assert(spark.table("car_data_orc").count() == 10)
+      // the catalog records the ORC provider, i.e. Hive STORED AS ORC shape
+      assert(spark.sql("DESCRIBE TABLE EXTENDED car_data_orc")
+        .filter("col_name = 'Provider'")
+        .collect().head.getString(1).equalsIgnoreCase("orc"))
+    } finally spark.sql("DROP TABLE IF EXISTS car_data_orc")
+  }
+
   test("B16 NATIVE Excel ingestion: zip+xml parse, rename, cast, append") {
     // build a real minimal .xlsx (ZIP of XML) with shared strings,
     // inline strings, and numeric cells — the shapes pandas-written
