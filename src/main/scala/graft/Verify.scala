@@ -20,15 +20,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val failed = selected.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
-    }
+    }.toSeq.sorted
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,6 +47,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Declared-query manifest: the full contract surface this build
+    // claims, independent of which results actually materialized.
+    // check_parity.py diffs it against the emitted dirs — a query that
+    // errors out can no longer silently vanish from the round's
+    // correctness evidence (the round-7 failure mode: 6 queries absent
+    // from CORRECTNESS with no red row anywhere).
+    Files.writeString(Paths.get(s"$outDir/declared_queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] HARD FAIL: ${failed.size}/${selected.size} declared " +
+          s"queries produced no result: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -16,21 +16,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** File-source readStream over the events parquet layout. The testdata
-    * stores ts as INT64 TIMESTAMP(NANOS) (read as Long under
-    * nanosAsLong, same as the batch path in graft.Tables) — rebuilt here
-    * to a µs timestamp before any windowing. */
+  /** File-source readStream over the events parquet layout. The on-disk
+    * `ts` encoding has drifted across testdata refreshes (INT64 nanos
+    * under nanosAsLong, then plain `timestamp[us]`/NTZ), so the stream
+    * schema is NOT hardcoded: it is taken from a one-time batch
+    * `spark.read.parquet(dir).schema` probe (footer-only, no data scan)
+    * and the `ts` rebuild branches on the actual arrived type via the
+    * same normalizer the batch path uses (graft.Tables.normalizeTs).
+    * A hardcoded schema here once silently mis-scaled every timestamp
+    * by 1000 when the encoding changed — deriving it makes an encoding
+    * drift either transparent or a loud schema error, never a silent
+    * wrong answer. */
   def readEventStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType), // nanos-as-long
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDisk = spark.read.parquet(dir).schema
+    graft.Tables.normalizeTs(spark.readStream.schema(onDisk).parquet(dir))
   }
 
   /** Tumbling-window counts/sums per event type (batch twin:

@@ -112,8 +112,25 @@ def main(sf_dir, out_dir):
             print(f"PASS {name}: {len(got_rows)} rows{extra}")
             n_pass += 1
 
-    # rows-only queries (no oracle): report row counts
+    # Declared-vs-emitted coverage: every query SparkEntry declares must
+    # have a result dir. Round 7 shipped 6 erroring queries that simply
+    # vanished from the correctness output — this makes that a hard fail.
     import os
+    try:
+        with open(f"{out_dir}/declared_queries.json") as f:
+            declared = json.load(f)
+    except FileNotFoundError:
+        declared = []
+        print("WARN: no declared_queries.json (old Verify?) — "
+              "coverage check skipped")
+    emitted = {d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d))}
+    missing = sorted(set(declared) - emitted)
+    for name in missing:
+        print(f"FAIL {name}: declared in SparkEntry.queries but no result emitted")
+        n_fail += 1
+
+    # rows-only queries (no oracle): report row counts
     for d in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, d)
         if os.path.isdir(p) and d not in oracles:
