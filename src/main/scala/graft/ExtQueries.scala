@@ -103,6 +103,24 @@ object ExtQueries {
         .orderBy("id_a")
     }),
 
+    // ── Overlapping fixed-size chunking (context-window prep). The
+    //    chunk body itself is dropped from the contract result — the md5
+    //    hash-checks the exact content without hauling it (the driver
+    //    hashes every cell anyway).
+    "ext_chunk_overlap" -> ((s, dir) => {
+      TextPipeline.chunkWithOverlap(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        size = 200, stride = 150)
+        .drop("chunk")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ── Bigram collocations: top pairs by count with PMI lift (see
+    //    TextPipeline.bigramLift for why lift, not log-PMI).
+    "ext_cooccur_lift" -> ((s, dir) =>
+      TextPipeline.bigramLift(t(s, dir, "documents"), col("text"),
+        minCount = 3L, topK = 50)),
+
     // ── JSON extraction from the events props column. The extracted key
     //    is nullable (missing/malformed $.k): coalesce to sentinel -1 on
     //    BOTH engines, because Spark sorts NULL groups first and DuckDB
@@ -1032,6 +1050,41 @@ object ExtQueries {
         |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    "ext_chunk_overlap" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |         CAST((greatest(length(text), 1) - 1) // 150 AS BIGINT) AS last_idx
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, text, unnest(range(0, last_idx + 1)) AS chunk_idx FROM c)
+        |SELECT doc_id, chunk_idx,
+        |       chunk_idx * 150 + 1 AS chunk_start,
+        |       CAST(length(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200))
+        |         AS BIGINT) AS chunk_len,
+        |       md5(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "ext_cooccur_lift" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uc AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok
+        |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+        |nu AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_uni FROM uc),
+        |bg AS (
+        |  SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM (SELECT unnest(t[1:len(t)-1]) AS tok_a, unnest(t[2:len(t)]) AS tok_b
+        |        FROM toks WHERE len(t) >= 2)
+        |  GROUP BY 1, 2),
+        |nb AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_bi FROM bg),
+        |top AS (
+        |  SELECT * FROM bg WHERE n_ab >= 3
+        |  ORDER BY n_ab DESC, tok_a, tok_b LIMIT 50)
+        |SELECT top.tok_a, top.tok_b, top.n_ab, a.n_tok AS n_a, b.n_tok AS n_b,
+        |  round((CAST(top.n_ab AS DOUBLE) / n_bi) * (CAST(n_uni AS DOUBLE) / a.n_tok)
+        |        * (CAST(n_uni AS DOUBLE) / b.n_tok), 6) AS lift
+        |FROM top JOIN uc a ON a.tok = top.tok_a JOIN uc b ON b.tok = top.tok_b, nu, nb
+        |ORDER BY n_ab DESC, tok_a, tok_b""".stripMargin,
 
     "ext_json_extract" ->
       """SELECT COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,

@@ -392,6 +392,22 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ── W5: rank-family window functions — ntile buckets, percent_rank,
+    //    cume_dist. The window ORDER BY is o_orderkey (unique), so tile
+    //    assignment among would-be ties is deterministic; percent_rank
+    //    and cume_dist are single IEEE divisions of exact integer
+    //    rank/count values — bit-identical cross-engine without rounding.
+    "w5_ntile_cume" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("tile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // ── F3: ordered array aggregation — collect_list is partition-order
     //    dependent, so the engine convention is sort_array(collect_list)
     //    (deterministic on any cluster) plus element ops (size, first).
@@ -845,6 +861,15 @@ object SparkEntry {
         |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
         |SELECT o_custkey, o_orderkey, mov_sum, mov_sum / n_win AS mov_avg
         |FROM m ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w5_ntile_cume" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS tile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "f3_array_agg" ->
       """SELECT o_custkey,

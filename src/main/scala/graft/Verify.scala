@@ -45,16 +45,18 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Declared-query manifest: the full contract surface this build
-    // claims, independent of which results actually materialized.
-    // check_parity.py diffs it against the emitted dirs — a query that
-    // errors out can no longer silently vanish from the round's
-    // correctness evidence (the round-7 failure mode: 6 queries absent
-    // from CORRECTNESS with no red row anywhere).
+    // Declared-query manifest: the contract surface this run was asked
+    // to produce (all of SparkEntry.queries on a full run; the selection
+    // on a dev-only selective rerun), independent of which results
+    // actually materialized. check_parity.py diffs it against the
+    // emitted dirs — a query that errors out can no longer silently
+    // vanish from the round's correctness evidence (the round-7 failure
+    // mode: 6 queries absent from CORRECTNESS with no red row anywhere).
     Files.writeString(Paths.get(s"$outDir/declared_queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(

@@ -561,4 +561,131 @@ object TextPipeline {
       .select("doc_id", "shard", "pos")
   }
 
+  /** Fixed-size overlapping chunks of each document — the step between a
+    * curated corpus and a context-window-bounded consumer (training
+    * example windows, embedding inputs, retrieval passages). Chunk i
+    * covers characters `[i·stride + 1, i·stride + size]` (1-based,
+    * inclusive); `stride < size` yields `size − stride` characters of
+    * overlap so no boundary-spanning content is lost to a cut. The last
+    * chunk may run short; empty documents still yield one empty chunk
+    * (a document never silently vanishes from the chunked corpus).
+    *
+    * Returns (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5,
+    * chunk) — the md5 gives downstream exact-dedup over chunks without
+    * re-reading bodies.
+    *
+    * 100 TB shape: zero shuffles — the sequence/explode/substr pipeline
+    * is entirely map-side whole-stage codegen, chunks inherit the input
+    * partitioning, and the fan-out per row is bounded by
+    * ceil(len/stride). Chunk-level dedup afterwards is [[Dedup.exact]]
+    * on `chunk_md5` (digests shuffle, never chunk bodies). */
+  def chunkWithOverlap(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      size: Int = 200,
+      stride: Int = 150): DataFrame = {
+    require(size > 0, s"chunk size must be positive, got $size")
+    require(stride > 0 && stride <= size,
+      s"stride must be in [1, size], got $stride (size $size)")
+    docs
+      .select(id.as("doc_id"), text.as("txt"))
+      // last chunk index = (max(len,1) − 1) div stride, integer math
+      .withColumn("last_idx",
+        expr(s"CAST((greatest(length(txt), 1) - 1) DIV $stride AS BIGINT)"))
+      .select(col("doc_id"), col("txt"),
+        explode(sequence(lit(0L), col("last_idx"))).as("chunk_idx"))
+      .withColumn("chunk_start", col("chunk_idx") * lit(stride.toLong) + lit(1L))
+      .withColumn("chunk",
+        col("txt").substr(col("chunk_start").cast("int"), lit(size)))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"),
+        col("chunk"))
+  }
+
+  /** Corpus-level bigram association: the top-k adjacent token pairs by
+    * count, each scored with pointwise-mutual-information LIFT —
+    * p(a,b) / (p(a)·p(b)) — the collocation statistic used to mine
+    * multi-word expressions ("new york") and to sanity-check tokenizer
+    * merges against a corpus. Lift is PMI without the log: the ranking
+    * is identical (log is monotone) and the arithmetic stays inside
+    * IEEE ×/÷ — exactly rounded, so bit-identical across engines, which
+    * a transcendental log is not guaranteed to be (gotcha list:
+    * cross-engine float parity).
+    *
+    * Returns (tok_a, tok_b, n_ab, n_a, n_b, lift): the top `topK` pairs
+    * with n_ab ≥ `minCount`, ordered (n_ab desc, tok_a, tok_b) — a
+    * total order, since pairs are unique after the groupBy.
+    *
+    * 100 TB shape — exactly three corpus scans, none of which
+    * aggregates the full vocabulary:
+    *  1. the bigram top-k: map-side partial aggregation into a
+    *     TakeOrderedAndProject (per-partition heads, never a global
+    *     sort), then a BOUNDED driver pull of the ≤`topK` winning rows.
+    *     This is the same documented index-build-budget class as the
+    *     centroid/cell pulls in Clustering/Similarity — without it the
+    *     declarative plan re-derives the expensive bigram aggregate
+    *     once per downstream reference (measured: 8 corpus scans, zero
+    *     exchange reuse), which is the real scale-killer;
+    *  2. unigram counts ONLY for the ≤2·topK tokens those pairs
+    *     mention, via a literal `isin` pushed into the scan — the
+    *     non-candidate token majority dies map-side (the booleanSearch
+    *     discipline) and the full vocab is never aggregated, let alone
+    *     moved;
+    *  3. corpus totals (n_uni, n_bi) fold into ONE single-row
+    *     aggregate of per-row token counts — no explode, no shuffle.
+    * Totals ride a single-row broadcast cross join. */
+  def bigramLift(
+      docs: DataFrame,
+      text: Column,
+      minCount: Long = 3L,
+      topK: Int = 50): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(split(text, " ").as("toks"))
+    val totals = toks.agg(
+      sum(size(col("toks")).cast("long")).as("n_uni"),
+      sum(greatest(size(col("toks")) - 1, lit(0)).cast("long")).as("n_bi"))
+    val topRows = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS tok_a, toks[i] AS tok_b))")).as("bg"))
+      .select(col("bg.tok_a").as("tok_a"), col("bg.tok_b").as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+      .collect() // bounded: ≤ topK rows (index-build budget)
+    val top = topRows.toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toDF("tok_a", "tok_b", "n_ab")
+    val tokSet =
+      (topRows.map(_.getString(0)) ++ topRows.map(_.getString(1))).distinct.toSeq
+    // unigram counts for the candidate tokens, also pulled once (≤2·topK
+    // rows) so the two n_a/n_b joins below reference a LOCAL relation —
+    // a lazy cnt would re-scan the corpus once per join branch
+    val cnt = toks
+      .select(explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(tokSet: _*)) // literal filter: map-side cull
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toDF("tok", "n_tok")
+    top
+      .join(broadcast(cnt.select(col("tok").as("tok_a"), col("n_tok").as("n_a"))),
+        Seq("tok_a"))
+      .join(broadcast(cnt.select(col("tok").as("tok_b"), col("n_tok").as("n_b"))),
+        Seq("tok_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(
+          (col("n_ab").cast("double") / col("n_bi")) *
+            (col("n_uni").cast("double") / col("n_a")) *
+            (col("n_uni").cast("double") / col("n_b")), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b"))
+  }
+
 }

@@ -343,4 +343,55 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     val oneShard = got.filter(_._2 == got.head._2).sortBy(_._3).map(_._1)
     assert(oneShard.sliding(2).count(p => p(1) == p(0) + 1) < oneShard.length / 4)
   }
+
+  test("chunkWithOverlap covers every character with the stated overlap") {
+    val text = ('a' to 'z').mkString * 10 // 260 chars
+    val df = Seq((1L, text), (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    val got = TextPipeline.chunkWithOverlap(
+      df, col("doc_id"), col("text"), size = 100, stride = 60)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(5)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // 260 chars, stride 60 → last_idx = 259 div 60 = 4 → 5 chunks
+    assert(d1.length == 5)
+    assert(d1.map(_._3).toSeq == Seq(1L, 61L, 121L, 181L, 241L))
+    // full chunks are `size` long; the tail runs short of the doc end
+    assert(d1.map(_._4).toSeq == Seq(100L, 100L, 100L, 80L, 20L))
+    // chunk content is the exact substring — overlap = size − stride
+    d1.foreach { case (_, _, start, len, chunk) =>
+      assert(chunk == text.substring(start.toInt - 1, start.toInt - 1 + len.toInt))
+    }
+    // reassembly: dropping each chunk's overlap prefix reconstructs the doc
+    val rebuilt = d1.head._5 + d1.tail.map(_._5.drop(100 - 60)).mkString
+    assert(rebuilt == text)
+    // short doc → one chunk; empty doc still yields one (empty) chunk
+    assert(got.count(_._1 == 2L) == 1 && got.find(_._1 == 2L).get._5 == "short")
+    val d3 = got.filter(_._1 == 3L)
+    assert(d3.length == 1 && d3.head._4 == 0L && d3.head._5 == "")
+  }
+
+  test("bigramLift counts pairs and scores lift against hand-computed truth") {
+    // corpus: "new york" appears 3× and always adjacently; filler tokens
+    // appear often but never as a repeated pair
+    val df = Seq(
+      "new york is big",
+      "i love new york",
+      "new york wins",
+      "big is big is big").toDF("text")
+    val got = TextPipeline.bigramLift(df, col("text"), minCount = 2L, topK = 10)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // totals: 16 unigram tokens, 12 bigrams
+    val (nAb, nA, nB, lift) = got(("new", "york"))
+    assert((nAb, nA, nB) == (3L, 3L, 3L))
+    // lift = (3/12) * (16/3) * (16/3) = 7.111111…
+    assert(math.abs(lift - 7.111111) < 1e-6)
+    val (bAb, bA, _, bLift) = got(("is", "big"))
+    assert(bAb == 3L && bA == 3L)
+    assert(bLift < lift) // "big" is common solo → weaker association
+    // pairs below minCount are cut
+    assert(!got.contains(("york", "is")))
+  }
 }
