@@ -121,6 +121,14 @@ object ExtQueries {
       TextPipeline.bigramLift(t(s, dir, "documents"), col("text"),
         minCount = 3L, topK = 50)),
 
+    // ── Length-bucketed micro-batching (padding-minimizing batch
+    //    assignment; Packing.lengthBatches scaladoc for the skew story).
+    "ext_length_batches" -> ((s, dir) =>
+      Packing.lengthBatches(t(s, dir, "documents"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")),
+        bucketWidth = 32, batchSize = 8, hexDigits = 1)
+        .orderBy("doc_id")),
+
     // ── JSON extraction from the events props column. The extracted key
     //    is nullable (missing/malformed $.k): coalesce to sentinel -1 on
     //    BOTH engines, because Spark sorts NULL groups first and DuckDB
@@ -1085,6 +1093,29 @@ object ExtQueries {
         |        * (CAST(n_uni AS DOUBLE) / b.n_tok), 6) AS lift
         |FROM top JOIN uc a ON a.tok = top.tok_a JOIN uc b ON b.tok = top.tok_b, nu, nb
         |ORDER BY n_ab DESC, tok_a, tok_b""".stripMargin,
+
+    "ext_length_batches" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST((greatest(n_tokens, 1) - 1) // 32 AS BIGINT) AS bucket
+        |  FROM b),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard, bucket
+        |              ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM c),
+        |a AS (
+        |  SELECT doc_id, shard, bucket, CAST((rn - 1) // 8 AS BIGINT) AS batch_idx,
+        |         n_tokens
+        |  FROM r)
+        |SELECT doc_id, shard, bucket, batch_idx, n_tokens,
+        |       MAX(n_tokens) OVER (PARTITION BY shard, bucket, batch_idx) AS batch_max,
+        |       MAX(n_tokens) OVER (PARTITION BY shard, bucket, batch_idx) - n_tokens
+        |         AS pad
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "ext_json_extract" ->
       """SELECT COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,

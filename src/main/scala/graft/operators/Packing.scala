@@ -119,4 +119,51 @@ object Packing {
         sum(col("tokens")).as("total_tokens"),
         (sum(col("tokens")).cast("double") /
           (count(lit(1)) * lit(capacity.toLong)).cast("double")).as("utilization"))
+
+  /** Length-bucketed micro-batching: the padding-minimizing batch
+    * assignment used when examples are PADDED to the longest row of
+    * their batch rather than packed (inference serving, SFT with
+    * per-example loss masks). Documents bucket by token count
+    * (`bucketWidth` tokens per bucket), sort longest-first inside the
+    * bucket, and chunk into batches of `batchSize`; every batch then
+    * pads each member to the batch max, and `pad` is the per-document
+    * waste. Longest-first ordering makes each batch's spread at most
+    * the bucket width, so worst-case waste per document is bounded by
+    * `bucketWidth − 1` tokens.
+    *
+    * Returns (doc_id, shard, bucket, batch_idx, n_tokens, batch_max,
+    * pad), deterministic: shard = md5-prefix of the id (the
+    * shuffleShards convention — seed-free, engine-portable), order
+    * inside a bucket = (n_tokens desc, doc_id).
+    *
+    * Scale shape: ONE shuffle, on (shard, bucket). Bucket count alone
+    * (max_len/bucketWidth buckets) would be a hot-partition disaster —
+    * most of a real corpus lands in a few length buckets — so the
+    * md5 shard key fans every bucket over 16^`hexDigits` partitions
+    * first (batches are shard-local, which any batch assignment is
+    * free to be). Only (doc_id, n_tokens) shuffles; bodies never move.
+    * The two windows share one partitioning — Spark plans a single
+    * Exchange for both. */
+  def lengthBatches(
+      docs: DataFrame, id: Column, nTokens: Column,
+      bucketWidth: Int = 32, batchSize: Int = 8,
+      hexDigits: Int = 1): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0)
+    require(hexDigits >= 1 && hexDigits <= 8,
+      s"hexDigits must be in [1, 8], got $hexDigits")
+    val wRank = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    val wBatch = Window.partitionBy(col("shard"), col("bucket"), col("batch_idx"))
+    docs
+      .select(id.as("doc_id"), nTokens.cast("long").as("n_tokens"))
+      .withColumn("shard", substring(md5(col("doc_id").cast("string")), 1, hexDigits))
+      .withColumn("bucket",
+        expr(s"CAST((greatest(n_tokens, 1L) - 1L) DIV ${bucketWidth}L AS BIGINT)"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("batch_idx", expr(s"CAST((rn - 1) DIV $batchSize AS BIGINT)"))
+      .withColumn("batch_max", max(col("n_tokens")).over(wBatch))
+      .withColumn("pad", col("batch_max") - col("n_tokens"))
+      .select("doc_id", "shard", "bucket", "batch_idx",
+        "n_tokens", "batch_max", "pad")
+  }
 }

@@ -120,4 +120,42 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
         q == math.floor(w * 10000.0).toLong + 1)
     }
   }
+
+  test("lengthBatches: full coverage, bounded batches, pad < bucketWidth") {
+    val bucketW = 16
+    val batchB = 4
+    // lengths spread over several buckets, with a heavy mode in one
+    val docs = (1L to 200L).map(i => (i, (i * 37 % 90 + 1).toInt))
+      .toDF("doc_id", "n_tokens")
+    val got = Packing.lengthBatches(docs, col("doc_id"), col("n_tokens"),
+      bucketWidth = bucketW, batchSize = batchB).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // every doc assigned exactly once
+    assert(got.map(_._1).sorted.toSeq == (1L to 200L))
+    got.foreach { case (_, _, bucket, _, n, bmax, pad) =>
+      // bucket honors the width; padding never exceeds the bucket spread
+      assert(bucket == (n - 1) / bucketW)
+      assert(bmax >= n && pad == bmax - n && pad < bucketW)
+    }
+    // batch sizes: ≤ B always, == B for all but the last batch per cell
+    val byBatch = got.groupBy(t => (t._2, t._3, t._4))
+    byBatch.foreach { case (_, rows) => assert(rows.length <= batchB) }
+    byBatch.groupBy { case ((sh, bk, _), _) => (sh, bk) }.foreach {
+      case (_, batches) =>
+        val short = batches.count { case (_, rows) => rows.length < batchB }
+        assert(short <= 1, "only the last batch of a cell may run short")
+    }
+    // batch_max is the true max of the batch
+    byBatch.foreach { case (_, rows) =>
+      assert(rows.map(_._6).distinct.length == 1)
+      assert(rows.head._6 == rows.map(_._5).max)
+    }
+    // deterministic across runs
+    val again = Packing.lengthBatches(docs, col("doc_id"), col("n_tokens"),
+      bucketWidth = bucketW, batchSize = batchB).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
