@@ -129,6 +129,13 @@ object ExtQueries {
         bucketWidth = 32, batchSize = 8, hexDigits = 1)
         .orderBy("doc_id")),
 
+    // ── Weighted systematic sampling: token-count-proportional pick of
+    //    ~100 docs, integer grid math, seed-free (two-level prefix sum).
+    "ext_weighted_sample" -> ((s, dir) =>
+      TextPipeline.weightedSystematicSample(t(s, dir, "documents"),
+        col("doc_id"), TextFunctions.tokenCount(col("text")),
+        quota = 100L, hexDigits = 2)),
+
     // ── JSON extraction from the events props column. The extracted key
     //    is nullable (missing/malformed $.k): coalesce to sentinel -1 on
     //    BOTH engines, because Spark sorts NULL groups first and DuckDB
@@ -1116,6 +1123,21 @@ object ExtQueries {
         |       MAX(n_tokens) OVER (PARTITION BY shard, bucket, batch_idx) - n_tokens
         |         AS pad
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "ext_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS wt,
+        |         md5(CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |t AS (SELECT CAST(SUM(wt) AS BIGINT) AS total FROM w),
+        |c AS (
+        |  SELECT doc_id, wt,
+        |         CAST(SUM(wt) OVER (ORDER BY rk, doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM w)
+        |SELECT doc_id, wt FROM c, t
+        |WHERE (cum * 100) // total > ((cum - wt) * 100) // total
+        |ORDER BY doc_id""".stripMargin,
 
     "ext_json_extract" ->
       """SELECT COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,

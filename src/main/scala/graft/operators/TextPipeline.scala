@@ -561,6 +561,71 @@ object TextPipeline {
       .select("doc_id", "shard", "pos")
   }
 
+  /** Weighted systematic (grid) sampling: pick ~`quota` documents with
+    * probability proportional to an INTEGER weight (token count, byte
+    * size, a scaled quality score), deterministically and seed-free —
+    * the weighted companion to [[sampleToQuota]]'s per-cell uniform
+    * keep. Lay every document's weight along a line in md5-shuffle
+    * order; a document is selected iff its weight interval crosses one
+    * of `quota` evenly spaced grid points. Selection count is exactly
+    * `quota` when no single weight exceeds total/quota (a heavier doc
+    * spans several grid points but is emitted once — the standard
+    * systematic-sampling property), and every doc with weight >
+    * total/quota is ALWAYS selected.
+    *
+    * All arithmetic is integer (`cum·quota div total` vs the same for
+    * the previous cumulative) — exactly replayable in any engine, no
+    * float thresholds. Caller contract: weights non-negative,
+    * total·quota < 2^63 (ANSI mode makes an overflow a loud error, not
+    * a wrong answer; at 100 TB-of-tokens scale pass byte-KILOWEIGHTS or
+    * drop quota accordingly).
+    *
+    * 100 TB shape — the textbook two-level distributed prefix sum, no
+    * global window anywhere: pass 1 aggregates per-shard weight totals
+    * (map-side partial sums; 16^`hexDigits` result rows, pulled once —
+    * the bounded index-build-budget class, and the ONLY way to avoid
+    * the re-derived-subtree trap PlanProbe measured on bigramLift);
+    * exclusive shard offsets and the grand total fold locally and join
+    * back broadcast. Pass 2 runs the per-shard cumulative windows in
+    * parallel and filters map-side. Only (id, weight, 32-char rank)
+    * ever shuffles — never bodies. */
+  def weightedSystematicSample(
+      docs: DataFrame,
+      id: Column,
+      weight: Column,
+      quota: Long,
+      hexDigits: Int = 2): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    require(hexDigits >= 1 && hexDigits <= 8,
+      s"hexDigits must be in [1, 8], got $hexDigits")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(id.as("doc_id"), weight.cast("long").as("wt"),
+      md5(id.cast("string")).as("rk"))
+      .withColumn("shard", substring(col("rk"), 1, hexDigits))
+    // pass 1: per-shard totals (≤ 16^hexDigits rows), folded to exclusive
+    // offsets + grand total on the driver
+    val shardSums = base.groupBy("shard").agg(sum(col("wt")).as("ssum"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val totalW = shardSums.iterator.map(_._2).sum
+    if (totalW <= 0L) return base.filter(lit(false)).select("doc_id", "wt")
+    var acc = 0L
+    val off = shardSums.toSeq.map { case (s, w) =>
+      val o = acc; acc += w; (s, o)
+    }.toDF("shard", "offset")
+    // pass 2: parallel per-shard cumsum + map-side grid-crossing filter
+    val wLocal = Window.partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("lcum", sum(col("wt")).over(wLocal))
+      .join(broadcast(off), Seq("shard"))
+      .withColumn("cum", col("offset") + col("lcum"))
+      .filter(expr(
+        s"(cum * ${quota}L) div ${totalW}L > ((cum - wt) * ${quota}L) div ${totalW}L"))
+      .select(col("doc_id"), col("wt"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed-size overlapping chunks of each document — the step between a
     * curated corpus and a context-window-bounded consumer (training
     * example windows, embedding inputs, retrieval passages). Chunk i

@@ -371,6 +371,38 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(d3.length == 1 && d3.head._4 == 0L && d3.head._5 == "")
   }
 
+  test("weightedSystematicSample matches the serial grid reference, any shards") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = (1L to 300L).map(i => (i, (i * 13 % 40 + 1))).toSeq
+    val quota = 40L
+    // serial reference: md5-order, global cumsum, grid crossings
+    val ordered = docs.sortBy { case (i, _) => (md5hex(i.toString), i) }
+    val total = docs.map(_._2).sum
+    var cum = 0L
+    val expected = ordered.flatMap { case (i, w) =>
+      val prev = cum; cum += w
+      if (cum * quota / total > prev * quota / total) Some(i -> w) else None
+    }.sortBy(_._1)
+    val df = docs.toDF("doc_id", "wt")
+    def run(hex: Int) = TextPipeline.weightedSystematicSample(
+      df, col("doc_id"), col("wt"), quota, hexDigits = hex)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val got = run(2)
+    assert(got == expected)
+    // shard-count independence: the offset decomposition is exact
+    assert(run(1) == got && run(3) == got)
+    // max weight (40) < total/quota → exactly quota picks
+    assert(got.length == quota)
+    // a heavyweight doc spanning several grid points is always picked, once
+    val heavy = docs.toSeq :+ (9999L, total / 10)
+    val hGot = TextPipeline.weightedSystematicSample(
+      heavy.toDF("doc_id", "wt"), col("doc_id"), col("wt"), quota)
+      .collect().map(_.getLong(0))
+    assert(hGot.count(_ == 9999L) == 1)
+  }
+
   test("bigramLift counts pairs and scores lift against hand-computed truth") {
     // corpus: "new york" appears 3× and always adjacently; filler tokens
     // appear often but never as a repeated pair
