@@ -136,6 +136,13 @@ object ExtQueries {
         col("doc_id"), TextFunctions.tokenCount(col("text")),
         quota = 100L, hexDigits = 2)),
 
+    // ── Cross-source overlap matrix: distinct shared word 5-grams per
+    //    source pair (TextPipeline.sourceOverlapMatrix scaladoc: one
+    //    scan, no gram self-join).
+    "ext_source_overlap" -> ((s, dir) =>
+      TextPipeline.sourceOverlapMatrix(t(s, dir, "documents"),
+        col("text"), col("source"), n = 5)),
+
     // ── JSON extraction from the events props column. The extracted key
     //    is nullable (missing/malformed $.k): coalesce to sentinel -1 on
     //    BOTH engines, because Spark sorts NULL groups first and DuckDB
@@ -1123,6 +1130,21 @@ object ExtQueries {
         |       MAX(n_tokens) OVER (PARTITION BY shard, bucket, batch_idx) - n_tokens
         |         AS pad
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // independent formulation: distinct (src, gram) self-join vs the
+    // engine's per-gram source-set expansion — two shapes, one answer
+    "ext_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT source AS src, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT DISTINCT src, unnest(list_transform(
+        |    range(1, len(ts) - 3),
+        |    i -> array_to_string(list_slice(ts, i, i + 4), ' '))) AS gram
+        |  FROM tok)
+        |SELECT a.src AS source_a, b.src AS source_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ext_weighted_sample" ->
       """WITH w AS (

@@ -561,6 +561,44 @@ object TextPipeline {
       .select("doc_id", "shard", "pos")
   }
 
+  /** Cross-source overlap matrix: for every pair of sources, how many
+    * distinct word n-grams they SHARE — the curation diagnostic behind
+    * "crawl B substantially overlaps crawl A, dedup before mixing".
+    * N-gram (not whole-document) granularity: corpora rarely share
+    * byte-identical documents, but boilerplate, quotes, and templated
+    * text show up immediately at the shingle level (same unit
+    * [[contamination]] screens on). Pairs emit with source_a < source_b
+    * (lexicographic); counts are distinct shared grams, not row pairs.
+    *
+    * Scale shape: ONE corpus scan, and NOT a gram self-join (which
+    * would re-derive the gram scan per side — the PlanProbe lesson —
+    * and shuffle a candidate row PAIR per gram-match): one gram-keyed
+    * aggregate builds each gram's sorted distinct source set
+    * (collect_set partial-aggregates map-side; the set is bounded by
+    * the source dimension, small by construction), grams on a single
+    * source die in the filter, and the pair expansion is a map-side
+    * nested transform bounded by C(n_sources, 2) per gram. Only grams
+    * and source names ever shuffle — never documents. */
+  def sourceOverlapMatrix(
+      docs: DataFrame, text: Column, source: Column, n: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    docs
+      .select(source.as("src"),
+        explode(graft.functions.expressions.GraftFunctions.word_ngrams(text, n))
+          .as("gram"))
+      .groupBy("gram")
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(srcs) - 1), i ->
+          |  transform(sequence(0, i - 1), j ->
+          |    struct(srcs[j] AS source_a, srcs[i] AS source_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Weighted systematic (grid) sampling: pick ~`quota` documents with
     * probability proportional to an INTEGER weight (token count, byte
     * size, a scaled quality score), deterministically and seed-free —

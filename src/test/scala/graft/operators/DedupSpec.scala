@@ -394,4 +394,5 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .select("keep_id").as[Long].collect()
     assert(again.isEmpty)
   }
+
 }

@@ -371,6 +371,23 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(d3.length == 1 && d3.head._4 == 0L && d3.head._5 == "")
   }
 
+  test("sourceOverlapMatrix counts distinct shared n-grams per source pair") {
+    val docs = Seq(
+      ("A", "the quick brown fox jumps over"), // grams: "the..jumps", "quick..over"
+      ("B", "the quick brown fox jumps high"), // shares "the quick brown fox jumps"
+      ("C", "the quick brown fox jumps over"), // shares both A-grams, one B-gram
+      ("A", "the quick brown fox jumps high"), // dup of a B gram inside A
+      ("B", "totally different words here now exist"),
+      ("C", null.asInstanceOf[String]))
+      .toDF("source", "text")
+    val got = TextPipeline.sourceOverlapMatrix(
+      docs, col("text"), col("source"), n = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // distinct grams: A = {t..j, q..o, q..h}, B = {t..j, q..h, tot..}, C = {t..j, q..o}
+    // A∩B = {t..j, q..h} = 2; A∩C = {t..j, q..o} = 2; B∩C = {t..j} = 1
+    assert(got == Map(("A", "B") -> 2L, ("A", "C") -> 2L, ("B", "C") -> 1L))
+  }
+
   test("weightedSystematicSample matches the serial grid reference, any shards") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

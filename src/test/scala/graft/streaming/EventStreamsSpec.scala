@@ -54,6 +54,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkWithOverlap is stream-safe: file-stream chunks equal batch chunks") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    // the operator is pure map-side (sequence/explode/substr/md5), so it
+    // must run unchanged on a stream in append mode with no watermark
+    val q = graft.operators.TextPipeline.chunkWithOverlap(
+      stream, col("doc_id"), col("text"), size = 200, stride = 150)
+      .drop("chunk")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_stream_out")
+      val batch = graft.operators.TextPipeline.chunkWithOverlap(
+        graft.Tables(spark, "/root/testdata/sf0.001", "documents"),
+        col("doc_id"), col("text"), size = 200, stride = 150)
+        .drop("chunk")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("file-source readStream over the real events parquet matches the batch twin") {
     // file streaming source wants a directory — stage the sf0.001 file
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
