@@ -6,8 +6,21 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: comma-separated query names (dev-only fast rerun)
+    // optional 3rd arg: comma-separated query names (dev-only fast rerun).
+    // Unknown names are a hard error BEFORE any Spark work: a typo that
+    // selected nothing would otherwise produce a fully green run that
+    // verified nothing (empty manifest, empty oracle set — the parity
+    // gate has no way to tell it from an honest empty selection).
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    only.foreach { sel =>
+      val unknown = sel -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
+    def isSelected(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +34,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => isSelected(name) }
     val failed = selected.flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -45,7 +58,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => isSelected(name) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Declared-query manifest: the contract surface this run was asked

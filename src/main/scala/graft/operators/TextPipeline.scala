@@ -747,7 +747,7 @@ object TextPipeline {
     require(topK > 0, s"topK must be positive, got $topK")
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(split(text, " ").as("toks"))
+    val toks = docs.select(TextFunctions.tokens(text).as("toks"))
     val totals = toks.agg(
       sum(size(col("toks")).cast("long")).as("n_uni"),
       sum(greatest(size(col("toks")) - 1, lit(0)).cast("long")).as("n_bi"))

@@ -29,11 +29,21 @@ object PlanProbe {
     for (q <- names) {
       println(s"===== $q")
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
+      // Execute THIS DataFrame's own QueryExecution: a write() plans a
+      // separate command QE and leaves df's AdaptiveSparkPlan unexecuted
+      // (isFinalPlan=false, ReusedExchange structurally absent) — the
+      // counts below would then describe a plan that never ran.
+      df.collect()
+      // the executed AdaptiveSparkPlan prints "Final Plan" AND "Initial
+      // Plan" sections — keep only the final one or every count doubles
       val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
       def n(pat: String) = pat.r.findAllIn(plan).length
-      println(s"exchanges=${n("Exchange")} reused=${n("ReusedExchange")} " +
-        s"scans=${n("FileScan parquet")} codegen_spans=${n("WholeStageCodegen")}")
+      // "(?<!Reused)Exchange": a bare "Exchange" substring match would
+      // also count every ReusedExchange line. Codegen stages print as
+      // "*(k)" markers in the final-plan string, not "WholeStageCodegen".
+      println(s"exchanges=${n("(?<!Reused)Exchange")} reused=${n("ReusedExchange")} " +
+        s"scans=${n("Scan parquet")} codegen_spans=${n("\\*\\(\\d+\\)")}")
       plan.linesIterator
         .filter(l => l.contains("Exchange") || l.contains("FileScan parquet"))
         .map(_.replaceAll("^[\\s:+-]+", "").take(120))
