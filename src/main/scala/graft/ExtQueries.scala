@@ -136,6 +136,12 @@ object ExtQueries {
         col("doc_id"), TextFunctions.tokenCount(col("text")),
         quota = 100L, hexDigits = 2)),
 
+    // ── BPE merge-pair counts: the tokenizer-training inner statistic
+    //    (TextPipeline.bpePairCounts — adjacent in-word symbol pairs).
+    "ext_bpe_pairs" -> ((s, dir) =>
+      TextPipeline.bpePairCounts(t(s, dir, "documents"), col("text"),
+        topK = 50)),
+
     // ── Cross-source overlap matrix: distinct shared word 5-grams per
     //    source pair (TextPipeline.sourceOverlapMatrix scaladoc: one
     //    scan, no gram self-join).
@@ -1130,6 +1136,18 @@ object ExtQueries {
         |       MAX(n_tokens) OVER (PARTITION BY shard, bucket, batch_idx) - n_tokens
         |         AS pad
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "ext_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS INT), 1) AS sym_a,
+        |         substr(w, CAST(i + 1 AS INT), 1) AS sym_b
+        |  FROM (SELECT w, unnest(range(1, length(w))) AS i
+        |        FROM w WHERE length(w) >= 2))
+        |SELECT sym_a, sym_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n_pair DESC, sym_a, sym_b LIMIT 50""".stripMargin,
 
     // independent formulation: distinct (src, gram) self-join vs the
     // engine's per-gram source-set expansion — two shapes, one answer

@@ -561,6 +561,45 @@ object TextPipeline {
       .select("doc_id", "shard", "pos")
   }
 
+  /** BPE merge-pair counting — the inner statistic of byte-pair-encoding
+    * tokenizer training: across the corpus, how often does each pair of
+    * ADJACENT SYMBOLS co-occur inside a word? The highest-count pair is
+    * the next BPE merge; re-running after applying a merge (symbols
+    * become multi-char strings) iterates the training loop. This
+    * operator is one iteration's count table over the initial
+    * single-character alphabet, top-`topK` pairs with deterministic
+    * (count desc, pair) order — completing the tokenizer-training
+    * surface next to [[TfIdf.buildVocab]] / [[TfIdf.encode]].
+    *
+    * Space-separated words are the pre-tokenization boundary (pairs
+    * never span words — the standard BPE word-boundary rule), so this
+    * is [[bigramLift]]'s machinery one level down: character pairs
+    * within words instead of word pairs within documents.
+    *
+    * 100 TB shape: pair extraction is a map-side nested transform
+    * (word split, then per-word adjacent char pairs) feeding ONE
+    * partially-aggregated groupBy — the symbol-pair key space is tiny
+    * (alphabet², Zipf-concentrated), so map-side combine crushes the
+    * shuffle to ~|alphabet|² rows per task; the top-k is a
+    * TakeOrderedAndProject. One corpus scan, one small shuffle. */
+  def bpePairCounts(
+      docs: DataFrame,
+      text: Column,
+      topK: Int = 50): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    docs
+      .select(explode(TextFunctions.tokens(text)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), " +
+          "i -> struct(substring(w, i, 1) AS sym_a, substring(w, i + 1, 1) AS sym_b))"))
+        .as("p"))
+      .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("sym_a"), col("sym_b"))
+      .limit(topK)
+  }
+
   /** Cross-source overlap matrix: for every pair of sources, how many
     * distinct word n-grams they SHARE — the curation diagnostic behind
     * "crawl B substantially overlaps crawl A, dedup before mixing".

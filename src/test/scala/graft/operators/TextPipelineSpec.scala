@@ -371,6 +371,19 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(d3.length == 1 && d3.head._4 == 0L && d3.head._5 == "")
   }
 
+  test("bpePairCounts counts adjacent in-word symbol pairs, never across words") {
+    val docs = Seq("aab ab", "ba b", "aab").toDF("text")
+    val got = TextPipeline.bpePairCounts(docs, col("text"), topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // words: aab, ab, ba, b, aab → pairs: (a,a)x2, (a,b)x3, (b,a)x1;
+    // the word boundary between "aab" and "ab" contributes no (b,a)
+    assert(got == Map(("a", "a") -> 2L, ("a", "b") -> 3L, ("b", "a") -> 1L))
+    // single-char words contribute nothing; order is count desc
+    val ordered = TextPipeline.bpePairCounts(docs, col("text"), topK = 10)
+      .collect().map(_.getLong(2)).toSeq
+    assert(ordered == ordered.sorted.reverse)
+  }
+
   test("sourceOverlapMatrix counts distinct shared n-grams per source pair") {
     val docs = Seq(
       ("A", "the quick brown fox jumps over"), // grams: "the..jumps", "quick..over"
