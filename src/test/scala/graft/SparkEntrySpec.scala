@@ -16,6 +16,14 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every query has an oracle — full-strength correctness surface") {
+    // a query without an oracle silently downgrades to the driver's
+    // weaker rows-only check; the whole contract is currently 100%
+    // hash-oracled and this pins that property for future additions
+    val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(weak.isEmpty, s"query without oracle (rows-only downgrade): $weak")
+  }
+
   test("all queries execute and are non-empty at sf0.001") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()
