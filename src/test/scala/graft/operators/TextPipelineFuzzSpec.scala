@@ -50,9 +50,6 @@ class TextPipelineFuzzSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("weightedSystematicSample fuzz: serial grid parity on random weights") {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val rnd = new scala.util.Random(90125L)
     (1 to 4).foreach { trial =>
       val quota = 1L + rnd.nextInt(60)
@@ -82,9 +79,6 @@ class TextPipelineFuzzSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("lengthBatches fuzz: assignment matches a serial bucket-sort fold") {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val rnd = new scala.util.Random(777L)
     (1 to 4).foreach { trial =>
       val bucketW = 1 + rnd.nextInt(20)

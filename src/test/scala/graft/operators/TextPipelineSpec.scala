@@ -373,14 +373,15 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
 
   test("bpePairCounts counts adjacent in-word symbol pairs, never across words") {
     val docs = Seq("aab ab", "ba b", "aab").toDF("text")
-    val got = TextPipeline.bpePairCounts(docs, col("text"), topK = 10)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rows = TextPipeline.bpePairCounts(docs, col("text"), topK = 10)
+      .collect()
+    val got = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     // words: aab, ab, ba, b, aab → pairs: (a,a)x2, (a,b)x3, (b,a)x1;
-    // the word boundary between "aab" and "ab" contributes no (b,a)
+    // the word boundary between "aab" and "ab" contributes no (b,a);
+    // single-char words contribute nothing
     assert(got == Map(("a", "a") -> 2L, ("a", "b") -> 3L, ("b", "a") -> 1L))
-    // single-char words contribute nothing; order is count desc
-    val ordered = TextPipeline.bpePairCounts(docs, col("text"), topK = 10)
-      .collect().map(_.getLong(2)).toSeq
+    // output order is count desc
+    val ordered = rows.map(_.getLong(2)).toSeq
     assert(ordered == ordered.sorted.reverse)
   }
 
@@ -402,9 +403,6 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("weightedSystematicSample matches the serial grid reference, any shards") {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val docs = (1L to 300L).map(i => (i, (i * 13 % 40 + 1))).toSeq
     val quota = 40L
     // serial reference: md5-order, global cumsum, grid crossings
