@@ -142,6 +142,12 @@ object ExtQueries {
       TextPipeline.bpePairCounts(t(s, dir, "documents"), col("text"),
         topK = 50)),
 
+    // ── Skip-gram co-occurrence (window 3): the word2vec-style context
+    //    statistic; window=1 degenerates to ext_cooccur_lift.
+    "ext_skipgram_cooccur" -> ((s, dir) =>
+      TextPipeline.skipgramLift(t(s, dir, "documents"), col("text"),
+        window = 3, minCount = 3L, topK = 50)),
+
     // ── Cross-source overlap matrix: distinct shared word 5-grams per
     //    source pair (TextPipeline.sourceOverlapMatrix scaladoc: one
     //    scan, no gram self-join).
@@ -1136,6 +1142,34 @@ object ExtQueries {
         |       MAX(n_tokens) OVER (PARTITION BY shard, bucket, batch_idx) - n_tokens
         |         AS pad
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "ext_skipgram_cooccur" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |tot AS (
+        |  SELECT CAST(SUM(len(t)) AS BIGINT) AS n_uni,
+        |         CAST(SUM(greatest(len(t) - 1, 0) + greatest(len(t) - 2, 0)
+        |               + greatest(len(t) - 3, 0)) AS BIGINT) AS n_bi
+        |  FROM toks),
+        |uc AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok
+        |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+        |pl AS (
+        |  SELECT flatten(list_transform(range(1, least(3, len(t) - 1) + 1),
+        |           d -> list_transform(range(1, len(t) - d + 1),
+        |             i -> struct_pack(a := t[CAST(i AS INT)],
+        |                              b := t[CAST(i + d AS INT)])))) AS ps
+        |  FROM toks WHERE len(t) >= 2),
+        |bg AS (
+        |  SELECT p['a'] AS tok_a, p['b'] AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM (SELECT unnest(ps) AS p FROM pl) GROUP BY 1, 2),
+        |top AS (
+        |  SELECT * FROM bg WHERE n_ab >= 3
+        |  ORDER BY n_ab DESC, tok_a, tok_b LIMIT 50)
+        |SELECT top.tok_a, top.tok_b, top.n_ab, a.n_tok AS n_a, b.n_tok AS n_b,
+        |  round((CAST(top.n_ab AS DOUBLE) / n_bi) * (CAST(n_uni AS DOUBLE) / a.n_tok)
+        |        * (CAST(n_uni AS DOUBLE) / b.n_tok), 6) AS lift
+        |FROM top JOIN uc a ON a.tok = top.tok_a JOIN uc b ON b.tok = top.tok_b, tot
+        |ORDER BY n_ab DESC, tok_a, tok_b""".stripMargin,
 
     "ext_bpe_pairs" ->
       """WITH w AS (

@@ -782,19 +782,56 @@ object TextPipeline {
       docs: DataFrame,
       text: Column,
       minCount: Long = 3L,
-      topK: Int = 50): DataFrame = {
+      topK: Int = 50): DataFrame =
+    pairLift(docs, text, window = 1, minCount = minCount, topK = topK)
+
+  /** Skip-gram generalization of [[bigramLift]]: pairs are (tokenᵢ,
+    * tokenᵢ₊d) for every skip distance d ∈ [1, window] — the
+    * co-occurrence statistic word-embedding training consumes
+    * (word2vec-style context windows, forward direction; a symmetric
+    * window is this table plus its transpose). `window = 1` IS
+    * [[bigramLift]]. The total-pair denominator counts every in-window
+    * position pair (Σ_d max(len−d, 0)), so lift stays a calibrated
+    * observed/expected ratio at any window.
+    *
+    * Same 3-scan shape and arithmetic discipline as [[bigramLift]]
+    * (whose scaladoc carries the full scale story); the map-side
+    * expansion grows ×window, the aggregate key space does not. */
+  def skipgramLift(
+      docs: DataFrame,
+      text: Column,
+      window: Int = 3,
+      minCount: Long = 3L,
+      topK: Int = 50): DataFrame =
+    pairLift(docs, text, window = window, minCount = minCount, topK = topK)
+
+  private def pairLift(
+      docs: DataFrame,
+      text: Column,
+      window: Int,
+      minCount: Long,
+      topK: Int): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
     require(topK > 0, s"topK must be positive, got $topK")
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(TextFunctions.tokens(text).as("toks"))
+    // total pairs = Σ_d∈[1,window] max(len − d, 0), folded into the same
+    // single-row aggregate as the unigram total
+    val nPairsExpr = (1 to window)
+      .map(d => s"greatest(size(toks) - $d, 0L)").mkString(" + ")
     val totals = toks.agg(
       sum(size(col("toks")).cast("long")).as("n_uni"),
-      sum(greatest(size(col("toks")) - 1, lit(0)).cast("long")).as("n_bi"))
+      sum(expr(nPairsExpr).cast("long")).as("n_bi"))
+    // skip distances capped at size−1 so no inner sequence() ever gets a
+    // negative span (sequence steps BACKWARDS on inverted bounds — the
+    // word_ngrams gotcha); size ≥ 2 is guaranteed by the filter
     val topRows = toks
       .filter(size(col("toks")) >= 2)
       .select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> struct(toks[i-1] AS tok_a, toks[i] AS tok_b))")).as("bg"))
+        "flatten(transform(sequence(1, least(" + window + ", size(toks) - 1)), " +
+          "d -> transform(sequence(0, size(toks) - 1 - d), " +
+          "i -> struct(toks[i] AS tok_a, toks[i + d] AS tok_b))))")).as("bg"))
       .select(col("bg.tok_a").as("tok_a"), col("bg.tok_b").as("tok_b"))
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)

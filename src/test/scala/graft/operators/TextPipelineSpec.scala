@@ -385,6 +385,29 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(ordered == ordered.sorted.reverse)
   }
 
+  test("skipgramLift window pairs against hand-computed truth; w=1 == bigram") {
+    val df = Seq("a b c d", "a c").toDF("text")
+    // window=2 pairs: doc1 d=1: (a,b)(b,c)(c,d); d=2: (a,c)(b,d);
+    // doc2 d=1: (a,c) → (a,c) x2, n_bi = (3+2) + 1 = 6, n_uni = 6
+    val got = TextPipeline.skipgramLift(df, col("text"), window = 2,
+      minCount = 2L, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(("a", "c")))
+    val (nAb, nA, nB, lift) = got(("a", "c"))
+    assert((nAb, nA, nB) == (2L, 2L, 2L))
+    // lift = (2/6) * (6/2) * (6/2) = 3.0
+    assert(math.abs(lift - 3.0) < 1e-9)
+    // window=1 must equal bigramLift exactly
+    val corpus = Seq("new york is big", "i love new york", "new york wins",
+      "big is big is big").toDF("text")
+    val viaSkip = TextPipeline.skipgramLift(corpus, col("text"), window = 1,
+      minCount = 2L, topK = 10).collect().map(_.toSeq).toSeq
+    val viaBigram = TextPipeline.bigramLift(corpus, col("text"),
+      minCount = 2L, topK = 10).collect().map(_.toSeq).toSeq
+    assert(viaSkip == viaBigram)
+  }
+
   test("sourceOverlapMatrix counts distinct shared n-grams per source pair") {
     val docs = Seq(
       ("A", "the quick brown fox jumps over"), // grams: "the..jumps", "quick..over"
