@@ -71,6 +71,32 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       Seq(("a", 30.0, 50.0, 80.0), ("b", 1.0, 2.0, 3.0)))
   }
 
+  test("exactQuantiles: duplicate-heavy values, tiny groups, explicit buckets") {
+    // heavy ties land many rows in one bucket cell; the picked element at
+    // a given rank is the same value whatever the tie order
+    val dup = (Seq.fill(50)(("a", 5.0)) ++ Seq.fill(49)(("a", 9.0)) ++
+      Seq(("a", 1.0))).toDF("g", "v")
+    val gotDup = Relational.exactQuantiles(
+      dup, col("g"), col("v"), Seq(0.01, 0.50, 1.0), bucketsPerGroup = 8)
+      .collect().head
+    // sorted: 1.0, then 50×5.0 (ranks 2..51), then 49×9.0 (ranks 52..100)
+    assert((gotDup.getDouble(1), gotDup.getDouble(2), gotDup.getDouble(3)) ==
+      (1.0, 5.0, 9.0)) // rank 1, rank 50, rank 100
+    // groups far smaller than the bucket count: most cells empty
+    val tiny = Seq(("x", 7.0), ("y", 3.0), ("y", 4.0)).toDF("g", "v")
+    val gotTiny = Relational.exactQuantiles(
+      tiny, col("g"), col("v"), Seq(0.5), bucketsPerGroup = 64)
+      .orderBy("group_key").collect()
+    assert(gotTiny.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("x", 7.0), ("y", 3.0)))
+    // null values are excluded from the rank space
+    val withNull = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+      .toDF("g", "v")
+    val gotNull = Relational.exactQuantiles(
+      withNull, col("g"), col("v"), Seq(1.0)).collect().head
+    assert(gotNull.getDouble(1) == 3.0) // n = 2, rank 2 → 3.0
+  }
+
   test("profile: one row per column, nulls counted, stringified extrema") {
     val df = Seq(
       (1L, Option("x"), 10),
