@@ -551,6 +551,83 @@ object Dedup {
     math.max(4, math.ceil(
       math.log(math.max(2.0, n.toDouble / targetBucketWidth)) / math.log(2.0)).toInt)
 
+  /** Auto-size hyperplane-LSH banding for [[embeddingNearDupPairs]]
+    * from the corpus itself: returns (bitsPerBand, bands, n).
+    *
+    * Fixed band parameters are a scaling-law bug (r8 receipt: 8-bit
+    * bands correct at every scale but 8.5× wall for 10× data — in-
+    * bucket candidate volume grows ~quadratically once bucket width
+    * outgrows the corpus). Both dials must move with n:
+    *  - RECALL fixes bands as a function of bits: a pair AT the
+    *    cosine threshold agrees with a random hyperplane with
+    *    p = 1 − acos(t)/π, collides in an r-bit band with p^r, and is
+    *    missed by all B bands with (1−p^r)^B ≤ `missTarget`.
+    *  - VOLUME picks bits: per-band background collision is estimated
+    *    from the corpus itself — `sampleVecs` vectors (hash-ordered,
+    *    deterministic; the same bounded index-build pull as
+    *    [[calibrateMinhashBands]]'s sample), all driver-side pairs
+    *    below the threshold contribute mean(aᵢⱼ^bits), an unbiased
+    *    estimate of the true collision rate that a single "background
+    *    q" cannot give on clustered corpora (the densest cluster, not
+    *    the global mean, drives the blowup — same lesson as the
+    *    MinHash max rule). bits = the SMALLEST value whose expected
+    *    background candidates C(n,2)·coll(bits) stay ≤ 4·n — just
+    *    enough selectivity for linear candidate volume, and not a
+    *    plane more: every extra bit multiplies the per-row signature
+    *    work (bits·bands·dim fused multiplies) and the banding
+    *    fan-out, which a 10×-replica sweep measured as the dominant
+    *    cost once candidates are tamed (walls 4.8 s at 10 bits vs
+    *    7.7 s at 12+ bits, identical answers).
+    * The count n rides the SAME job as the sample via observe() — no
+    * standalone count action. If no bits within the recall-feasible
+    * range (bands ≤ maxBands) meets the volume target, the largest
+    * feasible bits wins and the operator's bucketCap skew guard is the
+    * backstop. */
+  def sizedEmbeddingBands(
+      df: DataFrame, // must expose the vector as column "v"
+      vec: Column,
+      threshold: Double,
+      missTarget: Double = 1e-4,
+      sampleVecs: Int = 256,
+      maxBands: Int = 128): (Int, Int, Long) = {
+    import org.apache.spark.sql.Observation
+    def clamp(x: Double) = math.max(-1.0, math.min(1.0, x))
+    val obs = Observation()
+    val rows = df.select(vec.as("v")).filter(col("v").isNotNull)
+      .observe(obs, count(lit(1)).as("n"))
+      .orderBy(xxhash64(col("v")), col("v"))
+      .limit(sampleVecs)
+      .collect()
+    val n = obs.get("n").asInstanceOf[Long]
+    val sample = rows.map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    def cosOf(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val agree = (for {
+      i <- sample.indices.iterator
+      j <- (i + 1) until sample.length
+      c = cosOf(sample(i), sample(j)) if c < threshold // background only
+    } yield 1.0 - math.acos(clamp(c)) / math.Pi).toArray
+    if (n < 2 || agree.isEmpty) return (8, 16, n) // degenerate: r8 defaults
+    val pT = 1.0 - math.acos(clamp(threshold)) / math.Pi
+    val pairs = n.toDouble * (n.toDouble - 1) / 2.0
+    val feasible = (4 to 24).flatMap { bits =>
+      val pBand = math.pow(pT, bits)
+      val bands =
+        if (pBand >= 1.0) 1
+        else math.max(1, math.ceil(math.log(missTarget) / math.log1p(-pBand)).toInt)
+      if (bands > maxBands) None // recall unreachable at sane band count
+      else Some((bits, bands))
+    }
+    val best = feasible.find { case (bits, _) =>
+      val coll = agree.iterator.map(a => math.pow(a, bits)).sum / agree.length
+      pairs * coll <= 4.0 * n // linear background candidate volume
+    }.getOrElse(feasible.last) // skew guard backstops (scaladoc)
+    (best._1, best._2, n)
+  }
+
   /** Calibrate MinHash banding against the corpus's own background
     * similarity. Samples `sampleDocs` documents (hash-ordered —
     * deterministic and id-uniform), pairs them up, and takes s₀ = the
@@ -741,6 +818,14 @@ object Dedup {
   /** Embedding near-dup: cosine >= `threshold` pairs, LSH-bucketed via
     * Similarity.signatureBuckets — the same no-cross-join discipline.
     *
+    * `autoSize = true` replaces the fixed (nPlanes, bands) with
+    * [[sizedEmbeddingBands]]'s corpus-calibrated pair: the r8 scaling
+    * receipt showed the fixed 8-bit × 16-band default is correct at
+    * every measured scale but 8.5× wall for 10× data — band bits must
+    * grow with log(n) (to keep in-bucket candidates linear) and band
+    * count with the recall bound at the chosen bits. This is the
+    * embedding twin of calibrateMinhashBands, and the 100 TB default.
+    *
     * Band DENSITY is the load-bearing parameter (r7): bits per band =
     * nPlanes / bands, and background collision per band is ~0.5^bits.
     * The old default (16 planes / 4 bands = 4 bits) surfaced ~6 % of
@@ -791,12 +876,32 @@ object Dedup {
       seed: Long = 42L,
       bucketCap: Int = 1000,
       topK: Option[Int] = None,
-      estimatePlanes: Int = 0): DataFrame = {
-    val planes = Similarity.hyperplanes(dim, nPlanes, seed)
+      estimatePlanes: Int = 0,
+      autoSize: Boolean = false): DataFrame = {
     val named = df.select(id.as("id"), vec.as("v"))
+    // autoSize: move BOTH band dials with the corpus (see
+    // sizedEmbeddingBands — fixed parameters are a scaling-law bug)
+    val (effPlanes, effBands) =
+      if (!autoSize) (nPlanes, bands)
+      else {
+        val (bits, nb, _) = sizedEmbeddingBands(named, col("v"), threshold)
+        (bits * nb, nb)
+      }
+    val planes = Similarity.hyperplanes(dim, effPlanes, seed)
+    // The (bucket, id) table feeds THREE plan branches (skew-guard
+    // sizes + both self-join sides); left lazy, Catalyst re-derives the
+    // subtree per branch — re-running the bands·bits·dim signature
+    // fold and the band explode three times (the PlanProbe
+    // re-derivation trap; measured ~2× the operator wall at the 10×
+    // replica). localCheckpoint materializes it ONCE — executor-local
+    // MEMORY_AND_DISK, bands·n slim rows, linear — and all branches
+    // read the cached RDD. Same lineage-truncation precedent as
+    // clusters(); on a cluster where executor loss is routine, swap
+    // for reliable checkpoint().
     val bucketed = named
-      .withColumn("bucket", explode(Similarity.signatureBuckets(col("v"), planes, bands)))
+      .withColumn("bucket", explode(Similarity.signatureBuckets(col("v"), planes, effBands)))
       .select(col("bucket"), col("id")) // ids only through the LSH join
+      .localCheckpoint(true)
     // skew guard: drop degenerate hot buckets before the self-join,
     // observably (see capBuckets)
     val pruned = capBuckets(bucketed, Seq("bucket"), bucketCap, "embedding")

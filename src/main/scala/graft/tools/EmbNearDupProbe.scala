@@ -42,17 +42,19 @@ object EmbNearDupProbe {
       hot.orderBy(col("n").desc).limit(5).collect()
         .foreach(r => println(s"[probe]   bucket ${r.get(0)} n=${r.get(1)}"))
     }
-    val pairs = bucketed.select(col("bucket"), col("id").as("id_a"))
-      .join(bucketed.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-    timed("banded self-join (count, no cap, no dedup)")(
-      println(s"[probe]   raw pairs=${pairs.count()}"))
-    val dd = pairs.dropDuplicates("id_a", "id_b")
-    timed("dedup (count)")(println(s"[probe]   deduped=${dd.count()}"))
-    for ((np, b) <- Seq((16, 8), (64, 8), (128, 16))) {
-      val out = timed(s"operator nPlanes=$np bands=$b (collect)") {
+    // (bits × bands) sweep along the recall bound (1-p^bits)^bands <= 1e-4
+    // at threshold 0.9, plus the r8 fixed default and the auto-sized
+    // pick — interleaved twice so JVM warm-up noise can't favor a config
+    val sized = Dedup.sizedEmbeddingBands(
+      u.select(col("embedding").as("v")), col("v"), 0.9)
+    println(s"[probe] sizedEmbeddingBands bits=${sized._1} bands=${sized._2} n=${sized._3}")
+    for (round <- 1 to 2; (np, b) <- Seq((128, 16), (390, 39), (0, 0))) {
+      val auto = np == 0
+      val label = if (auto) "autoSize" else s"nPlanes=$np bands=$b"
+      val out = timed(s"operator $label r$round (collect)") {
         Dedup.embeddingNearDupPairs(u, col("vec_id"), col("embedding"),
-          threshold = 0.9, nPlanes = np, bands = b).collect()
+          threshold = 0.9, nPlanes = if (auto) 128 else np,
+          bands = if (auto) 16 else b, autoSize = auto).collect()
       }
       val plantedRec = out.count(r => r.getLong(1) == r.getLong(0) + 100000L)
       println(s"[probe]   pairs=${out.length} planted=$plantedRec/50")

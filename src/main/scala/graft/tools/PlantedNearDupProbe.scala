@@ -93,10 +93,13 @@ object PlantedNearDupProbe {
         concat(slice(col("embedding"), 1, 63),
           array(lit(0.0f))).as("embedding"))
     val embCorpus = emb.select("vec_id", "embedding").unionByName(plantedVec)
-    val embRec = timed("embedding planted nPlanes=128 bands=16 thr=0.9") {
+    val sized = Dedup.sizedEmbeddingBands(
+      embCorpus.select(col("embedding").as("v")), col("v"), 0.9)
+    println(s"  sizedEmbeddingBands: bits=${sized._1} bands=${sized._2} n=${sized._3}")
+    val embRec = timed("embedding planted autoSized thr=0.9") {
       Dedup.embeddingNearDupPairs(
         embCorpus, col("vec_id"), col("embedding"),
-        threshold = 0.9, nPlanes = 128, bands = 16).cache()
+        threshold = 0.9, autoSize = true).cache()
     }
     println(s"  pairs: ${embRec.count()}; planted self: " +
       s"${embRec.filter(col("id_b") === col("id_a") + 100000L).count()}/50")

@@ -161,6 +161,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.length <= 20, s"candidate volume must stay linear, got ${got.length}")
   }
 
+  test("embedding band auto-sizing: bits grow with n, recall bound holds, answer unchanged") {
+    val rnd = new scala.util.Random(11)
+    def corpus(n: Int) = (1L to n.toLong)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val (bitsSmall, bandsSmall, nSmall) =
+      Dedup.sizedEmbeddingBands(corpus(300), col("embedding"), 0.9)
+    val (bitsBig, bandsBig, nBig) =
+      Dedup.sizedEmbeddingBands(corpus(20000), col("embedding"), 0.9)
+    assert(nSmall == 300L && nBig == 20000L) // n rides the sample job
+    assert(bitsBig >= bitsSmall, "band bits must not shrink as the corpus grows")
+    // the at-threshold recall bound (1-p^bits)^bands <= missTarget
+    val pT = 1.0 - math.acos(0.9) / math.Pi
+    for ((bits, bands) <- Seq((bitsSmall, bandsSmall), (bitsBig, bandsBig)))
+      assert(math.pow(1.0 - math.pow(pT, bits), bands) <= 1e-4 * 1.0001,
+        s"recall bound violated at bits=$bits bands=$bands")
+    // end-to-end: autoSize finds exactly the planted parallel pair
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // ~parallel to 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Dedup.embeddingNearDupPairs(
+      vecs, col("vec_id"), col("embedding"), threshold = 0.95, dim = 4,
+      autoSize = true)
+    val pairs = q.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("LSH auto-sizing: band bits grow with corpus, calibration sees background sim") {
     // hyperplane bits: hold expected random bucket width at ~4
     assert(Dedup.sizedBandBits(1000) == 8)     // 2^8 = 256 ≈ 1000/4
