@@ -148,7 +148,8 @@ object Packing {
       docs: DataFrame, id: Column, nTokens: Column,
       bucketWidth: Int = 32, batchSize: Int = 8,
       hexDigits: Int = 1): DataFrame = {
-    require(bucketWidth > 0 && batchSize > 0)
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     require(hexDigits >= 1 && hexDigits <= 8,
       s"hexDigits must be in [1, 8], got $hexDigits")
     val wRank = Window.partitionBy(col("shard"), col("bucket"))

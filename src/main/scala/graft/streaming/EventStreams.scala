@@ -26,9 +26,20 @@ object EventStreams {
     * A hardcoded schema here once silently mis-scaled every timestamp
     * by 1000 when the encoding changed — deriving it makes an encoding
     * drift either transparent or a loud schema error, never a silent
-    * wrong answer. */
-  def readEventStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val onDisk = spark.read.parquet(dir).schema
+    * wrong answer.
+    *
+    * Probe contract (r8 ADVICE): the directory must hold at least one
+    * file when the stream STARTS — the normal deploy-then-feed pattern
+    * (an empty dir fails the probe with `declaredSchema` unset, loudly,
+    * before any stream state exists). For a feed that truly starts
+    * empty, pass `declaredSchema = Some(schema)` with the schema of the
+    * files that WILL arrive; mixing encodings within one directory is
+    * not supported by parquet's own schema merge and fails the probe
+    * rather than half-reading. */
+  def readEventStream(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      declaredSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val onDisk = declaredSchema.getOrElse(spark.read.parquet(dir).schema)
     graft.Tables.normalizeTs(spark.readStream.schema(onDisk).parquet(dir))
   }
 
