@@ -581,7 +581,12 @@ object TextPipeline {
     * partially-aggregated groupBy — the symbol-pair key space is tiny
     * (alphabet², Zipf-concentrated), so map-side combine crushes the
     * shuffle to ~|alphabet|² rows per task; the top-k is a
-    * TakeOrderedAndProject. One corpus scan, one small shuffle. */
+    * TakeOrderedAndProject. One corpus scan, one small shuffle.
+    *
+    * Stream-safe AS-IS: one declarative monoid aggregate (plus a
+    * complete-mode-legal sort/limit), so the same code runs on a
+    * readStream DataFrame in complete output mode, folding counts
+    * incrementally across micro-batches (EventStreamsSpec twin). */
   def bpePairCounts(
       docs: DataFrame,
       text: Column,
@@ -681,11 +686,31 @@ object TextPipeline {
       md5(id.cast("string")).as("rk"))
       .withColumn("shard", substring(col("rk"), 1, hexDigits))
     // pass 1: per-shard totals (≤ 16^hexDigits rows), folded to exclusive
-    // offsets + grand total on the driver
-    val shardSums = base.groupBy("shard").agg(sum(col("wt")).as("ssum"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // offsets + grand total on the driver. Weight validation rides the
+    // SAME aggregate (r8 ADVICE): a negative weight makes the cumulative
+    // sum non-monotonic (silent duplicate/missed grid points, which ANSI
+    // mode cannot catch), and a NULL weight would silently drop its doc.
+    val shardStats = base.groupBy("shard")
+      .agg(sum(col("wt")).as("ssum"), min(col("wt")).as("smin"),
+        count(lit(1)).as("rows"), count(col("wt")).as("nonnull"))
+      .collect()
+    shardStats.foreach { r =>
+      require(r.getLong(4) == r.getLong(3),
+        s"weightedSystematicSample: ${r.getLong(3) - r.getLong(4)} NULL " +
+          s"weight(s) in shard ${r.getString(0)} — weights must be non-null")
+      require(r.getLong(2) >= 0L, // min weight; non-null by the line above
+        s"weightedSystematicSample: negative weight ${r.getLong(2)} in " +
+          s"shard ${r.getString(0)} — weights must be non-negative")
+    }
+    val shardSums = shardStats.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     val totalW = shardSums.iterator.map(_._2).sum
     if (totalW <= 0L) return base.filter(lit(false)).select("doc_id", "wt")
+    // the caller contract total·quota < 2^63 checked here on the driver,
+    // not left to session ANSI mode (r8 ADVICE)
+    require(totalW <= Long.MaxValue / quota,
+      s"weightedSystematicSample: total weight $totalW * quota $quota " +
+        "overflows 63-bit grid arithmetic — pass coarser weights or a " +
+        "smaller quota")
     var acc = 0L
     val off = shardSums.toSeq.map { case (s, w) =>
       val o = acc; acc += w; (s, o)
@@ -805,6 +830,37 @@ object TextPipeline {
       topK: Int = 50): DataFrame =
     pairLift(docs, text, window = window, minCount = minCount, topK = topK)
 
+  /** The monoid core of [[skipgramLift]]/[[bigramLift]]: (tok_a, tok_b,
+    * n_ab) co-occurrence counts for skip distances d ∈ [1, window] —
+    * map-side pair explosion feeding ONE partially-aggregated count.
+    * Public and separate from the lift scoring because a pure
+    * explode → groupBy-count is STREAM-SAFE as-is: on a readStream
+    * DataFrame in complete output mode the same code incrementally
+    * folds counts across micro-batches (the r9 streaming twin — see
+    * EventStreamsSpec), whereas the lift stage's bounded driver pulls
+    * are batch-only by construction.
+    *
+    * Skip distances are capped at size−1 so no inner sequence() ever
+    * gets a negative span (sequence steps BACKWARDS on inverted
+    * bounds — the word_ngrams gotcha); size ≥ 2 via the filter. */
+  def skipgramPairCounts(
+      docs: DataFrame,
+      text: Column,
+      window: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    docs
+      .select(TextFunctions.tokens(text).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, least(" + window + ", size(toks) - 1)), " +
+          "d -> transform(sequence(0, size(toks) - 1 - d), " +
+          "i -> struct(toks[i] AS tok_a, toks[i + d] AS tok_b))))")).as("bg"))
+      .select(col("bg.tok_a").as("tok_a"), col("bg.tok_b").as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+  }
+
   private def pairLift(
       docs: DataFrame,
       text: Column,
@@ -823,18 +879,7 @@ object TextPipeline {
     val totals = toks.agg(
       sum(size(col("toks")).cast("long")).as("n_uni"),
       sum(expr(nPairsExpr).cast("long")).as("n_bi"))
-    // skip distances capped at size−1 so no inner sequence() ever gets a
-    // negative span (sequence steps BACKWARDS on inverted bounds — the
-    // word_ngrams gotcha); size ≥ 2 is guaranteed by the filter
-    val topRows = toks
-      .filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(sequence(1, least(" + window + ", size(toks) - 1)), " +
-          "d -> transform(sequence(0, size(toks) - 1 - d), " +
-          "i -> struct(toks[i] AS tok_a, toks[i + d] AS tok_b))))")).as("bg"))
-      .select(col("bg.tok_a").as("tok_a"), col("bg.tok_b").as("tok_b"))
-      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minCount)
+    val topRows = skipgramPairCounts(docs, text, window, minCount)
       .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b"))
       .limit(topK)
       .collect() // bounded: ≤ topK rows (index-build budget)

@@ -82,6 +82,60 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("bpePairCounts is stream-safe: complete-mode counts across micro-batches equal batch") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-src")
+    // two part files → two micro-batches under maxFilesPerTrigger=1
+    Seq((1L, "the cat sat on the mat"), (2L, "the bat and the cat"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir.toString)
+    Seq((3L, "a cat a mat"), (4L, "stream of streams"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    // one declarative monoid aggregate → the batch operator runs
+    // unchanged on the stream; complete mode re-emits the folded counts
+    val q = graft.operators.TextPipeline.bpePairCounts(stream, col("text"), topK = 100)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("bpe_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_stream_out")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val batch = graft.operators.TextPipeline.bpePairCounts(
+        spark.read.parquet(dir.toString), col("text"), topK = 100)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(streamed == batch) // total order: (count desc, pair)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("skipgramPairCounts is stream-safe: co-occurrence counts fold across micro-batches") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-skipgram-src")
+    Seq((1L, "to be or not to be"), (2L, "be here now"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir.toString)
+    Seq((3L, "not to worry"), (4L, "to be sure"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = graft.operators.TextPipeline.skipgramPairCounts(
+      stream, col("text"), window = 2)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("skipgram_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("skipgram_stream_out")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.operators.TextPipeline.skipgramPairCounts(
+        spark.read.parquet(dir.toString), col("text"), window = 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(batch.contains(("to", "be", 3L))) // 2 in doc 1 + 1 in doc 4, across micro-batches
+    } finally q.stop()
+  }
+
   test("file-source readStream over the real events parquet matches the batch twin") {
     // file streaming source wants a directory — stage the sf0.001 file
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
