@@ -20,6 +20,13 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, Times
   *    pins the session timezone to UTC, so `cast("timestamp")`
   *    reinterprets the wall-clock instant identically — a metadata
   *    change, not an arithmetic one.
+  *
+  * Two more encodings a driver refresh could plausibly ship — INT96
+  * legacy timestamps and tz-aware `timestamp[us, tz=UTC]` — already
+  * arrive from Spark's parquet reader as TimestampType, so the
+  * normalizer passes them through untouched; TablesSpec pins all four
+  * arrival shapes with synthetic parquet fixtures so the next silent
+  * refresh is a red test, not a red round.
   */
 object Tables {
 

@@ -61,6 +61,38 @@ class TablesSpec extends AnyFunSuite with SparkSpec {
       nanos / 1000L) // integer truncation, no double round-trip
   }
 
+  test("normalizeTs: all four plausible driver encodings land on TimestampType") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ts-enc").toString
+    val base = Seq("2024-01-02 03:04:05.123456").toDF("s")
+      .select(col("s").cast(TimestampType).as("ts"))
+    val prevOut = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      // (a) INT96 legacy — Spark reads it back as TimestampType directly
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      base.write.mode("overwrite").parquet(s"$tmp/int96")
+      // (b) tz-aware timestamp[us, tz=UTC] — also arrives as TimestampType
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      base.write.mode("overwrite").parquet(s"$tmp/micros_utc")
+      // (c) timestamp[us] no-tz — arrives NTZ, normalizer casts (r7 drift)
+      base.select(col("ts").cast(TimestampNTZType).as("ts"))
+        .write.mode("overwrite").parquet(s"$tmp/ntz")
+      // (d) INT64 TIMESTAMP(NANOS) — with nanosAsLong (set in every engine
+      // session) it arrives as raw Long nanos; a plain-int64 fixture has
+      // the identical arrival shape
+      Seq(1704164645123456789L).toDF("ts")
+        .write.mode("overwrite").parquet(s"$tmp/nanos")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevOut)
+    for (enc <- Seq("int96", "micros_utc", "ntz", "nanos")) {
+      val fixed = Tables.normalizeTs(spark.read.parquet(s"$tmp/$enc"))
+      assert(fixed.schema.head.dataType == TimestampType,
+        s"encoding $enc normalized to ${fixed.schema.head.dataType}")
+      assert(fixed.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .head().getString(0) == "2024-01-02 03:04:05.123456",
+        s"encoding $enc changed the instant")
+    }
+  }
+
   test("streaming file source sees the same normalized schema as batch") {
     val batch = Tables(spark, dir, "events")
     val stream = graft.streaming.EventStreams
