@@ -992,7 +992,34 @@ object ExtQueries {
         docs, col("doc_id"), Seq(col("lang"), col("source")), quotas)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
-    })
+    }),
+
+    // ── Bigram LM quality scoring: mean −ln p(w₂|w₁) per document under
+    //    the corpus's own add-k-smoothed bigram model — the rung above
+    //    ext_unigram_nll on the perplexity-filter ladder
+    //    (TfIdf.bigramLogProb scaladoc for the 1-scan model shape).
+    "ext_bigram_nll" -> ((s, dir) =>
+      TfIdf.bigramLogProb(
+        t(s, dir, "documents"), col("doc_id"), col("text"), k = 0.5)
+        .orderBy("doc_id")),
+
+    // ── All-pairs TF-IDF cosine ≥ 0.25 via inverted-index self-join
+    //    with the Bayardo df-cap prune — the sparse-vector complement
+    //    of ext_embedding_neardup (TfIdf.allPairsCosine scaladoc).
+    "ext_allpairs_cosine" -> ((s, dir) =>
+      TfIdf.allPairsCosine(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        dfCap = 50L, threshold = 0.25)
+        .orderBy("id_a", "id_b")),
+
+    // ── Johnson–Lindenstrauss random projection 64→8 dims: formula-
+    //    derived matrix, zero-shuffle map-side matmul
+    //    (Similarity.randomProject scaladoc).
+    "ext_random_projection" -> ((s, dir) =>
+      Similarity.randomProject(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        outDims = 8)
+        .orderBy("vec_id"))
   )
 
   /** Shared by ext_decontaminate and ext_decontaminate_bloom — the bloom
@@ -2468,6 +2495,103 @@ object ExtQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
         |       CAST(SUM(tf) AS BIGINT) AS total_tf
         |FROM postings GROUP BY doc_id
-        |HAVING COUNT(*) = 3 ORDER BY doc_id""".stripMargin
+        |HAVING COUNT(*) = 3 ORDER BY doc_id""".stripMargin,
+
+    // Same add-k arithmetic as TfIdf.bigramLogProb: −ln p quantized to
+    // DECIMAL(18,6) pre-sum (order-free, libm-ulp immune); c1/V derived
+    // from the aggregated pair table, exactly like the Spark plan.
+    "ext_bigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> len(t) > 0) AS a
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        |  FROM (SELECT doc_id, a,
+        |          unnest(generate_series(1, len(a) - 1)) AS i
+        |        FROM toks WHERE len(a) >= 2) s),
+        |model AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+        |ctx AS (
+        |  SELECT w1, w2, c12,
+        |         SUM(c12) OVER (PARTITION BY w1) AS c1
+        |  FROM model),
+        |voc AS (
+        |  SELECT COUNT(DISTINCT t) AS v FROM (
+        |    SELECT w1 AS t FROM model
+        |    UNION ALL SELECT w2 FROM model) u)
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CAST(-ln((CAST(c12 AS DOUBLE) + 0.5) /
+        |                    (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+        |           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS bigram_nll
+        |FROM bi b JOIN ctx USING (w1, w2) CROSS JOIN voc
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+
+    // idf weights quantized to DECIMAL(18,6) once; norms and dots are
+    // exact decimal sums; cosine = IEEE ·,/,√ of those — bit-identical
+    // to TfIdf.allPairsCosine. df computed BEFORE the dfCap filter.
+    "ext_allpairs_cosine" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |        FROM documents) s
+        |  WHERE len(term) > 0 GROUP BY doc_id, term),
+        |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |post AS (
+        |  SELECT doc_id, term,
+        |    CAST(CAST(tf AS DOUBLE) *
+        |         ln((CAST(n_docs AS DOUBLE) + 1.0) /
+        |            (CAST(df AS DOUBLE) + 1.0)) AS DECIMAL(18,6)) AS w
+        |  FROM (SELECT doc_id, term, tf,
+        |          COUNT(*) OVER (PARTITION BY term) AS df
+        |        FROM tf) d CROSS JOIN tot
+        |  WHERE df <= 50),
+        |pn AS (
+        |  SELECT doc_id, term, w,
+        |    sqrt(CAST(SUM(w * w) OVER (PARTITION BY doc_id) AS DOUBLE))
+        |      AS norm
+        |  FROM post)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(SUM(a.w * b.w) AS DOUBLE) /
+        |        (MAX(a.norm) * MAX(b.norm)), 6) AS cosine
+        |FROM pn a JOIN pn b ON a.term = b.term AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING CAST(SUM(a.w * b.w) AS DOUBLE) /
+        |       (MAX(a.norm) * MAX(b.norm)) >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // The projection matrix is DERIVED, not copied: integer numerator
+    // W[j][i] = (i·8+j)·2654435761 mod 2048 − 1024 (i 0-based — the
+    // unnest index is 1-based, hence i−1). All-integer fixed-point dot
+    // (inputs floor-quantized to 2⁻²⁰, BIGINT sum, one exact /2³⁰ at
+    // the end) — see Similarity.randomProject for why decimal
+    // quantization is NOT portable at this scale.
+    "ext_random_projection" ->
+      """WITH pos AS (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+        |      AS xq
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings) s),
+        |proj AS (
+        |  SELECT vec_id, j,
+        |    CAST(SUM(xq * ((((i - 1) * 8 + j) * 2654435761) % 2048
+        |                   - 1024)) AS DOUBLE) / 1073741824.0 AS p
+        |  FROM pos CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 7)) AS j) dims
+        |  GROUP BY vec_id, j)
+        |SELECT vec_id,
+        |  MAX(CASE WHEN j = 0 THEN p END) AS p0,
+        |  MAX(CASE WHEN j = 1 THEN p END) AS p1,
+        |  MAX(CASE WHEN j = 2 THEN p END) AS p2,
+        |  MAX(CASE WHEN j = 3 THEN p END) AS p3,
+        |  MAX(CASE WHEN j = 4 THEN p END) AS p4,
+        |  MAX(CASE WHEN j = 5 THEN p END) AS p5,
+        |  MAX(CASE WHEN j = 6 THEN p END) AS p6,
+        |  MAX(CASE WHEN j = 7 THEN p END) AS p7
+        |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }

@@ -157,4 +157,144 @@ object TfIdf {
         count(lit(1)).as("n_tokens"),
         (sum(col("neglogp")).cast("double") / count(lit(1))).as("nll"))
   }
+
+  /** Bigram language-model scoring with add-k smoothing: each document's
+    * mean −ln p(w₂|w₁) under the corpus's own bigram model — the next
+    * rung above [[unigramLogProb]] on the CCNet-style quality-filter
+    * ladder (a bigram LM already separates fluent text from shuffled or
+    * boilerplate tokens, which a unigram model scores identically).
+    *
+    * Model: p(w₂|w₁) = (c(w₁,w₂) + k) / (c(w₁) + k·V), where c(w₁) is
+    * the bigram-position context count (Σ_{w₂} c(w₁,w₂)) and V counts
+    * the distinct token types observed in bigram positions — both
+    * derived from the aggregated pair table, never from a second corpus
+    * pass. Trained and scored on the same corpus, so the scoring join
+    * never misses; smoothing still matters (it regularizes rare
+    * contexts exactly like held-out scoring would need).
+    *
+    * Scale shape (100 TB corpus):
+    *  - bigram extraction is pure map-side array code — tokenize once,
+    *    zip the array with its own tail (no posexplode + self-join, no
+    *    per-doc window);
+    *  - the model is ONE (w₁,w₂) aggregate; the context count rides a
+    *    window over the ALREADY-AGGREGATED pair table partitioned by w₁
+    *    (distinct-bigram-sized, ≪ corpus), not a second scan;
+    *  - V folds the pair table into a single-row broadcast scalar;
+    *  - scoring is an equi-join of the bigram stream to the model on
+    *    (w₁,w₂) — vocabulary²-bounded model side, AQE broadcasts it
+    *    when it fits.
+    *  - per-bigram −ln p is quantized to DECIMAL(18,6) pre-sum (the
+    *    repo's xsum discipline — see [[unigramLogProb]]).
+    *
+    * Documents with fewer than two tokens have no bigrams and are
+    * absent from the output (documented contract; the oracle agrees).
+    *
+    * Output: (doc_id, n_bigrams, bigram_nll). */
+  def bigramLogProb(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Double = 0.5): DataFrame = {
+    val arr = filter(split(lower(text), "[^a-z]+"), t => length(t) > 0)
+    val bigrams = docs
+      .select(id.as("doc_id"), arr.as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), size(col("a")) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val model = bigrams
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+    val vocab = model
+      .select(explode(array(col("w1"), col("w2"))).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    bigrams
+      .join(model, Seq("w1", "w2")) // same-corpus model: never misses
+      .crossJoin(broadcast(vocab)) // single-row scalar
+      .withColumn("neglogp",
+        (-log((col("c12").cast("double") + lit(k)) /
+          (col("c1").cast("double") + lit(k) * col("v").cast("double"))))
+          .cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("neglogp")).cast("double") / count(lit(1)))
+          .as("bigram_nll"))
+  }
+
+  /** All-pairs document cosine similarity over df-pruned TF-IDF vectors
+    * — the batch "which documents are topically near-duplicates"
+    * operator (the sparse-vector complement of the embedding near-dup
+    * path in Dedup): candidate pairs come from an inverted-index
+    * self-join on shared terms, NEVER from a cross join.
+    *
+    * Pruning: terms with document frequency > `dfCap` are dropped
+    * before pair generation. This is the standard all-pairs-similarity
+    * bound (Bayardo et al., WWW'07 prefix-filtering family): a term in
+    * more than dfCap documents (a) carries near-zero idf weight and (b)
+    * would alone generate O(dfCap²) candidate pairs — the cap makes
+    * candidate volume per term quadratic in a CONSTANT, so total
+    * candidates stay linear in distinct terms. The same skew-guard
+    * discipline as the LSH bucket caps in Dedup.
+    *
+    * Reproducibility: idf weights are quantized to DECIMAL(18,6) once
+    * (absorbing libm ln ulp drift), then norms (Σ w², exact decimal),
+    * pair dot products (Σ wᵃ·wᵇ, exact decimal) and the final
+    * cosine = dot/(‖a‖·‖b‖) (IEEE ·,/,√ — exactly rounded) are all
+    * partition-order independent and bit-identical cross-engine.
+    *
+    * Scale shape: tf is one (doc,term) aggregate; df and the per-doc
+    * norm are windows over that SAME aggregated postings table (term-
+    * then doc-partitioned — two shuffles of (doc,term,w) triples, no
+    * corpus re-scan); the self-join shuffles postings by term with
+    * per-term fan-out ≤ dfCap². The postings subtree is referenced
+    * twice (join build + probe), so the corpus is scanned twice —
+    * honest and linear.
+    *
+    * Output: (id_a, id_b, cosine) with id_a < id_b, cosine ≥
+    * `threshold`, cosine rounded to 6 dp. */
+  def allPairsCosine(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      dfCap: Long = 50L,
+      threshold: Double = 0.25): DataFrame = {
+    val tf = docs
+      .select(id.as("doc_id"),
+        explode(split(lower(text), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val total = docs.select(count(lit(1)).as("n_docs"))
+    val postings = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .filter(col("df") <= dfCap)
+      .crossJoin(broadcast(total)) // single-row N
+      .withColumn("w",
+        (col("tf").cast("double") *
+          log((col("n_docs").cast("double") + lit(1.0)) /
+            (col("df").cast("double") + lit(1.0))))
+          .cast("decimal(18,6)"))
+      .withColumn("norm",
+        sqrt(sum(col("w") * col("w")).over(Window.partitionBy("doc_id"))
+          .cast("double")))
+      .select(col("doc_id"), col("term"), col("w"), col("norm"))
+    val a = postings.select(
+      col("doc_id").as("id_a"), col("term"),
+      col("w").as("w_a"), col("norm").as("norm_a"))
+    val b = postings.select(
+      col("doc_id").as("id_b"), col("term"),
+      col("w").as("w_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(
+        (sum(col("w_a") * col("w_b")).cast("double") /
+          (first(col("norm_a")) * first(col("norm_b")))).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cos_raw"), 6).as("cosine"))
+  }
 }

@@ -158,4 +158,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       assert(got == want, s"trial $trial")
     }
   }
+
+  test("randomProject matches the integer fixed-point formula exactly") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f, 1.0f, 0.125f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val outDims = 3
+    def weightNum(j: Int, i: Int): Long =
+      ((i.toLong * outDims + j) * 2654435761L) % 2048L - 1024L
+    def expect(v: Array[Float], j: Int): Double =
+      v.zipWithIndex.map { case (x, i) =>
+        math.floor(x.toDouble * 1048576.0).toLong * weightNum(j, i)
+      }.sum.toDouble / 1073741824.0
+    val got = Similarity.randomProject(
+        vecs, col("vec_id"), col("embedding"), outDims)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (0 until outDims).map(j => r.getAs[Double](s"p$j"))).toMap
+    val v1 = Array(0.5f, -0.25f, 1.0f, 0.125f)
+    (0 until outDims).foreach { j =>
+      assert(got(1L)(j) == expect(v1, j), s"dim $j must be bit-exact")
+      assert(got(2L)(j) == 0.0)
+    }
+  }
+
+  test("randomProject roughly preserves relative distances (JL sanity)") {
+    // 64-d corpus: two near-identical vectors and one far one — after
+    // 64→8 projection the near pair must stay much closer than the far
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val df = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.randomProject(df, col("vec_id"), col("embedding"), 8)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (0 until 8).map(j => r.getAs[Double](s"p$j")).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(d2(p(1L), p(2L)) * 100 < d2(p(1L), p(3L)),
+      "near pair must stay far closer than the far pair after projection")
+  }
 }

@@ -82,4 +82,70 @@ class TfIdfSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got(1L)._2 - want1) < 1e-9)
     assert(math.abs(got(2L)._2 - want2) < 1e-9)
   }
+
+  test("bigramLogProb matches a hand-computed smoothed mean -ln p") {
+    val corpus = Seq(
+      (1L, "a b a b"),   // bigrams: (a,b) (b,a) (a,b)
+      (2L, "a b"),       // bigram:  (a,b)
+      (3L, "solo")).toDF("doc_id", "text") // 1 token → no bigrams, absent
+    // model: c(a,b)=3 c(b,a)=1; c1(a)=3 c1(b)=1; V = |{a, b}| = 2; k=0.5
+    def q6(c12: Double, c1: Double) =
+      BigDecimal(-math.log((c12 + 0.5) / (c1 + 0.5 * 2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val pAB = q6(3, 3); val pBA = q6(1, 1)
+    val got = TfIdf.bigramLogProb(corpus, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got.keySet == Set(1L, 2L)) // doc 3 has no bigrams
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - ((pAB * 2 + pBA) / 3).toDouble) < 1e-9)
+    assert(got(2L) == (1L, pAB.toDouble))
+  }
+
+  test("bigramLogProb separates fluent from scrambled word order") {
+    // the scrambled doc has the SAME unigram histogram as the fluent
+    // ones — a unigram LM scores it identically to doc 1; the bigram LM
+    // must not, because its transitions are rare under the corpus model
+    val fluent = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+    val scrambled = (11L, "mat the on sat cat the")
+    val corpus = (fluent :+ scrambled).toDF("doc_id", "text")
+    val got = TfIdf.bigramLogProb(corpus, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(got(1L) < got(11L),
+      s"fluent doc must score lower nll: ${got(1L)} vs ${got(11L)}")
+  }
+
+  test("allPairsCosine: near-identical docs ≈ 1, disjoint absent, no cross join") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),  // identical to 1 → cosine 1.0
+      (3L, "epsilon zeta eta theta"),  // shares nothing with 1/2
+      (4L, "alpha beta iota kappa")).toDF("doc_id", "text")
+    val q = TfIdf.allPairsCosine(corpus, col("doc_id"), col("text"),
+      dfCap = 50L, threshold = 0.05)
+    val plan = q.queryExecution.executedPlan.toString
+    // the single-row broadcast(total) legitimately compiles to a
+    // BroadcastNestedLoopJoin; only an all-pairs cartesian is forbidden
+    assert(!plan.contains("CartesianProduct"))
+    val got = q.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-6)
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+    // docs 1/4 share only the LOW-idf half of their terms → weakly similar
+    assert(got((1L, 4L)) > 0.05 && got((1L, 4L)) < 0.5)
+  }
+
+  test("allPairsCosine dfCap prunes ubiquitous terms from pair generation") {
+    // "common" is in every doc; with dfCap=2 it must not generate pairs —
+    // docs sharing ONLY "common" are absent even at threshold 0
+    val corpus = Seq(
+      (1L, "common uniqa"),
+      (2L, "common uniqb"),
+      (3L, "common shared x"),
+      (4L, "common shared y")).toDF("doc_id", "text")
+    val got = TfIdf.allPairsCosine(corpus, col("doc_id"), col("text"),
+      dfCap = 2L, threshold = 0.0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(got.toSet == Set((3L, 4L))) // only the "shared" pair survives
+  }
 }
