@@ -340,7 +340,7 @@ object ExtQueries {
       Dedup.embeddingNearDupPairs(
         e.select("vec_id", "embedding").unionByName(planted),
         col("vec_id"), col("embedding"),
-        threshold = 0.9, autoSize = true)
+        threshold = 0.9, autoSize = true, estimatePlanes = 64)
     }),
 
     // ── Near-dup CLUSTERS: connected components over a similarity pair

@@ -383,6 +383,62 @@ case class HyperplaneBands(child: Expression, planes: Array[Array[Double]], band
     copy(child = c)
 }
 
+/** [[HyperplaneBands]] with LONG bucket keys: (band << 32) | bandBits —
+  * for the high-band-count near-dup path, where the bucket column is
+  * shuffled and hash-joined bands·n times and an 8-byte fixed-width key
+  * beats an ~18-byte UTF8 string on every hop (hashing, sort, exchange
+  * bytes). Separate expression rather than a flag so the string variant
+  * stays bit-stable for the queries whose DuckDB oracles replay its
+  * bucket text end-to-end (ext_ann_lsh). Requires ≤ 32 bits per band
+  * and ≤ 2³¹ bands. */
+case class HyperplaneBandsLong(child: Expression, planes: Array[Array[Double]], bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bands >= 1 && planes.length % bands == 0,
+    s"planes (${planes.length}) must divide evenly into $bands bands")
+  require(planes.length / bands <= 32, "band bits must fit an Int")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val isDouble =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val bits = new Array[Boolean](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      val m = math.min(n, plane.length)
+      while (i < m) {
+        val xi = if (isDouble) v.getDouble(i) else v.getFloat(i).toDouble
+        dot += xi * plane(i); i += 1
+      }
+      bits(p) = dot >= 0
+      p += 1
+    }
+    val perBand = planes.length / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < perBand) {
+        key = (key << 1) | (if (bits(b * perBand + j)) 1L else 0L); j += 1
+      }
+      out(b) = (b.toLong << 32) | key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBandsLong =
+    copy(child = c)
+}
+
 /** Sign bits of a vector under up to 64 hyperplanes, packed into ONE
   * long (bit p set ⇔ dot(v, planes(p)) >= 0). The compact signature for
   * estimate-then-verify over embedding candidates: agreement fraction =
@@ -622,6 +678,9 @@ object GraftFunctions {
 
   def hyperplane_bands(vec: Column, planes: Array[Array[Double]], bands: Int): Column =
     column(HyperplaneBands(expression(vec), planes, bands))
+
+  def hyperplane_bands_long(vec: Column, planes: Array[Array[Double]], bands: Int): Column =
+    column(HyperplaneBandsLong(expression(vec), planes, bands))
 
   def hyperplane_signs(vec: Column, planes: Array[Array[Double]]): Column =
     column(HyperplaneSigns(expression(vec), planes))

@@ -613,18 +613,32 @@ object Dedup {
     if (n < 2 || agree.isEmpty) return (8, 16, n) // degenerate: r8 defaults
     val pT = 1.0 - math.acos(clamp(threshold)) / math.Pi
     val pairs = n.toDouble * (n.toDouble - 1) / 2.0
-    val feasible = (4 to 24).flatMap { bits =>
+    // Pick bits by MINIMIZING a measured cost model, not by a candidate
+    // cap alone. The r9 26×-replica staged probe (SCALE.md) exposed two
+    // bugs in the old "smallest bits with pairs·coll ≤ 4n" rule:
+    // (a) candidates accrue over EVERY band — the budget check missed
+    // the ×bands factor, under-sizing bits 50× at 26×; (b) past the
+    // candidate knee the binding costs are the banded-table rows
+    // (bands·n through explode + shuffle + self-join) and the signature
+    // planes (bits·bands·n) — more bits is not free. Weights are the
+    // probe's measured per-row ratios: candidate row ≈ 0.2 of a banded
+    // row (map-side estimate filter, no shuffle), plane·row ≈ 0.01.
+    val scored = (4 to 24).flatMap { bits =>
       val pBand = math.pow(pT, bits)
       val bands =
         if (pBand >= 1.0) 1
         else math.max(1, math.ceil(math.log(missTarget) / math.log1p(-pBand)).toInt)
       if (bands > maxBands) None // recall unreachable at sane band count
-      else Some((bits, bands))
+      else {
+        val coll = agree.iterator.map(a => math.pow(a, bits)).sum / agree.length
+        val cost = bands.toDouble * n +
+          pairs * coll * bands * 0.2 +
+          bits.toDouble * bands * n * 0.01
+        Some((bits, bands, cost))
+      }
     }
-    val best = feasible.find { case (bits, _) =>
-      val coll = agree.iterator.map(a => math.pow(a, bits)).sum / agree.length
-      pairs * coll <= 4.0 * n // linear background candidate volume
-    }.getOrElse(feasible.last) // skew guard backstops (scaladoc)
+    if (scored.isEmpty) return (8, 16, n)
+    val best = scored.minBy(_._3)
     (best._1, best._2, n)
   }
 
@@ -888,54 +902,74 @@ object Dedup {
         (bits * nb, nb)
       }
     val planes = Similarity.hyperplanes(dim, effPlanes, seed)
-    // The (bucket, id) table feeds THREE plan branches (skew-guard
-    // sizes + both self-join sides); left lazy, Catalyst re-derives the
-    // subtree per branch — re-running the bands·bits·dim signature
-    // fold and the band explode three times (the PlanProbe
-    // re-derivation trap; measured ~2× the operator wall at the 10×
-    // replica). localCheckpoint materializes it ONCE — executor-local
+    // The banded table feeds THREE plan branches (skew-guard sizes +
+    // both self-join sides); left lazy, Catalyst re-derives the subtree
+    // per branch — re-running the bands·bits·dim signature fold and the
+    // band explode three times (the PlanProbe re-derivation trap;
+    // measured ~2× the operator wall at the 10× replica).
+    // localCheckpoint materializes it ONCE — executor-local
     // MEMORY_AND_DISK, bands·n slim rows, linear — and all branches
     // read the cached RDD. Same lineage-truncation precedent as
     // clusters(); on a cluster where executor loss is routine, swap
     // for reliable checkpoint().
+    //
+    // r9 restructure, from the 26×-replica staged probe (SCALE.md):
+    //  - bucket keys are LONGs ((band << 32) | bits), not "band:bits"
+    //    strings — the bucket column is shuffled and hash-joined
+    //    bands·n times, and a fixed 8-byte key beats an ~18-byte UTF8
+    //    one on every hop;
+    //  - the estimate signature (one long of `estimatePlanes` sign
+    //    bits) rides INSIDE the banded table, so the candidate cull is
+    //    a map-side popcount DIRECTLY on the self-join output — before
+    //    dropDuplicates and with no per-pair signature joins. At 26×
+    //    the old order (dedup 10.7M raw candidates, then join sigs
+    //    twice) spent 15 s moving rows the estimate would kill for
+    //    free.
+    val withEst = estimatePlanes > 0
+    val estPlanes =
+      if (withEst) Similarity.hyperplanes(dim, estimatePlanes, seed + 1)
+      else Array.empty[Array[Double]]
+    val sigCol =
+      if (withEst) graft.functions.expressions.GraftFunctions
+        .hyperplane_signs(col("v"), estPlanes)
+      else lit(0L)
     val bucketed = named
-      .withColumn("bucket", explode(Similarity.signatureBuckets(col("v"), planes, effBands)))
-      .select(col("bucket"), col("id")) // ids only through the LSH join
+      .withColumn("sig", sigCol)
+      .withColumn("bucket", explode(graft.functions.expressions.GraftFunctions
+        .hyperplane_bands_long(col("v"), planes, effBands)))
+      .select(col("bucket"), col("id"), col("sig")) // ids+sig only through the LSH join
       .localCheckpoint(true)
     // skew guard: drop degenerate hot buckets before the self-join,
     // observably (see capBuckets)
     val pruned = capBuckets(bucketed, Seq("bucket"), bucketCap, "embedding")
-    val pairs = pruned.select(col("bucket"), col("id").as("id_a"))
-      .join(pruned.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+    val joined = pruned
+      .select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_l"))
+      .join(pruned
+        .select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_r")),
+        Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
     val prefiltered =
-      if (estimatePlanes <= 0) pairs
+      if (!withEst) joined.dropDuplicates("id_a", "id_b").select("id_a", "id_b")
       else {
-        val estPlanes = Similarity.hyperplanes(dim, estimatePlanes, seed + 1)
         // expected sign agreement at the threshold angle, minus 2.5σ of
         // the estimator (sd bounded by √(0.25/planes))
         val expectAgree = 1.0 -
           math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
         val floor = expectAgree - 2.5 * math.sqrt(0.25 / estimatePlanes)
-        def sigs(idName: String, sigName: String) = named.select(
-          col("id").as(idName),
-          graft.functions.expressions.GraftFunctions
-            .hyperplane_signs(col("v"), estPlanes).as(sigName))
-        pairs
-          .join(sigs("id_a", "sig_l"), Seq("id_a"))
-          .join(sigs("id_b", "sig_r"), Seq("id_b"))
+        joined
           .withColumn("est_ok",
             (lit(estimatePlanes) - bit_count(col("sig_l").bitwiseXOR(col("sig_r"))))
               .cast("double") / estimatePlanes >= floor)
           // same no-silent-culls discipline as sigAgreementPrefilter:
-          // metric upstream of the cull filter, on a join output
+          // metric upstream of the cull filter, on the raw join output
+          // (counts are per-collision here, pre-dedup)
           .observe(s"$prefilterMetricPrefix" +
             s"embedding_${skewGuardSeq.incrementAndGet()}",
             coalesce(sum(when(col("est_ok"), 0L).otherwise(1L)), lit(0L))
               .as("culled_candidates"),
             count(lit(1)).as("candidates"))
           .filter(col("est_ok"))
+          .dropDuplicates("id_a", "id_b")
           .select("id_a", "id_b")
       }
     // verify stage: rehydrate vectors by id, exact cosine once per pair

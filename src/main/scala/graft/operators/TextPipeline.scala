@@ -605,6 +605,108 @@ object TextPipeline {
       .limit(topK)
   }
 
+  /** Full BPE tokenizer training: iteratively pick the most frequent
+    * adjacent symbol pair and fuse it, `numMerges` times — the loop
+    * around the single-step statistic of [[bpePairCounts]]. Returns the
+    * learned merge table (merge_rank, sym_a, sym_b, n_pair), rank 1
+    * first — exactly what a tokenizer ships as `merges.txt`.
+    *
+    * The 100 TB trick is WHAT the loop iterates over: pair counts only
+    * depend on word FREQUENCIES, so pass 0 folds the corpus into a
+    * (word, freq) table — the ONLY corpus scan, however many merges —
+    * and every iteration runs on that vocabulary-bounded table
+    * (localCheckpointed each round: the loop is inherently sequential,
+    * and without the cut iteration k would replay all k−1 prior merge
+    * maps — the pointer-jumping discipline from Dedup.clusters).
+    * HuggingFace's trainer makes the same word-count reduction; at web
+    * scale the vocab table is millions of rows against a corpus of
+    * trillions of tokens.
+    *
+    * Per iteration: one vocab-table aggregate into a distributed top-1
+    * (TakeOrderedAndProject — a bounded single-row driver pull, the
+    * documented index-build-budget class) + one map-side greedy
+    * left-to-right fold applying the merge (CaseWhen short-circuits,
+    * so element_at never touches an empty accumulator under ANSI).
+    * Ties break (n_pair desc, sym_a, sym_b) — bit-deterministic.
+    *
+    * Stops early when no pair reaches `minPairCount`; the returned
+    * model is driver-resident by design (≤ numMerges rows). */
+  def bpeTrain(
+      docs: DataFrame,
+      text: Column,
+      numMerges: Int = 10,
+      minPairCount: Long = 2L): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 64,
+      s"numMerges must be in [1, 64], got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordFreq = docs
+      .select(explode(TextFunctions.tokens(text)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // "(?!$)" splits into single chars WITHOUT the trailing "" that an
+    // empty-pattern split(limit = -1) keeps
+    var work = wordFreq
+      .select(col("freq"), split(col("w"), "(?!$)").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = work
+        .select(col("freq"), explode(
+          zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("sym_a"), b.as("sym_b")))).as("p"))
+        .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
+        .agg(sum(col("freq")).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("sym_a"), col("sym_b"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("n_pair") < minPairCount) {
+        exhausted = true
+      } else {
+        val a = top.head.getAs[String]("sym_a")
+        val b = top.head.getAs[String]("sym_b")
+        merges += ((rank.toLong, a, b, top.head.getAs[Long]("n_pair")))
+        work = work
+          .select(col("freq"), mergeFold(col("syms"), a, b).as("syms"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "sym_a", "sym_b", "n_pair")
+  }
+
+  /** One greedy left-to-right BPE merge pass over a symbol array: fuse
+    * every non-overlapping adjacent (a, b) into a+b ("aaa" under (a,a)
+    * → [aa, a], the canonical BPE behavior). Pure codegen'd fold. */
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) === 0, array(s))
+          .when(element_at(acc, -1) === lit(a) && (s === lit(b)),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Segment words with a trained merge list ([[bpeTrain]] rows as
+    * (sym_a, sym_b) in rank order): the nested merge folds compose into
+    * ONE map-side expression chain — applying a k-merge tokenizer to
+    * the corpus is a single scan with zero shuffles, the shape that
+    * matters when the segmenter runs over 100 TB. (Codegen nests k
+    * lambda levels; k ≤ 64 by bpeTrain's bound.)
+    *
+    * Returns the segmentation as a Column (array<string> of subword
+    * units) — select it alongside any id columns. */
+  def bpeApply(
+      word: Column,
+      mergeList: Seq[(String, String)]): Column =
+    mergeList.foldLeft(split(word, "(?!$)")) {
+      case (acc, (a, b)) => mergeFold(acc, a, b)
+    }
+
   /** Cross-source overlap matrix: for every pair of sources, how many
     * distinct word n-grams they SHARE — the curation diagnostic behind
     * "crawl B substantially overlaps crawl A, dedup before mixing".

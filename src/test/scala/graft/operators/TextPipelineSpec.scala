@@ -477,4 +477,87 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     // pairs below minCount are cut
     assert(!got.contains(("york", "is")))
   }
+
+  // ── serial BPE reference: plain-Scala fold over a word-count map,
+  //    same greedy-left-to-right merge and same (n desc, a, b) tie-break
+  private def serialMerge(s: Vector[String], a: String, b: String): Vector[String] =
+    s.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+      else acc :+ x
+    }
+
+  private def serialBpe(
+      wordFreq: Map[String, Long], numMerges: Int, minPair: Long
+  ): Seq[(Long, String, String, Long)] = {
+    var words = wordFreq.collect {
+      case (w, f) if w.length >= 2 => w.map(_.toString).toVector -> f
+    }.toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var stop = false
+    for (r <- 1 to numMerges if !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      val best = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case Some(((a, b), n)) if n >= minPair =>
+          out += ((r.toLong, a, b, n))
+          words = words.map { case (syms, f) => serialMerge(syms, a, b) -> f }
+        case _ => stop = true
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain equals the serial reference merge-for-merge") {
+    // the classic BPE demo corpus: "est"/"low" families with skewed freqs
+    val docs = Seq(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest").toDF("text")
+    val wordFreq = Map(
+      "low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val want = serialBpe(wordFreq, numMerges = 8, minPair = 2L)
+    val got = TextPipeline.bpeTrain(docs, col("text"), numMerges = 8,
+        minPairCount = 2L)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.head._4 == 9L) // (e,s): newest 6 + widest 3 — the BPE classic
+  }
+
+  test("bpeTrain stops early when no pair reaches minPairCount") {
+    val docs = Seq("ab cd ef").toDF("text") // every pair has count 1
+    val got = TextPipeline.bpeTrain(docs, col("text"), numMerges = 5,
+      minPairCount = 2L)
+    assert(got.isEmpty)
+  }
+
+  test("bpeApply segments with trained merges in one map-side chain") {
+    val docs = Seq(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest").toDF("text")
+    val model = TextPipeline.bpeTrain(docs, col("text"), numMerges = 8,
+        minPairCount = 2L)
+      .as[(Long, String, String, Long)].collect().toSeq
+      .sortBy(_._1).map(m => (m._2, m._3))
+    val words = Seq("newest", "lowest", "low").toDF("w")
+    val got = words
+      .select(col("w"), TextPipeline.bpeApply(col("w"), model).as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    // serial replay of the same merge list
+    def applySerial(w: String) = model.foldLeft(w.map(_.toString).toVector) {
+      case (acc, (a, b)) => serialMerge(acc, a, b)
+    }
+    Seq("newest", "lowest", "low").foreach { w =>
+      assert(got(w) == applySerial(w), s"word $w")
+    }
+    // trained on this corpus, "newest" must collapse to few units and
+    // every segmentation must concatenate back to the word
+    assert(got("newest").size <= 3)
+    got.foreach { case (w, syms) => assert(syms.mkString == w) }
+  }
 }
