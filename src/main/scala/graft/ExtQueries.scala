@@ -696,6 +696,25 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // ── Image near-dup by perceptual hash, ORACLED end to end: base
+    //    PNGs + one-pixel-perturbed twins → JDK decode → pooled-dHash
+    //    (pure integer arithmetic, Multimodal.imagePHash) → pigeonhole
+    //    chunk-blocked Hamming pairs. The DuckDB oracle derives the
+    //    SAME hashes from the pixel formulas alone and takes the FULL
+    //    QUADRATIC ≤ maxHamming pairs — a green hash certifies decode,
+    //    hash arithmetic, and the blocked join's recall AND precision
+    //    in one row (the minhash ground-truth discipline, on images).
+    "ext_multimodal_phash" -> ((s, dir) => {
+      val fixture = s"$fixtureRoot/media_phash"
+      graft.multimodal.Multimodal.syntheticImages(s, 120)
+        .unionByName(
+          graft.multimodal.Multimodal.syntheticImagesPerturbed(s, 20, 1000L, 8))
+        .select(col("media_id"), col("kind"), col("payload"))
+        .write.mode("overwrite").parquet(fixture)
+      graft.multimodal.Multimodal.imageNearDupPairs(
+        s.read.parquet(fixture), maxHamming = 2)
+    }),
+
     // ── Compressed-audio/video stub pipeline — ORACLED as a REPLAY:
     //    those codecs aren't in the JDK, so such payloads go through a
     //    deterministic stub (the scaladoc says so loudly); stub +
@@ -2043,6 +2062,54 @@ object ExtQueries {
          |  CAST(SUM(g) AS DOUBLE) / CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_g,
          |  CAST(SUM(b) AS DOUBLE) / CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_b
          |FROM px GROUP BY media_id, n_bytes ORDER BY media_id""".stripMargin,
+
+    // pHash near-dup oracle: re-derives every image's pooled dHash from
+    // the pixel FORMULAS (base + one-pixel perturbation for ids ≥ 1000),
+    // all integer arithmetic — lum = (r·299+g·587+b·114)//1000, cells
+    // cx = x·5//w, cross-multiplied mean comparisons — then takes the
+    // FULL QUADRATIC ≤-maxHamming pairs: recall and precision of the
+    // engine's chunk-blocked join certified against ground truth.
+    "ext_multimodal_phash" ->
+      s"""WITH ids AS (
+         |  SELECT CAST(media_id AS BIGINT) AS media_id,
+         |    CASE WHEN media_id >= 1000 THEN media_id - 1000
+         |         ELSE media_id END AS i,
+         |    media_id >= 1000 AS pert
+         |  FROM read_parquet('$fixtureRoot/media_phash/*.parquet')),
+         |dims AS (
+         |  SELECT media_id, i, pert, 8 + i % 5 AS w, 6 + i % 4 AS h
+         |  FROM ids),
+         |px AS (
+         |  SELECT d.media_id, d.w, d.h, x.x, y.y,
+         |    (x.x*3  + y.y*5  + d.i*7)  % 256 AS r,
+         |    (x.x*11 + y.y*13 + d.i*17) % 256 AS g,
+         |    (x.x*19 + y.y*23 + d.i*29 +
+         |     CASE WHEN d.pert AND x.x = 0 AND y.y = 0 THEN 8 ELSE 0 END)
+         |      % 256 AS b
+         |  FROM dims d
+         |  JOIN range(0, 12) x(x) ON x.x < d.w
+         |  JOIN range(0, 9)  y(y) ON y.y < d.h),
+         |cells AS (
+         |  SELECT media_id, (y*4)//h AS cy, (x*5)//w AS cx,
+         |    CAST(SUM((r*299 + g*587 + b*114)//1000) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM px GROUP BY media_id, (y*4)//h, (x*5)//w),
+         |bits AS (
+         |  SELECT l.media_id, l.cy, l.cx,
+         |    CASE WHEN rr.s * l.c > l.s * rr.c THEN 1 ELSE 0 END AS bit
+         |  FROM cells l JOIN cells rr
+         |    ON rr.media_id = l.media_id AND rr.cy = l.cy
+         |   AND rr.cx = l.cx + 1),
+         |ph AS (
+         |  SELECT media_id,
+         |    CAST(SUM(bit * (CAST(1 AS BIGINT) << (cy*4 + cx))) AS BIGINT)
+         |      AS phash
+         |  FROM bits GROUP BY media_id)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM ph a JOIN ph b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // REAL-audio-decode oracle: n_frames/peak/sumsq replay the
     // deterministic sample formula (exact integers on both sides — every

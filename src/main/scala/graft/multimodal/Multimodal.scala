@@ -256,6 +256,151 @@ object Multimodal {
       }
   }
 
+  /** Perceptual image hash (pooled dHash): decode, pool luminance into a
+    * gx×gy grid, emit one bit per horizontally adjacent cell pair —
+    * bit((cx,cy)) = 1 iff mean(cx+1,cy) > mean(cx,cy) — packed row-major
+    * into a long ((gx−1)·gy bits). Gradient-sign hashes survive uniform
+    * brightness/contrast shifts and small pixel edits, which byte-level
+    * (md5) dedup cannot: this is the image half of the near-dup family.
+    *
+    * Exactness: luminance is the integer BT.601 formula
+    * (r·299+g·587+b·114)/1000, cells are integer index maps
+    * (cx = x·gx/w), and the mean comparison is CROSS-MULTIPLIED —
+    * sumR·cntL > sumL·cntR — so the whole hash is integer arithmetic a
+    * SQL oracle replays bit-for-bit from the fixture pixel formulas
+    * (same contract as [[imageStats]]). No floats anywhere.
+    *
+    * Images narrower/shorter than the grid are dropped (a cell would be
+    * empty; callers filter such thumbnails by meta first). Output:
+    * (media_id, w, h, phash). */
+  def imagePHash(media: DataFrame, gx: Int = 5, gy: Int = 4): DataFrame = {
+    require(gx >= 2 && gy >= 1 && (gx - 1) * gy <= 64,
+      s"grid ($gx x $gy) must fit 64 comparison bits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, payload) =>
+          decodeImage(payload).filter(i => i.getWidth >= gx && i.getHeight >= gy)
+            .map { img =>
+              val w = img.getWidth; val h = img.getHeight
+              val sums = Array.ofDim[Long](gx * gy)
+              val cnts = Array.ofDim[Long](gx * gy)
+              var y = 0
+              while (y < h) {
+                val cy = y * gy / h
+                var x = 0
+                while (x < w) {
+                  val cx = x * gx / w
+                  val p = img.getRGB(x, y)
+                  val lum = (((p >> 16) & 0xff) * 299 +
+                    ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+                  sums(cy * gx + cx) += lum
+                  cnts(cy * gx + cx) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              var hash = 0L
+              var cy = 0
+              while (cy < gy) {
+                var cx = 0
+                while (cx < gx - 1) {
+                  val l = cy * gx + cx; val r = l + 1
+                  // mean(r) > mean(l) without division: exact in Long
+                  // (sums ≤ 255·w·h, counts ≤ w·h — far inside 63 bits)
+                  if (sums(r) * cnts(l) > sums(l) * cnts(r))
+                    hash |= 1L << (cy * (gx - 1) + cx)
+                  cx += 1
+                }
+                cy += 1
+              }
+              (id, w, h, hash)
+            }
+        }
+      }
+      .toDF("media_id", "w", "h", "phash")
+  }
+
+  /** Image near-dup pairs by pHash Hamming distance ≤ `maxHamming`,
+    * with LSH-style chunk blocking instead of an all-pairs join: the
+    * (gx−1)·gy hash bits split into maxHamming+1 chunks, and by
+    * pigeonhole two hashes within the distance budget must agree on at
+    * least one whole chunk — so candidates come from an equi-join on
+    * (chunk_idx, chunk_value), exactly the [[graft.operators.Dedup]]
+    * SimHash discipline (recall is structural, not probabilistic). The
+    * verify step is one map-side bit_count on the pair. Output:
+    * (id_a, id_b, hamming), id_a < id_b, ordered. */
+  def imageNearDupPairs(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      gx: Int = 5,
+      gy: Int = 4): DataFrame = {
+    val bits = (gx - 1) * gy
+    val chunks = maxHamming + 1
+    require(chunks <= bits, s"maxHamming $maxHamming needs more bits than $bits")
+    val hashed = imagePHash(media, gx, gy).select("media_id", "phash")
+    val per = bits / chunks
+    val chunked = hashed.select(col("media_id"), col("phash"),
+      explode(array((0 until chunks).map { c =>
+        val lo = c * per
+        // last chunk absorbs the remainder bits
+        val width = if (c == chunks - 1) bits - lo else per
+        val mask = (1L << width) - 1
+        struct(lit(c).as("chunk"),
+          shiftright(col("phash"), lo).bitwiseAND(lit(mask)).as("cval"))
+      }: _*)).as("cc"))
+      .select(col("media_id"), col("phash"),
+        col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
+    val l = chunked.select(col("chunk"), col("cval"),
+      col("media_id").as("id_a"), col("phash").as("ph_a"))
+    val r = chunked.select(col("chunk"), col("cval"),
+      col("media_id").as("id_b"), col("phash").as("ph_b"))
+    l.join(r, Seq("chunk", "cval"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** [[syntheticImages]] with shifted ids and ONE perturbed pixel: the
+    * blue channel of pixel (0, 0) gets +`delta` (mod 256). Paired with
+    * the base fixture this plants image near-duplicates whose decoded
+    * pixels — and therefore whose pHash distance — an oracle derives
+    * from the formulas alone. */
+  def syntheticImagesPerturbed(
+      spark: SparkSession, n: Int, idOffset: Long, delta: Int): DataFrame = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val rows = (0 until n).map { i =>
+      val w = 8 + i % 5
+      val h = 6 + i % 4
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = (x * 3 + y * 5 + i * 7) % 256
+          val g = (x * 11 + y * 13 + i * 17) % 256
+          val d = if (x == 0 && y == 0) delta else 0
+          val b = (x * 19 + y * 23 + i * 29 + d) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Row(idOffset + i, "image", Row(w, h, null, "png"), bos.toByteArray)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), mediaSchema)
+  }
+
   /** Metadata-only pruning: filters/projections on `meta` never touch the
     * blobs (columnar parquet reads just the meta pages). */
   def filterByMeta(media: DataFrame, minWidth: Int): DataFrame =

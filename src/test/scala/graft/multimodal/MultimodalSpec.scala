@@ -163,4 +163,52 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Array[Byte]](1).toSeq == a(r.getLong(0)))
     }
   }
+
+  test("imagePHash is invariant to uniform brightness shift") {
+    // two images, same gradient structure, one uniformly brighter:
+    // pooled dHash compares adjacent cell MEANS, so the hash must match
+    def img(bright: Int) = {
+      val im = new java.awt.image.BufferedImage(
+        16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val v = math.min(255, x * 10 + bright)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq((1L, "image", img(0)), (2L, "image", img(40)))
+    val df = spark.createDataFrame(rows).toDF("media_id", "kind", "payload")
+    val hashes = Multimodal.imagePHash(df)
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("phash")).toMap
+    assert(hashes(1L) == hashes(2L),
+      "gradient-sign hash must survive a uniform brightness shift")
+    // a monotone left-to-right ramp: every horizontal comparison is 1
+    assert(hashes(1L) == (1L << 16) - 1)
+  }
+
+  test("imageNearDupPairs finds perturbed twins via chunk blocking, no cross join") {
+    val base = Multimodal.syntheticImages(spark, 40)
+    val pert = Multimodal.syntheticImagesPerturbed(spark, 10, 1000L, 8)
+    val q = Multimodal.imageNearDupPairs(base.unionByName(pert), maxHamming = 2)
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val pairs = q.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("hamming")))
+    // every planted twin (i, 1000+i) must surface: the one-pixel blue
+    // delta moves one cell sum by at most 1 lum unit → hamming ≤ 1
+    (0L until 10L).foreach { i =>
+      val hit = pairs.find(p => p._1 == i && p._2 == 1000L + i)
+      assert(hit.isDefined, s"planted twin ($i, ${1000 + i}) missing")
+      assert(hit.get._3 <= 1L, s"twin hamming must be ≤ 1, got ${hit.get._3}")
+    }
+    // and the result equals the full-quadratic ground truth
+    val hashes = Multimodal.imagePHash(base.unionByName(pert))
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("phash"))
+    val want = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    assert(pairs.toSet == want, "blocked join must equal ground truth")
+  }
 }
