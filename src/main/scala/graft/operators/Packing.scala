@@ -51,7 +51,8 @@ object Packing {
   def concatChunk(
       docs: DataFrame, id: Column, nTokens: Column,
       capacity: Int, nShards: Int): DataFrame = {
-    require(capacity > 0 && nShards > 0)
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
@@ -80,7 +81,8 @@ object Packing {
   def greedy(
       docs: DataFrame, id: Column, nTokens: Column,
       capacity: Int, nShards: Int): Dataset[PackAssign] = {
-    require(capacity > 0 && nShards > 0)
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     val spark = docs.sparkSession
     import spark.implicits._
     docs

@@ -173,18 +173,32 @@ object TfIdf {
     * contexts exactly like held-out scoring would need).
     *
     * Scale shape (100 TB corpus):
-    *  - bigram extraction is pure map-side array code — tokenize once,
-    *    zip the array with its own tail (no posexplode + self-join, no
+    *  - bigram extraction is pure map-side array code — tokenize, zip
+    *    the array with its own tail (no posexplode + self-join, no
     *    per-doc window);
     *  - the model is ONE (w₁,w₂) aggregate; the context count rides a
-    *    window over the ALREADY-AGGREGATED pair table partitioned by w₁
-    *    (distinct-bigram-sized, ≪ corpus), not a second scan;
+    *    window over the ALREADY-AGGREGATED pair table partitioned by
+    *    w₁ (distinct-bigram-sized, ≪ corpus — and deliberately NOT a
+    *    window over the raw bigram stream, where a hot context like
+    *    "the" would funnel a corpus fraction through one partition);
     *  - V folds the pair table into a single-row broadcast scalar;
-    *  - scoring is an equi-join of the bigram stream to the model on
-    *    (w₁,w₂) — vocabulary²-bounded model side, AQE broadcasts it
-    *    when it fits.
+    *  - the scoring join BROADCASTS the model (`broadcastModel`,
+    *    default on): the r9 10×-replica shoot-out (BigramProbe) read
+    *    3.2 s for the broadcast-hint formulation vs 16.8 s for the
+    *    unhinted one — the static size estimate of an
+    *    aggregate-over-corpus subtree is corpus-sized, so Spark picks
+    *    a sort-merge join and shuffles + sorts every bigram occurrence
+    *    by a two-string key; checkpoint-assisted AQE made it WORSE
+    *    (the checkpoint itself costs a full materialization). The
+    *    model is vocabulary²-bounded but heavy-tailed: on a corpus
+    *    whose bigram TYPE count outgrows broadcast capacity, pass
+    *    `broadcastModel = false` (the join degrades to the shuffle
+    *    join, which is then genuinely necessary);
     *  - per-bigram −ln p is quantized to DECIMAL(18,6) pre-sum (the
-    *    repo's xsum discipline — see [[unigramLogProb]]).
+    *    repo's xsum discipline — see [[unigramLogProb]]). The corpus
+    *    is tokenized once per plan branch (model, V, probe — 3 scans,
+    *    the bigramLift-documented trade: each is map-side linear work,
+    *    cheaper than materializing the bigram stream).
     *
     * Documents with fewer than two tokens have no bigrams and are
     * absent from the output (documented contract; the oracle agrees).
@@ -194,7 +208,8 @@ object TfIdf {
       docs: DataFrame,
       id: Column,
       text: Column,
-      k: Double = 0.5): DataFrame = {
+      k: Double = 0.5,
+      broadcastModel: Boolean = true): DataFrame = {
     val arr = filter(split(lower(text), "[^a-z]+"), t => length(t) > 0)
     val bigrams = docs
       .select(id.as("doc_id"), arr.as("a"))
@@ -212,7 +227,8 @@ object TfIdf {
       .select(explode(array(col("w1"), col("w2"))).as("t"))
       .agg(count_distinct(col("t")).as("v"))
     bigrams
-      .join(model, Seq("w1", "w2")) // same-corpus model: never misses
+      .join(if (broadcastModel) broadcast(model) else model,
+        Seq("w1", "w2")) // same-corpus model: never misses
       .crossJoin(broadcast(vocab)) // single-row scalar
       .withColumn("neglogp",
         (-log((col("c12").cast("double") + lit(k)) /
