@@ -82,6 +82,54 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("randomProject is stream-safe: projected stream equals batch bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-rp-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    // pure map-side integer fixed-point matmul → runs unchanged on a
+    // stream in append mode; outputs are exact, so equality is bitwise
+    val q = graft.operators.Similarity.randomProject(
+        stream, col("vec_id"), col("embedding"), outDims = 8)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rp_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("rp_stream_out")
+      val batch = graft.operators.Similarity.randomProject(
+        spark.read.parquet(dir.toString), col("vec_id"), col("embedding"), 8)
+      assert(streamed.count() == batch.count() && batch.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
+  test("quality scoring is stream-safe: scored stream equals batch") {
+    import org.apache.spark.sql.functions.{col, round}
+    val dir = java.nio.file.Files.createTempDirectory("graft-qs-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    def score(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      round(graft.functions.TextFunctions.qualityScore(col("text")), 6).as("q"))
+    val q = score(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qs_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("qs_stream_out")
+      val batch = score(spark.read.parquet(dir.toString))
+      assert(streamed.count() == batch.count() && batch.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("bpePairCounts is stream-safe: complete-mode counts across micro-batches equal batch") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe-src")
