@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Clustering, Dedup, Events, FuzzyJoin, Packing, Partitioning, Relational, Similarity, TextPipeline, TfIdf}
+import graft.operators.{Clustering, Dedup, Events, FuzzyJoin, Packing, Partitioning, Relational, Scd, Similarity, Sketches, TextPipeline, TfIdf}
 
 /** [EXT] LLM-data-pipeline operators (dedup, similarity search, text
   * analysis, event windows) as driver-contract queries. See the module
@@ -1038,7 +1038,75 @@ object ExtQueries {
       Similarity.randomProject(
         t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         outDims = 8)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // ── Count–Min sketch point-frequency estimation: depth×width
+    //    bounded-state counter array (Sketches.cmSketch scaladoc for
+    //    the never-shuffle-a-token plan shape). The exact counts ride
+    //    along as the certificate — cms_n ≥ exact_n ALWAYS (one-sided
+    //    error is the CMS contract), and at width 64 the collisions are
+    //    real, so overcount > 0 rows prove the estimate is the sketch's,
+    //    not a smuggled exact count.
+    //    The certificate needs exact counts anyway, so the sketch folds
+    //    those counts into cells (cmSketchWeighted — addition is
+    //    associative, bit-identical to streaming raw occurrences) and
+    //    the whole query costs ONE corpus scan + vocabulary-sized ops.
+    "ext_cms_freq" -> ((s, dir) => {
+      val exact = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("exact_n"))
+      val sketch = Sketches.cmSketchWeighted(
+        exact, col("token"), col("exact_n"), depth = 3, width = 64)
+      val est = Sketches
+        .cmsEstimate(sketch, exact.select("token"), col("token"),
+          depth = 3, width = 64)
+        .withColumnRenamed("item", "token")
+      exact.join(est, Seq("token"))
+        .withColumn("overcount", col("cms_n") - col("exact_n"))
+        .orderBy("token")
+    }),
+
+    // ── KMV (k-minimum-values) distinct sketch per event_type over
+    //    user_id: mergeable bounded-state cardinality estimation whose
+    //    estimate is an exact deterministic function of the k smallest
+    //    60-bit md5 hashes — DuckDB replays it bit-for-bit, which HLL
+    //    (g3_approx_distinct) cannot offer (Sketches.kmvDistinct
+    //    scaladoc for the high-cardinality pre-distinct shape).
+    "ext_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvDistinct(
+        t(s, dir, "events"), col("event_type"), col("user_id"), k = 64)
+        .orderBy("group_key")),
+
+    // ── SCD Type-2 history build from the events change-log: per-user
+    //    run-length-collapsed event_type versions with [valid_from,
+    //    valid_to) intervals (Scd.scd2 scaladoc — windows partition by
+    //    the high-cardinality entity key only).
+    "ext_scd2" -> ((s, dir) =>
+      Scd.scd2(
+        t(s, dir, "events"),
+        entity = col("user_id"),
+        changeTime = col("ts"),
+        orderBy = Seq(col("ts"), col("event_id")),
+        attr = col("event_type"))
+        .select(
+          col("entity_key").as("user_id"),
+          col("version").cast("long").as("version"),
+          col("attr_value").as("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "version")),
+
+    // ── Chunk-level corpus dedup (C4-style line dedup, char-chunked):
+    //    per-doc duplicated-chunk rollup; the resolution window
+    //    partitions by chunk digest, so parallelism grows with the
+    //    corpus (Dedup.chunkDedup scaladoc).
+    "ext_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(
+        t(s, dir, "documents"), col("doc_id"), col("text"), size = 120)
+        .orderBy("doc_id"))
   )
 
   /** Shared by ext_decontaminate and ext_decontaminate_bloom — the bloom
@@ -2659,6 +2727,113 @@ object ExtQueries {
         |  MAX(CASE WHEN j = 5 THEN p END) AS p5,
         |  MAX(CASE WHEN j = 6 THEN p END) AS p6,
         |  MAX(CASE WHEN j = 7 THEN p END) AS p7
-        |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+        |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // END-TO-END CMS replay: the same one-md5-sliced-per-row hash, the
+    // same depth×width cell grid, the same min-over-rows estimate —
+    // plus the exact counts, so every row certifies cms_n >= exact_n.
+    // (The oracle streams raw occurrences into cells; the engine folds
+    // its exact counts in weighted — addition is associative, so the
+    // grids are identical.)
+    "ext_cms_freq" ->
+      """WITH occ AS (
+        |  SELECT t AS tok FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |rows_ AS (SELECT unnest(range(0, 3)) AS i),
+        |cells AS (
+        |  SELECT o.tok, r.i,
+        |    CAST(concat('0x', substr(md5(o.tok), CAST(r.i * 8 + 1 AS INT), 8))
+        |      AS BIGINT) % 64 AS cell
+        |  FROM occ o CROSS JOIN rows_ r),
+        |sk AS (
+        |  SELECT i, cell, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1, 2),
+        |q AS (SELECT DISTINCT tok FROM occ),
+        |qc AS (
+        |  SELECT q.tok, r.i,
+        |    CAST(concat('0x', substr(md5(q.tok), CAST(r.i * 8 + 1 AS INT), 8))
+        |      AS BIGINT) % 64 AS cell
+        |  FROM q CROSS JOIN rows_ r),
+        |est AS (
+        |  SELECT qc.tok AS token,
+        |    CAST(MIN(COALESCE(sk.n, 0)) AS BIGINT) AS cms_n
+        |  FROM qc LEFT JOIN sk ON qc.i = sk.i AND qc.cell = sk.cell
+        |  GROUP BY 1),
+        |ex AS (
+        |  SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS exact_n
+        |  FROM occ GROUP BY 1)
+        |SELECT ex.token, ex.exact_n, est.cms_n,
+        |       est.cms_n - ex.exact_n AS overcount
+        |FROM ex JOIN est USING (token) ORDER BY token""".stripMargin,
+
+    // END-TO-END KMV replay: distinct 60-bit md5-prefix hashes per
+    // group, k-th smallest via window rank, the (k-1)*2^60/h_k estimate
+    // in the identical IEEE double steps (cast, multiply, divide).
+    "ext_kmv_distinct" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type AS group_key,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT group_key, h,
+        |    ROW_NUMBER() OVER (PARTITION BY group_key ORDER BY h) AS rn,
+        |    COUNT(*) OVER (PARTITION BY group_key) AS n_exact
+        |  FROM d)
+        |SELECT group_key, CAST(MAX(n_exact) AS BIGINT) AS n_exact,
+        |  round(CASE WHEN MAX(n_exact) < 64 THEN CAST(MAX(n_exact) AS DOUBLE)
+        |        ELSE 63.0 * 1152921504606846976.0 /
+        |             CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+        |        END, 4) AS kmv_n
+        |FROM r WHERE rn <= 64 GROUP BY group_key ORDER BY group_key""".stripMargin,
+
+    "ext_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |v AS (
+        |  SELECT user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS version,
+        |    event_type,
+        |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |    strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |             '%Y-%m-%d %H:%M:%S') AS valid_to
+        |  FROM runs)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+        |       valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    // Same chunk grid as ext_chunk_overlap (size=stride=120), same
+    // min-(doc_id, chunk_idx) first-occurrence rule as ext_dedup_exact.
+    "ext_chunk_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    CAST((greatest(length(text), 1) - 1) // 120 AS BIGINT) AS last_idx
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, text, unnest(range(0, last_idx + 1)) AS chunk_idx
+        |  FROM c),
+        |h AS (
+        |  SELECT doc_id, chunk_idx,
+        |    md5(substr(text, CAST(chunk_idx * 120 + 1 AS INT), 120)) AS chunk_md5
+        |  FROM e),
+        |r AS (
+        |  SELECT doc_id, chunk_idx,
+        |    ROW_NUMBER() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx)
+        |      AS occ
+        |  FROM h)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -984,4 +984,39 @@ object Dedup {
       case None    => verified.orderBy("id_a", "id_b")
     }
   }
+
+  /** Chunk-level corpus dedup (the C4/RefinedWeb "line dedup" move,
+    * char-chunked because the fixture corpus is single-line): split
+    * every document into non-overlapping `size`-char chunks, find each
+    * chunk text's FIRST occurrence corpus-wide (min (doc_id, chunk_idx)
+    * — deterministic keeper, same rule as [[exact]]), and roll up per
+    * document how much of it is chunk-duplicated elsewhere.
+    *
+    * Output: (doc_id, n_chunks, n_dup_chunks, dup_ratio) — dup_ratio is
+    * one exactly-rounded IEEE divide, cross-engine stable.
+    *
+    * 100 TB shape: the duplicate-resolution window partitions by
+    * `chunk_md5` — cardinality ≈ corpus chunks, so parallelism GROWS
+    * with data (contrast the g6 lesson) — and the shuffle carries
+    * 16-byte digests + ids, never chunk bodies (md5 computed map-side,
+    * body dropped before the exchange). The per-doc rollup then
+    * re-shuffles (doc_id, flag) pairs only. Two well-keyed shuffles
+    * total, both partial-aggregated where applicable. */
+  def chunkDedup(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      size: Int = 200): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    TextPipeline.chunkWithOverlap(docs, id, text, size = size, stride = size)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"))
+      .withColumn("occ", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_ratio",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
 }

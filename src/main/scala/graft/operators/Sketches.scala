@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** [EXT] Mergeable frequency/cardinality sketches the repo's surface was
+  * missing: Count–Min (point-frequency estimation over an unbounded
+  * token stream in `depth × width` integers) and KMV / theta-style
+  * k-minimum-values (mergeable distinct counting whose estimate —
+  * unlike HLL's — is an exact deterministic function of the k smallest
+  * hashes, so a second engine can replay it bit-for-bit).
+  *
+  * Reference context: the reference backend's analytics are exact
+  * GROUP-BY counts over one Hive table (`backend/app.py:33-481`); at
+  * 100 TB the first thing a pipeline adds is sketched counterparts.
+  * The repo already carries HLL (`g3_approx_distinct`), Misra–Gries
+  * heavy hitters and approx quantiles; CMS and KMV complete the
+  * standard sketch family.
+  *
+  * 100 TB design rules:
+  *  - the CMS aggregation state is `depth × width` cells TOTAL — the
+  *    groupBy key space is bounded by construction, so map-side partial
+  *    aggregation collapses every partition to ≤ depth·width rows no
+  *    matter how many tokens flow through it, and the one shuffle moves
+  *    sketch cells, never tokens;
+  *  - KMV state is ≤ k sorted longs per group per partition (a custom
+  *    `Aggregator` — bounded buffer, mergeable, map-side combined), on
+  *    top of a (group, hash) pre-distinct whose shuffle key is the
+  *    high-cardinality hash, not the low-cardinality group — the same
+  *    "never window-partition by a tiny key" rule the exact-quantile
+  *    rewrite follows;
+  *  - both sketches hash with md5 prefixes (portable: DuckDB replays
+  *    the exact cells/minima — see the `ext_cms_freq` /
+  *    `ext_kmv_distinct` oracles), not JVM-private hashing.
+  */
+object Sketches {
+
+  /** First `hexChars` hex digits of md5(value) as an unsigned long.
+    * 8 hex chars → 32-bit range, 15 → 60-bit (still < 2^63, no sign
+    * issues). Engine-portable: DuckDB's
+    * `CAST(concat('0x', substr(md5(v), 1, n)) AS BIGINT)` yields the
+    * identical integer for the identical UTF-8 input. */
+  def portableHash(value: Column, hexChars: Int): Column = {
+    require(hexChars > 0 && hexChars <= 15,
+      s"hexChars must be in [1, 15] to fit a signed long, got $hexChars")
+    conv(substring(md5(value), 1, hexChars), 16, 10).cast("long")
+  }
+
+  /** All `depth` cells for a value, as an array indexed by sketch row:
+    * ONE md5 per value, sliced into disjoint 8-hex (32-bit) windows —
+    * md5's output bits are pairwise independent across windows, and one
+    * digest per occurrence beats `depth` salted digests 3× on the hot
+    * path. Caps depth at 4 (32 hex / 8). */
+  private def cmsCells(value: Column, depth: Int, width: Int): Column = {
+    val h = md5(value)
+    array((0 until depth).map { i =>
+      pmod(conv(substring(h, i * 8 + 1, 8), 16, 10).cast("long"),
+        lit(width.toLong))
+    }: _*)
+  }
+
+  /** Build a Count–Min sketch over one occurrence-per-row `item`s.
+    * Returns `(cms_row, cms_cell, n)` — at most `depth × width` rows.
+    *
+    * Plan shape: one md5 per occurrence, then a map-side `posexplode`
+    * fans it into its `depth` (row, cell) updates BEFORE the one
+    * hash-aggregate whose key space is bounded at depth·width — the
+    * same fan-out-then-partial-agg shape as `Events.slidingAgg`. No
+    * token ever crosses the wire: partial aggregation reduces every
+    * map task's output to ≤ depth·width cell counts. */
+  def cmSketch(occurrences: DataFrame, item: Column, depth: Int, width: Int): DataFrame =
+    cmSketchWeighted(occurrences, item, lit(1L), depth, width)
+
+  /** [[cmSketch]] generalized to weighted occurrences: cell counts are
+    * Σ weight. Because cell sums are plain additions, a PRE-AGGREGATED
+    * (item, count) table yields the bit-identical sketch — so a query
+    * that already counts items exactly (e.g. the `ext_cms_freq`
+    * certificate) can fold its counts into cells without a second
+    * corpus scan. */
+  def cmSketchWeighted(
+      occurrences: DataFrame,
+      item: Column,
+      weight: Column,
+      depth: Int,
+      width: Int): DataFrame = {
+    require(depth > 0 && depth <= 4,
+      s"depth must be in [1, 4] (8 hex chars of one md5 per row), got $depth")
+    require(width > 0, s"width must be positive, got $width")
+    occurrences
+      .select(item.as("item"), weight.as("w"))
+      .select(posexplode(cmsCells(col("item"), depth, width))
+        .as(Seq("cms_row", "cms_cell")), col("w"))
+      .groupBy("cms_row", "cms_cell")
+      .agg(sum(col("w")).as("n"))
+  }
+
+  /** Point-frequency estimates for `queries` (one item per row) against
+    * a built sketch: f̂(item) = min over rows of the item's cell count —
+    * an overestimate by construction (f̂ ≥ f always; E[f̂ − f] ≤ N/width
+    * per row, and the min over `depth` independent rows sharpens the
+    * tail). The sketch is ≤ depth·width rows, so the lookup join
+    * broadcasts it; the query side never shuffles. */
+  def cmsEstimate(
+      sketch: DataFrame,
+      queries: DataFrame,
+      item: Column,
+      depth: Int,
+      width: Int): DataFrame = {
+    require(depth > 0 && depth <= 4,
+      s"depth must be in [1, 4] (8 hex chars of one md5 per row), got $depth")
+    val cells = queries
+      .select(item.as("item"))
+      .select(col("item"),
+        posexplode(cmsCells(col("item"), depth, width))
+          .as(Seq("cms_row", "cms_cell")))
+    cells
+      .join(broadcast(sketch), Seq("cms_row", "cms_cell"), "left")
+      .groupBy("item")
+      // a missing cell means nothing ever hashed there → count 0
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_n"))
+  }
+
+  /** Bounded min-k accumulator: keeps the `k` smallest DISTINCT longs
+    * seen, as a sorted array. This is the textbook mergeable-sketch
+    * shape — `reduce` is O(1) for the common case (value ≥ current
+    * max once saturated: an expected k·ln n of n inputs insert), and
+    * `merge` is a linear merge of two ≤ k sorted arrays — so Spark's
+    * partial aggregation keeps per-partition state at k longs and the
+    * final shuffle moves ≤ k · numPartitions values per group. */
+  final case class MinK(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k > 0, s"k must be positive, got $k")
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(b: Array[Long], a: Long): Array[Long] = {
+      if (b.length >= k && a >= b(b.length - 1)) b
+      else {
+        val idx = java.util.Arrays.binarySearch(b, a)
+        if (idx >= 0) b // already present — KMV is over distinct hashes
+        else {
+          val ins = -idx - 1
+          if (ins >= k) b
+          else {
+            val n = math.min(b.length + 1, k)
+            val out = new Array[Long](n)
+            System.arraycopy(b, 0, out, 0, ins)
+            out(ins) = a
+            if (n - ins - 1 > 0) System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+            out
+          }
+        }
+      }
+    }
+
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      if (x.isEmpty) y
+      else if (y.isEmpty) x
+      else {
+        val out = new Array[Long](math.min(x.length + y.length, k))
+        var i = 0; var j = 0; var o = 0
+        while (o < out.length && (i < x.length || j < y.length)) {
+          val take =
+            if (i >= x.length) { val v = y(j); j += 1; v }
+            else if (j >= y.length) { val v = x(i); i += 1; v }
+            else if (x(i) < y(j)) { val v = x(i); i += 1; v }
+            else if (x(i) > y(j)) { val v = y(j); j += 1; v }
+            else { val v = x(i); i += 1; j += 1; v } // dedupe ties
+          out(o) = take; o += 1
+        }
+        if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+      }
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** KMV distinct-count estimate per group over `value`:
+    * hash each value to 60 bits (md5 prefix — portable), keep the k
+    * smallest distinct hashes per group, estimate
+    * n̂ = (k−1) · 2^60 / h_(k) when the group saturates k, else the
+    * exact distinct count (the sketch IS exact below k). The estimate
+    * is a deterministic function of the kept hashes — every arithmetic
+    * step (long→double cast, one multiply, one divide) is an exactly-
+    * rounded IEEE operation, so DuckDB replays it bit-for-bit (gotcha
+    * list: cross-engine float parity; same discipline as
+    * `TextPipeline.bigramLift`'s lift-not-log choice).
+    *
+    * Output: (group_key, n_exact, kmv_n) — n_exact is the certificate
+    * column (distinct-hash count from the same pre-distinct pass; at
+    * 60-bit hashes it equals the true distinct count with overwhelming
+    * probability, and DETERMINISTICALLY equals what the oracle
+    * computes either way).
+    *
+    * Plan shape: one shuffle keyed on (group, hash) for the
+    * pre-distinct — high cardinality, parallelism preserved — then the
+    * bounded MinK aggregation whose partial state is ≤ k longs; the
+    * final per-group shuffle moves ≤ k · partitions longs even when
+    * the group key has 3 values (the g6 lesson). */
+  def kmvDistinct(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
+    require(k > 1, s"KMV needs k > 1 (estimate uses k-1), got $k")
+    val minK = udaf(MinK(k), Encoders.scalaLong)
+    val distinctHashes = df
+      .select(group.as("group_key"),
+        portableHash(value.cast("string"), 15).as("h"))
+      .groupBy("group_key", "h")
+      .agg(count(lit(1)).as("dummy"))
+      .drop("dummy")
+    distinctHashes
+      .groupBy("group_key")
+      .agg(count(lit(1)).as("n_exact"), minK(col("h")).as("hs"))
+      .select(
+        col("group_key"),
+        col("n_exact"),
+        round(
+          when(col("n_exact") < k, col("n_exact").cast("double"))
+            .otherwise(
+              lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+                element_at(col("hs"), k).cast("double")),
+          4).as("kmv_n"))
+  }
+}

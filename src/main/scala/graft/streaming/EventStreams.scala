@@ -243,6 +243,46 @@ object EventStreams {
       }
   }
 
+  final case class ScdState(version: Long, attr: String)
+  final case class ScdChange(
+      user_id: Long, version: Long, attr_value: String,
+      valid_from: java.sql.Timestamp)
+
+  /** Streaming twin of [[graft.operators.Scd.scd2]]: per-entity
+    * run-length-collapsed attribute versions, emitted AS THE CHANGES
+    * HAPPEN — the append-mode CDC feed a warehouse tails to maintain the
+    * Type-2 dimension incrementally (each emitted version v implicitly
+    * closes v−1 at its valid_from; the batch operator materializes that
+    * same closure as valid_to).
+    *
+    * State is ONE (version, attr) pair per entity — bounded by the
+    * entity population, independent of history length. Same ordering
+    * trade as [[funnelStream]]: within a micro-batch events fold in
+    * (ts, event_id) order, so batch-equivalence holds when each
+    * entity's events arrive in order ACROSS micro-batches (the file
+    * source's layout); a late cross-batch straggler would version at
+    * arrival order, which is the standard incremental-SCD trade. */
+  def scdStream(events: Dataset[Event]): Dataset[ScdChange] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdChange](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[ScdState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[ScdChange]
+          batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (st == null || st.attr != e.event_type) {
+              val v = if (st == null) 1L else st.version + 1L
+              st = ScdState(v, e.event_type)
+              out += ScdChange(uid, v, e.event_type, e.ts)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   final case class UserSilence(
       user_id: Long, last_seen: java.sql.Timestamp, silence_at: java.sql.Timestamp)
 

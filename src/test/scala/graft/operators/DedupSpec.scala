@@ -424,4 +424,37 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(again.isEmpty)
   }
 
+  test("chunkDedup flags later occurrences, keeps the first, chunk-exact") {
+    // size=4 chunks: doc 1 = "aaaabbbb", doc 2 = "bbbbaaaa" (both chunks
+    // seen in doc 1 — but "bbbb" at idx 1 of doc 1 vs idx 0 of doc 2:
+    // first occurrence is doc 1), doc 3 shares nothing, doc 4 is a
+    // full copy of doc 1, doc 5 is shorter than one chunk.
+    val docs = Seq(
+      (1L, "aaaabbbb"),
+      (2L, "bbbbaaaa"),
+      (3L, "ccccdddd"),
+      (4L, "aaaabbbb"),
+      (5L, "ee")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, col("doc_id"), col("text"), size = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, 0.0),   // keeper of both chunks
+      (2L, 2L, 2L, 1.0),   // both chunks already seen in doc 1
+      (3L, 2L, 0L, 0.0),
+      (4L, 2L, 2L, 1.0),   // exact copy, fully duplicated
+      (5L, 1L, 0L, 0.0)))  // short tail chunk, unique
+  }
+
+  test("chunkDedup first-occurrence rule is (doc_id, chunk_idx)-deterministic") {
+    // The same chunk text at different positions: the keeper is the
+    // minimal (doc_id, chunk_idx), not an arbitrary first-seen.
+    val docs = Seq(
+      (7L, "xxxx" + "yyyy" + "xxxx"), // "xxxx" at idx 0 and 2 of the SAME doc
+      (8L, "xxxx")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, col("doc_id"), col("text"), size = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // doc 7: idx 0 keeps, idx 2 is a dup (of its own idx 0); doc 8 dups
+    assert(got == Seq((7L, 3L, 1L, 1.0 / 3.0), (8L, 1L, 1L, 1.0)))
+  }
+
 }

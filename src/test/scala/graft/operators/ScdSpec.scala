@@ -1,0 +1,97 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ScdSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val changeLog = Seq(
+    // (user, ts, event_id, attr)
+    (1L, ts("2024-01-01 00:00:00"), 10L, "bronze"),
+    (1L, ts("2024-01-02 00:00:00"), 11L, "bronze"), // no change — collapses
+    (1L, ts("2024-01-03 00:00:00"), 12L, "silver"),
+    (1L, ts("2024-01-04 00:00:00"), 13L, "gold"),
+    (2L, ts("2024-01-01 12:00:00"), 20L, "silver"), // single-version entity
+    (3L, ts("2024-02-01 00:00:00"), 31L, "gold"),
+    (3L, ts("2024-02-01 00:00:00"), 30L, "bronze")) // equal ts → event_id breaks
+    .toDF("user_id", "ts", "event_id", "attr")
+
+  private def history = Scd.scd2(changeLog, col("user_id"), col("ts"),
+    Seq(col("ts"), col("event_id")), col("attr"))
+
+  test("scd2 collapses runs, versions survivors, and chains intervals") {
+    val got = history
+      .select("entity_key", "version", "attr_value", "valid_from", "valid_to", "is_current")
+      .as[(Long, Int, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = Seq(
+      (1L, 1, "bronze", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      (1L, 2, "silver", ts("2024-01-03 00:00:00"), Some(ts("2024-01-04 00:00:00")), false),
+      (1L, 3, "gold", ts("2024-01-04 00:00:00"), None, true),
+      (2L, 1, "silver", ts("2024-01-01 12:00:00"), None, true),
+      // user 3: equal timestamps — event_id 30 (bronze) precedes 31 (gold)
+      (3L, 1, "bronze", ts("2024-02-01 00:00:00"), Some(ts("2024-02-01 00:00:00")), false),
+      (3L, 2, "gold", ts("2024-02-01 00:00:00"), None, true))
+    assert(got == want)
+  }
+
+  test("scd2 intervals tile each entity's timeline with no gap or overlap") {
+    val rows = history
+      .as[(Long, Int, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().groupBy(_._1)
+    rows.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.zipWithIndex.forall { case (r, i) => r._2 == i + 1 },
+        s"user $u versions not 1..n")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $u: v${a._2} valid_to != v${b._2} valid_from")
+        case _ =>
+      }
+      assert(sorted.init.forall(!_._6) && sorted.last._6 && sorted.last._5.isEmpty,
+        s"user $u: exactly the last version must be current/open")
+    }
+  }
+
+  test("asOfSnapshot returns exactly one version per entity, the one valid then") {
+    val snap = Scd.asOfSnapshot(history, lit("2024-01-03 12:00:00").cast("timestamp"))
+      .select("entity_key", "attr_value")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(snap == Seq((1L, "silver"), (2L, "silver")))
+    // user 3's history starts after the as-of instant — absent, not null
+  }
+
+  test("scd2 fuzz: matches a serial run-length reference") {
+    val rnd = new scala.util.Random(2024L)
+    (1 to 4).foreach { trial =>
+      val rows = (1 to 300).map { i =>
+        (rnd.nextInt(12).toLong,
+          ts(f"2024-03-${1 + rnd.nextInt(28)}%02d 00:00:00"),
+          i.toLong,
+          s"s${rnd.nextInt(4)}")
+      }
+      val want = rows.groupBy(_._1).flatMap { case (u, evs) =>
+        val ordered = evs.sortBy(e => (e._2.getTime, e._3))
+        val runs = ordered.foldLeft(Vector.empty[(Timestamp, String)]) { (acc, e) =>
+          if (acc.nonEmpty && acc.last._2 == e._4) acc else acc :+ ((e._2, e._4))
+        }
+        runs.zipWithIndex.map { case ((from, attr), i) =>
+          val to = if (i + 1 < runs.length) Some(runs(i + 1)._1) else None
+          (u, i + 1, attr, from, to, to.isEmpty)
+        }
+      }.toSeq.sortBy(r => (r._1, r._2))
+      val got = Scd.scd2(rows.toDF("user_id", "ts", "event_id", "attr"),
+          col("user_id"), col("ts"), Seq(col("ts"), col("event_id")), col("attr"))
+        .as[(Long, Int, String, Timestamp, Option[Timestamp], Boolean)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == want, s"trial $trial")
+    }
+  }
+}

@@ -184,6 +184,74 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("cmSketch is stream-safe: complete-mode cells across micro-batches equal batch") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-src")
+    Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"))
+      .toDF("doc_id", "tok").coalesce(1).write.mode("append").parquet(dir.toString)
+    Seq((5L, "a"), (6L, "b"), (7L, "d"))
+      .toDF("doc_id", "tok").coalesce(1).write.mode("append").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    // the CMS aggregate's key space is depth×width by construction —
+    // the one streaming aggregation whose state is bounded regardless
+    // of stream length, no watermark needed
+    val q = graft.operators.Sketches.cmSketch(stream, col("tok"), depth = 3, width = 16)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream_out")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.Sketches.cmSketch(
+        spark.read.parquet(dir.toString), col("tok"), depth = 3, width = 16)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(batch.size <= 3 * 16 && batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("scdStream emits the same versions as batch scd2 across micro-batches") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[Event]
+    val q = EventStreams.scdStream(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scd_stream_out").start()
+    val events = Seq(
+      Event(10, ts(0), 1, "bronze", 0.0),
+      Event(11, ts(5), 1, "bronze", 0.0),  // run collapses
+      Event(12, ts(10), 1, "silver", 0.0),
+      Event(20, ts(2), 2, "gold", 0.0),
+      // second batch continues each user's ordered feed
+      Event(13, ts(20), 1, "gold", 0.0),
+      Event(14, ts(25), 1, "gold", 0.0),   // run collapses
+      Event(21, ts(30), 2, "gold", 0.0),   // run collapses across batches
+      Event(22, ts(40), 2, "bronze", 0.0))
+    try {
+      in.addData(events.take(4): _*)
+      q.processAllAvailable()
+      in.addData(events.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scd_stream_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      val batch = graft.operators.Scd.scd2(
+        events.toDF(), col("user_id"), col("ts"),
+        Seq(col("ts"), col("event_id")), col("event_type"))
+        .select("entity_key", "version", "attr_value", "valid_from")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2),
+          r.getTimestamp(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(streamed == batch)
+      assert(batch.map(_._3).toSet == Set("bronze", "silver", "gold"))
+    } finally q.stop()
+  }
+
   test("file-source readStream over the real events parquet matches the batch twin") {
     // file streaming source wants a directory — stage the sf0.001 file
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
