@@ -1106,7 +1106,34 @@ object ExtQueries {
     "ext_chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedup(
         t(s, dir, "documents"), col("doc_id"), col("text"), size = 120)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ── Point-in-time join: each event labeled with the SCD2 version
+    //    valid at the event's own timestamp — the no-leakage temporal
+    //    join (Scd.pointInTimeJoin scaladoc: equi-keyed on the entity,
+    //    interval predicate as join filter, never a range nested-loop).
+    "ext_scd2_pit" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val hist = Scd.scd2(e, col("user_id"), col("ts"),
+        Seq(col("ts"), col("event_id")), col("event_type"))
+      Scd.pointInTimeJoin(
+        e.select(col("event_id"), col("user_id"), col("ts")),
+        hist, col("user_id"), col("ts"))
+        .select(col("event_id"), col("user_id"),
+          col("version").cast("long").as("version"),
+          col("attr_value").as("tier_at_event"))
+        .orderBy("event_id")
+    }),
+
+    // ── Bounded-state per-cell sampling: k md5-smallest ids per
+    //    (lang, source) cell via the MinK aggregator — the scale path
+    //    next to sampleToQuota's cell-partitioned window
+    //    (Sketches.minKSample scaladoc).
+    "ext_group_sample" -> ((s, dir) =>
+      Sketches.minKSample(
+        t(s, dir, "documents"), Seq("lang", "source"), col("doc_id"), k = 5)
+        .withColumnRenamed("sample_id", "doc_id")
+        .orderBy("lang", "source", "doc_id"))
   )
 
   /** Shared by ext_decontaminate and ext_decontaminate_bloom — the bloom
@@ -2834,6 +2861,48 @@ object ExtQueries {
         |    AS n_dup_chunks,
         |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
         |    CAST(COUNT(*) AS DOUBLE) AS dup_ratio
-        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same run-collapse as ext_scd2, then the interval join replayed
+    // with the identical inclusive/exclusive bounds; zero-length
+    // versions (equal-ts change pairs) correctly attract no facts.
+    "ext_scd2_pit" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |v AS (
+        |  SELECT user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS version,
+        |    event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM runs)
+        |SELECT e.event_id, e.user_id, CAST(v.version AS BIGINT) AS version,
+        |       v.event_type AS tier_at_event
+        |FROM events e LEFT JOIN v ON e.user_id = v.user_id
+        |  AND v.valid_from <= e.ts AND (v.valid_to IS NULL OR v.valid_to > e.ts)
+        |ORDER BY event_id""".stripMargin,
+
+    // k smallest 60-bit md5(doc_id) hashes per cell — the window replay
+    // is the oracle formulation; the engine folds through the bounded
+    // MinK aggregate instead of windowing over the tiny cell key.
+    "ext_group_sample" ->
+      """WITH h AS (
+        |  SELECT lang, source, doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY hv) AS rn
+        |  FROM h)
+        |SELECT lang, source, doc_id FROM r WHERE rn <= 5
+        |ORDER BY lang, source, doc_id""".stripMargin
   )
 }

@@ -66,4 +66,37 @@ object Scd {
   def asOfSnapshot(history: DataFrame, asOf: Column): DataFrame =
     history.where(col("valid_from") <= asOf &&
       (col("valid_to").isNull || col("valid_to") > asOf))
+
+  /** Point-in-time (temporal) join: attach to every fact row the
+    * history version valid at the fact's own timestamp — the join that
+    * makes a Type-2 dimension usable for training-data labeling
+    * ("what was this user's tier WHEN the event happened", no leakage
+    * from later versions).
+    *
+    * The join is an EQUI-join on the entity key with the interval
+    * predicate as a post-join filter — so Catalyst plans a hash/sort-
+    * merge join keyed on the high-cardinality entity, never a range
+    * nested-loop; per entity the candidate set is its version count
+    * (small by construction — versions only exist where the attribute
+    * CHANGED), so the filter prunes a bounded fan-out. Facts before an
+    * entity's first version get a left-join null version (surfaced,
+    * not dropped — silent row loss is how PIT joins leak).
+    *
+    * Output: fact columns + (version, attr_value). */
+  def pointInTimeJoin(
+      facts: DataFrame,
+      history: DataFrame,
+      factEntity: Column,
+      factTime: Column): DataFrame = {
+    val h = history.select(
+      col("entity_key").as("_h_entity"), col("version"),
+      col("attr_value"), col("valid_from"), col("valid_to"))
+    facts
+      .join(h,
+        factEntity === col("_h_entity") &&
+          col("valid_from") <= factTime &&
+          (col("valid_to").isNull || col("valid_to") > factTime),
+        "left")
+      .drop("_h_entity", "valid_from", "valid_to")
+  }
 }

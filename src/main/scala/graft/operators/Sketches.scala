@@ -200,6 +200,42 @@ object Sketches {
     * bounded MinK aggregation whose partial state is ≤ k longs; the
     * final per-group shuffle moves ≤ k · partitions longs even when
     * the group key has 3 values (the g6 lesson). */
+  /** Deterministic k-per-cell sample with BOUNDED aggregation state:
+    * keep the k rows whose md5(id) hashes are smallest within each
+    * `dims` cell — a uniform-without-replacement sample that is
+    * seed-free, engine-portable, and stable under partitioning.
+    *
+    * This is the scale path for per-cell sampling: the existing
+    * `TextPipeline.sampleToQuota` ranks with a window PARTITIONED BY
+    * THE CELL DIMS, which caps parallelism at the (tiny) cell count —
+    * the same trap the g6 exact-quantile rewrite removed. Here the
+    * per-cell top-k folds through [[MinK]] (≤ k longs of state per cell
+    * per partition, map-side combined), then ONE broadcast-able
+    * (cell, hash) table joins winners back by hash — the big table
+    * shuffles on the high-cardinality hash key, never windows over the
+    * cell key.
+    *
+    * Caveat (documented, not defended): two ids in one cell sharing a
+    * full 60-bit hash would both join back (k+1 rows). P ≈ n²/2^61
+    * per cell — at a billion rows per cell that is ~1e-3; acceptable
+    * for sampling (and deterministic: both engines see the same tie).
+    *
+    * Output: dims* :+ sample_id. */
+  def minKSample(df: DataFrame, dims: Seq[String], id: Column, k: Int): DataFrame = {
+    require(dims.nonEmpty, "minKSample needs at least one cell dimension")
+    require(k > 0, s"k must be positive, got $k")
+    val minK = udaf(MinK(k), Encoders.scalaLong)
+    val dimCols = dims.map(col)
+    val withH = df.select(dimCols :+ id.as("sample_id"): _*)
+      .withColumn("h", portableHash(col("sample_id").cast("string"), 15))
+    val winners = withH
+      .groupBy(dimCols: _*)
+      .agg(minK(col("h")).as("hs"))
+      .select(dimCols :+ explode(col("hs")).as("h"): _*)
+    withH.join(broadcast(winners), dims :+ "h")
+      .select(dimCols :+ col("sample_id"): _*)
+  }
+
   def kmvDistinct(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
     require(k > 1, s"KMV needs k > 1 (estimate uses k-1), got $k")
     val minK = udaf(MinK(k), Encoders.scalaLong)

@@ -68,6 +68,41 @@ class ScdSpec extends AnyFunSuite with SparkSpec {
     // user 3's history starts after the as-of instant — absent, not null
   }
 
+  test("pointInTimeJoin maps each fact into the interval tiling, leakage-free") {
+    val facts = Seq(
+      (100L, 1L, ts("2024-01-01 12:00:00")), // inside v1
+      (101L, 1L, ts("2024-01-03 00:00:00")), // exactly at v2's valid_from → v2
+      (102L, 1L, ts("2024-01-09 00:00:00")), // open tail → v3
+      (103L, 2L, ts("2024-01-01 00:00:00")), // BEFORE user 2's history → null
+      (104L, 3L, ts("2024-02-01 00:00:00"))) // zero-length v1 skipped → v2
+      .toDF("fact_id", "fuser", "fts")
+    val got = Scd.pointInTimeJoin(facts, history, col("fuser"), col("fts"))
+      .select("fact_id", "version", "attr_value")
+      .as[(Long, Option[Int], Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (100L, Some(1), Some("bronze")),
+      (101L, Some(2), Some("silver")),
+      (102L, Some(3), Some("gold")),
+      (103L, None, None),
+      (104L, Some(2), Some("gold"))))
+  }
+
+  test("pointInTimeJoin never double-matches: intervals tile, so one version per fact") {
+    val rnd = new scala.util.Random(555L)
+    val events = (1 to 400).map { i =>
+      (rnd.nextInt(10).toLong, ts(f"2024-03-${1 + rnd.nextInt(28)}%02d 00:00:00"),
+        i.toLong, s"s${rnd.nextInt(3)}")
+    }.toDF("user_id", "ts", "event_id", "attr")
+    val hist = Scd.scd2(events, col("user_id"), col("ts"),
+      Seq(col("ts"), col("event_id")), col("attr"))
+    val joined = Scd.pointInTimeJoin(
+      events.select(col("event_id"), col("user_id"), col("ts")),
+      hist, col("user_id"), col("ts"))
+    assert(joined.count() == 400L, "tiling must yield exactly one match per fact")
+    assert(joined.filter(col("version").isNull).count() == 0L,
+      "every event lies at-or-after its entity's first version")
+  }
+
   test("scd2 fuzz: matches a serial run-length reference") {
     val rnd = new scala.util.Random(2024L)
     (1 to 4).foreach { trial =>

@@ -153,6 +153,39 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("minKSample keeps exactly the k md5-smallest ids per cell") {
+    val rows = (1L to 200L).map(i => (s"cell${i % 3}", i))
+    val df = rows.toDF("cell", "id")
+    val got = Sketches.minKSample(df, Seq("cell"), col("id"), k = 4)
+      .as[(String, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    val want = rows.groupBy(_._1).view.mapValues { vs =>
+      vs.map(_._2).sortBy(i => hex(i.toString, 15)).take(4).sorted.toSeq
+    }.toMap
+    assert(got == want)
+    assert(got.values.forall(_.size == 4))
+  }
+
+  test("minKSample returns whole cells smaller than k, and is growth-stable") {
+    val small = Seq(("c", 1L), ("c", 2L)).toDF("cell", "id")
+    val got = Sketches.minKSample(small, Seq("cell"), col("id"), k = 5)
+      .as[(String, Long)].collect().map(_._2).sorted.toSeq
+    assert(got == Seq(1L, 2L))
+    // growth stability: adding rows never evicts a sampled id unless a
+    // smaller hash arrives — the md5-rank property sampleToQuota shares
+    val base = (1L to 50L).map(i => ("c", i))
+    val more = base ++ (51L to 80L).map(i => ("c", i))
+    def sample(rows: Seq[(String, Long)]) =
+      Sketches.minKSample(rows.toDF("cell", "id"), Seq("cell"), col("id"), k = 6)
+        .as[(String, Long)].collect().map(_._2).toSet
+    val sBase = sample(base)
+    val sMore = sample(more)
+    val wantMore = more.map(_._2).sortBy(i => hex(i.toString, 15)).take(6).toSet
+    assert(sMore == wantMore)
+    assert((sBase -- sMore).forall(evicted =>
+      sMore.exists(kept => hex(kept.toString, 15) < hex(evicted.toString, 15))))
+  }
+
   test("kmvDistinct estimates within 25% on a 5k-distinct corpus at k=64") {
     // Accuracy at realistic scale: std err ~ 1/sqrt(k-1) ≈ 12.6%, so
     // 25% is a 2-sigma bound — and the fixed hash makes this
