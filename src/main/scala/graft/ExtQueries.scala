@@ -281,6 +281,17 @@ object ExtQueries {
       Similarity.ivfTopK(probes, e.select("vec_id", "embedding"), 10)
     }),
 
+    // ── ANN, product quantization: 8×16 codebooks from the same
+    //    portable-rank sample as IVF, ADC lookup-table coarse scan over
+    //    8-byte codes, exact re-rank of the top-40
+    //    (Similarity.pqTopK scaladoc; oracle replays the whole pipeline).
+    "ext_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.pqTopK(probes, e.select("vec_id", "embedding"), 10)
+    }),
+
     // ── Near-dup dedup, MinHash+LSH banding — ORACLED against the
     //    full-quadratic DuckDB ground truth: the corpus contains 25
     //    genuine near-dup pairs at sf0.01 (all 5-gram Jaccard >= 0.928,
@@ -2888,6 +2899,94 @@ object ExtQueries {
         |FROM events e LEFT JOIN v ON e.user_id = v.user_id
         |  AND v.valid_from <= e.ts AND (v.valid_to IS NULL OR v.valid_to > e.ts)
         |ORDER BY event_id""".stripMargin,
+
+    // END-TO-END PQ replay: portable-rank codebook sample (ordinal via
+    // the same LIMIT order), per-subspace rounded-L2² argmin codes, the
+    // per-probe ADC table as a (j, ord)-ordered list, fixed-subspace-
+    // order sums, coarse top-40, exact re-rank — every float fold
+    // left-to-right on both engines.
+    "ext_ann_pq" ->
+      """WITH cent AS MATERIALIZED (
+        |  SELECT ROW_NUMBER() OVER (
+        |      ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) - 1 AS ord,
+        |    embedding
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY (vec_id * 2654435761) % 2147483647, vec_id LIMIT 16)),
+        |subs AS (SELECT unnest(range(0, 8)) AS j),
+        |dist AS (
+        |  SELECT e.vec_id, s.j, c.ord,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      d -> (CAST(e.embedding[s.j * 8 + d] AS DOUBLE)
+        |            - CAST(c.embedding[s.j * 8 + d] AS DOUBLE))
+        |         * (CAST(e.embedding[s.j * 8 + d] AS DOUBLE)
+        |            - CAST(c.embedding[s.j * 8 + d] AS DOUBLE)))), 6) AS dd
+        |  FROM embeddings e CROSS JOIN subs s CROSS JOIN cent c),
+        |codesv AS MATERIALIZED (
+        |  SELECT vec_id, list(code ORDER BY j) AS codes FROM (
+        |    SELECT vec_id, j, ord AS code FROM (
+        |      SELECT vec_id, j, ord,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dd, ord) AS rn
+        |      FROM dist) WHERE rn = 1)
+        |  GROUP BY vec_id),
+        |p AS (SELECT vec_id AS query_id, embedding AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |lutv AS (
+        |  SELECT query_id, list(sdot ORDER BY j, ord) AS lut FROM (
+        |    SELECT p.query_id, s.j, c.ord,
+        |      round(list_sum(list_transform(range(1, 9),
+        |        d -> CAST(p.qv[s.j * 8 + d] AS DOUBLE)
+        |           * CAST(c.embedding[s.j * 8 + d] AS DOUBLE))), 6) AS sdot
+        |    FROM p CROSS JOIN subs s CROSS JOIN cent c)
+        |  GROUP BY query_id),
+        |nsqv AS (
+        |  SELECT list(nn ORDER BY j, ord) AS nsq FROM (
+        |    SELECT s.j, c.ord,
+        |      round(list_sum(list_transform(range(1, 9),
+        |        d -> CAST(c.embedding[s.j * 8 + d] AS DOUBLE)
+        |           * CAST(c.embedding[s.j * 8 + d] AS DOUBLE))), 6) AS nn
+        |    FROM subs s CROSS JOIN cent c)),
+        |qn AS (
+        |  SELECT query_id, sqrt(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS qnorm
+        |  FROM p),
+        |coarse AS (
+        |  SELECT l.query_id, cv.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(0, 8),
+        |        jj -> lut[jj * 16 + cv.codes[jj + 1] + 1]))
+        |      / (qn.qnorm * sqrt(list_sum(list_transform(range(0, 8),
+        |           jj -> nsq[jj * 16 + cv.codes[jj + 1] + 1])))), 6) AS qsim
+        |  FROM codesv cv
+        |  CROSS JOIN lutv l
+        |  JOIN qn ON qn.query_id = l.query_id
+        |  CROSS JOIN nsqv
+        |  WHERE cv.vec_id <> l.query_id),
+        |cand AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |                         ORDER BY qsim DESC, vec_id) AS qrank
+        |    FROM coarse) WHERE qrank <= 40),
+        |rer AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(p.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM cand c
+        |  JOIN embeddings e ON e.vec_id = c.vec_id
+        |  JOIN p ON p.query_id = c.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, vec_id) AS rank
+        |  FROM rer)
+        |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // k smallest 60-bit md5(doc_id) hashes per cell — the window replay
     // is the oracle formulation; the engine folds through the bounded

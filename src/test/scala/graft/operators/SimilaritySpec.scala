@@ -99,6 +99,58 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(qt.toSeq == bf.toSeq)
   }
 
+  test("pqTopK: exact re-rank sims match brute force; recall@5 is high on clustered data") {
+    // 3 well-separated direction clusters in 8 dims, 30 vectors each:
+    // PQ codes preserve cluster membership easily, so the coarse ADC
+    // pass must rank true neighbors into the refine window.
+    val rnd = new scala.util.Random(77L)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val bases = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f))
+    val vecs = (0 until 90).map(i => (i.toLong, jitter(bases(i % 3))))
+    val corpus8 = vecs.toDF("vec_id", "embedding")
+    val probes8 = vecs.take(3).map { case (id, v) => (id, v) }
+      .toDF("query_id", "query_vec")
+    val pq = Similarity.pqTopK(probes8, corpus8, k = 5, dim = 8, m = 4,
+      ksub = 8, refine = 20)
+    val bf = Similarity.bruteForceTopK(probes8, corpus8, k = 5)
+    val pqRows = pq.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bfRows = bf.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // sims of shared pairs are the SAME exact re-rank arithmetic
+    val shared = pqRows.map(t => (t._1, t._2)) intersect bfRows.map(t => (t._1, t._2))
+    assert(shared.size >= 12, s"recall@5 too low: ${shared.size}/15")
+    shared.foreach { pair =>
+      val ps = pqRows.find(t => (t._1, t._2) == pair).get._3
+      val bs = bfRows.find(t => (t._1, t._2) == pair).get._3
+      assert(ps == bs, s"pair $pair: pq sim $ps != brute-force $bs")
+    }
+    // deterministic: a second run is bit-identical
+    val again = Similarity.pqTopK(probes8, corpus8, k = 5, dim = 8, m = 4,
+      ksub = 8, refine = 20).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again == pqRows)
+  }
+
+  test("pqTopK with refine >= corpus degenerates to exact brute-force results") {
+    val rnd = new scala.util.Random(177L)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val corpus8 = vecs.toDF("vec_id", "embedding")
+    val probes8 = vecs.take(2).toDF("query_id", "query_vec")
+    val pq = Similarity.pqTopK(probes8, corpus8, k = 5, dim = 8, m = 4,
+      ksub = 8, refine = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val bf = Similarity.bruteForceTopK(probes8, corpus8, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // coarse pass keeps EVERYTHING → the exact re-rank IS brute force
+    assert(pq == bf)
+  }
+
   test("scalarQuantize fuzz: bounds hold on random corpora") {
     val rnd = new scala.util.Random(20260813L)
     (1 to 3).foreach { trial =>
