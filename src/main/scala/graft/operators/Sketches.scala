@@ -248,14 +248,37 @@ object Sketches {
     distinctHashes
       .groupBy("group_key")
       .agg(count(lit(1)).as("n_exact"), minK(col("h")).as("hs"))
-      .select(
-        col("group_key"),
-        col("n_exact"),
-        round(
-          when(col("n_exact") < k, col("n_exact").cast("double"))
-            .otherwise(
-              lit((k - 1).toDouble) * lit(1152921504606846976.0) /
-                element_at(col("hs"), k).cast("double")),
-          4).as("kmv_n"))
+      .select(col("group_key"), col("n_exact"),
+        kmvEstimate(col("hs"), k).as("kmv_n"))
+  }
+
+  /** The KMV estimate from a kept-hashes array: exact (= array length)
+    * below saturation, (k−1)·2^60/h_(k) at k. Shared by the batch and
+    * streaming forms so the arithmetic can never fork. */
+  private def kmvEstimate(hs: Column, k: Int): Column =
+    round(
+      when(size(hs) < k, size(hs).cast("double"))
+        .otherwise(
+          lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            element_at(hs, k).cast("double")),
+      4)
+
+  /** Streaming-safe KMV: ONE aggregation (no pre-distinct — [[MinK]]
+    * dedupes hashes internally, so the kept minima are identical), which
+    * is what Structured Streaming's single-aggregation rule requires.
+    * Emits (group_key, kmv_n) only: the exact-count certificate column
+    * needs the pre-distinct pass and belongs to the batch form. State
+    * per group is ≤ k longs regardless of stream length — like the CMS
+    * grid, bounded by construction, no watermark needed. Batch parity:
+    * kmv_n here equals [[kmvDistinct]]'s on the same input
+    * (EventStreamsSpec pins it across micro-batches). */
+  def kmvSketch(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
+    require(k > 1, s"KMV needs k > 1 (estimate uses k-1), got $k")
+    val minK = udaf(MinK(k), Encoders.scalaLong)
+    df.select(group.as("group_key"),
+        portableHash(value.cast("string"), 15).as("h"))
+      .groupBy("group_key")
+      .agg(minK(col("h")).as("hs"))
+      .select(col("group_key"), kmvEstimate(col("hs"), k).as("kmv_n"))
   }
 }

@@ -212,6 +212,32 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvSketch is stream-safe: single-agg estimate equals batch kmvDistinct") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv-src")
+    val rnd = new scala.util.Random(808L)
+    val batch1 = (1 to 150).map(_ => ("g" + rnd.nextInt(2), rnd.nextInt(60).toLong))
+    val batch2 = (1 to 150).map(_ => ("g" + rnd.nextInt(2), rnd.nextInt(60).toLong))
+    batch1.toDF("grp", "v").coalesce(1).write.mode("append").parquet(dir.toString)
+    batch2.toDF("grp", "v").coalesce(1).write.mode("append").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = graft.operators.Sketches.kmvSketch(stream, col("grp"), col("v"), k = 16)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kmv_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream_out")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val batch = graft.operators.Sketches.kmvDistinct(
+        spark.read.parquet(dir.toString), col("grp"), col("v"), k = 16)
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+      assert(streamed == batch) // duplicate hashes across batches dedupe in-state
+      assert(batch.keySet == Set("g0", "g1"))
+    } finally q.stop()
+  }
+
   test("scdStream emits the same versions as batch scd2 across micro-batches") {
     implicit val sc = spark.sqlContext
     import org.apache.spark.sql.functions.col
