@@ -650,6 +650,114 @@ case class ZOrder2(left: Expression, right: Expression, bits: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization code assignment: per subspace j, the ordinal of
+  * the codebook centroid minimizing the 6dp-ROUNDED L2² distance to the
+  * vector's j-th slice (first minimum wins — the array_sort(struct)
+  * argmin's tie-break). Bit-identical to the declarative
+  * aggregate/transform formulation it replaces (left-to-right 0.0-seeded
+  * folds, scala-BigDecimal HALF_UP rounding — the exact code path of
+  * Spark's own Round for DoubleType) but a tight JVM loop per row:
+  * higher-order lambdas evaluate INTERPRETED per element, which at
+  * corpus × m × ksub × dsub volume was the measured cost of the whole
+  * PQ query (SCALE.md, interpreted-expression trap). */
+case class PqCodes(child: Expression, cb: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(cb.nonEmpty && cb.head.nonEmpty && cb.head.head.nonEmpty,
+    "PQ codebook must be m x ksub x dsub, all non-empty")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val isDouble =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      val cents = cb(j)
+      var best = -1
+      var bestD = 0.0
+      var i = 0
+      while (i < cents.length) {
+        val c = cents(i)
+        var s = 0.0
+        var d = 0
+        while (d < dsub) {
+          val x = (if (isDouble) v.getDouble(base + d)
+                   else v.getFloat(base + d).toDouble) - c(d)
+          s += x * x
+          d += 1
+        }
+        val r = round6(s)
+        if (best < 0 || r < bestD) { best = i; bestD = r }
+        i += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqCodes =
+    copy(child = c)
+}
+
+/** The per-probe ADC lookup table: rounded subspace dots laid out
+  * [j·ksub + i]. Same arithmetic contract as [[PqCodes]]. */
+case class PqLut(child: Expression, cb: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(cb.nonEmpty && cb.head.nonEmpty && cb.head.head.nonEmpty,
+    "PQ codebook must be m x ksub x dsub, all non-empty")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val isDouble =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = cb.length
+    val k = cb(0).length
+    val dsub = cb(0)(0).length
+    val out = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      val cents = cb(j)
+      var i = 0
+      while (i < k) {
+        val c = cents(i)
+        var s = 0.0
+        var d = 0
+        while (d < dsub) {
+          s += (if (isDouble) v.getDouble(base + d)
+                else v.getFloat(base + d).toDouble) * c(d)
+          d += 1
+        }
+        out(j * k + i) = round6(s)
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqLut =
+    copy(child = c)
+}
+
 /** Column-level constructors. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -690,4 +798,10 @@ object GraftFunctions {
 
   def bloom_might_contain(c: Column, serializedBloom: Array[Byte]): Column =
     column(BloomMightContain(expression(c), serializedBloom))
+
+  def pq_codes(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    column(PqCodes(expression(vec), cb))
+
+  def pq_lut(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    column(PqLut(expression(vec), cb))
 }
