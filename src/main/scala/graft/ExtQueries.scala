@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Clustering, Dedup, Events, FuzzyJoin, Packing, Partitioning, Relational, Scd, Similarity, Sketches, TextPipeline, TfIdf}
+import graft.operators.{Clustering, Dedup, Events, FuzzyJoin, Graph, Packing, Partitioning, Relational, Scd, Similarity, Sketches, TextPipeline, TfIdf}
 
 /** [EXT] LLM-data-pipeline operators (dedup, similarity search, text
   * analysis, event windows) as driver-contract queries. See the module
@@ -1135,6 +1135,17 @@ object ExtQueries {
           col("attr_value").as("tier_at_event"))
         .orderBy("event_id")
     }),
+
+    // ── PageRank over the token co-occurrence graph: 5 fixed rounds of
+    //    decimal-accumulated message passing on the adjacency edge list
+    //    (Graph.pageRank scaladoc — per-edge shares checkpointed once,
+    //    each round one dst-keyed shuffle; oracle unrolls the 5 rounds).
+    "ext_pagerank" -> ((s, dir) =>
+      Graph.pageRank(
+        TextPipeline.skipgramPairCounts(
+          t(s, dir, "documents"), col("text"), window = 1),
+        col("tok_a"), col("tok_b"), col("n_ab"))
+        .orderBy(col("pr").desc, col("node"))),
 
     // ── Bounded-state per-cell sampling: k md5-smallest ids per
     //    (lang, source) cell via the MinK aggregator — the scale path
@@ -2987,6 +2998,71 @@ object ExtQueries {
         |  FROM rer)
         |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // PageRank replay: same bigram edge extraction as the skip-gram
+    // oracle (window 1), per-edge shares as exact IEEE divides, then
+    // the 5 rounds UNROLLED — every per-node sum accumulates
+    // DECIMAL(28,12)-quantized contributions (associative, so neither
+    // engine's aggregation order matters), every scalar step a single
+    // exactly-rounded double op. 0.15000000000000002 is literally
+    // Scala's 1.0 - 0.85 — the engines must agree on the bits, not the
+    // decimals.
+    "ext_pagerank" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |pl AS (
+        |  SELECT flatten(list_transform(range(1, least(1, len(t) - 1) + 1),
+        |           d -> list_transform(range(1, len(t) - d + 1),
+        |             i -> struct_pack(a := t[CAST(i AS INT)],
+        |                              b := t[CAST(i + d AS INT)])))) AS ps
+        |  FROM toks WHERE len(t) >= 2),
+        |e AS (
+        |  SELECT p['a'] AS src, p['b'] AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+        |  FROM (SELECT unnest(ps) AS p FROM pl) GROUP BY 1, 2),
+        |ow AS (
+        |  SELECT src, CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS out_w
+        |  FROM e GROUP BY 1),
+        |sh AS MATERIALIZED (
+        |  SELECT e.src, e.dst, e.w / ow.out_w AS share, ow.out_w
+        |  FROM e JOIN ow USING (src)),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM sh UNION ALL SELECT dst FROM sh)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+        |p0 AS (SELECT node, 1.0 / CAST(n_nodes AS DOUBLE) AS pr
+        |       FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT sh.dst AS node,
+        |         SUM(CAST(p0.pr * sh.share AS DECIMAL(28,12))) AS s
+        |       FROM sh JOIN p0 ON p0.node = sh.src GROUP BY 1),
+        |p1 AS (SELECT n.node, 0.15000000000000002 / CAST(nn.n_nodes AS DOUBLE)
+        |         + 0.85 * COALESCE(CAST(c1.s AS DOUBLE), 0.0) AS pr
+        |       FROM nodes n CROSS JOIN nn LEFT JOIN c1 ON c1.node = n.node),
+        |c2 AS (SELECT sh.dst AS node,
+        |         SUM(CAST(p1.pr * sh.share AS DECIMAL(28,12))) AS s
+        |       FROM sh JOIN p1 ON p1.node = sh.src GROUP BY 1),
+        |p2 AS (SELECT n.node, 0.15000000000000002 / CAST(nn.n_nodes AS DOUBLE)
+        |         + 0.85 * COALESCE(CAST(c2.s AS DOUBLE), 0.0) AS pr
+        |       FROM nodes n CROSS JOIN nn LEFT JOIN c2 ON c2.node = n.node),
+        |c3 AS (SELECT sh.dst AS node,
+        |         SUM(CAST(p2.pr * sh.share AS DECIMAL(28,12))) AS s
+        |       FROM sh JOIN p2 ON p2.node = sh.src GROUP BY 1),
+        |p3 AS (SELECT n.node, 0.15000000000000002 / CAST(nn.n_nodes AS DOUBLE)
+        |         + 0.85 * COALESCE(CAST(c3.s AS DOUBLE), 0.0) AS pr
+        |       FROM nodes n CROSS JOIN nn LEFT JOIN c3 ON c3.node = n.node),
+        |c4 AS (SELECT sh.dst AS node,
+        |         SUM(CAST(p3.pr * sh.share AS DECIMAL(28,12))) AS s
+        |       FROM sh JOIN p3 ON p3.node = sh.src GROUP BY 1),
+        |p4 AS (SELECT n.node, 0.15000000000000002 / CAST(nn.n_nodes AS DOUBLE)
+        |         + 0.85 * COALESCE(CAST(c4.s AS DOUBLE), 0.0) AS pr
+        |       FROM nodes n CROSS JOIN nn LEFT JOIN c4 ON c4.node = n.node),
+        |c5 AS (SELECT sh.dst AS node,
+        |         SUM(CAST(p4.pr * sh.share AS DECIMAL(28,12))) AS s
+        |       FROM sh JOIN p4 ON p4.node = sh.src GROUP BY 1),
+        |p5 AS (SELECT n.node, 0.15000000000000002 / CAST(nn.n_nodes AS DOUBLE)
+        |         + 0.85 * COALESCE(CAST(c5.s AS DOUBLE), 0.0) AS pr
+        |       FROM nodes n CROSS JOIN nn LEFT JOIN c5 ON c5.node = n.node)
+        |SELECT p5.node, round(p5.pr, 6) AS pr, COALESCE(o.out_w, 0.0) AS out_w
+        |FROM p5 LEFT JOIN (SELECT DISTINCT src AS node, out_w FROM sh) o
+        |  USING (node)
+        |ORDER BY pr DESC, node""".stripMargin,
 
     // k smallest 60-bit md5(doc_id) hashes per cell — the window replay
     // is the oracle formulation; the engine folds through the bounded

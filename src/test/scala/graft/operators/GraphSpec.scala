@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class GraphSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Serial PageRank with the engine's exact arithmetic: per-edge share
+    * as an IEEE divide, contributions quantized to DECIMAL(28,12)
+    * (HALF_UP — Spark's double→decimal cast), decimal-exact sums, and
+    * the scalar update in raw doubles. */
+  private def serialPageRank(
+      edges: Seq[(String, String, Long)],
+      iterations: Int = 5,
+      damping: Double = 0.85): Map[String, Double] = {
+    val outW = edges.groupBy(_._1).map { case (s, es) =>
+      s -> BigDecimal(es.map(e => BigDecimal(e._3.toDouble)).sum.toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val shares = edges.map { case (s, d, w) => (s, d, w.toDouble / outW(s)) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.length
+    var pr = nodes.map(_ -> 1.0 / n.toDouble).toMap
+    (1 to iterations).foreach { _ =>
+      val in = shares.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, share) =>
+          BigDecimal(pr(s) * share).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+      }
+      pr = nodes.map(v =>
+        v -> ((1.0 - damping) / n.toDouble + damping * in.getOrElse(v, 0.0))).toMap
+    }
+    pr.view.mapValues(p =>
+      BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+  }
+
+  private def run(edges: Seq[(String, String, Long)]): Map[String, Double] =
+    Graph.pageRank(edges.toDF("src", "dst", "w"),
+        col("src"), col("dst"), col("w"))
+      .select("node", "pr").as[(String, Double)].collect().toMap
+
+  test("two-node cycle stays uniform at exactly 1/2 each") {
+    val got = run(Seq(("a", "b", 1L), ("b", "a", 1L)))
+    assert(got == Map("a" -> 0.5, "b" -> 0.5))
+  }
+
+  test("a sink hub accumulates rank; dangling mass is absorbed (documented)") {
+    // star: three sources all point at hub; hub has no out-edges
+    val got = run(Seq(("s1", "hub", 1L), ("s2", "hub", 1L), ("s3", "hub", 2L)))
+    val want = serialPageRank(Seq(("s1", "hub", 1L), ("s2", "hub", 1L), ("s3", "hub", 2L)))
+    assert(got == want)
+    assert(got("hub") > got("s1"), "hub must outrank its pointers")
+    // simplified form: total mass <= 1 (hub absorbs), never > 1
+    assert(got.values.sum <= 1.0 + 1e-9)
+    assert(got.values.forall(_ >= (1.0 - 0.85) / 4 - 1e-12), "teleport floor")
+  }
+
+  test("weights matter: the heavier-weighted target outranks the lighter") {
+    val got = run(Seq(("a", "b", 9L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L)))
+    assert(got("b") > got("c"))
+  }
+
+  test("fuzz: engine equals the serial decimal-quantized reference") {
+    val rnd = new scala.util.Random(4141L)
+    (1 to 4).foreach { trial =>
+      val nodes = (0 until 8).map(i => s"n$i")
+      val edges = (1 to 25).map { _ =>
+        (nodes(rnd.nextInt(8)), nodes(rnd.nextInt(8)), 1L + rnd.nextInt(5).toLong)
+      }.groupBy(e => (e._1, e._2)).map { case ((s, d), es) =>
+        (s, d, es.map(_._3).sum)
+      }.toSeq
+      assert(run(edges) == serialPageRank(edges), s"trial $trial")
+    }
+  }
+
+  test("partitioning-independent: repartitioned input gives identical ranks") {
+    val edges = (1 to 40).map(i => (s"n${i % 7}", s"n${(i * 3) % 7}", (i % 4 + 1).toLong))
+      .groupBy(e => (e._1, e._2)).map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+    val df = edges.toDF("src", "dst", "w")
+    val a = Graph.pageRank(df, col("src"), col("dst"), col("w"))
+      .select("node", "pr").as[(String, Double)].collect().toMap
+    val b = Graph.pageRank(df.repartition(13), col("src"), col("dst"), col("w"))
+      .select("node", "pr").as[(String, Double)].collect().toMap
+    assert(a == b)
+  }
+}
