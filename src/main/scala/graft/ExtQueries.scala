@@ -1136,6 +1136,14 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // ── Trailing z-score anomaly detection: each event scored against
+    //    its user's previous-5 baseline (frame ends at 1 PRECEDING — no
+    //    self-contamination; cold start scores null, not normal).
+    //    Decimal-accumulated frame sums, Events.trailingZScore scaladoc.
+    "ext_anomaly_zscore" -> ((s, dir) =>
+      Events.trailingZScore(t(s, dir, "events"))
+        .orderBy("event_id")),
+
     // ── PageRank over the token co-occurrence graph: 5 fixed rounds of
     //    decimal-accumulated message passing on the adjacency edge list
     //    (Graph.pageRank scaladoc — per-edge shares checkpointed once,
@@ -2998,6 +3006,35 @@ object ExtQueries {
         |  FROM rer)
         |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Same trailing frame, same decimal-accumulated Σx/Σx², same
+    // sample-variance unwind in raw doubles; zero/cold-start variance
+    // yields null z on both engines.
+    "ext_anomaly_zscore" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, value,
+        |    COUNT(*) OVER w AS n_prior,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,12))) OVER w AS DOUBLE)
+        |      AS sxx
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(n_prior AS BIGINT) AS n_prior,
+        |    round(sx / CAST(n_prior AS DOUBLE), 6) AS trail_mean,
+        |    CASE WHEN n_prior >= 3
+        |           AND (sxx - sx * sx / CAST(n_prior AS DOUBLE))
+        |               / CAST(n_prior - 1 AS DOUBLE) > 0
+        |         THEN round((value - sx / CAST(n_prior AS DOUBLE))
+        |                / sqrt((sxx - sx * sx / CAST(n_prior AS DOUBLE))
+        |                       / CAST(n_prior - 1 AS DOUBLE)), 6)
+        |    END AS z
+        |  FROM b)
+        |SELECT event_id, user_id, value, n_prior, trail_mean, z,
+        |       COALESCE(abs(z) >= 3.0, FALSE) AS is_anomaly
+        |FROM z ORDER BY event_id""".stripMargin,
 
     // PageRank replay: same bigram edge extraction as the skip-gram
     // oracle (window 1), per-edge shares as exact IEEE divides, then

@@ -264,4 +264,49 @@ object Events {
   def topKPerGroup(df: DataFrame, group: Column, rankBy: Seq[Column], k: Int): DataFrame =
     df.withColumn("rn", row_number().over(Window.partitionBy(group).orderBy(rankBy: _*)))
       .filter(col("rn") <= k)
+
+  /** Trailing z-score anomaly detection: each event's `value` scored
+    * against the mean/stddev of the SAME USER's previous `lookback`
+    * events (frame ends at 1 PRECEDING — the current value never
+    * contaminates its own baseline, the leakage rule every online
+    * anomaly detector must obey). Events with fewer than `minPrior`
+    * prior observations score null (cold start is "unknown", not
+    * "normal").
+    *
+    * Determinism: the frame sums accumulate DECIMAL(18,6) /
+    * DECIMAL(28,12) (value and value², both exactly representable
+    * after the one double multiply) — associative, so neither frame
+    * evaluation order nor partitioning affects them — and mean,
+    * sample variance ((Σx² − (Σx)²/n)/(n−1)) and z unwind in single
+    * exactly-rounded double ops. Zero variance → null z (a constant
+    * baseline cannot standardize a deviation).
+    *
+    * 100 TB shape: ONE shuffle on the high-cardinality user key, local
+    * per-user sort, O(lookback) state per row — the same discipline as
+    * [[sessionize]]; never a global window. */
+  def trailingZScore(
+      events: DataFrame,
+      lookback: Int = 5,
+      minPrior: Int = 3,
+      flagAt: Double = 3.0): DataFrame = {
+    require(lookback >= minPrior && minPrior >= 2,
+      s"need lookback >= minPrior >= 2, got lookback=$lookback minPrior=$minPrior")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-lookback.toLong, -1L)
+    val n = count(lit(1)).over(w)
+    val sx = sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+    val sxx = sum((col("value") * col("value")).cast("decimal(28,12)")).over(w)
+      .cast("double")
+    val mean = sx / n.cast("double")
+    val variance = (sxx - sx * sx / n.cast("double")) / (n - 1).cast("double")
+    events
+      .withColumn("n_prior", n)
+      .withColumn("trail_mean", round(mean, 6))
+      .withColumn("z",
+        when(col("n_prior") >= minPrior && variance > 0,
+          round((col("value") - mean) / sqrt(variance), 6)))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) >= flagAt, lit(false)))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("n_prior"), col("trail_mean"), col("z"), col("is_anomaly"))
+  }
 }

@@ -229,4 +229,61 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     val u1 = got.filter(_.getAs[Long]("user_id") == 1L).map(_.getAs[Long]("event_id"))
     assert(u1.toSet == Set(3L, 2L)) // values 3.0, 2.0
   }
+
+  test("trailingZScore: cold start null, leakage-free baseline, spike flagged") {
+    val ts0 = 1700000000000L
+    def t(m: Long) = new java.sql.Timestamp(ts0 + m * 60000L)
+    // user 1: stable 10.0 baseline then a spike; user 2: constant values
+    val evs = (1L to 6L).map(i => (i, t(i), 1L, "e", 10.0 + (i % 2) * 0.2)) ++
+      Seq((7L, t(7), 1L, "e", 50.0)) ++ // spike vs [10.0, 10.2] baseline
+      (11L to 15L).map(i => (i, t(i), 2L, "e", 5.0)) // zero variance
+    val got = Events.trailingZScore(
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_prior"), Option(r.getAs[java.lang.Double]("z")),
+          r.getAs[Boolean]("is_anomaly"))).toMap
+
+    assert(got(1L) == ((0L, None, false)), "first event: no baseline")
+    assert(got(2L)._1 == 1L && got(2L)._2.isEmpty, "below minPrior: null z")
+    assert(got(3L)._1 == 2L && got(3L)._2.isEmpty, "below minPrior: null z")
+    assert(got(7L)._1 == 5L && got(7L)._3, "spike must flag")
+    assert(got(7L)._2.get > 100.0, s"z vs tight baseline should be large: ${got(7L)._2}")
+    // zero-variance baseline standardizes nothing — null z, not ±inf
+    assert((14L to 15L).forall(i => got(i)._2.isEmpty && !got(i)._3))
+    // leakage check: event 6's baseline is events 1-5 only; its own 10.0
+    // is not in the frame, so its z is small but DEFINED
+    assert(got(6L)._2.nonEmpty && math.abs(got(6L)._2.get) < 3.0 && !got(6L)._3)
+  }
+
+  test("trailingZScore fuzz: matches a serial frame reference") {
+    val rnd = new scala.util.Random(616L)
+    def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    (1 to 3).foreach { trial =>
+      val evs = (1 to 200).map { i =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(1000) * 60000L),
+          rnd.nextInt(8).toLong, "e", rnd.nextInt(20).toDouble / 2.0)
+      }
+      val want = evs.groupBy(_._3).flatMap { case (_, es) =>
+        val ordered = es.sortBy(e => (e._2.getTime, e._1))
+        ordered.zipWithIndex.map { case (e, idx) =>
+          val frame = ordered.slice(math.max(0, idx - 5), idx)
+          val n = frame.length
+          val sx = frame.map(f => q(f._5, 6)).sum.toDouble
+          val sxx = frame.map(f => q(f._5 * f._5, 12)).sum.toDouble
+          val z = if (n >= 3) {
+            val v = (sxx - sx * sx / n) / (n - 1)
+            if (v > 0) Some(q6((e._5 - sx / n) / math.sqrt(v))) else None
+          } else None
+          e._1 -> (n.toLong, z)
+        }
+      }
+      val got = Events.trailingZScore(
+        evs.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Long]("n_prior"), Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)))
+        .toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
 }
