@@ -293,14 +293,21 @@ object Events {
       s"need lookback >= minPrior >= 2, got lookback=$lookback minPrior=$minPrior")
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(-lookback.toLong, -1L)
-    val n = count(lit(1)).over(w)
-    val sx = sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
-    val sxx = sum((col("value") * col("value")).cast("decimal(28,12)")).over(w)
-      .cast("double")
-    val mean = sx / n.cast("double")
-    val variance = (sxx - sx * sx / n.cast("double")) / (n - 1).cast("double")
-    events
-      .withColumn("n_prior", n)
+    // all three frame aggregates in ONE projection → one Window node,
+    // one pass over each user's sorted run (separate withColumns
+    // re-expand the window expression per reference — measured as three
+    // stacked Window operators, 3× the frame work)
+    val base = events.select(
+      col("event_id"), col("user_id"), col("value"),
+      count(lit(1)).over(w).as("n_prior"),
+      sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("_sx"),
+      sum((col("value") * col("value")).cast("decimal(28,12)")).over(w)
+        .cast("double").as("_sxx"))
+    val nD = col("n_prior").cast("double")
+    val mean = col("_sx") / nD
+    val variance = (col("_sxx") - col("_sx") * col("_sx") / nD) /
+      (col("n_prior") - 1).cast("double")
+    base
       .withColumn("trail_mean", round(mean, 6))
       .withColumn("z",
         when(col("n_prior") >= minPrior && variance > 0,
