@@ -1155,6 +1155,17 @@ object ExtQueries {
         col("tok_a"), col("tok_b"), col("n_ab"))
         .orderBy(col("pr").desc, col("node"))),
 
+    // ── Label-propagation communities over the same token graph:
+    //    integer-weighted majority voting, 3 synchronous rounds,
+    //    lexicographic tie-break — float-free determinism
+    //    (Graph.labelPropagation scaladoc).
+    "ext_label_prop" -> ((s, dir) =>
+      Graph.labelPropagation(
+        TextPipeline.skipgramPairCounts(
+          t(s, dir, "documents"), col("text"), window = 1),
+        col("tok_a"), col("tok_b"), col("n_ab"))
+        .orderBy("node")),
+
     // ── Bounded-state per-cell sampling: k md5-smallest ids per
     //    (lang, source) cell via the MinK aggregator — the scale path
     //    next to sampleToQuota's cell-partitioned window
@@ -3100,6 +3111,57 @@ object ExtQueries {
         |FROM p5 LEFT JOIN (SELECT DISTINCT src AS node, out_w FROM sh) o
         |  USING (node)
         |ORDER BY pr DESC, node""".stripMargin,
+
+    // LPA replay: bigram edges doubled into an undirected vote table,
+    // 3 rounds unrolled; the argmax is ROW_NUMBER ordered (tw DESC,
+    // label) = the engine's min(struct(-tw, label)) — all-integer, no
+    // float discipline needed.
+    "ext_label_prop" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |pl AS (
+        |  SELECT flatten(list_transform(range(1, least(1, len(t) - 1) + 1),
+        |           d -> list_transform(range(1, len(t) - d + 1),
+        |             i -> struct_pack(a := t[CAST(i AS INT)],
+        |                              b := t[CAST(i + d AS INT)])))) AS ps
+        |  FROM toks WHERE len(t) >= 2),
+        |e AS (
+        |  SELECT p['a'] AS src, p['b'] AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM (SELECT unnest(ps) AS p FROM pl) GROUP BY 1, 2),
+        |u AS MATERIALIZED (
+        |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+        |    SELECT src, dst, w FROM e
+        |    UNION ALL SELECT dst AS src, src AS dst, w FROM e)
+        |  GROUP BY 1, 2),
+        |n0 AS (SELECT DISTINCT src AS node FROM u),
+        |l0 AS (SELECT node, node AS label FROM n0),
+        |v1 AS (SELECT u.dst AS node, l.label, CAST(SUM(u.w) AS BIGINT) AS tw
+        |       FROM u JOIN l0 l ON l.node = u.src GROUP BY 1, 2),
+        |a1 AS (SELECT node, label FROM (
+        |         SELECT node, label,
+        |           ROW_NUMBER() OVER (PARTITION BY node
+        |                              ORDER BY tw DESC, label) AS rn
+        |         FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT n.node, COALESCE(a.label, p.label) AS label
+        |       FROM n0 n JOIN l0 p USING (node) LEFT JOIN a1 a USING (node)),
+        |v2 AS (SELECT u.dst AS node, l.label, CAST(SUM(u.w) AS BIGINT) AS tw
+        |       FROM u JOIN l1 l ON l.node = u.src GROUP BY 1, 2),
+        |a2 AS (SELECT node, label FROM (
+        |         SELECT node, label,
+        |           ROW_NUMBER() OVER (PARTITION BY node
+        |                              ORDER BY tw DESC, label) AS rn
+        |         FROM v2) WHERE rn = 1),
+        |l2 AS (SELECT n.node, COALESCE(a.label, p.label) AS label
+        |       FROM n0 n JOIN l1 p USING (node) LEFT JOIN a2 a USING (node)),
+        |v3 AS (SELECT u.dst AS node, l.label, CAST(SUM(u.w) AS BIGINT) AS tw
+        |       FROM u JOIN l2 l ON l.node = u.src GROUP BY 1, 2),
+        |a3 AS (SELECT node, label FROM (
+        |         SELECT node, label,
+        |           ROW_NUMBER() OVER (PARTITION BY node
+        |                              ORDER BY tw DESC, label) AS rn
+        |         FROM v3) WHERE rn = 1),
+        |l3 AS (SELECT n.node, COALESCE(a.label, p.label) AS label
+        |       FROM n0 n JOIN l2 p USING (node) LEFT JOIN a3 a USING (node))
+        |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin,
 
     // k smallest 60-bit md5(doc_id) hashes per cell — the window replay
     // is the oracle formulation; the engine folds through the bounded

@@ -82,4 +82,58 @@ object Graph {
       .select(col("node"), round(col("pr"), 6).as("pr"),
         coalesce(col("out_w"), lit(0.0)).as("out_w"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), `iterations` fixed rounds: every node starts labeled with
+    * itself; each round it adopts the label carrying the highest total
+    * edge weight among its neighbors (ties → LEXICOGRAPHICALLY SMALLEST
+    * label — a total order, so the whole run is deterministic), keeping
+    * its previous label only when it has no neighbors. Edges are
+    * treated as undirected (each input edge votes in both directions).
+    *
+    * Unlike [[Dedup.clusters]] (exact connected components — "is there
+    * ANY path"), LPA finds densely-connected communities inside one
+    * component — the structure that matters when a near-dup graph is
+    * one giant hairball but quality labels should only spread through
+    * STRONG ties.
+    *
+    * Float-free by construction: weights sum as longs, the argmax is
+    * `min(struct(-Σw, label))` — so cross-engine parity needs no
+    * quantization discipline at all, and synchronous fixed-round
+    * updates make the SQL replay a linear unroll.
+    *
+    * 100 TB shape: the doubled edge list localCheckpoints once; each
+    * round is one shuffle keyed on (node, label) for the vote sum and
+    * one on node for the argmax — both high-cardinality. Per-round
+    * state is the labels table itself, one row per node. */
+  def labelPropagation(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      weight: Column,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e0 = edges.select(src.as("src"), dst.as("dst"), weight.cast("long").as("w"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .localCheckpoint(true) // one build-time action, same class as pageRank
+    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("node"))
+    (1 to iterations).foreach { _ =>
+      val votes = und
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(sum("w").as("tw"))
+      val winner = votes
+        .groupBy("node")
+        .agg(min(struct((lit(0L) - col("tw")).as("neg_w"), col("label").as("l")))
+          .as("best"))
+        .select(col("node"), col("best.l").as("new_label"))
+      labels = labels
+        .join(winner, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
 }

@@ -76,6 +76,53 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** Serial synchronous LPA with the engine's exact tie-break. */
+  private def serialLpa(
+      edges: Seq[(String, String, Long)], iterations: Int = 3): Map[String, String] = {
+    val und = (edges ++ edges.map(e => (e._2, e._1, e._3)))
+      .groupBy(e => (e._1, e._2)).map { case ((s, d), es) => (s, d, es.map(_._3).sum) }
+    val nodes = und.map(_._1).toSet
+    var labels = nodes.map(n => n -> n).toMap
+    (1 to iterations).foreach { _ =>
+      val votes = und.toSeq.groupBy(_._2).map { case (node, in) =>
+        val byLabel = in.groupBy(e => labels(e._1)).view.mapValues(_.map(_._3).sum)
+        node -> byLabel.toSeq.minBy { case (l, w) => (-w, l) }._1
+      }
+      labels = nodes.map(n => n -> votes.getOrElse(n, labels(n))).toMap
+    }
+    labels
+  }
+
+  private def runLpa(edges: Seq[(String, String, Long)]): Map[String, String] =
+    Graph.labelPropagation(edges.toDF("src", "dst", "w"),
+        col("src"), col("dst"), col("w"))
+      .as[(String, String)].collect().toMap
+
+  test("labelPropagation separates two dense triangles joined by a weak bridge") {
+    val tri1 = Seq(("a", "b", 5L), ("b", "c", 5L), ("a", "c", 5L))
+    val tri2 = Seq(("x", "y", 5L), ("y", "z", 5L), ("x", "z", 5L))
+    val bridge = Seq(("c", "x", 1L))
+    val got = runLpa(tri1 ++ tri2 ++ bridge)
+    assert(got == serialLpa(tri1 ++ tri2 ++ bridge))
+    // communities: each triangle converges to one label, bridge notwithstanding
+    assert(Set(got("a"), got("b"), got("c")).size == 1, s"triangle 1 split: $got")
+    assert(Set(got("x"), got("y"), got("z")).size == 1, s"triangle 2 split: $got")
+    assert(got("a") != got("x"), s"bridge merged the triangles: $got")
+  }
+
+  test("labelPropagation fuzz: engine equals the serial synchronous reference") {
+    val rnd = new scala.util.Random(5252L)
+    (1 to 4).foreach { trial =>
+      val nodes = (0 until 10).map(i => s"n$i")
+      val edges = (1 to 30).map { _ =>
+        (nodes(rnd.nextInt(10)), nodes(rnd.nextInt(10)), 1L + rnd.nextInt(4).toLong)
+      }.filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map { case ((s, d), es) => (s, d, es.map(_._3).sum) }
+        .toSeq
+      assert(runLpa(edges) == serialLpa(edges), s"trial $trial")
+    }
+  }
+
   test("partitioning-independent: repartitioned input gives identical ranks") {
     val edges = (1 to 40).map(i => (s"n${i % 7}", s"n${(i * 3) % 7}", (i % 4 + 1).toLong))
       .groupBy(e => (e._1, e._2)).map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
