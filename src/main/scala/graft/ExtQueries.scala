@@ -1155,6 +1155,15 @@ object ExtQueries {
         col("tok_a"), col("tok_b"), col("n_ab"))
         .orderBy(col("pr").desc, col("node"))),
 
+    // ── N-gram novelty: fraction of a doc's distinct 5-grams first
+    //    seen in THIS doc (min-doc_id ownership, the exact-dedup keeper
+    //    rule) — the diversity signal for template-heavy corpora
+    //    (TextPipeline.ngramNovelty scaladoc).
+    "ext_novelty" -> ((s, dir) =>
+      TextPipeline.ngramNovelty(
+        t(s, dir, "documents"), col("doc_id"), col("text"), n = 5)
+        .orderBy("doc_id")),
+
     // ── Label-propagation communities over the same token graph:
     //    integer-weighted majority voting, 3 synchronous rounds,
     //    lexicographic tie-break — float-free determinism
@@ -3111,6 +3120,30 @@ object ExtQueries {
         |FROM p5 LEFT JOIN (SELECT DISTINCT src AS node, out_w FROM sh) o
         |  USING (node)
         |ORDER BY pr DESC, node""".stripMargin,
+
+    // Same 5-gram extraction as the decontamination oracle, min-doc_id
+    // ownership, one IEEE divide; gram-less docs keep a null novelty
+    // through the id spine.
+    "ext_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ts) - 3),
+        |    i -> array_to_string(list_slice(ts, i, i + 4), ' ')))) AS gram
+        |  FROM tok),
+        |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+        |a AS (
+        |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM g JOIN f USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_grams, 0) AS n_grams,
+        |  COALESCE(a.n_novel, 0) AS n_novel,
+        |  CAST(a.n_novel AS DOUBLE) / CAST(a.n_grams AS DOUBLE) AS novelty
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // LPA replay: bigram edges doubled into an undirected vote table,
     // 3 rounds unrolled; the argmax is ROW_NUMBER ordered (tw DESC,

@@ -64,6 +64,52 @@ object TextPipeline {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** N-gram novelty scoring: what fraction of a document's DISTINCT
+    * word n-grams appear in NO lower-id document — the
+    * diversity/novelty signal a curation pass ranks by when near-dup
+    * removal alone leaves template-heavy corpora (novelty ≈ 0 means
+    * "assembled from seen phrases" even when no single document
+    * matches). The keeper convention is the corpus-wide one: min
+    * doc_id owns a gram's first occurrence, same rule as
+    * [[graft.operators.Dedup.exact]].
+    *
+    * Documents too short for a single n-gram score null (unknown, not
+    * maximally novel) but stay in the output via the id spine — the
+    * [[contamination]] discipline.
+    *
+    * 100 TB shape: every stage keys on the HIGH-cardinality gram —
+    * per-doc distinct (one shuffle on (doc, gram)), first-occurrence
+    * aggregate (gram), ownership join (gram) — then one doc-keyed
+    * rollup. No window, no broadcast of unbounded state, gram strings
+    * shuffle once each.
+    *
+    * Output: (doc_id, n_grams, n_novel, novelty). */
+  def ngramNovelty(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 5): DataFrame = {
+    val grams = docs
+      .select(id.as("doc_id"), explode(GraftFunctions.word_ngrams(text, n)).as("gram"))
+      .distinct()
+    val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    val perDoc = grams
+      .join(first, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+    docs.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        col("novelty"))
+  }
+
   /** [[contamination]] for the scale where the eval n-gram set no
     * longer fits an exact broadcast hash table. An eval SUITE is tiny,
     * but decontamination against a held-out corpus slice or another

@@ -243,6 +243,59 @@ object EventStreams {
       }
   }
 
+  final case class ZState(recent: Array[Double])
+  final case class ZScored(
+      event_id: Long, user_id: Long, value: Double,
+      n_prior: Long, z: Option[Double], is_anomaly: Boolean)
+
+  /** Streaming twin of [[graft.operators.Events.trailingZScore]]: the
+    * per-user baseline (last `lookback` values) lives in state — a
+    * bounded Array[Double], evicted FIFO — and each arriving event is
+    * scored against it BEFORE being folded in (the same 1-PRECEDING
+    * no-self-contamination rule as the batch frame). Arithmetic parity
+    * with the batch decimal discipline: Σx quantizes each value to 6dp
+    * and Σx² each square to 12dp via BigDecimal (exactly what the
+    * batch DECIMAL(18,6)/(28,12) casts do), so on per-user in-order
+    * feeds the twins are bit-identical (EventStreamsSpec pins it).
+    * Same ordering trade as [[funnelStream]]: in-batch events fold in
+    * (ts, event_id) order; cross-batch stragglers score at arrival. */
+  def zScoreStream(
+      events: Dataset[Event],
+      lookback: Int = 5,
+      minPrior: Int = 3,
+      flagAt: Double = 3.0): Dataset[ZScored] = {
+    require(lookback >= minPrior && minPrior >= 2,
+      s"need lookback >= minPrior >= 2, got lookback=$lookback minPrior=$minPrior")
+    import events.sparkSession.implicits._
+    def q(x: Double, s: Int): BigDecimal =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ZState, ZScored](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[ZState]) =>
+          var recent = state.getOption.map(_.recent.toVector).getOrElse(Vector.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ZScored]
+          batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val n = recent.length
+            val z =
+              if (n >= minPrior) {
+                val sx = recent.map(q(_, 6)).sum.toDouble
+                val sxx = recent.map(v => q(v * v, 12)).sum.toDouble
+                val variance = (sxx - sx * sx / n) / (n - 1)
+                if (variance > 0)
+                  Some(q((e.value - sx / n) / math.sqrt(variance), 6).toDouble)
+                else None
+              } else None
+            out += ZScored(e.event_id, uid, e.value, n.toLong, z,
+              z.exists(zz => math.abs(zz) >= flagAt))
+            recent = (recent :+ e.value).takeRight(lookback)
+          }
+          state.update(ZState(recent.toArray))
+          out.iterator
+      }
+  }
+
   final case class ScdState(version: Long, attr: String)
   final case class ScdChange(
       user_id: Long, version: Long, attr_value: String,

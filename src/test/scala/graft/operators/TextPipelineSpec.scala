@@ -560,4 +560,47 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got("newest").size <= 3)
     got.foreach { case (w, syms) => assert(syms.mkString == w) }
   }
+
+  test("ngramNovelty: first doc fully novel, copies score zero, short docs null") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // grams: "a b c", "b c d", ... all first here
+      (2L, "a b c d e f"),        // exact copy → every gram owned by doc 1
+      (3L, "x y z a b c"),        // one shared gram ("a b c"), three... wait n=3
+      (4L, "p q")                 // too short for a 3-gram → null novelty
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.ngramNovelty(docs, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 4L, 4L, Some(1.0))))
+    assert(got(1) == ((2L, 4L, 0L, Some(0.0))))
+    // doc 3 grams: "x y z","y z a","z a b","a b c" — only "a b c" is owned
+    // by doc 1, the other three are first seen here
+    assert(got(2) == ((3L, 4L, 3L, Some(0.75))))
+    assert(got(3) == ((4L, 0L, 0L, None)))
+  }
+
+  test("ngramNovelty fuzz: matches a serial min-id ownership reference") {
+    val rnd = new scala.util.Random(727L)
+    val vocab = Array("a", "b", "c", "d")
+    (1 to 3).foreach { trial =>
+      val docs = (1L to 25L).map { i =>
+        (i, Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val gramsOf = docs.map { case (id, text) =>
+        val ts = text.split(" ")
+        id -> ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap
+      val owner = gramsOf.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val want = docs.map { case (id, _) =>
+        val gs = gramsOf(id)
+        val novel = gs.count(g => owner(g) == id)
+        (id, gs.size.toLong, novel.toLong,
+          if (gs.isEmpty) None else Some(novel.toDouble / gs.size))
+      }
+      val got = TextPipeline.ngramNovelty(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"), n = 3)
+        .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+      assert(got == want, s"trial $trial")
+    }
+  }
 }

@@ -212,6 +212,35 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("zScoreStream matches batch trailingZScore on ordered per-user feeds") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.zScoreStream(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("zscore_stream_out").start()
+    val rnd = new scala.util.Random(909L)
+    val events = (1 to 60).map { i =>
+      Event(i.toLong, ts(i.toLong), (i % 3).toLong, "e", rnd.nextInt(20) / 2.0)
+    }
+    try {
+      in.addData(events.take(30): _*)
+      q.processAllAvailable()
+      in.addData(events.drop(30): _*) // baselines must carry across batches
+      q.processAllAvailable()
+      val streamed = spark.table("zscore_stream_out")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(3), Option(r.getAs[java.lang.Double]("z")).map(_.toDouble),
+            r.getBoolean(5))).toMap
+      val batch = graft.operators.Events.trailingZScore(events.toDF())
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Long]("n_prior"),
+            Option(r.getAs[java.lang.Double]("z")).map(_.toDouble),
+            r.getAs[Boolean]("is_anomaly"))).toMap
+      assert(streamed == batch)
+      assert(batch.values.exists(_._2.nonEmpty), "some events must actually score")
+    } finally q.stop()
+  }
+
   test("kmvSketch is stream-safe: single-agg estimate equals batch kmvDistinct") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-kmv-src")
