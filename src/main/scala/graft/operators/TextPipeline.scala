@@ -77,11 +77,16 @@ object TextPipeline {
     * maximally novel) but stay in the output via the id spine — the
     * [[contamination]] discipline.
     *
-    * 100 TB shape: every stage keys on the HIGH-cardinality gram —
-    * per-doc distinct (one shuffle on (doc, gram)), first-occurrence
-    * aggregate (gram), ownership join (gram) — then one doc-keyed
-    * rollup. No window, no broadcast of unbounded state, gram strings
-    * shuffle once each.
+    * 100 TB shape: a gram's owner is BY DEFINITION one of its
+    * containing docs, so the two counts a doc needs decompose into
+    * independent aggregates — n_grams from the per-doc distinct,
+    * n_novel from the first-occurrence table grouped by ITS OWNER —
+    * and no gram-keyed join-back exists at all. The first formulation
+    * had one (rehydrating first_doc onto every (doc, gram) pair) and
+    * measured 5.6× wall at 10× data; this one is 3 well-keyed
+    * aggregates (gram strings shuffle twice: the (doc, gram) distinct
+    * and the min-owner aggregate) plus a doc-keyed merge, and the
+    * answer is identical.
     *
     * Output: (doc_id, n_grams, n_novel, novelty). */
   def ngramNovelty(
@@ -92,22 +97,18 @@ object TextPipeline {
     val grams = docs
       .select(id.as("doc_id"), explode(GraftFunctions.word_ngrams(text, n)).as("gram"))
       .distinct()
-    val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
-    val perDoc = grams
-      .join(first, Seq("gram"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .withColumn("novelty",
-        col("n_novel").cast("double") / col("n_grams").cast("double"))
+    val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novels = grams
+      .groupBy("gram").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
     docs.select(id.as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(totals, Seq("doc_id"), "left")
+      .join(novels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        col("novelty"))
+        (coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
   }
 
   /** [[contamination]] for the scale where the eval n-gram set no
