@@ -1155,6 +1155,27 @@ object ExtQueries {
         col("tok_a"), col("tok_b"), col("n_ab"))
         .orderBy(col("pr").desc, col("node"))),
 
+    // ── BPE end-to-end: train 6 merges on the corpus word-frequency
+    //    table, segment every distinct word with them — training AND
+    //    application oracle-verified in one result (the oracle unrolls
+    //    the 6 merge rounds with a greedy left-to-right fold replay).
+    "ext_bpe_segment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextPipeline
+        .bpeTrain(docs, col("text"), numMerges = 6, minPairCount = 2)
+        .orderBy("merge_rank")
+        .collect().map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
+        .toSeq
+      docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .distinct()
+        .select(col("w"),
+          array_join(TextPipeline.bpeApply(col("w"), model), " ").as("segmentation"))
+        .withColumn("n_syms",
+          size(split(col("segmentation"), " ")).cast("long"))
+        .orderBy("w")
+    }),
+
     // ── N-gram novelty: fraction of a doc's distinct 5-grams first
     //    seen in THIS doc (min-doc_id ownership, the exact-dedup keeper
     //    rule) — the diversity signal for template-heavy corpora
@@ -1206,7 +1227,55 @@ object ExtQueries {
       |FROM documents d LEFT JOIN ov USING (doc_id)
       |WHERE d.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin
 
+  /** END-TO-END BPE replay: 6 merge rounds unrolled, each round = pair
+    * counting over the current symbol strings (freq-weighted), best
+    * pair by (n DESC, a, b) — bpeTrain's exact tie-break — and a greedy
+    * left-to-right merge as a `list_reduce` fold whose `acc LIKE '% a'`
+    * test IS the serial reference's `acc.last == a` (tokens carry no
+    * spaces, and the corpus alphabet has no LIKE metacharacters). The
+    * final round's symbol strings ARE the segmentation of every
+    * distinct word, so one result verifies training and application
+    * together. Generated programmatically — six hand-copied rounds
+    * invite drift. */
+  private lazy val BpeSegmentOracle: String = {
+    def round(k: Int): String = {
+      val prev = s"w${k - 1}"
+      s""",
+         |px$k AS (
+         |  SELECT freq, L, unnest(range(1, len(L))) AS i
+         |  FROM (SELECT freq, string_split(trim(s), ' ') AS L FROM $prev)),
+         |p$k AS (
+         |  SELECT L[CAST(i AS INT)] AS a, L[CAST(i + 1 AS INT)] AS b,
+         |         CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM px$k GROUP BY 1, 2),
+         |b$k AS (SELECT a, b FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+         |w$k AS (
+         |  SELECT w, freq,
+         |    list_reduce(
+         |      list_prepend(CAST('' AS VARCHAR), string_split(trim(s), ' ')),
+         |      (acc, x) -> CASE WHEN x = mb.b AND acc LIKE '% ' || mb.a
+         |                   THEN acc || x
+         |                   ELSE acc || ' ' || x END) AS s
+         |  FROM $prev CROSS JOIN b$k mb)""".stripMargin
+    }
+    """WITH wf AS (
+      |  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE length(t) >= 2 GROUP BY 1),
+      |w0 AS (
+      |  SELECT w, freq,
+      |    ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+      |      i -> substr(w, CAST(i AS INT), 1)), ' ') AS s
+      |  FROM wf)""".stripMargin +
+      (1 to 6).map(round).mkString +
+      """
+        |SELECT w, trim(s) AS segmentation,
+        |       CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_syms
+        |FROM w6 ORDER BY w""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ext_bpe_segment" -> BpeSegmentOracle,
     "ext_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
