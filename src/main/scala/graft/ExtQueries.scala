@@ -1136,6 +1136,27 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // ── Trending: daily top-3 event types by count — tumbling window
+    //    composed with the per-group top-k (window-start partition key
+    //    cardinality grows with the time range, never a small constant).
+    "ext_trending" -> ((s, dir) => {
+      val daily = Events.tumblingAgg(t(s, dir, "events"), "day")
+      Events.topKPerGroup(daily, col("window_start"),
+        Seq(col("n").desc, col("event_type")), 3)
+        .select(col("window_start"), col("event_type"), col("n"),
+          col("rn").cast("long").as("rank"))
+        .orderBy("window_start", "rank")
+    }),
+
+    // ── Last-touch attribution: each purchase attributed to the same
+    //    user's immediately-preceding event within the hour, strictly
+    //    before by the (ts, event_id) total order; no prior → null =
+    //    "direct" (Events.lastTouchAttribution scaladoc).
+    "ext_attribution" -> ((s, dir) =>
+      Events.lastTouchAttribution(
+        t(s, dir, "events"), target = "purchase", horizonSec = 3600L)
+        .orderBy("event_id")),
+
     // ── Trailing z-score anomaly detection: each event scored against
     //    its user's previous-5 baseline (frame ends at 1 PRECEDING — no
     //    self-contamination; cold start scores null, not normal).
@@ -3095,6 +3116,37 @@ object ExtQueries {
         |  FROM rer)
         |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ext_trending" ->
+      """WITH d AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+        |           AS window_start,
+        |         event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT window_start, event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY window_start
+        |                       ORDER BY n DESC, event_type) AS rank
+        |  FROM d)
+        |SELECT window_start, event_type, n, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin,
+
+    "ext_attribution" ->
+      """WITH o AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    lag(event_type) OVER w AS prev_type,
+        |    lag(ts) OVER w AS prev_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (
+        |  SELECT event_id, user_id, ts, prev_type,
+        |    (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS gap_sec
+        |  FROM o WHERE event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS converted_at,
+        |  CASE WHEN gap_sec <= 3600 THEN prev_type END AS attributed_type,
+        |  CASE WHEN gap_sec <= 3600 THEN gap_sec END AS seconds_before
+        |FROM p ORDER BY event_id""".stripMargin,
 
     // Same trailing frame, same decimal-accumulated Σx/Σx², same
     // sample-variance unwind in raw doubles; zero/cold-start variance

@@ -265,6 +265,39 @@ object Events {
     df.withColumn("rn", row_number().over(Window.partitionBy(group).orderBy(rankBy: _*)))
       .filter(col("rn") <= k)
 
+  /** Last-touch attribution: for every `target` event (a conversion),
+    * the user's immediately-preceding event within `horizonSec` — the
+    * "what drove this purchase" join every product-analytics stack
+    * ships. Strictly-before semantics: a conversion never attributes
+    * to itself or to a same-instant event with a higher event_id (the
+    * (ts, event_id) total order decides simultaneity), and a
+    * conversion with no prior event inside the horizon surfaces as
+    * attributed_type null — "direct", not dropped.
+    *
+    * One lag() window per user — a single shuffle on the
+    * high-cardinality user key, same discipline as [[sessionize]];
+    * no self-join, no range join. */
+  def lastTouchAttribution(
+      events: DataFrame,
+      target: String,
+      horizonSec: Long = 3600L): DataFrame = {
+    require(horizonSec > 0, s"horizonSec must be positive, got $horizonSec")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("event_type") === target)
+      .withColumn("gap_sec",
+        expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000"))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("converted_at"),
+        when(col("gap_sec") <= horizonSec, col("prev_type"))
+          .as("attributed_type"),
+        when(col("gap_sec") <= horizonSec, col("gap_sec"))
+          .as("seconds_before"))
+  }
+
   /** Trailing z-score anomaly detection: each event's `value` scored
     * against the mean/stddev of the SAME USER's previous `lookback`
     * events (frame ends at 1 PRECEDING — the current value never

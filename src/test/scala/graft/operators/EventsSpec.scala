@@ -230,6 +230,34 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(u1.toSet == Set(3L, 2L)) // values 3.0, 2.0
   }
 
+  test("lastTouchAttribution: strictly-before, horizon-bounded, direct surfaces as null") {
+    val ts0 = 1700000000000L
+    def t(s: Long) = new java.sql.Timestamp(ts0 + s * 1000L)
+    val evs = Seq(
+      (1L, t(0), 1L, "view", 0.0),
+      (2L, t(100), 1L, "click", 0.0),
+      (3L, t(150), 1L, "purchase", 0.0),   // ← click 50s before
+      (4L, t(200), 2L, "purchase", 0.0),   // no prior at all → direct
+      (5L, t(300), 3L, "view", 0.0),
+      (6L, t(300 + 4000), 3L, "purchase", 0.0), // prior beyond 3600s → direct
+      (7L, t(500), 4L, "purchase", 0.0),
+      (8L, t(500), 4L, "purchase", 0.0))   // same ts: 7 precedes 8 by event_id
+    val got = Events.lastTouchAttribution(
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      target = "purchase", horizonSec = 3600L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[String]("attributed_type")),
+          Option(r.getAs[java.lang.Long]("seconds_before")).map(_.toLong))).toMap
+    assert(got(3L) == ((Some("click"), Some(50L))))
+    assert(got(4L) == ((None, None)), "no prior event must read as direct")
+    assert(got(6L) == ((None, None)), "beyond the horizon must read as direct")
+    // self-attribution check: purchase 8 attributes to purchase 7 (its
+    // strict predecessor at the same instant), never to itself
+    assert(got(7L) == ((None, None)))
+    assert(got(8L) == ((Some("purchase"), Some(0L))))
+    assert(got.size == 5)
+  }
+
   test("trailingZScore: cold start null, leakage-free baseline, spike flagged") {
     val ts0 = 1700000000000L
     def t(m: Long) = new java.sql.Timestamp(ts0 + m * 60000L)
