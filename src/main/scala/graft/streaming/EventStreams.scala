@@ -243,6 +243,51 @@ object EventStreams {
       }
   }
 
+  final case class LastTouch(event_type: String, tsMs: Long)
+  final case class Attribution(
+      event_id: Long, user_id: Long, converted_at: java.sql.Timestamp,
+      attributed_type: Option[String], seconds_before: Option[Long])
+
+  /** Streaming twin of [[graft.operators.Events.lastTouchAttribution]]:
+    * ONE (event_type, ts) pair of state per user — the previous event —
+    * and each arriving `target` emits its attribution immediately.
+    * Same strictly-before rule: the in-batch (ts, event_id) sort means
+    * a conversion attributes to its strict predecessor even within one
+    * micro-batch, and a same-instant pair resolves by event_id. Beyond
+    * the horizon or with no prior at all → attributed_type None
+    * ("direct"), emitted, never dropped. Ordering trade as usual
+    * ([[funnelStream]]): exact batch parity on per-user in-order
+    * feeds. */
+  def attributionStream(
+      events: Dataset[Event],
+      target: String,
+      horizonSec: Long = 3600L): Dataset[Attribution] = {
+    require(horizonSec > 0, s"horizonSec must be positive, got $horizonSec")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTouch, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[LastTouch]) =>
+          var prev = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (e.event_type == target) {
+              val gapSec =
+                if (prev == null) None
+                else Some((e.ts.getTime - prev.tsMs) / 1000L)
+              val inHorizon = gapSec.exists(_ <= horizonSec)
+              out += Attribution(e.event_id, uid, e.ts,
+                if (inHorizon) Some(prev.event_type) else None,
+                if (inHorizon) gapSec else None)
+            }
+            prev = LastTouch(e.event_type, e.ts.getTime)
+          }
+          if (prev != null) state.update(prev)
+          out.iterator
+      }
+  }
+
   final case class ZState(recent: Array[Double])
   final case class ZScored(
       event_id: Long, user_id: Long, value: Double,

@@ -212,6 +212,44 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionStream matches batch lastTouchAttribution across micro-batches") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[Event]
+    val q = EventStreams.attributionStream(in.toDS(), target = "purchase")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_stream_out").start()
+    val events = Seq(
+      Event(1, ts(0), 1, "view", 0.0),
+      Event(2, ts(1), 1, "click", 0.0),
+      Event(3, ts(2), 1, "purchase", 0.0),  // click 60s before
+      Event(4, ts(3), 2, "purchase", 0.0),  // direct (no prior)
+      // batch 2: the cross-batch prior must come from state
+      Event(5, ts(4), 1, "purchase", 0.0),  // prior = purchase 3
+      Event(6, ts(90), 2, "purchase", 0.0)) // prior beyond the hour → direct
+    try {
+      in.addData(events.take(4): _*)
+      q.processAllAvailable()
+      in.addData(events.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_stream_out")
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.getAs[String]("attributed_type")),
+            Option(r.getAs[java.lang.Long]("seconds_before")).map(_.toLong)))
+        .toMap
+      val batch = graft.operators.Events.lastTouchAttribution(
+        events.toDF(), target = "purchase")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          (Option(r.getAs[String]("attributed_type")),
+            Option(r.getAs[java.lang.Long]("seconds_before")).map(_.toLong)))
+        .toMap
+      assert(streamed == batch)
+      assert(streamed(3L) == ((Some("click"), Some(60L))))
+      assert(streamed(5L) == ((Some("purchase"), Some(120L))), "cross-batch state")
+      assert(streamed(6L) == ((None, None)), "86-min gap is beyond the horizon")
+    } finally q.stop()
+  }
+
   test("zScoreStream matches batch trailingZScore on ordered per-user feeds") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
