@@ -1110,6 +1110,30 @@ object ExtQueries {
           col("is_current"))
         .orderBy("user_id", "version")),
 
+    // ── Incremental SCD2 maintenance: pre-cutoff events build the
+    //    history, post-cutoff events fold in via Scd.scd2Apply —
+    //    untouched entities pass through, touched ones re-collapse from
+    //    their own history rows. The oracle is the FULL rebuild, so a
+    //    green row proves incremental == rebuild (Scd.scd2Apply
+    //    scaladoc for the strictly-after contract).
+    "ext_scd2_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val cutoff = lit("2024-01-23 00:00:00").cast("timestamp")
+      val hist = Scd.scd2(e.filter(col("ts") <= cutoff),
+        col("user_id"), col("ts"), Seq(col("ts"), col("event_id")),
+        col("event_type"))
+      Scd.scd2Apply(hist, e.filter(col("ts") > cutoff),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select(
+          col("entity_key").as("user_id"),
+          col("version").cast("long").as("version"),
+          col("attr_value").as("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
     // ── Chunk-level corpus dedup (C4-style line dedup, char-chunked):
     //    per-doc duplicated-chunk rollup; the resolution window
     //    partitions by chunk digest, so parallelism grows with the
@@ -1294,6 +1318,30 @@ object ExtQueries {
         |       CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_syms
         |FROM w6 ORDER BY w""".stripMargin
   }
+
+  /** Shared by ext_scd2 (direct) and ext_scd2_incremental (whose
+    * correctness claim is exactly "incremental == full rebuild"). */
+  private val Scd2FullRebuildOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, ts, event_id, event_type FROM o
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |v AS (
+      |  SELECT user_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS version,
+      |    event_type,
+      |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |    strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |             '%Y-%m-%d %H:%M:%S') AS valid_to
+      |  FROM runs)
+      |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+      |       valid_from, valid_to, valid_to IS NULL AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ext_bpe_segment" -> BpeSegmentOracle,
@@ -2955,27 +3003,12 @@ object ExtQueries {
         |        END, 4) AS kmv_n
         |FROM r WHERE rn <= 64 GROUP BY group_key ORDER BY group_key""".stripMargin,
 
-    "ext_scd2" ->
-      """WITH o AS (
-        |  SELECT user_id, event_id, ts, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS prev
-        |  FROM events),
-        |runs AS (
-        |  SELECT user_id, ts, event_id, event_type FROM o
-        |  WHERE prev IS NULL OR prev <> event_type),
-        |v AS (
-        |  SELECT user_id,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS version,
-        |    event_type,
-        |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
-        |    strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-        |             '%Y-%m-%d %H:%M:%S') AS valid_to
-        |  FROM runs)
-        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
-        |       valid_from, valid_to, valid_to IS NULL AS is_current
-        |FROM v ORDER BY user_id, version""".stripMargin,
+    "ext_scd2" -> Scd2FullRebuildOracle,
+
+    // The incremental apply's oracle IS the full rebuild over every
+    // event — a hash-green row is the proof that folding the post-
+    // cutoff delta into the pre-cutoff history reproduces it exactly.
+    "ext_scd2_incremental" -> Scd2FullRebuildOracle,
 
     // Same chunk grid as ext_chunk_overlap (size=stride=120), same
     // min-(doc_id, chunk_idx) first-occurrence rule as ext_dedup_exact.

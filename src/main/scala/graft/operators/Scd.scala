@@ -67,6 +67,60 @@ object Scd {
     history.where(col("valid_from") <= asOf &&
       (col("valid_to").isNull || col("valid_to") > asOf))
 
+  /** Incremental Type-2 maintenance: fold a NEW batch of changes into
+    * an existing history without rebuilding untouched entities — the
+    * operation a daily warehouse load actually performs (at 100 TB the
+    * history table is petabytes and a day's delta touches a sliver of
+    * its entities; a full [[scd2]] rebuild per load is the anti-pattern
+    * this operator exists to avoid).
+    *
+    * Mechanics: entities NOT in the batch pass through untouched (no
+    * shuffle work beyond the semi/anti joins' key exchange); for
+    * touched entities the history's (valid_from, attr_value) rows ARE
+    * the collapsed change log, so re-running the run-length collapse
+    * over history-rows ∪ new-changes rebuilds exactly those entities.
+    *
+    * In-order contract (documented, asserted by the oracle): each new
+    * change must be STRICTLY AFTER its entity's last valid_from. A
+    * late change landing at or between historical change instants
+    * cannot generally be repaired from the collapsed log — the
+    * collapse dropped the consecutive duplicates that decide adjacency
+    * there (a full rebuild from the raw change log is the correct tool
+    * for backfills). Under the contract, incremental output ==
+    * full-rebuild output, and `ext_scd2_incremental`'s oracle IS the
+    * full rebuild — a green row is the equivalence proof.
+    *
+    * Ordering note: history rows carry ord = MIN_LONG + version, so
+    * same-instant historical versions (zero-length runs from equal-ts
+    * changes) keep their original relative order through the
+    * re-collapse, and any same-instant NEW change (outside the
+    * equality contract but still deterministic) orders after them. */
+  def scd2Apply(
+      history: DataFrame,
+      changes: DataFrame,
+      entity: Column,
+      changeTime: Column,
+      changeOrder: Column,
+      attr: Column): DataFrame = {
+    // log column names deliberately differ from scd2's output aliases
+    // (entity_key/change_ts/attr_value) — the orderBy columns survive
+    // scd2's initial select, and a name collision there is ambiguous
+    val batch = changes.select(entity.as("c_key"),
+      changeTime.as("c_ts"), changeOrder.as("c_ord"), attr.as("c_attr"))
+    val touchedKeys = batch.select(col("c_key").as("entity_key")).distinct()
+    val untouched = history
+      .join(touchedKeys, Seq("entity_key"), "left_anti")
+    val touchedLog = history
+      .join(touchedKeys, Seq("entity_key"), "left_semi")
+      .select(col("entity_key").as("c_key"), col("valid_from").as("c_ts"),
+        (lit(Long.MinValue) + col("version").cast("long")).as("c_ord"),
+        col("attr_value").as("c_attr"))
+      .unionByName(batch)
+    val rebuilt = scd2(touchedLog, col("c_key"), col("c_ts"),
+      Seq(col("c_ts"), col("c_ord")), col("c_attr"))
+    untouched.unionByName(rebuilt)
+  }
+
   /** Point-in-time (temporal) join: attach to every fact row the
     * history version valid at the fact's own timestamp — the join that
     * makes a Type-2 dimension usable for training-data labeling

@@ -103,6 +103,48 @@ class ScdSpec extends AnyFunSuite with SparkSpec {
       "every event lies at-or-after its entity's first version")
   }
 
+  test("scd2Apply: incremental fold equals the full rebuild, entity by entity") {
+    val rnd = new scala.util.Random(3131L)
+    val events = (1 to 500).map { i =>
+      (rnd.nextInt(15).toLong,
+        ts(f"2024-05-${1 + rnd.nextInt(28)}%02d 00:00:00"),
+        i.toLong, s"s${rnd.nextInt(4)}")
+    }.toDF("user_id", "ts", "event_id", "attr")
+    val cutoff = ts("2024-05-21 00:00:00")
+    val hist = Scd.scd2(events.filter(col("ts") <= cutoff),
+      col("user_id"), col("ts"), Seq(col("ts"), col("event_id")), col("attr"))
+    val got = Scd.scd2Apply(hist, events.filter(col("ts") > cutoff),
+      col("user_id"), col("ts"), col("event_id"), col("attr"))
+      .as[(Long, Int, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val full = Scd.scd2(events, col("user_id"), col("ts"),
+      Seq(col("ts"), col("event_id")), col("attr"))
+      .as[(Long, Int, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == full)
+  }
+
+  test("scd2Apply leaves untouched entities bit-identical, preserves equal-ts runs") {
+    // user 3's history has two same-instant versions (zero-length v1) —
+    // a delta for OTHER users must not disturb their relative order
+    val delta = Seq((1L, ts("2024-06-01 00:00:00"), 99L, "platinum"))
+      .toDF("user_id", "ts", "event_id", "attr")
+    val got = Scd.scd2Apply(history, delta,
+      col("user_id"), col("ts"), col("event_id"), col("attr"))
+      .as[(Long, Int, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val before = history
+      .as[(Long, Int, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got.filter(_._1 != 1L) == before.filter(_._1 != 1L),
+      "untouched entities must pass through unchanged")
+    val u1 = got.filter(_._1 == 1L)
+    assert(u1.length == 4 && u1.last._3 == "platinum" && u1.last._6,
+      s"user 1 must gain version 4 = platinum/current: $u1")
+    assert(u1(2)._5.contains(ts("2024-06-01 00:00:00")),
+      "the old current version must close at the new change's instant")
+  }
+
   test("scd2 fuzz: matches a serial run-length reference") {
     val rnd = new scala.util.Random(2024L)
     (1 to 4).foreach { trial =>
