@@ -1009,7 +1009,11 @@ object Dedup {
       size: Int = 200): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
-    TextPipeline.chunkWithOverlap(docs, id, text, size = size, stride = size)
+    // null text has no derivable chunks — without the filter such docs
+    // emit one null-digest chunk each and count each OTHER as
+    // duplicates through the shared null partition
+    TextPipeline.chunkWithOverlap(
+      docs.where(text.isNotNull), id, text, size = size, stride = size)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"))
       .withColumn("occ", row_number().over(w))
       .groupBy("doc_id")

@@ -45,11 +45,15 @@ object Scd {
     changes
       .select(Seq(entity.as("entity_key"), changeTime.as("change_ts"),
         attr.as("attr_value")) ++ orderBy: _*)
-      // 2. keep only rows where the attribute actually changes
+      // 2. keep only rows where the attribute actually changes. The
+      //    first row needs an explicit marker: lag() = NULL is ambiguous
+      //    between "no previous row" and "previous attribute was NULL",
+      //    and the null-safe <=> comparison handles every null pairing
+      //    (a null RUN collapses like any other run)
       .withColumn("prev_attr", lag(col("attr_value"), 1).over(byEntity))
-      .where(col("prev_attr").isNull ||
-        col("prev_attr") =!= col("attr_value") ||
-        col("attr_value").isNull && col("prev_attr").isNotNull)
+      .withColumn("chg_rn", row_number().over(byEntity))
+      .where(col("chg_rn") === 1 ||
+        !(col("attr_value") <=> col("prev_attr")))
       // 3. version + validity interval from the next surviving change
       .withColumn("version", row_number().over(byEntity))
       .withColumn("valid_from", col("change_ts"))

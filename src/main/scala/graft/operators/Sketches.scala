@@ -90,6 +90,10 @@ object Sketches {
     require(width > 0, s"width must be positive, got $width")
     occurrences
       .select(item.as("item"), weight.as("w"))
+      // a NULL item hashes to NULL cells — without this filter it lands
+      // in a quarantined null-cell bucket per row (junk state, even if
+      // bounded); a 100 TB crawl always contains garbage rows
+      .where(col("item").isNotNull)
       .select(posexplode(cmsCells(col("item"), depth, width))
         .as(Seq("cms_row", "cms_cell")), col("w"))
       .groupBy("cms_row", "cms_cell")

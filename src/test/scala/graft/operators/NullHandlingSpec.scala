@@ -91,4 +91,70 @@ class NullHandlingSpec extends AnyFunSuite with SparkSpec {
       .toDF("user_id", "ts", "value")
     assert(Events.resampleFill(empty, 3600L).count() == 0)
   }
+
+  test("cmSketch skips null items; estimates for them are 0, never an error") {
+    val toks = Seq(Some("a"), None, Some("a"), Some("b")).toDF("tok")
+    val sketch = Sketches.cmSketch(toks, col("tok"), 3, 16)
+    // md5(null) is null → null cells → the posexplode drops the row
+    assert(sketch.agg(sum("n")).as[Long].collect().head == 9L) // 3 occurrences × depth
+    val est = Sketches.cmsEstimate(sketch, Seq("a", "zz").toDF("tok"), col("tok"), 3, 16)
+      .as[(String, Long)].collect().toMap
+    assert(est("a") == 2L && est("zz") == 0L)
+  }
+
+  test("kmvDistinct counts NULL as one distinct value, consistently") {
+    // null value → null hash → one (group, null) row through the
+    // pre-distinct — the same thing the DuckDB oracle's DISTINCT does
+    val df = Seq(("g", Some(1L)), ("g", None), ("g", Some(1L)), ("g", None))
+      .toDF("grp", "v")
+    val got = Sketches.kmvDistinct(df, col("grp"), col("v"), k = 8)
+      .as[(String, Long, Double)].collect().head
+    assert(got._2 == 2L, "1 real value + the null bucket")
+  }
+
+  test("ngramNovelty: null and too-short docs stay in the spine with null novelty") {
+    val got = TextPipeline.ngramNovelty(dirtyDocs, col("doc_id"), col("text"), n = 2)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L), "every doc survives")
+    assert(got(1) == ((2L, 0L, 0L, None)) && got(2) == ((3L, 0L, 0L, None)))
+    assert(got(0)._4.contains(1.0) && got(3)._4.contains(0.0)) // 4 copies 1's grams
+  }
+
+  test("chunkDedup drops null-text docs (no chunks), keeps empty-text docs") {
+    val docs = Seq((1L, "abcd"), (2L, null.asInstanceOf[String]), (3L, "abcd"))
+      .toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, col("doc_id"), col("text"), size = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 0L, 0.0), (3L, 1L, 1L, 1.0)))
+  }
+
+  test("scd2 treats a null attribute as a real version boundary") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val log = Seq(
+      (1L, t(0), 1L, Some("a")),
+      (1L, t(1), 2L, None),      // a → null IS a change
+      (1L, t(2), 3L, None),      // null run collapses
+      (1L, t(3), 4L, Some("a"))) // null → a again
+      .toDF("user_id", "ts", "event_id", "attr")
+    val got = Scd.scd2(log, col("user_id"), col("ts"),
+      Seq(col("ts"), col("event_id")), col("attr"))
+      .as[(Long, Int, Option[String], java.sql.Timestamp,
+        Option[java.sql.Timestamp], Boolean)]
+      .collect().sortBy(_._2).toSeq
+    assert(got.map(_._3) == Seq(Some("a"), None, Some("a")))
+    assert(got.map(_._2) == Seq(1, 2, 3))
+  }
+
+  test("pageRank tolerates an empty edge list: empty result, no division blowup") {
+    val empty = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    assert(Graph.pageRank(empty, col("src"), col("dst"), col("w")).count() == 0L)
+    assert(Graph.labelPropagation(empty, col("src"), col("dst"), col("w")).count() == 0L)
+  }
+
+  test("pqTopK on an empty corpus degrades to the (empty) brute force") {
+    val corpus = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val probes = Seq((1L, Array(1.0f, 0.0f))).toDF("query_id", "query_vec")
+    assert(Similarity.pqTopK(probes, corpus, k = 3, dim = 2, m = 1, ksub = 4).count() == 0L)
+  }
 }
