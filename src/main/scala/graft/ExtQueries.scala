@@ -726,6 +726,26 @@ object ExtQueries {
         s.read.parquet(fixture), maxHamming = 2)
     }),
 
+    // ── Audio near-dup by energy-envelope fingerprint, ORACLED end to
+    //    end: base WAVs + one-sample-perturbed twins → JDK decode →
+    //    1-D pooled-dHash on window energies (pure integer arithmetic,
+    //    Multimodal.audioEnergyFingerprint) → pigeonhole chunk-blocked
+    //    Hamming pairs. The oracle re-derives the samples from the
+    //    generation formula, re-bins the same integer window
+    //    boundaries, and takes the FULL QUADRATIC ≤ maxHamming pairs —
+    //    recall and precision in one hash, the image-phash discipline
+    //    on audio.
+    "ext_multimodal_audio_neardup" -> ((s, dir) => {
+      val fixture = s"$fixtureRoot/media_audio_fp"
+      graft.multimodal.Multimodal.syntheticWavs(s, 120)
+        .unionByName(
+          graft.multimodal.Multimodal.syntheticWavsPerturbed(s, 20, 2000L))
+        .select(col("media_id"), col("kind"), col("payload"))
+        .write.mode("overwrite").parquet(fixture)
+      graft.multimodal.Multimodal.audioNearDupPairs(
+        s.read.parquet(fixture), maxHamming = 2)
+    }),
+
     // ── Compressed-audio/video stub pipeline — ORACLED as a REPLAY:
     //    those codecs aren't in the JDK, so such payloads go through a
     //    deterministic stub (the scaladoc says so loudly); stub +
@@ -2423,6 +2443,48 @@ object ExtQueries {
          |  round(sqrt(CAST(a.sumsq AS DOUBLE) / CAST(a.n_frames AS DOUBLE)), 6) AS rms
          |FROM m JOIN agg a USING (media_id)
          |ORDER BY media_id""".stripMargin,
+
+    // Sample formula + perturbation replayed, window energies re-binned
+    // with the engine's exact integer boundaries (w*n//33), envelope
+    // bits summed as shifted powers of two, full-quadratic Hamming.
+    "ext_multimodal_audio_neardup" ->
+      """WITH m AS (
+        |  SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS base,
+        |         CAST(-1 AS BIGINT) AS t0,
+        |         CAST(800 + (i % 5) * 160 AS BIGINT) AS n
+        |  FROM range(0, 120) t(i)
+        |  UNION ALL
+        |  SELECT CAST(2000 + i AS BIGINT), CAST(i AS BIGINT),
+        |         CAST((i * 37) % (800 + (i % 5) * 160) AS BIGINT),
+        |         CAST(800 + (i % 5) * 160 AS BIGINT)
+        |  FROM range(0, 20) t(i)),
+        |s AS (
+        |  SELECT m.media_id, t.t,
+        |    CASE WHEN t.t = m.t0 THEN 12345
+        |         ELSE ((t.t * 31 + m.base * 97) * 509) % 65536 - 32768
+        |    END AS smp
+        |  FROM m JOIN range(0, 1440) t(t) ON t.t < m.n),
+        |win AS (
+        |  SELECT m.media_id, w.w,
+        |    (w.w * m.n) // 33 AS frm, ((w.w + 1) * m.n) // 33 AS til
+        |  FROM m CROSS JOIN range(0, 33) w(w)),
+        |e AS (
+        |  SELECT win.media_id, win.w, SUM(s.smp * s.smp) AS energy
+        |  FROM win JOIN s ON s.media_id = win.media_id
+        |                 AND s.t >= win.frm AND s.t < win.til
+        |  GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT a.media_id,
+        |    CAST(SUM(CASE WHEN b1.energy > a.energy
+        |                  THEN CAST(1 AS BIGINT) << CAST(a.w AS INT)
+        |                  ELSE 0 END) AS BIGINT) AS afp
+        |  FROM e a JOIN e b1 ON b1.media_id = a.media_id AND b1.w = a.w + 1
+        |  WHERE a.w < 32 GROUP BY 1)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Full replay of the (deterministic-stub) audio/video pipeline:
     // payload byte b of media i is (b*(i+7)) % 127; the stub runs

@@ -368,6 +368,129 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  final case class AudioFp(media_id: Long, afp: Long, n_frames: Long)
+
+  /** Audio fingerprint: the 1-D analogue of [[imagePHash]]'s pooled
+    * dHash, on the energy envelope. Samples split into `windows`
+    * integer-boundary segments (segment w = frames [w·n/W, (w+1)·n/W)
+    * — pure integer division, oracle-replayable); bit w of the
+    * fingerprint is energy(w+1) > energy(w). Like the image hash this
+    * is translation-of-loudness invariant (comparisons, not absolute
+    * energies) and pure integer arithmetic end to end — a DuckDB
+    * oracle derives the identical bits from a synthetic fixture's
+    * sample formula alone. Real decode via [[decodeAudio]] (JDK
+    * AudioSystem), mapPartitions to amortize codec init. */
+  def audioEnergyFingerprint(media: DataFrame, windows: Int = 33): Dataset[AudioFp] = {
+    require(windows >= 2 && windows <= 65,
+      s"windows must be in [2, 65] (bits fit a long), got $windows")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeAudio(payload).filter(_._2.length >= windows).map {
+            case (_, samples) =>
+              val n = samples.length
+              val energy = new Array[Long](windows)
+              var w = 0
+              while (w < windows) {
+                val from = (w.toLong * n / windows).toInt
+                val until = ((w + 1).toLong * n / windows).toInt
+                var e = 0L
+                var i = from
+                while (i < until) {
+                  val s = samples(i).toLong
+                  e += s * s
+                  i += 1
+                }
+                energy(w) = e
+                w += 1
+              }
+              var fp = 0L
+              var b = 0
+              while (b < windows - 1) {
+                if (energy(b + 1) > energy(b)) fp |= (1L << b)
+                b += 1
+              }
+              AudioFp(id, fp, n.toLong)
+          }
+        }
+      }
+  }
+
+  /** Audio near-dup pairs by fingerprint Hamming distance, pigeonhole
+    * chunk-blocked exactly like [[imageNearDupPairs]]: maxHamming+1
+    * chunks of the (windows−1)-bit fingerprint — any pair within
+    * maxHamming agrees on ≥1 whole chunk, so the equi-join on
+    * (chunk, value) has full recall and the exact bit_count filter
+    * keeps precision. No all-pairs join at any scale. */
+  def audioNearDupPairs(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      windows: Int = 33): DataFrame = {
+    val bits = windows - 1
+    val chunks = maxHamming + 1
+    require(chunks <= bits, s"maxHamming $maxHamming needs more bits than $bits")
+    val hashed = audioEnergyFingerprint(media, windows).toDF()
+      .select("media_id", "afp")
+    val per = bits / chunks
+    val chunked = hashed.select(col("media_id"), col("afp"),
+      explode(array((0 until chunks).map { c =>
+        val lo = c * per
+        val width = if (c == chunks - 1) bits - lo else per
+        val mask = (1L << width) - 1
+        struct(lit(c).as("chunk"),
+          shiftright(col("afp"), lo).bitwiseAND(lit(mask)).as("cval"))
+      }: _*)).as("cc"))
+      .select(col("media_id"), col("afp"),
+        col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
+    val l = chunked.select(col("chunk"), col("cval"),
+      col("media_id").as("id_a"), col("afp").as("fp_a"))
+    val r = chunked.select(col("chunk"), col("cval"),
+      col("media_id").as("id_b"), col("afp").as("fp_b"))
+    l.join(r, Seq("chunk", "cval"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** [[syntheticWavs]] with shifted ids and ONE perturbed sample:
+    * sample (i·37) mod n is forced to 12345 — a one-window energy bump
+    * that moves at most the two adjacent envelope-comparison bits, so
+    * each twin is a planted near-duplicate of its base at Hamming ≤ 2,
+    * derivable by an oracle from the formulas alone. */
+  def syntheticWavsPerturbed(
+      spark: SparkSession, n: Int, idOffset: Long): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val nSamples = 800 + (i % 5) * 160
+      val t0 = (i * 37) % nSamples
+      val data = new Array[Byte](nSamples * 2)
+      var t = 0
+      while (t < nSamples) {
+        val s =
+          if (t == t0) 12345
+          else ((t * 31 + i * 97) * 509) % 65536 - 32768
+        data(2 * t) = (s & 0xff).toByte
+        data(2 * t + 1) = ((s >> 8) & 0xff).toByte
+        t += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      Row(idOffset + i, "audio", Row(null, null, nSamples * 1000 / 8000, "wav"),
+        bos.toByteArray)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), mediaSchema)
+  }
+
   /** [[syntheticImages]] with shifted ids and ONE perturbed pixel: the
     * blue channel of pixel (0, 0) gets +`delta` (mod 256). Paired with
     * the base fixture this plants image near-duplicates whose decoded

@@ -211,4 +211,51 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     } yield (ia, ib, d.toLong)).toSet
     assert(pairs.toSet == want, "blocked join must equal ground truth")
   }
+
+  test("audio near-dup recovers every planted twin, never cross-joins") {
+    val media = Multimodal.syntheticWavs(spark, 40)
+      .unionByName(Multimodal.syntheticWavsPerturbed(spark, 8, 2000L))
+    val q = Multimodal.audioNearDupPairs(media, maxHamming = 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    val pairs = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 2000L }
+    assert(planted.length == 8, s"planted recall: ${planted.length}/8")
+    assert(planted.forall(_._3 <= 2))
+    // fingerprints are real bits, not degenerate constants
+    val fps = Multimodal.audioEnergyFingerprint(media).collect().map(_.afp)
+    assert(fps.distinct.length > 10, "envelope bits must discriminate")
+  }
+
+  test("audioEnergyFingerprint: loudness scaling preserves comparison bits") {
+    // the envelope hash compares energies, so scaling every sample
+    // (a constant factor on every window energy) must not change a
+    // single bit — build a quiet and a loud WAV with the same shape
+    def wav(scale: Int): Array[Byte] = {
+      val n = 660
+      val data = new Array[Byte](n * 2)
+      (0 until n).foreach { t =>
+        val s = ((t % 97) - 48) * scale
+        data(2 * t) = (s & 0xff).toByte
+        data(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.Row
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "audio", null, wav(1)), Row(2L, "audio", null, wav(4))), 2),
+      Multimodal.mediaSchema)
+    val fps = Multimodal.audioEnergyFingerprint(media)
+      .collect().map(f => f.media_id -> f.afp).toMap
+    assert(fps(1L) == fps(2L), "scaled loudness must hash identically")
+  }
 }
