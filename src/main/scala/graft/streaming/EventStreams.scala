@@ -243,6 +243,41 @@ object EventStreams {
       }
   }
 
+  /** Streaming chunk-dedup screen — the stream-arrival side of
+    * [[graft.operators.Dedup.chunkDedup]]: documents arriving on a
+    * stream are chunked map-side (chunkWithOverlap is stream-safe) and
+    * probed against a STATIC corpus chunk-digest index, emitting one
+    * row per arrival chunk already owned by a corpus document. Same
+    * stateless stream-static discipline as [[nearDupScreenStream]]:
+    * the index is the artifact a deployment persists between drops, the
+    * state store holds nothing, replayed micro-batches are idempotent,
+    * and the broadcast-hinted join keeps the arrival side shuffle-free.
+    * Digests travel, bodies never do. */
+  def chunkDupScreenStream(
+      arrivals: DataFrame, // streaming (id, text)
+      corpus: DataFrame, // static (id, text)
+      arrivalId: org.apache.spark.sql.Column,
+      arrivalText: org.apache.spark.sql.Column,
+      corpusId: org.apache.spark.sql.Column,
+      corpusText: org.apache.spark.sql.Column,
+      size: Int = 200): DataFrame = {
+    import graft.operators.TextPipeline
+    val index = TextPipeline
+      .chunkWithOverlap(corpus, corpusId, corpusText, size = size, stride = size)
+      .groupBy("chunk_md5")
+      .agg(min(struct(col("doc_id").as("corpus_id"),
+        col("chunk_idx").as("corpus_chunk_idx"))).as("owner"))
+      .select(col("chunk_md5"),
+        col("owner.corpus_id").as("corpus_id"),
+        col("owner.corpus_chunk_idx").as("corpus_chunk_idx"))
+    TextPipeline
+      .chunkWithOverlap(arrivals, arrivalId, arrivalText, size = size, stride = size)
+      .select(col("doc_id").as("arrival_id"), col("chunk_idx"), col("chunk_md5"))
+      .join(broadcast(index), Seq("chunk_md5"))
+      .select(col("arrival_id"), col("chunk_idx"),
+        col("corpus_id"), col("corpus_chunk_idx"))
+  }
+
   final case class LastTouch(event_type: String, tsMs: Long)
   final case class Attribution(
       event_id: Long, user_id: Long, converted_at: java.sql.Timestamp,

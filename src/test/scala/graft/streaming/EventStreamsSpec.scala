@@ -212,6 +212,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkDupScreenStream flags corpus-owned chunks on a file stream") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq((1L, "aaaabbbb"), (2L, "ccccdddd")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkscreen-src")
+    // batch 1: one corpus-dup chunk + one fresh; batch 2: full re-crawl
+    Seq((10L, "bbbbzzzz")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    Seq((11L, "ccccdddd")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStreams.chunkDupScreenStream(
+      stream, corpus, col("doc_id"), col("text"),
+      col("doc_id"), col("text"), size = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunkscreen_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("chunkscreen_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == Set(
+        (10L, 0L, 1L, 1L),  // "bbbb" at arrival idx 0 ← corpus doc 1 idx 1
+        (11L, 0L, 2L, 0L),  // re-crawl: both chunks owned by corpus doc 2
+        (11L, 1L, 2L, 1L)))
+      // "zzzz" (10L idx 1) is fresh — correctly absent
+    } finally q.stop()
+  }
+
   test("attributionStream matches batch lastTouchAttribution across micro-batches") {
     implicit val sc = spark.sqlContext
     import org.apache.spark.sql.functions.col
