@@ -1201,6 +1201,14 @@ object ExtQueries {
         t(s, dir, "events"), target = "purchase", horizonSec = 3600L)
         .orderBy("event_id")),
 
+    // ── Interval analytics: peak concurrency per (event_type, day) —
+    //    each event an interval of `value` seconds, sweep-line deltas,
+    //    day-clipped so the window partition grows with the time range
+    //    (Events.concurrencyPeaks scaladoc).
+    "ext_concurrency" -> ((s, dir) =>
+      Events.concurrencyPeaks(t(s, dir, "events"))
+        .orderBy("event_type", "day")),
+
     // ── Trailing z-score anomaly detection: each event scored against
     //    its user's previous-5 baseline (frame ends at 1 PRECEDING — no
     //    self-contamination; cold start scores null, not normal).
@@ -3211,6 +3219,47 @@ object ExtQueries {
         |  FROM rer)
         |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Sweep replay: same clamp (trunc-cast — Spark's double→long
+    // truncates where a bare DuckDB CAST would round), same day clip,
+    // same (t, delta DESC, event_id) total order with explicit ROWS
+    // framing (unique keys make Spark's default RANGE identical).
+    "ext_concurrency" ->
+      """WITH sp AS (
+        |  SELECT event_id, event_type,
+        |    epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + least(greatest(CAST(trunc(value) AS BIGINT), 1), 86400)
+        |      * 1000000 AS end_us
+        |  FROM events),
+        |cl AS (
+        |  SELECT event_id, event_type, day_idx,
+        |    greatest(start_us, day_idx * 86400000000) AS s_us,
+        |    least(end_us, (day_idx + 1) * 86400000000) AS e_us
+        |  FROM (
+        |    SELECT *, unnest(range(start_us // 86400000000,
+        |      (end_us - 1) // 86400000000 + 1)) AS day_idx
+        |    FROM sp)),
+        |dl AS (
+        |  SELECT event_type, day_idx, event_id, s_us AS t_us, 1 AS delta FROM cl
+        |  UNION ALL
+        |  SELECT event_type, day_idx, event_id, e_us, -1 FROM cl),
+        |r AS (
+        |  SELECT event_type, day_idx, t_us,
+        |    SUM(delta) OVER (PARTITION BY event_type, day_idx
+        |                     ORDER BY t_us, delta DESC, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS running
+        |  FROM dl),
+        |p AS (
+        |  SELECT event_type, day_idx, running, t_us,
+        |    MAX(running) OVER (PARTITION BY event_type, day_idx) AS peak
+        |  FROM r)
+        |SELECT event_type,
+        |  strftime(make_timestamp(day_idx * 86400000000), '%Y-%m-%d') AS day,
+        |  CAST(MAX(peak) AS BIGINT) AS peak_concurrency,
+        |  strftime(make_timestamp(MIN(t_us)), '%Y-%m-%d %H:%M:%S') AS peak_at
+        |FROM p WHERE running = peak
+        |GROUP BY event_type, day_idx ORDER BY event_type, day""".stripMargin,
 
     "ext_trending" ->
       """WITH d AS (

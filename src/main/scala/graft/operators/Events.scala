@@ -265,6 +265,74 @@ object Events {
     df.withColumn("rn", row_number().over(Window.partitionBy(group).orderBy(rankBy: _*)))
       .filter(col("rn") <= k)
 
+  /** Peak-concurrency profile: treat each event as an INTERVAL
+    * [ts, ts + value seconds) and report, per (event_type, day), the
+    * maximum number of simultaneously-open intervals and the first
+    * instant it is reached — the classic sweep-line ("how many
+    * concurrent sessions at peak") computed declaratively: every
+    * interval emits a +1 at its (clipped) start and a −1 at its end,
+    * and a running sum over the partition's time-ordered deltas IS the
+    * concurrency curve.
+    *
+    * Determinism: deltas order by (time, delta DESC, event_id) — all
+    * arrivals at an instant count before any departure (closed-open
+    * intervals that touch DO overlap for that instant... they do not:
+    * [a,b) and [b,c) share no point, and the −1 at b sorts after the
+    * +1 at b, briefly double-counting — so departures-first would be
+    * the open-interval reading; we pick arrivals-first, the INCLUSIVE
+    * reading, and the oracle replays the same total order).
+    *
+    * Scale shape: intervals clip to day boundaries map-side (an event
+    * whose interval crosses midnight contributes to both days), so the
+    * window partition key is (event_type, day) — cardinality grows
+    * with the time range, never a small constant (the g6 lesson) — and
+    * each partition sorts only its own day's deltas. */
+  def concurrencyPeaks(events: DataFrame, maxDurSec: Long = 86400L): DataFrame = {
+    require(maxDurSec > 0 && maxDurSec <= 86400L,
+      s"maxDurSec must be in (0, 86400] (day-clip contract), got $maxDurSec")
+    // start/end in epoch micros; duration = value seconds (clamped to
+    // [1s, maxDurSec] — value is a payload metric, not sanitized time)
+    val micros = unix_micros(col("ts"))
+    val durUs = (least(greatest(col("value").cast("long"), lit(1L)),
+      lit(maxDurSec)) * lit(1000000L))
+    val spans = events.select(
+      col("event_id"), col("event_type"),
+      micros.as("start_us"), (micros + durUs).as("end_us"))
+    // clip to day boundaries: one row per (event, covered day)
+    val dayUs = 86400L * 1000000L
+    val clipped = spans
+      .withColumn("day_idx",
+        explode(sequence(expr(s"start_us div ${dayUs}L"),
+          expr(s"(end_us - 1) div ${dayUs}L"))))
+      .select(col("event_id"), col("event_type"), col("day_idx"),
+        greatest(col("start_us"), col("day_idx") * dayUs).as("s_us"),
+        least(col("end_us"), (col("day_idx") + 1) * dayUs).as("e_us"))
+    val deltas = clipped
+      .select(col("event_type"), col("day_idx"), col("event_id"),
+        col("s_us").as("t_us"), lit(1).as("delta"))
+      .unionByName(clipped
+        .select(col("event_type"), col("day_idx"), col("event_id"),
+          col("e_us").as("t_us"), lit(-1).as("delta")))
+    val w = Window.partitionBy("event_type", "day_idx")
+      .orderBy(col("t_us"), col("delta").desc, col("event_id"))
+    val wholePart = Window.partitionBy("event_type", "day_idx")
+    deltas
+      .withColumn("running", sum(col("delta")).over(w))
+      .withColumn("peak", max(col("running")).over(wholePart))
+      .filter(col("running") === col("peak"))
+      .groupBy("event_type", "day_idx")
+      .agg(
+        max(col("peak")).cast("long").as("peak_concurrency"),
+        min(col("t_us")).as("peak_at_us"))
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("day_idx") * lit(dayUs)), "yyyy-MM-dd")
+          .as("day"),
+        col("peak_concurrency"),
+        date_format(timestamp_micros(col("peak_at_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("peak_at"))
+      .orderBy("event_type", "day")
+  }
+
   /** Last-touch attribution: for every `target` event (a conversion),
     * the user's immediately-preceding event within `horizonSec` — the
     * "what drove this purchase" join every product-analytics stack

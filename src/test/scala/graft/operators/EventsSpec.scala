@@ -230,6 +230,74 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(u1.toSet == Set(3L, 2L)) // values 3.0, 2.0
   }
 
+  test("concurrencyPeaks: sweep-line peaks, midnight split, arrivals-first ties") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val evs = Seq(
+      // three overlapping 60s sessions → peak 3 at the third arrival
+      (1L, t("2024-03-01 10:00:00"), 1L, "s", 60.0),
+      (2L, t("2024-03-01 10:00:20"), 2L, "s", 60.0),
+      (3L, t("2024-03-01 10:00:40"), 3L, "s", 60.0),
+      // arrivals-first: event 5 starts exactly when 4 ends → both open
+      // for that instant under the inclusive reading... peak stays 2?
+      // [a, a+10) then [a+10, a+20): at a+10 the +1 sorts before the -1
+      // → running touches 2 briefly
+      (4L, t("2024-03-01 20:00:00"), 4L, "tie", 10.0),
+      (5L, t("2024-03-01 20:00:10"), 5L, "tie", 10.0),
+      // crosses midnight: must appear in BOTH days' profiles
+      (6L, t("2024-03-02 23:59:50"), 6L, "cross", 40.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.concurrencyPeaks(evs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(got(("s", "2024-03-01")) == ((3L, "2024-03-01 10:00:40")))
+    assert(got(("tie", "2024-03-01")) == ((2L, "2024-03-01 20:00:10")),
+      "arrivals-first ordering counts the touching instant as overlap")
+    assert(got(("cross", "2024-03-02")) == ((1L, "2024-03-02 23:59:50")))
+    assert(got(("cross", "2024-03-03")) == ((1L, "2024-03-03 00:00:00")),
+      "a midnight-crossing interval opens the next day's profile at 00:00")
+    assert(got.size == 4)
+  }
+
+  test("concurrencyPeaks fuzz: matches a serial sweep reference") {
+    val rnd = new scala.util.Random(2468L)
+    val evs = (1 to 300).map { i =>
+      (i.toLong,
+        new java.sql.Timestamp(1709251200000L + rnd.nextInt(86400) * 1000L * 2),
+        i.toLong, s"t${rnd.nextInt(3)}", rnd.nextInt(5000).toDouble / 2.0)
+    }
+    val dayUs = 86400L * 1000000L
+    val want = evs.flatMap { case (id, ts, _, tpe, v) =>
+      val s = ts.getTime * 1000L
+      val e = s + math.min(math.max(v.toLong, 1L), 86400L) * 1000000L
+      (s / dayUs to (e - 1) / dayUs).map { d =>
+        (tpe, d, id, math.max(s, d * dayUs), math.min(e, (d + 1) * dayUs))
+      }
+    }.groupBy(r => (r._1, r._2)).map { case ((tpe, d), xs) =>
+      val deltas = xs.flatMap(x => Seq((x._4, 1, x._3), (x._5, -1, x._3)))
+        .sortBy { case (t, delta, id) => (t, -delta, id) }
+      var run = 0; var peak = 0; var peakAt = 0L
+      deltas.foreach { case (t, delta, _) =>
+        run += delta
+        if (run > peak) { peak = run; peakAt = t }
+      }
+      (tpe, d) -> (peak.toLong, peakAt)
+    }
+    val got = Events.concurrencyPeaks(
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map { r =>
+        val dayIdx = java.time.LocalDate.parse(r.getString(1)).toEpochDay
+        // parse as UTC explicitly — Timestamp.valueOf would use the JVM
+        // zone, and the engine formats in the session's UTC
+        (r.getString(0), dayIdx) -> (r.getLong(2),
+          java.time.LocalDateTime.parse(r.getString(3).replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+      }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (p, at)) =>
+      assert((p, at) == want(k), s"cell $k")
+    }
+  }
+
   test("lastTouchAttribution: strictly-before, horizon-bounded, direct surfaces as null") {
     val ts0 = 1700000000000L
     def t(s: Long) = new java.sql.Timestamp(ts0 + s * 1000L)
