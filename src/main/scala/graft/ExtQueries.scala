@@ -1201,6 +1201,14 @@ object ExtQueries {
         t(s, dir, "events"), target = "purchase", horizonSec = 3600L)
         .orderBy("event_id")),
 
+    // ── Robust scale per group: median absolute deviation, both
+    //    medians the exact ⌈n/2⌉-rank selection (no float accumulation
+    //    anywhere — Relational.medianAbsDeviation scaladoc).
+    "ext_mad" -> ((s, dir) =>
+      Relational.medianAbsDeviation(
+        t(s, dir, "events"), col("event_type"), col("value"))
+        .orderBy("group_key")),
+
     // ── Interval analytics: peak concurrency per (event_type, day) —
     //    each event an interval of `value` seconds, sweep-line deltas,
     //    day-clipped so the window partition grows with the time range
@@ -3219,6 +3227,28 @@ object ExtQueries {
         |  FROM rer)
         |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Both medians replayed as the identical ⌈n/2⌉ rank pick — element
+    // selection, so no rounding discipline is needed at all.
+    "ext_mad" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |n1 AS (SELECT g, COUNT(*) AS n FROM b GROUP BY 1),
+        |r1 AS (SELECT g, v,
+        |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM b),
+        |med AS (
+        |  SELECT r1.g, r1.v AS m FROM r1 JOIN n1 USING (g)
+        |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+        |d AS (SELECT b.g, abs(b.v - med.m) AS dv FROM b JOIN med USING (g)),
+        |n2 AS (SELECT g, COUNT(*) AS n FROM d GROUP BY 1),
+        |r2 AS (SELECT g, dv,
+        |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY dv) AS rn FROM d),
+        |mad AS (
+        |  SELECT r2.g, r2.dv FROM r2 JOIN n2 USING (g)
+        |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+        |SELECT med.g AS group_key, med.m AS median, mad.dv AS mad
+        |FROM med JOIN mad USING (g) ORDER BY group_key""".stripMargin,
 
     // Sweep replay: same clamp (trunc-cast — Spark's double→long
     // truncates where a bare DuckDB CAST would round), same day clip,

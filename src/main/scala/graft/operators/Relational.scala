@@ -261,6 +261,34 @@ object Relational {
       .groupBy("group_key").agg(picks.head, picks.tail: _*)
   }
 
+  /** Median absolute deviation per group — the robust scale estimate
+    * (insensitive to the outliers that wreck a stddev) a curation pass
+    * uses to set clipping thresholds: MAD = median(|x − median(x)|),
+    * both medians the same ⌈n/2⌉-rank LOWER median [[exactQuantiles]]
+    * computes (selection of an actual element, so there is no float
+    * accumulation anywhere — exact cross-engine equality without any
+    * rounding discipline).
+    *
+    * Two distributed-selection passes plus one broadcast join of the
+    * G-row median table; inherits exactQuantiles' scale shape (range-
+    * bucketed cells, never a per-group window) and its bounded
+    * build-time pulls, twice. */
+  def medianAbsDeviation(
+      df: DataFrame, group: Column, value: Column,
+      bucketsPerGroup: Int = 0): DataFrame = {
+    val med = exactQuantiles(df, group, value.cast("double"), Seq(0.5),
+      bucketsPerGroup)
+      .select(col("group_key"), col("p50").as("median"))
+    val dev = df.select(group.as("g"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .join(broadcast(med), col("g") === col("group_key"))
+      .select(col("g"), abs(col("v") - col("median")).as("adev"))
+    exactQuantiles(dev, col("g"), col("adev"), Seq(0.5), bucketsPerGroup)
+      .select(col("group_key"), col("p50").as("mad"))
+      .join(med, Seq("group_key"))
+      .select(col("group_key"), col("median"), col("mad"))
+  }
+
   /** One-pass column profile — the data-quality summary every ingest
     * runs before accepting a drop: per column, non-null count, distinct
     * count, and min/max (stringified so one schema fits every type).

@@ -113,4 +113,36 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.split("LocalTableScan").length - 1 <= 1, plan)
   }
+
+  test("medianAbsDeviation: hand-checked lower medians, outlier-robust") {
+    import spark.implicits._
+    // g1: [1,2,3,4,100] → median = 3 (rank ⌈5/2⌉=3), |x−3| = [2,1,0,1,97]
+    //     sorted [0,1,1,2,97] → MAD = 1 — the outlier moves it nowhere
+    //     (stddev would be ~43)
+    // g2: [5,5,5,5] → median 5 (rank 2), MAD 0
+    val df = (Seq(1, 2, 3, 4, 100).map(("g1", _)) ++
+      Seq(5, 5, 5, 5).map(("g2", _))).toDF("g", "v")
+    val got = Relational.medianAbsDeviation(df, col("g"), col("v"))
+      .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("g1", 3.0, 1.0), ("g2", 5.0, 0.0)))
+  }
+
+  test("medianAbsDeviation fuzz: equals the serial lower-median reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8642L)
+    (1 to 3).foreach { trial =>
+      val rows = (1 to 400).map(_ => (s"g${rnd.nextInt(4)}", rnd.nextInt(1000).toDouble / 4.0))
+      def lowerMedian(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        s(math.ceil(0.5 * s.length).toInt - 1)
+      }
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        val m = lowerMedian(vs.map(_._2))
+        g -> (m, lowerMedian(vs.map(v => math.abs(v._2 - m))))
+      }
+      val got = Relational.medianAbsDeviation(rows.toDF("g", "v"), col("g"), col("v"))
+        .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
 }
