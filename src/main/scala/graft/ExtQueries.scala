@@ -3499,7 +3499,7 @@ object ExtQueries {
         |  SELECT lang, source, doc_id,
         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |      AS BIGINT) AS hv
-        |  FROM documents),
+        |  FROM documents WHERE doc_id IS NOT NULL),
         |r AS (
         |  SELECT lang, source, doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY hv) AS rn

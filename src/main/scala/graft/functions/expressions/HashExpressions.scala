@@ -672,7 +672,11 @@ case class PqCodes(child: Expression, cb: Array[Array[Array[Double]]])
     child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
   private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // non-finite passthrough (r9 ADVICE): BigDecimal(NaN/Inf) throws,
+    // and one garbage embedding must not fail the whole scan. NaN/Inf
+    // flow through the argmin/ADC comparisons as worst-distance values.
+    if (!java.lang.Double.isFinite(x)) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -724,7 +728,11 @@ case class PqLut(child: Expression, cb: Array[Array[Array[Double]]])
     child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
   private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // non-finite passthrough (r9 ADVICE): BigDecimal(NaN/Inf) throws,
+    // and one garbage embedding must not fail the whole scan. NaN/Inf
+    // flow through the argmin/ADC comparisons as worst-distance values.
+    if (!java.lang.Double.isFinite(x)) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]

@@ -219,10 +219,20 @@ object Sketches {
     * shuffles on the high-cardinality hash key, never windows over the
     * cell key.
     *
-    * Caveat (documented, not defended): two ids in one cell sharing a
-    * full 60-bit hash would both join back (k+1 rows). P ≈ n²/2^61
-    * per cell — at a billion rows per cell that is ~1e-3; acceptable
-    * for sampling (and deterministic: both engines see the same tie).
+    * Caveat (documented, not defended): two DISTINCT ids in one cell
+    * sharing a full 60-bit hash would both join back (k+1 rows).
+    * P ≈ n²/2^61 per cell — at a billion rows per cell that is ~1e-3;
+    * acceptable for sampling (and deterministic: both engines see the
+    * same tie).
+    *
+    * Null contract (r9 ADVICE): a NULL id carries no identity to hash,
+    * so null-id rows are EXCLUDED from the sample (previously a null
+    * hash decoded as 0L inside the primitive-long MinK buffer and
+    * burned a winner slot that matched nothing). Duplicate (cell, id)
+    * rows are collapsed first — the sample is over distinct ids, so a
+    * duplicated id can never occupy two of the k slots. NULL dims are
+    * their own cell (null-safe join), exactly like the window-replay
+    * oracle's PARTITION BY.
     *
     * Output: dims* :+ sample_id. */
   def minKSample(df: DataFrame, dims: Seq[String], id: Column, k: Int): DataFrame = {
@@ -231,21 +241,39 @@ object Sketches {
     val minK = udaf(MinK(k), Encoders.scalaLong)
     val dimCols = dims.map(col)
     val withH = df.select(dimCols :+ id.as("sample_id"): _*)
+      .dropDuplicates(dims :+ "sample_id")
       .withColumn("h", portableHash(col("sample_id").cast("string"), 15))
+      .where(col("h").isNotNull)
     val winners = withH
       .groupBy(dimCols: _*)
       .agg(minK(col("h")).as("hs"))
       .select(dimCols :+ explode(col("hs")).as("h"): _*)
-    withH.join(broadcast(winners), dims :+ "h")
-      .select(dimCols :+ col("sample_id"): _*)
+    val wl = withH.alias("mks_l")
+    val wn = winners.alias("mks_w")
+    val joinCond = dims.map(d => col(s"mks_l.`$d`") <=> col(s"mks_w.`$d`"))
+      .reduce(_ && _) && col("mks_l.h") === col("mks_w.h")
+    wl.join(broadcast(wn), joinCond)
+      .select(dims.map(d => col(s"mks_l.`$d`")) :+ col("mks_l.sample_id"): _*)
   }
+
+  /** NULL value → Long.MaxValue sentinel, NOT a dropped row: the DuckDB
+    * oracle's `DISTINCT (group, md5-hash)` keeps one NULL-hash row per
+    * group and its `ORDER BY h` puts it LAST (NULLS LAST); the sentinel
+    * (> any 60-bit hash — unambiguous) reproduces exactly that. Without
+    * it the primitive-long MinK buffer decoded a null hash as 0L — the
+    * SMALLEST possible hash — which at saturation displaced a real
+    * minimum and inflated kmv_n (r9 ADVICE; NullHandlingSpec pins the
+    * saturated case now). */
+  private val nullHashSentinel = Long.MaxValue
+
+  private def hashOrSentinel(value: Column): Column =
+    coalesce(portableHash(value.cast("string"), 15), lit(nullHashSentinel))
 
   def kmvDistinct(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
     require(k > 1, s"KMV needs k > 1 (estimate uses k-1), got $k")
     val minK = udaf(MinK(k), Encoders.scalaLong)
     val distinctHashes = df
-      .select(group.as("group_key"),
-        portableHash(value.cast("string"), 15).as("h"))
+      .select(group.as("group_key"), hashOrSentinel(value).as("h"))
       .groupBy("group_key", "h")
       .agg(count(lit(1)).as("dummy"))
       .drop("dummy")
@@ -258,10 +286,15 @@ object Sketches {
 
   /** The KMV estimate from a kept-hashes array: exact (= array length)
     * below saturation, (k−1)·2^60/h_(k) at k. Shared by the batch and
-    * streaming forms so the arithmetic can never fork. */
+    * streaming forms so the arithmetic can never fork. If the k-th
+    * minimum is the NULL sentinel (exactly k−1 real hashes + a null
+    * value), the estimate is NULL — the oracle's
+    * `CASE WHEN rn = k THEN h END` sees the NULL hash there too. */
   private def kmvEstimate(hs: Column, k: Int): Column =
     round(
       when(size(hs) < k, size(hs).cast("double"))
+        .when(element_at(hs, k) === lit(nullHashSentinel),
+          lit(null).cast("double"))
         .otherwise(
           lit((k - 1).toDouble) * lit(1152921504606846976.0) /
             element_at(hs, k).cast("double")),
@@ -279,8 +312,7 @@ object Sketches {
   def kmvSketch(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
     require(k > 1, s"KMV needs k > 1 (estimate uses k-1), got $k")
     val minK = udaf(MinK(k), Encoders.scalaLong)
-    df.select(group.as("group_key"),
-        portableHash(value.cast("string"), 15).as("h"))
+    df.select(group.as("group_key"), hashOrSentinel(value).as("h"))
       .groupBy("group_key")
       .agg(minK(col("h")).as("hs"))
       .select(col("group_key"), kmvEstimate(col("hs"), k).as("kmv_n"))

@@ -112,6 +112,52 @@ class NullHandlingSpec extends AnyFunSuite with SparkSpec {
     assert(got._2 == 2L, "1 real value + the null bucket")
   }
 
+  test("kmvDistinct: a null value cannot displace a real minimum at saturation") {
+    // r9 ADVICE: pre-fix, the null hash decoded as 0L — the smallest
+    // possible hash — entered the k-min set of a SATURATED group and
+    // inflated kmv_n. The sentinel orders nulls LAST (DuckDB's NULLS
+    // LAST), so a saturated group's estimate must be identical with or
+    // without null rows.
+    val k = 8
+    val clean = (1L to 40L).map(i => ("g", Option(i))).toDF("grp", "v")
+    val dirty = clean.unionByName(
+      Seq(("g", None: Option[Long]), ("g", None: Option[Long])).toDF("grp", "v"))
+    val est = Sketches.kmvDistinct(clean, col("grp"), col("v"), k)
+      .as[(String, Long, Double)].collect().head
+    val estD = Sketches.kmvDistinct(dirty, col("grp"), col("v"), k)
+      .as[(String, Long, Double)].collect().head
+    assert(est._3 == estD._3, "null must not perturb a saturated estimate")
+    assert(estD._2 == est._2 + 1, "n_exact still counts the null bucket once")
+  }
+
+  test("kmvDistinct: null at exactly rank k yields a NULL estimate (oracle parity)") {
+    // exactly k-1 real distinct values + a null: the k-th minimum IS
+    // the null sentinel, which DuckDB's `CASE WHEN rn = k THEN h END`
+    // sees as NULL → NULL estimate on both engines.
+    val k = 4
+    val df = (1L to 3L).map(i => ("g", Option(i))).toDF("grp", "v")
+      .unionByName(Seq(("g", None: Option[Long])).toDF("grp", "v"))
+    val got = Sketches.kmvDistinct(df, col("grp"), col("v"), k)
+      .select("kmv_n").as[Option[Double]].collect().head
+    assert(got.isEmpty, "sentinel at rank k → NULL estimate")
+  }
+
+  test("minKSample: null ids are excluded, duplicate ids collapse to one slot") {
+    // pre-fix, a null id hashed to a 0L winner slot that matched
+    // nothing (silently k-1 rows), and a duplicated id could burn two
+    // of the k slots; null dims must stay their own cell.
+    val df = Seq(
+      ("a", Option(1L)), ("a", Option(1L)), ("a", Option(2L)),
+      ("a", Option(3L)), ("a", None),
+      (null.asInstanceOf[String], Option(7L)), (null.asInstanceOf[String], Option(8L)))
+      .toDF("cell", "id")
+    val got = Sketches.minKSample(df, Seq("cell"), col("id"), k = 3)
+      .as[(String, Long)].collect().toSet
+    assert(got.count(_._1 == "a") == 3, "dup id must not eat a slot; null id excluded")
+    assert(got.filter(_._1 == "a").map(_._2) == Set(1L, 2L, 3L))
+    assert(got.count(_._1 == null) == 2, "null dims are their own cell")
+  }
+
   test("ngramNovelty: null and too-short docs stay in the spine with null novelty") {
     val got = TextPipeline.ngramNovelty(dirtyDocs, col("doc_id"), col("text"), n = 2)
       .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq

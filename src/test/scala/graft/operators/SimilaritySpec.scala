@@ -250,4 +250,39 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(d2(p(1L), p(2L)) * 100 < d2(p(1L), p(3L)),
       "near pair must stay far closer than the far pair after projection")
   }
+
+  test("randomProject fails loudly on a >64-d vector instead of projecting nulls") {
+    // r9 ADVICE: the weight literal is 64-wide and zip_with null-pads
+    // the shorter side — pre-guard, a 65-d vector silently projected to
+    // all-null. Now the scan raises with the offending dimension.
+    val df = Seq((1L, Array.fill(65)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.randomProject(df, col("vec_id"), col("embedding"), 4).collect()
+    }
+    assert(ex.getMessage.contains("dim 65") ||
+      Option(ex.getCause).exists(_.getMessage.contains("dim 65")))
+    // null vectors still pass through as null projections, not errors
+    val withNull = Seq((1L, Option(Array.fill(4)(0.5f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.randomProject(
+      withNull, col("vec_id"), col("embedding"), 2).collect()
+    assert(rows.length == 2)
+    assert(rows.find(_.getLong(0) == 2L).get.isNullAt(1))
+  }
+
+  test("pqTopK survives a non-finite garbage embedding (ranked worst, no throw)") {
+    // r9 ADVICE: BigDecimal(NaN) threw inside PqCodes/PqLut round6 —
+    // one garbage row failed the whole scan. Now non-finite components
+    // flow through as worst-distance values.
+    val rnd = new scala.util.Random(42L)
+    val clean = (0 until 30).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val corpus8 = (clean :+
+      (99L, Array(Float.NaN, 1f, 2f, Float.PositiveInfinity, 0f, 1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val probes8 = clean.take(2).toDF("query_id", "query_vec")
+    val pq = Similarity.pqTopK(probes8, corpus8, k = 5, dim = 8, m = 4,
+      ksub = 8, refine = 10).collect()
+    assert(pq.nonEmpty, "scan must complete despite the garbage row")
+  }
 }
