@@ -324,48 +324,111 @@ object Multimodal {
       .toDF("media_id", "w", "h", "phash")
   }
 
-  /** Image near-dup pairs by pHash Hamming distance ≤ `maxHamming`,
-    * with LSH-style chunk blocking instead of an all-pairs join: the
-    * (gx−1)·gy hash bits split into maxHamming+1 chunks, and by
-    * pigeonhole two hashes within the distance budget must agree on at
-    * least one whole chunk — so candidates come from an equi-join on
-    * (chunk_idx, chunk_value), exactly the [[graft.operators.Dedup]]
-    * SimHash discipline (recall is structural, not probabilistic). The
-    * verify step is one map-side bit_count on the pair. Output:
-    * (id_a, id_b, hamming), id_a < id_b, ordered. */
-  def imageNearDupPairs(
-      media: DataFrame,
-      maxHamming: Int = 2,
-      gx: Int = 5,
-      gy: Int = 4): DataFrame = {
-    val bits = (gx - 1) * gy
+  /** Shared pigeonhole chunk-blocked Hamming-pair machinery for the
+    * media fingerprint paths: split `bits` hash bits into maxHamming+1
+    * chunks, equi-join on (chunk, cval) — recall is structural (any
+    * pair within the budget agrees on ≥1 whole chunk) — then ONE
+    * map-side bit_count verify. The (chunk, cval) buckets go through
+    * [[graft.operators.Dedup.capBuckets]] FIRST: a degenerate media
+    * cluster (monochrome thumbnails, silent clips) or plain birthday
+    * collisions at n ≫ 2^(bits/chunks) would otherwise make one bucket
+    * quadratic — the same over-cap broadcast anti-join + observe()
+    * discipline every text/embedding near-dup path has (SCALE.md's
+    * "cap, anti-join, ids-only shuffles" rule; dropped clusters are
+    * the exact-dedup-by-fingerprint regime, reported, never silent). */
+  private def chunkBlockedHammingPairs(
+      hashed: DataFrame, // (media_id, fp)
+      bits: Int,
+      maxHamming: Int,
+      bucketCap: Int,
+      op: String): DataFrame = {
     val chunks = maxHamming + 1
     require(chunks <= bits, s"maxHamming $maxHamming needs more bits than $bits")
-    val hashed = imagePHash(media, gx, gy).select("media_id", "phash")
+    require(bucketCap > 1, s"bucketCap must be > 1, got $bucketCap")
     val per = bits / chunks
-    val chunked = hashed.select(col("media_id"), col("phash"),
+    val chunked = hashed.select(col("media_id"), col("fp"),
       explode(array((0 until chunks).map { c =>
         val lo = c * per
         // last chunk absorbs the remainder bits
         val width = if (c == chunks - 1) bits - lo else per
         val mask = (1L << width) - 1
         struct(lit(c).as("chunk"),
-          shiftright(col("phash"), lo).bitwiseAND(lit(mask)).as("cval"))
+          shiftright(col("fp"), lo).bitwiseAND(lit(mask)).as("cval"))
       }: _*)).as("cc"))
-      .select(col("media_id"), col("phash"),
+      .select(col("media_id"), col("fp"),
         col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
-    val l = chunked.select(col("chunk"), col("cval"),
-      col("media_id").as("id_a"), col("phash").as("ph_a"))
-    val r = chunked.select(col("chunk"), col("cval"),
-      col("media_id").as("id_b"), col("phash").as("ph_b"))
+    val pruned = graft.operators.Dedup.capBuckets(
+      chunked, Seq("chunk", "cval"), bucketCap, op)
+    val l = pruned.select(col("chunk"), col("cval"),
+      col("media_id").as("id_a"), col("fp").as("fp_a"))
+    val r = pruned.select(col("chunk"), col("cval"),
+      col("media_id").as("id_b"), col("fp").as("fp_b"))
     l.join(r, Seq("chunk", "cval"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming",
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** Pooled-grid size whose pHash carries enough CHUNK ENTROPY for a
+    * corpus of `n` images: each of the maxHamming+1 pigeonhole chunks
+    * needs ~log₂(n / targetBucketWidth) bits or random fingerprints
+    * collide into super-linear buckets (the
+    * [[graft.operators.Dedup.sizedBandBits]] law, applied to media).
+    * Returns (gx, gy) with (gx−1)·gy ≥ chunks·bandBits, capped at 60
+    * bits (the fingerprint lives in one long). The default 5×4 grid
+    * (16 bits) is right for ~10⁴ images; 10⁹ wants ~28 bits/chunk →
+    * the cap, i.e. a 16×4 grid. */
+  def sizedImageGrid(n: Long, maxHamming: Int = 2): (Int, Int) = {
+    val bits = sizedFingerprintBits(n, maxHamming)
+    // fixed 4 pooling rows (vertical detail saturates quickly on
+    // thumbnails); columns carry the scale-driven entropy
+    val gy = 4
+    val gx = (bits + gy - 1) / gy + 1
+    (gx, gy)
+  }
+
+  /** Envelope window count for [[audioEnergyFingerprint]] sized the same
+    * way: windows − 1 comparison bits ≥ chunks·bandBits, capped at 60. */
+  def sizedAudioWindows(n: Long, maxHamming: Int = 2): Int =
+    sizedFingerprintBits(n, maxHamming) + 1
+
+  private def sizedFingerprintBits(n: Long, maxHamming: Int): Int = {
+    val chunks = maxHamming + 1
+    math.min(60, math.max(16,
+      chunks * graft.operators.Dedup.sizedBandBits(n)))
+  }
+
+  /** Image near-dup pairs by pHash Hamming distance ≤ `maxHamming`,
+    * chunk-blocked and skew-capped (see [[chunkBlockedHammingPairs]]).
+    * Fixed (gx, gy) keeps the oracle replayable; size the grid with
+    * [[sizedImageGrid]] (or call [[imageNearDupPairsAuto]]) so chunk
+    * entropy grows with the corpus. Output: (id_a, id_b, hamming),
+    * id_a < id_b, ordered. */
+  def imageNearDupPairs(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      gx: Int = 5,
+      gy: Int = 4,
+      bucketCap: Int = 1000): DataFrame =
+    chunkBlockedHammingPairs(
+      imagePHash(media, gx, gy).select(col("media_id"), col("phash").as("fp")),
+      bits = (gx - 1) * gy, maxHamming, bucketCap, "image_phash")
+
+  /** [[imageNearDupPairs]] with the pooling grid sized from the corpus
+    * itself: ONE bounded action (a count — the same index-build class
+    * as the LSH calibrators) feeds [[sizedImageGrid]]. The row count is
+    * an upper bound on decodable images, which only ever ADDS bits. */
+  def imageNearDupPairsAuto(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      bucketCap: Int = 1000): DataFrame = {
+    val n = media.filter(col("kind") === "image").count()
+    val (gx, gy) = sizedImageGrid(math.max(n, 1L), maxHamming)
+    imageNearDupPairs(media, maxHamming, gx, gy, bucketCap)
   }
 
   final case class AudioFp(media_id: Long, afp: Long, n_frames: Long)
@@ -420,43 +483,31 @@ object Multimodal {
   }
 
   /** Audio near-dup pairs by fingerprint Hamming distance, pigeonhole
-    * chunk-blocked exactly like [[imageNearDupPairs]]: maxHamming+1
-    * chunks of the (windows−1)-bit fingerprint — any pair within
-    * maxHamming agrees on ≥1 whole chunk, so the equi-join on
-    * (chunk, value) has full recall and the exact bit_count filter
-    * keeps precision. No all-pairs join at any scale. */
+    * chunk-blocked and skew-capped exactly like [[imageNearDupPairs]]
+    * (see [[chunkBlockedHammingPairs]]). Fixed `windows` keeps the
+    * oracle replayable; size it with [[sizedAudioWindows]] (or call
+    * [[audioNearDupPairsAuto]]) so chunk entropy grows with the
+    * corpus. No all-pairs join at any scale. */
   def audioNearDupPairs(
       media: DataFrame,
       maxHamming: Int = 2,
-      windows: Int = 33): DataFrame = {
-    val bits = windows - 1
-    val chunks = maxHamming + 1
-    require(chunks <= bits, s"maxHamming $maxHamming needs more bits than $bits")
-    val hashed = audioEnergyFingerprint(media, windows).toDF()
-      .select("media_id", "afp")
-    val per = bits / chunks
-    val chunked = hashed.select(col("media_id"), col("afp"),
-      explode(array((0 until chunks).map { c =>
-        val lo = c * per
-        val width = if (c == chunks - 1) bits - lo else per
-        val mask = (1L << width) - 1
-        struct(lit(c).as("chunk"),
-          shiftright(col("afp"), lo).bitwiseAND(lit(mask)).as("cval"))
-      }: _*)).as("cc"))
-      .select(col("media_id"), col("afp"),
-        col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
-    val l = chunked.select(col("chunk"), col("cval"),
-      col("media_id").as("id_a"), col("afp").as("fp_a"))
-    val r = chunked.select(col("chunk"), col("cval"),
-      col("media_id").as("id_b"), col("afp").as("fp_b"))
-    l.join(r, Seq("chunk", "cval"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming",
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-      .orderBy("id_a", "id_b")
+      windows: Int = 33,
+      bucketCap: Int = 1000): DataFrame =
+    chunkBlockedHammingPairs(
+      audioEnergyFingerprint(media, windows).toDF()
+        .select(col("media_id"), col("afp").as("fp")),
+      bits = windows - 1, maxHamming, bucketCap, "audio_fp")
+
+  /** [[audioNearDupPairs]] with the envelope resolution sized from the
+    * corpus itself — same ONE-bounded-count discipline as
+    * [[imageNearDupPairsAuto]]. */
+  def audioNearDupPairsAuto(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      bucketCap: Int = 1000): DataFrame = {
+    val n = media.filter(col("kind") === "audio").count()
+    audioNearDupPairs(media, maxHamming,
+      sizedAudioWindows(math.max(n, 1L), maxHamming), bucketCap)
   }
 
   /** [[syntheticWavs]] with shifted ids and ONE perturbed sample:

@@ -56,7 +56,7 @@ object Dedup {
     * boilerplate cluster — quadratic in the self-join, better handled by
     * exact/fingerprint dedup of its representative), and reports the
     * truncation through named observe() metrics (no silent caps). */
-  private[operators] def capBuckets(
+  private[graft] def capBuckets(
       df: DataFrame, keys: Seq[String], cap: Int, op: String): DataFrame = {
     val sizes = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz"))
     val over = sizes.filter(col("bsz") > cap)

@@ -229,6 +229,92 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(fps.distinct.length > 10, "envelope bits must discriminate")
   }
 
+  test("skew guard: a degenerate identical-image cluster stays linear") {
+    // 200 byte-identical images: every chunk bucket of their shared
+    // pHash holds 200+ entries — uncapped, that is 19900 quadratic
+    // pairs inside each of the 3 buckets. With the over-cap anti-join
+    // the cluster drops out observably (exact-dedup-by-fingerprint
+    // territory), while planted small-bucket twins still surface —
+    // the DedupSpec simhash discipline, on media.
+    import org.apache.spark.sql.Row
+    val base = Multimodal.syntheticImages(spark, 40)
+    val pert = Multimodal.syntheticImagesPerturbed(spark, 10, 1000L, 8)
+    // cluster payload = generator index 45, OUTSIDE the base 0..39
+    // range (a payload identical to a base image would legitimately
+    // pull that image into the over-cap bucket too)
+    val onePayload = Multimodal.syntheticImages(spark, 46)
+      .where(org.apache.spark.sql.functions.col("media_id") === 45L)
+      .select("payload").head.getAs[Array[Byte]](0)
+    val clusterRows = (5000L until 5200L).map(i =>
+      Row(i, "image", Row(8, 6, null, "png"), onePayload))
+    val cluster = spark.createDataFrame(
+      spark.sparkContext.parallelize(clusterRows, 4), Multimodal.mediaSchema)
+    val q = Multimodal.imageNearDupPairs(
+      base.unionByName(pert).unionByName(cluster),
+      maxHamming = 2, bucketCap = 50)
+    val pairs = q.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(!pairs.exists(p => p._1 >= 5000L || p._2 >= 5000L),
+      "over-cap cluster buckets must be dropped, not joined quadratically")
+    (0L until 10L).foreach { i =>
+      assert(pairs.contains((i, 1000L + i)),
+        s"planted twin ($i, ${1000 + i}) must survive the cap")
+    }
+    // 250 media: the uncapped cluster alone is 19900 pairs; the ~68
+    // surviving pairs are the legitimate 50-image ground truth
+    assert(pairs.size <= 150, s"candidate volume must stay linear, got ${pairs.size}")
+    // the truncation is observable, never silent
+    val metrics = q.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith(
+        graft.operators.Dedup.skewGuardMetricPrefix + "image_phash") => row
+    }
+    assert(metrics.nonEmpty, "the bucket cap must emit an observe() metric")
+    assert(metrics.head.getAs[Long]("dropped_rows") >= 200L)
+  }
+
+  test("skew guard: a degenerate identical-audio cluster stays linear") {
+    val base = Multimodal.syntheticWavs(spark, 40)
+    val pert = Multimodal.syntheticWavsPerturbed(spark, 8, 2000L)
+    import org.apache.spark.sql.Row
+    val onePayload = Multimodal.syntheticWavs(spark, 46)
+      .where(org.apache.spark.sql.functions.col("media_id") === 45L)
+      .select("payload").head.getAs[Array[Byte]](0)
+    val clusterRows = (5000L until 5200L).map(i =>
+      Row(i, "audio", Row(null, null, 100, "wav"), onePayload))
+    val cluster = spark.createDataFrame(
+      spark.sparkContext.parallelize(clusterRows, 4), Multimodal.mediaSchema)
+    val pairs = Multimodal.audioNearDupPairs(
+      base.unionByName(pert).unionByName(cluster),
+      maxHamming = 2, bucketCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 >= 5000L || p._2 >= 5000L),
+      "over-cap cluster buckets must be dropped")
+    val planted = pairs.count { case (a, b) => b == a + 2000L }
+    assert(planted == 8, s"planted recall under the cap: $planted/8")
+    assert(pairs.size <= 40, s"candidate volume must stay linear, got ${pairs.size}")
+  }
+
+  test("fingerprint sizing grows chunk entropy with log2(n) and stays in one long") {
+    // the sizedBandBits law on media hashes: 10^4 images keep the
+    // default-ish grid, 10^9 saturate the 60-bit cap; bits/chunk must
+    // be monotone in n and every grid's fingerprint fits a long
+    val (gx4, gy4) = Multimodal.sizedImageGrid(10000L)
+    val (gx9, gy9) = Multimodal.sizedImageGrid(1000000000L)
+    assert((gx4 - 1) * gy4 >= 16 && (gx4 - 1) * gy4 <= 60)
+    assert((gx9 - 1) * gy9 == 60, "a billion images saturate the one-long cap")
+    assert((gx9 - 1) * gy9 > (gx4 - 1) * gy4, "entropy must grow with n")
+    val w4 = Multimodal.sizedAudioWindows(10000L)
+    val w9 = Multimodal.sizedAudioWindows(1000000000L)
+    assert(w9 == 61 && w9 > w4 && w4 >= 17)
+    // auto variants: sized params still recover planted twins
+    val media = Multimodal.syntheticWavs(spark, 30)
+      .unionByName(Multimodal.syntheticWavsPerturbed(spark, 5, 2000L))
+    val auto = Multimodal.audioNearDupPairsAuto(media, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 5L).forall(i => auto.contains((i, 2000L + i))),
+      "auto-sized windows must keep planted recall")
+  }
+
   test("audioEnergyFingerprint: loudness scaling preserves comparison bits") {
     // the envelope hash compares energies, so scaling every sample
     // (a constant factor on every window energy) must not change a
