@@ -1285,7 +1285,33 @@ object ExtQueries {
       Sketches.minKSample(
         t(s, dir, "documents"), Seq("lang", "source"), col("doc_id"), k = 5)
         .withColumnRenamed("sample_id", "doc_id")
-        .orderBy("lang", "source", "doc_id"))
+        .orderBy("lang", "source", "doc_id")),
+
+    // ── In-engine quality-model training, ORACLED end to end (r9
+    //    verdict ask #2 — the last first-class component without a
+    //    CORRECTNESS entry): 5 full-batch GD iterations of logistic
+    //    regression over two document features (n_chars/1000,
+    //    tokens/100; is-English label), each iteration ONE distributed
+    //    decimal-sum aggregate. The DuckDB oracle unrolls all 5
+    //    iterations (the BPE-6-rounds / PageRank-5-rounds pattern) and
+    //    must land on bit-identical weights — possible because the
+    //    sigmoid is 9-decimal-quantized and every gradient contribution
+    //    is round-then-cast DECIMAL(28,12) (QualityModel scaladoc).
+    "ext_quality_model" -> ((s, dir) => {
+      import s.implicits._
+      val m = graft.operators.QualityModel.trainLogReg(
+        t(s, dir, "documents"),
+        Seq(
+          round(col("n_chars").cast("double") / lit(1000.0), 6),
+          round(size(split(col("text"), " ")).cast("double") / lit(100.0), 6)),
+        (col("lang") === "en").cast("int"),
+        iters = 5, lr = 1.0)
+      m.weights.toSeq.zipWithIndex
+        .map { case (wj, j) => (j.toLong, wj) }
+        .toDF("weight_idx", "weight")
+        .select(col("weight_idx"), round(col("weight"), 9).as("weight"))
+        .orderBy("weight_idx")
+    })
   )
 
   /** Shared by ext_decontaminate and ext_decontaminate_bloom — the bloom
@@ -1318,6 +1344,44 @@ object ExtQueries {
     * distinct word, so one result verifies training and application
     * together. Generated programmatically — six hand-copied rounds
     * invite drift. */
+  /** END-TO-END gradient-descent replay (the BPE/PageRank unroll
+    * pattern): 5 logistic-regression iterations, each one decimal-sum
+    * aggregate, every arithmetic step the exact IEEE/decimal operation
+    * the engine performs — 9-decimal-quantized sigmoid, round-then-cast
+    * DECIMAL(28,12) contributions, decimal→double→/n updates (the
+    * QualityModel scaladoc's cross-engine discipline). */
+  private lazy val QualityModelOracle: String = {
+    val sig = "round(1.0/(1.0+exp(-(b + x0*wa + x1*wb))), 9)"
+    def iter(k: Int): String = {
+      val prev = s"w${k - 1}"
+      s""",
+         |g$k AS (
+         |  SELECT
+         |    CAST(SUM(CAST(round($sig - y, 12)
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+         |    CAST(SUM(CAST(round(($sig - y) * x0, 12)
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS ga,
+         |    CAST(SUM(CAST(round(($sig - y) * x1, 12)
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS gb
+         |  FROM feat CROSS JOIN $prev),
+         |w$k AS (SELECT b - g0/n AS b, wa - ga/n AS wa, wb - gb/n AS wb
+         |        FROM g$k CROSS JOIN nn CROSS JOIN $prev)""".stripMargin
+    }
+    """WITH feat AS MATERIALIZED (
+      |  SELECT CAST(lang = 'en' AS INT) AS y,
+      |         round(CAST(n_chars AS DOUBLE) / 1000.0, 6) AS x0,
+      |         round(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 6) AS x1
+      |  FROM documents),
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feat),
+      |w0 AS (SELECT 0.0 AS b, 0.0 AS wa, 0.0 AS wb)""".stripMargin +
+      (1 to 5).map(iter).mkString +
+      """
+        |SELECT CAST(0 AS BIGINT) AS weight_idx, round(b, 9) AS weight FROM w5
+        |UNION ALL SELECT CAST(1 AS BIGINT), round(wa, 9) FROM w5
+        |UNION ALL SELECT CAST(2 AS BIGINT), round(wb, 9) FROM w5
+        |ORDER BY weight_idx""".stripMargin
+  }
+
   private lazy val BpeSegmentOracle: String = {
     def round(k: Int): String = {
       val prev = s"w${k - 1}"
@@ -3505,6 +3569,8 @@ object ExtQueries {
         |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY hv) AS rn
         |  FROM h)
         |SELECT lang, source, doc_id FROM r WHERE rn <= 5
-        |ORDER BY lang, source, doc_id""".stripMargin
+        |ORDER BY lang, source, doc_id""".stripMargin,
+
+    "ext_quality_model" -> QualityModelOracle
   )
 }

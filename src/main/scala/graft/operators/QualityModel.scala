@@ -72,13 +72,23 @@ object QualityModel {
 
     val w = Array.fill(dim + 1)(0.0)
     val losses = Array.newBuilder[Double]
-    // per-row quantized contribution: order-independent decimal sums
-    def q(c: Column): Column = c.cast("decimal(28,12)")
+    // Per-row quantized contribution: order-independent decimal sums.
+    // CROSS-ENGINE discipline (r10, the ext_quality_model oracle): the
+    // sigmoid is quantized to 9 decimals BEFORE the error — a 1-ulp
+    // exp() divergence between engines only flips the rounded value
+    // when the true p sits within ~1e-16 of a 0.5e-9 boundary — and
+    // every per-row product is round(·, 12) BEFORE the decimal cast,
+    // because casting an ARBITRARY double at scale 12 is
+    // engine-ambiguous (Spark rounds the shortest round-trip
+    // representation, DuckDB the exact binary value — the
+    // randomProject scaladoc's measured 13th-15th-digit trap), while a
+    // round-then-cast recovers the identical 12-decimal value on both.
+    def q(c: Column): Column = round(c, 12).cast("decimal(28,12)")
     (1 to iters).foreach { _ =>
       val margin = (0 until dim).foldLeft(lit(w(0))) {
         case (acc, i) => acc + col(s"x$i") * lit(w(i + 1))
       }
-      val p = lit(1.0) / (lit(1.0) + exp(-margin))
+      val p = round(lit(1.0) / (lit(1.0) + exp(-margin)), 9)
       val err = p - col("y")
       // one aggregate: bias gradient, d feature gradients, log-loss
       val aggs =
