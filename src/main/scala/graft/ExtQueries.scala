@@ -1204,9 +1204,12 @@ object ExtQueries {
     // ── Robust scale per group: median absolute deviation, both
     //    medians the exact ⌈n/2⌉-rank selection (no float accumulation
     //    anywhere — Relational.medianAbsDeviation scaladoc).
+    //    materialize=true per the r10 G6Probe A/B (local-bench choice;
+    //    the cluster default stays rescan — see g6_quantiles_exact).
     "ext_mad" -> ((s, dir) =>
       Relational.medianAbsDeviation(
-        t(s, dir, "events"), col("event_type"), col("value"))
+        t(s, dir, "events"), col("event_type"), col("value"),
+        materialize = true)
         .orderBy("group_key")),
 
     // ── Interval analytics: peak concurrency per (event_type, day) —

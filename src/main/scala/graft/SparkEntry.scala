@@ -596,11 +596,16 @@ object SparkEntry {
     //    extendedprice per returnflag) — actual data elements at rank
     //    ⌈p·n⌉, no interpolation (see Relational.exactQuantiles; the
     //    at-scale approximate twin is g3-style approx_percentile).
+    //    materialize=true is the LOCAL-bench choice (r10 G6Probe A/B:
+    //    min wall 1.97 s vs 2.71 s rescan at sf0.1, ties at 10×,
+    //    crosses over only by 26× where the checkpoint write starts to
+    //    track n); the operator default stays rescan — the cluster
+    //    path (SCALE.md receipt).
     "g6_quantiles_exact" -> ((s, dir) => {
       graft.operators.Relational.exactQuantiles(
         t(s, dir, "lineitem"),
         col("l_returnflag"), col("l_extendedprice"),
-        Seq(0.25, 0.50, 0.75))
+        Seq(0.25, 0.50, 0.75), materialize = true)
         .withColumnRenamed("group_key", "rf")
         .orderBy("rf")
     }),

@@ -188,7 +188,7 @@ object Relational {
     * approx_percentile path — sketches, no exact ranks, no pulls. */
   def exactQuantiles(
       df: DataFrame, group: Column, value: Column, ps: Seq[Double],
-      bucketsPerGroup: Int = 0): DataFrame = {
+      bucketsPerGroup: Int = 0, materialize: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0))
     import scala.jdk.CollectionConverters._
     val spark = df.sparkSession
@@ -203,7 +203,15 @@ object Relational {
     // replica). sample() is a map-side coin flip — the pass is scan-
     // bound. nB == 1 degenerates to one cell per group (the old
     // whole-group sort) with no split job at all.
-    val bucketed = if (nB <= 1) base.withColumn("bucket", lit(0)) else {
+    // `materialize` cuts the double evaluation of this lineage (pass-1
+    // count + pass-2 rank-pick both scan it) via an eager
+    // localCheckpoint — the Graph.pageRank discipline. G6Probe A/B
+    // (r10): it wins at sf0.1 (min 1.97 s vs 2.71 s), ties at 10×,
+    // and crosses over by 26× as the checkpoint write tracks n.
+    // Re-scan stays the DEFAULT: at cluster scale re-reading columnar
+    // parquet beats writing n rows to executor-local disk, and
+    // checkpoint blocks have no lineage to recompute on executor loss.
+    val bucketedPlan = if (nB <= 1) base.withColumn("bucket", lit(0)) else {
       val fracs = (1 until nB).map(i => i.toDouble / nB)
       val splits = base.sample(withReplacement = false, 0.01, seed = 42L)
         .groupBy("group_key")
@@ -221,6 +229,8 @@ object Relational {
           expr("size(filter(bs, b -> b <= CAST(v AS DOUBLE)))"), lit(0)))
         .drop("bs")
     }
+    val bucketed =
+      if (materialize) bucketedPlan.localCheckpoint(true) else bucketedPlan
     // pass 1: per-(group, bucket) counts → exclusive offsets + targets
     val countRows = bucketed.groupBy("group_key", "bucket")
       .agg(count(lit(1)).as("c")).collect() // ≤ G·B rows
@@ -275,15 +285,16 @@ object Relational {
     * build-time pulls, twice. */
   def medianAbsDeviation(
       df: DataFrame, group: Column, value: Column,
-      bucketsPerGroup: Int = 0): DataFrame = {
+      bucketsPerGroup: Int = 0, materialize: Boolean = false): DataFrame = {
     val med = exactQuantiles(df, group, value.cast("double"), Seq(0.5),
-      bucketsPerGroup)
+      bucketsPerGroup, materialize)
       .select(col("group_key"), col("p50").as("median"))
     val dev = df.select(group.as("g"), value.cast("double").as("v"))
       .filter(col("v").isNotNull)
       .join(broadcast(med), col("g") === col("group_key"))
       .select(col("g"), abs(col("v") - col("median")).as("adev"))
-    exactQuantiles(dev, col("g"), col("adev"), Seq(0.5), bucketsPerGroup)
+    exactQuantiles(dev, col("g"), col("adev"), Seq(0.5), bucketsPerGroup,
+      materialize)
       .select(col("group_key"), col("p50").as("mad"))
       .join(med, Seq("group_key"))
       .select(col("group_key"), col("median"), col("mad"))

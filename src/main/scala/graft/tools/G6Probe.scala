@@ -36,12 +36,21 @@ object G6Probe {
         .agg(percentile_approx(col("v").cast("double"),
           array(fracs.map(lit): _*), lit(1000)).as("bs")).collect()
     }
+    // interleaved A/B: rescan vs localCheckpoint'd bucketed lineage
+    // (r9 verdict ask #4) — alternation cancels warmup/load drift
     (1 to reps).foreach { _ =>
-      timed("full operator (collect)") {
+      val a = timed("full operator, rescan (collect)") {
         graft.operators.Relational.exactQuantiles(
           li, col("l_returnflag"), col("l_extendedprice"),
           Seq(0.25, 0.50, 0.75)).collect()
       }
+      val b = timed("full operator, materialized (collect)") {
+        graft.operators.Relational.exactQuantiles(
+          li, col("l_returnflag"), col("l_extendedprice"),
+          Seq(0.25, 0.50, 0.75), materialize = true).collect()
+      }
+      require(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq,
+        "variants must agree")
     }
     spark.stop()
   }
