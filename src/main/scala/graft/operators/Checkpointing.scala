@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-cut policy for the iterative operators (PageRank, label
+  * propagation, BPE training, connected components): every round must
+  * materialize its state or N chained iterations re-derive the whole
+  * prefix per reference (the r8 plan-duplication lesson).
+  *
+  * Two cuts, one contract (r9 verdict ask #7):
+  *
+  *  - [[Local]] (default): `localCheckpoint(eager)` — executor-local
+  *    blocks, no lineage kept. Fastest (no DFS write), but on a real
+  *    multi-executor cluster a LOST EXECUTOR loses its blocks and,
+  *    with no lineage to recompute them, fails the job — the restart
+  *    contract is "rerun the operator" (it is deterministic, so a
+  *    rerun reproduces the result bit-for-bit). Right for local mode
+  *    and for short loops where a rare rerun beats paying a
+  *    distributed-FS write every round.
+  *  - [[Reliable]]: `Dataset.checkpoint(eager)` into a durable
+  *    checkpoint directory (HDFS/object store on a cluster). Each
+  *    round's state survives executor loss; the job continues instead
+  *    of restarting. Right for long chains on large clusters where
+  *    executor churn is expected — the classic GraphX/ALS discipline.
+  *
+  * Both cuts truncate lineage identically, so plan shape and results
+  * are THE SAME under either mode (pinned by GraphSpec); only the
+  * storage substrate differs.
+  */
+object Checkpointing {
+
+  sealed trait Mode {
+    /** Materialize `df` now and return a lineage-free reference. */
+    def cut(df: DataFrame): DataFrame
+  }
+
+  /** Executor-local eager checkpoint — fast, lineage-free, not
+    * fault-tolerant (see class doc for the restart contract). */
+  case object Local extends Mode {
+    override def cut(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  }
+
+  /** Durable eager checkpoint under `dir` (set once per SparkContext;
+    * subsequent Reliable cuts reuse it — Spark keys the setting on the
+    * context, not the Dataset). */
+  final case class Reliable(dir: String) extends Mode {
+    override def cut(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      df.checkpoint(true)
+    }
+  }
+}

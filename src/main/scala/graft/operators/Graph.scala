@@ -32,8 +32,11 @@ object Graph {
     * rather than hidden, and what keeps the oracle replay linear.
     *
     * 100 TB shape: the edge table with per-edge SHARES (w/outW) is
-    * eagerly localCheckpoint-ed ONCE — the one build-time action, same
-    * documented class as [[Dedup.clusters]]' pointer-jumping rounds —
+    * eagerly checkpointed ONCE (executor-local by default; pass
+    * [[Checkpointing.Reliable]] for a durable cut that survives
+    * executor loss on a real cluster — see [[Checkpointing]] for the
+    * restart contract) — the one build-time action, same documented
+    * class as [[Dedup.clusters]]' pointer-jumping rounds —
     * so the 5 rank iterations each join against materialized blocks
     * instead of re-deriving the edge aggregate per reference (the r8
     * plan-duplication lesson: 5 chained iterations over a lazy edge DF
@@ -48,7 +51,8 @@ object Graph {
       dst: Column,
       weight: Column,
       iterations: Int = 5,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      checkpoint: Checkpointing.Mode = Checkpointing.Local): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val e0 = edges.select(src.as("src"), dst.as("dst"), weight.cast("double").as("w"))
@@ -57,16 +61,16 @@ object Graph {
     val shares = e0.join(outW, Seq("src"))
       .select(col("src"), col("dst"),
         (col("w") / col("out_w")).as("share"), col("out_w"))
-      .localCheckpoint(true) // the one build-time action (see scaladoc)
-    val nodes = shares.select(col("src").as("node"))
-      .union(shares.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
+    val sharesCut = checkpoint.cut(shares) // the one build-time action
+    val nodes = checkpoint.cut(
+      sharesCut.select(col("src").as("node"))
+        .union(sharesCut.select(col("dst").as("node")))
+        .distinct())
     val n = nodes.groupBy().agg(count(lit(1)).as("n_nodes"))
     var pr = nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n_nodes").cast("double")).as("pr"))
     (1 to iterations).foreach { _ =>
-      val contrib = shares
+      val contrib = sharesCut
         .join(pr.select(col("node").as("src"), col("pr").as("pr_src")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum((col("pr_src") * col("share")).cast("decimal(28,12)")).as("in_sum"))
@@ -77,7 +81,7 @@ object Graph {
             lit(damping) * coalesce(col("in_sum").cast("double"), lit(0.0))).as("pr"))
     }
     pr.join(
-        shares.select(col("src").as("node"), col("out_w")).dropDuplicates("node"),
+        sharesCut.select(col("src").as("node"), col("out_w")).dropDuplicates("node"),
         Seq("node"), "left")
       .select(col("node"), round(col("pr"), 6).as("pr"),
         coalesce(col("out_w"), lit(0.0)).as("out_w"))
@@ -102,7 +106,8 @@ object Graph {
     * quantization discipline at all, and synchronous fixed-round
     * updates make the SQL replay a linear unroll.
     *
-    * 100 TB shape: the doubled edge list localCheckpoints once; each
+    * 100 TB shape: the doubled edge list is checkpoint-cut once
+    * ([[Checkpointing]] — durable mode opt-in, as in [[pageRank]]); each
     * round is one shuffle keyed on (node, label) for the vote sum and
     * one on node for the argmax — both high-cardinality. Per-round
     * state is the labels table itself, one row per node. */
@@ -111,13 +116,14 @@ object Graph {
       src: Column,
       dst: Column,
       weight: Column,
-      iterations: Int = 3): DataFrame = {
+      iterations: Int = 3,
+      checkpoint: Checkpointing.Mode = Checkpointing.Local): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e0 = edges.select(src.as("src"), dst.as("dst"), weight.cast("long").as("w"))
-    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .groupBy("src", "dst").agg(sum("w").as("w"))
-      .localCheckpoint(true) // one build-time action, same class as pageRank
-    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val und = checkpoint.cut( // one build-time action, same class as pageRank
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .groupBy("src", "dst").agg(sum("w").as("w")))
+    val nodes = checkpoint.cut(und.select(col("src").as("node")).distinct())
     var labels = nodes.withColumn("label", col("node"))
     (1 to iterations).foreach { _ =>
       val votes = und

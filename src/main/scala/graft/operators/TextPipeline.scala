@@ -682,7 +682,9 @@ object TextPipeline {
       docs: DataFrame,
       text: Column,
       numMerges: Int = 10,
-      minPairCount: Long = 2L): DataFrame = {
+      minPairCount: Long = 2L,
+      checkpoint: graft.operators.Checkpointing.Mode =
+        graft.operators.Checkpointing.Local): DataFrame = {
     require(numMerges >= 1 && numMerges <= 64,
       s"numMerges must be in [1, 64], got $numMerges")
     val spark = docs.sparkSession
@@ -693,9 +695,8 @@ object TextPipeline {
       .groupBy("w").agg(count(lit(1)).as("freq"))
     // "(?!$)" splits into single chars WITHOUT the trailing "" that an
     // empty-pattern split(limit = -1) keeps
-    var work = wordFreq
-      .select(col("freq"), split(col("w"), "(?!$)").as("syms"))
-      .localCheckpoint(true)
+    var work = checkpoint.cut(wordFreq
+      .select(col("freq"), split(col("w"), "(?!$)").as("syms")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -716,9 +717,8 @@ object TextPipeline {
         val a = top.head.getAs[String]("sym_a")
         val b = top.head.getAs[String]("sym_b")
         merges += ((rank.toLong, a, b, top.head.getAs[Long]("n_pair")))
-        work = work
-          .select(col("freq"), mergeFold(col("syms"), a, b).as("syms"))
-          .localCheckpoint(true)
+        work = checkpoint.cut(work
+          .select(col("freq"), mergeFold(col("syms"), a, b).as("syms")))
         rank += 1
       }
     }

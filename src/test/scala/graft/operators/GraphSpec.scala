@@ -133,4 +133,41 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .select("node", "pr").as[(String, Double)].collect().toMap
     assert(a == b)
   }
+
+  test("Reliable checkpoint mode: durable blocks written, results bit-identical") {
+    // r9 verdict ask #7: localCheckpoint blocks die with their executor
+    // and carry no lineage — the opt-in Reliable(dir) cut writes each
+    // round's state durably so a 1000-executor run survives churn.
+    // Same lineage truncation, same results (pinned here for both
+    // graph ops and bpeTrain).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val edges = (1 to 40).map(i => (s"n${i % 7}", s"n${(i * 3) % 7}", (i % 4 + 1).toLong))
+      .groupBy(e => (e._1, e._2)).map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+    val df = edges.toDF("src", "dst", "w")
+    val local = Graph.pageRank(df, col("src"), col("dst"), col("w"))
+      .select("node", "pr").as[(String, Double)].collect().toMap
+    val durable = Graph.pageRank(df, col("src"), col("dst"), col("w"),
+        checkpoint = Checkpointing.Reliable(dir))
+      .select("node", "pr").as[(String, Double)].collect().toMap
+    assert(local == durable, "cut substrate must not change ranks")
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, "Reliable mode must write durable checkpoint files")
+
+    val lpaL = Graph.labelPropagation(df, col("src"), col("dst"), col("w"))
+      .as[(String, String)].collect().toSet
+    val lpaD = Graph.labelPropagation(df, col("src"), col("dst"), col("w"),
+        checkpoint = Checkpointing.Reliable(dir))
+      .as[(String, String)].collect().toSet
+    assert(lpaL == lpaD)
+
+    val docs = Seq("low lower lowest", "new newer newest", "low low new")
+      .toDF("text")
+    val bpeL = TextPipeline.bpeTrain(docs, col("text"), numMerges = 4)
+      .collect().map(_.toString).toSeq
+    val bpeD = TextPipeline.bpeTrain(docs, col("text"), numMerges = 4,
+        checkpoint = Checkpointing.Reliable(dir))
+      .collect().map(_.toString).toSeq
+    assert(bpeL == bpeD)
+  }
 }
