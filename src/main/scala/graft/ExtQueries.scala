@@ -1290,6 +1290,29 @@ object ExtQueries {
         .withColumnRenamed("sample_id", "doc_id")
         .orderBy("lang", "source", "doc_id")),
 
+    // ── Retrieval-quality evaluation (recall@k / MRR@k / NDCG@k) over
+    //    the brute-force cosine ranking vs a deterministic graded gold
+    //    table — the metric pass every ANN configuration sweep needs
+    //    (operators.Eval scaladoc: two shuffles for a million queries;
+    //    DCG discounts 9dp-quantized then decimal-summed, so DuckDB
+    //    replays all three metrics bit-for-bit).
+    "ext_retrieval_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val ranked = Similarity
+        .bruteForceTopK(probes, e.select("vec_id", "embedding"), 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      val gold = e.select(col("vec_id").as("doc_id"))
+        .crossJoin(probes.select("query_id"))
+        .withColumn("rel",
+          when((col("doc_id") + col("query_id")) % 12 === 0, lit(2))
+            .when((col("doc_id") + col("query_id")) % 3 === 0, lit(1))
+            .otherwise(lit(0)))
+      graft.operators.Eval.retrievalMetrics(ranked, gold, 20)
+        .orderBy("query_id")
+    }),
+
     // ── In-engine quality-model training, ORACLED end to end (r9
     //    verdict ask #2 — the last first-class component without a
     //    CORRECTNESS entry): 5 full-batch GD iterations of logistic
@@ -3574,6 +3597,67 @@ object ExtQueries {
         |SELECT lang, source, doc_id FROM r WHERE rn <= 5
         |ORDER BY lang, source, doc_id""".stripMargin,
 
-    "ext_quality_model" -> QualityModelOracle
+    "ext_quality_model" -> QualityModelOracle,
+
+    // Full metric replay: brute-force cosine ranks (the ext_cosine_topk
+    // formulation), the modulo gold table, and all three metrics with
+    // the identical 9dp-quantize-then-DECIMAL(28,12) DCG sums.
+    "ext_retrieval_eval" ->
+      """WITH p AS (
+        |  SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT p.query_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.query_id),
+        |tk AS (
+        |  SELECT query_id, vec_id AS doc_id, rank FROM (
+        |    SELECT query_id, vec_id, sim,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, vec_id) AS rank
+        |    FROM sc) WHERE rank <= 20),
+        |rl AS (
+        |  SELECT p.query_id, e.vec_id AS doc_id,
+        |    CASE WHEN (e.vec_id + p.query_id) % 12 = 0 THEN 2
+        |         WHEN (e.vec_id + p.query_id) % 3 = 0 THEN 1 END AS rel
+        |  FROM embeddings e CROSS JOIN p
+        |  WHERE (e.vec_id + p.query_id) % 3 = 0),
+        |iw AS (
+        |  SELECT query_id, doc_id, rel,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, doc_id) AS ipos
+        |  FROM rl),
+        |ga AS (
+        |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_gold,
+        |    SUM(CASE WHEN ipos <= 20 THEN
+        |      CAST(round((pow(2.0, rel) - 1.0) /
+        |        log2(CAST(ipos AS DOUBLE) + 1.0), 9) AS DECIMAL(28,12)) END)
+        |      AS idcg
+        |  FROM iw GROUP BY 1),
+        |h AS (
+        |  SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |    MIN(t.rank) AS fr,
+        |    SUM(CAST(round((pow(2.0, rl.rel) - 1.0) /
+        |      log2(CAST(t.rank AS DOUBLE) + 1.0), 9) AS DECIMAL(28,12)))
+        |      AS dcg
+        |  FROM tk t JOIN rl ON rl.query_id = t.query_id
+        |    AND rl.doc_id = t.doc_id
+        |  GROUP BY 1)
+        |SELECT ga.query_id, ga.n_gold,
+        |  COALESCE(h.n_hits, 0) AS n_hits,
+        |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) /
+        |    CAST(ga.n_gold AS DOUBLE), 6) AS recall_k,
+        |  round(COALESCE(1.0 / CAST(h.fr AS DOUBLE), 0.0), 6) AS mrr_k,
+        |  round(COALESCE(CAST(h.dcg AS DOUBLE), 0.0) /
+        |    CAST(ga.idcg AS DOUBLE), 6) AS ndcg_k
+        |FROM ga LEFT JOIN h ON h.query_id = ga.query_id
+        |ORDER BY ga.query_id""".stripMargin
   )
 }

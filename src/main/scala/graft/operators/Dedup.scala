@@ -729,10 +729,14 @@ object Dedup {
   def substringFingerprintPairs(
       df: DataFrame, id: Column, text: Column,
       k: Int = 32, modP: Int = 8, bucketCap: Int = 1000): DataFrame = {
+    // duplicate (doc_id, fp) rows can only come from one doc repeating
+    // a window INTERNALLY — cross-doc rows differ in doc_id — so the
+    // dedup is map-side array_distinct, NOT a corpus-wide .distinct()
+    // shuffle of ~len/modP rows per doc (r10: that shuffle was pure
+    // overhead at every scale; removing it is exact-equivalent)
     val fps = df.select(id.as("doc_id"),
-        explode(graft.functions.expressions.GraftFunctions
-          .winnowed_fingerprints(text, k, modP)).as("fp"))
-      .distinct()
+        explode(array_distinct(graft.functions.expressions.GraftFunctions
+          .winnowed_fingerprints(text, k, modP))).as("fp"))
     val capped = capBuckets(fps, Seq("fp"), bucketCap, "substr")
     val l = capped.select(col("fp"), col("doc_id").as("id_a"))
     val r = capped.select(col("fp"), col("doc_id").as("id_b"))

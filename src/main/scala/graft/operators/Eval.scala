@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Retrieval-quality evaluation — the metric family every
+  * embedding/RAG pipeline runs after building an index: given a ranked
+  * candidate table (from [[Similarity.bruteForceTopK]], `lshTopK`,
+  * `ivfTopK`, `pqTopK` — any (query_id, doc_id, rank) source) and a
+  * graded gold-relevance table, compute per-query recall@k, MRR@k and
+  * NDCG@k. The reference has no evaluation surface; this is a pure
+  * [EXT] 100 TB-pipeline component (how else do you pick the ANN
+  * banding that keeps recall?).
+  *
+  * 100 TB shape: both inputs shuffle ONCE on the high-cardinality
+  * (query_id, doc_id) join key; the per-query aggregation keys on
+  * query_id (millions of queries in an eval sweep — parallelism grows
+  * with data); the IDCG ranking windows per query over ≤ |gold(q)|
+  * rows. No cross join, no driver loop — metrics for a million
+  * queries cost two shuffles.
+  *
+  * Cross-engine determinism: the DCG discount 1/log₂(i+1) is
+  * transcendental, so every per-position term is quantized
+  * round(·, 9) and summed as DECIMAL(28,12) — the round-then-cast
+  * discipline ([[QualityModel]] scaladoc); recall and MRR are exact
+  * rational arithmetic. A SQL engine replays all three metrics
+  * bit-for-bit (`ext_retrieval_eval`).
+  */
+object Eval {
+
+  /** Per-query retrieval metrics over the top `k` ranked rows.
+    *
+    *  - recall_k = |relevant ∩ top-k| / |relevant|
+    *  - mrr_k    = 1 / rank(first relevant in top-k), 0 when none
+    *  - ndcg_k   = DCG@k / IDCG@k with gain 2^rel − 1 and discount
+    *               log₂(position+1); IDCG ranks gold by (rel DESC,
+    *               doc_id) — a total order, so ties are deterministic
+    *
+    * `ranked`: (query_id, doc_id, rank), rank 1-based and unique per
+    * query (the contract of every top-k operator here). `gold`:
+    * (query_id, doc_id, rel) with graded integer relevance; rel <= 0
+    * rows are ignored. Queries with NO positive gold are dropped —
+    * their metrics are undefined (0/0), and emitting them as zeros
+    * would silently deflate corpus means. */
+  def retrievalMetrics(
+      ranked: DataFrame,
+      gold: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def q(c: Column) = round(c, 9).cast("decimal(28,12)")
+    def gain(rel: Column) = pow(lit(2.0), rel.cast("double")) - lit(1.0)
+    def discount(pos: Column) = log2(pos.cast("double") + lit(1.0))
+
+    val rel = gold.filter(col("rel") > 0)
+      .select(col("query_id"), col("doc_id"), col("rel").cast("int").as("rel"))
+    // gold side: corpus of relevant docs + the ideal DCG from the top-k
+    // BY RELEVANCE (window keyed on query_id — one row per gold doc)
+    val iw = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("doc_id"))
+    val goldAgg = rel
+      .withColumn("ipos", row_number().over(iw))
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_gold"),
+        sum(when(col("ipos") <= k,
+          q(gain(col("rel")) / discount(col("ipos"))))).as("idcg"))
+    // retrieved side: relevance of what actually surfaced in the top k
+    val hits = ranked.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("int").as("rank"))
+      .join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        min(col("rank")).as("first_rel_rank"),
+        sum(q(gain(col("rel")) / discount(col("rank")))).as("dcg"))
+    goldAgg.join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        col("n_gold"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_gold").cast("double"), 6).as("recall_k"),
+        round(coalesce(lit(1.0) / col("first_rel_rank").cast("double"),
+          lit(0.0)), 6).as("mrr_k"),
+        round(coalesce(col("dcg").cast("double"), lit(0.0)) /
+          col("idcg").cast("double"), 6).as("ndcg_k"))
+  }
+}
