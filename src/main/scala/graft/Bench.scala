@@ -17,7 +17,19 @@ import org.apache.spark.sql.SparkSession
   * are the per-query MIN — the repeat least polluted by neighbors —
   * with medians in `queries_median` and 1/5/15-min load averages
   * stamped before and after, so the JSON is self-describing about how
-  * noisy the box was. */
+  * noisy the box was.
+  *
+  * r10 pair-calibration (VERDICT r9 ask #5: same-code p90 noise 1.23×
+  * had outgrown the 1.25× regression threshold): (a) queries whose
+  * fastest base repeat is >= SPARK_GRAFT_HEAVY_THRESHOLD get
+  * SPARK_GRAFT_HEAVY_EXTRA additional repeats — min-of-N tightens
+  * where it matters; (b) every run emits `queries_selfratio` — the
+  * SPLIT-HALF ratio max(min(even reps), min(odd reps)) / min(...) per
+  * query, same-code BY CONSTRUCTION — plus a run-level `noise` summary
+  * (p50/p90/max of those ratios). A cross-build comparison
+  * (tools/bench_compare.py) flags a regression only when its min-ratio
+  * clears the runs' own noise floor, giving a stated confidence
+  * instead of a bare threshold. */
 object Bench {
   private def loadAvg(): Seq[Double] = {
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -55,13 +67,21 @@ object Bench {
     // optional selective run for local iteration (driver leaves it unset)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
+    // Adaptive repeats (r9 verdict ask #5): queries whose fastest base
+    // repeat is >= this threshold get SPARK_GRAFT_HEAVY_EXTRA more —
+    // min-of-N variance shrinks where regressions actually matter
+    // (heavy queries), without paying extra reps on the 0.3 s tail.
+    val heavyThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_HEAVY_THRESHOLD", "1.0").toDouble
+    val heavyExtra =
+      math.max(0, sys.env.getOrElse("SPARK_GRAFT_HEAVY_EXTRA", "4").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         // min-of-N: each repeat is a full replan + re-execution; a failed
         // repeat fails the query (no partial timings survive)
         var failed = false
-        val times = (1 to repeats).iterator.takeWhile(_ => !failed).map { _ =>
+        def run(): Double = {
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -78,24 +98,58 @@ object Bench {
           spark.sharedState.cacheManager.clearCache()
           System.gc()
           elapsed
-        }.toVector
-        if (failed) (name, -1.0, -1.0, false)
+        }
+        val base = (1 to repeats).iterator.takeWhile(_ => !failed)
+          .map(_ => run()).toVector
+        val extra =
+          if (!failed && base.min >= heavyThreshold)
+            (1 to heavyExtra).iterator.takeWhile(_ => !failed)
+              .map(_ => run()).toVector
+          else Vector.empty
+        val times = base ++ extra
+        if (failed) (name, -1.0, -1.0, -1.0, false)
         else {
           val sorted = times.sorted
-          (name, sorted.head, sorted(sorted.length / 2), true)
+          // split-half SELF-calibration: interleaved odd/even repeats
+          // are same-code by construction, so max(minA,minB)/min(...)
+          // is this run's own noise floor at the min-of-N statistic —
+          // the reference distribution a cross-build comparison must
+          // beat (tools/bench_compare.py)
+          val (evens, odds) = times.zipWithIndex.partition(_._2 % 2 == 0)
+          val selfRatio =
+            if (odds.isEmpty) 1.0
+            else {
+              val a = evens.map(_._1).min
+              val b = odds.map(_._1).min
+              math.max(a, b) / math.min(a, b)
+            }
+          (name, sorted.head, sorted(sorted.length / 2), selfRatio, true)
         }
       }
     val loadAfter = loadAvg()
-    val qs = results.map { case (k, mn, _, _) => "\"" + k + "\":" + mn }
+    val qs = results.map { case (k, mn, _, _, _) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val meds = results.map { case (k, _, md, _) => "\"" + k + "\":" + md }
+    val meds = results.map { case (k, _, md, _, _) => "\"" + k + "\":" + md }
       .mkString("{", ",", "}")
-    val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.filter(_._4).map(_._2).sum
+    val selfs = results.filter(_._5)
+      .map { case (k, _, _, sr, _) => "\"" + k + "\":" + f"$sr%.4f" }
+      .mkString("{", ",", "}")
+    // run-level noise summary over the per-query split-half ratios: a
+    // cross-build min ratio below noise_p90 is indistinguishable from
+    // same-code noise; above noise_max it is a >~99%-confidence change
+    val srs = results.filter(_._5).map(_._4).sorted
+    val noise =
+      if (srs.isEmpty) """{"p50":1.0,"p90":1.0,"max":1.0}"""
+      else f"""{"p50":${srs(srs.length / 2)}%.4f,""" +
+        f""""p90":${srs((srs.length * 9) / 10)}%.4f,"max":${srs.last}%.4f}"""
+    val errs = results.filterNot(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._5).map(_._2).sum
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_median":$meds,"repeats":$repeats,""" +
+        s""""queries_median":$meds,"queries_selfratio":$selfs,""" +
+        s""""noise":$noise,"repeats":$repeats,""" +
+        s""""heavy_threshold":$heavyThreshold,"heavy_extra":$heavyExtra,""" +
         s""""load_avg_before":${arr(loadBefore)},"load_avg_after":${arr(loadAfter)},""" +
         s""""errors":$errs,"sf":"$sfDir"}"""
     println(json)

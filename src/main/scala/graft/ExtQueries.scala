@@ -1290,6 +1290,19 @@ object ExtQueries {
         .withColumnRenamed("sample_id", "doc_id")
         .orderBy("lang", "source", "doc_id")),
 
+    // ── Distribution-drift gate: per-bucket PSI of the event value
+    //    distribution, odd-event_id snapshot vs even-event_id baseline
+    //    (operators.Drift scaladoc — two map-side bucket aggregations,
+    //    fixed split literals, 9dp-quantized ln terms).
+    "ext_drift_psi" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Drift.psi(
+        e.filter(col("event_id") % 2 === 0),
+        e.filter(col("event_id") % 2 === 1),
+        col("value"),
+        splits = Seq(5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 400.0))
+    }),
+
     // ── Retrieval-quality evaluation (recall@k / MRR@k / NDCG@k) over
     //    the brute-force cosine ranking vs a deterministic graded gold
     //    table — the metric pass every ANN configuration sweep needs
@@ -3598,6 +3611,39 @@ object ExtQueries {
         |ORDER BY lang, source, doc_id""".stripMargin,
 
     "ext_quality_model" -> QualityModelOracle,
+
+    // Bucket = count of splits <= value (a sum of comparisons), exact
+    // count/total proportions, eps-smoothed, ln term rounded to 9dp —
+    // the identical arithmetic chain the engine runs.
+    "ext_drift_psi" ->
+      """WITH bk AS (
+        |  SELECT event_id,
+        |    CAST(value >= 5.0 AS INT) + CAST(value >= 10.0 AS INT) +
+        |    CAST(value >= 20.0 AS INT) + CAST(value >= 50.0 AS INT) +
+        |    CAST(value >= 100.0 AS INT) + CAST(value >= 200.0 AS INT) +
+        |    CAST(value >= 400.0 AS INT) AS bucket
+        |  FROM events WHERE value IS NOT NULL),
+        |bb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_base
+        |       FROM bk WHERE event_id % 2 = 0 GROUP BY 1),
+        |cc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_cur
+        |       FROM bk WHERE event_id % 2 = 1 GROUP BY 1),
+        |tb AS (SELECT SUM(n_base) AS t_base FROM bb),
+        |tc AS (SELECT SUM(n_cur) AS t_cur FROM cc),
+        |j AS (
+        |  SELECT COALESCE(bb.bucket, cc.bucket) AS bucket,
+        |    COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+        |  FROM bb FULL OUTER JOIN cc ON bb.bucket = cc.bucket)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n_base, n_cur,
+        |  round(greatest(CAST(n_base AS DOUBLE) / CAST(t_base AS DOUBLE),
+        |    1e-6), 9) AS p_base,
+        |  round(greatest(CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE),
+        |    1e-6), 9) AS p_cur,
+        |  round((greatest(CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE), 1e-6)
+        |       - greatest(CAST(n_base AS DOUBLE) / CAST(t_base AS DOUBLE), 1e-6))
+        |    * ln(greatest(CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE), 1e-6)
+        |       / greatest(CAST(n_base AS DOUBLE) / CAST(t_base AS DOUBLE), 1e-6)),
+        |    9) AS psi_term
+        |FROM j CROSS JOIN tb CROSS JOIN tc ORDER BY bucket""".stripMargin,
 
     // Full metric replay: brute-force cosine ranks (the ext_cosine_topk
     // formulation), the modulo gold table, and all three metrics with

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Distribution-drift monitoring between two corpus snapshots —
+  * the data-quality gate a continuously-ingesting pipeline runs before
+  * accepting a new drop: has the length/quality/score distribution
+  * moved against the corpus it was tuned on? The standard statistic is
+  * the Population Stability Index,
+  * PSI = Σ_buckets (p_cur − p_base) · ln(p_cur / p_base), with the
+  * usual reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+  *
+  * 100 TB shape: one aggregation per snapshot keyed on the bucket —
+  * the bucket id is a pure monotone function of the value against
+  * FIXED split literals (the exactQuantiles bucketing move), so both
+  * passes are map-side partial aggregations collapsing each partition
+  * to ≤ B rows; the final join/aggregate touches 2·B rows total. No
+  * window, no driver loop — drift for a 100 TB pair costs two scans.
+  *
+  * Cross-engine determinism: counts and proportions are exact (integer
+  * counts, one IEEE divide); ln is transcendental, so each bucket's
+  * PSI term is quantized round(·, 9) before any reuse — the
+  * round-then-cast discipline ([[QualityModel]]). Zero-count buckets
+  * are smoothed with `eps` (ln(0) guard), the classic PSI convention,
+  * applied identically on both sides.
+  */
+object Drift {
+
+  /** Per-bucket PSI report between `baseline` and `current` on `value`.
+    *
+    * `splits` are the INTERIOR bucket boundaries (ascending); bucket i
+    * = #splits <= v, so B = splits.length + 1 buckets cover the line
+    * and every row lands somewhere (nulls are dropped — they carry no
+    * position in the distribution). Fixed literal splits, not
+    * quantiles of either side: drift of the CURRENT against the
+    * BASELINE is only meaningful on a frame that does not itself move.
+    *
+    * Output: (bucket, n_base, n_cur, p_base, p_cur, psi_term) — one
+    * row per bucket with at least one observation on either side;
+    * sum(psi_term) IS the PSI (each term already 9dp-quantized). */
+  def psi(
+      baseline: DataFrame,
+      current: DataFrame,
+      value: Column,
+      splits: Seq[Double],
+      eps: Double = 1e-6): DataFrame = {
+    require(splits.nonEmpty, "psi needs at least one bucket boundary")
+    require(splits == splits.sorted, "splits must be ascending")
+    require(eps > 0.0, s"eps must be positive, got $eps")
+    val splitArr = array(splits.map(lit): _*)
+    def bucketed(df: DataFrame, cnt: String): DataFrame =
+      df.select(value.cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .select(size(filter(splitArr, b => b <= col("v"))).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(cnt))
+    val b = bucketed(baseline, "n_base")
+    val c = bucketed(current, "n_cur")
+    // totals ride a broadcast single-row cross join (the B12 pattern),
+    // never a driver collect
+    val tb = b.agg(sum("n_base").as("t_base"))
+    val tc = c.agg(sum("n_cur").as("t_cur"))
+    val pB = greatest(col("n_base").cast("double") / col("t_base").cast("double"),
+      lit(eps))
+    val pC = greatest(col("n_cur").cast("double") / col("t_cur").cast("double"),
+      lit(eps))
+    b.join(c, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .crossJoin(broadcast(tb))
+      .crossJoin(broadcast(tc))
+      .select(
+        col("bucket").cast("long").as("bucket"),
+        col("n_base"), col("n_cur"),
+        round(pB, 9).as("p_base"),
+        round(pC, 9).as("p_cur"),
+        round((pC - pB) * log(pC / pB), 9).as("psi_term"))
+      .orderBy("bucket")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class DriftSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("psi: identical snapshots score exactly zero in every bucket") {
+    val vals = (1 to 200).map(i => (i % 30) * 1.0)
+    val df = vals.toDF("v")
+    val got = Drift.psi(df, df, col("v"), splits = Seq(5.0, 10.0, 20.0))
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 4)
+    assert(got.forall(r => r._6 == 0.0), "same distribution -> zero PSI terms")
+    assert(got.forall(r => r._2 == r._3))
+  }
+
+  test("psi: a planted shift produces positive total PSI; empty buckets eps-smooth") {
+    val base = (1 to 100).map(_ => 1.0) ++ (1 to 100).map(_ => 15.0)
+    val cur = (1 to 180).map(_ => 1.0) ++ (1 to 20).map(_ => 15.0)
+    val got = Drift.psi(base.toDF("v"), cur.toDF("v"), col("v"),
+      splits = Seq(5.0, 10.0, 20.0))
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val total = got.values.map(_._6).sum
+    assert(total > 0.25, s"a 50/50 -> 90/10 shift is a major drift, got $total")
+    // bucket 3 (>= 20) is empty on BOTH sides -> absent from the report
+    assert(!got.contains(3L))
+    // each individual term is nonneg (p-q and ln share sign)
+    assert(got.values.forall(_._6 >= 0.0))
+  }
+
+  test("psi: one-sided empty bucket smooths to eps instead of ln(0)") {
+    val base = (1 to 100).map(_ => 1.0) ++ (1 to 50).map(_ => 15.0)
+    val cur = (1 to 100).map(_ => 1.0) // nothing >= 10 in current
+    val got = Drift.psi(base.toDF("v"), cur.toDF("v"), col("v"),
+      splits = Seq(10.0))
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val b1 = got(1L)
+    assert(b1._3 == 0L && b1._5 == 1e-6, "empty current bucket -> eps proportion")
+    assert(b1._6.isFinite && b1._6 > 0.0)
+    // nulls carry no distribution position: dropped, not a bucket
+    val withNull = (Seq(Some(1.0), None) ++ (1 to 9).map(x => Some(1.0))).toDF("v")
+    val n = Drift.psi(withNull, withNull, col("v"), Seq(10.0))
+      .agg(sum("n_base")).as[Long].collect().head
+    assert(n == 10L)
+  }
+}

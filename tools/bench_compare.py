@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Noise-calibrated cross-build bench comparison (r9 verdict ask #5).
+
+Same-code min-of-N ratios on this box historically spread to p90 1.23x,
+swamping a bare 1.25x regression threshold. Bench.scala now emits a
+per-run SPLIT-HALF self-calibration (`queries_selfratio`: interleaved
+odd/even repeats, same code by construction, ratio of their mins) and a
+run-level `noise` summary. This tool compares two bench JSONs against
+that calibration:
+
+  - ratio = min_new / min_old per shared query
+  - noise floor = max of the two runs' own split-half ratio for that
+    query (each run knows how noisy IT was on THAT query), with the
+    run-level p90 as a lower bound for queries with degenerate splits
+  - verdict per query:
+      REGRESSION  ratio > max(floor, threshold)  -> a change this large
+                  never occurred between same-code halves of either run
+                  (>~99% confidence it is real, not scheduler noise)
+      WATCH       threshold < ratio <= floor     -> inside the measured
+                  same-code noise band; not actionable evidence
+      ok          otherwise (improvements reported symmetrically)
+
+Usage: python3 tools/bench_compare.py <old.json> <new.json> [threshold=1.15]
+Dev-only tool (driver-side python); not part of the Scala library.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main(old_path, new_path, threshold=1.15):
+    old, new = load(old_path), load(new_path)
+    qo, qn = old["queries"], new["queries"]
+    so = old.get("queries_selfratio", {})
+    sn = new.get("queries_selfratio", {})
+    p90 = max(old.get("noise", {}).get("p90", 1.0),
+              new.get("noise", {}).get("p90", 1.0))
+    shared = sorted(set(qo) & set(qn))
+    regressions, watch, improved = [], [], []
+    for q in shared:
+        a, b = qo[q], qn[q]
+        if a <= 0 or b <= 0:
+            continue
+        ratio = b / a
+        floor = max(so.get(q, 1.0), sn.get(q, 1.0), p90)
+        if ratio > max(floor, threshold):
+            regressions.append((q, ratio, floor, a, b))
+        elif ratio > threshold:
+            watch.append((q, ratio, floor, a, b))
+        elif 1.0 / ratio > max(floor, threshold):
+            improved.append((q, ratio, floor, a, b))
+    for tag, rows in (("REGRESSION", regressions), ("WATCH", watch),
+                      ("IMPROVED", improved)):
+        for q, r, f, a, b in sorted(rows, key=lambda t: -t[1]):
+            print(f"{tag:10s} {q:36s} {a:7.2f}s -> {b:7.2f}s  "
+                  f"ratio {r:5.2f}x  noise-floor {f:5.2f}x")
+    ta = sum(v for v in qo.values() if v > 0)
+    tb = sum(qn[q] for q in shared if qn[q] > 0 and qo.get(q, -1) > 0)
+    print(f"\n{len(shared)} shared queries; totals {ta:.1f}s -> {tb:.1f}s; "
+          f"run noise p90 {p90:.2f}x; "
+          f"{len(regressions)} regression(s) above the calibrated floor, "
+          f"{len(watch)} inside the noise band, {len(improved)} improved")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.15
+    sys.exit(main(sys.argv[1], sys.argv[2], thr))
