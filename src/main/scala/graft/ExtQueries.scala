@@ -1290,6 +1290,25 @@ object ExtQueries {
         .withColumnRenamed("sample_id", "doc_id")
         .orderBy("lang", "source", "doc_id")),
 
+    // ── Leakage-free split: train/val decided by the near-dup CLUSTER
+    //    representative (same deterministic pair graph as
+    //    ext_dedup_clusters), so near-duplicates never straddle the
+    //    split — the eval-contamination guard a plain doc-hash split
+    //    lacks (TextPipeline.leakageFreeSplit scaladoc).
+    "ext_leakage_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = d.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      val pairs = a.join(b, col("id_b") === col("id_a") + 1)
+        .filter(round(graft.functions.expressions.GraftFunctions
+          .ngram_jaccard(col("ta"), col("tb"), 3), 6) >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      TextPipeline.leakageFreeSplit(
+        d, col("doc_id"), pairs, col("id_a"), col("id_b"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ── Distribution-drift gate: per-bucket PSI of the event value
     //    distribution, odd-event_id snapshot vs even-event_id baseline
     //    (operators.Drift scaladoc — two map-side bucket aggregations,
@@ -3611,6 +3630,35 @@ object ExtQueries {
         |ORDER BY lang, source, doc_id""".stripMargin,
 
     "ext_quality_model" -> QualityModelOracle,
+
+    // The ext_dedup_clusters recursive-closure replay + the hashSplit
+    // md5-first-digit rule applied to the cluster id.
+    "ext_leakage_split" ->
+      """WITH RECURSIVE sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(2, length(trim(regexp_replace(lower(text),'\s+',' ','g'))) - 1)),
+        |      i -> substr(trim(regexp_replace(lower(text),'\s+',' ','g')), i, 3))) AS s
+        |  FROM documents),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM e0
+        |  UNION ALL SELECT id_b, id_a FROM e0),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON r.id = e.dst),
+        |cl AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+        |       FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+        |       IN ('0','1','2','3','4','5','6','7','8','9','a','b','c','d')
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM cl ORDER BY doc_id""".stripMargin,
 
     // Bucket = count of splits <= value (a sum of comparisons), exact
     // count/total proportions, eps-smoothed, ln term rounded to 9dp —

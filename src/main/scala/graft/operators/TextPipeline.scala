@@ -516,6 +516,40 @@ object TextPipeline {
         "train").otherwise("val"))
   }
 
+  /** Leakage-free train/val split: the split decision hashes the
+    * near-dup CLUSTER representative, not the document id — so two
+    * near-duplicates can NEVER straddle train and validation (the
+    * eval-contamination bug a plain [[hashSplit]] has by construction:
+    * with 14/16 train odds, each near-dup pair leaks across the split
+    * with p = 2·(14/16)·(2/16) ≈ 22%).
+    *
+    * Composition, not new machinery: [[Dedup.clusters]] (pointer-
+    * jumping connected components over any near-dup pair table —
+    * minhash/simhash/embedding output in production) labels every doc
+    * with its min-id representative; the [[hashSplit]] md5-first-digit
+    * rule is then applied to the CLUSTER id, and every member inherits
+    * it. Singleton docs hash their own id — identical to hashSplit.
+    *
+    * 100 TB shape: clusters() is O(log n) bounded-lineage rounds over
+    * (id, label) pairs; the split itself is one map-side expression.
+    * Output: (id, cluster_id, split). */
+  def leakageFreeSplit(
+      docs: DataFrame,
+      id: Column,
+      pairs: DataFrame,
+      idA: Column,
+      idB: Column,
+      trainSixteenths: Int = 14): DataFrame = {
+    require(trainSixteenths >= 1 && trainSixteenths <= 15,
+      s"trainSixteenths must be in [1, 15], got $trainSixteenths")
+    val trainDigits = "0123456789abcdef".take(trainSixteenths).map(_.toString)
+    Dedup.clusters(docs.select(id.as("id")), pairs, col("id"), idA, idB)
+      .withColumn("split",
+        when(substring(md5(col("cluster_id").cast("string")), 1, 1)
+          .isin(trainDigits: _*), "train").otherwise("val"))
+      .select(col("id"), col("cluster_id"), col("split"))
+  }
+
   /** Token scrub: drop stopwords and sub-`minLen` tokens from every
     * document and reassemble it — the normalization pass that runs
     * between raw text and the tokenizer. Entirely map-side (split →

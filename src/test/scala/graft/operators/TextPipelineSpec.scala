@@ -603,4 +603,26 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
       assert(got == want, s"trial $trial")
     }
   }
+
+  test("leakageFreeSplit: every cluster member lands in ONE split, singletons match hashSplit") {
+    // two 3-doc near-dup chains + isolated docs; pairs link the chains
+    val docs = (1L to 10L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (8L, 9L)).toDF("id_a", "id_b")
+    val got = TextPipeline.leakageFreeSplit(
+      docs, col("doc_id"), pairs, col("id_a"), col("id_b"))
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    // cluster membership: {1,2,3} -> 1, {7,8,9} -> 7, rest singleton
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster(1L).map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(byCluster(7L).map(_._1).toSet == Set(7L, 8L, 9L))
+    byCluster.values.foreach { members =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster ${members.head._2} straddles the split")
+    }
+    // singletons: identical decision to the plain doc-hash split
+    val plain = TextPipeline.hashSplit(docs, col("doc_id"), 14)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    got.filter(r => !Set(1L, 2L, 3L, 7L, 8L, 9L).contains(r._1))
+      .foreach(r => assert(r._3 == plain(r._1)))
+  }
 }
