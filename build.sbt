@@ -34,4 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // has 128 GiB — a small heap makes late bench queries pay GC/broadcast
   // pressure accumulated by earlier ones.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // JIT code cache: local-mode bench JVMs execute EVERY query's
+  // whole-stage-codegen classes in one process; at the default 240 MB
+  // the cache fills after ~30 heavy-query executions, HotSpot stops
+  // JIT-compiling, and codegen-hot queries degrade ~5x (r10: the
+  // ext_semdedup 52s-vs-6s receipt mystery — SCALE.md "code cache").
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )

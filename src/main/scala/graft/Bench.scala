@@ -73,8 +73,12 @@ object Bench {
     // (heavy queries), without paying extra reps on the 0.3 s tail.
     val heavyThreshold =
       sys.env.getOrElse("SPARK_GRAFT_HEAVY_THRESHOLD", "1.0").toDouble
+    // default 2, not more: long one-JVM benches accumulate JIT/codegen
+    // state, and past ~30 heavy-query executions the iterative-planning
+    // queries fall off a measured cliff (SCALE.md "code cache") — extra
+    // repeats must not push the execution count into it
     val heavyExtra =
-      math.max(0, sys.env.getOrElse("SPARK_GRAFT_HEAVY_EXTRA", "4").toInt)
+      math.max(0, sys.env.getOrElse("SPARK_GRAFT_HEAVY_EXTRA", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -96,6 +100,16 @@ object Bench {
           // drop per-query artifacts (broadcast blocks, codegen refs) so
           // later runs aren't taxed by earlier ones' heap residue
           spark.sharedState.cacheManager.clearCache()
+          // ALSO release orphaned persisted/localCheckpoint blocks: an
+          // operator's eager checkpoint frees only when its RDD is
+          // GC'd, asynchronously — at 9 reps × several checkpointing
+          // queries the block manager filled with dead 26×-scale blocks
+          // and a later query's shuffle paid for it (r10: ext_semdedup
+          // 55.9 s inside the 8-query heavy receipt vs 10.6 s isolated,
+          // self-ratio 1.006 — deterministic harness residue, not the
+          // operator)
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           System.gc()
           elapsed
         }

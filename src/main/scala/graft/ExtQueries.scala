@@ -1290,6 +1290,62 @@ object ExtQueries {
         .withColumnRenamed("sample_id", "doc_id")
         .orderBy("lang", "source", "doc_id")),
 
+    // ── Experiment readout: per-user conversion (any purchase event)
+    //    split by user_id parity, two-proportion z-test — every
+    //    arithmetic step IEEE-exact, so the statistic needs no
+    //    quantization at all (operators.Experiment scaladoc).
+    "ext_ab_test" -> ((s, dir) => {
+      // outcome = "power purchaser" (>= 14 purchase events): splits the
+      // user base near the median at every scale factor — a plain
+      // any-purchase outcome converts EVERYONE (se = 0, no statistic)
+      val users = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= 14L).as("converted"))
+        .withColumn("arm",
+          when(col("user_id") % 2 === 0, "control").otherwise("treat"))
+      graft.operators.Experiment.abTest(
+        users, col("arm"), col("converted"), "control", "treat")
+    }),
+
+    // ── Probabilistic record linkage (Fellegi–Sunter): score a
+    //    perturbed re-delivery of the customer file against the master
+    //    on four fields — true matches (same key) and shifted-key
+    //    controls in one candidate table; weights are driver-side
+    //    double literals, the per-pair score a fixed map-side fold
+    //    (operators.Linkage scaladoc — zero shuffle beyond blocking).
+    "ext_record_linkage" -> ((s, dir) => {
+      val master = t(s, dir, "customer").select(
+        col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_nationkey").as("nation"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("segment"))
+      val delta = master.select(
+        (col("key") + 1000000L).as("dkey"), col("key").as("orig"),
+        when(col("key") % 7 === 0, concat(col("name"), lit("X")))
+          .otherwise(col("name")).as("dname"),
+        col("nation").as("dnation"),
+        when(col("key") % 3 === 0, col("bal") + lit(250.0))
+          .otherwise(col("bal")).as("dbal"),
+        when(col("key") % 5 === 0, lit("NONE"))
+          .otherwise(col("segment")).as("dsegment"))
+      val cand = master.join(delta, col("orig") === col("key"))
+        .unionByName(master.join(delta, col("orig") === col("key") + 1))
+      graft.operators.Linkage.linkScore(
+        cand, col("key"), col("dkey"),
+        Seq(
+          graft.operators.Linkage.Field("name",
+            col("name") === col("dname"), 0.93, 0.001),
+          graft.operators.Linkage.Field("bal_bucket",
+            floor(col("bal") / 100.0) === floor(col("dbal") / 100.0),
+            0.9, 0.005),
+          graft.operators.Linkage.Field("nation",
+            col("nation") === col("dnation"), 0.95, 0.04),
+          graft.operators.Linkage.Field("segment",
+            col("segment") === col("dsegment"), 0.9, 0.2)),
+        upper = 5.0, lower = 0.0)
+        .orderBy("id_l", "id_r")
+    }),
+
     // ── Leakage-free split: train/val decided by the near-dup CLUSTER
     //    representative (same deterministic pair graph as
     //    ext_dedup_clusters), so near-duplicates never straddle the
@@ -1402,6 +1458,52 @@ object ExtQueries {
     * distinct word, so one result verifies training and application
     * together. Generated programmatically — six hand-copied rounds
     * invite drift. */
+  /** Fellegi–Sunter replay: the m/u weights render as shortest-repr
+    * double literals (the lshPlanesSql precedent — both engines parse
+    * back the identical double), and the score is the same fixed
+    * left-to-right CASE fold the engine runs. */
+  private lazy val RecordLinkageOracle: String = {
+    def w(m: Double, u: Double): (Double, Double) =
+      (math.log(m / u) / math.log(2.0),
+        math.log((1.0 - m) / (1.0 - u)) / math.log(2.0))
+    val (na, nd) = w(0.93, 0.001)
+    val (pa, pd) = w(0.9, 0.005)
+    val (ta, td) = w(0.95, 0.04)
+    val (sa, sd) = w(0.9, 0.2)
+    s"""WITH m AS (
+       |  SELECT c_custkey AS key, c_name AS name, c_acctbal AS bal,
+       |         c_nationkey AS nation, c_mktsegment AS segment
+       |  FROM customer),
+       |d AS (
+       |  SELECT key + 1000000 AS dkey, key AS orig,
+       |    CASE WHEN key % 7 = 0 THEN name || 'X' ELSE name END AS dname,
+       |    CASE WHEN key % 3 = 0 THEN bal + 250.0 ELSE bal END AS dbal,
+       |    nation AS dnation,
+       |    CASE WHEN key % 5 = 0 THEN 'NONE' ELSE segment END AS dsegment
+       |  FROM m),
+       |cand AS (
+       |  SELECT m.*, d.* FROM m JOIN d ON d.orig = m.key
+       |  UNION ALL
+       |  SELECT m.*, d.* FROM m JOIN d ON d.orig = m.key + 1),
+       |sc AS (
+       |  SELECT key AS id_l, dkey AS id_r,
+       |    CAST(CAST(name = dname AS INT)
+       |       + CAST(floor(bal / 100.0) = floor(dbal / 100.0) AS INT)
+       |       + CAST(nation = dnation AS INT)
+       |       + CAST(segment = dsegment AS INT) AS BIGINT) AS n_agree,
+       |    (((CASE WHEN name = dname THEN $na ELSE $nd END)
+       |     + (CASE WHEN floor(bal / 100.0) = floor(dbal / 100.0)
+       |             THEN $pa ELSE $pd END))
+       |     + (CASE WHEN nation = dnation THEN $ta ELSE $td END))
+       |     + (CASE WHEN segment = dsegment THEN $sa ELSE $sd END) AS score
+       |  FROM cand)
+       |SELECT id_l, id_r, n_agree, round(score, 6) AS score,
+       |  CASE WHEN score >= 5.0 THEN 'link'
+       |       WHEN score >= 0.0 THEN 'possible'
+       |       ELSE 'non_link' END AS decision
+       |FROM sc ORDER BY id_l, id_r""".stripMargin
+  }
+
   /** END-TO-END gradient-descent replay (the BPE/PageRank unroll
     * pattern): 5 logistic-regression iterations, each one decimal-sum
     * aggregate, every arithmetic step the exact IEEE/decimal operation
@@ -3630,6 +3732,45 @@ object ExtQueries {
         |ORDER BY lang, source, doc_id""".stripMargin,
 
     "ext_quality_model" -> QualityModelOracle,
+
+    "ext_record_linkage" -> RecordLinkageOracle,
+
+    // Pure IEEE replay: counts, divides, sqrt — bit-exact with no
+    // quantization (the Experiment scaladoc's determinism class).
+    "ext_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |      AS INT) AS conv,
+        |    CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treat' END AS arm
+        |  FROM events GROUP BY user_id),
+        |pa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+        |              CAST(SUM(conv) AS BIGINT) AS conv_a
+        |       FROM u WHERE arm = 'control'),
+        |pb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+        |              CAST(SUM(conv) AS BIGINT) AS conv_b
+        |       FROM u WHERE arm = 'treat')
+        |SELECT n_a, conv_a,
+        |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+        |  n_b, conv_b,
+        |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+        |  round(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+        |       THEN 0.0 ELSE
+        |       (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |       - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |         * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END, 6)
+        |    AS z,
+        |  abs(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+        |       THEN 0.0 ELSE
+        |      (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |     - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |         * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END)
+        |    >= 1.96 AS significant
+        |FROM pa CROSS JOIN pb""".stripMargin,
 
     // The ext_dedup_clusters recursive-closure replay + the hashSplit
     // md5-first-digit rule applied to the cluster id.

@@ -58,6 +58,11 @@ object Dedup {
     * truncation through named observe() metrics (no silent caps). */
   private[graft] def capBuckets(
       df: DataFrame, keys: Seq[String], cap: Int, op: String): DataFrame = {
+    // cap == Int.MaxValue is the documented "guard disabled" setting
+    // (oracle-parity callers): skip the sizes aggregation + anti-join
+    // entirely instead of paying a full shuffle to drop nothing (r10:
+    // that shuffle was ~1/4 of ext_substring_dedup's 26× wall)
+    if (cap == Int.MaxValue) return df
     val sizes = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz"))
     val over = sizes.filter(col("bsz") > cap)
       .observe(s"$skewGuardMetricPrefix${op}_${skewGuardSeq.incrementAndGet()}",

@@ -39,24 +39,41 @@ object Drift {
     * Output: (bucket, n_base, n_cur, p_base, p_cur, psi_term) — one
     * row per bucket with at least one observation on either side;
     * sum(psi_term) IS the PSI (each term already 9dp-quantized). */
+  /** Per-bucket observation counts of `value` under fixed `splits` —
+    * the shared first stage of [[psi]] and the streaming drift twin
+    * (graft.streaming.EventStreams.driftBucketStream): ONE aggregation
+    * keyed on the bucket id, bounded state (≤ splits.length + 1 rows),
+    * legal as a Structured Streaming single aggregation. */
+  def bucketCounts(
+      df: DataFrame, value: Column, splits: Seq[Double],
+      cntName: String): DataFrame = {
+    require(splits.nonEmpty, "bucketCounts needs at least one boundary")
+    require(splits == splits.sorted, "splits must be ascending")
+    val splitArr = array(splits.map(lit): _*)
+    df.select(value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .select(size(filter(splitArr, b => b <= col("v"))).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as(cntName))
+  }
+
   def psi(
       baseline: DataFrame,
       current: DataFrame,
       value: Column,
       splits: Seq[Double],
-      eps: Double = 1e-6): DataFrame = {
-    require(splits.nonEmpty, "psi needs at least one bucket boundary")
-    require(splits == splits.sorted, "splits must be ascending")
+      eps: Double = 1e-6): DataFrame =
+    psiFromCounts(
+      bucketCounts(baseline, value, splits, "n_base"),
+      bucketCounts(current, value, splits, "n_cur"),
+      eps)
+
+  /** The counts→PSI step, shared verbatim by the batch operator and
+    * the streaming twin's per-snapshot readout so the arithmetic can
+    * never fork (the kmvEstimate precedent). `b`: (bucket, n_base);
+    * `c`: (bucket, n_cur). */
+  def psiFromCounts(b: DataFrame, c: DataFrame, eps: Double = 1e-6): DataFrame = {
     require(eps > 0.0, s"eps must be positive, got $eps")
-    val splitArr = array(splits.map(lit): _*)
-    def bucketed(df: DataFrame, cnt: String): DataFrame =
-      df.select(value.cast("double").as("v"))
-        .filter(col("v").isNotNull)
-        .select(size(filter(splitArr, b => b <= col("v"))).as("bucket"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as(cnt))
-    val b = bucketed(baseline, "n_base")
-    val c = bucketed(current, "n_cur")
     // totals ride a broadcast single-row cross join (the B12 pattern),
     // never a driver collect
     val tb = b.agg(sum("n_base").as("t_base"))

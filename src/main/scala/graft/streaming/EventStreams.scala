@@ -605,4 +605,20 @@ object EventStreams {
           Iterator.single(next)
       }
   }
+
+  /** Streaming drift monitor (batch twin: operators.Drift.psi): the
+    * CURRENT stream's per-bucket counts under fixed split literals —
+    * one bounded-state aggregation (state ≤ splits+1 rows regardless
+    * of stream length, like the CMS grid), legal as the single
+    * streaming aggregation, complete-mode emitted. Feed the emitted
+    * table plus a STATIC baseline count table (Drift.bucketCounts on
+    * the reference snapshot) through Drift.psiFromCounts — the
+    * identical counts→PSI arithmetic, so batch and stream can never
+    * fork (the kmvSketch/kmvEstimate precedent; EventStreamsSpec pins
+    * parity across micro-batches). */
+  def driftBucketStream(
+      current: org.apache.spark.sql.DataFrame,
+      value: org.apache.spark.sql.Column,
+      splits: Seq[Double]): org.apache.spark.sql.DataFrame =
+    graft.operators.Drift.bucketCounts(current, value, splits, "n_cur")
 }

@@ -645,4 +645,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         (1L, ts(5), ts(35))), s"got ${afterB3.toSeq}")
     } finally q.stop()
   }
+
+  test("driftBucketStream: stream counts + static baseline equal batch psi") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-src")
+    val rnd = new scala.util.Random(909L)
+    val b1 = (1 to 200).map(_ => rnd.nextDouble() * 100.0)
+    val b2 = (1 to 200).map(_ => rnd.nextDouble() * 160.0) // drifted tail
+    b1.toDF("v").coalesce(1).write.mode("append").parquet(dir.toString)
+    b2.toDF("v").coalesce(1).write.mode("append").parquet(dir.toString)
+    val baseline = (1 to 300).map(i => (i % 100) * 1.0).toDF("v")
+    val splits = Seq(20.0, 40.0, 60.0, 80.0, 120.0)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStreams.driftBucketStream(stream, col("v"), splits)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("drift_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamedPsi = graft.operators.Drift.psiFromCounts(
+        graft.operators.Drift.bucketCounts(baseline, col("v"), splits, "n_base"),
+        spark.table("drift_stream_out"))
+        .collect().map(r => (r.getLong(0), r.getDouble(5))).toMap
+      val batchPsi = graft.operators.Drift.psi(
+        baseline, spark.read.parquet(dir.toString), col("v"), splits)
+        .collect().map(r => (r.getLong(0), r.getDouble(5))).toMap
+      assert(streamedPsi == batchPsi, "stream and batch PSI must be identical")
+      assert(batchPsi.values.sum > 0.0, "the planted tail drift must register")
+    } finally q.stop()
+  }
 }
