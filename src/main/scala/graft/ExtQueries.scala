@@ -541,6 +541,16 @@ object ExtQueries {
         .orderBy("lang", "source")
     }),
 
+    // ── Lexical diversity per (lang, source) cell: Shannon entropy of
+    //    the token distribution + ln(vocab)-normalized variant — the
+    //    "large but templated" detector next to ext_domain_mix
+    //    (TextPipeline.tokenEntropy scaladoc).
+    "ext_token_entropy" -> ((s, dir) => {
+      TextPipeline.tokenEntropy(
+        t(s, dir, "documents"), Seq(col("lang"), col("source")), col("text"))
+        .orderBy("lang", "source")
+    }),
+
     // ── Quality-decile bucketing: cutoffs from a deterministic modular-
     //    hash sample (global rank window bounded to the sample BY
     //    CONSTRUCTION), broadcast as one array row, buckets assigned
@@ -1279,6 +1289,59 @@ object ExtQueries {
           t(s, dir, "documents"), col("text"), window = 1),
         col("tok_a"), col("tok_b"), col("n_ab"))
         .orderBy("node")),
+
+    // ── Triangle count + local clustering coefficient over the same
+    //    token graph: degree-ordered orientation bounds wedge fan-out
+    //    by O(√m) — hubs are wedge endpoints, never centers — so no
+    //    cap is needed; counts exact, one IEEE divide
+    //    (Graph.triangles scaladoc).
+    "ext_triangles" -> ((s, dir) =>
+      Graph.triangles(
+        TextPipeline.skipgramPairCounts(
+          t(s, dir, "documents"), col("text"), window = 1),
+        col("tok_a"), col("tok_b"))
+        .orderBy("node")),
+
+    // ── 3-core of the token graph, 5 fixed peeling rounds: per round
+    //    one degree count + two node-keyed semi-joins, edge list only
+    //    shrinks — the dense "establishment vocabulary" core
+    //    (Graph.kCore scaladoc; oracle unrolls the 5 rounds).
+    "ext_kcore" -> ((s, dir) =>
+      Graph.kCore(
+        TextPipeline.skipgramPairCounts(
+          t(s, dir, "documents"), col("text"), window = 1),
+        col("tok_a"), col("tok_b"), k = 3)
+        .orderBy("node")),
+
+    // ── Hybrid retrieval: dense more-like-this (exact cosine top-20)
+    //    fused with sparse more-like-this (per-query BM25 over each
+    //    probe doc's top-3 tf terms) by reciprocal-rank fusion — ranks
+    //    only, no score calibration. Dense excludes the trivial
+    //    self-match by construction; sparse may surface it and the
+    //    fusion reflects that (documented, deterministic).
+    //    (Eval.rrfFuse + TextPipeline.bm25ForQueries scaladoc.)
+    "ext_rrf_fusion" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val dense = Similarity
+        .bruteForceTopK(probes, e.select("vec_id", "embedding"), 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      val qterms = t(s, dir, "documents").filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .groupBy("query_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("rn", row_number().over(
+          w.partitionBy("query_id").orderBy(col("tf").desc, col("term"))))
+        .filter(col("rn") <= 3).select("query_id", "term")
+      val sparse = TextPipeline
+        .bm25ForQueries(docs, col("doc_id"), col("text"), qterms, 20)
+        .select("query_id", "doc_id", "rank")
+      graft.operators.Eval.rrfFuse(dense.unionByName(sparse), k = 10)
+        .orderBy("query_id", "rank")
+    }),
 
     // ── Bounded-state per-cell sampling: k md5-smallest ids per
     //    (lang, source) cell via the MinK aggregator — the scale path
@@ -2323,6 +2386,39 @@ object ExtQueries {
         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st)
         |SELECT doc_id, CAST(SUM(CAST(ts AS DECIMAL(18,6))) AS DOUBLE) AS score
         |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Entropy replay: same lowercase non-letter tokenization as the NLL
+    // oracle; each −p·ln p term cast DECIMAL(18,6) pre-sum, normalizing
+    // ln(vocab) quantized the same way before the one exact divide.
+    "ext_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT lang, source, t AS token FROM (
+        |    SELECT lang, source,
+        |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        |    FROM documents)
+        |  WHERE len(t) > 0),
+        |ct AS (
+        |  SELECT lang, source, token, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM toks GROUP BY 1, 2, 3),
+        |cell AS (
+        |  SELECT lang, source, n,
+        |    CAST(SUM(n) OVER (PARTITION BY lang, source) AS BIGINT) AS n_cell
+        |  FROM ct),
+        |e AS (
+        |  SELECT lang, source,
+        |    CAST(MAX(n_cell) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(CAST(
+        |      -(CAST(n AS DOUBLE) / CAST(n_cell AS DOUBLE))
+        |        * ln(CAST(n AS DOUBLE) / CAST(n_cell AS DOUBLE))
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+        |  FROM cell GROUP BY 1, 2)
+        |SELECT lang, source, n_tokens, vocab, entropy,
+        |  CASE WHEN vocab > 1
+        |    THEN round(entropy /
+        |      CAST(CAST(ln(CAST(vocab AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE), 6)
+        |    ELSE 0.0 END AS norm_entropy
+        |FROM e ORDER BY lang, source""".stripMargin,
 
     // quality formula mirrors ext_text_quality (hash-proven identical);
     // rank-based cutoffs, no interpolation — cross-engine exact.
@@ -3714,6 +3810,164 @@ object ExtQueries {
         |l3 AS (SELECT n.node, COALESCE(a.label, p.label) AS label
         |       FROM n0 n JOIN l2 p USING (node) LEFT JOIN a3 a USING (node))
         |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin,
+
+    // Triangle replay: same bigram edges, canonicalized + dedup'd into
+    // an undirected simple graph; orientation CASE mirrors the engine's
+    // struct(deg, id) comparison; the EXISTS closing-edge probe is the
+    // left-semi pair join. All-integer until the single lcc divide.
+    "ext_triangles" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |pl AS (
+        |  SELECT flatten(list_transform(range(1, least(1, len(t) - 1) + 1),
+        |           d -> list_transform(range(1, len(t) - d + 1),
+        |             i -> struct_pack(a := t[CAST(i AS INT)],
+        |                              b := t[CAST(i + d AS INT)])))) AS ps
+        |  FROM toks WHERE len(t) >= 2),
+        |raw AS (SELECT p['a'] AS a, p['b'] AS b
+        |        FROM (SELECT unnest(ps) AS p FROM pl)),
+        |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |      FROM raw WHERE a <> b),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |  SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |o AS MATERIALIZED (
+        |  SELECT CASE WHEN du.degree < dv.degree
+        |           OR (du.degree = dv.degree AND e.u < e.v)
+        |         THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN du.degree < dv.degree
+        |           OR (du.degree = dv.degree AND e.u < e.v)
+        |         THEN e.v ELSE e.u END AS dst,
+        |         CASE WHEN du.degree < dv.degree
+        |           OR (du.degree = dv.degree AND e.u < e.v)
+        |         THEN dv.degree ELSE du.degree END AS dd
+        |  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |w AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        |      FROM o e1 JOIN o e2 ON e1.src = e2.src
+        |      WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+        |tr AS (SELECT w.x, w.y, w.z FROM w
+        |       WHERE EXISTS (SELECT 1 FROM o
+        |                     WHERE o.src = w.y AND o.dst = w.z)),
+        |tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        |  SELECT x AS node FROM tr UNION ALL SELECT y FROM tr
+        |  UNION ALL SELECT z FROM tr) GROUP BY 1)
+        |SELECT deg.node, deg.degree,
+        |  COALESCE(tc.triangles, 0) AS triangles,
+        |  CASE WHEN deg.degree >= 2
+        |    THEN 2.0 * COALESCE(tc.triangles, 0)
+        |         / (deg.degree * (deg.degree - 1))
+        |    ELSE 0.0 END AS lcc
+        |FROM deg LEFT JOIN tc USING (node)
+        |ORDER BY node""".stripMargin,
+
+    // k-core replay: same simple-graph CTE, then the 5 peeling rounds
+    // unrolled mechanically (degree count → keep set → two-sided
+    // semi-join), matching the engine's fixed-round contract.
+    "ext_kcore" -> {
+      val base =
+        """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+          |pl AS (
+          |  SELECT flatten(list_transform(range(1, least(1, len(t) - 1) + 1),
+          |           d -> list_transform(range(1, len(t) - d + 1),
+          |             i -> struct_pack(a := t[CAST(i AS INT)],
+          |                              b := t[CAST(i + d AS INT)])))) AS ps
+          |  FROM toks WHERE len(t) >= 2),
+          |raw AS (SELECT p['a'] AS a, p['b'] AS b
+          |        FROM (SELECT unnest(ps) AS p FROM pl)),
+          |e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+          |       FROM raw WHERE a <> b)""".stripMargin
+      val rounds = (1 to 5).map { r =>
+        s""",
+           |d$r AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+           |  SELECT u AS node FROM e${r - 1}
+           |  UNION ALL SELECT v FROM e${r - 1}) GROUP BY 1),
+           |k$r AS (SELECT node FROM d$r WHERE degree >= 3),
+           |e$r AS (SELECT e.u, e.v FROM e${r - 1} e
+           |  JOIN k$r ku ON ku.node = e.u
+           |  JOIN k$r kv ON kv.node = e.v)""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+          |  SELECT u AS node FROM e5 UNION ALL SELECT v FROM e5)
+          |GROUP BY 1 ORDER BY node""".stripMargin
+    },
+
+    // RRF replay: dense list = the ext_cosine_topk arithmetic at k=20;
+    // sparse list = the ext_bm25 formula driven by each probe doc's
+    // top-3 tf terms; fusion terms 12-quantized and DECIMAL-summed.
+    "ext_rrf_fusion" ->
+      """WITH p AS (
+        |  SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |csc AS (
+        |  SELECT p.query_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.query_id),
+        |dense AS (
+        |  SELECT query_id, vec_id AS doc_id, CAST(rn AS BIGINT) AS rank FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |                         ORDER BY sim DESC, vec_id) AS rn
+        |    FROM csc) WHERE rn <= 20),
+        |qt AS (
+        |  SELECT query_id, term FROM (
+        |    SELECT doc_id AS query_id, term, COUNT(*) AS tf,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                         ORDER BY COUNT(*) DESC, term) AS rn
+        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |          FROM documents WHERE doc_id < 5)
+        |    GROUP BY doc_id, term) WHERE rn <= 3),
+        |dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |tfq AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY 1),
+        |st AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM documents),
+        |ssc AS (
+        |  SELECT qt.query_id, tfq.doc_id,
+        |    (CAST(st.n_docs AS DOUBLE) / dfq.df) *
+        |    (CAST(tfq.tf AS DOUBLE) * 2.25 /
+        |     (CAST(tfq.tf AS DOUBLE) +
+        |      1.25 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))) AS ts
+        |  FROM tfq JOIN qt USING (term) JOIN dl USING (doc_id)
+        |  JOIN dfq USING (term) CROSS JOIN st),
+        |sagg AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(SUM(CAST(ts AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |  FROM ssc GROUP BY 1, 2),
+        |sparse AS (
+        |  SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank FROM (
+        |    SELECT query_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |                         ORDER BY score DESC, doc_id) AS rn
+        |    FROM sagg) WHERE rn <= 20),
+        |uni AS (
+        |  SELECT query_id, doc_id, rank FROM dense
+        |  UNION ALL SELECT query_id, doc_id, rank FROM sparse),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(SUM(CAST(round(1.0 / (60 + rank), 12) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS rrf
+        |  FROM uni GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rrf, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT query_id, doc_id, rrf,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY rrf DESC, doc_id) AS rn
+        |  FROM fused) WHERE rn <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // k smallest 60-bit md5(doc_id) hashes per cell — the window replay
     // is the oracle formulation; the engine folds through the bounded

@@ -86,4 +86,41 @@ object Eval {
         round(coalesce(col("dcg").cast("double"), lit(0.0)) /
           col("idcg").cast("double"), 6).as("ndcg_k"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher '09): merge the
+    * ranked lists of several retrieval systems without score
+    * calibration — rrf(q,d) = Σ_systems 1/(kRrf + rank_s(q,d)), summed
+    * over the systems that returned d for q at all. The standard
+    * hybrid-retrieval combiner (dense + sparse), robust because it
+    * only consumes RANKS, never incomparable raw scores.
+    *
+    * `rankings`: (query_id, doc_id, rank) rows from ALL systems
+    * unioned — a doc absent from one system simply contributes no term
+    * (the RRF convention). Scale shape: one groupBy on the
+    * high-cardinality (query_id, doc_id) key, then a per-query rank
+    * window — candidate volume is Σ_s k_s per query, bounded by the
+    * inputs' own top-k, so nothing here grows with corpus size.
+    *
+    * Determinism: each term 1/(kRrf+rank) is quantized round(·,12) and
+    * summed as DECIMAL(28,12) — the sum is partition-order-free and a
+    * SQL engine replays it exactly; final rank ties break by doc_id.
+    *
+    * Output: (query_id, doc_id, rrf, rank), top `k` fused per query. */
+  def rrfFuse(
+      rankings: DataFrame, // (query_id, doc_id, rank) unioned systems
+      k: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
+    rankings
+      .select(col("query_id"), col("doc_id"),
+        round(lit(1.0) / (lit(kRrf) + col("rank")).cast("double"), 12)
+          .cast("decimal(28,12)").as("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term")).cast("double").as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

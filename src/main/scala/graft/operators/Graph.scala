@@ -142,4 +142,129 @@ object Graph {
     }
     labels.select(col("node"), col("label").as("community"))
   }
+
+  /** k-core peeling, `rounds` fixed rounds: repeatedly drop every node
+    * whose residual degree is < k, with the dropped nodes' edges.
+    * Survivors approximate the k-core from above — after R rounds the
+    * node set is exact for every graph whose peeling terminates within
+    * R rounds, and an over-approximation otherwise (same FIXED-plan
+    * contract as [[pageRank]]'s 5 rounds: both engines replay the
+    * identical bounded recursion; no convergence test, no data-driven
+    * plan). The corpus-curation use: the dense co-occurrence core is
+    * the "establishment vocabulary", the peeled shell is rare/templated
+    * periphery.
+    *
+    * 100 TB shape: each round is one degree aggregation (map-side
+    * partial count on the edge list) plus two semi-joins keyed on the
+    * node id — no wedge products, nothing quadratic; each round's
+    * survivor edge list is cut via `checkpoint` (the [[pageRank]]
+    * lineage discipline — without it round R re-derives rounds 1..R−1
+    * per reference). Work per round is bounded by the CURRENT edge
+    * count, which only shrinks.
+    *
+    * Output: (node, degree) — residual degree within the surviving
+    * subgraph after `rounds` peels; peeled nodes are absent. */
+  def kCore(
+      edges: DataFrame,
+      a: Column,
+      b: Column,
+      k: Int,
+      rounds: Int = 5,
+      checkpoint: Checkpointing.Mode = Checkpointing.Local): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = checkpoint.cut(
+      edges.select(a.as("a"), b.as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct())
+    def degrees(ed: DataFrame): DataFrame = ed
+      .select(col("u").as("node")).union(ed.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    (1 to rounds).foreach { _ =>
+      val keep = degrees(e).filter(col("degree") >= k)
+        .select(col("node"))
+      e = checkpoint.cut(
+        e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+          .select("u", "v"))
+    }
+    degrees(e)
+  }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected simple graph (self-loops dropped, parallel edges
+    * collapsed). lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the fraction
+    * of a node's neighbor pairs that are themselves connected — the
+    * corpus-structure signal that separates hub tokens (low lcc) from
+    * cliquish template vocabulary (lcc → 1).
+    *
+    * 100 TB shape — degree-ordered edge orientation (the standard
+    * arboricity trick): each undirected edge {u,v} is directed from
+    * its (deg, id)-smaller endpoint, so every node's OUT-degree is
+    * O(√m) regardless of its true degree. Wedges are then a self-join
+    * of the oriented list on its source (Σ outdeg² work, minimized by
+    * exactly this orientation — a hub token like "the" can be a wedge
+    * ENDPOINT but never a wedge CENTER), and a triangle is a wedge
+    * whose far endpoints are themselves an oriented edge (left-semi
+    * pair join; each triangle found exactly once). No cap is needed:
+    * orientation IS the skew guard. The oriented list (m rows of two
+    * ids + one long) is cut once via `checkpoint` and reused by all
+    * three references — the pageRank discipline, without which the
+    * doc-scan + explode + distinct prefix replays 3×.
+    *
+    * Determinism: counts are exact integers; the lcc divide is a
+    * single correctly-rounded IEEE op on exact operands — bit-equal
+    * cross-engine with no quantization discipline.
+    *
+    * Output: (node, degree, triangles, lcc), one row per node of the
+    * simple graph; triangle-free nodes keep 0, deg-1 nodes lcc 0.0. */
+  def triangles(
+      edges: DataFrame,
+      a: Column,
+      b: Column,
+      checkpoint: Checkpointing.Mode = Checkpointing.Local): DataFrame = {
+    val e = edges.select(a.as("a"), b.as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient from the (deg, id)-smaller endpoint; carry the head's
+    // (deg, id) key so the wedge self-join can order far endpoints
+    // without a third deg lookup
+    val oriented = checkpoint.cut(
+      e.join(deg.select(col("node").as("u"), col("degree").as("du")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("degree").as("dv")), Seq("v"))
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+            struct(col("u").as("src"), struct(col("dv").as("d"), col("v").as("n")).as("dst")))
+            .otherwise(
+              struct(col("v").as("src"), struct(col("du").as("d"), col("u").as("n")).as("dst")))
+            .as("o"))
+        .select(col("o.src").as("src"), col("o.dst").as("dst")))
+    val w1 = oriented.select(col("src"), col("dst").as("b"))
+    val w2 = oriented.select(col("src"), col("dst").as("c"))
+    val wedges = w1.join(w2, Seq("src")).filter(col("b") < col("c"))
+      .select(col("src").as("x"), col("b.n").as("y"), col("c"))
+    // closing edge must be oriented y→c: y precedes c in the SAME
+    // (deg, id) total order the orientation used
+    val tri = wedges.join(
+      oriented.select(col("src").as("y"), col("dst").as("c")),
+      Seq("y", "c"), "left_semi")
+      .select(col("x"), col("y"), col("c.n").as("z"))
+    val triPerNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
 }

@@ -352,6 +352,58 @@ object TextPipeline {
       .limit(k)
   }
 
+  /** BM25 for a TABLE of queries — `queries` is (query_id, term) rows —
+    * instead of [[bm25]]'s one literal term list. The multi-query shape
+    * a retrieval pipeline actually runs: score every (query, doc) pair
+    * that shares a term, rank within each query, keep `k` per query.
+    *
+    * Same formula, same DECIMAL(18,6) per-doc sum discipline as
+    * [[bm25]] (identical scores for a single-query table). Scale shape:
+    * the term-postings join keys on `term` — the tf table is the
+    * posting list, the query table is small and BROADCAST, so scoring
+    * is one map-side join over postings of queried terms only (the
+    * `left_semi` prunes tf to those terms before the tf/df aggregation
+    * sees them); the per-query top-k is a rank window partitioned by
+    * the high-cardinality query_id, never a global sort.
+    *
+    * Output: (query_id, doc_id, score, rank), rank 1..k per query,
+    * ties broken by doc_id. */
+  def bm25ForQueries(
+      docs: DataFrame, id: Column, text: Column,
+      queries: DataFrame, // (query_id, term)
+      k: Int,
+      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val q = queries.select(col("query_id"), col("term")).distinct()
+    val lengths = docs.select(id.as("doc_id"),
+      TextFunctions.tokenCount(text).as("dl"))
+    val toks = docs.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
+      .join(broadcast(q.select("term").distinct()), Seq("term"), "left_semi")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(text)).as("total_tokens"))
+    val scored = tf
+      .join(broadcast(q), Seq("term")) // fan out postings per asking query
+      .join(lengths, Seq("doc_id"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .withColumn("term_score",
+        (col("n_docs").cast("double") / col("df")) *
+          (col("tf").cast("double") * lit(k1 + 1.0) /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))))
+    scored.groupBy("query_id", "doc_id")
+      .agg(sum(col("term_score").cast("decimal(18,6)")).cast("double").as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Quality-decile bucketing: assign every document a 0-9 bucket by
     * where its quality score falls among decile CUTOFFS estimated from a
     * deterministic hash sample — the sampling-prep step before
@@ -464,6 +516,52 @@ object TextPipeline {
           .cast("double"))
       .withColumn("weight", col("sqrt_share") / col("denom"))
       .drop("n_total", "sqrt_share", "denom")
+  }
+
+  /** Shannon entropy of each cell's token distribution — the lexical-
+    * diversity signal next to [[domainMixWeights]]'s volume shares: a
+    * cell can be large yet templated (low entropy → dedup/downweight
+    * candidate) or small but diverse. norm_entropy = H / ln(vocab) ∈
+    * [0,1] makes cells of different vocabulary sizes comparable.
+    *
+    * Scale shape: one shuffle keyed on (cell, token) with map-side
+    * partial counts, then a cell-keyed window over the POST-AGG
+    * vocabulary table (the b6 discipline — never a window on the base
+    * table) and a cell-keyed re-aggregation. Nothing is proportional
+    * to corpus size after the first aggregate; state per cell is its
+    * vocabulary.
+    *
+    * Determinism: p = n/N is one exact IEEE divide; each −p·ln p term
+    * is cast DECIMAL(18,6) before the sum (the [[TfIdf.unigramLogProb]]
+    * ln-quantization discipline), so the entropy is partition-order
+    * free and engine-exact; the final normalizing divide is quantized
+    * the same way. vocab == 1 (H = 0/0-free but ln 1 = 0) pins
+    * norm_entropy to 0.0.
+    *
+    * Output: (dims..., n_tokens, vocab, entropy, norm_entropy). */
+  def tokenEntropy(docs: DataFrame, dims: Seq[Column], text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select((dims :+ explode(split(lower(text), "[^a-z]+")).as("token")): _*)
+      .filter(length(col("token")) > 0)
+    val cellTok = toks.groupBy((dims :+ col("token")): _*)
+      .agg(count(lit(1)).as("n"))
+    val cellW = Window.partitionBy(dims: _*)
+    cellTok
+      .withColumn("n_cell", sum(col("n")).over(cellW))
+      .withColumn("p", col("n").cast("double") / col("n_cell").cast("double"))
+      .withColumn("term", (-col("p") * log(col("p"))).cast("decimal(18,6)"))
+      .groupBy(dims: _*)
+      .agg(
+        max(col("n_cell")).cast("long").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("term")).cast("double").as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("vocab") > 1,
+          round(col("entropy") /
+            log(col("vocab").cast("double")).cast("decimal(18,6)").cast("double"),
+            6))
+          .otherwise(lit(0.0)))
   }
 
   /** Execute mix quotas: deterministically downsample each cell to its

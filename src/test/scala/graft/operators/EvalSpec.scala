@@ -66,4 +66,60 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
     df.collect() // must run clean
   }
+
+  private def q12(x: Double): Double =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rrfFuse: hand-computed fusion; doc in both lists beats doc in one") {
+    // system A ranks: d1=1, d2=2; system B ranks: d2=1, d3=2
+    val rankings = Seq(
+      (1L, 1L, 1L), (1L, 2L, 2L), // dense
+      (1L, 2L, 1L), (1L, 3L, 2L) // sparse
+    ).toDF("query_id", "doc_id", "rank")
+    val got = Eval.rrfFuse(rankings, k = 10)
+      .select("doc_id", "rrf", "rank")
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    // d2 appears in both: 1/61 + 1/62 > any single term; the engine sums
+    // IN DECIMAL and casts once — mirror that, not double addition
+    def d12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val want = Seq(
+      (2L, (d12(1.0 / 61) + d12(1.0 / 62)).toDouble, 1L),
+      (1L, q12(1.0 / 61), 2L),
+      (3L, q12(1.0 / 62), 3L))
+    assert(got.toSeq == want)
+  }
+
+  test("rrfFuse: equal-score ties break by doc_id; k truncates") {
+    val rankings = Seq(
+      (1L, 9L, 3L), (1L, 4L, 3L), (1L, 7L, 3L)).toDF("query_id", "doc_id", "rank")
+    val got = Eval.rrfFuse(rankings, k = 2)
+      .select("doc_id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((4L, 1L), (7L, 2L)))
+  }
+
+  test("bm25ForQueries matches bm25 for a single-query term set") {
+    val docs = Seq(
+      (1L, "spark join fast spark"),
+      (2L, "slow join"),
+      (3L, "spark spark spark unrelated words here"),
+      (4L, "nothing relevant at all")).toDF("doc_id", "text")
+    val single = TextPipeline.bm25(docs, col("doc_id"), col("text"),
+        Seq("spark", "join"), 10)
+      .as[(Long, Double)].collect().toMap
+    val q = Seq((7L, "spark"), (7L, "join")).toDF("query_id", "term")
+    val multi = TextPipeline.bm25ForQueries(docs, col("doc_id"), col("text"), q, 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(multi == single)
+  }
+
+  test("bm25ForQueries: per-query isolation and rank contract") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha alpha"), (3L, "gamma")).toDF("doc_id", "text")
+    val q = Seq((10L, "alpha"), (20L, "gamma")).toDF("query_id", "term")
+    val got = TextPipeline.bm25ForQueries(docs, col("doc_id"), col("text"), q, 10)
+      .select("query_id", "doc_id", "rank").as[(Long, Long, Long)].collect().toSet
+    // query 10 sees only alpha docs (2 beats 1 on tf), query 20 only doc 3
+    assert(got == Set((10L, 2L, 1L), (10L, 1L, 2L), (20L, 3L, 1L)))
+  }
 }

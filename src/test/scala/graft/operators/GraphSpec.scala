@@ -170,4 +170,74 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toString).toSeq
     assert(bpeL == bpeD)
   }
+
+  private def runTriangles(edges: Seq[(String, String)])
+      : Map[String, (Long, Long, Double)] =
+    Graph.triangles(edges.toDF("a", "b"), col("a"), col("b"))
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (n, d, t, l) => n -> (d, t, l) }.toMap
+
+  test("triangles: K4 — every node in 3 triangles, lcc exactly 1") {
+    val vs = Seq("a", "b", "c", "d")
+    val k4 = for { x <- vs; y <- vs if x < y } yield (x, y)
+    val got = runTriangles(k4)
+    assert(got == vs.map(_ -> ((3L, 3L, 1.0))).toMap)
+  }
+
+  test("triangles: one triangle + pendant; each triangle counted once") {
+    val got = runTriangles(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")))
+    assert(got("a") == ((2L, 1L, 1.0)))
+    assert(got("b") == ((2L, 1L, 1.0)))
+    assert(got("c") == ((3L, 1L, 2.0 / (3 * 2))))
+    assert(got("d") == ((1L, 0L, 0.0)), "deg-1 node: zero lcc by convention")
+  }
+
+  test("triangles: self-loops, parallel and reversed edges collapse") {
+    val clean = runTriangles(Seq(("a", "b"), ("b", "c"), ("c", "a")))
+    val dirty = runTriangles(Seq(("a", "b"), ("b", "a"), ("a", "b"),
+      ("b", "c"), ("c", "a"), ("a", "a"), ("c", "c")))
+    assert(clean == dirty)
+    assert(clean("a") == ((2L, 1L, 1.0)))
+  }
+
+  test("triangles: hub star has none; hub lcc 0 despite high degree") {
+    val star = (1 to 50).map(i => ("hub", f"leaf$i%02d"))
+    val got = runTriangles(star)
+    assert(got("hub") == ((50L, 0L, 0.0)))
+    assert(got("leaf01") == ((1L, 0L, 0.0)))
+    // close ONE leaf pair: exactly one triangle appears, only on the
+    // three participants — the hub's other 48 neighbors are untouched
+    val got2 = runTriangles(star :+ (("leaf01", "leaf02")))
+    assert(got2("hub") == ((50L, 1L, 2.0 / (50 * 49))))
+    assert(got2("leaf01") == ((2L, 1L, 1.0)))
+    assert(got2("leaf03") == ((1L, 0L, 0.0)))
+  }
+
+  private def runKCore(edges: Seq[(String, String)], k: Int)
+      : Map[String, Long] =
+    Graph.kCore(edges.toDF("a", "b"), col("a"), col("b"), k)
+      .as[(String, Long)].collect().toMap
+
+  test("kCore: pendant peels off a triangle; core keeps residual degrees") {
+    val got = runKCore(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")), 2)
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("kCore: a path has no 2-core — cascade empties it") {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    assert(runKCore(path, 2).isEmpty)
+  }
+
+  test("kCore: k=1 keeps the whole simple graph") {
+    val got = runKCore(Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "c")), 1)
+    assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("kCore: multi-round cascade — a tail peels one node per round") {
+    // triangle with a 3-hop tail: tail needs 3 successive peels
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("c", "d"), ("d", "e"), ("e", "f"))
+    val got = runKCore(g, 2)
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
 }

@@ -625,4 +625,27 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     got.filter(r => !Set(1L, 2L, 3L, 7L, 8L, 9L).contains(r._1))
       .foreach(r => assert(r._3 == plain(r._1)))
   }
+
+  test("tokenEntropy: uniform beats skewed; single-token cell pins zeros") {
+    val docs = Seq(
+      ("en", "w", "aa bb cc dd"),
+      ("en", "x", "aa aa aa bb"),
+      ("fr", "y", "zz zz zz")).toDF("lang", "source", "text")
+    val got = TextPipeline
+      .tokenEntropy(docs, Seq(col("lang"), col("source")), col("text"))
+      .as[(String, String, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // engine-mirroring reference: per-term decimal quantization, decimal sum
+    val hUniform = (d6(-0.25 * math.log(0.25)) * 4).toDouble
+    val hSkew = (d6(-0.75 * math.log(0.75)) + d6(-0.25 * math.log(0.25))).toDouble
+    assert(hUniform > hSkew, "fixture sanity")
+    val nUniform = BigDecimal(hUniform / d6(math.log(4.0)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nSkew = BigDecimal(hSkew / d6(math.log(2.0)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("en", "w")) == ((4L, 4L, hUniform, nUniform)))
+    assert(got(("en", "x")) == ((4L, 2L, hSkew, nSkew)))
+    assert(got(("fr", "y")) == ((3L, 1L, 0.0, 0.0)))
+  }
 }
