@@ -1173,6 +1173,16 @@ object ExtQueries {
         t(s, dir, "documents"), col("doc_id"), col("text"), size = 120)
         .orderBy("doc_id")),
 
+    // ── Content-defined chunking dedup: rolling-hash 0-mod-32 cut
+    //    points (16-cp windows), chunk content hashed by the same
+    //    portable polynomial, min-doc_id chunk ownership — insertion-
+    //    robust where ext_chunk_dedup's fixed grid loses alignment
+    //    (Dedup.cdcNovelty + expressions.CdcChunks scaladoc).
+    "ext_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcNovelty(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // ── Point-in-time join: each event labeled with the SCD2 version
     //    valid at the event's own timestamp — the no-leakage temporal
     //    join (Scd.pointInTimeJoin scaladoc: equi-keyed on the entity,
@@ -3407,6 +3417,65 @@ object ExtQueries {
     // event — a hash-green row is the proof that folding the post-
     // cutoff delta into the pre-cutoff history reproduces it exactly.
     "ext_scd2_incremental" -> Scd2FullRebuildOracle,
+
+    // CDC replay: per-position 16-cp window hashes (the
+    // ext_rolling_fingerprint polynomial, list_reduce from the same
+    // c1-init = 0-init identity), 0-mod-32 cut rule minus end-of-text
+    // cuts, chunk-content hashes over the resulting slices, then the
+    // ext_novelty min-doc ownership rollup.
+    "ext_cdc_chunks" ->
+      """WITH cp AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS cs
+        |  FROM documents WHERE text IS NOT NULL),
+        |wh AS (
+        |  SELECT doc_id, cs, len(cs) AS n,
+        |    CASE WHEN len(cs) >= 16 THEN
+        |      list_transform(range(1, len(cs) - 14),
+        |        s -> list_reduce(list_slice(cs, s, s + 15),
+        |               (a, c) -> (a * 31 + c) % 1000000007))
+        |    ELSE [] END AS hs
+        |  FROM cp WHERE len(cs) > 0),
+        |st AS (
+        |  SELECT doc_id, cs, n,
+        |    list_prepend(1, list_transform(
+        |      list_filter(range(1, len(hs) + 1),
+        |        s -> hs[CAST(s AS INT)] % 32 = 0 AND s + 15 < n),
+        |      s -> s + 16)) AS starts
+        |  FROM wh),
+        |occ AS (
+        |  SELECT doc_id,
+        |    CAST(c['en'] - c['st'] + 1 AS BIGINT) AS chunk_len,
+        |    list_reduce(
+        |      list_slice(cs, CAST(c['st'] AS INT), CAST(c['en'] AS INT)),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS chunk_hash
+        |  FROM (
+        |    SELECT doc_id, cs,
+        |      unnest(list_transform(range(1, len(starts) + 1),
+        |        j -> struct_pack(
+        |               st := starts[CAST(j AS INT)],
+        |               en := CASE WHEN j < len(starts)
+        |                     THEN starts[CAST(j + 1 AS INT)] - 1
+        |                     ELSE n END))) AS c
+        |    FROM st)),
+        |dk AS (SELECT DISTINCT doc_id, chunk_hash, chunk_len FROM occ),
+        |own AS (SELECT chunk_hash, chunk_len, MIN(doc_id) AS first_doc
+        |        FROM dk GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT dk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(CASE WHEN own.first_doc = dk.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM dk JOIN own USING (chunk_hash, chunk_len) GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+        |        FROM occ GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(tot.n_chunks, 0) AS n_chunks,
+        |  COALESCE(pd.n_distinct, 0) AS n_distinct,
+        |  COALESCE(pd.n_novel, 0) AS n_novel,
+        |  CAST(pd.n_novel AS DOUBLE) / CAST(pd.n_distinct AS DOUBLE) AS novelty
+        |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Same chunk grid as ext_chunk_overlap (size=stride=120), same
     // min-(doc_id, chunk_idx) first-occurrence rule as ext_dedup_exact.

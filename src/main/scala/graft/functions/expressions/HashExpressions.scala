@@ -1,6 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -583,6 +584,94 @@ case class WinnowedFingerprints(child: Expression, k: Int, modP: Int)
     copy(child = c)
 }
 
+/** Content-defined chunking (the rsync/LBFS family): cut a document
+  * after every k-codepoint window whose rolling hash (the
+  * [[RollingHash]] polynomial, Σ c·31^j mod 1e9+7) is ≡ 0 mod `modB` —
+  * so chunk boundaries depend only on LOCAL content, and an insertion
+  * re-chunks one neighborhood instead of shifting every downstream
+  * fixed-width chunk (the failure mode of offset-based chunking for
+  * storage/corpus dedup). Expected chunk length ≈ modB codepoints.
+  *
+  * Determinism/portability: the window slides continuously (cuts do
+  * not reset it), every intermediate stays < 2^51, and both the
+  * boundary rule and each chunk's content hash are the same polynomial
+  * a SQL engine replays over ord()/substr primitives. No min/max chunk
+  * clamps — they'd be extra state for the oracle to mirror; degenerate
+  * short chunks are valid output. A cut falling exactly at the end of
+  * the text opens no empty chunk; docs shorter than k codepoints are
+  * one whole-doc chunk; empty text yields an empty array.
+  *
+  * One O(len) pass per row. Output: array of (idx, start, len, hash) —
+  * idx/start 1-based, start/len in codepoints, hash the chunk-content
+  * polynomial. */
+case class CdcChunks(child: Expression, k: Int, modB: Int)
+    extends UnaryExpression with CodegenFallback {
+  import HashExpressions.Prime
+  require(k >= 2, s"window must be >= 2 codepoints, got $k")
+  require(modB >= 1, s"modB must be >= 1, got $modB")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("idx", LongType, nullable = false),
+      StructField("start", LongType, nullable = false),
+      StructField("len", LongType, nullable = false),
+      StructField("hash", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val cps = new Array[Long](text.codePointCount(0, text.length))
+    var i = 0
+    var n = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      cps(n) = cp.toLong
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // cut positions: 0-based index of the LAST codepoint of a 0-mod-B
+    // window, excluding a cut at the very end (it would open an empty
+    // chunk)
+    val cuts = new java.util.ArrayList[Int]()
+    if (n >= k) {
+      var pow = 1L
+      var e = 0
+      while (e < k - 1) { pow = pow * 31L % Prime; e += 1 }
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 31L + cps(j)) % Prime; j += 1 }
+      if (h % modB == 0 && k - 1 < n - 1) cuts.add(k - 1)
+      var s = 1
+      while (s <= n - k) {
+        val dropped = cps(s - 1) * pow % Prime
+        h = ((h - dropped + Prime) * 31L + cps(s + k - 1)) % Prime
+        if (h % modB == 0 && s + k - 1 < n - 1) cuts.add(s + k - 1)
+        s += 1
+      }
+    }
+    val out = new java.util.ArrayList[Any](cuts.size + 1)
+    var start = 0 // 0-based chunk start
+    var idx = 1L
+    var c = 0
+    while (c <= cuts.size) {
+      val end = if (c < cuts.size) cuts.get(c) else n - 1 // inclusive
+      var h = 0L
+      var j = start
+      while (j <= end) { h = (h * 31L + cps(j)) % Prime; j += 1 }
+      out.add(InternalRow(idx, (start + 1).toLong, (end - start + 1).toLong, h))
+      idx += 1
+      start = end + 1
+      c += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
 /** Bloom-filter membership probe against a pre-built, serialized
   * `org.apache.spark.util.sketch.BloomFilter` — the map-side cull that
   * replaces an exact broadcast hash set when the small side of a
@@ -791,6 +880,9 @@ object GraftFunctions {
 
   def winnowed_fingerprints(text: Column, k: Int, modP: Int): Column =
     column(WinnowedFingerprints(expression(text), k, modP))
+
+  def cdc_chunks(text: Column, k: Int, modB: Int): Column =
+    column(CdcChunks(expression(text), k, modB))
 
   def hyperplane_bands(vec: Column, planes: Array[Array[Double]], bands: Int): Column =
     column(HyperplaneBands(expression(vec), planes, bands))

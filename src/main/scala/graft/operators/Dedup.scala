@@ -1032,4 +1032,57 @@ object Dedup {
       .withColumn("dup_ratio",
         col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
   }
+
+  /** Content-defined chunk dedup (the rsync/LBFS/FastCDC family next to
+    * [[chunkDedup]]'s fixed-width grid): boundaries come from the
+    * rolling-hash 0-mod-B rule (expressions.CdcChunks), so a one-char
+    * insertion re-chunks one neighborhood instead of shifting every
+    * downstream chunk — the variant that still finds shared content
+    * between near-identical documents where a fixed grid loses
+    * alignment. Per document: how many of its distinct chunks are first
+    * seen HERE (min-doc_id ownership — the [[exact]] keeper rule,
+    * novelty shape shared with TextPipeline.ngramNovelty).
+    *
+    * 100 TB shape: chunking + chunk hashing are one map-side O(len)
+    * pass per row (CdcChunks); every shuffle after that carries
+    * (doc_id, hash, len) triples — never chunk bodies. Ownership is a
+    * plain min aggregation keyed on the chunk key (cardinality ≈
+    * corpus chunks, parallelism grows with data), re-joined to the
+    * per-doc distinct set on the same key, then one doc-keyed rollup;
+    * the docs spine left-join keeps chunk-less (empty-text) docs with
+    * null novelty rather than dropping them.
+    *
+    * Output: (doc_id, n_chunks, n_distinct, n_novel, novelty). */
+  def cdcNovelty(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      window: Int = 16,
+      modB: Int = 32): DataFrame = {
+    val occ = docs.where(text.isNotNull)
+      .select(id.as("doc_id"),
+        explode(graft.functions.expressions.GraftFunctions
+          .cdc_chunks(text, window, modB)).as("c"))
+      .select(col("doc_id"), col("c.len").as("chunk_len"),
+        col("c.hash").as("chunk_hash"))
+    val dk = occ.distinct()
+    val own = dk.groupBy("chunk_hash", "chunk_len")
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = dk.join(own, Seq("chunk_hash", "chunk_len"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    val tot = occ.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    docs.select(id.as("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (col("n_novel").cast("double") / col("n_distinct").cast("double"))
+          .as("novelty"))
+  }
 }

@@ -457,4 +457,56 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((7L, 3L, 1L, 1.0 / 3.0), (8L, 1L, 1L, 1.0)))
   }
 
+  // LCG-generated text: aperiodic enough to carry ~10 0-mod-32 cuts in
+  // 400 chars (a short-period pattern repeats identical windows and can
+  // land on ZERO cuts)
+  private val cdcBase: String = {
+    var x = 12345L
+    (0 until 400).map { _ =>
+      x = (x * 1103515245L + 12345L) % (1L << 31)
+      ('a' + (x % 26).toInt).toChar
+    }.mkString
+  }
+
+  test("CdcChunks: chunks PARTITION the text, idx/start contiguous") {
+    val df = Seq((1L, cdcBase), (2L, "short"), (3L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.expressions.GraftFunctions
+          .cdc_chunks(col("text"), 16, 32).as("cs"))
+    val rows = df.select(col("doc_id"), explode(col("cs")).as("c"))
+      .select(col("doc_id"), col("c.idx"), col("c.start"), col("c.len"))
+      .as[(Long, Long, Long, Long)].collect()
+    val byDoc = rows.groupBy(_._1)
+    val c1 = byDoc(1L).sortBy(_._2)
+    assert(c1.length > 3, s"expected several cuts, got ${c1.length} chunk(s)")
+    assert(c1.map(_._2).toSeq == (1L to c1.length).toSeq, "idx sequence")
+    assert(c1.head._3 == 1L && c1.map(_._4).sum == cdcBase.length,
+      "chunks must cover every codepoint exactly once")
+    c1.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._4, "next start = prev start + prev len")
+    }
+    // shorter than the window: one whole-doc chunk; empty text: none
+    assert(byDoc(2L).toSeq == Seq((2L, 1L, 1L, 5L)))
+    assert(!byDoc.contains(3L))
+  }
+
+  test("cdcNovelty: copy scores 0; one-char insertion stays mostly shared") {
+    val inserted = cdcBase.substring(0, 37) + "!" + cdcBase.substring(37)
+    val docs = Seq(
+      (1L, cdcBase), (2L, cdcBase), (3L, inserted), (4L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.cdcNovelty(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._5.contains(1.0), "owner doc is fully novel")
+    assert(got(2L)._5.contains(0.0), "exact copy owns nothing")
+    // content-defined boundaries resynchronize after the insertion:
+    // only the chunk(s) around position 37 change, the rest are shared
+    val d3 = got(3L)
+    assert(d3._3 > 0 && d3._4 < d3._3, "insertion doc shares chunks")
+    assert(d3._4.toDouble / d3._3 <= 0.34,
+      s"expected mostly-shared chunks, got ${d3._4}/${d3._3} novel")
+    // empty doc: zero chunks, undefined (null) novelty, row kept
+    assert(got(4L) == ((4L, 0L, 0L, 0L, None)))
+  }
 }
