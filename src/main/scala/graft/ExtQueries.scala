@@ -964,6 +964,14 @@ object ExtQueries {
         .orderBy("user_id")
     }),
 
+    // ── Behavioral trigram mining: which 3-step event sequences
+    //    actually occur, with occurrence + distinct-user support — the
+    //    discovery step upstream of ext_funnel's single hypothesized
+    //    path (Events.sequenceNgrams scaladoc; all-integer, top-k on
+    //    the post-agg gram table only).
+    "ext_event_ngrams" -> ((s, dir) =>
+      Events.sequenceNgrams(t(s, dir, "events"), n = 3, k = 20)),
+
     // ── Incremental NEAR-dup screening — ORACLED against the
     //    full-quadratic batch×corpus DuckDB ground truth (54 true
     //    >= 0.5-Jaccard matches at sf0.01: 40 planted re-crawls + 14
@@ -3062,6 +3070,23 @@ object ExtQueries {
     // Independent formulation: stepwise conditional aggregation with
     // re-joins (vs the engine's single-exchange window chain) — two
     // different plans must land on one answer.
+    // trigram replay: same (ts, event_id) user-stream total order as
+    // the attribution oracle; concat_ws null-skipping matches Spark's,
+    // and the explicit last-LEAD completeness filter makes it moot.
+    "ext_event_ngrams" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    concat_ws('>', event_type,
+        |      LEAD(event_type, 1) OVER w,
+        |      LEAD(event_type, 2) OVER w) AS gram,
+        |    LEAD(event_type, 2) OVER w IS NOT NULL AS complete
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM g WHERE complete GROUP BY gram
+        |ORDER BY n_occ DESC, gram LIMIT 20""".stripMargin,
+
     "ext_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),

@@ -417,4 +417,41 @@ object Events {
       .select(col("event_id"), col("user_id"), col("value"),
         col("n_prior"), col("trail_mean"), col("z"), col("is_anomaly"))
   }
+
+  /** Behavioral n-gram mining: the `n` most recent consecutive
+    * event_types inside each user's stream form a gram
+    * ("view>click>purchase"); count every gram's occurrences and the
+    * number of distinct users exhibiting it, keep the global top `k` —
+    * the pattern-discovery step upstream of [[funnel]], which checks
+    * ONE hypothesized sequence; this surfaces which sequences are worth
+    * hypothesizing.
+    *
+    * Scale shape: grams come from `n−1` LEAD columns over the user-
+    * keyed window (high-cardinality partition key — parallelism grows
+    * with users; same total order (ts, event_id) as attribution), then
+    * one gram-keyed aggregation with map-side partials. The top-k sort
+    * runs on the POST-AGG gram table, whose cardinality is bounded by
+    * |event_type|^n, not by event volume. All integers and strings —
+    * no float discipline needed.
+    *
+    * Output: (gram, n_occ, n_users), ties broken by gram. */
+  def sequenceNgrams(
+      events: DataFrame,
+      n: Int = 3,
+      k: Int = 20): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val leads = (1 until n).map(d => lead(col("event_type"), d).over(w))
+    events
+      .select(col("user_id"),
+        concat_ws(">", (col("event_type") +: leads): _*).as("gram"),
+        leads.last.isNotNull.as("complete"))
+      .filter(col("complete"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_occ").desc, col("gram"))
+      .limit(k)
+  }
 }

@@ -382,4 +382,25 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       assert(got == want, s"trial $trial")
     }
   }
+
+  test("sequenceNgrams: per-user trigrams, support counts, ties, k cut") {
+    val ev = Seq(
+      (1L, 1L, ts(0), "a", 0.0), (2L, 1L, ts(1), "b", 0.0),
+      (3L, 1L, ts(2), "c", 0.0), (4L, 1L, ts(3), "b", 0.0),
+      (5L, 1L, ts(4), "c", 0.0),
+      (6L, 2L, ts(0), "a", 0.0), (7L, 2L, ts(1), "b", 0.0),
+      (8L, 2L, ts(2), "c", 0.0),
+      (9L, 3L, ts(0), "a", 0.0), (10L, 3L, ts(1), "b", 0.0) // too short
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val all = Events.sequenceNgrams(ev, n = 3, k = 20)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(all == Seq(
+      ("a>b>c", 2L, 2L), ("b>c>b", 1L, 1L), ("c>b>c", 1L, 1L)),
+      "count-desc then lexicographic gram order; user 3 contributes none")
+    // grams never cross user streams
+    assert(!all.exists(_._1.contains("b>a")))
+    val cut = Events.sequenceNgrams(ev, n = 3, k = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(cut == all.take(2))
+  }
 }
