@@ -323,6 +323,42 @@ object EventStreams {
       }
   }
 
+  final case class GramState(recent: Array[String])
+  final case class GramHit(event_id: Long, user_id: Long, gram: String)
+
+  /** Streaming twin of [[graft.operators.Events.sequenceNgrams]]'s gram
+    * EXTRACTION: per-user state is the last n−1 event_types (a bounded
+    * String array, FIFO); each arriving event completes at most one
+    * gram, emitted with the completing event's id. Counting/top-k stays
+    * a downstream streaming aggregation — this stage is the stateful
+    * part a window can't express. Same ordering trade as
+    * [[funnelStream]]: in-batch events fold in (ts, event_id) order;
+    * cross-batch stragglers join the stream where state stands. On
+    * per-user in-order feeds the emitted gram multiset equals the
+    * batch operator's pre-aggregation gram set (EventStreamsSpec). */
+  def sequenceNgramStream(
+      events: Dataset[Event],
+      n: Int = 3): Dataset[GramHit] = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GramState, GramHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[GramState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Array.empty[String])
+          val out = scala.collection.mutable.ArrayBuffer.empty[GramHit]
+          batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (recent.length == n - 1)
+              out += GramHit(e.event_id, uid,
+                (recent :+ e.event_type).mkString(">"))
+            recent = (recent :+ e.event_type).takeRight(n - 1)
+          }
+          state.update(GramState(recent))
+          out.iterator
+      }
+  }
+
   final case class ZState(recent: Array[Double])
   final case class ZScored(
       event_id: Long, user_id: Long, value: Double,

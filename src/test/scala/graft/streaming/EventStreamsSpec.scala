@@ -280,6 +280,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sequenceNgramStream matches the batch gram multiset across batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sequenceNgramStream(in.toDS(), n = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ngram_stream_out").start()
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 0.0), Event(2, ts(1), 1, "b", 0.0),
+      Event(3, ts(2), 1, "c", 0.0),
+      Event(4, ts(0), 2, "a", 0.0), Event(5, ts(1), 2, "b", 0.0),
+      // batch 2: user 1's state must carry (b, c) across the cut
+      Event(6, ts(3), 1, "b", 0.0), Event(7, ts(4), 1, "c", 0.0),
+      Event(8, ts(2), 2, "c", 0.0))
+    try {
+      in.addData(events.take(5): _*)
+      q.processAllAvailable()
+      in.addData(events.drop(5): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ngram_stream_out")
+        .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("gram")))
+        .toSet
+      assert(streamed == Set(
+        (3L, "a>b>c"), (6L, "b>c>b"), (7L, "c>b>c"), (8L, "a>b>c")),
+        "cross-batch state completes user 1's grams; user streams isolated")
+      // multiset parity with the batch operator's aggregation input
+      val batchGrams = graft.operators.Events.sequenceNgrams(events.toDF(), 3, 100)
+        .collect().map(r => r.getAs[String]("gram") -> r.getAs[Long]("n_occ")).toMap
+      val streamCounts = streamed.toSeq.groupBy(_._2)
+        .map { case (g, hits) => g -> hits.size.toLong }
+      assert(streamCounts == batchGrams)
+    } finally q.stop()
+  }
+
   test("zScoreStream matches batch trailingZScore on ordered per-user feeds") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
