@@ -1267,6 +1267,21 @@ object ExtQueries {
         col("tok_a"), col("tok_b"), col("n_ab"))
         .orderBy(col("pr").desc, col("node"))),
 
+    // ── Personalized PageRank from the 's%'-token seed set: relevance
+    //    radiates from seeds through co-occurrence links — the
+    //    seed-expanded curation primitive; same fixed-round decimal
+    //    contract as ext_pagerank (Graph.personalizedPageRank scaladoc).
+    "ext_ppr" -> ((s, dir) => {
+      val edges = TextPipeline.skipgramPairCounts(
+        t(s, dir, "documents"), col("text"), window = 1)
+      val seeds = edges.select(col("tok_a").as("node"))
+        .unionByName(edges.select(col("tok_b").as("node")))
+        .filter(col("node").startsWith("s"))
+      Graph.personalizedPageRank(
+        edges, col("tok_a"), col("tok_b"), col("n_ab"), seeds)
+        .orderBy(col("ppr").desc, col("node"))
+    }),
+
     // ── BPE end-to-end: train 6 merges on the corpus word-frequency
     //    table, segment every distinct word with them — training AND
     //    application oracle-verified in one result (the oracle unrolls
@@ -3829,6 +3844,56 @@ object ExtQueries {
         |FROM p5 LEFT JOIN (SELECT DISTINCT src AS node, out_w FROM sh) o
         |  USING (node)
         |ORDER BY pr DESC, node""".stripMargin,
+
+    // PPR replay: the ext_pagerank CTE with the uniform teleport
+    // replaced by the seed distribution (flag/|S|, LIKE 's%' mirroring
+    // startsWith), 5 rounds unrolled mechanically.
+    "ext_ppr" -> {
+      val base =
+        """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+          |pl AS (
+          |  SELECT flatten(list_transform(range(1, least(1, len(t) - 1) + 1),
+          |           d -> list_transform(range(1, len(t) - d + 1),
+          |             i -> struct_pack(a := t[CAST(i AS INT)],
+          |                              b := t[CAST(i + d AS INT)])))) AS ps
+          |  FROM toks WHERE len(t) >= 2),
+          |e AS (
+          |  SELECT p['a'] AS src, p['b'] AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+          |  FROM (SELECT unnest(ps) AS p FROM pl) GROUP BY 1, 2),
+          |ow AS (
+          |  SELECT src, CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS out_w
+          |  FROM e GROUP BY 1),
+          |sh AS MATERIALIZED (
+          |  SELECT e.src, e.dst, e.w / ow.out_w AS share
+          |  FROM e JOIN ow USING (src)),
+          |nf AS MATERIALIZED (
+          |  SELECT node, CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END AS flag
+          |  FROM (SELECT DISTINCT node FROM (
+          |    SELECT src AS node FROM sh UNION ALL SELECT dst FROM sh))),
+          |ns AS (SELECT CAST(SUM(flag) AS BIGINT) AS n_seeds FROM nf),
+          |p0 AS (SELECT node, flag,
+          |         CASE WHEN n_seeds > 0
+          |           THEN CAST(flag AS DOUBLE) / CAST(n_seeds AS DOUBLE)
+          |           ELSE 0.0 END AS pr
+          |       FROM nf CROSS JOIN ns)""".stripMargin
+      val rounds = (1 to 5).map { r =>
+        s""",
+           |c$r AS (SELECT sh.dst AS node,
+           |  SUM(CAST(p${r - 1}.pr * sh.share AS DECIMAL(28,12))) AS s
+           |  FROM sh JOIN p${r - 1} ON p${r - 1}.node = sh.src GROUP BY 1),
+           |p$r AS (SELECT nf.node, nf.flag,
+           |  0.15000000000000002 * (CASE WHEN n_seeds > 0
+           |    THEN CAST(nf.flag AS DOUBLE) / CAST(n_seeds AS DOUBLE)
+           |    ELSE 0.0 END)
+           |  + 0.85 * COALESCE(CAST(c$r.s AS DOUBLE), 0.0) AS pr
+           |  FROM nf CROSS JOIN ns LEFT JOIN c$r ON c$r.node = nf.node)"""
+          .stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT node, round(pr, 6) AS ppr, flag = 1 AS is_seed
+          |FROM p5 ORDER BY ppr DESC, node""".stripMargin
+    },
 
     // Same 5-gram extraction as the decontamination oracle, min-doc_id
     // ownership, one IEEE divide; gram-less docs keep a null novelty

@@ -87,6 +87,71 @@ object Graph {
         coalesce(col("out_w"), lit(0.0)).as("out_w"))
   }
 
+  /** Personalized PageRank (topic-sensitive PageRank, Haveliwala '02):
+    * [[pageRank]] with the uniform teleport replaced by the SEED
+    * distribution s(v) = 1/|S| on seed nodes, 0 elsewhere —
+    * pprₜ₊₁(v) = (1−d)·s(v) + d·Σ pprₜ(u)·share(u,v), ppr₀ = s.
+    * Relevance mass radiates from the seeds through the link structure:
+    * the data-selection primitive for "find corpus regions near this
+    * trusted set" (seed-expanded curation), where global PageRank only
+    * says "important", not "important TO these".
+    *
+    * Same fixed-round, decimal-accumulated, oracle-unrollable contract
+    * and the same one-checkpoint/one-shuffle-per-round shape as
+    * [[pageRank]]; the seed set rides a broadcast membership join onto
+    * the node table (seeds are small by definition). Seeds not present
+    * in the graph are ignored; an empty effective seed set yields
+    * all-zero ranks (guarded divide), not a failure. Dangling mass is
+    * absorbed, as in [[pageRank]].
+    *
+    * Output: (node, ppr, is_seed), ppr rounded to 6dp. */
+  def personalizedPageRank(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      weight: Column,
+      seeds: DataFrame, // one column: node
+      iterations: Int = 5,
+      damping: Double = 0.85,
+      checkpoint: Checkpointing.Mode = Checkpointing.Local): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e0 = edges.select(src.as("src"), dst.as("dst"), weight.cast("double").as("w"))
+    val outW = e0.groupBy("src").agg(sum(col("w").cast("decimal(28,6)")).cast("double").as("out_w"))
+    val sharesCut = checkpoint.cut(
+      e0.join(outW, Seq("src"))
+        .select(col("src"), col("dst"), (col("w") / col("out_w")).as("share")))
+    val seedSet = seeds.select(col("node")).distinct()
+    val nodes = checkpoint.cut(
+      sharesCut.select(col("src").as("node"))
+        .union(sharesCut.select(col("dst").as("node")))
+        .distinct()
+        .join(broadcast(seedSet.withColumn("flag", lit(1L))), Seq("node"), "left")
+        .select(col("node"), coalesce(col("flag"), lit(0L)).as("flag")))
+    val nSeeds = nodes.groupBy().agg(sum(col("flag")).as("n_seeds"))
+    // s(v): flag/|S| — one exact IEEE divide; 0 everywhere on an empty
+    // effective seed set
+    val teleport = when(col("n_seeds") > 0,
+      col("flag").cast("double") / col("n_seeds").cast("double"))
+      .otherwise(lit(0.0))
+    var pr = nodes.crossJoin(broadcast(nSeeds))
+      .select(col("node"), col("flag"), teleport.as("ppr"))
+    (1 to iterations).foreach { _ =>
+      val contrib = sharesCut
+        .join(pr.select(col("node").as("src"), col("ppr").as("pr_src")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum((col("pr_src") * col("share")).cast("decimal(28,12)")).as("in_sum"))
+      pr = nodes.crossJoin(broadcast(nSeeds))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("flag"),
+          (lit(1.0 - damping) * teleport +
+            lit(damping) * coalesce(col("in_sum").cast("double"), lit(0.0)))
+            .as("ppr"))
+    }
+    pr.select(col("node"), round(col("ppr"), 6).as("ppr"),
+      (col("flag") === 1L).as("is_seed"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007), `iterations` fixed rounds: every node starts labeled with
     * itself; each round it adopts the label carrying the highest total

@@ -213,6 +213,77 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got2("leaf03") == ((1L, 0L, 0.0)))
   }
 
+  private def runPpr(edges: Seq[(String, String, Long)], seeds: Seq[String])
+      : Map[String, (Double, Boolean)] =
+    Graph.personalizedPageRank(edges.toDF("src", "dst", "w"),
+        col("src"), col("dst"), col("w"), seeds.toDF("node"))
+      .as[(String, Double, Boolean)].collect()
+      .map { case (n, p, s) => n -> ((p, s)) }.toMap
+
+  /** Serial PPR with the engine's exact arithmetic (decimal-quantized
+    * contributions), for bit-parity — the serialPageRank discipline. */
+  private def serialPpr(
+      edges: Seq[(String, String, Long)],
+      seeds: Set[String],
+      iterations: Int = 5,
+      damping: Double = 0.85): Map[String, Double] = {
+    val outW = edges.groupBy(_._1).map { case (s, es) =>
+      s -> BigDecimal(es.map(e => BigDecimal(e._3.toDouble)).sum.toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val shares = edges.map { case (s, d, w) => (s, d, w.toDouble / outW(s)) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val inGraphSeeds = nodes.filter(seeds.contains)
+    def tele(v: String): Double =
+      if (inGraphSeeds.isEmpty) 0.0
+      else if (seeds.contains(v)) 1.0 / inGraphSeeds.length.toDouble
+      else 0.0
+    var pr = nodes.map(v => v -> tele(v)).toMap
+    (1 to iterations).foreach { _ =>
+      val in = shares.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, share) =>
+          BigDecimal(pr(s) * share).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+      }
+      pr = nodes.map(v =>
+        v -> ((1.0 - damping) * tele(v) + damping * in.getOrElse(v, 0.0))).toMap
+    }
+    pr.view.mapValues(p =>
+      BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+  }
+
+  test("personalizedPageRank: mass radiates from the seed; serial parity") {
+    val chain = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L),
+      ("c", "b", 1L), ("c", "d", 1L), ("d", "c", 1L))
+    val got = runPpr(chain, Seq("a"))
+    assert(got("a")._2 && !got("b")._2)
+    assert(got.view.mapValues(_._1).toMap == serialPpr(chain, Set("a")),
+      "bit-parity with the serial decimal-quantized reference")
+    // a's whole walk mass exits through its single out-edge, so the
+    // seed's NEIGHBOR legitimately outranks the seed; personalization
+    // still concentrates mass near the seed end of the chain
+    assert(got("a")._1 + got("b")._1 > got("c")._1 + got("d")._1,
+      "seed side of the chain holds most of the mass")
+    assert(got("d")._1 > 0.0, "mass reaches the far end through the chain")
+  }
+
+  test("personalizedPageRank: all-nodes seed set IS standard PageRank") {
+    val edges = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 3L),
+      ("a", "c", 1L))
+    val ppr = runPpr(edges, Seq("a", "b", "c")).view.mapValues(_._1).toMap
+    val pr = Graph.pageRank(edges.toDF("src", "dst", "w"),
+        col("src"), col("dst"), col("w"))
+      .select("node", "pr").as[(String, Double)].collect().toMap
+    assert(ppr == pr, "uniform seeding degenerates to the global walk")
+  }
+
+  test("personalizedPageRank: empty / out-of-graph seeds rank everything 0") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L))
+    val got = runPpr(edges, Seq("zzz"))
+    assert(got.view.mapValues(_._1).toMap == Map("a" -> 0.0, "b" -> 0.0))
+    assert(got.values.forall(!_._2), "stray seed marks nothing")
+  }
+
   private def runKCore(edges: Seq[(String, String)], k: Int)
       : Map[String, Long] =
     Graph.kCore(edges.toDF("a", "b"), col("a"), col("b"), k)
