@@ -926,6 +926,15 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Run-repetition repair: collapse consecutive duplicate tokens
+    //    map-side (indexed-lambda filter, no regex backreference, no
+    //    window) — the normalizer next to ext_repetition's detectors
+    //    (TextPipeline.collapseTokenRuns scaladoc).
+    "ext_collapse_runs" -> ((s, dir) =>
+      TextPipeline.collapseTokenRuns(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // ── SQL-text surface, harness-verified: the same adjacent-pair
     //    Jaccard as ext_ngram_jaccard but written as a `spark.sql`
     //    statement calling the INJECTED ngram_jaccard function
@@ -3266,6 +3275,25 @@ object ExtQueries {
         |           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS nll
         |FROM toks t JOIN model m ON t.term = m.term CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // run-collapse replay: DuckDB's indexed list_filter is 1-based
+    // (keep i = 1), Spark's is 0-based with a null-safe compare at the
+    // head — same kept set; whitespace split keeps empties on both.
+    "ext_collapse_runs" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |k AS (
+        |  SELECT doc_id, ts,
+        |    list_filter(ts,
+        |      (x, i) -> i = 1 OR x != ts[CAST(i - 1 AS INT)]) AS kept
+        |  FROM b)
+        |SELECT doc_id,
+        |  array_to_string(kept, ' ') AS scrubbed,
+        |  CASE WHEN ts IS NULL THEN 0
+        |       ELSE CAST(len(ts) AS BIGINT) END AS n_tokens,
+        |  CASE WHEN ts IS NULL THEN 0
+        |       ELSE CAST(len(ts) - len(kept) AS BIGINT) END AS n_removed
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "ext_token_scrub" ->
       """WITH s AS (

@@ -675,6 +675,40 @@ object TextPipeline {
         .as("n_dropped"))
   }
 
+  /** Collapse CONSECUTIVE duplicate tokens ("click here click here" →
+    * one scrubbed doc keeps "click here ...", "the the the" → "the") —
+    * the run-repetition normalizer next to [[repetitionMetrics]]'
+    * detectors: metrics FLAG repetition-heavy docs, this repairs the
+    * benign run-of-token subclass instead of dropping the doc.
+    *
+    * Purely map-side (one split + one indexed-lambda filter per row —
+    * zero shuffles, zero joins); the engine-portable formulation is the
+    * point: keep tokens[i] iff i is first or tokens[i] ≠ tokens[i−1],
+    * which both Spark's `filter(col, (x, i) => …)` (0-based) and
+    * DuckDB's `list_filter(l, (x, i) -> …)` (1-based) express exactly —
+    * no regex backreference (RE2 engines lack them), no window.
+    *
+    * Output: (doc_id, scrubbed, n_tokens, n_removed); null text passes
+    * through as null scrubbed with 0 counts. */
+  def collapseTokenRuns(
+      docs: DataFrame,
+      id: Column,
+      text: Column): DataFrame = {
+    val toks = split(text, " ")
+    // keep first occurrence of each run: prev = get(toks, i-1) (0-based
+    // `get` returns null at -1 — the null-safe <=> keeps index 0 without
+    // relying on || short-circuiting past an out-of-bounds access)
+    val kept = filter(toks, (t, i) => !(t <=> get(toks, i - 1)))
+    docs.select(
+      id.as("doc_id"),
+      array_join(kept, " ").as("scrubbed"),
+      // null text: size() yields -1, pin both counts to 0
+      when(text.isNull, lit(0L))
+        .otherwise(size(toks).cast("long")).as("n_tokens"),
+      when(text.isNull, lit(0L))
+        .otherwise((size(toks) - size(kept)).cast("long")).as("n_removed"))
+  }
+
   /** Boolean AND search over an on-the-fly inverted index: build distinct
     * (term, doc_id) postings, keep only the query's terms, and a document
     * matches when it holds ALL of them. Returns (doc_id, n_terms,

@@ -648,4 +648,22 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got(("en", "x")) == ((4L, 2L, hSkew, nSkew)))
     assert(got(("fr", "y")) == ((3L, 1L, 0.0, 0.0)))
   }
+
+  test("collapseTokenRuns: runs collapse, non-adjacent repeats survive") {
+    val docs = Seq(
+      (1L, "click here click here"), // non-adjacent: untouched
+      (2L, "the the the end"),
+      (3L, "a a b b b a"),
+      (4L, "solo"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextPipeline
+      .collapseTokenRuns(docs, col("doc_id"), col("text"))
+      .as[(Long, Option[String], Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((Some("click here click here"), 4L, 0L)))
+    assert(got(2L) == ((Some("the end"), 4L, 2L)))
+    assert(got(3L) == ((Some("a b a"), 6L, 3L)))
+    assert(got(4L) == ((Some("solo"), 1L, 0L)))
+    assert(got(5L) == ((None, 0L, 0L)), "null text passes through")
+  }
 }
