@@ -1249,6 +1249,16 @@ object ExtQueries {
         materialize = true)
         .orderBy("group_key")),
 
+    // ── Winsorized mean per event_type: exact p05/p95 fences from the
+    //    distributed selection, map-side clip, decimal-summed means —
+    //    raw mean emitted next to it so the gap IS the outlier signal
+    //    (Relational.winsorizedMean scaladoc).
+    "ext_winsorized_mean" -> ((s, dir) =>
+      Relational.winsorizedMean(
+        t(s, dir, "events"), col("event_type"), col("value"),
+        materialize = true)
+        .orderBy("group_key")),
+
     // ── Interval analytics: peak concurrency per (event_type, day) —
     //    each event an interval of `value` seconds, sweep-line deltas,
     //    day-clipped so the window partition grows with the time range
@@ -3706,6 +3716,29 @@ object ExtQueries {
         |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
         |SELECT med.g AS group_key, med.m AS median, mad.dv AS mad
         |FROM med JOIN mad USING (g) ORDER BY group_key""".stripMargin,
+
+    // fences replayed as the same ⌈p·n⌉ rank picks as the g6/MAD
+    // family; clip + both means decimal-quantized per value.
+    "ext_winsorized_mean" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT g, v,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM b),
+        |q AS (
+        |  SELECT g,
+        |    MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN v END) AS lo,
+        |    MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN v END) AS hi
+        |  FROM r GROUP BY g)
+        |SELECT b.g AS group_key, CAST(COUNT(*) AS BIGINT) AS n, q.lo, q.hi,
+        |  CAST(SUM(CAST(b.v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean,
+        |  CAST(SUM(CAST(least(greatest(b.v, q.lo), q.hi) AS DECIMAL(18,6)))
+        |    AS DOUBLE) / COUNT(*) AS winsorized_mean
+        |FROM b JOIN q USING (g) GROUP BY 1, q.lo, q.hi
+        |ORDER BY group_key""".stripMargin,
 
     // Sweep replay: same clamp (trunc-cast — Spark's double→long
     // truncates where a bare DuckDB CAST would round), same day clip,

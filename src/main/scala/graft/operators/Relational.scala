@@ -300,6 +300,50 @@ object Relational {
       .select(col("group_key"), col("median"), col("mad"))
   }
 
+  /** Winsorized mean: clip every value into [p_lo, p_hi] (EXACT
+    * per-group percentiles from [[exactQuantiles]]'s distributed
+    * selection — element picks, no interpolation) and average the
+    * clipped values — the outlier-robust location estimate that, unlike
+    * a trimmed mean, keeps n constant (clipped rows count at the fence,
+    * not dropped). Emitted next to the raw mean so the gap itself is
+    * the outlier signal.
+    *
+    * 100 TB shape: the fences are one exactQuantiles call (its
+    * three-pass, cell-bounded selection — nothing here sorts a group);
+    * the fence table is G rows, broadcast; clipping is map-side
+    * least/greatest; the final rollup is one group-keyed aggregation.
+    * Determinism: fences are exact data elements, clip is exact, and
+    * both means quantize each value to DECIMAL(18,6) before the sum
+    * (xsum discipline) with one exact IEEE divide at the end.
+    *
+    * Output: (group_key, n, lo, hi, mean, winsorized_mean). */
+  def winsorizedMean(
+      df: DataFrame, group: Column, value: Column,
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      bucketsPerGroup: Int = 0, materialize: Boolean = false): DataFrame = {
+    require(pLo > 0.0 && pHi < 1.0 && pLo < pHi,
+      s"need 0 < pLo < pHi < 1, got ($pLo, $pHi)")
+    val fences = exactQuantiles(df, group, value.cast("double"),
+        Seq(pLo, pHi), bucketsPerGroup, materialize)
+      .select(col("group_key"),
+        col(s"p${math.round(pLo * 100)}").as("lo"),
+        col(s"p${math.round(pHi * 100)}").as("hi"))
+    df.select(group.as("g"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .join(broadcast(fences), col("g") === col("group_key"))
+      .select(col("group_key"), col("lo"), col("hi"), col("v"),
+        least(greatest(col("v"), col("lo")), col("hi")).as("cv"))
+      .groupBy("group_key", "lo", "hi")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("v").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean"),
+        (sum(col("cv").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("winsorized_mean"))
+      .select(col("group_key"), col("n"), col("lo"), col("hi"),
+        col("mean"), col("winsorized_mean"))
+  }
+
   /** One-pass column profile — the data-quality summary every ingest
     * runs before accepting a drop: per column, non-null count, distinct
     * count, and min/max (stringified so one schema fits every type).

@@ -145,4 +145,19 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       assert(got == want, s"trial $trial")
     }
   }
+
+  test("winsorizedMean: one outlier moves the mean, barely the winsorized") {
+    // group a: 1..19 + outlier 1000 → fences at ceil(.05·20)=1st (=1)
+    // and ceil(.95·20)=19th (=19); clip maps 1000 → 19
+    val rows = (1 to 19).map(i => ("a", i.toDouble)) :+ ("a", 1000.0)
+    val other = Seq(("b", 5.0), ("b", 7.0), ("b", null.asInstanceOf[Any]))
+      .map { case (g, v) => (g, Option(v).map(_.asInstanceOf[Double])) }
+    val df = (rows.map { case (g, v) => (g, Some(v)) } ++ other).toDF("g", "v")
+    val got = Relational.winsorizedMean(df, col("g"), col("v"))
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 20L, 1.0, 19.0, 59.5, 10.45)))
+    // tiny group: both fences exist (ranks 1 and 2), null row skipped
+    assert(got("b") == (("b", 2L, 5.0, 7.0, 6.0, 6.0)))
+  }
 }
