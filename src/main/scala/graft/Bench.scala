@@ -42,6 +42,127 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    // Sharded self-fork (r10 harness lesson, SCALE.md): one long JVM
+    // deterministically slows late queries via JIT profile pollution —
+    // the 151-query surface measured a 1.16×→1.32× first-to-last-third
+    // drift against its own forked ground truth, and the bias GROWS as
+    // the surface grows, corrupting cross-round totals. Bounding each
+    // JVM to SPARK_GRAFT_SHARD_SIZE queries (default 12, alphabetical,
+    // so shard boundaries are deterministic) caps a query's pollution
+    // depth at its position within its shard instead of its position in
+    // an ever-growing surface. ~12 s spawn cost per shard. Set
+    // SPARK_GRAFT_SHARD_SIZE=0 to force the old single-JVM behavior;
+    // runs at or under the shard size (incl. bench_forked.sh's
+    // per-query calls) are in-process exactly as before.
+    val shardSize =
+      math.max(0, sys.env.getOrElse("SPARK_GRAFT_SHARD_SIZE", "12").toInt)
+    val alreadyForked = sys.env.get("SPARK_GRAFT_FORKED").contains("1")
+    val selected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    if (!alreadyForked && shardSize > 0 && selected.length > shardSize) {
+      runSharded(selected, shardSize)
+      return
+    }
+    runInProcess(only)
+  }
+
+  /** Spawn one child JVM (same args + classpath) per `shardSize`-query
+    * shard; merge the children's JSON lines into the single output
+    * line/artifact. A shard whose child fails falls back to in-process
+    * execution, so a broken spawn environment degrades to the old
+    * behavior instead of failing the bench. */
+  private def runSharded(names: Seq[String], shardSize: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val loadBefore = loadAvg()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val shards = names.grouped(shardSize).toSeq
+    val shardJsons = shards.zipWithIndex.map { case (shard, i) =>
+      val tmp = java.nio.file.Files.createTempFile(s"bench_shard$i", ".json")
+      val spawned =
+        try {
+          val cmd = (Seq(javaBin) ++ jvmArgs ++
+            Seq("-cp", cp, "graft.Bench")).asJava
+          val pb = new ProcessBuilder(cmd)
+          pb.environment().put("SPARK_GRAFT_FORKED", "1")
+          pb.environment().put("SPARK_GRAFT_QUERIES", shard.mkString(","))
+          pb.environment().put("SPARK_GRAFT_BENCH_OUT", tmp.toString)
+          // child stdout carries its own JSON line — keep the parent's
+          // stdout clean for the merged line the driver parses
+          pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          System.err.println(
+            s"[bench] shard ${i + 1}/${shards.length}: ${shard.head}..${shard.last}")
+          pb.start().waitFor() == 0 &&
+            java.nio.file.Files.size(tmp) > 0
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] shard spawn failed: ${e.getMessage}")
+          false
+        }
+      val text =
+        if (spawned)
+          new String(java.nio.file.Files.readAllBytes(tmp), "UTF-8")
+        else {
+          System.err.println(
+            s"[bench] shard ${i + 1} falling back to in-process")
+          runInProcess(Some(shard.toSet), printLine = false)
+        }
+      java.nio.file.Files.deleteIfExists(tmp)
+      mapper.readTree(text)
+    }
+    def mergeObj(field: String): String = shardJsons
+      .flatMap(j => j.path(field).properties().asScala
+        .map(e => "\"" + e.getKey + "\":" + e.getValue.toString))
+      .mkString("{", ",", "}")
+    val selfRatios = shardJsons
+      .flatMap(_.path("queries_selfratio").properties().asScala
+        .map(_.getValue.asDouble())).sorted
+    val noise =
+      if (selfRatios.isEmpty) """{"p50":1.0,"p90":1.0,"max":1.0}"""
+      else f"""{"p50":${selfRatios(selfRatios.length / 2)}%.4f,""" +
+        f""""p90":${selfRatios((selfRatios.length * 9) / 10)}%.4f,""" +
+        f""""max":${selfRatios.last}%.4f}"""
+    val total = shardJsons.map(_.path("value").asDouble()).sum
+    val errs = shardJsons
+      .flatMap(_.path("errors").elements().asScala.map(_.toString))
+      .mkString("[", ",", "]")
+    val first = shardJsons.head
+    def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":${mergeObj("queries")},""" +
+        s""""queries_median":${mergeObj("queries_median")},""" +
+        s""""queries_selfratio":${mergeObj("queries_selfratio")},""" +
+        s""""noise":$noise,"repeats":${first.path("repeats").asInt()},""" +
+        s""""heavy_threshold":${first.path("heavy_threshold").asDouble()},""" +
+        s""""heavy_extra":${first.path("heavy_extra").asInt()},""" +
+        s""""shard_size":$shardSize,"n_shards":${shards.length},""" +
+        s""""load_avg_before":${arr(loadBefore)},""" +
+        s""""load_avg_after":${arr(loadAvg())},""" +
+        s""""errors":$errs,"sf":"${first.path("sf").asText()}"}"""
+    println(json)
+    writeArtifact(json)
+  }
+
+  private def writeArtifact(json: String): Unit =
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_latest.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full JSON written to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write skipped: ${e.getMessage}")
+    }
+
+  private def runInProcess(
+      only: Option[Set[String]], printLine: Boolean = true): String = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "5").toInt)
@@ -64,9 +185,6 @@ object Bench {
           .mode("overwrite").save()
       }
     } catch { case _: Throwable => () }
-    // optional selective run for local iteration (driver leaves it unset)
-    val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).toSet)
     // Adaptive repeats (r9 verdict ask #5): queries whose fastest base
     // repeat is >= this threshold get SPARK_GRAFT_HEAVY_EXTRA more —
     // min-of-N variance shrinks where regressions actually matter
@@ -166,20 +284,13 @@ object Bench {
         s""""heavy_threshold":$heavyThreshold,"heavy_extra":$heavyExtra,""" +
         s""""load_avg_before":${arr(loadBefore)},"load_avg_after":${arr(loadAfter)},""" +
         s""""errors":$errs,"sf":"$sfDir"}"""
-    println(json)
+    if (printLine) println(json)
     // Also persist the FULL per-query JSON as a repo artifact: the
     // driver's stdout tail truncates at 2000 chars, which loses the
     // first ~40 queries of the alphabetical map every round and makes
     // regressions there unauditable from the round artifacts alone.
-    try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_latest.json"))
-      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] full JSON written to $out")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] artifact write skipped: ${e.getMessage}")
-    }
+    writeArtifact(json)
     spark.stop()
+    json
   }
 }
