@@ -577,6 +577,34 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ── Asymmetric containment screening: |fp(A)∩fp(B)|/|fp(A)| over
+    //    the same winnowed fingerprints — catches "A quoted inside B"
+    //    subset-duplication that symmetric Jaccard dilutes when B ≫ A
+    //    (Dedup.containmentPairs scaladoc; cap disabled for oracle
+    //    parity, as in ext_substring_dedup).
+    "ext_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        threshold = 0.5, bucketCap = Int.MaxValue)
+        .orderBy("id_a", "id_b")),
+
+    // ── Incremental CDC screen: a synthetic drop (fresh docs + edited
+    //    re-posts of corpus docs) probes the corpus's content-defined
+    //    chunk index — re-posts share almost all chunks and are
+    //    rejected, fresh content admitted; the index is scanned, never
+    //    shuffled (Dedup.cdcScreen scaladoc).
+    "ext_cdc_screen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250) // genuinely new
+        .unionByName(docs.filter(col("doc_id") < 40) // edited re-posts
+          .withColumn("doc_id", col("doc_id") + 1000L)
+          .withColumn("text",
+            concat(col("text"), lit(" freshly appended recrawl tail"))))
+      Dedup.cdcScreen(batch, corpus, col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // ── Curation funnel: the end-to-end pretraining filter chain
     //    (lang-id → quality → repetition → dedup) as ONE pass over the
     //    corpus, reporting per-stage survivor counts. All flags are
@@ -2520,6 +2548,97 @@ object ExtQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+
+    // containment replay: the ext_substring_dedup fingerprint CTE plus
+    // per-doc counts; the WHERE repeats the division expressions (no
+    // alias refs) — exact IEEE divides and compares on both engines.
+    "ext_containment" ->
+      """WITH fp AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id, unnest(list_filter(list_transform(
+        |      range(1, length(text) - 30),
+        |      i -> list_reduce(list_transform(range(i, i + 32),
+        |             j -> CAST(ord(substr(text, j, 1)) AS BIGINT)),
+        |           (acc, c) -> (acc * 31 + c) % 1000000007)),
+        |      h -> h % 8 = 0)) AS fp
+        |    FROM documents)),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+        |        FROM fp GROUP BY 1),
+        |sh AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT sh.id_a, sh.id_b, sh.n_shared,
+        |  ca.n_fp AS n_a, cb.n_fp AS n_b,
+        |  CAST(sh.n_shared AS DOUBLE) / ca.n_fp AS containment_a,
+        |  CAST(sh.n_shared AS DOUBLE) / cb.n_fp AS containment_b
+        |FROM sh JOIN cnt ca ON ca.doc_id = sh.id_a
+        |        JOIN cnt cb ON cb.doc_id = sh.id_b
+        |WHERE greatest(CAST(sh.n_shared AS DOUBLE) / ca.n_fp,
+        |               CAST(sh.n_shared AS DOUBLE) / cb.n_fp) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // CDC-screen replay: the ext_cdc_chunks chunking CTE over the
+    // constructed corpus+batch union (side column), corpus-side distinct
+    // chunk keys as the index, LEFT-JOIN membership flag, one divide.
+    "ext_cdc_screen" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text, 'corpus' AS side FROM documents
+        |  WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT doc_id, text, 'batch' FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text || ' freshly appended recrawl tail',
+        |         'batch'
+        |  FROM documents WHERE doc_id < 40),
+        |cp AS (
+        |  SELECT doc_id, side,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS cs
+        |  FROM docs2 WHERE text IS NOT NULL),
+        |wh AS (
+        |  SELECT doc_id, side, cs, len(cs) AS n,
+        |    CASE WHEN len(cs) >= 16 THEN
+        |      list_transform(range(1, len(cs) - 14),
+        |        s -> list_reduce(list_slice(cs, s, s + 15),
+        |               (a, c) -> (a * 31 + c) % 1000000007))
+        |    ELSE [] END AS hs
+        |  FROM cp WHERE len(cs) > 0),
+        |st AS (
+        |  SELECT doc_id, side, cs, n,
+        |    list_prepend(1, list_transform(
+        |      list_filter(range(1, len(hs) + 1),
+        |        s -> hs[CAST(s AS INT)] % 32 = 0 AND s + 15 < n),
+        |      s -> s + 16)) AS starts
+        |  FROM wh),
+        |occ AS (
+        |  SELECT doc_id, side,
+        |    CAST(c['en'] - c['st'] + 1 AS BIGINT) AS chunk_len,
+        |    list_reduce(
+        |      list_slice(cs, CAST(c['st'] AS INT), CAST(c['en'] AS INT)),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS chunk_hash
+        |  FROM (
+        |    SELECT doc_id, side, cs,
+        |      unnest(list_transform(range(1, len(starts) + 1),
+        |        j -> struct_pack(
+        |               st := starts[CAST(j AS INT)],
+        |               en := CASE WHEN j < len(starts)
+        |                     THEN starts[CAST(j + 1 AS INT)] - 1
+        |                     ELSE n END))) AS c
+        |    FROM st)),
+        |idx AS (
+        |  SELECT DISTINCT chunk_hash, chunk_len, 1 AS known FROM occ
+        |  WHERE side = 'corpus')
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(COALESCE(idx.known, 0)) AS BIGINT) AS n_known,
+        |  CAST(SUM(COALESCE(idx.known, 0)) AS DOUBLE) / COUNT(*)
+        |    AS known_ratio,
+        |  CAST(SUM(COALESCE(idx.known, 0)) AS DOUBLE) / COUNT(*) <= 0.5
+        |    AS admitted
+        |FROM (SELECT * FROM occ WHERE side = 'batch') b
+        |LEFT JOIN idx USING (chunk_hash, chunk_len)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     // mirrors langId / qualityScore formulas proven hash-identical by
     // ext_lang_id / ext_text_quality, so the >= / <= cuts agree bitwise.

@@ -749,6 +749,99 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Incremental CDC screen: admit a daily drop's documents by how much
+    * of their CONTENT-DEFINED chunk set the corpus already holds —
+    * known_ratio = |chunks(doc) ∩ corpusIndex| / |chunks(doc)|; a
+    * lightly-edited re-post shares almost all its chunks (CDC
+    * resynchronizes around the edit, [[cdcNovelty]]) and is rejected,
+    * while genuinely new content sails through. The chunk-level
+    * complement of [[incremental]]'s whole-doc fingerprint screen.
+    *
+    * 100 TB shape — the corpus index is NEVER shuffled: in production
+    * it is a persisted (chunk_hash, chunk_len) table; here the batch's
+    * distinct chunk keys (small by definition of a drop) BROADCAST into
+    * a map-side left-semi over the index scan, and only the surviving
+    * keys (≤ batch keys) broadcast back to flag the batch's chunks.
+    * Batch chunking itself is the one O(len) map-side pass
+    * (expressions.CdcChunks). Chunk-less (null/empty-text) batch docs
+    * produce no row — a screen scores content, and there is none.
+    *
+    * Output: (doc_id, n_chunks, n_known, known_ratio, admitted). */
+  def cdcScreen(
+      batch: DataFrame, corpus: DataFrame, id: Column, text: Column,
+      window: Int = 16, modB: Int = 32,
+      maxKnownRatio: Double = 0.5): DataFrame = {
+    require(maxKnownRatio >= 0.0 && maxKnownRatio <= 1.0,
+      s"maxKnownRatio must be in [0,1], got $maxKnownRatio")
+    def chunks(df: DataFrame) = df.where(text.isNotNull)
+      .select(id.as("doc_id"),
+        explode(graft.functions.expressions.GraftFunctions
+          .cdc_chunks(text, window, modB)).as("c"))
+      .select(col("doc_id"), col("c.len").as("chunk_len"),
+        col("c.hash").as("chunk_hash"))
+    val bc = chunks(batch)
+    val batchKeys = bc.select("chunk_hash", "chunk_len").distinct()
+    val knownKeys = chunks(corpus)
+      .select("chunk_hash", "chunk_len").distinct()
+      .join(broadcast(batchKeys), Seq("chunk_hash", "chunk_len"), "left_semi")
+    bc.join(broadcast(knownKeys.withColumn("known", lit(1L))),
+        Seq("chunk_hash", "chunk_len"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("known"), lit(0L))).as("n_known"))
+      .withColumn("known_ratio",
+        col("n_known").cast("double") / col("n_chunks").cast("double"))
+      .withColumn("admitted", col("known_ratio") <= maxKnownRatio)
+  }
+
+  /** ASYMMETRIC containment detection: for every candidate pair,
+    * containment(A,B) = |fp(A) ∩ fp(B)| / |fp(A)| over the winnowed
+    * substring fingerprints — near 1.0 when A's content substantially
+    * appears INSIDE B (quotation, boilerplate wrapping, expanded
+    * re-post), the subset-duplication signal that symmetric Jaccard
+    * dilutes to insignificance when |B| ≫ |A|. Emitted both ways per
+    * pair; a pair surfaces when EITHER direction clears `threshold`.
+    *
+    * Same candidate machinery as [[substringFingerprintPairs]] (the
+    * equi-join on content-defined fingerprints, same `capBuckets` skew
+    * guard); per-doc fingerprint counts come from the UNCAPPED set, so
+    * with the cap engaged the reported containment is a LOWER BOUND
+    * (shared counts can only shrink) — screening stays safe, nothing
+    * is over-claimed. Shuffles carry (fp, id) and (id, count) pairs
+    * only.
+    *
+    * Output: (id_a, id_b, n_shared, n_a, n_b, containment_a,
+    * containment_b), id_a < id_b, divisions exact IEEE. */
+  def containmentPairs(
+      df: DataFrame, id: Column, text: Column,
+      k: Int = 32, modP: Int = 8,
+      threshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val fps = df.select(id.as("doc_id"),
+      explode(array_distinct(graft.functions.expressions.GraftFunctions
+        .winnowed_fingerprints(text, k, modP))).as("fp"))
+    val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val capped = capBuckets(fps, Seq("fp"), bucketCap, "containment")
+    val l = capped.select(col("fp"), col("doc_id").as("id_a"))
+    val r = capped.select(col("fp"), col("doc_id").as("id_b"))
+    l.join(r, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .join(counts.select(col("doc_id").as("id_a"), col("n_fp").as("n_a")),
+        Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n_fp").as("n_b")),
+        Seq("id_b"))
+      .withColumn("containment_a",
+        col("n_shared").cast("double") / col("n_a").cast("double"))
+      .withColumn("containment_b",
+        col("n_shared").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("containment_a"), col("containment_b"))
+  }
+
   /** Connected components over a near-dup pair graph: every node gets
     * the MIN id reachable through the pairs — the deterministic cluster
     * representative, turning pairwise near-dup output into dedup GROUPS

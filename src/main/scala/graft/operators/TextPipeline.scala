@@ -694,19 +694,30 @@ object TextPipeline {
       docs: DataFrame,
       id: Column,
       text: Column): DataFrame = {
-    val toks = split(text, " ")
-    // keep first occurrence of each run: prev = get(toks, i-1) (0-based
-    // `get` returns null at -1 — the null-safe <=> keeps index 0 without
-    // relying on || short-circuiting past an out-of-bounds access)
-    val kept = filter(toks, (t, i) => !(t <=> get(toks, i - 1)))
-    docs.select(
-      id.as("doc_id"),
-      array_join(kept, " ").as("scrubbed"),
-      // null text: size() yields -1, pin both counts to 0
-      when(text.isNull, lit(0L))
-        .otherwise(size(toks).cast("long")).as("n_tokens"),
-      when(text.isNull, lit(0L))
-        .otherwise((size(toks) - size(kept)).cast("long")).as("n_removed"))
+    // BOTH arrays are let-bound (TextFunctions.bound): the keep-lambda
+    // reads `toks` per ELEMENT via get(), and without the binding
+    // CollapseProject inlines the split into every probe — measured
+    // 5.1 s vs 0.6 s at sf0.1 for this one operator (the same quadratic
+    // trap the shingle pipeline hit; bound's scaladoc).
+    val packed = TextFunctions.bound(split(text, " ")) { toks =>
+      // keep first occurrence of each run: prev = get(toks, i-1)
+      // (0-based `get` returns null at -1 — the null-safe <=> keeps
+      // index 0 without relying on || short-circuiting past an
+      // out-of-bounds access)
+      TextFunctions.bound(
+        filter(toks, (t, i) => !(t <=> get(toks, i - 1)))) { kept =>
+        struct(
+          array_join(kept, " ").as("scrubbed"),
+          size(toks).cast("long").as("n_tokens"),
+          (size(toks) - size(kept)).cast("long").as("n_removed"))
+      }
+    }
+    docs.select(id.as("doc_id"), packed.as("p"))
+      .select(col("doc_id"),
+        col("p.scrubbed").as("scrubbed"),
+        // null text: the whole struct is null, pin counts to 0
+        coalesce(col("p.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("p.n_removed"), lit(0L)).as("n_removed"))
   }
 
   /** Boolean AND search over an on-the-fly inverted index: build distinct

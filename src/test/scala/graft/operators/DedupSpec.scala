@@ -490,6 +490,45 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!byDoc.contains(3L))
   }
 
+  test("containmentPairs: small doc quoted inside a big one — asymmetric") {
+    val small = cdcBase.substring(0, 120)
+    val big = cdcBase.substring(120, 360) + small + cdcBase.substring(360)
+    val unrelated = cdcBase.substring(200, 320).reverse
+    val docs = Seq((1L, small), (2L, big), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.5, bucketCap = Int.MaxValue)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)),
+      "only the quoted pair surfaces; the reversed doc shares nothing")
+    val (_, _, nShared, nA, nB, ca, cb) = got.head
+    assert(nShared == nA && ca == 1.0,
+      "every fingerprint of the quoted doc appears in its host")
+    assert(nB > nA && cb < 0.5,
+      "symmetric direction stays weak — exactly what Jaccard would dilute")
+  }
+
+  test("cdcScreen: edited re-post rejected, fresh doc admitted") {
+    var x = 98765L
+    val fresh = (0 until 400).map { _ =>
+      x = (x * 1103515245L + 12345L) % (1L << 31)
+      ('a' + (x % 26).toInt).toChar
+    }.mkString
+    val corpus = Seq((1L, cdcBase), (2L, cdcBase.reverse)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, cdcBase + " small appended edit"), // re-post of corpus doc 1
+      (11L, fresh) // genuinely new
+    ).toDF("doc_id", "text")
+    val got = Dedup.cdcScreen(batch, corpus, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val re = got(10L)
+    assert(!re._5 && re._4 > 0.5,
+      s"re-post must be rejected, known_ratio ${re._4}")
+    val fr = got(11L)
+    assert(fr._5 && fr._3 == 0L, "fresh content shares no chunks")
+  }
+
   test("cdcNovelty: copy scores 0; one-char insertion stays mostly shared") {
     val inserted = cdcBase.substring(0, 37) + "!" + cdcBase.substring(37)
     val docs = Seq(
