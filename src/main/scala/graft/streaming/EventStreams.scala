@@ -278,6 +278,48 @@ object EventStreams {
         col("corpus_id"), col("corpus_chunk_idx"))
   }
 
+  /** Streaming twin of [[graft.operators.Dedup.cdcScreen]]: arriving
+    * docs are content-defined-chunked MAP-SIDE (the CdcChunks
+    * expression runs fine inside a streaming select — stateless), then
+    * stream-static joined against the corpus chunk index and scored
+    * per doc. Run in UPDATE mode: the per-doc aggregation is keyed on
+    * the arrival id, and since all of a doc's chunks come from one
+    * arriving row, its verdict FINALIZES in its arrival micro-batch —
+    * the aggregation state never receives late rows (Spark still
+    * requires an aggregation-capable output mode, hence update, but
+    * each key is written exactly once in practice).
+    *
+    * Output: (doc_id, n_chunks, n_known, known_ratio, admitted). */
+  def cdcScreenStream(
+      arrivals: DataFrame, // streaming (id, text)
+      corpus: DataFrame, // static (id, text)
+      arrivalId: org.apache.spark.sql.Column,
+      arrivalText: org.apache.spark.sql.Column,
+      corpusText: org.apache.spark.sql.Column,
+      window: Int = 16,
+      modB: Int = 32,
+      maxKnownRatio: Double = 0.5): DataFrame = {
+    import graft.functions.expressions.GraftFunctions
+    val index = corpus.where(corpusText.isNotNull)
+      .select(explode(GraftFunctions.cdc_chunks(corpusText, window, modB))
+        .as("c"))
+      .select(col("c.hash").as("chunk_hash"), col("c.len").as("chunk_len"))
+      .distinct()
+      .withColumn("known", lit(1L))
+    arrivals.where(arrivalText.isNotNull)
+      .select(arrivalId.as("doc_id"),
+        explode(GraftFunctions.cdc_chunks(arrivalText, window, modB)).as("c"))
+      .select(col("doc_id"), col("c.hash").as("chunk_hash"),
+        col("c.len").as("chunk_len"))
+      .join(broadcast(index), Seq("chunk_hash", "chunk_len"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("known"), lit(0L))).as("n_known"))
+      .withColumn("known_ratio",
+        col("n_known").cast("double") / col("n_chunks").cast("double"))
+      .withColumn("admitted", col("known_ratio") <= maxKnownRatio)
+  }
+
   final case class LastTouch(event_type: String, tsMs: Long)
   final case class Attribution(
       event_id: Long, user_id: Long, converted_at: java.sql.Timestamp,

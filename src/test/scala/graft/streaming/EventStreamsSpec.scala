@@ -242,6 +242,41 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcScreenStream matches batch cdcScreen verdicts on a file stream") {
+    import org.apache.spark.sql.functions.col
+    var x = 424242L
+    def lcg(n: Int): String = (0 until n).map { _ =>
+      x = (x * 1103515245L + 12345L) % (1L << 31)
+      ('a' + (x % 26).toInt).toChar
+    }.mkString
+    val base = lcg(400)
+    val fresh = lcg(400)
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcscreen-src")
+    Seq((10L, base + " appended edit"), (11L, fresh)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = EventStreams.cdcScreenStream(
+      stream, corpus, col("doc_id"), col("text"), col("text"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cdcscreen_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cdcscreen_out")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+      val batch = graft.operators.Dedup.cdcScreen(
+        Seq((10L, base + " appended edit"), (11L, fresh)).toDF("doc_id", "text"),
+        corpus, col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+      assert(streamed == batch, "stream-static screen equals the batch screen")
+      assert(!streamed(10L)._3 && streamed(11L)._3,
+        "re-post rejected, fresh admitted")
+    } finally q.stop()
+  }
+
   test("attributionStream matches batch lastTouchAttribution across micro-batches") {
     implicit val sc = spark.sqlContext
     import org.apache.spark.sql.functions.col
