@@ -376,6 +376,26 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Quality-aware keeper: the same near-dup clusters, but each
+    //    cluster keeps its HIGHEST-quality member (min-id stays the
+    //    cluster LABEL; quality picks the doc) — float-free argmax via
+    //    min(struct(-quality, doc_id)) (Dedup.keeperByQuality scaladoc).
+    "ext_quality_keeper" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = d.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      val pairs = a.join(b, col("id_b") === col("id_a") + 1)
+        .filter(round(graft.functions.expressions.GraftFunctions
+          .ngram_jaccard(col("ta"), col("tb"), 3), 6) >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Dedup
+        .clusters(d, pairs, col("doc_id"), col("id_a"), col("id_b"))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val quality = d.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      Dedup.keeperByQuality(clusters, quality).orderBy("doc_id")
+    }),
+
     // ── Edit-distance similarity (Levenshtein) on consecutive-id pairs:
     //    the character-level verify primitive complementing n-gram
     //    Jaccard (built-in codegen'd levenshtein — no UDF). Prefixes
@@ -1275,6 +1295,21 @@ object ExtQueries {
       Relational.medianAbsDeviation(
         t(s, dir, "events"), col("event_type"), col("value"),
         materialize = true)
+        .orderBy("group_key")),
+
+    // ── Per-segment drift trend: OLS of event value against day index
+    //    per event_type — slope/intercept/r² from one aggregation pass
+    //    of decimal-quantized sums (Relational.groupTrend scaladoc).
+    //    x = day index anchored at 2024-01-01 (epoch day 19723, the
+    //    events table's first day): anchoring keeps Σx² small enough
+    //    that the oracle's DECIMAL→DOUBLE cast stays exact (the
+    //    groupTrend magnitude contract — DuckDB's INT128→double is not
+    //    correctly rounded past 2^53 ticks).
+    "ext_group_trend" -> ((s, dir) =>
+      Relational.groupTrend(
+        t(s, dir, "events"), col("event_type"),
+        floor(col("ts").cast("long") / lit(86400)) - lit(19723),
+        col("value"))
         .orderBy("group_key")),
 
     // ── Winsorized mean per event_type: exact p05/p95 fences from the
@@ -2318,6 +2353,52 @@ object ExtQueries {
         |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON r.id = e.dst)
         |SELECT id AS doc_id, MIN(label) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // keeper replay: the clusters recursive CTE + the hash-proven
+    // ext_text_quality formula; argmax = ROW_NUMBER ordered
+    // (quality DESC, doc_id) ≡ the engine's min(struct(-q, id)).
+    "ext_quality_keeper" ->
+      """WITH RECURSIVE sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(2, length(trim(regexp_replace(lower(text),'\s+',' ','g'))) - 1)),
+        |      i -> substr(trim(regexp_replace(lower(text),'\s+',' ','g')), i, 3))) AS s
+        |  FROM documents),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM e0
+        |  UNION ALL SELECT id_b, id_a FROM e0),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON r.id = e.dst),
+        |cl AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+        |       FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT doc_id,
+        |    0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0)
+        |    + 0.4 * least(1.0, CAST(len(list_filter(string_split(text,' '),
+        |        t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |        / len(string_split(text,' ')) * 5.0)
+        |    + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |        / length(text)) AS quality
+        |  FROM documents),
+        |sc AS (SELECT cl.doc_id, cl.cluster_id, q.quality
+        |       FROM cl JOIN q USING (doc_id)),
+        |k AS (
+        |  SELECT cluster_id, doc_id AS keeper_id FROM (
+        |    SELECT cluster_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |                         ORDER BY quality DESC, doc_id) AS rn
+        |    FROM sc) WHERE rn = 1)
+        |SELECT sc.doc_id, sc.cluster_id, sc.quality, k.keeper_id,
+        |  sc.doc_id = k.keeper_id AS keep
+        |FROM sc JOIN k USING (cluster_id)
+        |ORDER BY sc.doc_id""".stripMargin,
 
     "ext_edit_distance" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -3835,6 +3916,40 @@ object ExtQueries {
         |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
         |SELECT med.g AS group_key, med.m AS median, mad.dv AS mad
         |FROM med JOIN mad USING (g) ORDER BY group_key""".stripMargin,
+
+    // trend replay: day index via floor(epoch)/86400 (== Spark's
+    // ts→long truncation for positive epochs), every summed term
+    // DECIMAL(38,6)-quantized, the closed form written as the SAME
+    // expression tree (mult/sub/divide order), one round(·,6) each.
+    "ext_group_trend" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    floor(floor(epoch(ts)) / 86400) - 19723 AS x,
+        |    CAST(value AS DOUBLE) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |s AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(round(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |  FROM b GROUP BY g)
+        |SELECT g AS group_key, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+        |    round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |          / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) END AS slope,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+        |    round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |                 / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+        |          / CAST(n AS DOUBLE), 6) END AS intercept,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+        |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+        |    round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |          * (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |          / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |             * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) END AS r2
+        |FROM s ORDER BY group_key""".stripMargin,
 
     // fences replayed as the same ⌈p·n⌉ rank picks as the g6/MAD
     // family; clip + both means decimal-quantized per value.

@@ -749,6 +749,36 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Quality-aware keeper selection over dedup clusters: within each
+    * near-dup cluster keep the HIGHEST-quality member instead of
+    * [[clusters]]' structural min-id representative — min-id is the
+    * right deterministic label for CLUSTERING, but the wrong doc to
+    * keep when one copy is the clean original and another the
+    * boilerplate-wrapped scrape. Argmax is `min(struct(-quality,
+    * doc_id))` — the LPA float-free-argmax shape; quality values are
+    * engine-exact (the ext_text_quality formula), so the negation
+    * ordering replays bitwise.
+    *
+    * 100 TB shape: one aggregation keyed on cluster_id (cardinality ≈
+    * clusters, grows with data) + one same-keyed join-back; inputs are
+    * (id, cluster) and (id, quality) pair tables — no text moves.
+    *
+    * Output: (doc_id, cluster_id, quality, keeper_id, keep). */
+  def keeperByQuality(
+      clusters: DataFrame, // (doc_id, cluster_id)
+      quality: DataFrame // (doc_id, quality)
+  ): DataFrame = {
+    val scored = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(quality.select(col("doc_id"), col("quality")), Seq("doc_id"))
+    val keeper = scored.groupBy("cluster_id")
+      .agg(min(struct((-col("quality")).as("nq"), col("doc_id").as("d")))
+        .as("best"))
+      .select(col("cluster_id"), col("best.d").as("keeper_id"))
+    scored.join(keeper, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("keeper_id"), (col("doc_id") === col("keeper_id")).as("keep"))
+  }
+
   /** Incremental CDC screen: admit a daily drop's documents by how much
     * of their CONTENT-DEFINED chunk set the corpus already holds —
     * known_ratio = |chunks(doc) ∩ corpusIndex| / |chunks(doc)|; a

@@ -344,6 +344,60 @@ object Relational {
         col("mean"), col("winsorized_mean"))
   }
 
+  /** Per-group OLS trend: fit y = intercept + slope·x within each group
+    * from the five classical sums (n, Σx, Σy, Σxy, Σx², Σy²) — slope,
+    * intercept and r² in ONE aggregation pass, the "is this metric
+    * drifting per segment" primitive next to [[medianAbsDeviation]]'s
+    * robust location. Degenerate groups (zero x-variance) yield null
+    * slope/intercept/r2, not a division blowup; zero y-variance pins
+    * r2 null as well (0/0).
+    *
+    * 100 TB shape: one shuffle keyed on the group with map-side partial
+    * sums — the same cost as any groupBy-agg; nothing is proportional
+    * to group size afterward. Determinism: every summed term (x, y,
+    * x·y, x², y²) quantizes round-then-cast to DECIMAL(38,6) before
+    * the sum (the xsum discipline); the closed-form arithmetic after
+    * the sums is a fixed tree of exactly-rounded IEEE ops over
+    * engine-identical inputs, then one round(·,6) per output.
+    *
+    * MAGNITUDE CONTRACT: pre-center/anchor x and y so every quantized
+    * sum stays under ~2^53 decimal ticks (|Σterm| < ~9e9 at 6dp
+    * scale). Past that, a DECIMAL→DOUBLE conversion is no longer
+    * exact on every engine (found the hard way: DuckDB's INT128-backed
+    * cast turned 781470562851.000000 into …851.0001), and raw
+    * epoch-scale x breaches it immediately through x·x — anchor to a
+    * recent origin first (see ext_group_trend's day-19723 anchor).
+    *
+    * Output: (group_key, n, slope, intercept, r2). */
+  def groupTrend(
+      df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val base = df.select(group.as("group_key"),
+        x.cast("double").as("x"), y.cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    // round(·,6) BEFORE the decimal cast: a raw double→decimal cast can
+    // resolve a 6th-decimal tie differently across engines (the
+    // repo-wide round-then-cast discipline)
+    def q6(c: Column) = round(c, 6).cast("decimal(38,6)")
+    val s = base.groupBy("group_key").agg(
+      count(lit(1)).as("n"),
+      sum(q6(col("x"))).cast("double").as("sx"),
+      sum(q6(col("y"))).cast("double").as("sy"),
+      sum(q6(col("x") * col("y"))).cast("double").as("sxy"),
+      sum(q6(col("x") * col("x"))).cast("double").as("sxx"),
+      sum(q6(col("y") * col("y"))).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    val dx = nD * col("sxx") - col("sx") * col("sx")
+    val dy = nD * col("syy") - col("sy") * col("sy")
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    val slope = cov / dx
+    s.select(
+      col("group_key"), col("n"),
+      when(dx > 0, round(slope, 6)).as("slope"),
+      when(dx > 0, round((col("sy") - slope * col("sx")) / nD, 6))
+        .as("intercept"),
+      when(dx > 0 && dy > 0, round(cov * cov / (dx * dy), 6)).as("r2"))
+  }
+
   /** One-pass column profile — the data-quality summary every ingest
     * runs before accepting a drop: per column, non-null count, distinct
     * count, and min/max (stringified so one schema fits every type).

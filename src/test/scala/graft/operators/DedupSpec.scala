@@ -508,6 +508,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "symmetric direction stays weak — exactly what Jaccard would dilute")
   }
 
+  test("keeperByQuality: best quality wins, ties by id, singleton keeps") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (9L, 0.1))
+      .toDF("doc_id", "quality")
+    val got = Dedup.keeperByQuality(clusters, quality)
+      .as[(Long, Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(got(1L) == ((2L, false)), "low-quality min-id does NOT keep")
+    assert(got(2L) == ((2L, true)), "quality argmax, tie broken by id")
+    assert(got(3L) == ((2L, false)))
+    assert(got(9L) == ((9L, true)), "singleton keeps itself")
+  }
+
   test("cdcScreen: edited re-post rejected, fresh doc admitted") {
     var x = 98765L
     val fresh = (0 until 400).map { _ =>

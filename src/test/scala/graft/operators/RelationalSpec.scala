@@ -146,6 +146,21 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("groupTrend: exact line recovered; degenerate groups go null") {
+    val rows = Seq(
+      ("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, 5.0), // y = 1 + 2x
+      ("b", 4.0, 1.0), ("b", 4.0, 9.0), // zero x-variance
+      ("c", 0.0, 7.0), ("c", 1.0, 7.0)) // zero y-variance
+      .toDF("g", "x", "y")
+    val got = Relational.groupTrend(rows, col("g"), col("x"), col("y"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") == ((3L, Some(2.0), Some(1.0), Some(1.0))))
+    assert(got("b") == ((2L, None, None, None)), "no x spread: null fit")
+    assert(got("c") == ((2L, Some(0.0), Some(7.0), None)),
+      "flat y: slope 0, r2 undefined (0/0)")
+  }
+
   test("winsorizedMean: one outlier moves the mean, barely the winsorized") {
     // group a: 1..19 + outlier 1000 → fences at ceil(.05·20)=1st (=1)
     // and ceil(.95·20)=19th (=19); clip maps 1000 → 19
