@@ -1185,6 +1185,16 @@ object ExtQueries {
         t(s, dir, "events"), col("event_type"), col("user_id"), k = 64)
         .orderBy("group_key")),
 
+    // ── KMV mergeability rollup: the same per-type sketches plus a
+    //    global '__all__' estimate merged FROM THE SKETCHES ALONE —
+    //    the keep-sketches-not-data property that answers coarser
+    //    distinct-counts without re-scanning 100 TB
+    //    (Sketches.kmvMergeRollup scaladoc).
+    "ext_kmv_rollup" -> ((s, dir) =>
+      Sketches.kmvMergeRollup(
+        t(s, dir, "events"), col("event_type"), col("user_id"), k = 64)
+        .orderBy("group_key")),
+
     // ── SCD Type-2 history build from the events change-log: per-user
     //    run-length-collapsed event_type versions with [valid_from,
     //    valid_to) intervals (Scd.scd2 scaladoc — windows partition by
@@ -3688,6 +3698,43 @@ object ExtQueries {
         |             CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
         |        END, 4) AS kmv_n
         |FROM r WHERE rn <= 64 GROUP BY group_key ORDER BY group_key""".stripMargin,
+
+    // rollup replay: the kmv_distinct hash CTE, per-group top-64 rows
+    // as the sketch contents, distinct-union → global rank → the same
+    // (k−1)·2^60/h_(k) estimator; NULLS LAST everywhere mirrors the
+    // engine's MaxValue sentinel.
+    "ext_kmv_rollup" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type AS group_key,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT group_key, h,
+        |    ROW_NUMBER() OVER (PARTITION BY group_key ORDER BY h) AS rn,
+        |    COUNT(*) OVER (PARTITION BY group_key) AS n_exact
+        |  FROM d),
+        |pg AS (
+        |  SELECT group_key,
+        |    round(CASE WHEN MAX(n_exact) < 64 THEN CAST(MAX(n_exact) AS DOUBLE)
+        |          ELSE 63.0 * 1152921504606846976.0 /
+        |               CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+        |          END, 4) AS kmv_n
+        |  FROM r WHERE rn <= 64 GROUP BY group_key),
+        |md AS (SELECT DISTINCT h FROM r WHERE rn <= 64),
+        |mr AS (
+        |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+        |    COUNT(*) OVER () AS n FROM md),
+        |mg AS (
+        |  SELECT '__all__' AS group_key,
+        |    round(CASE WHEN MAX(n) < 64 THEN CAST(MAX(n) AS DOUBLE)
+        |          ELSE 63.0 * 1152921504606846976.0 /
+        |               CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+        |          END, 4) AS kmv_n
+        |  FROM mr WHERE rn <= 64)
+        |SELECT group_key, kmv_n FROM pg
+        |UNION ALL SELECT group_key, kmv_n FROM mg
+        |ORDER BY group_key""".stripMargin,
 
     "ext_scd2" -> Scd2FullRebuildOracle,
 

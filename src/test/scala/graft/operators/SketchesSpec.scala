@@ -195,4 +195,24 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long, Double)].collect().head._3
     assert(math.abs(est - 5000.0) / 5000.0 < 0.25, s"estimate $est vs 5000")
   }
+
+  test("kmvMergeRollup: merged row EQUALS a direct global KMV") {
+    // saturated regime: >> k distinct values spread over skewed groups
+    val big = (1 to 3000).map(i => (s"g${i % 7}", s"user${i % 1100}"))
+      .toDF("grp", "v")
+    val rolled = Sketches.kmvMergeRollup(big, col("grp"), col("v"), k = 64)
+      .as[(String, Option[Double])].collect().toMap
+    val direct = Sketches.kmvSketch(
+        big.withColumn("grp", lit("x")), col("grp"), col("v"), k = 64)
+      .as[(String, Option[Double])].collect().head._2
+    assert(rolled("__all__") == direct,
+      "merging per-group sketches must reproduce the direct global sketch")
+    // exact regime: below saturation the merge IS the true distinct count
+    val small = Seq(("a", "u1"), ("a", "u2"), ("b", "u2"), ("b", "u3"))
+      .toDF("grp", "v")
+    val sm = Sketches.kmvMergeRollup(small, col("grp"), col("v"), k = 64)
+      .as[(String, Option[Double])].collect().toMap
+    assert(sm == Map("a" -> Some(2.0), "b" -> Some(2.0),
+      "__all__" -> Some(3.0)), "below k every estimate is exact")
+  }
 }
