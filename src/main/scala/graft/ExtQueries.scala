@@ -1021,6 +1021,13 @@ object ExtQueries {
         .orderBy("user_id")
     }),
 
+    // ── Market-basket pair support: users-as-baskets, unordered
+    //    event-type pairs by distinct-user co-support — the order-free
+    //    complement of ext_event_ngrams (Events.basketPairs scaladoc).
+    "ext_basket_pairs" -> ((s, dir) =>
+      Events.basketPairs(
+        t(s, dir, "events"), col("user_id"), col("event_type"))),
+
     // ── Behavioral trigram mining: which 3-step event sequences
     //    actually occur, with occurrence + distinct-user support — the
     //    discovery step upstream of ext_funnel's single hypothesized
@@ -3314,6 +3321,17 @@ object ExtQueries {
     // Independent formulation: stepwise conditional aggregation with
     // re-joins (vs the engine's single-exchange window chain) — two
     // different plans must land on one answer.
+    // basket replay: distinct (user, type) → pair self-join → count —
+    // all integers, same (support DESC, pair) top-k order.
+    "ext_basket_pairs" ->
+      """WITH it AS (
+        |  SELECT DISTINCT user_id AS b, event_type AS i FROM events)
+        |SELECT a.i AS item_a, c.i AS item_b,
+        |  CAST(COUNT(*) AS BIGINT) AS support
+        |FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY support DESC, item_a, item_b LIMIT 20""".stripMargin,
+
     // trigram replay: same (ts, event_id) user-stream total order as
     // the attribution oracle; concat_ws null-skipping matches Spark's,
     // and the explicit last-LEAD completeness filter makes it moot.

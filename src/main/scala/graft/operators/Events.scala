@@ -418,6 +418,39 @@ object Events {
         col("n_prior"), col("trail_mean"), col("z"), col("is_anomaly"))
   }
 
+  /** Market-basket pair support: treat each user's event history as a
+    * SET of event types and count, for every unordered type pair, how
+    * many users exhibit both — the co-occurrence complement of
+    * [[sequenceNgrams]] (which demands adjacency and order). Top `k`
+    * pairs with support ≥ `minSupport`, ties by (item_a, item_b).
+    *
+    * 100 TB shape: the per-basket distinct-item table shrinks each
+    * basket to ≤ |item vocabulary| rows BEFORE the pair self-join, so
+    * per-basket fan-out is bounded by |vocab|² regardless of event
+    * volume (with an unbounded catalog you'd cap per-basket items
+    * first — here the vocabulary is the event-type enum). One
+    * basket-keyed self-join + one pair-keyed count, both map-side
+    * partial; the top-k sorts the post-agg pair table. All integers.
+    *
+    * Output: (item_a, item_b, support). */
+  def basketPairs(
+      events: DataFrame,
+      basket: Column,
+      item: Column,
+      minSupport: Long = 2L,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val items = events.select(basket.as("b"), item.as("i")).distinct()
+    val l = items.select(col("b"), col("i").as("item_a"))
+    val r = items.select(col("b"), col("i").as("item_b"))
+    l.join(r, Seq("b")).filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
   /** Behavioral n-gram mining: the `n` most recent consecutive
     * event_types inside each user's stream form a gram
     * ("view>click>purchase"); count every gram's occurrences and the

@@ -383,6 +383,26 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("basketPairs: unordered co-support, repeats collapse, minSupport") {
+    val ev = Seq(
+      // u1 basket {a,b,c}; u2 {a,b}; u3 {b,a} (order/repeat-free)
+      (1L, 1L, ts(0), "a", 0.0), (2L, 1L, ts(1), "b", 0.0),
+      (3L, 1L, ts(2), "c", 0.0),
+      (4L, 2L, ts(0), "a", 0.0), (5L, 2L, ts(1), "b", 0.0),
+      (6L, 3L, ts(0), "b", 0.0), (7L, 3L, ts(1), "a", 0.0),
+      (8L, 3L, ts(2), "a", 0.0) // repeat must not double-count
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.basketPairs(ev, col("user_id"), col("event_type"))
+      .as[(String, String, Long)].collect().toSeq
+    // (a,b) support 3; (a,c)/(b,c) support 1 < minSupport → dropped
+    assert(got == Seq(("a", "b", 3L)))
+    val all = Events.basketPairs(ev, col("user_id"), col("event_type"),
+      minSupport = 1L)
+      .as[(String, String, Long)].collect().toSeq
+    assert(all == Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 1L)),
+      "support-desc then lexicographic pair order")
+  }
+
   test("sequenceNgrams: per-user trigrams, support counts, ties, k cut") {
     val ev = Seq(
       (1L, 1L, ts(0), "a", 0.0), (2L, 1L, ts(1), "b", 0.0),
