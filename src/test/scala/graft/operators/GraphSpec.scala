@@ -169,6 +169,30 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
         checkpoint = Checkpointing.Reliable(dir))
       .collect().map(_.toString).toSeq
     assert(bpeL == bpeD)
+
+    // same contract for the r10 graph operators
+    val ed = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("a", "b")
+    val triL = Graph.triangles(ed, col("a"), col("b"))
+      .collect().map(_.toString).toSet
+    val triD = Graph.triangles(ed, col("a"), col("b"),
+        checkpoint = Checkpointing.Reliable(dir))
+      .collect().map(_.toString).toSet
+    assert(triL == triD)
+    val kcL = Graph.kCore(ed, col("a"), col("b"), 2)
+      .collect().map(_.toString).toSet
+    val kcD = Graph.kCore(ed, col("a"), col("b"), 2,
+        checkpoint = Checkpointing.Reliable(dir))
+      .collect().map(_.toString).toSet
+    assert(kcL == kcD)
+    val pprL = runPpr(Seq(("a", "b", 1L), ("b", "a", 1L)), Seq("a"))
+    val pprD = Graph.personalizedPageRank(
+        Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w"),
+        col("src"), col("dst"), col("w"), Seq("a").toDF("node"),
+        checkpoint = Checkpointing.Reliable(dir))
+      .as[(String, Double, Boolean)].collect()
+      .map { case (n, p, s) => n -> ((p, s)) }.toMap
+    assert(pprL == pprD)
   }
 
   private def runTriangles(edges: Seq[(String, String)])
