@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{CosineSim, MinHashSig, NgramJaccard, RollingHash, SimHash64, WinnowedFingerprints, WordNgrams, ZOrder2}
+import graft.functions.expressions.{CdcChunks, CosineSim, MinHashSig, NgramJaccard, RollingHash, SimHash64, WinnowedFingerprints, WordNgrams, ZOrder2}
 
 /** Optimizer rule: self-similarity is the identity — `ngram_jaccard(x,
   * x, n)` folds to 1.0 at plan time, so a self-join pipeline (dedup
@@ -94,7 +94,11 @@ object GraftExtensions {
         args.head, intArg(args(1), "k"), intArg(args(2), "modP"))),
     ("zorder2",
       new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
-      (args: Seq[Expression]) => ZOrder2(args(0), args(1), intArg(args(2), "bits"))))
+      (args: Seq[Expression]) => ZOrder2(args(0), args(1), intArg(args(2), "bits"))),
+    ("cdc_chunks",
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (args: Seq[Expression]) => CdcChunks(
+        args.head, intArg(args(1), "k"), intArg(args(2), "modB"))))
 
   /** Retro-fit registration into an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -86,4 +86,20 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       .collect().head.getLong(0)
     assert(viaSql == viaCol)
   }
+
+  test("SQL cdc_chunks equals the Column-API cdc_chunks") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val viaSql = spark
+      .sql(s"SELECT cdc_chunks('$text', 16, 4) AS c")
+      .selectExpr("explode(c) AS e").select("e.*")
+      .collect().map(_.toString).toSeq
+    val viaCol = Seq(text).toDF("t")
+      .select(graft.functions.expressions.GraftFunctions
+        .cdc_chunks($"t", 16, 4).as("c"))
+      .selectExpr("explode(c) AS e").select("e.*")
+      .collect().map(_.toString).toSeq
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
 }
