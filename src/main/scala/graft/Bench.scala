@@ -136,6 +136,7 @@ object Bench {
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""method":"sharded-fork",""" +
         s""""queries":${mergeObj("queries")},""" +
         s""""queries_median":${mergeObj("queries_median")},""" +
         s""""queries_selfratio":${mergeObj("queries_selfratio")},""" +
@@ -277,8 +278,17 @@ object Bench {
     val errs = results.filterNot(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._5).map(_._2).sum
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+    // Method epoch tag (r10 verdict ask #1): the sharded-fork harness
+    // changed the measurement method, so absolutes are only comparable
+    // within a method. Every artifact self-describes its method;
+    // tools/bench_compare.py refuses to compare across methods (it
+    // infers the method of pre-tag artifacts from shard_size/forked).
+    // A single-query child of the sharded parent reports single-jvm,
+    // which is literally true; the parent's merged line carries the
+    // sharded-fork tag the comparisons use.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""method":"single-jvm","queries":$qs,""" +
         s""""queries_median":$meds,"queries_selfratio":$selfs,""" +
         s""""noise":$noise,"repeats":$repeats,""" +
         s""""heavy_threshold":$heavyThreshold,"heavy_extra":$heavyExtra,""" +

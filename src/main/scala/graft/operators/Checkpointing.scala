@@ -42,11 +42,30 @@ object Checkpointing {
 
   /** Durable eager checkpoint under `dir` (set once per SparkContext;
     * subsequent Reliable cuts reuse it — Spark keys the setting on the
-    * context, not the Dataset). */
+    * context, not the Dataset).
+    *
+    * Retention contract: durable checkpoint files are NEVER deleted by
+    * this Mode. Spark only reaps them when the referencing RDD is GC'd
+    * AND `spark.cleaner.referenceTracking.cleanCheckpoints` is enabled
+    * (off by default), so a long-lived iterative job accumulates one
+    * RDD directory per cut under `dir` until the caller (or a storage
+    * lifecycle rule) removes them — the price of surviving executor
+    * loss mid-chain. */
   final case class Reliable(dir: String) extends Mode {
     override def cut(df: DataFrame): DataFrame = {
       val sc = df.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      // Spark stores setCheckpointDir(dir) as dir/<random-UUID>, so the
+      // reuse check must compare the PARENT of the live setting to
+      // `dir` — comparing the full value (the r10 bug, ADVICE r10)
+      // never matched and every cut minted a fresh UUID subdirectory.
+      // Compare scheme-insensitively (the live value comes back
+      // fs-qualified, e.g. file:/x vs the caller's /x).
+      val target = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+      val alreadySet = sc.getCheckpointDir.exists { live =>
+        Option(new org.apache.hadoop.fs.Path(live).getParent)
+          .exists(_.toUri.getPath == target)
+      }
+      if (!alreadySet) sc.setCheckpointDir(dir)
       df.checkpoint(true)
     }
   }

@@ -52,8 +52,16 @@ object Eval {
     def gain(rel: Column) = pow(lit(2.0), rel.cast("double")) - lit(1.0)
     def discount(pos: Column) = log2(pos.cast("double") + lit(1.0))
 
+    // Gold hygiene (ADVICE r10): a duplicated (query_id, doc_id) gold
+    // row would fan out the inner join below and double-count n_hits,
+    // recall and DCG. Collapse to MAX rel per pair — deterministic
+    // (unlike dropDuplicates), and an exact no-op on already-unique
+    // gold. Costs one extra shuffle of the gold table only (the small
+    // side of an eval), never of the ranked candidates.
     val rel = gold.filter(col("rel") > 0)
       .select(col("query_id"), col("doc_id"), col("rel").cast("int").as("rel"))
+      .groupBy("query_id", "doc_id")
+      .agg(max("rel").as("rel"))
     // gold side: corpus of relevant docs + the ideal DCG from the top-k
     // BY RELEVANCE (window keyed on query_id — one row per gold doc)
     val iw = Window.partitionBy("query_id")

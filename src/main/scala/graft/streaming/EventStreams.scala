@@ -289,6 +289,23 @@ object EventStreams {
     * requires an aggregation-capable output mode, hence update, but
     * each key is written exactly once in practice).
     *
+    * BOUNDED-INDEX CONTRACT (ADVICE r10): unlike batch
+    * [[graft.operators.Dedup.cdcScreen]] — which broadcasts the BATCH
+    * keys and only scans the index — this twin broadcasts the corpus
+    * chunk index itself, because Spark's stream-static join matrix has
+    * no inverse shape (a streaming frame cannot sit on the right of a
+    * left-semi/inner join, so "broadcast the micro-batch keys against
+    * the index scan" is inexpressible inside one streaming query). The
+    * broadcast index must therefore fit in executor memory: distinct
+    * chunk digests of the REFERENCE corpus you screen against (16
+    * bytes/chunk — ~60 MB per billion distinct chunks after dedup), a
+    * curated-corpus artifact, not the raw 100 TB firehose. For an
+    * unbounded corpus, run the batch twin inside
+    * `writeStream.foreachBatch { (batch, _) => Dedup.cdcScreen(...) }`
+    * — each micro-batch then gets exactly the batch discipline (batch
+    * keys broadcast, index never shuffled). The same contract applies
+    * to [[chunkDupScreenStream]]'s broadcast chunk-owner index.
+    *
     * Output: (doc_id, n_chunks, n_known, known_ratio, admitted). */
   def cdcScreenStream(
       arrivals: DataFrame, // streaming (id, text)

@@ -41,6 +41,26 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     assert(got(1) == ((2L, 1L, 0L, 0.0, 0.0, 0.0)), "no hits -> all-zero metrics")
   }
 
+  test("retrievalMetrics: duplicate gold rows collapse to max rel, no double-count") {
+    // ADVICE r10: a duplicated (query_id, doc_id) gold row used to fan
+    // out the join and double-count n_hits/recall/DCG. The fixture
+    // duplicates q1's doc 10 at rel 1 and rel 2 — metrics must equal
+    // the clean run with the single max-rel row.
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 20L, 3)).toDF("query_id", "doc_id", "rank")
+    val dirtyGold = Seq(
+      (1L, 10L, 1), (1L, 10L, 2), (1L, 10L, 2), // dup pair, mixed grades
+      (1L, 20L, 1)).toDF("query_id", "doc_id", "rel")
+    val cleanGold = Seq(
+      (1L, 10L, 2), (1L, 20L, 1)).toDF("query_id", "doc_id", "rel")
+    val got = Eval.retrievalMetrics(ranked, dirtyGold, k = 3)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    val want = Eval.retrievalMetrics(ranked, cleanGold, k = 3)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(got == want, s"dirty $got vs clean $want")
+    assert(got._2 == 2 && got._3 == 2, "n_gold/n_hits count PAIRS, not rows")
+  }
+
   test("retrievalMetrics: k cuts both the retrieved list and the ideal ranking") {
     // 3 gold rel=1; ranked hits at 1 and 3 with k=2 -> only rank 1 counts,
     // and IDCG uses positions 1..2 only

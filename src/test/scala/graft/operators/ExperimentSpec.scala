@@ -53,6 +53,22 @@ class ExperimentSpec extends AnyFunSuite with SparkSpec {
     assert(gotNone == ((0.0, false)))
   }
 
+  test("abTest: a missing arm is VISIBLE — one row, zero counts, null z") {
+    // ADVICE r10: the old two-filter + 1x1-cross-join shape returned an
+    // EMPTY frame when an arm had zero units, indistinguishable from a
+    // mislabeled-variant typo upstream. Now the row always exists.
+    val units = (1 to 30).map(i => ("A", i <= 10)).toDF("arm", "conv")
+    val rows = Experiment.abTest(units, col("arm"), col("conv"), "A", "B").collect()
+    assert(rows.length == 1, "exactly one readout row even with a missing arm")
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("n_a")) == 30)
+    assert(r.getLong(r.fieldIndex("n_b")) == 0L)
+    assert(r.getLong(r.fieldIndex("conv_b")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("rate_b")), "no units -> no rate")
+    assert(r.isNullAt(r.fieldIndex("z")), "no comparison -> null z, not 0")
+    assert(r.isNullAt(r.fieldIndex("significant")))
+  }
+
   test("abTest plan: one variant-keyed aggregation, broadcastable 1x1 join") {
     val units = (1L to 2000L).map(i => (if (i % 2 == 0) "A" else "B", i % 3 == 0))
       .toDF("arm", "conv")

@@ -195,6 +195,27 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(pprL == pprD)
   }
 
+  test("Reliable cut reuses its checkpoint dir: one UUID subdir across cuts") {
+    // ADVICE r10: Spark stores setCheckpointDir(dir) as dir/<UUID>, so
+    // the old full-string reuse guard never matched and EVERY cut
+    // minted a fresh UUID subdirectory. The fix compares the parent of
+    // the live setting; two cuts through one Mode (and a second Mode on
+    // the same dir) must land in ONE UUID subdirectory.
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-reuse")
+    def uuidDirs(): Set[String] =
+      java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString).toSet
+    val mode = Checkpointing.Reliable(dir.toString)
+    mode.cut(Seq(1, 2, 3).toDF("x"))
+    val first = uuidDirs()
+    assert(first.size == 1, s"one UUID subdir after the first cut, got $first")
+    mode.cut(Seq(4, 5).toDF("x"))
+    Checkpointing.Reliable(dir.toString).cut(Seq(6).toDF("x"))
+    assert(uuidDirs() == first,
+      "subsequent cuts must reuse the live checkpoint dir, not mint UUIDs")
+  }
+
   private def runTriangles(edges: Seq[(String, String)])
       : Map[String, (Long, Long, Double)] =
     Graph.triangles(edges.toDF("a", "b"), col("a"), col("b"))

@@ -20,7 +20,18 @@ that calibration:
                   same-code noise band; not actionable evidence
       ok          otherwise (improvements reported symmetrically)
 
-Usage: python3 tools/bench_compare.py <old.json> <new.json> [threshold=1.15]
+Method epochs (r10 verdict ask #1): the r10 sharded-fork harness changed
+the measurement method — absolutes from different methods differ by a
+uniform fork-warmth offset concentrated in sub-second queries (r10: 47
+phantom "regressions" comparing warm-JVM r9 vs sharded r10). Artifacts
+now self-describe via a `method` tag (stamped by Bench.scala /
+bench_forked.sh); for pre-tag artifacts the method is inferred from
+structural fields that only one harness writes (`shard_size` ->
+sharded-fork, `forked` -> forked-per-query, else single-jvm). Comparing
+across methods is refused unless --force is given, and a --force
+comparison is watermarked as method-crossed in every output line.
+
+Usage: python3 tools/bench_compare.py <old.json> <new.json> [threshold=1.15] [--force]
 Dev-only tool (driver-side python); not part of the Scala library.
 """
 import json
@@ -32,8 +43,29 @@ def load(path):
         return json.load(f)
 
 
-def main(old_path, new_path, threshold=1.15):
+def method_of(d):
+    if "method" in d:
+        return d["method"]
+    if "shard_size" in d:
+        return "sharded-fork"
+    if d.get("forked"):
+        return "forked-per-query"
+    return "single-jvm"
+
+
+def main(old_path, new_path, threshold=1.15, force=False):
     old, new = load(old_path), load(new_path)
+    mo, mn = method_of(old), method_of(new)
+    if mo != mn:
+        print(f"method mismatch: {old_path} is '{mo}', {new_path} is "
+              f"'{mn}' — absolutes across harness methods differ by "
+              f"fork-warmth offsets, not plan changes (see r10 verdict).")
+        if not force:
+            print("refusing to compare; rerun with --force to override "
+                  "(output will be watermarked METHOD-CROSSED).")
+            return 2
+        print("--force given: every line below is METHOD-CROSSED "
+              "evidence, not a regression claim.\n")
     qo, qn = old["queries"], new["queries"]
     so = old.get("queries_selfratio", {})
     sn = new.get("queries_selfratio", {})
@@ -53,14 +85,16 @@ def main(old_path, new_path, threshold=1.15):
             watch.append((q, ratio, floor, a, b))
         elif 1.0 / ratio > max(floor, threshold):
             improved.append((q, ratio, floor, a, b))
+    crossed = " [METHOD-CROSSED]" if mo != mn else ""
     for tag, rows in (("REGRESSION", regressions), ("WATCH", watch),
                       ("IMPROVED", improved)):
         for q, r, f, a, b in sorted(rows, key=lambda t: -t[1]):
             print(f"{tag:10s} {q:36s} {a:7.2f}s -> {b:7.2f}s  "
-                  f"ratio {r:5.2f}x  noise-floor {f:5.2f}x")
+                  f"ratio {r:5.2f}x  noise-floor {f:5.2f}x{crossed}")
     ta = sum(v for v in qo.values() if v > 0)
     tb = sum(qn[q] for q in shared if qn[q] > 0 and qo.get(q, -1) > 0)
-    print(f"\n{len(shared)} shared queries; totals {ta:.1f}s -> {tb:.1f}s; "
+    print(f"\nmethod: {mo} vs {mn}; "
+          f"{len(shared)} shared queries; totals {ta:.1f}s -> {tb:.1f}s; "
           f"run noise p90 {p90:.2f}x; "
           f"{len(regressions)} regression(s) above the calibrated floor, "
           f"{len(watch)} inside the noise band, {len(improved)} improved")
@@ -68,5 +102,7 @@ def main(old_path, new_path, threshold=1.15):
 
 
 if __name__ == "__main__":
-    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.15
-    sys.exit(main(sys.argv[1], sys.argv[2], thr))
+    force = "--force" in sys.argv
+    argv = [a for a in sys.argv if a != "--force"]
+    thr = float(argv[3]) if len(argv) > 3 else 1.15
+    sys.exit(main(argv[1], argv[2], thr, force))

@@ -48,7 +48,8 @@ python3 - "$SF_DIR" "$OUT" "$TMP" "${QS[@]}" <<'PY'
 import json, sys
 sf, out, tmp, qs = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4:]
 merged = {"metric": "total", "value": 0.0, "unit": "sec", "queries": {},
-          "queries_median": {}, "queries_selfratio": {}, "forked": True}
+          "queries_median": {}, "queries_selfratio": {}, "forked": True,
+          "method": "forked-per-query"}
 reps = None; errors = []; loads = []
 for q in qs:
     d = json.load(open(f"{tmp}/{q}.json"))
