@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{CdcChunks, CosineSim, MinHashSig, NgramJaccard, RollingHash, SimHash64, WinnowedFingerprints, WordNgrams, ZOrder2}
+import graft.functions.expressions.{CdcChunks, CosineSim, MinHashSig, NgramJaccard, RollingHash, SimHash64, TokenMatchCount, WinnowedFingerprints, WordNgrams, ZOrder2}
 
 /** Optimizer rule: self-similarity is the identity — `ngram_jaccard(x,
   * x, n)` folds to 1.0 at plan time, so a self-join pipeline (dedup
@@ -64,6 +64,24 @@ object GraftExtensions {
       s"$what must be a long literal, got $other")
   }
 
+  private def stringSeqArg(e: Expression, what: String): Seq[String] = e match {
+    // array('a','b') arrives as CreateArray during analysis; a
+    // pre-folded constant arrives as an ArrayData literal
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _) =>
+      children.map {
+        case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"$what must be an array of string literals, got element $other")
+      }
+    case Literal(data: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _)) =>
+      (0 until data.numElements()).map(i => data.getUTF8String(i).toString)
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array of string literals, got $other")
+  }
+
   val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
@@ -98,7 +116,11 @@ object GraftExtensions {
     ("cdc_chunks",
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       (args: Seq[Expression]) => CdcChunks(
-        args.head, intArg(args(1), "k"), intArg(args(2), "modB"))))
+        args.head, intArg(args(1), "k"), intArg(args(2), "modB"))),
+    ("token_match_count",
+      new ExpressionInfo(classOf[TokenMatchCount].getName, "token_match_count"),
+      (args: Seq[Expression]) => TokenMatchCount(
+        args.head, stringSeqArg(args(1), "words"))))
 
   /** Retro-fit registration into an already-built session. */
   def register(spark: SparkSession): Unit = {
