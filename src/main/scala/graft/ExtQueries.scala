@@ -590,8 +590,12 @@ object ExtQueries {
     //    query disables the skew guard (cap = MaxValue) to keep parity
     //    exact on ANY fixture; the engine default (1000) stays for
     //    production callers — see Dedup.substringFingerprintPairs.
+    //    Density is corpus-sized (sizedWinnowModP, r10 ask #3): at
+    //    every oracle fixture n ≤ 8192 the law reproduces modP = 8, so
+    //    the %8 oracle replays bit-identically; only replica-scale
+    //    bench runs see a coarser modulus.
     "ext_substring_dedup" -> ((s, dir) => {
-      Dedup.substringFingerprintPairs(
+      Dedup.substringFingerprintPairsAuto(
         t(s, dir, "documents"), col("doc_id"), col("text"),
         bucketCap = Int.MaxValue)
         .orderBy("id_a", "id_b")
@@ -601,9 +605,9 @@ object ExtQueries {
     //    the same winnowed fingerprints — catches "A quoted inside B"
     //    subset-duplication that symmetric Jaccard dilutes when B ≫ A
     //    (Dedup.containmentPairs scaladoc; cap disabled for oracle
-    //    parity, as in ext_substring_dedup).
+    //    parity and density corpus-sized, as in ext_substring_dedup).
     "ext_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(
+      Dedup.containmentPairsAuto(
         t(s, dir, "documents"), col("doc_id"), col("text"),
         threshold = 0.5, bucketCap = Int.MaxValue)
         .orderBy("id_a", "id_b")),

@@ -749,6 +749,67 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Winnowing-density law (r10 verdict ask #3): the 0-mod-p sampling
+    * modulus for the fingerprint-join family, sized from the corpus.
+    * With modP FIXED, a shared template substring of length L costs
+    * (L−k)/modP fingerprint buckets, each of width = its document
+    * frequency — and both the (fp, id) shuffle volume and the
+    * per-bucket w² candidate volume scale linearly in 1/modP. Fixed
+    * density therefore pays 26× the join work for 26× the corpus ON
+    * TOP of the width growth (the measured 4.8×/4.4× walls at 26×,
+    * VERDICT r10). Doubling modP with every doubling of the corpus
+    * beyond `baseN` docs holds the family's join volume near-constant
+    * per unit of data — the [[sizedBandBits]] discipline applied to
+    * winnowing density.
+    *
+    * The trade is the winnowing guarantee: a shared substring needs
+    * ≥ 1 sampled window, so the reliably-detected match length grows
+    * as ~k + modP (MOSS's t = k + w − 1 law) — at corpus scale only
+    * the longer copy-paste matters, which is exactly why the dial is
+    * corpus-sized. `maxModP` floors the expected fingerprints per doc
+    * (detection needs SOME samples even on short docs): at the 32 cap
+    * the testdata's ~300-char docs keep ~8 samples, which the 26×
+    * WinnowSizingProbe measured at ≥ 97% recall of strong pairs
+    * (n_shared ≥ 4 at base density) — the same probe put the 64 cap at
+    * ~4 samples/doc and 89–92%, the wrong side of the trade.
+    *
+    * Powers of two only, so a small count drift never nudges the
+    * modulus — and since every sized modulus is a MULTIPLE of the
+    * base, the sampled fingerprint set NESTS inside the base-density
+    * set (h ≡ 0 mod sized ⟹ h ≡ 0 mod base): sizing can only drop
+    * candidates, never invent them. n ≤ baseN (every oracle fixture)
+    * reproduces `baseModP` exactly — the sf0.01 replay is
+    * bit-identical to the fixed path. */
+  def sizedWinnowModP(
+      n: Long, baseModP: Int = 8, baseN: Long = 8192L,
+      maxModP: Int = 32): Int = {
+    val ratio = math.max(1L, n / baseN)
+    val doublings = 63 - java.lang.Long.numberOfLeadingZeros(ratio)
+    math.min(maxModP, baseModP << math.min(30, doublings))
+  }
+
+  /** [[substringFingerprintPairs]] with the sampling modulus sized from
+    * the corpus by [[sizedWinnowModP]]: ONE bounded action (a count —
+    * the same index-build class as the LSH calibrators) picks modP. */
+  def substringFingerprintPairsAuto(
+      df: DataFrame, id: Column, text: Column,
+      k: Int = 32, bucketCap: Int = 1000): DataFrame = {
+    val modP = sizedWinnowModP(math.max(1L, df.count()))
+    substringFingerprintPairs(df, id, text, k, modP, bucketCap)
+  }
+
+  /** [[containmentPairs]] with the sampling modulus sized from the
+    * corpus by [[sizedWinnowModP]] — the containment RATIO is robust
+    * under density changes (numerator and denominator both sample at
+    * 1/modP), so the threshold keeps its meaning at every scale. */
+  def containmentPairsAuto(
+      df: DataFrame, id: Column, text: Column,
+      k: Int = 32, threshold: Double = 0.5,
+      bucketCap: Int = 1000): DataFrame = {
+    val modP = sizedWinnowModP(math.max(1L, df.count()))
+    containmentPairs(df, id, text, k, modP, threshold, bucketCap)
+  }
+
   /** Quality-aware keeper selection over dedup clusters: within each
     * near-dup cluster keep the HIGHEST-quality member instead of
     * [[clusters]]' structural min-id representative — min-id is the

@@ -341,6 +341,42 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs((1L, 2L)) == expected.toLong && expected > 0)
   }
 
+  test("sizedWinnowModP: oracle scales stay at base; modulus doubles with corpus") {
+    // n ≤ baseN reproduces the base modulus EXACTLY — the sf0.01/sf0.1
+    // oracle replay is bit-identical to the fixed path (r10 ask #3)
+    for (n <- Seq(1L, 500L, 5000L, 8192L))
+      assert(Dedup.sizedWinnowModP(n) == 8, s"n=$n must stay at base 8")
+    assert(Dedup.sizedWinnowModP(16384L) == 16)
+    assert(Dedup.sizedWinnowModP(50000L) == 32) // the 10x replica
+    assert(Dedup.sizedWinnowModP(130000L) == 32) // the 26x replica: capped
+    assert(Dedup.sizedWinnowModP(520000L) == 32, "maxModP floors samples/doc")
+    // powers of two only: a ±1 count drift never nudges the modulus
+    assert(Dedup.sizedWinnowModP(16383L) == 8)
+  }
+
+  test("substringFingerprintPairsAuto == fixed path at oracle-fixture scale") {
+    val shared = "the quick brown fox jumps over the lazy dog today and tomorrow"
+    val fx = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"completely different prefix text then $shared"),
+      (3L, "no overlap with anybody here at all, totally distinct words"))
+      .toDF("doc_id", "text")
+    val auto = Dedup.substringFingerprintPairsAuto(
+      fx, col("doc_id"), col("text"), bucketCap = Int.MaxValue)
+      .collect().map(_.toString).sorted.toSeq
+    val fixed = Dedup.substringFingerprintPairs(
+      fx, col("doc_id"), col("text"), bucketCap = Int.MaxValue)
+      .collect().map(_.toString).sorted.toSeq
+    assert(auto == fixed, "below baseN the Auto path IS the fixed path")
+    val autoC = Dedup.containmentPairsAuto(
+      fx, col("doc_id"), col("text"), bucketCap = Int.MaxValue)
+      .collect().map(_.toString).sorted.toSeq
+    val fixedC = Dedup.containmentPairs(
+      fx, col("doc_id"), col("text"), bucketCap = Int.MaxValue)
+      .collect().map(_.toString).sorted.toSeq
+    assert(autoC == fixedC)
+  }
+
   test("ngramJaccard: identical → 1, disjoint → 0") {
     val df = Seq(("abcdefgh", "abcdefgh", "zzzzyyyy")).toDF("a", "b", "c")
     val r = df.select(
