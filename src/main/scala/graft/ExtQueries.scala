@@ -1577,6 +1577,65 @@ object ExtQueries {
         splits = Seq(5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 400.0))
     }),
 
+    // ── Exact two-sample KS drift test (no bucket choice — the
+    //    complement of ext_drift_psi's fixed frame): doc-length
+    //    distribution of English vs non-English docs; ECDF gap at
+    //    every observed value via ONE post-aggregate window
+    //    (Drift.ksTest scaladoc).
+    "ext_ks_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Drift.ksTest(
+        d.filter(col("lang") === "en"),
+        d.filter(col("lang") =!= "en"),
+        col("n_chars"))
+    }),
+
+    // ── DSIR hashed importance weights (Xie et al. '23): score every
+    //    doc by hashed-unigram likelihood ratio of the src0 target
+    //    slice vs the whole corpus — the importance-resampling signal
+    //    for domain-targeted data selection. Two bucket histograms +
+    //    one broadcast weight table (TextPipeline.dsirWeights).
+    "ext_dsir_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextPipeline.dsirWeights(
+        d, d.filter(col("source") === "src0"), col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Calibration readout (reliability diagram + ECE) of the
+    //    stopword-fraction score as an English-ness classifier — one
+    //    bin-keyed aggregation + a broadcast total (Eval.calibration).
+    "ext_calibration" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nTokens = size(filter(split(col("text"), " "),
+        tk => length(tk) > 0))
+      val scored = d
+        .filter(col("text").isNotNull && nTokens > 0)
+        .select(col("doc_id"),
+          (graft.functions.expressions.GraftFunctions.token_match_count(
+            col("text"), Seq("the", "a", "and", "of")).cast("double") /
+            nTokens.cast("double")).as("score"),
+          (col("lang") === "en").as("label"))
+      graft.operators.Eval.calibration(scored, col("score"), col("label"))
+    }),
+
+    // ── ColBERT-style late-interaction retrieval: multi-vector docs
+    //    (8 token vectors per doc from the embeddings table), MaxSim =
+    //    Σ_query-tokens max_doc-token cos — the retrieval step between
+    //    pooled cosine and a cross-encoder (Similarity.maxSimTopK:
+    //    broadcast probes, two scalar aggregations, salted top-k).
+    "ext_maxsim" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val vecs = e.select(
+        (col("vec_id") / 8).cast("long").as("doc_id"),
+        pmod(col("vec_id"), lit(8L)).as("d_token"),
+        col("embedding"))
+      val probes = vecs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("d_token").as("q_token"),
+          col("embedding").as("query_vec"))
+      Similarity.maxSimTopK(probes, vecs, 5)
+    }),
+
     // ── Retrieval-quality evaluation (recall@k / MRR@k / NDCG@k) over
     //    the brute-force cosine ranking vs a deterministic graded gold
     //    table — the metric pass every ANN configuration sweep needs
@@ -4610,6 +4669,129 @@ object ExtQueries {
         |       / greatest(CAST(n_base AS DOUBLE) / CAST(t_base AS DOUBLE), 1e-6)),
         |    9) AS psi_term
         |FROM j CROSS JOIN tb CROSS JOIN tc ORDER BY bucket""".stripMargin,
+
+    // KS replay: per-value counts, one cumulative window over the
+    // aggregated value table (RANGE vs ROWS immaterial — values are
+    // distinct after the group), exact integer ECDFs, argmax tie to the
+    // smallest value.
+    "ext_ks_drift" ->
+      """WITH ca AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL GROUP BY 1),
+        |cb AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM documents WHERE lang <> 'en' AND n_chars IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca, 0) AS ca,
+        |    COALESCE(cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |             CAST(SUM(cb) AS BIGINT) AS n_b FROM j),
+        |g AS (
+        |  SELECT v,
+        |    abs(CAST(SUM(ca) OVER (ORDER BY v) AS DOUBLE) / n_a -
+        |        CAST(SUM(cb) OVER (ORDER BY v) AS DOUBLE) / n_b) AS gap
+        |  FROM j CROSS JOIN t),
+        |best AS (SELECT gap, v FROM g ORDER BY gap DESC, v LIMIT 1)
+        |SELECT n_a, n_b, best.gap AS d_stat, best.v AS at_value,
+        |  best.gap >= 1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+        |    CAST(n_a * n_b AS DOUBLE)) AS reject
+        |FROM t CROSS JOIN best""".stripMargin,
+
+    // DSIR replay: per-token rolling-hash polynomial (the
+    // ext_substring_dedup arithmetic) mod 1024 buckets; ln ratios
+    // rounded 9dp then DECIMAL(28,12)-summed per doc.
+    "ext_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_transform(range(1, length(tok) + 1),
+        |      j -> CAST(ord(substr(tok, j, 1)) AS BIGINT)),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 1024 AS bucket
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE len(tok) > 0),
+        |cc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_c
+        |       FROM toks GROUP BY 1),
+        |ct AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_t
+        |       FROM toks WHERE source = 'src0' GROUP BY 1),
+        |tc AS (SELECT CAST(SUM(n_c) AS BIGINT) AS tot_c FROM cc),
+        |tt AS (SELECT CAST(SUM(n_t) AS BIGINT) AS tot_t FROM ct),
+        |w AS (
+        |  SELECT cc.bucket,
+        |    CAST(round(ln(
+        |      ((COALESCE(n_t, 0) + 1.0) / (CAST(tot_t AS DOUBLE) + 1024.0)) /
+        |      ((n_c + 1.0) / (CAST(tot_c AS DOUBLE) + 1024.0))), 9)
+        |      AS DECIMAL(28,12)) AS w
+        |  FROM cc LEFT JOIN ct ON cc.bucket = ct.bucket
+        |  CROSS JOIN tc CROSS JOIN tt)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(w) AS DOUBLE) AS dsir_logweight
+        |FROM toks t JOIN w ON t.bucket = w.bucket
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // calibration replay: exact integer bin arithmetic, scores
+    // 9dp-quantized into DECIMAL(28,12) sums before the bin mean.
+    "ext_calibration" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> list_contains(['the', 'a', 'and', 'of'], tk))) AS DOUBLE) /
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> len(tk) > 0)) AS DOUBLE) AS score,
+        |    lang = 'en' AS label
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(list_filter(string_split(text, ' '),
+        |    tk -> len(tk) > 0)) > 0),
+        |b AS (
+        |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+        |    CAST(round(score, 9) AS DECIMAL(28,12)) AS sq,
+        |    CASE WHEN label THEN 1 ELSE 0 END AS y
+        |  FROM s),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(y) AS BIGINT) AS n_pos, SUM(sq) AS ssum
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM g)
+        |SELECT bin, n, n_pos,
+        |  CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) AS conf,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        |  abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE)) AS gap,
+        |  round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) *
+        |    abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) -
+        |        CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS ece_term
+        |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    // MaxSim replay: the ext_cosine_topk arithmetic per (query-token,
+    // doc-token), max per pair grouped, DECIMAL(18,6) sum of maxes,
+    // rank ties by doc_id.
+    "ext_maxsim" ->
+      """WITH v AS (
+        |  SELECT vec_id // 8 AS doc_id, vec_id % 8 AS d_token, embedding
+        |  FROM embeddings),
+        |p AS (SELECT doc_id AS query_id, d_token AS q_token, embedding AS qv
+        |      FROM v WHERE doc_id < 3),
+        |sc AS (
+        |  SELECT p.query_id, v.doc_id, p.q_token,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM v CROSS JOIN p WHERE v.doc_id <> p.query_id),
+        |m AS (SELECT query_id, doc_id, q_token, MAX(sim) AS m
+        |      FROM sc GROUP BY 1, 2, 3),
+        |s AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_qt,
+        |        CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS maxsim
+        |      FROM m GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, n_qt, maxsim,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY maxsim DESC, doc_id) AS rank
+        |      FROM s)
+        |SELECT query_id, doc_id, n_qt, maxsim, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // Full metric replay: brute-force cosine ranks (the ext_cosine_topk
     // formulation), the modulo gold table, and all three metrics with

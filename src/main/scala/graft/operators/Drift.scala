@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Distribution-drift monitoring between two corpus snapshots —
@@ -93,5 +94,60 @@ object Drift {
         round(pC, 9).as("p_cur"),
         round((pC - pB) * log(pC / pB), 9).as("psi_term"))
       .orderBy("bucket")
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between `a` and `b`
+    * on `value` — the drift test that needs NO bucket choice, the
+    * complement of [[psi]]'s fixed-frame report: D = sup_v |F_a(v) −
+    * F_b(v)|, with the asymptotic α-level rejection bar
+    * c(α)·√((n_a+n_b)/(n_a·n_b)) (c = 1.358 at α = 0.05).
+    *
+    * Exactness contract: the ECDFs step only at OBSERVED values, so
+    * evaluating the gap at every distinct value of either sample is the
+    * exact supremum — for discrete/integer-valued columns (lengths,
+    * counts, grades) this is the textbook statistic with no
+    * approximation. For continuous doubles, pre-quantize upstream
+    * (round(v, d)) to bound the distinct-value cardinality; the
+    * statistic is then exact for the quantized variable.
+    *
+    * 100 TB shape: one map-side partial aggregation per sample keyed on
+    * the value (each partition collapses to ≤ |distinct| rows), a full
+    * outer join of the two count tables, and ONE window over the
+    * ALREADY-AGGREGATED per-value table — cardinality = distinct
+    * observed values ≪ corpus, the same safe post-aggregate window as
+    * B6's share-of-total (and deliberately NOT a window over raw rows).
+    *
+    * Determinism: counts are exact integers; each ECDF is one IEEE
+    * divide; |·|, −, max are exact; the argmax value ties break to the
+    * SMALLEST v via a struct max. Output: ONE row
+    * (n_a, n_b, d_stat, at_value, reject). */
+  def ksTest(
+      a: DataFrame, b: DataFrame, value: Column,
+      critical: Double = 1.358): DataFrame = {
+    require(critical > 0, s"critical must be positive, got $critical")
+    def counts(df: DataFrame, name: String) =
+      df.select(value.cast("double").as("v")).filter(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as(name))
+    val joined = counts(a, "ca").join(counts(b, "cb"), Seq("v"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ta = joined.agg(sum("ca").as("n_a"))
+    val tb2 = joined.agg(sum("cb").as("n_b"))
+    joined
+      .select(col("v"), sum("ca").over(w).as("cum_a"), sum("cb").over(w).as("cum_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb2))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum_a").cast("double") / col("n_a").cast("double") -
+          col("cum_b").cast("double") / col("n_b").cast("double")).as("gap"),
+        col("v"))
+      .groupBy("n_a", "n_b") // single group: both are constants
+      .agg(max(struct(col("gap"), (-col("v")).as("nv"))).as("best"))
+      .select(col("n_a"), col("n_b"),
+        col("best.gap").as("d_stat"),
+        (-col("best.nv")).as("at_value"),
+        (col("best.gap") >= lit(critical) *
+          sqrt((col("n_a") + col("n_b")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"))).as("reject"))
   }
 }

@@ -95,6 +95,57 @@ object Eval {
           col("idcg").cast("double"), 6).as("ndcg_k"))
   }
 
+  /** Calibration readout (reliability diagram + expected calibration
+    * error) for a probabilistic classifier: bin predictions by
+    * confidence, compare each bin's mean predicted score against its
+    * observed positive rate. The model-eval staple next to
+    * [[retrievalMetrics]] — a quality/language/toxicity filter that
+    * says "0.9" should be right ~90% of the time before its threshold
+    * means anything.
+    *
+    *   ECE = Σ_bins (n_b / N) · |rate_b − conf_b|
+    *
+    * 100 TB shape: ONE aggregation keyed on the bin (≤ `bins` groups,
+    * map-side partial collapse), then a broadcast single-row total (the
+    * B12 pattern). A billion scored rows cost one scan.
+    *
+    * Determinism: the bin is integer arithmetic on the score; counts
+    * and rates are exact; per-row scores quantize round(·, 9) into a
+    * DECIMAL(28,12) sum before the mean (the same partition-order-free
+    * discipline as the DCG sums); |−| and · are IEEE exact. Output: one
+    * row per non-empty bin (bin, n, n_pos, conf, rate, gap, ece_term)
+    * — sum(ece_term) IS the ECE. `score` must lie in [0, 1]; scores
+    * exactly 1.0 land in the top bin. */
+  def calibration(
+      scored: DataFrame,
+      score: Column,
+      label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val s = score.cast("double")
+    val perBin = scored
+      .select(
+        least(floor(s * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        round(s, 9).cast("decimal(28,12)").as("sq"),
+        when(coalesce(label, lit(false)), 1L).otherwise(0L).as("y"))
+      .filter(col("bin").isNotNull)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("sq").as("ssum"))
+    val total = perBin.agg(sum("n").as("n_total"))
+    perBin.crossJoin(broadcast(total))
+      .select(
+        col("bin"), col("n"), col("n_pos"), col("n_total"),
+        (col("ssum").cast("double") / col("n").cast("double")).as("conf"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("rate"))
+      .withColumn("gap", abs(col("rate") - col("conf")))
+      .withColumn("ece_term",
+        round(col("n").cast("double") / col("n_total").cast("double") *
+          col("gap"), 9))
+      .drop("n_total")
+      .orderBy("bin")
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher '09): merge the
     * ranked lists of several retrieval systems without score
     * calibration — rrf(q,d) = Σ_systems 1/(kRrf + rank_s(q,d)), summed

@@ -656,6 +656,72 @@ object TextPipeline {
     * pushes into whole-stage codegen.
     *
     * Output: (doc_id, scrubbed, n_kept, n_dropped). */
+  /** DSIR-style hashed importance weights (Xie et al. '23, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every corpus document by how much its hashed-unigram distribution
+    * looks like a TARGET domain rather than the raw corpus —
+    *
+    *   w(doc) = Σ_tokens ln( p̂_target(bucket(tok)) / p̂_corpus(bucket(tok)) )
+    *
+    * with add-α smoothed bucket probabilities over `buckets` hashed
+    * token buckets. Documents with positive weight are
+    * target-domain-like; importance resampling keeps documents with
+    * probability ∝ exp(w). Hashing makes the feature space FIXED-SIZE
+    * (the scale trick of the paper): no vocabulary is ever collected.
+    *
+    * 100 TB shape: two map-side bucket aggregations (each partition
+    * collapses to ≤ `buckets` rows — same shape as [[Drift.psi]]), the
+    * per-bucket weight table (≤ `buckets` rows) BROADCAST against the
+    * corpus token stream, one groupBy(doc) aggregation. The target is
+    * typically a small curated corpus (Wikipedia slice) — but nothing
+    * here requires it: both sides reduce to bucket histograms.
+    *
+    * Determinism: the token bucket is the engine-portable rolling-hash
+    * polynomial (Σ c·31^j mod 1e9+7, the `ext_substring_dedup` oracle
+    * arithmetic) mod `buckets`; counts are exact; each bucket's ln
+    * ratio is quantized round(·, 9) and the per-doc sum accumulates in
+    * DECIMAL(28,12) — partition-order-free, SQL-replayable bit-for-bit.
+    * Docs whose text yields zero tokens produce no row (no evidence,
+    * no score). Output: (doc_id, n_tokens, dsir_logweight). */
+  def dsirWeights(
+      corpus: DataFrame,
+      target: DataFrame,
+      id: Column,
+      text: Column,
+      buckets: Int = 1024,
+      alpha: Double = 1.0): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    def tokenBuckets(df: DataFrame, cols: Seq[Column]): DataFrame = df
+      .select(cols :+ explode(split(text, " ")).as("tok"): _*)
+      .filter(length(col("tok")) > 0)
+      .withColumn("bucket",
+        pmod(GraftFunctions.rolling_hash(col("tok")), lit(buckets.toLong)))
+      .drop("tok")
+    val corpusToks = tokenBuckets(corpus, Seq(id.as("doc_id")))
+    val corpusCnt = corpusToks.groupBy("bucket").agg(count(lit(1)).as("n_c"))
+    val targetCnt = tokenBuckets(target, Seq.empty)
+      .groupBy("bucket").agg(count(lit(1)).as("n_t"))
+    val tc = corpusCnt.agg(sum("n_c").as("tot_c"))
+    val tt = targetCnt.agg(sum("n_t").as("tot_t"))
+    val pT = (col("n_t").cast("double") + lit(alpha)) /
+      (col("tot_t").cast("double") + lit(alpha * buckets))
+    val pC = (col("n_c").cast("double") + lit(alpha)) /
+      (col("tot_c").cast("double") + lit(alpha * buckets))
+    // every scored bucket occurs in the corpus, so a left join from the
+    // corpus counts covers all lookups; target-absent buckets smooth
+    val weights = corpusCnt.join(targetCnt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_t"))
+      .crossJoin(broadcast(tc)).crossJoin(broadcast(tt))
+      .select(col("bucket"),
+        round(log(pT / pC), 9).cast("decimal(28,12)").as("w"))
+    corpusToks
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("w").cast("double").as("dsir_logweight"))
+  }
+
   def tokenScrub(
       docs: DataFrame,
       id: Column,

@@ -49,4 +49,29 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
       .agg(sum("n_base")).as[Long].collect().head
     assert(n == 10L)
   }
+
+  test("ksTest: hand-computed D on a planted shift; identical samples give 0") {
+    // a = {1,1,2,3}, b = {2,3,3,4}: ECDFs step at 1,2,3,4 →
+    // gaps |2/4−0|=.5, |3/4−1/4|=.5, |1−3/4|=.25, |1−1|=0; D=0.5 at v=1
+    val a = Seq(1.0, 1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 3.0, 4.0).toDF("v")
+    val r = Drift.ksTest(a, b, col("v"))
+      .as[(Long, Long, Double, Double, Boolean)].collect().head
+    assert(r._1 == 4 && r._2 == 4)
+    assert(r._3 == 0.5, s"D must be 0.5, got ${r._3}")
+    assert(r._4 == 1.0, "argmax ties break to the SMALLEST value")
+    assert(!r._5, "0.5 < 1.358*sqrt(8/16) ~ 0.96: no rejection")
+    val same = Drift.ksTest(a, a, col("v"))
+      .as[(Long, Long, Double, Double, Boolean)].collect().head
+    assert(same._3 == 0.0 && !same._5)
+  }
+
+  test("ksTest: a gross shift rejects at the 5% bar") {
+    val a = (1 to 200).map(_ % 10 * 1.0).toDF("v")
+    val b = (1 to 200).map(i => i % 10 + 100.0).toDF("v")
+    val r = Drift.ksTest(a, b, col("v"))
+      .as[(Long, Long, Double, Double, Boolean)].collect().head
+    assert(r._3 == 1.0, "disjoint supports -> D = 1")
+    assert(r._5, "D=1 at n=200/200 must reject")
+  }
 }

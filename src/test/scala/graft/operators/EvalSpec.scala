@@ -142,4 +142,26 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     // query 10 sees only alpha docs (2 beats 1 on tf), query 20 only doc 3
     assert(got == Set((10L, 2L, 1L), (10L, 1L, 2L), (20L, 3L, 1L)))
   }
+
+  test("calibration: hand-computed bins, rates, ECE on a planted scorer") {
+    // bin 2 (scores .20/.25): 1 of 2 positive; bin 9 (.95, 1.0): both
+    // positive — 1.0 must land IN bin 9, not a phantom bin 10
+    val rows = Seq((0.20, false), (0.25, true), (0.95, true), (1.0, true))
+      .toDF("score", "label")
+    val got = Eval.calibration(rows, col("score"), col("label"))
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(2L, 9L))
+    val (_, n2, pos2, conf2, rate2, gap2, ece2) = got(0)
+    assert(n2 == 2 && pos2 == 1 && rate2 == 0.5)
+    assert(conf2 == (0.20 + 0.25) / 2 && gap2 == math.abs(0.5 - conf2))
+    assert(ece2 == BigDecimal(2.0 / 4.0 * gap2)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val (_, n9, pos9, conf9, rate9, _, _) = got(1)
+    assert(n9 == 2 && pos9 == 2 && rate9 == 1.0 && conf9 == 0.975)
+    // perfectly calibrated scorer: every gap 0, ECE 0
+    val perfect = Seq((0.0, false), (1.0, true)).toDF("score", "label")
+    val e = Eval.calibration(perfect, col("score"), col("label"))
+      .agg(sum("ece_term")).as[Double].collect().head
+    assert(e == 0.0)
+  }
 }

@@ -285,4 +285,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       ksub = 8, refine = 10).collect()
     assert(pq.nonEmpty, "scan must complete despite the garbage row")
   }
+
+  test("maxSimTopK: coverage beats one perfect token; self-match excluded") {
+    // query doc 0 = tokens along axes e1, e2. doc 1 covers BOTH axes
+    // (maxsim 2.0); doc 2 matches one token perfectly twice (maxsim
+    // 1.0); doc 3 is diagonal (cos .707107 each, maxsim ~1.414214).
+    def row(doc: Long, tok: Long, v: Array[Float]) = (doc, tok, v)
+    val corpus = Seq(
+      row(0L, 0L, Array(1f, 0f, 0f)), row(0L, 1L, Array(0f, 1f, 0f)),
+      row(1L, 0L, Array(2f, 0f, 0f)), row(1L, 1L, Array(0f, 3f, 0f)),
+      row(2L, 0L, Array(1f, 0f, 0f)), row(2L, 1L, Array(1f, 0f, 0f)),
+      row(3L, 0L, Array(1f, 1f, 0f)), row(3L, 1L, Array(0f, 0f, 1f)))
+      .toDF("doc_id", "d_token", "embedding")
+    val probes = corpus.filter(col("doc_id") === 0)
+      .select(col("doc_id").as("query_id"), col("d_token").as("q_token"),
+        col("embedding").as("query_vec"))
+    val got = Similarity.maxSimTopK(probes, corpus, 3)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L), "coverage order")
+    assert(!got.exists(_._2 == 0L), "self-match excluded")
+    assert(got.forall(_._3 == 2L), "both query tokens scored")
+    assert(got(0)._4 == 2.0)
+    assert(got(1)._4 == 2 * 0.707107) // round(cos,6) summed exactly
+    assert(got(2)._4 == 1.0, "a twice-matched single axis still sums its max once per QUERY token")
+  }
 }

@@ -666,4 +666,32 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) == ((Some("solo"), 1L, 0L)))
     assert(got(5L) == ((None, 0L, 0L)), "null text passes through")
   }
+
+  test("dsirWeights: target-like docs score positive, off-target negative") {
+    val corpus = Seq(
+      (1L, "foo foo foo baz"), // mostly target-distribution tokens
+      (2L, "bar bar bar bar"), // corpus-only tokens
+      (3L, "foo bar")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("foo baz foo foo")).toDF("text")
+    // alpha small vs the toy token counts — the default 1.0 assumes
+    // corpus-scale buckets where counts >> alpha
+    val got = TextPipeline.dsirWeights(
+      corpus, target, col("doc_id"), col("text"), alpha = 0.01)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == 4 && got(2L)._1 == 4 && got(3L)._1 == 2)
+    assert(got(1L)._2 > 0, s"target-like doc must score positive: ${got(1L)}")
+    assert(got(2L)._2 < 0, s"off-target doc must score negative: ${got(2L)}")
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2,
+      "scores order by target-token share")
+  }
+
+  test("dsirWeights: target == corpus scores every doc ~0 (ratio of equals)") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.dsirWeights(
+      corpus, corpus, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall(_._3 == 0.0),
+      s"identical distributions -> ln(1) = 0 per bucket: ${got.toSeq}")
+  }
 }
