@@ -1636,6 +1636,54 @@ object ExtQueries {
       Similarity.maxSimTopK(probes, vecs, 5)
     }),
 
+    // ── Exact tie-corrected ROC AUC of the stopword-fraction score as
+    //    an English-ness classifier — the threshold-free complement of
+    //    ext_calibration's reliability bins, same scored input:
+    //    per-distinct-score aggregation, ONE post-aggregate window,
+    //    2U in pure integer arithmetic (Eval.rocAuc).
+    "ext_roc_auc" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nTokens = size(filter(split(col("text"), " "),
+        tk => length(tk) > 0))
+      val scored = d
+        .filter(col("text").isNotNull && nTokens > 0)
+        .select(
+          (graft.functions.expressions.GraftFunctions.token_match_count(
+            col("text"), Seq("the", "a", "and", "of")).cast("double") /
+            nTokens.cast("double")).as("score"),
+          (col("lang") === "en").as("label"))
+      graft.operators.Eval.rocAuc(scored, col("score"), col("label"))
+    }),
+
+    // ── Cohen's kappa between the stored lang label and the engine's
+    //    own n-gram language-ID (ext_lang_id's exact vote chain) —
+    //    chance-corrected labeler agreement from one cell-keyed
+    //    aggregation, integer arithmetic to one divide
+    //    (Eval.cohensKappa).
+    "ext_cohens_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      graft.operators.Eval.cohensKappa(
+        d, col("lang"), TextFunctions.langId(col("text")))
+    }),
+
+    // ── Gini concentration of documents across sources — the
+    //    one-number mixture-health readout (Drift.giniConcentration:
+    //    one source-keyed aggregation + a rank window over the k-row
+    //    count table).
+    "ext_gini_sources" -> ((s, dir) => {
+      graft.operators.Drift.giniConcentration(
+        t(s, dir, "documents"), col("source"))
+    }),
+
+    // ── Chi-square homogeneity of the language mix across sources —
+    //    per-cell observed vs expected with the zero-cell spine kept
+    //    (Drift.chi2Homogeneity: one cell-keyed aggregation; margins
+    //    and spine live in the |sources|×|langs| world).
+    "ext_chi2_homogeneity" -> ((s, dir) => {
+      graft.operators.Drift.chi2Homogeneity(
+        t(s, dir, "documents"), col("source"), col("lang"))
+    }),
+
     // ── Retrieval-quality evaluation (recall@k / MRR@k / NDCG@k) over
     //    the brute-force cosine ranking vs a deterministic graded gold
     //    table — the metric pass every ANN configuration sweep needs
@@ -4792,6 +4840,105 @@ object ExtQueries {
         |      FROM s)
         |SELECT query_id, doc_id, n_qt, maxsim, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // AUC replay: identical scored input to ext_calibration, per-score
+    // groups, the ECDF-style window over aggregated rows, 2U in
+    // integer arithmetic, one final divide.
+    "ext_roc_auc" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> list_contains(['the', 'a', 'and', 'of'], tk))) AS DOUBLE) /
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> len(tk) > 0)) AS DOUBLE) AS score,
+        |    lang = 'en' AS label
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(list_filter(string_split(text, ' '),
+        |    tk -> len(tk) > 0)) > 0),
+        |g AS (
+        |  SELECT score AS sc, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN COALESCE(label, false) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np
+        |  FROM s GROUP BY 1),
+        |c AS (
+        |  SELECT np, n - np AS nn,
+        |    SUM(n - np) OVER (ORDER BY sc) - (n - np) AS below
+        |  FROM g)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+        |    CAST(SUM(np * (below * 2 + nn)) AS DOUBLE) /
+        |    CAST(SUM(np) * SUM(nn) * 2 AS DOUBLE) END AS auc
+        |FROM c""".stripMargin,
+
+    // kappa replay: the ext_lang_id vote chain as rater B, cell counts,
+    // margins, and the cleared-denominator integer form.
+    "ext_cohens_kappa" ->
+      """WITH v AS (
+        |  SELECT lang AS ra,
+        |    CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+        |         WHEN de >= es AND de > 0 THEN 'de'
+        |         WHEN es > 0 THEN 'es'
+        |         ELSE 'unk' END AS rb
+        |  FROM (SELECT lang,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','is'))) AS en,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('der','die','das','und','ist'))) AS de,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('el','la','los','y','es'))) AS es
+        |    FROM documents WHERE text IS NOT NULL)),
+        |cells AS (
+        |  SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM v WHERE ra IS NOT NULL AND rb IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        |        CAST(COALESCE(SUM(CASE WHEN ra = rb THEN n END), 0)
+        |          AS BIGINT) AS n_agree
+        |      FROM cells),
+        |ma AS (SELECT ra, CAST(SUM(n) AS BIGINT) AS na FROM cells GROUP BY 1),
+        |mb AS (SELECT rb, CAST(SUM(n) AS BIGINT) AS nb FROM cells GROUP BY 1),
+        |pe AS (SELECT COALESCE(SUM(na * nb), 0) AS pe_num
+        |       FROM ma JOIN mb ON ma.ra = mb.rb)
+        |SELECT n_total, n_agree,
+        |  CASE WHEN CAST(n_total * n_total - pe_num AS DOUBLE) <> 0.0 THEN
+        |    CAST(n_total * n_agree - pe_num AS DOUBLE) /
+        |    CAST(n_total * n_total - pe_num AS DOUBLE) END AS kappa
+        |FROM t CROSS JOIN pe""".stripMargin,
+
+    // Gini replay: k-row count table, rank window ties by (n, grp),
+    // integer numerator/denominator, one divide.
+    "ext_gini_sources" ->
+      """WITH g AS (
+        |  SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |r AS (SELECT n,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY n, grp) AS BIGINT) AS i
+        |      FROM g)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |  CAST(SUM(n) AS BIGINT) AS n_total,
+        |  CAST(2 * SUM(i * n) - (COUNT(*) + 1) * SUM(n) AS DOUBLE) /
+        |  CAST(COUNT(*) * SUM(n) AS DOUBLE) AS gini
+        |FROM r""".stripMargin,
+
+    // chi2 replay: cell counts, margin cross-join spine (zero cells
+    // kept), expected under independence, 9dp-rounded terms.
+    "ext_chi2_homogeneity" ->
+      """WITH cells AS (
+        |  SELECT source AS r, lang AS c, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mr AS (SELECT r, CAST(SUM(o) AS BIGINT) AS n_r FROM cells GROUP BY 1),
+        |mc AS (SELECT c, CAST(SUM(o) AS BIGINT) AS n_c FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM cells)
+        |SELECT mr.r, mc.c, CAST(COALESCE(o, 0) AS BIGINT) AS o,
+        |  CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE) /
+        |    CAST(n_total AS DOUBLE) AS e,
+        |  round((CAST(COALESCE(o, 0) AS DOUBLE) - e) *
+        |        (CAST(COALESCE(o, 0) AS DOUBLE) - e) / e, 9) AS chi2_term
+        |FROM mr CROSS JOIN mc
+        |LEFT JOIN cells ON cells.r = mr.r AND cells.c = mc.c
+        |CROSS JOIN t
+        |ORDER BY mr.r, mc.c""".stripMargin,
 
     // Full metric replay: brute-force cosine ranks (the ext_cosine_topk
     // formulation), the modulo gold table, and all three metrics with

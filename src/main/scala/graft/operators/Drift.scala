@@ -150,4 +150,77 @@ object Drift {
           sqrt((col("n_a") + col("n_b")).cast("double") /
             (col("n_a") * col("n_b")).cast("double"))).as("reject"))
   }
+
+  /** Gini concentration of row mass across the values of `group` — the
+    * one-number mixture-health readout for a training corpus ("is 90%
+    * of the data three domains?"): 0 = perfectly even shares, → 1 =
+    * all mass on one value. Discrete form over the k group totals
+    * c_(1) ≤ … ≤ c_(k):
+    *
+    *   G = (2·Σ i·c_(i) − (k+1)·Σc) / (k·Σc)
+    *
+    * 100 TB shape: ONE map-side aggregation keyed on the group (each
+    * partition collapses to ≤ k rows), a rank window over the k-row
+    * count table (the post-aggregate-window discipline — never over
+    * raw rows), one final single-row aggregate.
+    *
+    * Determinism: pure integer arithmetic (rank products summed as
+    * DECIMAL(38,0)) until one IEEE divide; the rank order totals ties
+    * by (count, group value). Output: ONE row (k, n_total, gini). */
+  def giniConcentration(df: DataFrame, group: Column): DataFrame = {
+    val counts = df.select(group.cast("string").as("grp"))
+      .filter(col("grp").isNotNull)
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n"), col("grp"))
+    counts
+      .select(col("n"), row_number().over(w).cast("long").as("i"))
+      .agg(count(lit(1)).as("k"), sum("n").as("n_total"),
+        sum(col("i").cast("decimal(38,0)") * col("n")).as("iwsum"))
+      .select(col("k"), col("n_total"),
+        ((col("iwsum") * 2 -
+          (col("k") + 1).cast("decimal(38,0)") * col("n_total"))
+          .cast("double") /
+          (col("k").cast("decimal(38,0)") * col("n_total")).cast("double"))
+          .as("gini"))
+  }
+
+  /** Chi-square homogeneity readout over the `rowDim` × `colDim`
+    * contingency table ("does the language mix differ across
+    * sources?") — per-cell observed vs expected-under-independence,
+    * INCLUDING structurally-possible empty cells (an observed zero
+    * where the margins expect mass is exactly the signal):
+    *
+    *   e(r,c) = n_r·n_c / N,   term(r,c) = (o − e)² / e
+    *
+    * Σ term is the X² statistic on (|r|−1)(|c|−1) degrees of freedom.
+    *
+    * 100 TB shape: ONE aggregation keyed on the cell (≤ |r|·|c| groups,
+    * map-side collapse); margins, the zero-cell spine (margin cross
+    * join — dimension-sized, never row-sized), and the expected values
+    * all live in the ≤ |r|·|c|-row world. One corpus scan total.
+    *
+    * Determinism: counts exact; e is two IEEE multiplies/divides on
+    * exact-integer-valued doubles; each term is quantized round(·, 9),
+    * so sum(chi2_term) replays engine-portably via the usual decimal
+    * discipline. Output: one row per spine cell (r, c, o, e,
+    * chi2_term), ordered. */
+  def chi2Homogeneity(df: DataFrame, rowDim: Column, colDim: Column): DataFrame = {
+    val cells = df
+      .select(rowDim.cast("string").as("r"), colDim.cast("string").as("c"))
+      .filter(col("r").isNotNull && col("c").isNotNull)
+      .groupBy("r", "c").agg(count(lit(1)).as("o"))
+    val mr = cells.groupBy("r").agg(sum("o").as("n_r"))
+    val mc = cells.groupBy("c").agg(sum("o").as("n_c"))
+    val tot = cells.agg(sum("o").as("n_total"))
+    mr.crossJoin(broadcast(mc)) // the zero-including cell spine
+      .join(cells, Seq("r", "c"), "left").na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("c"), col("o"),
+        (col("n_r").cast("double") * col("n_c").cast("double") /
+          col("n_total").cast("double")).as("e"))
+      .withColumn("chi2_term", round(
+        (col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e"), 9))
+      .orderBy("r", "c")
+  }
 }

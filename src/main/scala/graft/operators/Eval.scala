@@ -182,4 +182,95 @@ object Eval {
           .orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Exact tie-corrected ROC AUC (Mann–Whitney form) for a binary
+    * classifier score — the threshold-free readout next to
+    * [[calibration]]'s threshold-shaped one:
+    *
+    *   AUC = U / (n_pos·n_neg),  U = Σ_s n_pos(s)·(n_neg below s + ½·n_neg(s))
+    *
+    * evaluated per DISTINCT score (ties contribute exactly ½), so the
+    * result is the textbook statistic with no rank-approximation.
+    *
+    * 100 TB shape: one map-side aggregation keyed on the score (each
+    * partition collapses to ≤ |distinct scores| rows — quantized model
+    * scores have bounded cardinality; pre-round raw doubles upstream if
+    * not), then ONE window over the already-aggregated per-score table
+    * and a single-row final aggregate — the [[Drift.ksTest]] shape.
+    *
+    * Determinism: 2U is computed in INTEGER arithmetic (per-score
+    * Long products summed as DECIMAL(38,0) — overflow-free at any
+    * corpus size) and divided once; IEEE division is exact-rounded, so
+    * any SQL engine replays the double bit-for-bit while the integer
+    * state stays below the decimal→double precision cliff at oracle
+    * scale. Output: ONE row (n_pos, n_neg, auc); auc is null when
+    * either class is empty (undefined, not 0 — a one-class eval slice
+    * must be visible, not silently scored). */
+  def rocAuc(scored: DataFrame, score: Column, label: Column): DataFrame = {
+    val perScore = scored
+      .select(score.cast("double").as("s"),
+        when(coalesce(label, lit(false)), 1L).otherwise(0L).as("y"))
+      .filter(col("s").isNotNull)
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"), sum("y").as("np"))
+      .withColumn("nn", col("n") - col("np"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .select(col("np"), col("nn"),
+        (sum("nn").over(w) - col("nn")).as("below"))
+      .agg(
+        sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(col("np").cast("decimal(38,0)") *
+          (col("below") * 2 + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2").cast("double") /
+            (col("n_pos").cast("decimal(38,0)") * col("n_neg") * 2)
+              .cast("double")).as("auc"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two labelers
+    * (human raters, model vs heuristic, two model generations):
+    *
+    *   κ = (p_o − p_e) / (1 − p_e)
+    *     = (N·n_agree − Σ_k n_a(k)·n_b(k)) / (N² − Σ_k n_a(k)·n_b(k))
+    *
+    * — the second form clears denominators, so the WHOLE statistic is
+    * integer arithmetic until one IEEE divide (no p_o/p_e intermediate
+    * doubles to order-of-summation drift).
+    *
+    * 100 TB shape: one aggregation keyed on the (label_a, label_b)
+    * cell — ≤ k² groups, map-side collapse; margins and the agreement
+    * diagonal derive from the cell table, which never leaves the
+    * ≤ k²-row world. One corpus scan total.
+    *
+    * Determinism: counts exact; products sum as DECIMAL(38,0);
+    * κ is null when p_e = 1 (both raters constant — agreement is
+    * vacuous and the statistic undefined). Rows where either label is
+    * null are excluded (unrated items, not disagreement). Output: ONE
+    * row (n_total, n_agree, kappa). */
+  def cohensKappa(rated: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = rated
+      .select(a.cast("string").as("ra"), b.cast("string").as("rb"))
+      .filter(col("ra").isNotNull && col("rb").isNotNull)
+      .groupBy("ra", "rb").agg(count(lit(1)).as("n"))
+    val totals = cells.agg(
+      sum("n").as("n_total"),
+      coalesce(sum(when(col("ra") === col("rb"), col("n"))), lit(0L))
+        .as("n_agree"))
+    val peNum = cells.groupBy("ra").agg(sum("n").as("na"))
+      .join(cells.groupBy("rb").agg(sum("n").as("nb")),
+        col("ra") === col("rb"))
+      .agg(coalesce(sum(col("na").cast("decimal(38,0)") * col("nb")),
+        lit(0).cast("decimal(38,0)")).as("pe_num"))
+    totals.crossJoin(broadcast(peNum))
+      .withColumn("denom",
+        (col("n_total").cast("decimal(38,0)") * col("n_total") -
+          col("pe_num")).cast("double"))
+      .select(col("n_total"), col("n_agree"),
+        when(col("denom") =!= 0.0,
+          (col("n_total").cast("decimal(38,0)") * col("n_agree") -
+            col("pe_num")).cast("double") / col("denom")).as("kappa"))
+  }
 }

@@ -74,4 +74,34 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     assert(r._3 == 1.0, "disjoint supports -> D = 1")
     assert(r._5, "D=1 at n=200/200 must reject")
   }
+
+  test("giniConcentration: hand-computed skew; even shares score zero") {
+    // counts a:1 b:1 c:2 sorted (1,1,2) -> G = (2*9 - 4*4)/(3*4) = 1/6
+    val skew = Seq("a", "b", "c", "c").toDF("src")
+    val r = Drift.giniConcentration(skew, col("src"))
+      .as[(Long, Long, Double)].collect().head
+    assert(r._1 == 3 && r._2 == 4)
+    assert(r._3 == (2.0 * 9 - 4 * 4) / (3 * 4))
+    val even = Seq("a", "a", "b", "b").toDF("src")
+    assert(Drift.giniConcentration(even, col("src"))
+      .as[(Long, Long, Double)].collect().head._3 == 0.0)
+  }
+
+  test("chi2Homogeneity: 2x2 with a structural zero cell kept") {
+    // s1: en 10 / de 0 (zero cell!), s2: en 5 / de 5 -> terms
+    // (10-7.5)^2/7.5 = .833333333, (0-2.5)^2/2.5 = 2.5 (x2), X2 = 6.66…
+    val rows = Seq.fill(10)(("s1", "en")) ++
+      Seq.fill(5)(("s2", "en")) ++ Seq.fill(5)(("s2", "de"))
+    val got = Drift.chi2Homogeneity(rows.toDF("src", "lang"),
+      col("src"), col("lang"))
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(got.length == 4, "margin spine keeps the (s1, de) zero cell")
+    val byCell = got.map(r => (r._1, r._2) -> r).toMap
+    assert(byCell(("s1", "de"))._3 == 0L)
+    assert(byCell(("s1", "de"))._4 == 2.5)
+    assert(byCell(("s1", "de"))._5 == 2.5)
+    assert(byCell(("s1", "en"))._5 == 0.833333333) // round(2.5^2/7.5, 9)
+    val chi2 = got.map(_._5).sum
+    assert(math.abs(chi2 - 20.0 / 3) < 1e-8)
+  }
 }

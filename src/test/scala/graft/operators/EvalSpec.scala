@@ -164,4 +164,44 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
       .agg(sum("ece_term")).as[Double].collect().head
     assert(e == 0.0)
   }
+
+  test("rocAuc: hand-computed tie-corrected U; perfect and inverted edges") {
+    // scores .1(neg) .2(pos) .2(neg) .3(pos):
+    // U = 1*(1 + 1/2) + 1*2 = 3.5 -> AUC 3.5/4 = 0.875
+    val mixed = Seq((0.1, false), (0.2, true), (0.2, false), (0.3, true))
+      .toDF("score", "label")
+    val r = Eval.rocAuc(mixed, col("score"), col("label"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(r == ((2L, 2L, Some(0.875))))
+    val perfect = Seq((0.1, false), (0.9, true)).toDF("score", "label")
+    assert(Eval.rocAuc(perfect, col("score"), col("label"))
+      .as[(Long, Long, Option[Double])].collect().head._3.contains(1.0))
+    val inverted = Seq((0.9, false), (0.1, true)).toDF("score", "label")
+    assert(Eval.rocAuc(inverted, col("score"), col("label"))
+      .as[(Long, Long, Option[Double])].collect().head._3.contains(0.0))
+    // one-class slice: AUC undefined -> null, not a silent number
+    val oneClass = Seq((0.1, true), (0.9, true)).toDF("score", "label")
+    assert(Eval.rocAuc(oneClass, col("score"), col("label"))
+      .as[(Long, Long, Option[Double])].collect().head == ((2L, 0L, None)))
+  }
+
+  test("cohensKappa: textbook 2x2 table gives 0.4; constant raters null") {
+    // cells: yes/yes 20, no/no 15, yes/no 5, no/yes 10 -> po=.7,
+    // pe_num = 25*30 + 25*20 = 1250, kappa = (50*35-1250)/(2500-1250) = .4
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+        Seq.fill(5)(("yes", "no")) ++ Seq.fill(10)(("no", "yes"))
+    val r = Eval.cohensKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(r == ((50L, 35L, Some(0.4))))
+    // both raters constant: pe = 1, kappa undefined -> null
+    val const = Seq.fill(5)(("x", "x")).toDF("a", "b")
+    assert(Eval.cohensKappa(const, col("a"), col("b"))
+      .as[(Long, Long, Option[Double])].collect().head == ((5L, 5L, None)))
+    // null labels are unrated, not disagreement
+    val withNulls = rows.toDF("a", "b")
+      .union(Seq((null.asInstanceOf[String], "yes")).toDF("a", "b"))
+    assert(Eval.cohensKappa(withNulls, col("a"), col("b"))
+      .as[(Long, Long, Option[Double])].collect().head._1 == 50L)
+  }
 }
