@@ -1684,6 +1684,53 @@ object ExtQueries {
         t(s, dir, "documents"), col("source"), col("lang"))
     }),
 
+    // ── Fleiss' kappa across a 3-labeler panel — the stored lang
+    //    label, the engine's n-gram language-ID vote chain, and a
+    //    coarse two-word screen — stacked from ONE scan via
+    //    explode(array(...)); docs with a null lang carry only 2
+    //    ratings and land in n_dropped, not in the totals
+    //    (Eval.fleissKappa).
+    "ext_fleiss_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val ratings = d.select(col("doc_id"),
+        explode(array(
+          col("lang"),
+          TextFunctions.langId(col("text")),
+          when(graft.functions.expressions.GraftFunctions.token_match_count(
+            col("text"), Seq("the", "a")) > 0, "en").otherwise("unk")))
+          .as("cat"))
+      graft.operators.Eval.fleissKappa(
+        ratings, col("doc_id"), col("cat"), nRaters = 3)
+    }),
+
+    // ── Spearman rank agreement between two label-free quality
+    //    scorers (stopword fraction vs mean token length) — exact
+    //    average-rank ties, centered integer products, two sqrts and
+    //    one divide at the very end (Eval.spearman).
+    "ext_spearman" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nTokens = size(filter(split(col("text"), " "),
+        tk => length(tk) > 0))
+      val scored = d
+        .filter(col("text").isNotNull && nTokens > 0)
+        .select(
+          (graft.functions.expressions.GraftFunctions.token_match_count(
+            col("text"), Seq("the", "a", "and", "of")).cast("double") /
+            nTokens.cast("double")).as("sw_frac"),
+          (col("n_chars").cast("double") / nTokens.cast("double"))
+            .as("mean_toklen"))
+      graft.operators.Eval.spearman(
+        scored, col("sw_frac"), col("mean_toklen"))
+    }),
+
+    // ── Bigram-LM quality scoring: add-one-smoothed model trained on
+    //    the corpus itself, every doc scored by mean token
+    //    log-likelihood — the KenLM-style perplexity-proxy filter
+    //    (TextPipeline.lmScore).
+    "ext_lm_score" -> ((s, dir) =>
+      TextPipeline.lmScore(
+        t(s, dir, "documents"), col("doc_id"), col("text"))),
+
     // ── Retrieval-quality evaluation (recall@k / MRR@k / NDCG@k) over
     //    the brute-force cosine ranking vs a deterministic graded gold
     //    table — the metric pass every ANN configuration sweep needs
@@ -4939,6 +4986,115 @@ object ExtQueries {
         |LEFT JOIN cells ON cells.r = mr.r AND cells.c = mc.c
         |CROSS JOIN t
         |ORDER BY mr.r, mc.c""".stripMargin,
+
+    // Fleiss replay: the 3-rater panel stacked by unnest, cell/item/
+    // category rollups, and the cleared-denominator integer form with
+    // n-1 = 2.
+    "ext_fleiss_kappa" ->
+      """WITH v AS (
+        |  SELECT doc_id, unnest([
+        |    lang,
+        |    CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+        |         WHEN de >= es AND de > 0 THEN 'de'
+        |         WHEN es > 0 THEN 'es' ELSE 'unk' END,
+        |    CASE WHEN thea > 0 THEN 'en' ELSE 'unk' END]) AS cat
+        |  FROM (SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','is'))) AS en,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('der','die','das','und','ist'))) AS de,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('el','la','los','y','es'))) AS es,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a'))) AS thea
+        |    FROM documents WHERE text IS NOT NULL)),
+        |cells AS (
+        |  SELECT doc_id AS item, cat, CAST(COUNT(*) AS BIGINT) AS n_ic
+        |  FROM v WHERE cat IS NOT NULL GROUP BY 1, 2),
+        |per_item AS (
+        |  SELECT item, SUM(n_ic) AS n_i, SUM(n_ic * n_ic) AS s2_i
+        |  FROM cells GROUP BY 1),
+        |kept AS (SELECT item, s2_i FROM per_item WHERE n_i = 3),
+        |drp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped
+        |        FROM per_item WHERE n_i <> 3),
+        |kc AS (SELECT cat, SUM(n_ic) AS t_c
+        |       FROM cells JOIN kept USING (item) GROUP BY 1),
+        |ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |         COALESCE(SUM(t_c * t_c), 0) AS a FROM kc),
+        |ia AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |         COALESCE(SUM(s2_i), 0) AS s2 FROM kept)
+        |SELECT n_items, n_dropped, n_categories,
+        |  CASE WHEN n_items > 0 AND
+        |    CAST((n_items * 3 * (n_items * 3) - a) * 2 AS DOUBLE) <> 0.0 THEN
+        |    CAST((s2 - n_items * 3) * (n_items * 3) - a * 2 AS DOUBLE) /
+        |    CAST((n_items * 3 * (n_items * 3) - a) * 2 AS DOUBLE) END AS kappa
+        |FROM ia CROSS JOIN ca CROSS JOIN drp""".stripMargin,
+
+    // Spearman replay: doubled average ranks from per-distinct-value
+    // count tables, centering on the exact mean n+1, integer products,
+    // two sqrts and one divide.
+    "ext_spearman" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> list_contains(['the', 'a', 'and', 'of'], tk))) AS DOUBLE) /
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> len(tk) > 0)) AS DOUBLE) AS va,
+        |    CAST(n_chars AS DOUBLE) /
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> len(tk) > 0)) AS DOUBLE) AS vb
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(list_filter(string_split(text, ' '),
+        |    tk -> len(tk) > 0)) > 0),
+        |s2 AS (SELECT va, vb FROM s
+        |       WHERE va IS NOT NULL AND vb IS NOT NULL),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s2),
+        |ra AS (SELECT va, 2 * (SUM(cnt) OVER (ORDER BY va) - cnt) +
+        |         cnt + 1 AS r2a
+        |       FROM (SELECT va, CAST(COUNT(*) AS BIGINT) AS cnt
+        |             FROM s2 GROUP BY 1)),
+        |rb AS (SELECT vb, 2 * (SUM(cnt) OVER (ORDER BY vb) - cnt) +
+        |         cnt + 1 AS r2b
+        |       FROM (SELECT vb, CAST(COUNT(*) AS BIGINT) AS cnt
+        |             FROM s2 GROUP BY 1)),
+        |j AS (SELECT n, r2a - (n + 1) AS da, r2b - (n + 1) AS db
+        |      FROM s2 JOIN ra USING (va) JOIN rb USING (vb) CROSS JOIN nn)
+        |SELECT n,
+        |  CASE WHEN SUM(da * da) <> 0 AND SUM(db * db) <> 0 THEN
+        |    CAST(SUM(da * db) AS DOUBLE) /
+        |    sqrt(CAST(SUM(da * da) AS DOUBLE) *
+        |         CAST(SUM(db * db) AS DOUBLE)) END AS rho
+        |FROM j GROUP BY n""".stripMargin,
+
+    // LM-score replay: bigrams by list slices, model + context + vocab
+    // from the gram table, per-term round(ln, 9), DECIMAL(28,9) sums,
+    // one mean divide.
+    "ext_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, len(ts)),
+        |    i -> array_to_string(list_slice(ts, i, i + 1), ' '))) AS gram
+        |  FROM tok),
+        |m AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |      FROM g GROUP BY 1),
+        |cx AS (SELECT string_split(gram, ' ')[1] AS ctx_tok,
+        |         CAST(SUM(c_ab) AS BIGINT) AS c_a
+        |       FROM m GROUP BY 1),
+        |vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM
+        |       (SELECT unnest(string_split(gram, ' ')) AS tok FROM m)),
+        |sc AS (
+        |  SELECT g.doc_id, round(ln(
+        |    CAST(m.c_ab + 1 AS DOUBLE) /
+        |    CAST(cx.c_a + vv.v AS DOUBLE)), 9) AS term
+        |  FROM g JOIN m USING (gram)
+        |  JOIN cx ON string_split(g.gram, ' ')[1] = cx.ctx_tok
+        |  CROSS JOIN vv)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE) /
+        |  CAST(COUNT(*) AS DOUBLE) AS avg_logp
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Full metric replay: brute-force cosine ranks (the ext_cosine_topk
     // formulation), the modulo gold table, and all three metrics with

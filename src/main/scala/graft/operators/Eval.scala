@@ -273,4 +273,126 @@ object Eval {
           (col("n_total").cast("decimal(38,0)") * col("n_agree") -
             col("pe_num")).cast("double") / col("denom")).as("kappa"))
   }
+
+  /** Fleiss' kappa — chance-corrected agreement for `nRaters` raters
+    * per item (label-quality triage across ≥ 3 annotators or heuristic
+    * labelers, where [[cohensKappa]]'s two-rater form stops applying).
+    * With n_ic = raters assigning item i to category c, N = items,
+    * n = raters per item, T_c = Σ_i n_ic, S2 = Σ_ic n_ic², A = Σ_c T_c²:
+    *
+    *   κ = (P̄ − P̄_e) / (1 − P̄_e)
+    *     = (N·n·(S2 − N·n) − A·(n − 1)) / ((n − 1)·((N·n)² − A))
+    *
+    * — the cleared-denominator form, so the whole statistic is integer
+    * arithmetic (DECIMAL(38,0) sums/products) until one IEEE divide.
+    *
+    * Items that do not carry EXACTLY `nRaters` ratings are dropped
+    * before any total (partial panels would silently bias P̄ — the
+    * classic statistic is defined for a fixed panel size), and the
+    * dropped count is reported. κ is null when every rating lands in
+    * one category (P̄_e = 1, agreement vacuous).
+    *
+    * 100 TB shape: one aggregation keyed on the (item, category) cell;
+    * the per-item keep-filter and S2 derive from an item-keyed rollup
+    * of that cell table; T_c from a category-keyed rollup — the raw
+    * ratings are scanned ONCE and everything after the first
+    * aggregation lives in cell/item/category-sized tables.
+    *
+    * Output: ONE row (n_items, n_dropped, n_categories, kappa). */
+  def fleissKappa(
+      ratings: DataFrame, item: Column, category: Column,
+      nRaters: Int): DataFrame = {
+    val cells = ratings
+      .select(item.as("item"), category.cast("string").as("cat"))
+      .filter(col("item").isNotNull && col("cat").isNotNull)
+      .groupBy("item", "cat").agg(count(lit(1)).as("n_ic"))
+    val perItem = cells.groupBy("item").agg(
+      sum("n_ic").as("n_i"),
+      sum(col("n_ic").cast("decimal(38,0)") * col("n_ic")).as("s2_i"))
+    val kept = perItem.filter(col("n_i") === nRaters)
+    val dropped = perItem.filter(col("n_i") =!= nRaters)
+      .agg(count(lit(1)).as("n_dropped"))
+    val keptCells = cells.join(kept.select("item"), Seq("item"), "left_semi")
+    val catTotals = keptCells.groupBy("cat").agg(sum("n_ic").as("t_c"))
+    val catAgg = catTotals.agg(
+      count(lit(1)).as("n_categories"),
+      coalesce(sum(col("t_c").cast("decimal(38,0)") * col("t_c")),
+        lit(0).cast("decimal(38,0)")).as("a"))
+    val itemAgg = kept.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum("s2_i"), lit(0).cast("decimal(38,0)")).as("s2"))
+    itemAgg.crossJoin(broadcast(catAgg)).crossJoin(broadcast(dropped))
+      .withColumn("nn",
+        (col("n_items").cast("decimal(38,0)") * nRaters))
+      .withColumn("denom",
+        ((col("nn") * col("nn") - col("a")) * (nRaters - 1)).cast("double"))
+      .select(col("n_items"), col("n_dropped"), col("n_categories"),
+        when(col("n_items") > 0 && col("denom") =!= 0.0,
+          ((col("s2") - col("nn")) * col("nn") -
+            col("a") * (nRaters - 1)).cast("double") / col("denom"))
+          .as("kappa"))
+  }
+
+  /** Spearman rank correlation between two numeric columns with exact
+    * average-rank tie handling — "do two quality scorers order the
+    * corpus the same way?", the monotone-agreement readout that
+    * complements [[rocAuc]] (threshold-free vs a binary label) with a
+    * label-free pairwise form.
+    *
+    * Ranks are doubled to stay integral under ties: for a value with
+    * `cnt` occurrences and `below` rows strictly smaller, the average
+    * rank is below + (cnt+1)/2, so R2 = 2·below + cnt + 1 is an exact
+    * integer. Σ R2 = n(n+1) makes the mean exactly n+1, and centering
+    * on it (d = R2 − (n+1)) keeps every accumulated product ≤ n³ —
+    * inside DECIMAL(38,0) headroom to corpus sizes past 10¹¹ rows,
+    * with no Σa·Σb cross-product (that form overflows at n⁴):
+    *
+    *   ρ = Σ d_a·d_b / √(Σ d_a² · Σ d_b²)
+    *
+    * Determinism: all-integer until one IEEE multiply, sqrt, divide —
+    * each exact-rounded, so any engine replays the double bit-for-bit,
+    * and a perfectly monotone input yields EXACTLY ±1 (the single-sqrt
+    * form; √x·√y would leak an ulp). ρ is null when either column is
+    * constant (zero variance — correlation undefined, and 0 would
+    * misreport it).
+    *
+    * 100 TB shape: the rank tables are VALUE-keyed aggregations (one
+    * per column; each partition collapses to ≤ |distinct| rows) with
+    * the rank window over the aggregated table only; rows join back on
+    * the value key (two shuffles of the row table), then one single-row
+    * aggregate. No global row-level sort ever happens — ties collapse
+    * before any ordering.
+    *
+    * Output: ONE row (n, rho) — or zero rows when no row has both
+    * values non-null (an all-null slice is visible as absence, not as
+    * a fabricated n = 0 row). */
+  def spearman(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val rows = df.select(a.cast("double").as("va"), b.cast("double").as("vb"))
+      .filter(col("va").isNotNull && col("vb").isNotNull)
+    def rank2(vc: String, out: String): DataFrame = {
+      val w = Window.orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rows.groupBy(vc).agg(count(lit(1)).as("cnt"))
+        .select(col(vc),
+          (lit(2) * (sum("cnt").over(w) - col("cnt")) + col("cnt") + 1)
+            .as(out))
+    }
+    val nRow = rows.agg(count(lit(1)).as("n"))
+    rows
+      .join(rank2("va", "r2a"), Seq("va"))
+      .join(rank2("vb", "r2b"), Seq("vb"))
+      .crossJoin(broadcast(nRow))
+      .select(col("n"),
+        (col("r2a") - (col("n") + 1)).cast("decimal(38,0)").as("da"),
+        (col("r2b") - (col("n") + 1)).cast("decimal(38,0)").as("db"))
+      .groupBy("n")
+      .agg(sum(col("da") * col("db")).as("sab"),
+        sum(col("da") * col("da")).as("saa"),
+        sum(col("db") * col("db")).as("sbb"))
+      .select(col("n"),
+        when(col("saa") =!= 0 && col("sbb") =!= 0,
+          col("sab").cast("double") /
+            sqrt(col("saa").cast("double") * col("sbb").cast("double")))
+          .as("rho"))
+  }
 }

@@ -1304,4 +1304,63 @@ object TextPipeline {
       .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b"))
   }
 
+  /** Add-one-smoothed bigram language-model scoring — the KenLM-style
+    * perplexity-proxy quality filter: train bigram statistics on the
+    * corpus itself, then score every document by its mean token
+    * log-likelihood. Low scores surface boilerplate-free but
+    * malformed/outlier text; high scores surface template spam — both
+    * tails are the classic curation cut.
+    *
+    *   P(b|a) = (c(a,b) + 1) / (c(a) + V)
+    *   score(doc) = Σ_grams ln P / n_bigrams
+    *
+    * with c(a) = Σ_b c(a,b) (occurrences of `a` as a context) and
+    * V = |distinct tokens appearing in any bigram| — the event space
+    * the smoothing mass is spread over.
+    *
+    * 100 TB shape: the model IS two gram-keyed aggregations (map-side
+    * combine collapses each partition to its distinct grams); context
+    * totals and V derive from the MODEL table, never from a second
+    * corpus pass; scoring joins the doc-gram table to the model on the
+    * gram key — one big shuffle, model-side tables are
+    * aggregate-sized. The per-doc rollup keys on doc_id. Nothing is
+    * broadcast except the single-row V.
+    *
+    * Determinism: c+1 and c(a)+V are exact-integer-valued doubles, the
+    * divide and ln are per-term, each ln output quantized round(·, 9)
+    * and summed as DECIMAL(28,9) (|Σ| per doc is bounded by tokens ×
+    * ln V — far inside the decimal→double exactness window); the mean
+    * is one IEEE divide. Docs with < 2 tokens have no bigrams and are
+    * absent from the output (their score is undefined — a spine of
+    * nulls would average into downstream corpus stats).
+    *
+    * Output: (doc_id, n_bigrams, avg_logp), ordered by doc_id. */
+  def lmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val grams = docs.select(id.as("doc_id"),
+      explode(GraftFunctions.word_ngrams(text, 2)).as("gram"))
+    val model = grams.groupBy("gram").agg(count(lit(1)).as("c_ab"))
+    val ctx = model
+      .select(substring_index(col("gram"), " ", 1).as("ctx_tok"), col("c_ab"))
+      .groupBy("ctx_tok").agg(sum("c_ab").as("c_a"))
+    val vocab = model
+      .select(explode(split(col("gram"), " ")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val modelFull = model // (gram, c_ab, c_a): model-sized join, then 1 big one
+      .withColumn("ctx_tok", substring_index(col("gram"), " ", 1))
+      .join(ctx, Seq("ctx_tok"))
+    grams
+      .join(modelFull, Seq("gram"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("term", round(
+        log((col("c_ab") + 1).cast("double") /
+          (col("c_a") + col("v")).cast("double")), 9))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("term").cast("decimal(28,9)")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_lp").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -204,4 +204,57 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     assert(Eval.cohensKappa(withNulls, col("a"), col("b"))
       .as[(Long, Long, Option[Double])].collect().head._1 == 50L)
   }
+
+  test("fleissKappa: hand-computed 2-rater panel; drops partial panels") {
+    // item1 both raters A (s2=4), item2 split A/B (s2=2):
+    // P-bar = 1/2, T_A=3 T_B=1, P_e = 10/16 -> kappa = -1/3
+    val ratings = Seq((1, "A"), (1, "A"), (2, "A"), (2, "B"))
+      .toDF("item", "cat")
+    val r = Eval.fleissKappa(ratings, col("item"), col("cat"), nRaters = 2)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(r._1 == 2 && r._2 == 0 && r._3 == 2)
+    assert(r._4.contains(-1.0 / 3.0))
+    // a 3rd item with only ONE rating is dropped and counted, never
+    // folded into the totals
+    val partial = ratings.union(Seq((3, "A")).toDF("item", "cat"))
+    val p = Eval.fleissKappa(partial, col("item"), col("cat"), nRaters = 2)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(p == ((2L, 1L, 2L, Some(-1.0 / 3.0))))
+    // every rating in one category: P_e = 1, kappa undefined -> null
+    val const = Seq((1, "A"), (1, "A"), (2, "A"), (2, "A")).toDF("item", "cat")
+    assert(Eval.fleissKappa(const, col("item"), col("cat"), nRaters = 2)
+      .as[(Long, Long, Long, Option[Double])].collect().head._4.isEmpty)
+  }
+
+  test("fleissKappa: 3 raters, perfect agreement gives 1") {
+    val ratings = Seq((1, "A"), (1, "A"), (1, "A"), (2, "B"), (2, "B"), (2, "B"))
+      .toDF("item", "cat")
+    val r = Eval.fleissKappa(ratings, col("item"), col("cat"), nRaters = 3)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(r == ((2L, 0L, 2L, Some(1.0))))
+  }
+
+  test("spearman: exact average-rank ties; monotone edges; constant null") {
+    // a=(1,2,2,3) b=(1,3,2,4): R2a=(2,5,5,8) R2b=(2,6,4,8), mean 5
+    // rho = 18 / (sqrt(18)*sqrt(20))
+    val tied = Seq((1.0, 1.0), (2.0, 3.0), (2.0, 2.0), (3.0, 4.0))
+      .toDF("a", "b")
+    val r = Eval.spearman(tied, col("a"), col("b"))
+      .as[(Long, Option[Double])].collect().head
+    assert(r._1 == 4)
+    assert(r._2.contains(18.0 / math.sqrt(18.0 * 20.0)))
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)).toDF("a", "b")
+    assert(Eval.spearman(mono, col("a"), col("b"))
+      .as[(Long, Option[Double])].collect().head._2.contains(1.0))
+    val anti = Seq((1.0, 30.0), (2.0, 20.0), (3.0, 10.0)).toDF("a", "b")
+    assert(Eval.spearman(anti, col("a"), col("b"))
+      .as[(Long, Option[Double])].collect().head._2.contains(-1.0))
+    // constant column: zero variance -> null, not 0
+    val const = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("a", "b")
+    assert(Eval.spearman(const, col("a"), col("b"))
+      .as[(Long, Option[Double])].collect().head._2.isEmpty)
+    // all-null slice: zero rows, not a fabricated n=0 row
+    val empty = Seq((Some(1.0), Option.empty[Double])).toDF("a", "b")
+    assert(Eval.spearman(empty, col("a"), col("b")).count() == 0)
+  }
 }

@@ -694,4 +694,22 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got.forall(_._3 == 0.0),
       s"identical distributions -> ln(1) = 0 per bucket: ${got.toSeq}")
   }
+
+  test("lmScore: hand-computed add-one bigram likelihoods; short docs absent") {
+    // corpus "a b a" / "b a" / "c": model c("a b")=1 c("b a")=2,
+    // contexts c(a)=1 c(b)=2, V={a,b}=2 (tokens in bigrams; the
+    // gram-less single-token doc3 contributes nothing)
+    // P(b|a) = 2/3, P(a|b) = 3/4
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.lmScore(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), "doc3 has no bigrams")
+    val t23 = BigDecimal(math.log(2.0 / 3.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val t34 = BigDecimal(math.log(3.0 / 4.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(got(0) == ((1L, 2L, (t23 + t34).toDouble / 2.0)))
+    assert(got(1) == ((2L, 1L, t34.toDouble / 1.0)))
+  }
 }
