@@ -1731,6 +1731,15 @@ object ExtQueries {
       TextPipeline.lmScore(
         t(s, dir, "documents"), col("doc_id"), col("text"))),
 
+    // ── Top principal component of the embedding corpus by 3-round
+    //    distributed power iteration — the anisotropy / rogue-dimension
+    //    audit; covariance-free, one corpus pass per round, O(d) driver
+    //    state (Similarity.pcaPower).
+    "ext_pca_power" -> ((s, dir) =>
+      graft.operators.Similarity.pcaPower(
+        t(s, dir, "embeddings"), col("embedding"), iters = 3)
+        .orderBy("dim")),
+
     // ── Retrieval-quality evaluation (recall@k / MRR@k / NDCG@k) over
     //    the brute-force cosine ranking vs a deterministic graded gold
     //    table — the metric pass every ANN configuration sweep needs
@@ -1780,6 +1789,49 @@ object ExtQueries {
         .orderBy("weight_idx")
     })
   )
+
+  /** Mechanical unroll of [[graft.operators.Similarity.pcaPower]]'s
+    * fixed-round power iteration: each round recomputes the projection
+    * scalar per row, the 9dp-quantized per-dim sums, and the
+    * re-quantized normalized direction — the PageRank/BPE CTE-unroll
+    * oracle discipline applied to a d-vector state. */
+  private def pcaPowerOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      val vp = if (t == 1) "v0" else s"v${t - 1}"
+      s"""c$t AS (SELECT list_sum(list_transform(range(1, 65),
+         |  i -> m[i] * v[i])) AS c FROM mv CROSS JOIN $vp),
+         |s$t AS (SELECT embedding, list_sum(list_transform(range(1, 65),
+         |    i -> CAST(embedding[i] AS DOUBLE) * v[i])) - c AS s
+         |  FROM e CROSS JOIN $vp CROSS JOIN c$t),
+         |a$t AS (SELECT i, CAST(SUM(CAST(round(
+         |    s * CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(28,9)))
+         |    AS DOUBLE) AS aj
+         |  FROM s$t CROSS JOIN range(1, 65) r$t(i) GROUP BY i),
+         |ss$t AS (SELECT CAST(SUM(CAST(round(s, 9) AS DECIMAL(28,9)))
+         |    AS DOUBLE) AS sS FROM s$t),
+         |w$t AS (SELECT list(aj - (SELECT sS FROM ss$t) * m[i]
+         |    ORDER BY i) AS w FROM a$t CROSS JOIN mv),
+         |v$t AS (SELECT list_transform(range(1, 65), i -> round(
+         |    w[i] / sqrt(list_sum(list_transform(range(1, 65),
+         |      j -> w[j] * w[j]))), 9)) AS v FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+       |ms AS (SELECT i, CAST(SUM(CAST(round(
+       |    CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(28,9)))
+       |    AS DOUBLE) AS sx
+       |  FROM e CROSS JOIN range(1, 65) rm(i) GROUP BY i),
+       |mv AS (SELECT list(sx / (SELECT n FROM st) ORDER BY i) AS m FROM ms),
+       |v0 AS (SELECT list_transform(range(1, 65),
+       |  i -> round(1.0 / sqrt(64.0), 9)) AS v),
+       |$rounds
+       |SELECT CAST(i - 1 AS BIGINT) AS dim, v[i] AS loading,
+       |  sqrt(list_sum(list_transform(range(1, 65), j -> w[j] * w[j]))) /
+       |    (SELECT n FROM st) AS lambda
+       |FROM v$iters CROSS JOIN w$iters CROSS JOIN range(1, 65) rf(i)
+       |ORDER BY dim""".stripMargin
+  }
 
   /** Shared by ext_decontaminate and ext_decontaminate_bloom — the bloom
     * variant's correctness claim is exactly "same output as the exact
@@ -5095,6 +5147,11 @@ object ExtQueries {
         |  CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE) /
         |  CAST(COUNT(*) AS DOUBLE) AS avg_logp
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // pca_power replay: the 3-round mechanical unroll (pcaPowerOracle)
+    // recomputing projection scalars, 9dp-quantized per-dim sums, and
+    // re-quantized directions round by round.
+    "ext_pca_power" -> pcaPowerOracle(3),
 
     // Full metric replay: brute-force cosine ranks (the ext_cosine_topk
     // formulation), the modulo gold table, and all three metrics with

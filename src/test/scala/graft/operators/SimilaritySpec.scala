@@ -309,4 +309,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got(1)._4 == 2 * 0.707107) // round(cos,6) summed exactly
     assert(got(2)._4 == 1.0, "a twice-matched single axis still sums its max once per QUERY token")
   }
+
+  test("pcaPower: rank-1 cloud recovers its axis, lambda its variance") {
+    // points t*(1,2), t in {-2,-1,1,2}: mean 0, top component
+    // +-(1,2)/sqrt(5), eigenvalue (sum t^2 / n) * |(1,2)|^2 = 2.5 * 5 = 12.5
+    val pts = Seq(-2.0, -1.0, 1.0, 2.0).map(t => Array(t, 2 * t))
+      .toDF("v")
+    val got = Similarity.pcaPower(pts, col("v"), iters = 5)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L))
+    val (l0, l1) = (got(0)._2, got(1)._2)
+    assert(math.abs(l1 / l0 - 2.0) < 1e-6, s"direction (1,2): $l0 $l1")
+    assert(math.abs(l0 * l0 + l1 * l1 - 1.0) < 1e-8, "unit norm")
+    assert(math.abs(got(0)._3 - 12.5) < 1e-6, s"lambda: ${got(0)._3}")
+    // determinism: a second run is bit-identical
+    val again = Similarity.pcaPower(pts, col("v"), iters = 5)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == again.toSeq)
+    // ragged rows are dropped, not folded in
+    val ragged = pts.union(Seq(Array(9.0)).toDF("v"))
+    val g2 = Similarity.pcaPower(ragged, col("v"), iters = 5)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(g2.toSeq == got.toSeq)
+    // degenerate corpora are loud
+    intercept[IllegalArgumentException] {
+      Similarity.pcaPower(Seq(Array(1.0, 1.0), Array(1.0, 1.0)).toDF("v"),
+        col("v"), iters = 2).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pcaPower(pts.filter(lit(false)), col("v"), iters = 2)
+        .collect()
+    }
+  }
 }
