@@ -1740,6 +1740,14 @@ object ExtQueries {
         t(s, dir, "embeddings"), col("embedding"), iters = 3)
         .orderBy("dim")),
 
+    // ── Key-skew profile of lineitem's part key — the pre-shuffle
+    //    "should I salt this join?" readout: cardinality, hottest key,
+    //    exact count quantiles, max/mean skew ratio
+    //    (Relational.keySkewProfile).
+    "ext_key_skew" -> ((s, dir) =>
+      graft.operators.Relational.keySkewProfile(
+        t(s, dir, "lineitem"), col("l_partkey"))),
+
     // ── Retrieval-quality evaluation (recall@k / MRR@k / NDCG@k) over
     //    the brute-force cosine ranking vs a deterministic graded gold
     //    table — the metric pass every ANN configuration sweep needs
@@ -5152,6 +5160,35 @@ object ExtQueries {
     // recomputing projection scalars, 9dp-quantized per-dim sums, and
     // re-quantized directions round by round.
     "ext_pca_power" -> pcaPowerOracle(3),
+
+    // key-skew replay: per-key counts, top-1 by (n DESC, k), the same
+    // ceil(p*n) discrete rank picks over the count table, integer
+    // ratios to single divides.
+    "ext_key_skew" ->
+      """WITH c AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |         CAST(SUM(n) AS BIGINT) AS n_rows FROM c),
+        |tp AS (SELECT k AS top_key, n AS top_n FROM c
+        |       ORDER BY n DESC, k LIMIT 1),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn,
+        |        COUNT(*) OVER () AS cnt FROM c),
+        |q AS (SELECT
+        |  MAX(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+        |      THEN n END) AS p50_n,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT)
+        |      THEN n END) AS p90_n,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT)
+        |      THEN n END) AS p99_n
+        |  FROM r)
+        |SELECT n_keys, n_rows, top_key, top_n,
+        |  CAST(top_n AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share,
+        |  p50_n, p90_n, p99_n,
+        |  CAST(top_n * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |    AS skew_ratio
+        |FROM st CROSS JOIN tp CROSS JOIN q""".stripMargin,
 
     // Full metric replay: brute-force cosine ranks (the ext_cosine_topk
     // formulation), the modulo gold table, and all three metrics with

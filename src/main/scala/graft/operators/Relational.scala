@@ -433,4 +433,51 @@ object Relational {
         col("p.max_value").as("max_value"))
       .orderBy("column")
   }
+
+  /** Key-skew profile — the "should I salt this join?" diagnostic run
+    * BEFORE keying a 100 TB shuffle on a column: per-key row counts
+    * summarized as cardinality, hottest key, exact count quantiles,
+    * and the max/mean skew ratio. A skew_ratio in the thousands says a
+    * plain `groupBy(key)`/`join(key)` funnels that fraction of the
+    * table through one task ([[Partitioning.saltedJoin]] / AQE skew
+    * handling is the fix this readout motivates).
+    *
+    * 100 TB shape: ONE key-keyed aggregation over the corpus (map-side
+    * combine), after which everything operates on the |keys|-row count
+    * table: the hottest key is a distributed `orderBy().limit(1)`
+    * top-1 (never a full sort materialization), the count quantiles
+    * ride [[exactQuantiles]]' range-bucketed distributed selection
+    * (exact data elements — no interpolation), and the final row is
+    * assembled from three single-row broadcasts.
+    *
+    * Determinism: counts are exact integers; quantiles select actual
+    * elements; skew_ratio = max_n·n_keys/n_rows and top_share =
+    * max_n/n_rows are single IEEE divides of exact integers. Hot-key
+    * ties break lexicographically. NULL keys are excluded from the
+    * profile (they hash to one shuffle cell too, but their fix —
+    * null-filtering or coalescing — is a different decision than
+    * salting; count them separately via [[profile]]).
+    *
+    * Output: ONE row (n_keys, n_rows, top_key, top_n, top_share,
+    * p50_n, p90_n, p99_n, skew_ratio). */
+  def keySkewProfile(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.select(key.cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum("n").as("n_rows"))
+    val top = counts.orderBy(col("n").desc, col("k"))
+      .limit(1).select(col("k").as("top_key"), col("n").as("top_n"))
+    val qs = exactQuantiles(counts, lit(0), col("n"),
+        Seq(0.5, 0.9, 0.99))
+      .select(col("p50").as("p50_n"), col("p90").as("p90_n"),
+        col("p99").as("p99_n"))
+    stats.crossJoin(broadcast(top)).crossJoin(broadcast(qs))
+      .select(col("n_keys"), col("n_rows"), col("top_key"), col("top_n"),
+        (col("top_n").cast("double") / col("n_rows").cast("double"))
+          .as("top_share"),
+        col("p50_n"), col("p90_n"), col("p99_n"),
+        ((col("top_n").cast("decimal(38,0)") * col("n_keys")).cast("double") /
+          col("n_rows").cast("double")).as("skew_ratio"))
+  }
 }

@@ -175,4 +175,20 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     // tiny group: both fences exist (ranks 1 and 2), null row skipped
     assert(got("b") == (("b", 2L, 5.0, 7.0, 6.0, 6.0)))
   }
+
+  test("keySkewProfile: hand-computed counts, quantile picks, skew ratio") {
+    // a x5, b x2, c/d/e x1 (+ one null, excluded): counts (1,1,1,2,5)
+    // p50 = rank ceil(2.5)=3 -> 1; p90 = rank ceil(4.5)=5 -> 5; p99 -> 5
+    val keys = Seq.fill(5)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d", "e") :+
+      null.asInstanceOf[String]
+    val got = Relational.keySkewProfile(keys.toDF("k"), col("k"))
+      .as[(Long, Long, String, Long, Double, Long, Long, Long, Double)]
+      .collect().head
+    assert(got == ((5L, 10L, "a", 5L, 0.5, 1L, 5L, 5L, 2.5)))
+    // hot-key tie breaks lexicographically
+    val tie = Seq("y", "y", "x", "x").toDF("k")
+    assert(Relational.keySkewProfile(tie, col("k"))
+      .as[(Long, Long, String, Long, Double, Long, Long, Long, Double)]
+      .collect().head._3 == "x")
+  }
 }
