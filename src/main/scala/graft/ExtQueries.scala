@@ -4850,7 +4850,7 @@ object ExtQueries {
         |best AS (SELECT gap, v FROM g ORDER BY gap DESC, v LIMIT 1)
         |SELECT n_a, n_b, best.gap AS d_stat, best.v AS at_value,
         |  best.gap >= 1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
-        |    CAST(n_a * n_b AS DOUBLE)) AS reject
+        |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS reject
         |FROM t CROSS JOIN best""".stripMargin,
 
     // DSIR replay: per-token rolling-hash polynomial (the
@@ -4901,7 +4901,9 @@ object ExtQueries {
         |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
         |    CAST(round(score, 9) AS DECIMAL(28,12)) AS sq,
         |    CASE WHEN label THEN 1 ELSE 0 END AS y
-        |  FROM s),
+        |  FROM s
+        |  WHERE score IS NOT NULL AND NOT isnan(score)
+        |    AND score >= 0 AND score <= 1),
         |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
         |        CAST(SUM(y) AS BIGINT) AS n_pos, SUM(sq) AS ssum
         |      FROM b GROUP BY 1),

@@ -58,12 +58,24 @@ object Checkpointing {
       // reuse check must compare the PARENT of the live setting to
       // `dir` — comparing the full value (the r10 bug, ADVICE r10)
       // never matched and every cut minted a fresh UUID subdirectory.
-      // Compare scheme-insensitively (the live value comes back
-      // fs-qualified, e.g. file:/x vs the caller's /x).
-      val target = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+      // Compare fully-QUALIFIED URIs (scheme + authority + path): the
+      // live value comes back fs-qualified, and a schemeless caller dir
+      // qualifies against the default filesystem — so
+      // Reliable("hdfs://nn/ckpt") then Reliable("file:/ckpt") (same
+      // path, different filesystem) must NOT reuse (ADVICE r11). Only
+      // when qualification itself fails fall back to path-only.
+      val hconf = sc.hadoopConfiguration
+      def qualified(p: org.apache.hadoop.fs.Path): Option[java.net.URI] =
+        scala.util.Try(p.getFileSystem(hconf).makeQualified(p).toUri).toOption
+      val callerPath = new org.apache.hadoop.fs.Path(dir)
+      val callerQ = qualified(callerPath)
       val alreadySet = sc.getCheckpointDir.exists { live =>
-        Option(new org.apache.hadoop.fs.Path(live).getParent)
-          .exists(_.toUri.getPath == target)
+        Option(new org.apache.hadoop.fs.Path(live).getParent).exists { parent =>
+          (callerQ, qualified(parent)) match {
+            case (Some(c), Some(p)) => p == c
+            case _ => parent.toUri.getPath == callerPath.toUri.getPath
+          }
+        }
       }
       if (!alreadySet) sc.setCheckpointDir(dir)
       df.checkpoint(true)

@@ -785,7 +785,9 @@ object Dedup {
       maxModP: Int = 32): Int = {
     val ratio = math.max(1L, n / baseN)
     val doublings = 63 - java.lang.Long.numberOfLeadingZeros(ratio)
-    math.min(maxModP, baseModP << math.min(30, doublings))
+    // Shift in Long then min: baseModP << 28+ wraps Int (8 << 28 =
+    // Int.MinValue), which would pick a negative modulus at n ≳ 2e12.
+    math.min(maxModP.toLong, baseModP.toLong << math.min(60, doublings)).toInt
   }
 
   /** [[substringFingerprintPairs]] with the sampling modulus sized from

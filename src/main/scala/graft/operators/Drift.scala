@@ -120,7 +120,10 @@ object Drift {
     * Determinism: counts are exact integers; each ECDF is one IEEE
     * divide; |·|, −, max are exact; the argmax value ties break to the
     * SMALLEST v via a struct max. Output: ONE row
-    * (n_a, n_b, d_stat, at_value, reject). */
+    * (n_a, n_b, d_stat, at_value, reject) when either sample has ≥ 1
+    * non-null value; ZERO rows when both are empty (no observed values
+    * ⇒ no ECDF — the same empty-input contract as
+    * [[graft.operators.Eval.spearman]]). */
   def ksTest(
       a: DataFrame, b: DataFrame, value: Column,
       critical: Double = 1.358): DataFrame = {
@@ -148,7 +151,7 @@ object Drift {
         (-col("best.nv")).as("at_value"),
         (col("best.gap") >= lit(critical) *
           sqrt((col("n_a") + col("n_b")).cast("double") /
-            (col("n_a") * col("n_b")).cast("double"))).as("reject"))
+            (col("n_a").cast("double") * col("n_b").cast("double")))).as("reject"))
   }
 
   /** Gini concentration of row mass across the values of `group` — the

@@ -115,7 +115,12 @@ object Eval {
     * discipline as the DCG sums); |−| and · are IEEE exact. Output: one
     * row per non-empty bin (bin, n, n_pos, conf, rate, gap, ece_term)
     * — sum(ece_term) IS the ECE. `score` must lie in [0, 1]; scores
-    * exactly 1.0 land in the top bin. */
+    * exactly 1.0 land in the top bin. ENFORCED (ADVICE r11): rows with
+    * score < 0, score > 1, NaN, or NULL are DROPPED from the diagram —
+    * they would otherwise mint negative bin ids or silently fold into
+    * the top bin and skew conf/ECE; count violations upstream with
+    * [[graft.operators.Relational.profile]] if the precondition itself
+    * is in question. */
   def calibration(
       scored: DataFrame,
       score: Column,
@@ -127,8 +132,11 @@ object Eval {
       .select(
         least(floor(s * bins).cast("long"), lit(bins - 1L)).as("bin"),
         round(s, 9).cast("decimal(28,12)").as("sq"),
-        when(coalesce(label, lit(false)), 1L).otherwise(0L).as("y"))
-      .filter(col("bin").isNotNull)
+        when(coalesce(label, lit(false)), 1L).otherwise(0L).as("y"),
+        s.as("s_raw"))
+      .filter(col("s_raw").isNotNull && !isnan(col("s_raw")) &&
+        col("s_raw") >= 0.0 && col("s_raw") <= 1.0)
+      .drop("s_raw")
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
         sum("sq").as("ssum"))

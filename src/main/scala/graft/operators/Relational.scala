@@ -459,7 +459,10 @@ object Relational {
     * salting; count them separately via [[profile]]).
     *
     * Output: ONE row (n_keys, n_rows, top_key, top_n, top_share,
-    * p50_n, p90_n, p99_n, skew_ratio). */
+    * p50_n, p90_n, p99_n, skew_ratio) when the input has ≥ 1 non-null
+    * key; ZERO rows when it is empty or all keys are NULL (no keys ⇒
+    * no profile — the same empty-input contract as [[Eval.spearman]];
+    * the cross-joins propagate the empty quantile table). */
   def keySkewProfile(df: DataFrame, key: Column): DataFrame = {
     val counts = df.select(key.cast("string").as("k"))
       .filter(col("k").isNotNull)

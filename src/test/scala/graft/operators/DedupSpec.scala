@@ -352,6 +352,12 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.sizedWinnowModP(520000L) == 32, "maxModP floors samples/doc")
     // powers of two only: a ±1 count drift never nudges the modulus
     assert(Dedup.sizedWinnowModP(16383L) == 8)
+    // ADVICE r11: the shift is computed in Long — at n ≥ ~2.2e12 the
+    // old Int path wrapped (8 << 28 = Int.MinValue) and min() picked a
+    // NEGATIVE modulus; the cap must hold all the way to Long.MaxValue.
+    assert(Dedup.sizedWinnowModP(3_000_000_000_000L) == 32)
+    assert(Dedup.sizedWinnowModP(Long.MaxValue) == 32)
+    assert(Dedup.sizedWinnowModP(Long.MaxValue, maxModP = 1 << 20) == (1 << 20))
   }
 
   test("substringFingerprintPairsAuto == fixed path at oracle-fixture scale") {

@@ -163,6 +163,15 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     val e = Eval.calibration(perfect, col("score"), col("label"))
       .agg(sum("ece_term")).as[Double].collect().head
     assert(e == 0.0)
+    // ADVICE r11: scores outside [0,1] (and NaN/NULL) are DROPPED, not
+    // folded into a negative bin / the top bin — the polluted fixture
+    // must produce the SAME diagram as the clean one.
+    val polluted = rows.union(Seq((-0.5, true), (1.5, true),
+      (Double.NaN, true)).toDF("score", "label"))
+    val clean = Eval.calibration(polluted, col("score"), col("label"))
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(clean.toSeq == got.toSeq,
+      "out-of-range scores must be dropped from the reliability diagram")
   }
 
   test("rocAuc: hand-computed tie-corrected U; perfect and inverted edges") {

@@ -214,6 +214,17 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     Checkpointing.Reliable(dir.toString).cut(Seq(6).toDF("x"))
     assert(uuidDirs() == first,
       "subsequent cuts must reuse the live checkpoint dir, not mint UUIDs")
+    // ADVICE r11: the reuse check compares fully-QUALIFIED URIs, so a
+    // scheme-explicit spelling of the SAME local dir still reuses
+    // (file:/x qualifies identically to /x on the local fs) …
+    Checkpointing.Reliable("file:" + dir.toString).cut(Seq(7).toDF("x"))
+    assert(uuidDirs() == first,
+      "file:-qualified spelling of the same dir must reuse, not re-set")
+    // … while a DIFFERENT path never reuses, even with the same suffix.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ckpt-other")
+    Checkpointing.Reliable(dir2.toString).cut(Seq(8).toDF("x"))
+    assert(java.nio.file.Files.list(dir2).iterator().asScala.nonEmpty,
+      "a different dir must become the live checkpoint target")
   }
 
   private def runTriangles(edges: Seq[(String, String)])
