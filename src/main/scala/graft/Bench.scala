@@ -68,6 +68,47 @@ object Bench {
     runInProcess(only)
   }
 
+  /** Frozen shard membership (VERDICT r11 ask #1b). The alphabetical
+    * deal re-computes shard composition whenever a query is added, and
+    * shard composition — who shares and precedes you in a 12-query
+    * JVM — moves sub-second absolutes 1.2–1.9× via JIT-profile
+    * pollution (r11: 85 phantom regressions, judge-adjudicated to code
+    * parity). So membership is FROZEN in a committed manifest
+    * (`bench/shard_manifest.json`, override via
+    * SPARK_GRAFT_SHARD_MANIFEST): manifest queries keep their r11-close
+    * shard forever (alphabetical within the shard, preserving in-shard
+    * position), and queries NOT in the manifest fill NEW shards
+    * appended after the frozen ones — existing queries' JVM context
+    * never changes as the surface grows. No manifest (or an unreadable
+    * one) falls back to the alphabetical deal. Returns (shards,
+    * usedManifest). */
+  private def shardsFor(
+      names: Seq[String], shardSize: Int): (Seq[Seq[String]], Boolean) = {
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SHARD_MANIFEST", "bench/shard_manifest.json"))
+    val manifest: Option[Map[String, Int]] =
+      if (!java.nio.file.Files.exists(path)) None
+      else try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(java.nio.file.Files.readAllBytes(path))
+        val m = root.path("shard_of").properties().asScala
+          .map(e => e.getKey -> e.getValue.asInt()).toMap
+        if (m.isEmpty) None else Some(m)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] shard manifest unreadable ($e); " +
+          "falling back to alphabetical deal")
+        None
+      }
+    manifest match {
+      case Some(m) =>
+        val (known, fresh) = names.partition(m.contains)
+        val frozen = known.groupBy(m).toSeq.sortBy(_._1).map(_._2.sorted)
+        (frozen ++ fresh.sorted.grouped(shardSize).toSeq, true)
+      case None => (names.grouped(shardSize).toSeq, false)
+    }
+  }
+
   /** Spawn one child JVM (same args + classpath) per `shardSize`-query
     * shard; merge the children's JSON lines into the single output
     * line/artifact. A shard whose child fails falls back to in-process
@@ -82,7 +123,7 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
     val cp = System.getProperty("java.class.path")
-    val shards = names.grouped(shardSize).toSeq
+    val (shards, usedManifest) = shardsFor(names, shardSize)
     val shardJsons = shards.zipWithIndex.map { case (shard, i) =>
       val tmp = java.nio.file.Files.createTempFile(s"bench_shard$i", ".json")
       val spawned =
@@ -134,6 +175,14 @@ object Bench {
       .mkString("[", ",", "]")
     val first = shardJsons.head
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+    // Shard-composition stamp (VERDICT r11 ask #7): query → shard index,
+    // so composition-sensitivity questions are answerable from the
+    // artifact alone (in-shard position = rank among alphabetically
+    // sorted co-members; the shard's member set is the shard_of
+    // preimage of the index).
+    val shardOf = shards.zipWithIndex
+      .flatMap { case (shard, i) => shard.map(q => "\"" + q + "\":" + i) }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""method":"sharded-fork",""" +
@@ -144,6 +193,7 @@ object Bench {
         s""""heavy_threshold":${first.path("heavy_threshold").asDouble()},""" +
         s""""heavy_extra":${first.path("heavy_extra").asInt()},""" +
         s""""shard_size":$shardSize,"n_shards":${shards.length},""" +
+        s""""shard_manifest":$usedManifest,"shard_of":$shardOf,""" +
         s""""load_avg_before":${arr(loadBefore)},""" +
         s""""load_avg_after":${arr(loadAvg())},""" +
         s""""errors":$errs,"sf":"${first.path("sf").asText()}"}"""

@@ -31,6 +31,16 @@ sharded-fork, `forked` -> forked-per-query, else single-jvm). Comparing
 across methods is refused unless --force is given, and a --force
 comparison is watermarked as method-crossed in every output line.
 
+Shard context (r11 verdict asks #1/#7): even same-method sharded-fork
+runs are not comparable for a query whose SHARD CONTEXT changed — who
+shares and precedes it in its 12-query JVM sets its JIT-pollution depth
+(r11: re-dealt queries moved 1.2-1.9x at code parity). Artifacts now
+stamp `shard_of` (query -> shard index); each flagged line is annotated
+[SHARD-REDEALT] when the query's co-member set or in-shard position
+differs between the two runs — such a flag is composition evidence, not
+a regression claim. With the frozen manifest (bench/shard_manifest.json)
+shared queries should always be shard-stable.
+
 Usage: python3 tools/bench_compare.py <old.json> <new.json> [threshold=1.15] [--force]
 Dev-only tool (driver-side python); not part of the Scala library.
 """
@@ -41,6 +51,16 @@ import sys
 def load(path):
     with open(path) as f:
         return json.load(f)
+
+
+def shard_ctx(d, q):
+    """(sorted co-member tuple, in-shard position) for q, or None when
+    the artifact predates the shard_of stamp / didn't shard."""
+    so = d.get("shard_of")
+    if not so or q not in so:
+        return None
+    members = sorted(m for m, i in so.items() if i == so[q])
+    return (tuple(members), members.index(q))
 
 
 def method_of(d):
@@ -86,18 +106,26 @@ def main(old_path, new_path, threshold=1.15, force=False):
         elif 1.0 / ratio > max(floor, threshold):
             improved.append((q, ratio, floor, a, b))
     crossed = " [METHOD-CROSSED]" if mo != mn else ""
+    redealt_count = 0
     for tag, rows in (("REGRESSION", regressions), ("WATCH", watch),
                       ("IMPROVED", improved)):
         for q, r, f, a, b in sorted(rows, key=lambda t: -t[1]):
+            co, cn = shard_ctx(old, q), shard_ctx(new, q)
+            if co is not None and cn is not None and co != cn:
+                shard = " [SHARD-REDEALT]"
+                redealt_count += 1
+            else:
+                shard = ""
             print(f"{tag:10s} {q:36s} {a:7.2f}s -> {b:7.2f}s  "
-                  f"ratio {r:5.2f}x  noise-floor {f:5.2f}x{crossed}")
+                  f"ratio {r:5.2f}x  noise-floor {f:5.2f}x{crossed}{shard}")
     ta = sum(v for v in qo.values() if v > 0)
     tb = sum(qn[q] for q in shared if qn[q] > 0 and qo.get(q, -1) > 0)
     print(f"\nmethod: {mo} vs {mn}; "
           f"{len(shared)} shared queries; totals {ta:.1f}s -> {tb:.1f}s; "
           f"run noise p90 {p90:.2f}x; "
           f"{len(regressions)} regression(s) above the calibrated floor, "
-          f"{len(watch)} inside the noise band, {len(improved)} improved")
+          f"{len(watch)} inside the noise band, {len(improved)} improved; "
+          f"{redealt_count} flagged line(s) shard-redealt")
     return 1 if regressions else 0
 
 
