@@ -1636,6 +1636,30 @@ object ExtQueries {
       Similarity.maxSimTopK(probes, vecs, 5)
     }),
 
+    // ── ANN-prefiltered MaxSim recall CERTIFICATE (r11 ask #3): the
+    //    exact late-interaction top-5 semi-joined against
+    //    Similarity.maxSimTopKAuto — token-level LSH candidate screen
+    //    (recall-oriented 16-plane/8-band signatures) then the exact
+    //    scorer on survivors only. If the screen recovers every true
+    //    top-k doc this EQUALS the exact result, which DuckDB computes
+    //    independently (the ext_ann_lsh_recall pattern); any dropped
+    //    doc breaks rows+hash.
+    "ext_maxsim_auto" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val vecs = e.select(
+        (col("vec_id") / 8).cast("long").as("doc_id"),
+        pmod(col("vec_id"), lit(8L)).as("d_token"),
+        col("embedding"))
+      val probes = vecs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("d_token").as("q_token"),
+          col("embedding").as("query_vec"))
+      val exact = Similarity.maxSimTopK(probes, vecs, 5)
+      val auto = Similarity.maxSimTopKAuto(probes, vecs, 5)
+      exact.join(auto.select("query_id", "doc_id"),
+          Seq("query_id", "doc_id"), "left_semi")
+        .orderBy("query_id", "rank")
+    }),
+
     // ── Exact tie-corrected ROC AUC of the stopword-fraction score as
     //    an English-ness classifier — the threshold-free complement of
     //    ext_calibration's reliability bins, same scored input:
@@ -1721,6 +1745,90 @@ object ExtQueries {
             .as("mean_toklen"))
       graft.operators.Eval.spearman(
         scored, col("sw_frac"), col("mean_toklen"))
+    }),
+
+    // ── Kendall's τ-b between doc-length decile and token count —
+    //    [EXT r12] the pairwise rank agreement next to ext_spearman's
+    //    average-rank one; quadratic over CONTINGENCY CELLS (both
+    //    columns bounded by doc shape, not corpus size), never rows
+    //    (Eval.kendallTau: guarded cell table, broadcast nested loop,
+    //    DECIMAL(38,0) products, one final sqrt+divide).
+    "ext_kendall_tau" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val nTokens = size(filter(split(col("text"), " "),
+        tk => length(tk) > 0))
+      graft.operators.Eval.kendallTau(
+        d.select(floor(col("n_chars") / 10).cast("long").as("len_decile"),
+          nTokens.cast("long").as("n_tokens")),
+        col("len_decile"), col("n_tokens"))
+    }),
+
+    // ── Mutual information (+ NMI) between source and language —
+    //    [EXT r12] the association readout in nats the χ² table can't
+    //    give (Drift.mutualInformation: one cell-keyed aggregation,
+    //    9dp-quantized ln terms, DECIMAL(28,12) sums).
+    "ext_mutual_info" -> ((s, dir) => {
+      graft.operators.Drift.mutualInformation(
+        t(s, dir, "documents"), col("source"), col("lang"))
+    }),
+
+    // ── Cramér's V of the same source × language table — [EXT r12]
+    //    χ² rescaled to a [0,1] association strength, computed from
+    //    ext_chi2_homogeneity's zero-including spine (Drift.cramersV).
+    "ext_cramers_v" -> ((s, dir) => {
+      graft.operators.Drift.cramersV(
+        t(s, dir, "documents"), col("source"), col("lang"))
+    }),
+
+    // ── Jensen–Shannon divergence of the language mix, src0 slice vs
+    //    the rest of the corpus — [EXT r12] the symmetric always-finite
+    //    drift number next to ext_drift_psi (bucket-frame) and
+    //    ext_ks_drift (continuous): two count tables, one full outer
+    //    join, 9dp-quantized ln terms (Drift.jsDivergence).
+    "ext_jsd_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Drift.jsDivergence(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") =!= "src0"),
+        col("lang"))
+    }),
+
+    // ── Vocabulary-drift JSD — [EXT r12]: Jensen–Shannon divergence
+    //    between the hashed-unigram distributions of the src0 slice and
+    //    the rest of the corpus (the ext_dsir_weights bucketing reduced
+    //    to ONE symmetric drift number — "did the vocabulary move?").
+    //    Two bucket histograms ≤ 1024 rows each, one outer join.
+    "ext_token_jsd" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def buckets(df: org.apache.spark.sql.DataFrame) = df
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(pmod(graft.functions.expressions.GraftFunctions
+          .rolling_hash(col("tok")), lit(1024L)).as("bucket"))
+      graft.operators.Drift.jsDivergence(
+        buckets(d.filter(col("source") === "src0")),
+        buckets(d.filter(col("source") =!= "src0")),
+        col("bucket"))
+    }),
+
+    // ── Hard-negative mining (DPR/ANCE recipe) — [EXT r12]: exact
+    //    cosine top-10 per probe, gold pairs anti-joined away, top-5
+    //    negatives re-ranked per query (Eval.hardNegatives: hash
+    //    anti-join + a window over the input's own bounded top-k).
+    "ext_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val ranked = Similarity.bruteForceTopK(
+          probes, e.select("vec_id", "embedding"), 10)
+        .withColumnRenamed("vec_id", "doc_id")
+      val gold = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          explode(array(
+            pmod(col("vec_id") * 31 + 7, lit(200L)),
+            pmod(col("vec_id") * 53 + 11, lit(200L)))).as("doc_id"))
+      graft.operators.Eval.hardNegatives(ranked, gold, 5)
+        .orderBy("query_id", "neg_rank")
     }),
 
     // ── Bigram-LM quality scoring: add-one-smoothed model trained on
@@ -4950,6 +5058,39 @@ object ExtQueries {
         |SELECT query_id, doc_id, n_qt, maxsim, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // Recall certificate: IF maxSimTopKAuto's candidate screen recovers
+    // every exact top-5 doc, the semi-join equals the exact MaxSim
+    // result — which DuckDB computes from scratch here (identical SQL
+    // to ext_maxsim). Any candidate the screen drops breaks rows+hash.
+    "ext_maxsim_auto" ->
+      """WITH v AS (
+        |  SELECT vec_id // 8 AS doc_id, vec_id % 8 AS d_token, embedding
+        |  FROM embeddings),
+        |p AS (SELECT doc_id AS query_id, d_token AS q_token, embedding AS qv
+        |      FROM v WHERE doc_id < 3),
+        |sc AS (
+        |  SELECT p.query_id, v.doc_id, p.q_token,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM v CROSS JOIN p WHERE v.doc_id <> p.query_id),
+        |m AS (SELECT query_id, doc_id, q_token, MAX(sim) AS m
+        |      FROM sc GROUP BY 1, 2, 3),
+        |s AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_qt,
+        |        CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS maxsim
+        |      FROM m GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, n_qt, maxsim,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY maxsim DESC, doc_id) AS rank
+        |      FROM s)
+        |SELECT query_id, doc_id, n_qt, maxsim, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // AUC replay: identical scored input to ext_calibration, per-score
     // groups, the ECDF-style window over aggregated rows, 2U in
     // integer arithmetic, one final divide.
@@ -5127,6 +5268,206 @@ object ExtQueries {
         |    sqrt(CAST(SUM(da * da) AS DOUBLE) *
         |         CAST(SUM(db * db) AS DOUBLE)) END AS rho
         |FROM j GROUP BY n""".stripMargin,
+
+    // Kendall replay: contingency cells, the cell-pair join on va<va'
+    // with the vb sign, doubled tie-pair counts, one sqrt+divide.
+    "ext_kendall_tau" ->
+      """WITH s AS (
+        |  SELECT CAST(floor(n_chars / 10.0) AS DOUBLE) AS va,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> len(tk) > 0)) AS DOUBLE) AS vb
+        |  FROM documents WHERE text IS NOT NULL),
+        |s2 AS (SELECT va, vb FROM s
+        |       WHERE va IS NOT NULL AND vb IS NOT NULL),
+        |cells AS (SELECT va, vb, CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM s2 GROUP BY 1, 2),
+        |nn AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells),
+        |cd AS (SELECT COALESCE(SUM(l.n * r.n *
+        |         (CASE WHEN r.vb > l.vb THEN 1
+        |               WHEN r.vb < l.vb THEN -1 ELSE 0 END)), 0) AS cmd
+        |       FROM cells l JOIN cells r ON l.va < r.va),
+        |ta AS (SELECT COALESCE(SUM(t * (t - 1)), 0) AS t2a
+        |       FROM (SELECT CAST(SUM(n) AS BIGINT) AS t
+        |             FROM cells GROUP BY va)),
+        |tb AS (SELECT COALESCE(SUM(t * (t - 1)), 0) AS t2b
+        |       FROM (SELECT CAST(SUM(n) AS BIGINT) AS t
+        |             FROM cells GROUP BY vb))
+        |SELECT n,
+        |  CASE WHEN n * (n - 1) > t2a AND n * (n - 1) > t2b THEN
+        |    CAST(cmd * 2 AS DOUBLE) /
+        |    sqrt(CAST(n * (n - 1) - t2a AS DOUBLE) *
+        |         CAST(n * (n - 1) - t2b AS DOUBLE)) END AS tau
+        |FROM nn CROSS JOIN cd CROSS JOIN ta CROSS JOIN tb
+        |WHERE n IS NOT NULL""".stripMargin,
+
+    // MI replay: observed cell table, margins, 9dp-quantized ln terms
+    // in DECIMAL(28,12) for MI and both entropies, NMI null on a
+    // constant column.
+    "ext_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT source AS ka, lang AS kb, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ma AS (SELECT ka, CAST(SUM(o) AS BIGINT) AS n_a FROM cells GROUP BY 1),
+        |mb AS (SELECT kb, CAST(SUM(o) AS BIGINT) AS n_b FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM cells),
+        |ha AS (SELECT CAST(SUM(CAST(round(-1.0 *
+        |         CAST(n_a AS DOUBLE) / CAST(n_total AS DOUBLE) *
+        |         ln(CAST(n_a AS DOUBLE) / CAST(n_total AS DOUBLE)), 9)
+        |         AS DECIMAL(28,12))) AS DOUBLE) AS h_a
+        |       FROM ma CROSS JOIN t),
+        |hb AS (SELECT CAST(SUM(CAST(round(-1.0 *
+        |         CAST(n_b AS DOUBLE) / CAST(n_total AS DOUBLE) *
+        |         ln(CAST(n_b AS DOUBLE) / CAST(n_total AS DOUBLE)), 9)
+        |         AS DECIMAL(28,12))) AS DOUBLE) AS h_b
+        |       FROM mb CROSS JOIN t),
+        |mi AS (SELECT n_total, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |         CAST(SUM(CAST(round(
+        |           CAST(o AS DOUBLE) / CAST(n_total AS DOUBLE) *
+        |           ln(CAST(n_total AS DOUBLE) * CAST(o AS DOUBLE) /
+        |             (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 9)
+        |           AS DECIMAL(28,12))) AS DOUBLE) AS mi
+        |       FROM cells JOIN ma USING (ka) JOIN mb USING (kb)
+        |       CROSS JOIN t GROUP BY n_total)
+        |SELECT n_total, n_cells, h_a, h_b, mi,
+        |  CASE WHEN h_a > 0.0 AND h_b > 0.0
+        |       THEN mi / sqrt(h_a * h_b) END AS nmi
+        |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
+
+    // Cramér's V replay: the chi2 zero-including spine, 9dp terms in
+    // DECIMAL(28,12), one sqrt of one divide.
+    "ext_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT source AS r, lang AS c, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mr AS (SELECT r, CAST(SUM(o) AS BIGINT) AS n_r FROM cells GROUP BY 1),
+        |mc AS (SELECT c, CAST(SUM(o) AS BIGINT) AS n_c FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM cells),
+        |spine AS (
+        |  SELECT mr.r, mc.c, CAST(COALESCE(o, 0) AS BIGINT) AS o,
+        |    CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE) /
+        |      CAST(n_total AS DOUBLE) AS e
+        |  FROM mr CROSS JOIN mc
+        |  LEFT JOIN cells ON cells.r = mr.r AND cells.c = mc.c
+        |  CROSS JOIN t),
+        |agg AS (
+        |  SELECT CAST(SUM(o) AS BIGINT) AS n_total,
+        |    CAST(COUNT(DISTINCT r) AS BIGINT) AS r_levels,
+        |    CAST(COUNT(DISTINCT c) AS BIGINT) AS c_levels,
+        |    CAST(SUM(CAST(round((CAST(o AS DOUBLE) - e) *
+        |      (CAST(o AS DOUBLE) - e) / e, 9) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS chi2
+        |  FROM spine)
+        |SELECT n_total, r_levels, c_levels, chi2,
+        |  CASE WHEN least(r_levels, c_levels) > 1 THEN
+        |    sqrt(chi2 / (CAST(n_total AS DOUBLE) *
+        |      CAST(least(r_levels, c_levels) - 1 AS DOUBLE))) END AS v
+        |FROM agg WHERE n_total IS NOT NULL""".stripMargin,
+
+    // JSD replay: two count tables, full outer join, per-key
+    // 9dp-quantized ln terms, decimal sum cast to double then halved
+    // (IEEE-exact).
+    "ext_jsd_drift" ->
+      """WITH sa AS (SELECT lang AS k FROM documents
+        |            WHERE source = 'src0' AND lang IS NOT NULL),
+        |sb AS (SELECT lang AS k FROM documents
+        |       WHERE source <> 'src0' AND lang IS NOT NULL),
+        |ca AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS ca FROM sa GROUP BY 1),
+        |cb AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cb FROM sb GROUP BY 1),
+        |j AS (SELECT COALESCE(ca.k, cb.k) AS k,
+        |        COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |      FROM ca FULL OUTER JOIN cb ON ca.k = cb.k),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |        CAST(SUM(cb) AS BIGINT) AS n_b FROM j),
+        |pq AS (SELECT n_a, n_b,
+        |         CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE) AS p,
+        |         CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE) AS q
+        |       FROM j CROSS JOIN t),
+        |terms AS (SELECT n_a, n_b,
+        |    (CASE WHEN p > 0.0 THEN
+        |       CAST(round(p * ln(p * 2.0 / (p + q)), 9) AS DECIMAL(28,12))
+        |     ELSE CAST(0.0 AS DECIMAL(28,12)) END +
+        |     CASE WHEN q > 0.0 THEN
+        |       CAST(round(q * ln(q * 2.0 / (p + q)), 9) AS DECIMAL(28,12))
+        |     ELSE CAST(0.0 AS DECIMAL(28,12)) END) AS term
+        |  FROM pq)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |       THEN CAST(SUM(term) AS DOUBLE) / 2 END AS jsd
+        |FROM terms GROUP BY n_a, n_b""".stripMargin,
+
+    // Token-JSD replay: the dsir rolling-hash bucketing, two bucket
+    // histograms, the ext_jsd_drift term arithmetic.
+    "ext_token_jsd" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    list_reduce(list_transform(range(1, length(tok) + 1),
+        |      j -> CAST(ord(substr(tok, j, 1)) AS BIGINT)),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 1024 AS bucket
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE len(tok) > 0),
+        |ca AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ca FROM toks
+        |       WHERE source = 'src0' GROUP BY 1),
+        |cb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cb FROM toks
+        |       WHERE source <> 'src0' GROUP BY 1),
+        |j AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |      FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |        CAST(SUM(cb) AS BIGINT) AS n_b FROM j),
+        |pq AS (SELECT n_a, n_b,
+        |         CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE) AS p,
+        |         CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE) AS q
+        |       FROM j CROSS JOIN t),
+        |terms AS (SELECT n_a, n_b,
+        |    (CASE WHEN p > 0.0 THEN
+        |       CAST(round(p * ln(p * 2.0 / (p + q)), 9) AS DECIMAL(28,12))
+        |     ELSE CAST(0.0 AS DECIMAL(28,12)) END +
+        |     CASE WHEN q > 0.0 THEN
+        |       CAST(round(q * ln(q * 2.0 / (p + q)), 9) AS DECIMAL(28,12))
+        |     ELSE CAST(0.0 AS DECIMAL(28,12)) END) AS term
+        |  FROM pq)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |       THEN CAST(SUM(term) AS DOUBLE) / 2 END AS jsd
+        |FROM terms GROUP BY n_a, n_b""".stripMargin,
+
+    // Hard-negative replay: the ext_cosine_topk arithmetic at k=10,
+    // synthetic gold pairs anti-joined away, negatives re-ranked.
+    "ext_hard_negatives" ->
+      """WITH p AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 5),
+        |sc AS (
+        |  SELECT p.query_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.query_id),
+        |rk AS (
+        |  SELECT query_id, vec_id AS doc_id, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+        |  FROM sc QUALIFY rank <= 10),
+        |g AS (
+        |  SELECT query_id, unnest([(query_id * 31 + 7) % 200,
+        |                           (query_id * 53 + 11) % 200]) AS doc_id
+        |  FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+        |        WHERE vec_id < 5)),
+        |neg AS (SELECT rk.* FROM rk ANTI JOIN g USING (query_id, doc_id)),
+        |nn AS (
+        |  SELECT query_id, doc_id, sim, rank,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank)
+        |      AS BIGINT) AS neg_rank
+        |  FROM neg)
+        |SELECT query_id, doc_id, sim, rank, neg_rank
+        |FROM nn WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin,
 
     // LM-score replay: bigrams by list slices, model + context + vocab
     // from the gram table, per-term round(ln, 9), DECIMAL(28,9) sums,

@@ -106,9 +106,12 @@ object Drift {
     * evaluating the gap at every distinct value of either sample is the
     * exact supremum — for discrete/integer-valued columns (lengths,
     * counts, grades) this is the textbook statistic with no
-    * approximation. For continuous doubles, pre-quantize upstream
-    * (round(v, d)) to bound the distinct-value cardinality; the
-    * statistic is then exact for the quantized variable.
+    * approximation. For continuous doubles, pass `quantize = Some(d)`
+    * (round(v, d) before counting) to bound the distinct-value
+    * cardinality; the statistic is then exact for the quantized
+    * variable. The bound is ENFORCED: past `maxDistinct` distinct
+    * values the query fails loudly (see [[Eval.cardinalityGuard]])
+    * instead of silently funnelling the ECDF window through one task.
     *
     * 100 TB shape: one map-side partial aggregation per sample keyed on
     * the value (each partition collapses to ≤ |distinct| rows), a full
@@ -126,18 +129,28 @@ object Drift {
     * [[graft.operators.Eval.spearman]]). */
   def ksTest(
       a: DataFrame, b: DataFrame, value: Column,
-      critical: Double = 1.358): DataFrame = {
+      critical: Double = 1.358,
+      quantize: Option[Int] = None,
+      maxDistinct: Long = 10000000L): DataFrame = {
     require(critical > 0, s"critical must be positive, got $critical")
-    def counts(df: DataFrame, name: String) =
-      df.select(value.cast("double").as("v")).filter(col("v").isNotNull)
+    def counts(df: DataFrame, name: String) = {
+      val vRaw = value.cast("double")
+      val v = quantize.map(round(vRaw, _)).getOrElse(vRaw)
+      df.select(v.as("v")).filter(col("v").isNotNull)
         .groupBy("v").agg(count(lit(1)).as(name))
+    }
     val joined = counts(a, "ca").join(counts(b, "cb"), Seq("v"), "full_outer")
       .na.fill(0L, Seq("ca", "cb"))
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ta = joined.agg(sum("ca").as("n_a"))
     val tb2 = joined.agg(sum("cb").as("n_b"))
-    joined
+    // cardinality contract, ENFORCED (VERDICT r11 ask #4): the ECDF
+    // window runs over the distinct-value table — fail loudly past
+    // maxDistinct instead of single-tasking raw continuous doubles;
+    // quantize=Some(d) is the documented fix (exact for the quantized
+    // variable, per the scaladoc contract above).
+    Eval.withCardinalityGuard(joined, joined, maxDistinct, "ksTest")
       .select(col("v"), sum("ca").over(w).as("cum_a"), sum("cb").over(w).as("cum_b"))
       .crossJoin(broadcast(ta)).crossJoin(broadcast(tb2))
       .select(col("n_a"), col("n_b"),
@@ -207,6 +220,150 @@ object Drift {
     * so sum(chi2_term) replays engine-portably via the usual decimal
     * discipline. Output: one row per spine cell (r, c, o, e,
     * chi2_term), ordered. */
+  /** Mutual information (and normalized MI) between two categorical
+    * columns — the association readout the χ² table doesn't give in
+    * interpretable units: "how many nats does knowing the source tell
+    * you about the language?" Zero iff independent; NMI = MI/√(H_a·H_b)
+    * ∈ [0,1] makes slices comparable across dimension sizes.
+    *
+    *   MI = Σ_cells (o/N)·ln(N·o / (n_a·n_b)),  H = −Σ (n/N)·ln(n/N)
+    *
+    * (observed-zero cells contribute 0 — the 0·ln0 limit — so only the
+    * observed cell table participates, unlike [[chi2Homogeneity]]'s
+    * zero-including spine.)
+    *
+    * 100 TB shape: ONE aggregation keyed on the (a, b) cell — ≤ k²
+    * groups, map-side collapse; margins and entropies derive from the
+    * cell table. One corpus scan total.
+    *
+    * Determinism: counts exact; each transcendental term (ln) is
+    * quantized round(·, 9) and summed as DECIMAL(28,12) — the standard
+    * partition-order-free replay discipline. NMI is null when either
+    * column is constant (its entropy is 0 — normalization undefined).
+    * Output: ONE row (n_total, n_cells, h_a, h_b, mi, nmi); ZERO rows
+    * on empty input. */
+  def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df
+      .select(a.cast("string").as("ka"), b.cast("string").as("kb"))
+      .filter(col("ka").isNotNull && col("kb").isNotNull)
+      .groupBy("ka", "kb").agg(count(lit(1)).as("o"))
+    val ma = cells.groupBy("ka").agg(sum("o").as("n_a"))
+    val mb = cells.groupBy("kb").agg(sum("o").as("n_b"))
+    val tot = cells.agg(sum("o").as("n_total"))
+    def entropy(m: DataFrame, n: String, out: String): DataFrame = m
+      .crossJoin(broadcast(tot))
+      .select(round(lit(-1.0) * col(n).cast("double") /
+          col("n_total").cast("double") *
+          log(col(n).cast("double") / col("n_total").cast("double")), 9)
+        .cast("decimal(28,12)").as("h"))
+      .agg(sum("h").cast("double").as(out))
+    val mi = cells
+      .join(ma, Seq("ka")).join(mb, Seq("kb"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_total"),
+        round(col("o").cast("double") / col("n_total").cast("double") *
+          log(col("n_total").cast("double") * col("o").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))), 9)
+          .cast("decimal(28,12)").as("term"))
+      .groupBy("n_total")
+      .agg(count(lit(1)).as("n_cells"), sum("term").cast("double").as("mi"))
+    mi // empty input → the groupBy produces zero rows
+      .crossJoin(broadcast(entropy(ma, "n_a", "h_a")))
+      .crossJoin(broadcast(entropy(mb, "n_b", "h_b")))
+      .select(col("n_total"), col("n_cells"), col("h_a"), col("h_b"),
+        col("mi"),
+        when(col("h_a") > 0.0 && col("h_b") > 0.0,
+          col("mi") / sqrt(col("h_a") * col("h_b"))).as("nmi"))
+  }
+
+  /** Cramér's V — the χ² statistic rescaled to a [0, 1] association
+    * strength (comparable across table sizes and corpus sizes, which
+    * raw χ² is not): V = √(χ² / (N·(min(r,c) − 1))). The one-number
+    * companion to [[chi2Homogeneity]]'s per-cell diagnostic table,
+    * computed from the same zero-including spine.
+    *
+    * 100 TB shape: [[chi2Homogeneity]]'s single scan + cell-sized
+    * world, then one single-row aggregate over the ≤ r·c spine rows.
+    *
+    * Determinism: sum of the already-9dp-quantized chi2_terms in
+    * DECIMAL(28,12); dimension counts exact; one IEEE divide + sqrt.
+    * V is null when min(r,c) = 1 (a constant column — association
+    * undefined). Output: ONE row (n_total, r_levels, c_levels, chi2,
+    * v); ZERO rows on empty input. */
+  def cramersV(df: DataFrame, rowDim: Column, colDim: Column): DataFrame =
+    chi2Homogeneity(df, rowDim, colDim)
+      .agg(
+        sum("o").as("n_total"),
+        countDistinct("r").as("r_levels"),
+        countDistinct("c").as("c_levels"),
+        sum(col("chi2_term").cast("decimal(28,12)")).cast("double").as("chi2"))
+      .filter(col("n_total").isNotNull) // empty input → zero rows
+      .select(col("n_total"), col("r_levels"), col("c_levels"), col("chi2"),
+        when(least(col("r_levels"), col("c_levels")) > 1,
+          sqrt(col("chi2") / (col("n_total").cast("double") *
+            (least(col("r_levels"), col("c_levels")) - 1).cast("double"))))
+          .as("v"))
+
+  /** Jensen–Shannon divergence between two samples' distributions over
+    * a categorical `key` — the SYMMETRIC, always-finite drift number
+    * ([[psi]] needs a bucket frame and blows up on empty reference
+    * buckets; KL is asymmetric and infinite on disjoint support; JSD is
+    * bounded in [0, ln 2] no matter what):
+    *
+    *   JSD = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),  m = (p+q)/2
+    *
+    * (keys absent from one side contribute their ½·p·ln 2 — exactly the
+    * disjoint-support mass KL cannot price). Apply to hashed token
+    * buckets for a vocabulary-drift readout (`ext_token_jsd` composes
+    * this over the [[graft.operators.TextPipeline.dsirWeights]]
+    * bucketing) or to raw categorical keys for source/domain mix drift.
+    *
+    * 100 TB shape: one map-side count aggregation per sample keyed on
+    * the key (≤ |distinct| rows per partition), a full outer join of
+    * the two count tables, one single-row aggregate — the [[ksTest]]
+    * shape without the window.
+    *
+    * Determinism: counts exact; each ln term is quantized round(·, 9)
+    * into a DECIMAL(28,12) sum. Output: ONE row (n_keys, n_a, n_b,
+    * jsd); ZERO rows when both samples are empty. */
+  def jsDivergence(a: DataFrame, b: DataFrame, key: Column): DataFrame = {
+    def counts(df: DataFrame, name: String) =
+      df.select(key.cast("string").as("k")).filter(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as(name))
+    val joined = counts(a, "ca").join(counts(b, "cb"), Seq("k"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val tot = joined.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    joined
+      .crossJoin(broadcast(tot))
+      // ANSI-safe: an EMPTY side has n = 0, and ANSI mode errors on the
+      // divide instead of yielding NaN — define its shares as 0 (the
+      // jsd is nulled below anyway; keys stay countable)
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0,
+          col("ca").cast("double") / col("n_a").cast("double"))
+          .otherwise(lit(0.0)).as("p"),
+        when(col("n_b") > 0,
+          col("cb").cast("double") / col("n_b").cast("double"))
+          .otherwise(lit(0.0)).as("q"))
+      .select(col("n_a"), col("n_b"),
+        (when(col("p") > 0.0,
+          round(col("p") * log(col("p") * 2.0 / (col("p") + col("q"))), 9))
+          .otherwise(lit(0.0)).cast("decimal(28,12)") +
+         when(col("q") > 0.0,
+           round(col("q") * log(col("q") * 2.0 / (col("p") + col("q"))), 9))
+           .otherwise(lit(0.0)).cast("decimal(28,12)")).as("term"))
+      .groupBy("n_a", "n_b") // single group: both are constants
+      // cast the decimal sum to double BEFORE halving: /2 on a double
+      // is IEEE-exact, while decimal division rescales differently
+      // across engines
+      .agg(count(lit(1)).as("n_keys"),
+        (sum("term").cast("double") / 2).as("jsd"))
+      // one-sided emptiness: divergence from NOTHING is undefined, not
+      // a number — null jsd keeps the slice visible (the rocAuc rule)
+      .select(col("n_keys"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("jsd")).as("jsd"))
+  }
+
   def chi2Homogeneity(df: DataFrame, rowDim: Column, colDim: Column): DataFrame = {
     val cells = df
       .select(rowDim.cast("string").as("r"), colDim.cast("string").as("c"))

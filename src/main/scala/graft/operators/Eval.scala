@@ -29,6 +29,40 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** ONE-row guard table for the rank-statistic family's post-aggregate
+    * windows (VERDICT r11 ask #4). `agg` is the already-aggregated
+    * per-distinct-value table; the guard row raises a loud error when
+    * its cardinality exceeds `maxDistinct` — the shape where the
+    * unpartitioned ORDER BY window would otherwise funnel the whole
+    * table through ONE task (the exact window-over-raw-rows shape this
+    * repo bans). Cross-join the broadcast result into the windowed
+    * plan: one extra ≤1-row aggregate (map-side collapsed, and usually
+    * a ReusedExchange of the main aggregation), zero effect on results
+    * under the contract. The error names `quantize` as the fix. */
+  private[operators] def cardinalityGuard(
+      agg: DataFrame, maxDistinct: Long, op: String): DataFrame =
+    agg.agg(count(lit(1)).as("_card"))
+      .select(when(col("_card") <= maxDistinct, lit(1))
+        .otherwise(raise_error(concat(
+          lit(s"$op: "), col("_card").cast("string"),
+          lit(s" distinct values exceed maxDistinct=$maxDistinct — the" +
+            " post-aggregate window would run in ONE task at this" +
+            " cardinality. Pre-round continuous scores (quantize=" +
+            "Some(d)) or raise maxDistinct deliberately."))))
+        .as("_guard_ok"))
+
+  /** Cross-join [[cardinalityGuard]]'s one-row table into `df` and
+    * ANCHOR it with a trivially-true filter: a merely-projected unused
+    * guard column would be COLUMN-PRUNED by Catalyst, raise_error and
+    * all (measured — the guard never fired as a bare projection). The
+    * filter references the column, so the optimizer must evaluate it. */
+  private[operators] def withCardinalityGuard(
+      df: DataFrame, aggTable: DataFrame,
+      maxDistinct: Long, op: String): DataFrame =
+    df.crossJoin(broadcast(cardinalityGuard(aggTable, maxDistinct, op)))
+      .filter(col("_guard_ok") === 1)
+      .drop("_guard_ok")
+
   /** Per-query retrieval metrics over the top `k` ranked rows.
     *
     *  - recall_k = |relevant ∩ top-k| / |relevant|
@@ -213,10 +247,23 @@ object Eval {
     * state stays below the decimal→double precision cliff at oracle
     * scale. Output: ONE row (n_pos, n_neg, auc); auc is null when
     * either class is empty (undefined, not 0 — a one-class eval slice
-    * must be visible, not silently scored). */
-  def rocAuc(scored: DataFrame, score: Column, label: Column): DataFrame = {
+    * must be visible, not silently scored).
+    *
+    * Cardinality contract, ENFORCED (VERDICT r11 ask #4): the window
+    * runs over the per-DISTINCT-score table, so raw continuous model
+    * scores (cardinality ≈ n) would funnel the corpus through one
+    * window task. `quantize = Some(d)` pre-rounds scores to d decimals
+    * (the tie-corrected statistic of the QUANTIZED variable — exact for
+    * it, and within 10^-d resolution of the raw one); the
+    * [[cardinalityGuard]] fails LOUDLY when the distinct-score table
+    * exceeds `maxDistinct` instead of silently single-tasking. */
+  def rocAuc(scored: DataFrame, score: Column, label: Column,
+      quantize: Option[Int] = None,
+      maxDistinct: Long = 10000000L): DataFrame = {
+    val sRaw = score.cast("double")
+    val s = quantize.map(d => round(sRaw, d)).getOrElse(sRaw)
     val perScore = scored
-      .select(score.cast("double").as("s"),
+      .select(s.as("s"),
         when(coalesce(label, lit(false)), 1L).otherwise(0L).as("y"))
       .filter(col("s").isNotNull)
       .groupBy("s")
@@ -224,7 +271,7 @@ object Eval {
       .withColumn("nn", col("n") - col("np"))
     val w = Window.orderBy("s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perScore
+    withCardinalityGuard(perScore, perScore, maxDistinct, "rocAuc")
       .select(col("np"), col("nn"),
         (sum("nn").over(w) - col("nn")).as("below"))
       .agg(
@@ -373,14 +420,124 @@ object Eval {
     *
     * Output: ONE row (n, rho) — or zero rows when no row has both
     * values non-null (an all-null slice is visible as absence, not as
-    * a fabricated n = 0 row). */
-  def spearman(df: DataFrame, a: Column, b: Column): DataFrame = {
-    val rows = df.select(a.cast("double").as("va"), b.cast("double").as("vb"))
+    * a fabricated n = 0 row).
+    *
+    * Cardinality contract, ENFORCED (VERDICT r11 ask #4): each rank
+    * window runs over a per-DISTINCT-value table; `quantize = Some(d)`
+    * pre-rounds BOTH columns to d decimals (ρ of the quantized
+    * variables — rank-stable for any monotone binning), and the
+    * [[cardinalityGuard]] fails loudly past `maxDistinct` instead of
+    * silently single-tasking a raw-double column. */
+  /** Kendall's τ-b rank correlation (tie-corrected) — the pairwise
+    * complement of [[spearman]]: of all row pairs, how many order the
+    * two columns the SAME way minus how many invert, normalized by the
+    * tie-corrected pair counts:
+    *
+    *   τ-b = (C − D) / √((n₀ − n₁)(n₀ − n₂)),
+    *   n₀ = n(n−1)/2, n₁ = Σ_a t_a(t_a−1)/2, n₂ = Σ_b t_b(t_b−1)/2
+    *
+    * Naively C and D are O(n²) row pairs; here they collapse to the
+    * k_a × k_b CONTINGENCY CELLS first — C − D = Σ over cell pairs
+    * (va < va') of n·n'·sign(vb' − vb) — so the quadratic term is over
+    * CELLS, never rows (the same bounded-cardinality contract as
+    * [[spearman]], squared — hence the tighter `maxCells` default,
+    * ENFORCED by [[cardinalityGuard]]; `quantize` pre-rounds both
+    * columns). One corpus scan, one bounded broadcast nested-loop over
+    * the cell table.
+    *
+    * Determinism: all-integer (DECIMAL(38,0) products of exact counts)
+    * until the final double ops; n₀/n₁/n₂ stay BIGINT (exact in double
+    * below 2⁵³ — document-count territory, and DuckDB's BIGINT→DOUBLE
+    * is correctly rounded where its wide-DECIMAL cast is not); a
+    * perfectly monotone input yields EXACTLY ±1. τ is null when either
+    * column is constant. Output: ONE row (n, tau); ZERO rows on empty
+    * input (the [[spearman]] contract). */
+  def kendallTau(df: DataFrame, a: Column, b: Column,
+      quantize: Option[Int] = None,
+      maxCells: Long = 10000L): DataFrame = {
+    def q(c: Column): Column = {
+      val d = c.cast("double")
+      quantize.map(round(d, _)).getOrElse(d)
+    }
+    val rows = df.select(q(a).as("va"), q(b).as("vb"))
+      .filter(col("va").isNotNull && col("vb").isNotNull)
+    val cells = rows.groupBy("va", "vb").agg(count(lit(1)).as("n"))
+    val nRow = cells.agg(sum("n").as("n_rows"))
+    def tiePairs(vc: String, out: String): DataFrame =
+      cells.groupBy(vc).agg(sum("n").as("t"))
+        .agg(coalesce(sum(col("t").cast("decimal(38,0)") * (col("t") - 1)),
+          lit(0).cast("decimal(38,0)")).as(out)) // 2·Σ t(t−1)/2
+    val l = cells.select(col("va").as("va_l"), col("vb").as("vb_l"),
+      col("n").as("n_l"))
+    val r = cells.select(col("va").as("va_r"), col("vb").as("vb_r"),
+      col("n").as("n_r"))
+    val cd = withCardinalityGuard(l, cells, maxCells, "kendallTau")
+      .join(broadcast(r), col("va_l") < col("va_r"))
+      .agg(coalesce(sum(col("n_l").cast("decimal(38,0)") * col("n_r") *
+        when(col("vb_r") > col("vb_l"), 1)
+          .when(col("vb_r") < col("vb_l"), -1).otherwise(0)),
+        lit(0).cast("decimal(38,0)")).as("cmd"))
+    nRow
+      .crossJoin(broadcast(cd))
+      .crossJoin(broadcast(tiePairs("va", "t2a")))
+      .crossJoin(broadcast(tiePairs("vb", "t2b")))
+      .filter(col("n_rows").isNotNull) // empty input → zero rows
+      // 2n₀ = n(n−1); work with DOUBLED pair counts throughout so
+      // nothing is halved before the final (exact, sign-preserving)
+      // divide: τ = 2(C−D) / √((2n₀−2n₁)(2n₀−2n₂))
+      .select(col("n_rows").as("n"),
+        (col("n_rows").cast("decimal(38,0)") * (col("n_rows") - 1)).as("p2"),
+        col("cmd"), col("t2a"), col("t2b"))
+      .select(col("n"),
+        when(col("p2") > col("t2a") && col("p2") > col("t2b"),
+          (col("cmd") * 2).cast("double") /
+            sqrt((col("p2") - col("t2a")).cast("double") *
+              (col("p2") - col("t2b")).cast("double"))).as("tau"))
+  }
+
+  /** Hard-negative mining for contrastive training (the DPR/ANCE
+    * recipe: the best negatives are the top-ranked retrieval hits that
+    * are NOT gold-relevant): anti-join a ranked candidate table against
+    * the gold pairs and re-rank the survivors per query.
+    *
+    * `ranked`: (query_id, doc_id, rank) from any top-k source here
+    * ([[Similarity.bruteForceTopK]]/`lshTopK`/`ivfTopK`/`pqTopK` with
+    * vec_id renamed, or [[Similarity.maxSimTopK]]) — mine with a DEEPER
+    * k than you keep (k·4 candidates → top-k negatives) so gold removal
+    * doesn't starve the list. `gold`: (query_id, doc_id) positives.
+    *
+    * 100 TB shape: one hash anti-join on (query_id, doc_id) — both
+    * sides ranked/gold-sized, never corpus-sized — and a per-query
+    * window over ≤ the input's own top-k rows (bounded by the top-k
+    * operator's contract, the same safe shape as [[rrfFuse]]'s final
+    * rank). Extra input columns (sim, maxsim, …) pass through.
+    *
+    * Output: input columns + neg_rank ∈ [1, k], ordered by the input's
+    * `rank` (ties impossible — rank is unique per query by contract). */
+  def hardNegatives(ranked: DataFrame, gold: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    ranked
+      .join(gold.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+  }
+
+  def spearman(df: DataFrame, a: Column, b: Column,
+      quantize: Option[Int] = None,
+      maxDistinct: Long = 10000000L): DataFrame = {
+    def q(c: Column): Column = {
+      val d = c.cast("double")
+      quantize.map(round(d, _)).getOrElse(d)
+    }
+    val rows = df.select(q(a).as("va"), q(b).as("vb"))
       .filter(col("va").isNotNull && col("vb").isNotNull)
     def rank2(vc: String, out: String): DataFrame = {
       val w = Window.orderBy(col(vc))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rows.groupBy(vc).agg(count(lit(1)).as("cnt"))
+      val counts = rows.groupBy(vc).agg(count(lit(1)).as("cnt"))
+      withCardinalityGuard(counts, counts, maxDistinct, s"spearman($vc)")
         .select(col(vc),
           (lit(2) * (sum("cnt").over(w) - col("cnt")) + col("cnt") + 1)
             .as(out))

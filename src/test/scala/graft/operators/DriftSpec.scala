@@ -66,6 +66,27 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     assert(same._3 == 0.0 && !same._5)
   }
 
+  test("ksTest cardinality contract: quantize pre-rounds, guard fails loud") {
+    // 3000 distinct raw doubles per side (continuous scores) — the
+    // shape the enforced maxDistinct bound exists for (r11 ask #4)
+    val a = (1 to 3000).map(i => i / 3000.0 + 1e-9 * i).toDF("v")
+    val b = (1 to 3000).map(i => i / 3000.0 + 0.2 + 1e-9 * i).toDF("v")
+    val q = Drift.ksTest(a, b, col("v"), quantize = Some(2))
+      .as[(Long, Long, Double, Double, Boolean)].collect().head
+    val pre = Drift.ksTest(
+      a.select(round(col("v"), 2).as("v")),
+      b.select(round(col("v"), 2).as("v")), col("v"))
+      .as[(Long, Long, Double, Double, Boolean)].collect().head
+    assert(q == pre, "quantize=Some(2) == caller pre-rounding to 2dp")
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e = intercept[Throwable] {
+      Drift.ksTest(a, b, col("v"), maxDistinct = 100).collect()
+    }
+    assert(chain(e).contains("maxDistinct"), chain(e))
+  }
+
   test("ksTest: a gross shift rejects at the 5% bar") {
     val a = (1 to 200).map(_ % 10 * 1.0).toDF("v")
     val b = (1 to 200).map(i => i % 10 + 100.0).toDF("v")
@@ -73,6 +94,76 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Double, Double, Boolean)].collect().head
     assert(r._3 == 1.0, "disjoint supports -> D = 1")
     assert(r._5, "D=1 at n=200/200 must reject")
+  }
+
+  test("mutualInformation: perfect association = ln 2, independence = 0") {
+    // two symbols, perfectly coupled: MI = H_a = H_b = ln 2 (as the sum
+    // of two 9dp-quantized halves), NMI exactly 1 within an ulp
+    val coupled = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("s", "l")
+    val c = Drift.mutualInformation(coupled, col("s"), col("l"))
+      .as[(Long, Long, Double, Double, Double, Option[Double])]
+      .collect().head
+    val ln2q = 2 * BigDecimal(-0.5 * math.log(0.5))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(c._1 == 4L && c._2 == 2L)
+    assert(c._3 == ln2q && c._4 == ln2q && c._5 == ln2q, s"got $c")
+    assert(c._6.exists(v => math.abs(v - 1.0) < 1e-12))
+    // independent 2x2: every cell term ln(1) = 0
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("s", "l")
+    val i = Drift.mutualInformation(indep, col("s"), col("l"))
+      .as[(Long, Long, Double, Double, Double, Option[Double])]
+      .collect().head
+    assert(i._5 == 0.0 && i._6.contains(0.0))
+    // constant column: its entropy is 0 → NMI null, MI 0
+    val const = Seq(("a", "x"), ("b", "x")).toDF("s", "l")
+    val k = Drift.mutualInformation(const, col("s"), col("l"))
+      .as[(Long, Long, Double, Double, Double, Option[Double])]
+      .collect().head
+    assert(k._5 == 0.0 && k._6.isEmpty)
+    assert(Drift.mutualInformation(
+      const.filter(lit(false)), col("s"), col("l")).count() == 0L)
+  }
+
+  test("cramersV: perfect 2x2 association = 1, independence = 0, 1-level null") {
+    val coupled = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("s", "l")
+    val c = Drift.cramersV(coupled, col("s"), col("l"))
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    // chi2 = (2−1)²/1 ·2 + (0−1)²/1 ·2 = 4; V = sqrt(4/(4·1)) = 1
+    assert(c == ((4L, 2L, 2L, 4.0, Some(1.0))), s"got $c")
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("s", "l")
+    val i = Drift.cramersV(indep, col("s"), col("l"))
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    assert(i._4 == 0.0 && i._5.contains(0.0))
+    val const = Seq(("a", "x"), ("b", "x")).toDF("s", "l")
+    assert(Drift.cramersV(const, col("s"), col("l"))
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head._5.isEmpty)
+    assert(Drift.cramersV(
+      const.filter(lit(false)), col("s"), col("l")).count() == 0L)
+  }
+
+  test("jsDivergence: identical = 0, disjoint = ln 2, one-sided empty = null") {
+    val a = Seq("x", "x", "y").toDF("k")
+    assert(Drift.jsDivergence(a, a, col("k"))
+      .as[(Long, Long, Long, Option[Double])].collect().head ==
+      ((2L, 3L, 3L, Some(0.0))))
+    // disjoint supports: jsd = the quantized ln 2 bound
+    val b = Seq("z").toDF("k")
+    val d = Drift.jsDivergence(a.limit(0).union(Seq("x").toDF("k")), b, col("k"))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    val ln2q = BigDecimal(math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d == ((2L, 1L, 1L, Some(ln2q))), s"got $d")
+    // one sample empty → keys exist but the divergence is undefined
+    val e = Drift.jsDivergence(a, a.filter(lit(false)), col("k"))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(e._2 == 3L && e._3 == 0L && e._4.isEmpty)
+    // both empty → zero rows
+    assert(Drift.jsDivergence(a.filter(lit(false)), a.filter(lit(false)),
+      col("k")).count() == 0L)
   }
 
   test("giniConcentration: hand-computed skew; even shares score zero") {

@@ -174,6 +174,91 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
       "out-of-range scores must be dropped from the reliability diagram")
   }
 
+  test("rank-statistic cardinality contract: quantize pre-rounds, guard fails loud") {
+    // 4000 DISTINCT raw doubles — the continuous-score shape the
+    // post-aggregate-window discipline bans (VERDICT r11 ask #4).
+    val raw = (1 to 4000)
+      .map(i => (i / 4000.0 + 1e-9 * i, i % 2 == 0))
+      .toDF("score", "label")
+    // quantize=Some(2) == caller pre-rounding to 2dp: identical result
+    val q = Eval.rocAuc(raw, col("score"), col("label"), quantize = Some(2))
+      .collect().toSeq
+    val pre = Eval.rocAuc(
+      raw.select(round(col("score"), 2).as("score"), col("label")),
+      col("score"), col("label")).collect().toSeq
+    assert(q == pre)
+    // past maxDistinct the guard fails LOUDLY instead of single-tasking
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Throwable] {
+      Eval.rocAuc(raw, col("score"), col("label"), maxDistinct = 100)
+        .collect()
+    }
+    assert(chain(e1).contains("maxDistinct"), chain(e1))
+    // spearman: same contract on both rank columns
+    val two = (1 to 4000).map(i => (i + 1e-9 * i, 4000.0 - i)).toDF("a", "b")
+    val sQ = Eval.spearman(two, col("a"), col("b"), quantize = Some(3))
+      .as[(Long, Option[Double])].collect().head
+    assert(sQ._1 == 4000L && sQ._2.exists(r => math.abs(r + 1.0) < 1e-9),
+      s"quantized monotone-decreasing input must give rho=-1, got $sQ")
+    val e2 = intercept[Throwable] {
+      Eval.spearman(two, col("a"), col("b"), maxDistinct = 100).collect()
+    }
+    assert(chain(e2).contains("maxDistinct"), chain(e2))
+  }
+
+  test("kendallTau: hand-computed τ-b with ties; monotone edges exact ±1") {
+    // (1,1),(2,3),(3,2),(4,4): C=5, D=1, no ties → τ = 4/6 = 2/3
+    val mixed = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0))
+      .toDF("a", "b")
+    val m = Eval.kendallTau(mixed, col("a"), col("b"))
+      .as[(Long, Option[Double])].collect().head
+    assert(m._1 == 4L && m._2.contains(2.0 / 3.0), s"got $m")
+    // tied cells: (1,1),(2,2),(3,3),(3,3) → C−D=5, 2n0−2n1=10 → τ=1
+    val tied = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (3.0, 3.0))
+      .toDF("a", "b")
+    assert(Eval.kendallTau(tied, col("a"), col("b"))
+      .as[(Long, Option[Double])].collect().head == ((4L, Some(1.0))))
+    // perfect inversion → exactly −1
+    val inv = Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).toDF("a", "b")
+    assert(Eval.kendallTau(inv, col("a"), col("b"))
+      .as[(Long, Option[Double])].collect().head == ((3L, Some(-1.0))))
+    // a constant column → τ null (undefined, not 0)
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("a", "b")
+    assert(Eval.kendallTau(const, col("a"), col("b"))
+      .as[(Long, Option[Double])].collect().head == ((2L, None)))
+    // empty input → zero rows (the spearman contract)
+    assert(Eval.kendallTau(mixed.filter(lit(false)), col("a"), col("b"))
+      .count() == 0L)
+    // cell-cardinality guard fails loud (the kendall quadratic is over
+    // CELLS, so its bound is tighter than the rank statistics')
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val many = (1 to 200).map(i => (i.toDouble, (i * 7 % 200).toDouble))
+      .toDF("a", "b")
+    val e = intercept[Throwable] {
+      Eval.kendallTau(many, col("a"), col("b"), maxCells = 50).collect()
+    }
+    assert(chain(e).contains("maxDistinct"), chain(e))
+  }
+
+  test("hardNegatives: gold anti-joined away, survivors re-ranked, extras pass through") {
+    val ranked = Seq(
+      (1L, 10L, 0.9, 1L), (1L, 11L, 0.8, 2L), (1L, 12L, 0.7, 3L),
+      (1L, 13L, 0.6, 4L),
+      (2L, 20L, 0.5, 1L), (2L, 21L, 0.4, 2L))
+      .toDF("query_id", "doc_id", "sim", "rank")
+    val gold = Seq((1L, 11L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "doc_id")
+    val got = Eval.hardNegatives(ranked, gold, 2)
+      .orderBy("query_id", "neg_rank")
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    // q1: 11 is gold → negatives 10, 12 (13 cut by k=2); q2: all gold
+    assert(got == Seq((1L, 10L, 0.9, 1L, 1L), (1L, 12L, 0.7, 3L, 2L)))
+  }
+
   test("rocAuc: hand-computed tie-corrected U; perfect and inverted edges") {
     // scores .1(neg) .2(pos) .2(neg) .3(pos):
     // U = 1*(1 + 1/2) + 1*2 = 3.5 -> AUC 3.5/4 = 0.875

@@ -310,6 +310,64 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got(2)._4 == 1.0, "a twice-matched single axis still sums its max once per QUERY token")
   }
 
+  test("maxSimTopKAuto: ANN-screened scorer matches exact MaxSim at recall banding") {
+    // 12 docs x 4 tokens in 8-d: doc i's tokens point near axis (i%4)
+    // with small deterministic jitter, so each query's best matches are
+    // the same-axis docs. At recall-oriented banding the LSH token
+    // screen must recover the exact top-k, and survivors' scores are
+    // EXACTLY the brute-force MaxSim (same arithmetic, smaller input).
+    val corpus = (for {
+      doc <- 0L until 12L
+      tok <- 0L until 4L
+    } yield {
+      val v = Array.fill(8)(0f)
+      v((doc % 4).toInt) = 1f
+      v(((doc + tok) % 8).toInt) += 0.3f * ((tok % 3).toInt + 1)
+      (doc, tok, v)
+    }).toDF("doc_id", "d_token", "embedding")
+    val probes = corpus.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("d_token").as("q_token"),
+        col("embedding").as("query_vec"))
+    val exact = Similarity.maxSimTopK(probes, corpus, 4)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    val auto = Similarity.maxSimTopKAuto(probes, corpus, 4,
+        nPlanes = 16, bands = 8, dim = 8)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(auto == exact,
+      "screened MaxSim must reproduce the exact result when recall is full")
+    // determinism: seed-fixed planes, bit-identical on a second run
+    val again = Similarity.maxSimTopKAuto(probes, corpus, 4,
+        nPlanes = 16, bands = 8, dim = 8)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(again == auto)
+  }
+
+  test("maxSimTopKAutoSized: corpus-sized banding keeps clustered top-k exact") {
+    // 32 docs × 4 tokens, two well-separated clusters in 8-d (all of a
+    // doc's tokens near its cluster axis + deterministic jitter): the
+    // sized screen must keep every same-cluster true neighbor — the
+    // planted-cluster receipt shape (MaxSimScreenProbe) in miniature.
+    val corpus = (for {
+      doc <- 0L until 32L
+      tok <- 0L until 4L
+    } yield {
+      val v = Array.fill(8)(0f)
+      val c = (doc % 2).toInt * 4
+      v(c) = 2f; v(c + 1) = 2f
+      v(((doc + tok) % 8).toInt) += 0.2f * ((tok % 3).toInt + 1)
+      (doc, tok, v)
+    }).toDF("doc_id", "d_token", "embedding")
+    val probes = corpus.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("d_token").as("q_token"),
+        col("embedding").as("query_vec"))
+    val exact = Similarity.maxSimTopK(probes, corpus, 5)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    val sized = Similarity.maxSimTopKAutoSized(probes, corpus, 5, dim = 8)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(sized == exact,
+      "sized screen must recover the exact top-k on clustered data")
+  }
+
   test("pcaPower: rank-1 cloud recovers its axis, lambda its variance") {
     // points t*(1,2), t in {-2,-1,1,2}: mean 0, top component
     // +-(1,2)/sqrt(5), eigenvalue (sum t^2 / n) * |(1,2)|^2 = 2.5 * 5 = 12.5

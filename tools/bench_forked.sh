@@ -18,7 +18,9 @@
 set -euo pipefail
 SF_DIR=$1; OUT=$2; QUERIES=$3
 REPO=$(cd "$(dirname "$0")/.." && pwd)
-CLASSES="$REPO/target/scala-2.13/classes"
+# GRAFT_CLASSES: point at a classes SNAPSHOT (cp -r of target/scala-2.13/
+# classes) so a long receipt run is immune to concurrent recompiles.
+CLASSES="${GRAFT_CLASSES:-$REPO/target/scala-2.13/classes}"
 [ -d "$CLASSES" ] || { echo "run sbt compile first" >&2; exit 1; }
 CP="$CLASSES:/opt/spark/jars/*"
 ADD_OPENS=""
