@@ -1811,6 +1811,18 @@ object ExtQueries {
         col("bucket"))
     }),
 
+    // ── Centroid-distance embedding outliers — [EXT r12]: the corpus-
+    //    hygiene screen run before building any vector index (failed
+    //    encodes / garbage vectors sit far from the centroid). Two
+    //    bounded scans: q9 per-dim means (d-row collect, the pcaPower
+    //    class), 6dp dist² moments, pure-map z-scores
+    //    (Similarity.embeddingOutliers).
+    "ext_embedding_outliers" -> ((s, dir) => {
+      Similarity.embeddingOutliers(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"))
+        .orderBy("vec_id")
+    }),
+
     // ── Hard-negative mining (DPR/ANCE recipe) — [EXT r12]: exact
     //    cosine top-10 per probe, gold pairs anti-joined away, top-5
     //    negatives re-ranked per query (Eval.hardNegatives: hash
@@ -5432,6 +5444,46 @@ object ExtQueries {
         |  CASE WHEN n_a > 0 AND n_b > 0
         |       THEN CAST(SUM(term) AS DOUBLE) / 2 END AS jsd
         |FROM terms GROUP BY n_a, n_b""".stripMargin,
+
+    // Embedding-outlier replay: q9 per-dim means from decimal sums,
+    // the left-to-right dist² fold (list_sum), 6dp decimal moments,
+    // IEEE z chain.
+    "ext_embedding_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |m AS (
+        |  SELECT i, round(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 9)
+        |           AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 9) AS mv
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+        |ml AS (SELECT list(mv ORDER BY i) AS ms FROM m),
+        |d2 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN embedding IS NOT NULL AND len(embedding) = 64 THEN
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> (CAST(embedding[i] AS DOUBLE) - ms[i]) *
+        |             (CAST(embedding[i] AS DOUBLE) - ms[i]))), 6)
+        |    END AS dist2
+        |  FROM embeddings CROSS JOIN ml),
+        |mm AS (
+        |  SELECT CAST(COUNT(dist2) AS BIGINT) AS nn,
+        |    SUM(CAST(dist2 AS DECIMAL(28,6))) AS s1,
+        |    SUM(CAST(round(dist2 * dist2, 6) AS DECIMAL(38,6))) AS s2
+        |  FROM d2 WHERE dist2 IS NOT NULL),
+        |st AS (
+        |  SELECT nn, CAST(s1 AS DOUBLE) / nn AS mu,
+        |    sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / nn -
+        |      (CAST(s1 AS DOUBLE) / nn) * (CAST(s1 AS DOUBLE) / nn))) AS sigma
+        |  FROM mm),
+        |z AS (
+        |  SELECT vec_id, dist2,
+        |    CASE WHEN dist2 IS NULL THEN NULL
+        |         WHEN sigma > 0.0 THEN (dist2 - mu) / sigma
+        |         ELSE 0.0 END AS zscore
+        |  FROM d2 CROSS JOIN st)
+        |SELECT vec_id, dist2, zscore,
+        |  (zscore IS NULL OR abs(zscore) > 3.0) AS is_outlier
+        |FROM z ORDER BY vec_id""".stripMargin,
 
     // Hard-negative replay: the ext_cosine_topk arithmetic at k=10,
     // synthetic gold pairs anti-joined away, negatives re-ranked.

@@ -368,6 +368,41 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       "sized screen must recover the exact top-k on clustered data")
   }
 
+  test("embeddingOutliers: planted far vector flagged, malformed rows flagged null-z") {
+    // 20 tight vectors near (1,0) + one far at (9,0): the far one is the
+    // lone |z| > 3 flag; a null and a ragged row are flagged with null z
+    val base = (0L until 20L).map(i =>
+      (i, Array(1f + 0.01f * (i % 5), 0f)))
+    val rows = (base :+ ((20L, Array(9f, 0f)))).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingOutliers(rows, col("vec_id"), col("embedding"))
+      .orderBy("vec_id")
+      .as[(Long, Option[Double], Option[Double], Boolean)].collect()
+    assert(got.length == 21)
+    assert(got.count(_._4) == 1 && got.last._4, "only the planted far vector flags")
+    assert(got.last._3.exists(_ > 3.0))
+    assert(got.init.forall(r => r._3.exists(z => math.abs(z) <= 3.0)))
+    // malformed rows: excluded from moments, emitted flagged with null z
+    val withBad = rows.union(Seq(
+      (97L, null.asInstanceOf[Array[Float]]),
+      (98L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val bad = Similarity.embeddingOutliers(withBad, col("vec_id"), col("embedding"))
+      .filter(col("vec_id") >= 97)
+      .as[(Long, Option[Double], Option[Double], Boolean)].collect()
+    assert(bad.forall(r => r._2.isEmpty && r._3.isEmpty && r._4))
+    // all-equidistant corpus: sigma 0 → z 0, nothing flagged
+    val flat = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val f = Similarity.embeddingOutliers(flat, col("vec_id"), col("embedding"))
+      .as[(Long, Option[Double], Option[Double], Boolean)].collect()
+    assert(f.forall(r => r._3.contains(0.0) && !r._4))
+    // determinism: bit-identical on a second run
+    val a1 = Similarity.embeddingOutliers(rows, col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect().toSeq
+    val a2 = Similarity.embeddingOutliers(rows, col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect().toSeq
+    assert(a1 == a2)
+  }
+
   test("pcaPower: rank-1 cloud recovers its axis, lambda its variance") {
     // points t*(1,2), t in {-2,-1,1,2}: mean 0, top component
     // +-(1,2)/sqrt(5), eigenvalue (sum t^2 / n) * |(1,2)|^2 = 2.5 * 5 = 12.5
