@@ -86,6 +86,15 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Flesch readability screen — [EXT r12]: vowel-group syllable
+    //    heuristic, whitespace words, punctuation-run sentences; one
+    //    compiled-regex map pass, zero shuffles
+    //    (TextPipeline.readabilityScore scaladoc).
+    "ext_readability" -> ((s, dir) =>
+      TextPipeline.readabilityScore(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // ── Language ID (stopword-family votes; see TextFunctions.langId).
     "ext_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -869,6 +878,21 @@ object ExtQueries {
         .orderBy("vec_id")
     }),
 
+    // ── Simplified silhouette — [EXT r12]: the clustering-quality
+    //    readout over the same fixed centroids as ext_kmeans_assign;
+    //    own vs runner-up centroid cosine distance per vector, one map
+    //    pass + ≤k-row aggregate (Clustering.silhouette scaladoc).
+    "ext_silhouette" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy("vec_id")
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      Clustering.silhouette(
+        e.select("vec_id", "embedding"), col("embedding"), centroids)
+    }),
+
     // ── SemDeDup — planted-pair recall CERTIFICATE, fully oracled: 50
     //    copies with the FIRST coordinate zeroed (pure slice — bit-exact
     //    to rebuild) planted at vec_id+100000. The iterative KMeans fit
@@ -1206,6 +1230,16 @@ object ExtQueries {
         t(s, dir, "events"), col("event_type"), col("user_id"), k = 64)
         .orderBy("group_key")),
 
+    // ── Sketch-based join-size estimation — [EXT r12]: the planning
+    //    statistic computed BEFORE committing to a join strategy; KMV
+    //    sketches of both key columns → union/intersection/Jaccard and
+    //    the avg-multiplicity equi-join row estimate, one scan per side
+    //    (Sketches.joinSizeEstimate scaladoc).
+    "ext_join_size_est" -> ((s, dir) =>
+      Sketches.joinSizeEstimate(
+        t(s, dir, "orders"), col("o_custkey"),
+        t(s, dir, "customer"), col("c_custkey"), k = 128)),
+
     // ── SCD Type-2 history build from the events change-log: per-user
     //    run-length-collapsed event_type versions with [valid_from,
     //    valid_to) intervals (Scd.scd2 scaladoc — windows partition by
@@ -1506,6 +1540,16 @@ object ExtQueries {
       graft.operators.Experiment.abTest(
         users, col("arm"), col("converted"), "control", "treat")
     }),
+
+    // ── Poisson-bootstrap confidence intervals — [EXT r12]: per-type
+    //    mean event value with a 95% percentile CI from 40 seed-free
+    //    md5-weighted replicates; one scan, |groups|·41-row shuffle
+    //    (Experiment.bootstrapCI scaladoc — the Chamandy et al. recipe,
+    //    the only bootstrap that works distributedly).
+    "ext_bootstrap_ci" -> ((s, dir) =>
+      graft.operators.Experiment.bootstrapCI(
+        t(s, dir, "events"), col("event_type"), col("event_id"),
+        col("value"), replicates = 40, confidence = 0.95)),
 
     // ── Probabilistic record linkage (Fellegi–Sunter): score a
     //    perturbed re-delivery of the customer file against the master
@@ -2157,6 +2201,37 @@ object ExtQueries {
         |       CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |         / len(string_split(text, ' ')) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Readability replay: whitespace words, [.!?]+ sentence runs
+    // (min 1), [aeiouy]+ vowel groups on the lowercased text, the
+    // Flesch chain in exact IEEE arithmetic rounded 6dp, banded.
+    "ext_readability" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(len(string_split(text, ' ')) AS BIGINT)
+        |      ELSE 0 END AS words,
+        |    greatest(1,
+        |      coalesce(len(regexp_extract_all(text, '[.!?]+')), 0)) AS sen,
+        |    coalesce(len(regexp_extract_all(lower(text), '[aeiouy]+')), 0)
+        |      AS syl
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, words, sen, syl,
+        |    CASE WHEN words > 0 THEN
+        |      round(206.835
+        |        - 1.015 * (CAST(words AS DOUBLE) / CAST(sen AS DOUBLE))
+        |        - 84.6 * (CAST(syl AS DOUBLE) / CAST(words AS DOUBLE)), 6)
+        |    END AS flesch
+        |  FROM f)
+        |SELECT doc_id, words, CAST(sen AS BIGINT) AS sentences,
+        |  CAST(syl AS BIGINT) AS syllables, flesch,
+        |  CASE WHEN flesch IS NULL THEN 'empty'
+        |    WHEN flesch >= 70.0 THEN 'easy'
+        |    WHEN flesch >= 50.0 THEN 'standard'
+        |    WHEN flesch >= 30.0 THEN 'difficult'
+        |    ELSE 'very_hard' END AS band
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "ext_text_quality" ->
       """SELECT doc_id,
@@ -3510,6 +3585,45 @@ object ExtQueries {
         |       round(sim, 6) AS sim
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
+    // Silhouette replay: the kmeans_assign sim chain ranked per vector,
+    // s1/s2 = top-two cosines, (b-a)/max(a,b) in exact IEEE arithmetic,
+    // 6dp-quantized means via DECIMAL sums.
+    "ext_silhouette" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cluster_id, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT e.vec_id, c.cluster_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))) AS sim
+        |  FROM embeddings e CROSS JOIN c),
+        |r AS (
+        |  SELECT vec_id, cluster_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                       ORDER BY sim DESC, cluster_id) AS rn
+        |  FROM sc),
+        |p AS (
+        |  SELECT vec_id,
+        |    MAX(CASE WHEN rn = 1 THEN cluster_id END) AS own,
+        |    MAX(CASE WHEN rn = 1 THEN sim END) AS s1,
+        |    MAX(CASE WHEN rn = 2 THEN sim END) AS s2
+        |  FROM r WHERE rn <= 2 GROUP BY vec_id),
+        |s AS (
+        |  SELECT own,
+        |    round(CASE WHEN greatest(1.0 - s1, 1.0 - s2) > 0.0
+        |      THEN ((1.0 - s2) - (1.0 - s1)) / greatest(1.0 - s1, 1.0 - s2)
+        |      ELSE 0.0 END, 6) AS sil
+        |  FROM p)
+        |SELECT CAST(own AS INTEGER) AS cluster,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(sil AS DECIMAL(28,6))) AS DOUBLE)
+        |        / COUNT(*), 6) AS mean_sil
+        |FROM s GROUP BY 1 ORDER BY cluster""".stripMargin,
+
     // Integer codes from per-dimension min/max ranges: min/max and floor
     // are exact in IEEE double, so the compare is bit-exact.
     "ext_embed_quantize" ->
@@ -4091,6 +4205,73 @@ object ExtQueries {
         |SELECT group_key, kmv_n FROM pg
         |UNION ALL SELECT group_key, kmv_n FROM mg
         |ORDER BY group_key""".stripMargin,
+
+    // Join-size replay: the kmv hash/rank chain per side, sketch
+    // contents = top-128 rows, union-of-sketches ranked again for the
+    // k-th-minimum union estimate, coincidence count over the k
+    // smallest, then the containment x avg-multiplicity model — every
+    // step integer or IEEE-exact, rounded where the engine rounds.
+    "ext_join_size_est" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT CAST(concat('0x',
+        |    substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |ra AS (
+        |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+        |    COUNT(*) OVER () AS dx FROM ha),
+        |ka AS (SELECT h FROM ra WHERE rn <= 128),
+        |sa AS (
+        |  SELECT
+        |    (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL) AS n_a,
+        |    round(CASE WHEN MAX(dx) < 128 THEN CAST(MAX(dx) AS DOUBLE)
+        |      ELSE 127.0 * 1152921504606846976.0 /
+        |        CAST(MAX(CASE WHEN rn = 128 THEN h END) AS DOUBLE)
+        |      END, 4) AS d_a
+        |  FROM ra WHERE rn <= 128),
+        |hb AS (
+        |  SELECT DISTINCT CAST(concat('0x',
+        |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM customer WHERE c_custkey IS NOT NULL),
+        |rb AS (
+        |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+        |    COUNT(*) OVER () AS dx FROM hb),
+        |kb AS (SELECT h FROM rb WHERE rn <= 128),
+        |sb AS (
+        |  SELECT
+        |    (SELECT COUNT(*) FROM customer WHERE c_custkey IS NOT NULL) AS n_b,
+        |    round(CASE WHEN MAX(dx) < 128 THEN CAST(MAX(dx) AS DOUBLE)
+        |      ELSE 127.0 * 1152921504606846976.0 /
+        |        CAST(MAX(CASE WHEN rn = 128 THEN h END) AS DOUBLE)
+        |      END, 4) AS d_b
+        |  FROM rb WHERE rn <= 128),
+        |un AS (SELECT h FROM ka UNION SELECT h FROM kb),
+        |ru AS (
+        |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+        |    COUNT(*) OVER () AS nu FROM un),
+        |du AS (
+        |  SELECT MAX(nu) AS nu,
+        |    round(CASE WHEN MAX(nu) < 128 THEN CAST(MAX(nu) AS DOUBLE)
+        |      ELSE 127.0 * 1152921504606846976.0 /
+        |        CAST(MAX(CASE WHEN rn = 128 THEN h END) AS DOUBLE)
+        |      END, 4) AS d_union
+        |  FROM ru WHERE rn <= 128),
+        |ix AS (
+        |  SELECT COUNT(*) AS ni FROM ru
+        |  WHERE rn <= 128 AND h IN (SELECT h FROM ka)
+        |    AND h IN (SELECT h FROM kb)),
+        |rh AS (
+        |  SELECT CASE WHEN least(128, nu) > 0
+        |    THEN CAST(ni AS DOUBLE) / CAST(least(128, nu) AS DOUBLE)
+        |    ELSE 0.0 END AS rho
+        |  FROM ix, du)
+        |SELECT n_a, n_b, d_a, d_b, d_union,
+        |  round(rho, 6) AS jaccard,
+        |  round(rho * d_union, 4) AS d_intersect,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN round(round(rho * d_union, 4) *
+        |      (CAST(n_a AS DOUBLE) / d_a) * (CAST(n_b AS DOUBLE) / d_b), 4)
+        |    ELSE 0.0 END AS join_rows_est
+        |FROM sa, sb, du, rh""".stripMargin,
 
     "ext_scd2" -> Scd2FullRebuildOracle,
 
@@ -4848,6 +5029,64 @@ object ExtQueries {
 
     // Pure IEEE replay: counts, divides, sqrt — bit-exact with no
     // quantization (the Experiment scaladoc's determinism class).
+    // Poisson-bootstrap replay: the frozen PoissonCumHex thresholds
+    // against the md5("id:r") 8-hex prefix (lexicographic == numeric),
+    // 6dp decimal weighted sums, one IEEE divide per replicate mean,
+    // rank-1/rank-39 order statistics with the (mean, r) tie-break and
+    // NULLS LAST (all-zero replicates of tiny groups sort last).
+    "ext_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT event_type AS group_key, CAST(event_id AS VARCHAR) AS sid,
+        |    CAST(round(value, 6) AS DECIMAL(28,6)) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |ex AS (
+        |  SELECT b.*, t.r FROM base b
+        |  CROSS JOIN (SELECT unnest(range(-1, 40)) AS r) t),
+        |w AS (
+        |  SELECT group_key, r, x,
+        |    CASE WHEN r = -1 THEN 1
+        |      WHEN substr(md5(sid || ':' || CAST(r AS VARCHAR)), 1, 8)
+        |        < '5e2d58d8' THEN 0
+        |      WHEN substr(md5(sid || ':' || CAST(r AS VARCHAR)), 1, 8)
+        |        < 'bc5ab1b1' THEN 1
+        |      WHEN substr(md5(sid || ':' || CAST(r AS VARCHAR)), 1, 8)
+        |        < 'eb715e1d' THEN 2
+        |      WHEN substr(md5(sid || ':' || CAST(r AS VARCHAR)), 1, 8)
+        |        < 'fb239797' THEN 3
+        |      WHEN substr(md5(sid || ':' || CAST(r AS VARCHAR)), 1, 8)
+        |        < 'ff1025f5' THEN 4
+        |      WHEN substr(md5(sid || ':' || CAST(r AS VARCHAR)), 1, 8)
+        |        < 'ffd90f3b' THEN 5
+        |      WHEN substr(md5(sid || ':' || CAST(r AS VARCHAR)), 1, 8)
+        |        < 'fffa8b71' THEN 6
+        |      ELSE 7 END AS w
+        |  FROM ex),
+        |m AS (
+        |  SELECT group_key, r, SUM(w) AS sw, SUM(w * x) AS swx
+        |  FROM w GROUP BY 1, 2),
+        |mm AS (
+        |  SELECT group_key, r, sw,
+        |    CASE WHEN sw > 0
+        |      THEN round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+        |    END AS mean_r
+        |  FROM m),
+        |pt AS (
+        |  SELECT group_key, CAST(sw AS BIGINT) AS n, mean_r AS mean
+        |  FROM mm WHERE r = -1),
+        |rk AS (
+        |  SELECT group_key, mean_r,
+        |    ROW_NUMBER() OVER (PARTITION BY group_key
+        |      ORDER BY mean_r ASC NULLS LAST, r) AS rn
+        |  FROM mm WHERE r >= 0),
+        |ci AS (
+        |  SELECT group_key,
+        |    MIN(CASE WHEN rn = 1 THEN mean_r END) AS ci_lo,
+        |    MIN(CASE WHEN rn = 39 THEN mean_r END) AS ci_hi
+        |  FROM rk GROUP BY 1)
+        |SELECT p.group_key, p.n, p.mean, c.ci_lo, c.ci_hi
+        |FROM pt p JOIN ci c USING (group_key)
+        |ORDER BY group_key""".stripMargin,
+
     "ext_ab_test" ->
       """WITH u AS (
         |  SELECT user_id,

@@ -66,6 +66,64 @@ object Clustering {
       .drop("_best")
   }
 
+  /** Per-cluster mean SIMPLIFIED SILHOUETTE — the clustering-quality
+    * readout run after every k-means fit (is this clustering worth the
+    * semdedup pass it gates?). The classical silhouette needs all
+    * pairwise distances (O(n²) — banned shape); the simplified form
+    * (Hruschka et al. 2004, what the large-scale libraries actually
+    * ship) replaces them with centroid distances:
+    *
+    *   a(x) = 1 − cos(x, own centroid)   (cosine distance, this repo's
+    *   b(x) = 1 − cos(x, runner-up)       clustering metric)
+    *   s(x) = (b − a) / max(a, b) ∈ [−1, 1]
+    *
+    * Because own = argmax cosine, the runner-up IS the second-highest
+    * cosine overall — both come out of ONE sorted (negsim, cluster_id)
+    * struct array, the same total-order tie-break as [[assign]].
+    *
+    * 100 TB shape: one map pass against k·dim centroid LITERALS (no
+    * join), then a ≤k-row aggregate — s(x) is map-side math, the
+    * shuffle carries k rows. Same cost class as the assignment pass it
+    * audits.
+    *
+    * Determinism: sims are exact left-to-right folds; a, b, and the
+    * divide are IEEE-exact; s quantized round(·,6) into DECIMAL(28,6)
+    * sums (|Σ| ≤ n — no headroom concern), one divide, round 6.
+    * x == centroid == runner-up (max(a,b) = 0) → s = 0 by convention.
+    *
+    * Output: (cluster, n, mean_sil), one row per NON-EMPTY cluster,
+    * ordered. Clusters nothing assigned to are absent (their silhouette
+    * is undefined, not zero). */
+  def silhouette(
+      df: DataFrame,
+      vec: Column,
+      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    require(centroids.length >= 2,
+      s"silhouette needs >= 2 centroids, got ${centroids.length}")
+    val packed = graft.functions.TextFunctions.bound(
+      array_sort(
+        transform(centroidArr(centroids), c =>
+          struct(
+            (lit(-1.0) * Similarity.cosine(vec, c("centroid"))).as("negsim"),
+            c("cluster_id").as("cluster_id"))))) { sorted =>
+      val s1 = lit(-1.0) * element_at(sorted, 1)("negsim")
+      val s2 = lit(-1.0) * element_at(sorted, 2)("negsim")
+      val a = lit(1.0) - s1
+      val b = lit(1.0) - s2
+      val sil = when(greatest(a, b) > 0.0, (b - a) / greatest(a, b))
+        .otherwise(lit(0.0))
+      struct(element_at(sorted, 1)("cluster_id").as("cluster"),
+        round(sil, 6).as("sil"))
+    }
+    df.select(packed.as("p"))
+      .select(col("p.cluster").as("cluster"), col("p.sil").as("sil"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sil").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_sil"))
+      .orderBy("cluster")
+  }
+
   /** Corpus-sized cluster count: k = ⌈n / targetClusterSize⌉ (min 2).
     * SemDeDup's candidate volume is Σ|cluster|²/2 ≈ n²/(2k) — with FIXED
     * k it grows quadratically in corpus size (measured: 16× wall at 26×

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Experiment readout: the two-sample proportion z-test every
@@ -80,5 +81,106 @@ object Experiment {
       col("n_b"), col("conv_b"), round(pB, 6).as("rate_b"),
       round(z, 6).as("z"),
       (abs(z) >= critical).as("significant"))
+  }
+
+  /** Cumulative Poisson(λ=1) probabilities for weights 0..6, frozen as
+    * 32-bit hex thresholds (⌊P(X ≤ k)·16⁸⌋, lowercase, zero-padded so
+    * lexicographic compare == numeric compare). A unit's replicate-r
+    * weight is the count of thresholds ≤ its 8-hex-char md5 prefix —
+    * weight w with probability e⁻¹/w!, capped at 7 (tail mass ~8·10⁻⁵).
+    * CONSTANTS, not computed: the oracle SQL must carry the identical
+    * literals, so both engines compare against the same frozen bytes. */
+  private val PoissonCumHex: Seq[String] = Seq(
+    "5e2d58d8", // P(0) = 0.36787944117144233
+    "bc5ab1b1", // P(≤1) = 0.7357588823428847
+    "eb715e1d", // P(≤2) = 0.9196986029286058
+    "fb239797", // P(≤3) = 0.9810118431238462
+    "ff1025f5", // P(≤4) = 0.9963401531726563
+    "ffd90f3b", // P(≤5) = 0.9994058151824183
+    "fffa8b71") // P(≤6) = 0.9999167588507119
+
+  /** Per-group mean with a percentile bootstrap confidence interval —
+    * the error bar every pipeline-metric readout (mean quality score
+    * per source, mean tokens per shard) should carry, computed the only
+    * way that works at 100 TB: the POISSON BOOTSTRAP (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", Google 2012).
+    * Classical resampling draws n rows with replacement per replicate —
+    * impossible distributedly; instead each row independently
+    * contributes Poisson(1) copies to each replicate (the n→∞ limit of
+    * Binomial(n, 1/n) multiplicities), which is a pure MAP decision.
+    *
+    * Weights are seed-free and portable: replicate r's weight for unit
+    * id is the [[PoissonCumHex]] threshold count under the md5("id:r")
+    * 8-hex prefix — deterministic across engines, cluster layouts, and
+    * retries (the repo's md5-grid discipline, `weightedSystematicSample`
+    * class).
+    *
+    * 100 TB shape: ONE scan — rows explode ×(R+1) map-side (replicate
+    * −1 is the unweighted point estimate riding the same pass) and
+    * collapse immediately into the (group, r) partial aggregate, so
+    * shuffle volume is |groups|·(R+1) rows regardless of input size;
+    * the CI is a window over the ≤R rows of each group (post-aggregate
+    * discipline, B6 class). No per-unit state, no driver loop.
+    *
+    * Determinism: x quantized round(·,6) into DECIMAL(28,6) sums
+    * (|Σ w·x| must stay < ~9·10⁹ for the decimal→double cast to be
+    * exactly rounded on both engines — holds for metric-scale values;
+    * anchor first for epoch-scale inputs), one IEEE divide per
+    * replicate mean, round 6. Rank selection orders (mean, r) — total
+    * order, tie-proof.
+    *
+    * Edges: null values are dropped (a group that is all-null
+    * disappears — no mean exists); a small group can draw an all-zero
+    * replicate (P = e⁻ⁿ) whose mean is NULL — such replicates sort
+    * LAST (explicitly, matching DuckDB's default) and a CI touching
+    * them reads NULL, loudly wider-than-data rather than silently
+    * clamped.
+    *
+    * Output: one row per group — (group_key, n, mean, ci_lo, ci_hi). */
+  def bootstrapCI(
+      units: DataFrame,
+      group: Column,
+      id: Column,
+      value: Column,
+      replicates: Int = 40,
+      confidence: Double = 0.95): DataFrame = {
+    require(replicates >= 4, s"need >= 4 replicates, got $replicates")
+    require(confidence > 0 && confidence < 1,
+      s"confidence must be in (0,1), got $confidence")
+    val loRank = math.max(1,
+      math.floor((1 - confidence) / 2 * replicates).toInt)
+    val hiRank = math.min(replicates,
+      math.ceil((1 + confidence) / 2 * replicates).toInt)
+    val u = substring(
+      md5(concat(col("sid"), lit(":"), col("r").cast("string"))), 1, 8)
+    val poissonW = PoissonCumHex.zipWithIndex
+      .foldLeft(when(col("r") === -1, 1)) { case (acc, (hex, w)) =>
+        acc.when(u < hex, w)
+      }
+      .otherwise(PoissonCumHex.length)
+    val means = units
+      .filter(value.isNotNull)
+      .select(group.as("group_key"), id.cast("string").as("sid"),
+        round(value.cast("double"), 6).cast("decimal(28,6)").as("x"))
+      .withColumn("r", explode(sequence(lit(-1), lit(replicates - 1))))
+      .withColumn("w", poissonW)
+      .groupBy("group_key", "r")
+      .agg(sum(col("w").cast("long")).as("sw"),
+        sum(col("w").cast("decimal(12,0)") * col("x")).as("swx"))
+      .select(col("group_key"), col("r"), col("sw"),
+        when(col("sw") > 0,
+          round(col("swx").cast("double") / col("sw").cast("double"), 6))
+          .as("mean_r"))
+    val point = means.filter(col("r") === -1)
+      .select(col("group_key"), col("sw").as("n"), col("mean_r").as("mean"))
+    val ci = means.filter(col("r") >= 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("group_key")
+          .orderBy(col("mean_r").asc_nulls_last, col("r"))))
+      .groupBy("group_key")
+      .agg(
+        min(when(col("rn") === loRank, col("mean_r"))).as("ci_lo"),
+        min(when(col("rn") === hiRank, col("mean_r"))).as("ci_hi"))
+    point.join(ci, Seq("group_key")).orderBy("group_key")
   }
 }

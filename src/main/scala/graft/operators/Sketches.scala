@@ -318,6 +318,82 @@ object Sketches {
       .select(col("group_key"), kmvEstimate(col("hs"), k).as("kmv_n"))
   }
 
+  /** Sketch-based JOIN-SIZE ESTIMATION — the planning statistic a
+    * 100 TB engine wants BEFORE committing to a join strategy (will
+    * `orders ⋈ customer` broadcast? explode? need salting?), computed
+    * without running the join: KMV sketches of both key columns give
+    * the union cardinality via the k-th-minimum estimator, the Jaccard
+    * via the ρ = |X ∩ A ∩ B|/k coincidence rate over the k smallest
+    * union hashes (Beyer et al., "On Synopses for Distinct-Value
+    * Estimation Under Multiset Operations", SIGMOD'07 — the theta-
+    * sketch intersection), and the equi-join row estimate from the
+    * containment × average-multiplicity model:
+    *
+    *   D_∩ ≈ ρ·D_∪,   |A ⋈ B| ≈ D_∩ · (n_a/D_a) · (n_b/D_b)
+    *
+    * Exactness note: below saturation (|union hashes| < k) BOTH
+    * sketches are their complete distinct-hash sets, so D_∪, D_∩ and
+    * the Jaccard are EXACT (modulo 60-bit hash collisions), same rule
+    * as [[kmvDistinct]].
+    *
+    * 100 TB shape: one scan per side — distinct-hash pre-aggregate,
+    * then a k-long MinK buffer per side; the estimate itself is array
+    * arithmetic over two broadcast 1-row frames. Null keys are DROPPED
+    * (a null never equi-joins; both engines agree).
+    *
+    * Determinism: hashes are [[portableHash]] 60-bit md5 prefixes;
+    * every estimate is an IEEE chain over integers, rounded 4dp (the
+    * [[kmvDistinct]] discipline).
+    *
+    * Output: ALWAYS one row — (n_a, n_b, d_a, d_b, d_union, jaccard,
+    * d_intersect, join_rows_est); an empty side yields zero estimates,
+    * not an empty frame. */
+  def joinSizeEstimate(
+      dfA: DataFrame, keyA: Column,
+      dfB: DataFrame, keyB: Column,
+      k: Int = 128): DataFrame = {
+    require(k > 1, s"KMV needs k > 1 (estimate uses k-1), got $k")
+    val minK = udaf(MinK(k), Encoders.scalaLong)
+    def side(df: DataFrame, key: Column, tag: String): DataFrame = df
+      .filter(key.isNotNull)
+      .select(portableHash(key.cast("string"), 15).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as(s"n_$tag"),
+        minK(col("h")).as(s"hs_$tag"),
+        count(lit(1)).as(s"dx_$tag"))
+    def est(hs: Column, exact: Column): Column =
+      round(
+        when(size(hs) < k, exact.cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            element_at(hs, k).cast("double")), 4)
+    val both = side(dfA, keyA, "a").crossJoin(broadcast(side(dfB, keyB, "b")))
+    val packed = graft.functions.TextFunctions.bound(
+      array_sort(array_union(col("hs_a"), col("hs_b")))) { un =>
+      val dU = est(un, size(un))
+      // ρ's denominator: how many union hashes X actually holds; both
+      // sides empty → 0/0, defined to ρ = 0 (ANSI divides throw)
+      val xK = when(size(un) < k, size(un)).otherwise(lit(k))
+      val rho = when(xK > 0,
+        size(array_intersect(
+          array_intersect(slice(un, 1, k), col("hs_a")), col("hs_b")))
+          .cast("double") / xK.cast("double"))
+        .otherwise(lit(0.0))
+      val dA = est(col("hs_a"), col("dx_a"))
+      val dB = est(col("hs_b"), col("dx_b"))
+      val dI = round(rho * dU, 4)
+      struct(
+        col("n_a"), col("n_b"), dA.as("d_a"), dB.as("d_b"),
+        dU.as("d_union"),
+        round(rho, 6).as("jaccard"),
+        dI.as("d_intersect"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(dI * (col("n_a").cast("double") / dA) *
+            (col("n_b").cast("double") / dB), 4))
+          .otherwise(lit(0.0)).as("join_rows_est"))
+    }
+    both.select(packed.as("p")).select(col("p.*"))
+  }
+
   /** KMV MERGEABILITY rollup: per-group distinct estimates plus a
     * global `__all__` estimate computed FROM THE PER-GROUP SKETCHES
     * ALONE — union the groups' kept minima, keep the k smallest, apply

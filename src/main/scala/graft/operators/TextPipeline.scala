@@ -301,6 +301,54 @@ object TextPipeline {
           .as("dup_bigram_frac"))
   }
 
+  /** Flesch reading-ease scoring with a vowel-group syllable heuristic —
+    * the classical readability screen a curation pipeline runs next to
+    * [[graft.functions.TextFunctions.qualityScore]] (readability bands
+    * are a standard stratification key for curriculum/mix decisions):
+    *
+    *   flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * Heuristics, stated honestly: words = whitespace tokens (the repo's
+    * tokenizer), sentences = max(1, count of `[.!?]+` runs) so
+    * unpunctuated text reads as one long sentence (scoring appropriately
+    * hard), syllables = count of `[aeiouy]+` vowel groups in the
+    * lowercased text — the textstat-style approximation; all three are
+    * single compiled-regex map passes, which is the point: the exact
+    * linguistic counts would need per-word dictionaries, this runs at
+    * corpus scale in one scan with zero shuffles (the output is
+    * per-document; any downstream banding aggregate is ≤5 rows).
+    *
+    * Determinism: counts are integers; the score is two IEEE divides +
+    * multiply/subtract on decimal literals that round-trip exactly,
+    * quantized round(·,6). Null/empty text → 0 words → NULL score,
+    * band "empty" (emitted, not dropped — the B14 keep-empty rule).
+    *
+    * Output: (doc_id, words, sentences, syllables, flesch, band);
+    * bands at the conventional 70/50/30 cuts. */
+  def readabilityScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = coalesce(
+      when(length(text) > 0, TextFunctions.tokenCount(text)), lit(0L))
+    val sents = greatest(lit(1L),
+      regexp_count(text, lit("[.!?]+")).cast("long"))
+    val syls = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+    docs
+      .select(id.as("doc_id"), words.as("words"), sents.as("sentences"),
+        coalesce(syls, lit(0L)).as("syllables"))
+      .withColumn("flesch",
+        when(col("words") > 0,
+          round(lit(206.835) -
+            lit(1.015) * (col("words").cast("double") /
+              col("sentences").cast("double")) -
+            lit(84.6) * (col("syllables").cast("double") /
+              col("words").cast("double")), 6)))
+      .withColumn("band",
+        when(col("flesch").isNull, "empty")
+          .when(col("flesch") >= 70.0, "easy")
+          .when(col("flesch") >= 50.0, "standard")
+          .when(col("flesch") >= 30.0, "difficult")
+          .otherwise("very_hard"))
+  }
+
   /** BM25 relevance scores for a fixed bag of query terms — the
     * retrieval-quality primitive (rank corpus documents against a probe
     * query; also the scoring half of quality-classifier bootstrapping).

@@ -137,6 +137,39 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert(!m.converged) // 1 Lloyd step from hash-sampled seeds cannot settle
   }
 
+  test("silhouette: separated clusters score high, equidistant scores 0, exact-match scores 1") {
+    val centroids = Array(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0))
+    // tight points around each axis + one exactly equidistant
+    val pts = Seq(
+      (1L, Array(1.0f, 0.05f)), (2L, Array(1.0f, 0.1f)),
+      (3L, Array(0.05f, 1.0f)), (4L, Array(0.1f, 1.0f)),
+      (5L, Array(1.0f, 1.0f))) // cos = 1/sqrt(2) to both -> s1 == s2 -> 0
+      .toDF("vec_id", "embedding")
+    val got = Clustering.silhouette(pts, col("embedding"), centroids)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0)._2 == 3 && got(1)._2 == 2,
+      "tie on the equidistant point breaks to the lower cluster id")
+    assert(got(1)._3 > 0.5, s"tight cluster 1 must score high, got ${got(1)._3}")
+    // vector == centroid with an orthogonal runner-up: a = 0, b = 1 -> s = 1
+    val exact = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = Clustering.silhouette(exact, col("embedding"), centroids)
+      .as[(Int, Long, Double)].collect().head
+    assert(e._1 == 0 && e._3 == 1.0)
+    // empty clusters are ABSENT, not zero rows; k < 2 refuses
+    val one = Clustering.silhouette(
+      Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      col("embedding"), centroids)
+    assert(one.count() == 1)
+    assertThrows[IllegalArgumentException] {
+      Clustering.silhouette(pts, col("embedding"),
+        Array(0 -> Array(1.0, 0.0)))
+    }
+    // determinism
+    val a1 = Clustering.silhouette(pts, col("embedding"), centroids).collect().toSeq
+    val a2 = Clustering.silhouette(pts, col("embedding"), centroids).collect().toSeq
+    assert(a1 == a2)
+  }
+
   test("fit dispatches to the two-level algorithm at large k and still separates") {
     // below the threshold: plain Lloyd, exactly k centroids
     val small = Clustering.fit(vecs, col("vec_id"), col("embedding"), k = 3)

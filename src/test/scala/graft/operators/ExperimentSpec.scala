@@ -69,6 +69,47 @@ class ExperimentSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(r.fieldIndex("significant")))
   }
 
+  test("bootstrapCI: CI brackets the mean, shrinks with n, constant data collapses") {
+    // uniform-ish planted values: group "big" 400 units, "small" 40 units
+    val units = (1L to 400L).map(i => ("big", i, (i % 100).toDouble)) ++
+      (1L to 40L).map(i => ("small", 1000L + i, (i % 100).toDouble * 2.5))
+    val got = Experiment.bootstrapCI(units.toDF("g", "id", "v"),
+      col("g"), col("id"), col("v"))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val big = got("big"); val small = got("small")
+    assert(big._2 == 400 && small._2 == 40)
+    assert(big._4 <= big._3 && big._3 <= big._5,
+      s"CI [${big._4}, ${big._5}] must bracket mean ${big._3}")
+    assert(small._4 <= small._3 && small._3 <= small._5)
+    // ~1/sqrt(n): the 10x-smaller group's CI is decisively wider
+    // (deterministic: md5 weights, so this is a fixed number)
+    assert((small._5 - small._4) > (big._5 - big._4) * 1.5,
+      "40-unit CI must be much wider than the 400-unit one")
+    // constant data: every replicate mean == the value, CI collapses
+    val const = (1L to 100L).map(i => ("c", i, 7.25)).toDF("g", "id", "v")
+    val c = Experiment.bootstrapCI(const, col("g"), col("id"), col("v"))
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(c._3 == 7.25 && c._4 == 7.25 && c._5 == 7.25)
+  }
+
+  test("bootstrapCI: null values dropped, all-null group absent, deterministic") {
+    val units = Seq(
+      ("a", 1L, Some(1.0)), ("a", 2L, None), ("a", 3L, Some(3.0)),
+      ("n", 4L, None), ("n", 5L, None))
+      .toDF("g", "id", "v")
+    val got = Experiment.bootstrapCI(units, col("g"), col("id"), col("v"))
+      .collect()
+    assert(got.length == 1, "the all-null group has no mean — absent")
+    val r = got.head
+    assert(r.getString(0) == "a" && r.getLong(1) == 2,
+      "n counts non-null units only")
+    assert(r.getDouble(2) == 2.0)
+    val again = Experiment.bootstrapCI(units, col("g"), col("id"), col("v"))
+      .collect()
+    assert(got.toSeq == again.toSeq, "md5 weights: bit-identical reruns")
+  }
+
   test("abTest plan: one variant-keyed aggregation, broadcastable 1x1 join") {
     val units = (1L to 2000L).map(i => (if (i % 2 == 0) "A" else "B", i % 3 == 0))
       .toDF("arm", "conv")

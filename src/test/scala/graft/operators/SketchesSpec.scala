@@ -215,4 +215,59 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(sm == Map("a" -> Some(2.0), "b" -> Some(2.0),
       "__all__" -> Some(3.0)), "below k every estimate is exact")
   }
+
+  test("joinSizeEstimate: sub-saturation is exact set arithmetic") {
+    // A = 1..50 (x2 multiplicity), B = 26..75: everything below k=128
+    val a = ((1 to 50) ++ (1 to 50)).map(i => Tuple1(i.toLong)).toDF("k")
+    val b = (26 to 75).map(i => Tuple1(i.toLong)).toDF("k")
+    val r = Sketches.joinSizeEstimate(a, col("k"), b, col("k"), k = 128)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n_a")) == 100)
+    assert(r.getLong(r.fieldIndex("n_b")) == 50)
+    assert(r.getDouble(r.fieldIndex("d_a")) == 50.0)
+    assert(r.getDouble(r.fieldIndex("d_b")) == 50.0)
+    assert(r.getDouble(r.fieldIndex("d_union")) == 75.0)
+    assert(r.getDouble(r.fieldIndex("d_intersect")) == 25.0)
+    // true join size: 25 shared keys x 2 copies in A = 50 rows, and the
+    // model is exact here because multiplicity is uniform
+    assert(r.getDouble(r.fieldIndex("join_rows_est")) == 50.0)
+  }
+
+  test("joinSizeEstimate: saturated sketches land within KMV tolerance") {
+    // A = 1..2000 x2, B = 1001..3000: true d_a=2000 d_b=2000 union=3000
+    // intersect=1000 join rows=2000. k=512 -> ~1/sqrt(511) ~ 4.4% rel
+    // err; this fixed md5 draw measures d_a 2034, d_b 2041, d_union
+    // 3201 (replayed in DuckDB) — 15% bounds leave ~3 sigma of slack
+    // without accepting a broken estimator. (k=128 on these exact keys
+    // draws d_union 31% high — variance, verified engine-identical.)
+    val a = ((1 to 2000) ++ (1 to 2000)).map(i => Tuple1(i.toLong)).toDF("k")
+    val b = (1001 to 3000).map(i => Tuple1(i.toLong)).toDF("k")
+    val r = Sketches.joinSizeEstimate(a, col("k"), b, col("k"), k = 512)
+      .collect().head
+    def within(c: String, truth: Double, tol: Double) = {
+      val v = r.getDouble(r.fieldIndex(c))
+      assert(math.abs(v - truth) <= truth * tol, s"$c: $v vs $truth")
+    }
+    within("d_a", 2000, 0.15)
+    within("d_b", 2000, 0.15)
+    within("d_union", 3000, 0.15)
+    within("d_intersect", 1000, 0.25)
+    within("join_rows_est", 2000, 0.25)
+    val j = r.getDouble(r.fieldIndex("jaccard"))
+    assert(j > 0.25 && j < 0.42, s"true jaccard 1/3, got $j")
+  }
+
+  test("joinSizeEstimate: nulls never join; empty side yields a zero row") {
+    val a = Seq(Some(1L), Some(2L), None).map(Tuple1(_)).toDF("k")
+    val empty = Seq.empty[Tuple1[Long]].toDF("k")
+    val r = Sketches.joinSizeEstimate(a, col("k"), empty, col("k"), k = 16)
+      .collect()
+    assert(r.length == 1, "always exactly one readout row")
+    val row = r.head
+    assert(row.getLong(row.fieldIndex("n_a")) == 2, "null keys dropped")
+    assert(row.getLong(row.fieldIndex("n_b")) == 0)
+    assert(row.getDouble(row.fieldIndex("d_union")) == 2.0)
+    assert(row.getDouble(row.fieldIndex("jaccard")) == 0.0)
+    assert(row.getDouble(row.fieldIndex("join_rows_est")) == 0.0)
+  }
 }

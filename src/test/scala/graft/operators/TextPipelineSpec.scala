@@ -712,4 +712,27 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got(0) == ((1L, 2L, (t23 + t34).toDouble / 2.0)))
     assert(got(1) == ((2L, 1L, t34.toDouble / 1.0)))
   }
+
+  test("readabilityScore: hand-computed Flesch, bands, empty/null handling") {
+    // "The cat sat. The dog ran!" -> 6 words, 2 sentence runs, 6 vowel
+    // groups: flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, Array.fill(150)("word").mkString(" "))) // 150 words, 1 "sentence"
+      .toDF("doc_id", "text")
+    val got = TextPipeline.readabilityScore(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Option[Double], String)].collect()
+    val r1 = got(0)
+    assert(r1._2 == 6 && r1._3 == 2 && r1._4 == 6)
+    assert(r1._5.contains(119.19) && r1._6 == "easy", s"got $r1")
+    // empty and null text: 0 words, null score, band "empty", emitted
+    assert(got(1)._2 == 0 && got(1)._5.isEmpty && got(1)._6 == "empty")
+    assert(got(2)._2 == 0 && got(2)._5.isEmpty && got(2)._6 == "empty")
+    // 150 unpunctuated words: 206.835 - 1.015*150 - 84.6*(150/150) < 0
+    assert(got(3)._3 == 1, "no punctuation -> one long sentence")
+    assert(got(3)._5.exists(_ < 0) && got(3)._6 == "very_hard")
+  }
 }
