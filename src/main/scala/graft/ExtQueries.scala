@@ -520,6 +520,18 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Eval-set n-gram coverage — [EXT r12]: contamination's dual
+    //    (does the corpus cover the benchmark's language?); eval grams
+    //    broadcast, corpus scanned once map-side, only matches
+    //    aggregate (TextPipeline.evalCoverage scaladoc).
+    "ext_eval_coverage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val eval = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      TextPipeline.evalCoverage(corpus, eval, col("doc_id"), col("text"), 5)
+        .orderBy("doc_id")
+    }),
+
     // ── Exact heavy hitters: tokens with count > totalTokens/400 and
     //    their exact counts, via per-partition Misra-Gries candidates +
     //    one broadcast-verified exact count — the full token stream
@@ -1320,6 +1332,14 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // ── Freshness-decayed aggregates — [EXT r12]: per-type effective
+    //    recent volume, 2^(-age/7d) weighted against the newest row
+    //    (anchor-stable, no wall clock); one broadcast anchor + one
+    //    map-collapsing scan (Events.freshnessDecay scaladoc).
+    "ext_freshness_decay" -> ((s, dir) =>
+      Events.freshnessDecay(t(s, dir, "events"), col("event_type"),
+        col("ts"), col("value"), halfLifeDays = 7.0)),
+
     // ── Trending: daily top-3 event types by count — tumbling window
     //    composed with the per-group top-k (window-start partition key
     //    cardinality grows with the time range, never a small constant).
@@ -1866,6 +1886,15 @@ object ExtQueries {
         t(s, dir, "embeddings"), col("vec_id"), col("embedding"))
         .orderBy("vec_id")
     }),
+
+    // ── Dead-dimension screen — [EXT r12]: per-dimension mean/variance
+    //    of the embedding column in ONE posexplode scan (map-side
+    //    collapse to <= d rows/task, d-row output, no collect) — the
+    //    degenerate-dimension audit before pcaPower's anisotropy
+    //    readout (Similarity.dimVariance scaladoc).
+    "ext_dim_variance" -> ((s, dir) =>
+      Similarity.dimVariance(
+        t(s, dir, "embeddings"), col("embedding"))),
 
     // ── Hard-negative mining (DPR/ANCE recipe) — [EXT r12]: exact
     //    cosine top-10 per probe, gold pairs anti-joined away, top-5
@@ -2425,6 +2454,25 @@ object ExtQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
+    // Freshness replay: integer-ms ages against the max-ts anchor, the
+    // 9dp-quantized exponent -> pow(2,x) -> 9dp weight chain, decimal
+    // sums, null ts = weight 0 via COALESCE.
+    "ext_freshness_decay" ->
+      """WITH a AS (SELECT MAX(epoch_ms(ts)) AS anchor_ms FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |    COALESCE(round(pow(2.0,
+        |      round(CAST(epoch_ms(ts) - anchor_ms AS DOUBLE)
+        |        / 604800000.0, 9)), 9), 0.0) AS w,
+        |    value AS v
+        |  FROM events CROSS JOIN a)
+        |SELECT event_type AS group_key, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |    AS decayed_n,
+        |  round(CAST(SUM(CAST(round(w * v, 6) AS DECIMAL(28,6))) AS DOUBLE), 6)
+        |    AS decayed_value
+        |FROM w GROUP BY 1 ORDER BY group_key""".stripMargin,
+
     "ext_event_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, CAST(COUNT(*) AS BIGINT) AS n,
@@ -2895,6 +2943,32 @@ object ExtQueries {
     // [a,b) — i runs 1 .. len-4, one start per 5-gram, mirroring
     // WordNgrams(n=5) string-for-string (string_split keeps empties on
     // both engines).
+    // Coverage replay: the decontaminate gram pipeline pointed at the
+    // EVAL docs, membership test against the corpus' distinct grams,
+    // id spine keeps gram-less docs with NULL coverage.
+    "ext_eval_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ts) - 3),
+        |    i -> array_to_string(list_slice(ts, i, i + 4), ' ')))) AS gram
+        |  FROM tok),
+        |cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 <> 0),
+        |pd AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN gram IN (SELECT gram FROM cg)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM g WHERE doc_id % 97 = 0 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(pd.n_grams, 0) AS n_grams,
+        |  COALESCE(pd.n_covered, 0) AS n_covered,
+        |  CASE WHEN pd.n_grams > 0
+        |    THEN round(CAST(pd.n_covered AS DOUBLE) / pd.n_grams, 6)
+        |  END AS coverage
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |WHERE d.doc_id % 97 = 0 ORDER BY doc_id""".stripMargin,
+
     "ext_decontaminate" -> DecontaminateOracle,
 
     // bloom prefilter has no false negatives + exact verify ⇒ the bloom
@@ -5683,6 +5757,30 @@ object ExtQueries {
         |  CASE WHEN n_a > 0 AND n_b > 0
         |       THEN CAST(SUM(term) AS DOUBLE) / 2 END AS jsd
         |FROM terms GROUP BY n_a, n_b""".stripMargin,
+
+    // Dead-dimension replay: q9-quantized first and second moments per
+    // dimension from decimal sums, IEEE divides, variance clamped at 0
+    // and 9dp-rounded; pos is 0-based (Spark's posexplode).
+    "ext_dim_variance" ->
+      """WITH e AS (
+        |  SELECT embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |m AS (
+        |  SELECT i - 1 AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 9)
+        |      AS DECIMAL(28,9))) AS s1,
+        |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE)
+        |      * CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(28,9))) AS s2
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY i)
+        |SELECT CAST(pos AS INTEGER) AS pos, n,
+        |  round(CAST(s1 AS DOUBLE) / n, 9) AS mean,
+        |  round(greatest(0.0, CAST(s2 AS DOUBLE) / n
+        |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 9)
+        |    AS variance,
+        |  round(greatest(0.0, CAST(s2 AS DOUBLE) / n
+        |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 9)
+        |    < 0.000000001 AS is_dead
+        |FROM m ORDER BY pos""".stripMargin,
 
     // Embedding-outlier replay: q9 per-dim means from decimal sums,
     // the left-to-right dist² fold (list_sum), 6dp decimal moments,

@@ -54,6 +54,55 @@ object Events {
       .orderBy("window_start", "event_type")
   }
 
+  /** Exponential FRESHNESS-DECAYED aggregates — the recency weighting
+    * every data-mix/trending decision applies at corpus refresh time
+    * (what fraction of each source/type is still "warm"?): each row
+    * weighs 2^(−age/halfLife) relative to the NEWEST timestamp in the
+    * table, so the readout is anchor-stable (re-running tomorrow over
+    * the same frozen table gives the identical rows — no wall-clock
+    * dependence, the repo's determinism rule).
+    *
+    * 100 TB shape: one single-row max(ts) aggregate broadcast against
+    * the corpus, then one scan with a map-side-collapsing group
+    * aggregate — shuffle volume is |groups| rows. The decay is
+    * map-side arithmetic; nothing iterates.
+    *
+    * Determinism: age is exact integer milliseconds; the exponent is
+    * one IEEE divide quantized round(·,9) BEFORE pow and the weight
+    * round(·,9) after (the ln/exp transcendental discipline — pow's
+    * last-ulp behavior is libm-specific, the 9dp quantization on both
+    * ends is what lets a second engine replay it); weighted sums
+    * accumulate 9dp/6dp decimals. Null ts = infinitely old: weight 0,
+    * still counted in n. Null values are skipped by the sum on both
+    * engines.
+    *
+    * Output: (group_key, n, decayed_n, decayed_value), one row per
+    * group, 6dp. decayed_n ∈ (0, n] — the "effective recent rows". */
+  def freshnessDecay(
+      events: DataFrame,
+      group: Column,
+      ts: Column,
+      value: Column,
+      halfLifeDays: Double = 7.0): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be positive, got $halfLifeDays")
+    val halfLifeMs = 86400000.0 * halfLifeDays
+    val anchor = events.agg(max(unix_millis(ts)).as("anchor_ms"))
+    val x = round((unix_millis(ts) - col("anchor_ms")).cast("double") /
+      lit(halfLifeMs), 9)
+    val w = coalesce(round(pow(lit(2.0), x), 9), lit(0.0))
+    events
+      .crossJoin(broadcast(anchor))
+      .select(group.as("group_key"), w.as("w"), value.as("v"))
+      .groupBy("group_key")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("w").cast("decimal(28,9)")).cast("double"), 6)
+          .as("decayed_n"),
+        round(sum(round(col("w") * col("v"), 6).cast("decimal(28,6)"))
+          .cast("double"), 6).as("decayed_value"))
+      .orderBy("group_key")
+  }
+
   /** Gap-based sessionization (gaps-and-islands): a new session starts
     * when the per-user gap exceeds `gapMs`. Two window passes over data
     * partitioned BY USER — at 100 TB this shuffles once on user_id and

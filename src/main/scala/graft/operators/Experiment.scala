@@ -151,13 +151,20 @@ object Experiment {
       math.floor((1 - confidence) / 2 * replicates).toInt)
     val hiRank = math.min(replicates,
       math.ceil((1 + confidence) / 2 * replicates).toInt)
-    val u = substring(
-      md5(concat(col("sid"), lit(":"), col("r").cast("string"))), 1, 8)
-    val poissonW = PoissonCumHex.zipWithIndex
-      .foldLeft(when(col("r") === -1, 1)) { case (acc, (hex, w)) =>
-        acc.when(u < hex, w)
-      }
-      .otherwise(PoissonCumHex.length)
+    // ONE md5 per (unit, replicate) row: the 8-branch threshold CASE
+    // references the digest 7 times, so it must be let-bound (the
+    // TextFunctions.bound discipline) — inlined copies would hash the
+    // row up to 7x, and this expression runs n*(R+1) times per scan
+    val poissonW = graft.functions.TextFunctions.bound(
+      substring(
+        md5(concat(col("sid"), lit(":"), col("r").cast("string"))), 1, 8)) {
+      u =>
+        PoissonCumHex.zipWithIndex
+          .foldLeft(when(col("r") === -1, 1)) { case (acc, (hex, w)) =>
+            acc.when(u < hex, w)
+          }
+          .otherwise(PoissonCumHex.length)
+    }
     val means = units
       .filter(value.isNotNull)
       .select(group.as("group_key"), id.cast("string").as("sid"),

@@ -64,6 +64,53 @@ object TextPipeline {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** Eval-set n-gram COVERAGE — [[contamination]]'s dual, pointed the
+    * other way: for each EVAL document, what fraction of its distinct
+    * word n-grams the training corpus contains at all. Contamination
+    * asks "did the corpus memorize the benchmark?"; coverage asks "does
+    * the corpus even speak the benchmark's language?" — the domain-gap
+    * readout that decides whether an eval regression is a modeling
+    * problem or a data problem.
+    *
+    * 100 TB shape (the contamination discipline, reversed): the eval
+    * set is bounded by construction, so its distinct grams BROADCAST;
+    * the corpus is scanned ONCE map-side — each corpus gram probes the
+    * broadcast hash and only MATCHES (≤ |eval grams| of them) reach the
+    * distinct-aggregate. The per-doc count then joins eval-sized tables
+    * only. The corpus is never shuffled, never re-scanned per doc.
+    *
+    * Output: (doc_id, n_grams, n_covered, coverage 6dp) for every eval
+    * doc — docs too short for one n-gram keep their row with n_grams 0
+    * and NULL coverage (unknown, not zero — the [[contamination]] spine
+    * rule). */
+  def evalCoverage(
+      corpus: DataFrame, eval: DataFrame,
+      id: Column, text: Column, n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(id.as("doc_id"),
+        explode(GraftFunctions.word_ngrams(text, n)).as("gram"))
+      .distinct()
+    val evalGlobal = evalGrams.select("gram").distinct()
+    val covered = corpus
+      .select(explode(GraftFunctions.word_ngrams(text, n)).as("gram"))
+      .join(broadcast(evalGlobal), Seq("gram"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val perDoc = evalGrams
+      .join(broadcast(covered), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_covered"))
+    eval.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(col("n_grams") > 0,
+          round(col("n_covered").cast("double") /
+            col("n_grams").cast("double"), 6)).as("coverage"))
+  }
+
   /** N-gram novelty scoring: what fraction of a document's DISTINCT
     * word n-grams appear in NO lower-id document — the
     * diversity/novelty signal a curation pass ranks by when near-dup

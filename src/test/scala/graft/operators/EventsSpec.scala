@@ -423,4 +423,34 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(cut == all.take(2))
   }
+
+  test("freshnessDecay: hand-computed half-life weights, null ts = weight 0") {
+    // anchor = newest row; one row AT the anchor (w=1), one exactly one
+    // half-life (7 days) older (w=0.5), one with null ts (w=0, counted)
+    val week = 604800000L
+    val base = 1699999200000L
+    val rows = Seq(
+      ("a", new Timestamp(base), 10.0),
+      ("a", new Timestamp(base - week), 20.0),
+      ("b", new Timestamp(base - 2 * week), 8.0),
+      ("b", null.asInstanceOf[Timestamp], 100.0))
+      .toDF("event_type", "ts", "value")
+    val got = Events.freshnessDecay(rows, col("event_type"), col("ts"),
+      col("value"), halfLifeDays = 7.0)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val a = got("a"); val b = got("b")
+    assert(a._2 == 2 && a._3 == 1.5, s"w(anchor)=1 + w(1 half-life)=0.5: $a")
+    assert(a._4 == 20.0, "10*1 + 20*0.5")
+    assert(b._2 == 2, "null-ts row still counted in n")
+    assert(b._3 == 0.25, "2 half-lives -> 0.25; null ts -> 0")
+    assert(b._4 == 2.0, "8*0.25 + skipped-null nothing")
+    // anchor-stability: shifting ALL timestamps by a constant changes nothing
+    val shifted = Seq(
+      ("a", new Timestamp(base + 123456789L), 10.0),
+      ("a", new Timestamp(base + 123456789L - week), 20.0))
+      .toDF("event_type", "ts", "value")
+    val s2 = Events.freshnessDecay(shifted, col("event_type"), col("ts"),
+      col("value")).as[(String, Long, Double, Double)].collect().head
+    assert(s2._3 == 1.5 && s2._4 == 20.0)
+  }
 }

@@ -434,4 +434,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         .collect()
     }
   }
+
+  test("dimVariance: dead dims flagged, live dim hand-computed, ragged excluded") {
+    // dim0 constant 2, dim1 = i (0..9), dim2 constant 0
+    val rows = (0 until 10).map(i => (i.toLong, Array(2.0f, i.toFloat, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val withBad = rows.union(Seq(
+      (97L, null.asInstanceOf[Array[Float]]),
+      (98L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding"))
+    val got = Similarity.dimVariance(withBad, col("embedding"))
+      .as[(Int, Long, Double, Double, Boolean)].collect()
+    assert(got.length == 3, "d from the first valid row; ragged/null excluded")
+    assert(got.forall(_._2 == 10))
+    assert(got(0) == ((0, 10L, 2.0, 0.0, true)), s"constant dim: ${got(0)}")
+    // mean(0..9) = 4.5, E[x^2] = 28.5, var = 28.5 - 20.25 = 8.25
+    assert(got(1) == ((1, 10L, 4.5, 8.25, false)))
+    assert(got(2) == ((2, 10L, 0.0, 0.0, true)))
+    // all-null input: empty frame, not an error
+    val empty = Seq((1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.dimVariance(empty, col("embedding")).count() == 0)
+  }
 }

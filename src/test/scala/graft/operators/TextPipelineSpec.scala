@@ -735,4 +735,28 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got(3)._3 == 1, "no punctuation -> one long sentence")
     assert(got(3)._5.exists(_ < 0) && got(3)._6 == "very_hard")
   }
+
+  test("evalCoverage: full / half / no-gram eval docs against a small corpus") {
+    val corpus = Seq(
+      (10L, "a b c d e tail words here"),
+      (11L, "x1 x2 x3 x4 x5"),
+      (12L, "unrelated content entirely different tokens")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "x1 x2 x3 x4 x5"),   // its single 5-gram is in corpus doc 11
+      (2L, "a b c d e f"),       // "a b c d e" covered, "b c d e f" not
+      (3L, "too short")          // no 5-gram at all
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.evalCoverage(corpus, eval, col("doc_id"),
+      col("text"), 5).orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(got(0) == ((1L, 1L, 1L, Some(1.0))))
+    assert(got(1) == ((2L, 2L, 1L, Some(0.5))))
+    assert(got(2) == ((3L, 0L, 0L, None)),
+      "gram-less eval docs keep their row with NULL coverage")
+    // determinism
+    val again = TextPipeline.evalCoverage(corpus, eval, col("doc_id"),
+      col("text"), 5).orderBy("doc_id").collect().toSeq
+    assert(got.length == again.length)
+  }
 }
