@@ -245,6 +245,22 @@ object ExtQueries {
       Similarity.bruteForceTopK(probes, e.select("vec_id", "embedding"), 10)
     }),
 
+    // ── MMR diversification — [EXT r12]: greedy maximal-marginal-
+    //    relevance re-rank of the exact top-20 pool for probe 0 (the
+    //    de-duplicating stage between candidate generation and the
+    //    final answer); five 1-row picks over the persisted bounded
+    //    pool, λ = 0.75 exact-binary (Similarity.mmrDiversify).
+    "ext_mmr_diversify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val pool = Similarity
+        .bruteForceTopK(probe, e.select("vec_id", "embedding"), 20)
+        .join(e.select("vec_id", "embedding"), Seq("vec_id"))
+      Similarity.mmrDiversify(pool, col("vec_id"), col("embedding"),
+        col("sim"), select = 5)
+    }),
+
     // ── Similarity search, scale path: LSH-bucketed ANN — ORACLED
     //    END-TO-END: the seed-42 hyperplanes embed in the oracle SQL as
     //    exact double literals, so DuckDB replays sign-bit banding,
@@ -1251,6 +1267,27 @@ object ExtQueries {
       Sketches.joinSizeEstimate(
         t(s, dir, "orders"), col("o_custkey"),
         t(s, dir, "customer"), col("c_custkey"), k = 128)),
+
+    // ── Two-snapshot table diff — [EXT r12]: the backfill
+    //    reconciliation readout; planted removals (key%1000=0), price
+    //    changes (key%7=0), and additions (key%500=0, shifted ids)
+    //    against the orders snapshot, classified from one key-keyed
+    //    full-outer join of md5 digests (Scd.snapshotDiff scaladoc).
+    "ext_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).cast("decimal(18,2)").as("price"))
+      val changed = o
+        .filter(pmod(col("o_orderkey"), lit(1000)) =!= 0)
+        .withColumn("price",
+          when(pmod(col("o_orderkey"), lit(7)) === 0, col("price") + 1)
+            .otherwise(col("price")).cast("decimal(18,2)"))
+      val added = o.filter(pmod(col("o_orderkey"), lit(500)) === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("price"))
+      Scd.snapshotDiff(o, changed.unionByName(added), "o_orderkey",
+        Seq("o_orderstatus", "price"))
+    }),
 
     // ── SCD Type-2 history build from the events change-log: per-user
     //    run-length-collapsed event_type versions with [valid_from,
@@ -2548,6 +2585,96 @@ object ExtQueries {
         |  FROM sc)
         |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // MMR replay: the cosine_topk arithmetic at k=20 for probe 0,
+    // pairwise 6dp sims among the pool, then the 5-round greedy unroll
+    // (the BPE/PageRank CTE discipline) — each round maxes sims to the
+    // selected set, scores 0.75*rel - 0.25*msim (both factors exact
+    // binary doubles), picks by (score DESC, vec_id).
+    "ext_mmr_diversify" ->
+      """WITH q AS (
+        |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+        |      6) AS rel
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |tp AS (
+        |  SELECT vec_id, rel FROM (
+        |    SELECT vec_id, rel,
+        |      ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rn FROM sc)
+        |  WHERE rn <= 20),
+        |tv AS (
+        |  SELECT t.vec_id, t.rel, e.embedding AS v
+        |  FROM tp t JOIN embeddings e USING (vec_id)),
+        |pr AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM tv a JOIN tv b ON a.vec_id <> b.vec_id),
+        |p1 AS (
+        |  SELECT vec_id, rel, 0.75 * rel - 0.25 * 0.0 AS score
+        |  FROM tv ORDER BY score DESC, vec_id LIMIT 1),
+        |s1 AS (SELECT vec_id FROM p1),
+        |c2 AS (
+        |  SELECT t.vec_id, t.rel, 0.75 * t.rel - 0.25 * MAX(pr.sim) AS score
+        |  FROM tv t JOIN pr ON pr.ia = t.vec_id
+        |    AND pr.ib IN (SELECT vec_id FROM s1)
+        |  WHERE t.vec_id NOT IN (SELECT vec_id FROM s1)
+        |  GROUP BY t.vec_id, t.rel),
+        |p2 AS (SELECT vec_id, rel, score FROM c2
+        |       ORDER BY score DESC, vec_id LIMIT 1),
+        |s2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM p2),
+        |c3 AS (
+        |  SELECT t.vec_id, t.rel, 0.75 * t.rel - 0.25 * MAX(pr.sim) AS score
+        |  FROM tv t JOIN pr ON pr.ia = t.vec_id
+        |    AND pr.ib IN (SELECT vec_id FROM s2)
+        |  WHERE t.vec_id NOT IN (SELECT vec_id FROM s2)
+        |  GROUP BY t.vec_id, t.rel),
+        |p3 AS (SELECT vec_id, rel, score FROM c3
+        |       ORDER BY score DESC, vec_id LIMIT 1),
+        |s3 AS (SELECT vec_id FROM s2 UNION ALL SELECT vec_id FROM p3),
+        |c4 AS (
+        |  SELECT t.vec_id, t.rel, 0.75 * t.rel - 0.25 * MAX(pr.sim) AS score
+        |  FROM tv t JOIN pr ON pr.ia = t.vec_id
+        |    AND pr.ib IN (SELECT vec_id FROM s3)
+        |  WHERE t.vec_id NOT IN (SELECT vec_id FROM s3)
+        |  GROUP BY t.vec_id, t.rel),
+        |p4 AS (SELECT vec_id, rel, score FROM c4
+        |       ORDER BY score DESC, vec_id LIMIT 1),
+        |s4 AS (SELECT vec_id FROM s3 UNION ALL SELECT vec_id FROM p4),
+        |c5 AS (
+        |  SELECT t.vec_id, t.rel, 0.75 * t.rel - 0.25 * MAX(pr.sim) AS score
+        |  FROM tv t JOIN pr ON pr.ia = t.vec_id
+        |    AND pr.ib IN (SELECT vec_id FROM s4)
+        |  WHERE t.vec_id NOT IN (SELECT vec_id FROM s4)
+        |  GROUP BY t.vec_id, t.rel),
+        |p5 AS (SELECT vec_id, rel, score FROM c5
+        |       ORDER BY score DESC, vec_id LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rank, vec_id AS id, rel,
+        |    round(score, 6) AS mmr_score FROM p1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), vec_id, rel,
+        |    round(score, 6) FROM p2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), vec_id, rel,
+        |    round(score, 6) FROM p3
+        |  UNION ALL SELECT CAST(4 AS BIGINT), vec_id, rel,
+        |    round(score, 6) FROM p4
+        |  UNION ALL SELECT CAST(5 AS BIGINT), vec_id, rel,
+        |    round(score, 6) FROM p5)
+        |ORDER BY rank""".stripMargin,
 
     // Full LSH replay: the engine's seed-42 hyperplanes ride into the
     // SQL as exact double literals (lshPlanesSql); sign-bit band keys,
@@ -4279,6 +4406,46 @@ object ExtQueries {
         |SELECT group_key, kmv_n FROM pg
         |UNION ALL SELECT group_key, kmv_n FROM mg
         |ORDER BY group_key""".stripMargin,
+
+    // Snapshot-diff replay: the same planted removals/changes/additions
+    // rebuilt in a CTE, chr(31)-separated chr(1)-sentineled md5 digests
+    // per side, full-outer classification, 4-type literal spine.
+    "ext_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |nw AS (
+        |  SELECT k, st,
+        |    CAST(CASE WHEN k % 7 = 0 THEN price + 1 ELSE price END
+        |      AS DECIMAL(18,2)) AS price
+        |  FROM o WHERE k % 1000 <> 0
+        |  UNION ALL
+        |  SELECT k + 100000000, st, price FROM o WHERE k % 500 = 0),
+        |fo AS (
+        |  SELECT k, md5(concat_ws(chr(31),
+        |    coalesce(CAST(st AS VARCHAR), chr(1)),
+        |    coalesce(CAST(price AS VARCHAR), chr(1)))) AS fp FROM o),
+        |fn AS (
+        |  SELECT k, md5(concat_ws(chr(31),
+        |    coalesce(CAST(st AS VARCHAR), chr(1)),
+        |    coalesce(CAST(price AS VARCHAR), chr(1)))) AS fp FROM nw),
+        |j AS (
+        |  SELECT COALESCE(fo.k, fn.k) AS k,
+        |    CASE WHEN fo.fp IS NULL THEN 'added'
+        |      WHEN fn.fp IS NULL THEN 'removed'
+        |      WHEN fo.fp <> fn.fp THEN 'changed'
+        |      ELSE 'unchanged' END AS change_type
+        |  FROM fo FULL OUTER JOIN fn ON fo.k = fn.k),
+        |ag AS (
+        |  SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    MIN(k) AS min_key
+        |  FROM j GROUP BY 1),
+        |sp AS (SELECT unnest(['added','changed','removed','unchanged'])
+        |       AS change_type)
+        |SELECT sp.change_type, COALESCE(ag.n, 0) AS n, ag.min_key
+        |FROM sp LEFT JOIN ag USING (change_type)
+        |ORDER BY change_type""".stripMargin,
 
     // Join-size replay: the kmv hash/rank chain per side, sketch
     // contents = top-128 rows, union-of-sketches ranked again for the

@@ -151,20 +151,22 @@ object Experiment {
       math.floor((1 - confidence) / 2 * replicates).toInt)
     val hiRank = math.min(replicates,
       math.ceil((1 + confidence) / 2 * replicates).toInt)
-    // ONE md5 per (unit, replicate) row: the 8-branch threshold CASE
-    // references the digest 7 times, so it must be let-bound (the
-    // TextFunctions.bound discipline) — inlined copies would hash the
-    // row up to 7x, and this expression runs n*(R+1) times per scan
-    val poissonW = graft.functions.TextFunctions.bound(
-      substring(
-        md5(concat(col("sid"), lit(":"), col("r").cast("string"))), 1, 8)) {
-      u =>
-        PoissonCumHex.zipWithIndex
-          .foldLeft(when(col("r") === -1, 1)) { case (acc, (hex, w)) =>
-            acc.when(u < hex, w)
-          }
-          .otherwise(PoissonCumHex.length)
-    }
+    // The 8-branch threshold CASE references the digest 7 times, but it
+    // is deliberately NOT bound() here: whole-stage codegen's
+    // conditional subexpression elimination (SPARK-33337) already
+    // evaluates the repeated md5 once per row, while bound()'s
+    // transform-over-1-element-array is a higher-order function that
+    // falls OUT of codegen — the A/B forked receipts measured the
+    // bound() form 20-40% slower (6.5/7.2/10.1 s vs 5.4/5.8/7.1 s at
+    // sf0.1/10x/26x). The bound() discipline is for lambda contexts,
+    // where CSE cannot reach.
+    val u = substring(
+      md5(concat(col("sid"), lit(":"), col("r").cast("string"))), 1, 8)
+    val poissonW = PoissonCumHex.zipWithIndex
+      .foldLeft(when(col("r") === -1, 1)) { case (acc, (hex, w)) =>
+        acc.when(u < hex, w)
+      }
+      .otherwise(PoissonCumHex.length)
     val means = units
       .filter(value.isNotNull)
       .select(group.as("group_key"), id.cast("string").as("sid"),

@@ -18,6 +18,59 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
+  /** Two-snapshot TABLE DIFF — the reconciliation readout run after
+    * every backfill/re-export at 100 TB ("did yesterday's pipeline
+    * change what it shouldn't have?"): per-key added / removed /
+    * changed / unchanged classification from ONE co-partitioned
+    * full-outer join, with row contents compared as md5 fingerprints
+    * so only (key, 16-byte digest) pairs ever shuffle — never the rows
+    * themselves. The four classes are emitted from a literal spine
+    * (B14 keep-empty-buckets rule), each with its count and min key as
+    * the drill-down starting point.
+    *
+    * Fingerprint portability: values are null-sentineled (chr(1)) and
+    * unit-separated (chr(31)) before md5 — the engine-portable digest
+    * discipline. CALLER CONTRACT: `valueCols` must already be in
+    * engine-portable string form (strings, integers, decimals — NOT
+    * raw doubles, whose to-string formatting differs across engines;
+    * cast doubles to DECIMAL first).
+    *
+    * 100 TB shape: two scans (one per snapshot, map-side digesting),
+    * one key-keyed shuffle join (bucket both snapshots on the key and
+    * it is co-located), a ≤4-row aggregate. Null keys join nothing and
+    * classify as added/removed — loud, not dropped.
+    *
+    * Output: (change_type, n, min_key), always exactly 4 rows. */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column to compare")
+    val spark = oldSnap.sparkSession
+    import spark.implicits._
+    def digested(df: DataFrame, tag: String): DataFrame =
+      df.select(col(keyCol).as("k"),
+        md5(concat_ws("\u001f",
+          valueCols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*))
+          .as(s"fp_$tag"))
+    val j = digested(oldSnap, "old")
+      .join(digested(newSnap, "new"), Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"))
+    Seq("added", "changed", "removed", "unchanged").toDF("change_type")
+      .join(j, Seq("change_type"), "left")
+      .select(col("change_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("min_key"))
+      .orderBy("change_type")
+  }
+
   /** Build the Type-2 history for one changing attribute.
     *
     * Steps (each a window over the same entity-key partitioning, which

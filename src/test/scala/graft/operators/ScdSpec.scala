@@ -171,4 +171,33 @@ class ScdSpec extends AnyFunSuite with SparkSpec {
       assert(got == want, s"trial $trial")
     }
   }
+
+  test("snapshotDiff: planted added/removed/changed, empty classes kept, null-aware") {
+    val old = Seq(
+      (1L, Some("a"), Some("p")), (2L, Some("b"), Some("q")),
+      (3L, Some("c"), Some("r")), (4L, Some("d"), None),
+      (5L, Some("e"), Some("t")))
+      .toDF("k", "v1", "v2")
+    val nw = Seq(
+      (1L, Some("a"), Some("p")),            // unchanged
+      (3L, Some("c"), Some("CHANGED")),      // changed
+      (4L, Some("d"), Some("")),             // null -> empty string IS a change
+      (5L, Some("e"), Some("t")),            // unchanged
+      (6L, Some("f"), Some("u")))            // added; 2 removed
+      .toDF("k", "v1", "v2")
+    val got = Scd.snapshotDiff(old, nw, "k", Seq("v1", "v2"))
+      .as[(String, Long, Option[Long])].collect()
+    assert(got.map(r => r._1 -> ((r._2, r._3))).toMap == Map(
+      "added" -> ((1L, Some(6L))),
+      "changed" -> ((2L, Some(3L))),
+      "removed" -> ((1L, Some(2L))),
+      "unchanged" -> ((2L, Some(1L)))), s"got ${got.toSeq}")
+    // identical snapshots: the three change classes keep their zero rows
+    val same = Scd.snapshotDiff(old, old, "k", Seq("v1", "v2"))
+      .as[(String, Long, Option[Long])].collect()
+    assert(same.map(r => r._1 -> r._2).toMap ==
+      Map("added" -> 0L, "changed" -> 0L, "removed" -> 0L, "unchanged" -> 5L))
+    assert(same.filter(_._1 != "unchanged").forall(_._3.isEmpty),
+      "empty classes carry NULL min_key, not a fabricated one")
+  }
 }

@@ -455,4 +455,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .toDF("vec_id", "embedding")
     assert(Similarity.dimVariance(empty, col("embedding")).count() == 0)
   }
+
+  test("mmrDiversify: redundancy penalized, relevance order otherwise, ties to lower id") {
+    // two near-duplicates (ids 1, 2) outrank an orthogonal candidate
+    // (id 3) on raw relevance; MMR demotes the duplicate
+    val pool = Seq(
+      (1L, Array(1.0f, 0.0f), 0.9),
+      (2L, Array(1.0f, 0.01f), 0.89),
+      (3L, Array(0.0f, 1.0f), 0.8))
+      .toDF("vec_id", "embedding", "rel")
+    val got = Similarity.mmrDiversify(pool, col("vec_id"), col("embedding"),
+      col("rel"), select = 3)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"duplicate id 2 must drop behind diverse id 3: ${got.toSeq}")
+    assert(got(0)._4 == BigDecimal(0.75 * 0.9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "first pick score = lambda * rel")
+    assert(got(1)._4 == 0.6, "orthogonal pick: 0.75*0.8 - 0.25*0")
+    // select beyond the pool: emit what exists
+    val all = Similarity.mmrDiversify(pool, col("vec_id"), col("embedding"),
+      col("rel"), select = 10).collect()
+    assert(all.length == 3)
+    // determinism
+    val again = Similarity.mmrDiversify(pool, col("vec_id"), col("embedding"),
+      col("rel"), select = 3).collect().toSeq
+    assert(got.length == again.length &&
+      got.map(_._2).toSeq == again.map(_.getLong(1)).toSeq)
+  }
 }
