@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Clustering, Dedup, Events, FuzzyJoin, Graph, Packing, Partitioning, Relational, Scd, Similarity, Sketches, TextPipeline, TfIdf}
+import graft.operators.{Clustering, Dedup, Eval, Events, FuzzyJoin, Graph, Packing, Partitioning, Relational, Scd, Similarity, Sketches, TextPipeline, TfIdf}
 
 /** [EXT] LLM-data-pipeline operators (dedup, similarity search, text
   * analysis, event windows) as driver-contract queries. See the module
@@ -243,6 +243,24 @@ object ExtQueries {
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.bruteForceTopK(probes, e.select("vec_id", "embedding"), 10)
+    }),
+
+    // ── Rank-biased overlap — [EXT r12]: top-weighted agreement between
+    //    the exact top-10 and the top-10 of a first-coordinate-zeroed
+    //    probe (the planted-perturbation trick) — the ranking-similarity
+    //    readout for ANN-vs-exact audits; all joins over <= k rows
+    //    (Eval.rboOverlap scaladoc).
+    "ext_rbo" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val exact = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val perturbed = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"),
+          concat(array(lit(0.0f)), slice(col("embedding"), 2, 63))
+            .as("query_vec"))
+      val a = Similarity.bruteForceTopK(exact, e.select("vec_id", "embedding"), 10)
+      val b = Similarity.bruteForceTopK(perturbed, e.select("vec_id", "embedding"), 10)
+      Eval.rboOverlap(a, b, col("vec_id"), col("rank"), k = 10)
     }),
 
     // ── MMR diversification — [EXT r12]: greedy maximal-marginal-
@@ -1369,6 +1387,14 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // ── Weekly-seasonality autocorrelation — [EXT r12]: lag-7 Pearson r
+    //    of the zero-filled per-type daily counts; the corpus collapses
+    //    to (type, day) rows in one aggregate, everything after is
+    //    calendar-bounded (Events.lagAutocorr scaladoc).
+    "ext_autocorr" -> ((s, dir) =>
+      Events.lagAutocorr(t(s, dir, "events"), col("event_type"),
+        col("ts"), lagDays = 7)),
+
     // ── Freshness-decayed aggregates — [EXT r12]: per-type effective
     //    recent volume, 2^(-age/7d) weighted against the newest row
     //    (anchor-stable, no wall clock); one broadcast anchor + one
@@ -2491,6 +2517,53 @@ object ExtQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
+    // Autocorrelation replay: UTC day indices, zero-filled per-type
+    // series over the global day spine, lag-7 self-join, DECIMAL(38,0)
+    // cross-moments (the ksTest overflow lesson), IEEE Pearson chain,
+    // NULL on zero variance.
+    "ext_autocorr" ->
+      """WITH e AS (
+        |  SELECT event_type AS group_key,
+        |    epoch_ms(date_trunc('day', ts)) // 86400000 AS di
+        |  FROM events WHERE ts IS NOT NULL),
+        |d AS (
+        |  SELECT group_key, di, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT unnest(range((SELECT MIN(di) FROM d),
+        |    (SELECT MAX(di) FROM d) + 1)) AS di),
+        |f AS (
+        |  SELECT t.group_key, s.di, COALESCE(d.x, 0) AS x
+        |  FROM (SELECT DISTINCT group_key FROM d) t
+        |  CROSS JOIN sp s
+        |  LEFT JOIN d ON d.group_key = t.group_key AND d.di = s.di),
+        |pr AS (
+        |  SELECT a.group_key, a.x AS xa, b.x AS xb
+        |  FROM f a JOIN f b
+        |    ON a.group_key = b.group_key AND b.di = a.di + 7),
+        |g AS (
+        |  SELECT group_key, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    SUM(xa) AS sa, SUM(xb) AS sb,
+        |    SUM(CAST(xa AS DECIMAL(19,0)) * xb) AS sab,
+        |    SUM(CAST(xa AS DECIMAL(19,0)) * xa) AS saa,
+        |    SUM(CAST(xb AS DECIMAL(19,0)) * xb) AS sbb
+        |  FROM pr GROUP BY 1)
+        |SELECT group_key, n_pairs, CAST(7 AS BIGINT) AS lag,
+        |  CASE WHEN
+        |    sqrt(CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |    * sqrt(CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0.0
+        |  THEN round(
+        |    (CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |    / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |       * sqrt(CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+        |  END AS autocorr
+        |FROM g ORDER BY group_key""".stripMargin,
+
     // Freshness replay: integer-ms ages against the max-ts anchor, the
     // 9dp-quantized exponent -> pow(2,x) -> 9dp weight chain, decimal
     // sums, null ts = weight 0 via COALESCE.
@@ -2585,6 +2658,61 @@ object ExtQueries {
         |  FROM sc)
         |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // RBO replay: both rankings' cosine chains (the perturbed probe's
+    // first coordinate zeroed via CASE — no list surgery), depth spine,
+    // max-rank entry depths, 9dp-quantized p^(d-1) terms into decimal
+    // sums; (1.0 - 0.9) stays an EXPRESSION (the literal 0.1 is a
+    // different double).
+    "ext_rbo" ->
+      """WITH q AS (
+        |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |sa AS (
+        |  SELECT e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |ra AS (
+        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sa),
+        |sb AS (
+        |  SELECT e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (CASE WHEN i = 1 THEN 0.0 ELSE CAST(qv[i] AS DOUBLE) END)
+        |             * CAST(embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> (CASE WHEN i = 1 THEN 0.0 ELSE CAST(qv[i] AS DOUBLE) END)
+        |                * (CASE WHEN i = 1 THEN 0.0 ELSE CAST(qv[i] AS DOUBLE) END))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |rb AS (
+        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sb),
+        |mm AS (
+        |  SELECT greatest(ra.rnk, rb.rnk) AS m
+        |  FROM ra JOIN rb USING (vec_id)
+        |  WHERE ra.rnk <= 10 AND rb.rnk <= 10),
+        |dd AS (SELECT unnest(range(1, 11)) AS d),
+        |xd AS (
+        |  SELECT d, COUNT(m) AS x_d FROM dd LEFT JOIN mm ON m <= d GROUP BY d)
+        |SELECT CAST(10 AS BIGINT) AS depth,
+        |  MAX(CASE WHEN d = 10 THEN x_d END) AS overlap_k,
+        |  round(CAST(MAX(CASE WHEN d = 10 THEN x_d END) AS DOUBLE) / 10.0, 6)
+        |    AS agreement_k,
+        |  round(CAST(SUM(CAST(round(
+        |    (1.0 - 0.9) * round(pow(0.9, CAST(d - 1 AS DOUBLE)), 9)
+        |    * CAST(x_d AS DOUBLE) / CAST(d AS DOUBLE), 9) AS DECIMAL(28,9)))
+        |    AS DOUBLE), 6) AS rbo
+        |FROM xd""".stripMargin,
 
     // MMR replay: the cosine_topk arithmetic at k=20 for probe 0,
     // pairwise 6dp sims among the pool, then the 5-round greedy unroll

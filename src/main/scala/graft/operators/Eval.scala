@@ -77,6 +77,63 @@ object Eval {
     * rows are ignored. Queries with NO positive gold are dropped —
     * their metrics are undefined (0/0), and emitting them as zeros
     * would silently deflate corpus means. */
+  /** Rank-Biased Overlap (Webber, Moffat & Zobel 2010) between two
+    * top-k RANKINGS — the similarity measure for indefinite rankings
+    * that top-weights agreement (depth-d overlap discounted p^(d−1)),
+    * which is exactly what comparing an ANN index's answer against the
+    * exact ranking needs: swaps at rank 40 should not count like swaps
+    * at rank 1. Truncated (prefix) form:
+    *
+    *   RBO@k = (1−p) · Σ_{d=1..k} p^(d−1) · |A_{1..d} ∩ B_{1..d}| / d
+    *
+    * Both inputs are (id, rank) tables with ranks 1..k — top-k OUTPUTS,
+    * bounded by construction, so every join below is over ≤k rows and
+    * the depth spine × overlap cross is ≤k² — driver-free, corpus-free.
+    * An id in both lists enters the overlap at depth max(rank_a,
+    * rank_b); X_d is the count of such ids with that max ≤ d.
+    *
+    * Determinism: X_d and d are integers; p^(d−1) is quantized
+    * round(·,9) (the transcendental discipline — pow is libm), each
+    * term round(·,9) into DECIMAL(28,9) sums, final round 6. Default
+    * p = 0.9 ≈ "the top ~10 ranks carry ~86% of the weight" (the
+    * paper's convention).
+    *
+    * Output: ONE row — (depth, overlap_k, agreement_k, rbo); two
+    * disjoint lists give overlap 0 / rbo 0, identical lists rbo 1
+    * (up to the 6dp quantization). */
+  def rboOverlap(
+      rankedA: DataFrame,
+      rankedB: DataFrame,
+      id: Column,
+      rank: Column,
+      k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    def side(df: DataFrame, tag: String): DataFrame = df
+      .select(id.as("id"), rank.cast("long").as(s"rank_$tag"))
+      .filter(col(s"rank_$tag") <= k)
+    val joined = side(rankedA, "a").join(side(rankedB, "b"), Seq("id"))
+      .select(greatest(col("rank_a"), col("rank_b")).as("m"))
+    val spark = rankedA.sparkSession
+    import spark.implicits._
+    val depths = (1 to k).map(_.toLong).toDF("d")
+    val xd = depths
+      .join(joined, col("m") <= col("d"), "left")
+      .groupBy("d")
+      .agg(count(col("m")).as("x_d"))
+    val term = round(
+      lit(1.0 - p) * round(pow(lit(p), col("d").cast("double") - 1.0), 9) *
+        col("x_d").cast("double") / col("d").cast("double"), 9)
+    xd.agg(
+        max(when(col("d") === k, col("x_d"))).as("overlap_k"),
+        round(max(when(col("d") === k, col("x_d"))).cast("double") / k, 6)
+          .as("agreement_k"),
+        round(sum(term.cast("decimal(28,9)")).cast("double"), 6).as("rbo"))
+      .select(lit(k.toLong).as("depth"), col("overlap_k"),
+        col("agreement_k"), col("rbo"))
+  }
+
   def retrievalMetrics(
       ranked: DataFrame,
       gold: DataFrame,

@@ -54,6 +54,71 @@ object Events {
       .orderBy("window_start", "event_type")
   }
 
+  /** Lag-L AUTOCORRELATION of daily event counts — the seasonality
+    * detector (lag 7 = weekly rhythm) that tells a mix/refresh planner
+    * whether a source's volume pattern is periodic or drifting; the
+    * time-series complement to [[Drift]]'s distribution tests.
+    *
+    * Pearson r between the zero-filled daily-count series and itself
+    * shifted L days, per group. Zero-filling matters: missing days ARE
+    * zero-activity days, and skipping them would splice non-adjacent
+    * days together and fabricate correlation.
+    *
+    * 100 TB shape: the corpus collapses to (group, day) counts in one
+    * map-side-combining aggregate — everything after operates on the
+    * |groups|×|days| table (bounded by calendar time, not data volume):
+    * a global 2-value bounds row, a broadcast day spine, one self-join
+    * on (group, day+L), a ≤|groups|-row moment aggregate.
+    *
+    * Determinism: counts are exact integers; cross-moments accumulate
+    * in DECIMAL(38,0) (products of per-day counts overflow Long at
+    * ~3·10⁹/day — the ksTest ADVICE lesson); the r chain is IEEE on
+    * doubles cast from those decimals, round 6. A constant series
+    * (zero variance on either side) has no defined r — NULL, loudly,
+    * not 0.
+    *
+    * Output: (group_key, n_pairs, lag, autocorr), one row per group
+    * with ≥1 pair. */
+  def lagAutocorr(
+      events: DataFrame,
+      group: Column,
+      ts: Column,
+      lagDays: Int = 7): DataFrame = {
+    require(lagDays >= 1, s"lagDays must be >= 1, got $lagDays")
+    val days = events.filter(ts.isNotNull)
+      .select(group.as("group_key"),
+        (unix_millis(date_trunc("day", ts)) / lit(86400000L))
+          .cast("long").as("di"))
+      .groupBy("group_key", "di")
+      .agg(count(lit(1)).as("x"))
+    val spine = days.agg(min("di").as("lo"), max("di").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("di"))
+    val filled = days.select("group_key").distinct()
+      .crossJoin(broadcast(spine))
+      .join(days, Seq("group_key", "di"), "left")
+      .select(col("group_key"), col("di"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val a = filled.select(col("group_key"), col("di"), col("x").as("xa"))
+    val b = filled.select(col("group_key"),
+      (col("di") - lagDays).as("di"), col("x").as("xb"))
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val m = a.join(b, Seq("group_key", "di"))
+      .groupBy("group_key")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("xa")).as("sa"), sum(col("xb")).as("sb"),
+        sum(dec(col("xa")) * col("xb")).as("sab"),
+        sum(dec(col("xa")) * col("xa")).as("saa"),
+        sum(dec(col("xb")) * col("xb")).as("sbb"))
+    def d(c: Column): Column = c.cast("double")
+    val num = d(col("n_pairs")) * d(col("sab")) - d(col("sa")) * d(col("sb"))
+    val den = sqrt(d(col("n_pairs")) * d(col("saa")) - d(col("sa")) * d(col("sa"))) *
+      sqrt(d(col("n_pairs")) * d(col("sbb")) - d(col("sb")) * d(col("sb")))
+    m.select(col("group_key"), col("n_pairs"),
+        lit(lagDays.toLong).as("lag"),
+        when(den > 0.0, round(num / den, 6)).as("autocorr"))
+      .orderBy("group_key")
+  }
+
   /** Exponential FRESHNESS-DECAYED aggregates — the recency weighting
     * every data-mix/trending decision applies at corpus refresh time
     * (what fraction of each source/type is still "warm"?): each row

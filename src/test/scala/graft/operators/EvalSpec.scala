@@ -351,4 +351,32 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     val empty = Seq((Some(1.0), Option.empty[Double])).toDF("a", "b")
     assert(Eval.spearman(empty, col("a"), col("b")).count() == 0)
   }
+
+  test("rboOverlap: identical lists ~ 1 - p^k, disjoint 0, top-weighted agreement") {
+    import spark.implicits._
+    def ranked(ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (i, r) => (i, (r + 1).toLong) }
+        .toDF("vec_id", "rank")
+    val a = ranked(1L to 10L)
+    val same = Eval.rboOverlap(a, ranked(1L to 10L), col("vec_id"),
+      col("rank"), k = 10)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(same._1 == 10 && same._2 == 10 && same._3 == 1.0)
+    // full agreement: rbo = (1-p) * sum p^(d-1) = 1 - p^10 = 0.6513216
+    assert(math.abs(same._4 - 0.6513216) < 1e-3, s"got ${same._4}")
+    val disjoint = Eval.rboOverlap(a, ranked(101L to 110L), col("vec_id"),
+      col("rank"), k = 10)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(disjoint._2 == 0 && disjoint._3 == 0.0 && disjoint._4 == 0.0)
+    // agreement only at rank 1 must outweigh agreement only at rank 10
+    val top = Eval.rboOverlap(a, ranked(Seq(1L) ++ (102L to 110L)),
+      col("vec_id"), col("rank"), k = 10)
+      .as[(Long, Long, Double, Double)].collect().head
+    val bottom = Eval.rboOverlap(a, ranked((101L to 109L) :+ 10L),
+      col("vec_id"), col("rank"), k = 10)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(top._2 == 1 && bottom._2 == 1)
+    assert(top._4 > 3 * bottom._4,
+      s"rank-1 agreement ${top._4} must dominate rank-10 ${bottom._4}")
+  }
 }

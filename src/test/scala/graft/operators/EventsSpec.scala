@@ -453,4 +453,31 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       col("value")).as[(String, Long, Double, Double)].collect().head
     assert(s2._3 == 1.5 && s2._4 == 20.0)
   }
+
+  test("lagAutocorr: periodic series -> 1, anti-phase -> -1, zero-fill proven, constant -> NULL") {
+    val day = 86400000L
+    val base = 1699999200000L
+    def at(di: Int) = new Timestamp(base + di * day)
+    // type "p": spikes every 7th day ONLY (days 0,7,14) — the r=1 result
+    // is only reachable if missing days zero-fill (without fill the
+    // series is constant 3 and r is undefined)
+    val spikes = for (di <- Seq(0, 7, 14); _ <- 1 to 3) yield ("p", at(di))
+    // type "alt": period-2 alternation over the SAME 15-day span as the
+    // spike series (the spine is global; a shorter span would zero-fill
+    // this type's tail and break the planted phase); lag 7 -> r = -1
+    val alt = for (di <- 0 until 15; _ <- 1 to (if (di % 2 == 0) 5 else 1))
+      yield ("alt", at(di))
+    // type "const": identical count every spanned day -> zero variance
+    val const = for (di <- 0 until 15; _ <- 1 to 2) yield ("const", at(di))
+    val events = (spikes ++ alt ++ const).toDF("event_type", "ts")
+    val got = Events.lagAutocorr(events, col("event_type"), col("ts"),
+      lagDays = 7)
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("p")._4.contains(1.0),
+      s"7-day spikes need zero-fill to read r=1: ${got("p")}")
+    assert(got("alt")._4.contains(-1.0), s"anti-phase: ${got("alt")}")
+    assert(got("const")._4.isEmpty, "constant series has no defined r")
+    assert(got.values.forall(_._3 == 7L))
+  }
 }
