@@ -143,16 +143,21 @@ object Drift {
       .na.fill(0L, Seq("ca", "cb"))
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ta = joined.agg(sum("ca").as("n_a"))
-    val tb2 = joined.agg(sum("cb").as("n_b"))
+    val full = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // cardinality contract, ENFORCED (VERDICT r11 ask #4): the ECDF
     // window runs over the distinct-value table — fail loudly past
     // maxDistinct instead of single-tasking raw continuous doubles;
     // quantize=Some(d) is the documented fix (exact for the quantized
-    // variable, per the scaladoc contract above).
-    Eval.withCardinalityGuard(joined, joined, maxDistinct, "ksTest")
-      .select(col("v"), sum("ca").over(w).as("cum_a"), sum("cb").over(w).as("cum_b"))
-      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb2))
+    // variable, per the scaladoc contract above). The guard AND the
+    // n_a/n_b totals ride the same sort as the cumulative window —
+    // the r12 cross-join forms re-evaluated the joined count subtree
+    // (three extra corpus passes); full-frame window sums read the
+    // rows already in hand.
+    Eval.inlineCardinalityGuard(joined, col("v"), maxDistinct, "ksTest")
+      .select(col("v"),
+        sum("ca").over(w).as("cum_a"), sum("cb").over(w).as("cum_b"),
+        sum("ca").over(full).as("n_a"), sum("cb").over(full).as("n_b"))
       .select(col("n_a"), col("n_b"),
         abs(col("cum_a").cast("double") / col("n_a").cast("double") -
           col("cum_b").cast("double") / col("n_b").cast("double")).as("gap"),

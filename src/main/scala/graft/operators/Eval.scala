@@ -39,29 +39,39 @@ object Eval {
     * plan: one extra ≤1-row aggregate (map-side collapsed, and usually
     * a ReusedExchange of the main aggregation), zero effect on results
     * under the contract. The error names `quantize` as the fix. */
-  private[operators] def cardinalityGuard(
-      agg: DataFrame, maxDistinct: Long, op: String): DataFrame =
-    agg.agg(count(lit(1)).as("_card"))
-      .select(when(col("_card") <= maxDistinct, lit(1))
-        .otherwise(raise_error(concat(
-          lit(s"$op: "), col("_card").cast("string"),
-          lit(s" distinct values exceed maxDistinct=$maxDistinct — the" +
-            " post-aggregate window would run in ONE task at this" +
-            " cardinality. Pre-round continuous scores (quantize=" +
-            "Some(d)) or raise maxDistinct deliberately."))))
-        .as("_guard_ok"))
-
-  /** Cross-join [[cardinalityGuard]]'s one-row table into `df` and
-    * ANCHOR it with a trivially-true filter: a merely-projected unused
-    * guard column would be COLUMN-PRUNED by Catalyst, raise_error and
-    * all (measured — the guard never fired as a bare projection). The
-    * filter references the column, so the optimizer must evaluate it. */
-  private[operators] def withCardinalityGuard(
-      df: DataFrame, aggTable: DataFrame,
-      maxDistinct: Long, op: String): DataFrame =
-    df.crossJoin(broadcast(cardinalityGuard(aggTable, maxDistinct, op)))
+  /** Cardinality guard, INLINE form: attach the row count of `df` (an
+    * already-aggregated bounded table) as a full-frame window sharing
+    * `order` — the SAME sort the caller's cumulative window needs, so
+    * guarding costs no extra pass — then fail loudly past
+    * `maxDistinct` via a filter-anchored raise_error (a merely-
+    * projected guard column would be COLUMN-PRUNED by Catalyst,
+    * raise_error and all — measured; the filter references it, so the
+    * optimizer must evaluate it).
+    *
+    * This replaced the r12 cross-join form, which computed the count
+    * as a SEPARATE aggregation of the agg-table subtree: Spark
+    * re-evaluates an uncached subtree per consumer, so the guard was
+    * silently re-running the operator's corpus aggregation — measured
+    * +0.35 s fixed on ext_roc_auc (0.42 → 0.77 forked min-of-9) and a
+    * duplicated corpus scan at 100 TB. The window form reads the rows
+    * already in hand. */
+  private[operators] def inlineCardinalityGuard(
+      df: DataFrame, order: Column,
+      maxDistinct: Long, op: String): DataFrame = {
+    val full = Window.orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.withColumn("_card", count(lit(1)).over(full))
+      .withColumn("_guard_ok",
+        when(col("_card") <= maxDistinct, lit(1))
+          .otherwise(raise_error(concat(
+            lit(s"$op: "), col("_card").cast("string"),
+            lit(s" distinct values exceed maxDistinct=$maxDistinct — the" +
+              " post-aggregate window would run in ONE task at this" +
+              " cardinality. Pre-round continuous scores (quantize=" +
+              "Some(d)) or raise maxDistinct deliberately.")))))
       .filter(col("_guard_ok") === 1)
-      .drop("_guard_ok")
+      .drop("_card", "_guard_ok")
+  }
 
   /** Per-query retrieval metrics over the top `k` ranked rows.
     *
@@ -328,7 +338,7 @@ object Eval {
       .withColumn("nn", col("n") - col("np"))
     val w = Window.orderBy("s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withCardinalityGuard(perScore, perScore, maxDistinct, "rocAuc")
+    inlineCardinalityGuard(perScore, col("s"), maxDistinct, "rocAuc")
       .select(col("np"), col("nn"),
         (sum("nn").over(w) - col("nn")).as("below"))
       .agg(
@@ -528,7 +538,10 @@ object Eval {
       col("n").as("n_l"))
     val r = cells.select(col("va").as("va_r"), col("vb").as("vb_r"),
       col("n").as("n_r"))
-    val cd = withCardinalityGuard(l, cells, maxCells, "kendallTau")
+    // the guard counts l's rows — l IS cells renamed, so this bounds
+    // |cells| without a third evaluation of the corpus aggregate (the
+    // window sorts the bounded cell table once, nothing corpus-sized)
+    val cd = inlineCardinalityGuard(l, col("va_l"), maxCells, "kendallTau")
       .join(broadcast(r), col("va_l") < col("va_r"))
       .agg(coalesce(sum(col("n_l").cast("decimal(38,0)") * col("n_r") *
         when(col("vb_r") > col("vb_l"), 1)
@@ -594,7 +607,7 @@ object Eval {
       val w = Window.orderBy(col(vc))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val counts = rows.groupBy(vc).agg(count(lit(1)).as("cnt"))
-      withCardinalityGuard(counts, counts, maxDistinct, s"spearman($vc)")
+      inlineCardinalityGuard(counts, col(vc), maxDistinct, s"spearman($vc)")
         .select(col(vc),
           (lit(2) * (sum("cnt").over(w) - col("cnt")) + col("cnt") + 1)
             .as(out))
