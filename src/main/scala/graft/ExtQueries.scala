@@ -1030,6 +1030,41 @@ object ExtQueries {
         .orderBy("token_id")
     }),
 
+    // ── Tokenizer vocabulary coverage — [EXT r12]: per-doc OOV rate
+    //    against a deliberately small (top-100) vocabulary; vocab
+    //    broadcast, corpus probed map-side
+    //    (TextPipeline.tokenizerCoverage scaladoc).
+    "ext_tokenizer_coverage" -> ((s, dir) =>
+      TextPipeline.tokenizerCoverage(t(s, dir, "documents"),
+        col("doc_id"), col("text"), minCount = 2L, maxSize = 100)
+        .orderBy("doc_id")),
+
+    // ── URL canonicalization dedup — [EXT r12]: deterministic synthetic
+    //    URLs (scheme/host case, :443, utm_ params, fragments, trailing
+    //    slashes planted via doc_id arithmetic — the pii_scrub injection
+    //    pattern) collapsed to canonical groups
+    //    (TextPipeline.urlDedupGroups scaladoc).
+    "ext_url_canonicalize" -> ((s, dir) => {
+      val withUrl = t(s, dir, "documents").withColumn("url",
+        concat(lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(20)),
+          lit(".COM:443/Products/"), pmod(col("doc_id"), lit(100)),
+          when(pmod(col("doc_id"), lit(2)) === 0, "/").otherwise(""),
+          lit("?utm_source=feed&item="), pmod(col("doc_id"), lit(50)),
+          lit("#sec")))
+      TextPipeline.urlDedupGroups(withUrl, col("doc_id"), col("url"))
+    }),
+
+    // ── Temporal train/test split — [EXT r12]: cut at the exact 0.8
+    //    row-mass quantile over DAYS (calendar-bounded count table, one
+    //    1-row broadcast back; train-on-past/test-on-future, the third
+    //    split discipline next to hash and leakage-free splits)
+    //    (TextPipeline.temporalSplit scaladoc).
+    "ext_temporal_split" -> ((s, dir) =>
+      TextPipeline.temporalSplit(t(s, dir, "events"), col("ts"),
+        trainFrac = 0.8)
+        .select(col("event_id"), col("split"))
+        .orderBy("event_id")),
+
     // ── Unigram LM quality scoring: mean −ln p(token) per document
     //    under the corpus's own unigram model — TfIdf.unigramLogProb;
     //    per-token −ln p quantized to DECIMAL(18,6) pre-sum so the
@@ -4261,6 +4296,97 @@ object ExtQueries {
         |  JOIN quota qu ON d.lang = qu.lang AND d.source = qu.source)
         |SELECT doc_id, lang, source FROM ranked
         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    // Coverage replay: buildVocab's exact tokenization + top-100 cut,
+    // membership probe, id spine with NULL rate for token-less docs.
+    "ext_tokenizer_coverage" ->
+      """WITH freq AS (
+        |  SELECT term AS token, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents)
+        |  WHERE len(term) > 0
+        |  GROUP BY term HAVING COUNT(*) >= 2),
+        |voc AS (
+        |  SELECT token FROM (
+        |    SELECT token, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rn
+        |    FROM freq)
+        |  WHERE rn <= 100),
+        |tk AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents)
+        |  WHERE len(term) > 0),
+        |pd AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN term IN (SELECT token FROM voc)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+        |  FROM tk GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(pd.n_tokens, 0) AS n_tokens,
+        |  COALESCE(pd.n_oov, 0) AS n_oov,
+        |  CASE WHEN pd.n_tokens > 0
+        |    THEN round(CAST(pd.n_oov AS DOUBLE) / pd.n_tokens, 6)
+        |  END AS oov_rate
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // URL-canonicalization replay: the same doc_id-arithmetic URL
+    // construction and the same backreference-free regex chain
+    // (DuckDB needs the explicit 'g' flag Spark applies by default).
+    "ext_url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Site' || (doc_id % 20) || '.COM:443/Products/'
+        |    || (doc_id % 100)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=feed&item=' || (doc_id % 50) || '#sec' AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      lower(regexp_extract(url,
+        |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+        |      ':443$|:80$', '', 'g')
+        |    || regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(regexp_replace(
+        |           regexp_extract(url,
+        |             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1),
+        |           '#.*$', '', 'g'),
+        |           'utm_[^&#]*&', '', 'g'),
+        |           '[?&]utm_[^&#]*$', '', 'g'),
+        |           '/+\?', '?', 'g'),
+        |           '/+$', '', 'g') AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS min_doc_id
+        |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+
+    // Temporal-split replay: day-count table, cumulative + total in one
+    // window pass, smallest day reaching ceil(0.8*n), null ts loud.
+    "ext_temporal_split" ->
+      """WITH e AS (
+        |  SELECT event_id, ts,
+        |    epoch_ms(date_trunc('day', ts)) // 86400000 AS di
+        |  FROM events),
+        |dc AS (
+        |  SELECT di, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM e WHERE ts IS NOT NULL GROUP BY 1),
+        |cw AS (
+        |  SELECT di,
+        |    SUM(c) OVER (ORDER BY di ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER () AS n
+        |  FROM dc),
+        |ct AS (
+        |  SELECT MIN(CASE WHEN CAST(cum AS DOUBLE) >=
+        |    ceil(0.8 * CAST(n AS DOUBLE)) THEN di END) AS cutoff
+        |  FROM cw)
+        |SELECT event_id,
+        |  CASE WHEN ts IS NULL THEN 'undated'
+        |    WHEN di <= cutoff THEN 'train'
+        |    ELSE 'test' END AS split
+        |FROM e CROSS JOIN ct ORDER BY event_id""".stripMargin,
 
     "ext_vocab_build" ->
       """WITH freq AS (

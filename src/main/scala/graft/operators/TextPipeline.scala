@@ -697,6 +697,134 @@ object TextPipeline {
     * splits when new data arrives — the property a random split lacks).
     * `trainSixteenths`/16 of the id space goes to "train", the rest to
     * "val". Pure map-side. */
+  /** TEMPORAL train/test split at a day-granularity quantile cut — the
+    * third of the three standard split disciplines next to [[hashSplit]]
+    * (unit-random) and [[leakageFreeSplit]] (group-closed): time-ordered
+    * evaluation ("train on the past, test on the future") is the only
+    * split that detects temporal leakage and distribution drift, and
+    * real pipelines cut at a calendar boundary, not mid-day.
+    *
+    * The cutoff day is the EXACT `trainFrac` quantile of the row-count
+    * mass over days: the smallest day whose cumulative row count
+    * reaches ⌈trainFrac·n⌉ — computed over the bounded per-day count
+    * table (calendar-bounded, the [[graft.operators.Events.lagAutocorr]]
+    * discipline), never by sorting rows. Rows ON the cutoff day are
+    * train (the day that completes the train mass belongs to it).
+    *
+    * 100 TB shape: one map-collapsing (day) aggregate, one window over
+    * ≤|days| rows, a 1-row broadcast back onto the corpus — the corpus
+    * itself is scanned once and never shuffled.
+    *
+    * Null timestamps cannot be ordered in time: they get the loud third
+    * split "undated" (dropping them would silently shrink the corpus;
+    * defaulting them to train would leak whenever undated rows are
+    * recent). Output: input columns + `split`. */
+  def temporalSplit(
+      df: DataFrame,
+      ts: Column,
+      trainFrac: Double = 0.8): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1,
+      s"trainFrac must be in (0,1), got $trainFrac")
+    val di = (unix_millis(date_trunc("day", ts)) / lit(86400000L))
+      .cast("long")
+    val full = Window.orderBy("di")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = Window.orderBy("di")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoff = df.filter(ts.isNotNull)
+      .select(di.as("di")).groupBy("di").agg(count(lit(1)).as("c"))
+      .select(col("di"), sum("c").over(cum).as("cum"),
+        sum("c").over(full).as("n"))
+      .agg(min(when(col("cum").cast("double") >=
+        ceil(lit(trainFrac) * col("n").cast("double")), col("di")))
+        .as("cutoff_di"))
+    df.crossJoin(broadcast(cutoff))
+      .withColumn("split",
+        when(ts.isNull, "undated")
+          .when(di <= col("cutoff_di"), "train")
+          .otherwise("test"))
+      .drop("cutoff_di")
+  }
+
+  /** Tokenizer VOCABULARY COVERAGE (out-of-vocabulary rate) per
+    * document — the tokenizer-QA readout run after [[TfIdf.buildVocab]]:
+    * a doc whose tokens are mostly OOV will shatter into byte
+    * fallbacks at training time; per-source OOV aggregates decide
+    * whether the vocabulary needs retraining before the corpus ships.
+    *
+    * 100 TB shape: the vocabulary is top-`maxSize` by construction —
+    * BROADCAST; the corpus token stream probes it map-side and
+    * collapses to (doc, 2 counters) partials; one doc-keyed aggregate.
+    * The id spine keeps empty/null-text docs visible (n_tokens 0,
+    * NULL rate — unknown, not perfect).
+    *
+    * Output: (doc_id, n_tokens, n_oov, oov_rate 6dp). */
+  def tokenizerCoverage(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      minCount: Long = 2L,
+      maxSize: Int = 30000): DataFrame = {
+    val vocab = TfIdf.buildVocab(docs, text, minCount, maxSize)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    // the probe stream MUST use buildVocab's own tokenization
+    // (lowercase a-z runs) — mixing tokenizers would count case/
+    // punctuation variants as OOV and corrupt the rate
+    val perDoc = docs
+      .select(id.as("doc_id"),
+        explode(split(lower(text), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_tokens") > 0,
+          round(col("n_oov").cast("double") /
+            col("n_tokens").cast("double"), 6)).as("oov_rate"))
+  }
+
+  /** URL canonicalization + exact-duplicate grouping — the first dedup
+    * pass every web-crawl pipeline runs BEFORE any content fingerprint
+    * (the same page arrives as http/HTTPS, with/without :443, with
+    * tracking params, fragments, and trailing slashes; canonical-URL
+    * collapse is orders of magnitude cheaper than content minhash and
+    * removes the bulk of crawl duplication). Normalization applied:
+    * scheme+host lowercased (paths stay case-sensitive per RFC 3986),
+    * default :80/:443 stripped, #fragment dropped, utm_* tracking
+    * params dropped (separators repaired), trailing path slashes
+    * stripped.
+    *
+    * Engine-portable by construction: plain regex chains with NO
+    * backreferences (Spark's $1 vs RE2's \\1 substitution syntax is
+    * the one place the engines' regex dialects diverge).
+    *
+    * 100 TB shape: canonicalization is a pure map; the group table
+    * shuffles (canonical_url, 1) pairs with map-side collapse — the
+    * [[graft.operators.Dedup.exact]] shape keyed by canonical URL.
+    *
+    * Output: (canonical_url, n_docs, min_doc_id), one row per
+    * canonical group. */
+  def urlDedupGroups(docs: DataFrame, id: Column, url: Column): DataFrame = {
+    val head = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    val tail = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val h2 = regexp_replace(head, ":443$|:80$", "")
+    val t2 = regexp_replace(tail, "#.*$", "")          // fragment
+    val t3 = regexp_replace(t2, "utm_[^&#]*&", "")     // utm_ followed by more params
+    val t4 = regexp_replace(t3, "[?&]utm_[^&#]*$", "") // trailing utm_ + its separator
+    val t5 = regexp_replace(t4, "/+\\?", "?")          // slash(es) before the query
+    val t6 = regexp_replace(t5, "/+$", "")             // trailing slash(es)
+    docs
+      .select(id.as("doc_id"), concat(h2, t6).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+      .orderBy("canonical_url")
+  }
+
   def hashSplit(
       docs: DataFrame,
       id: Column,

@@ -759,4 +759,59 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
       col("text"), 5).orderBy("doc_id").collect().toSeq
     assert(got.length == again.length)
   }
+
+  test("temporalSplit: day-quantile cutoff, cutoff day is train, null ts undated") {
+    val day = 86400000L
+    val base = 1699999200000L
+    val rows = (0 until 10).map(di =>
+      (di.toLong, new java.sql.Timestamp(base + di * day))) :+
+      ((99L, null.asInstanceOf[java.sql.Timestamp]))
+    val got = TextPipeline.temporalSplit(rows.toDF("id", "ts"), col("ts"),
+      trainFrac = 0.8)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // 10 dated rows, one per day: ceil(8) reached on the 8th day (di 7)
+    assert((0L to 7L).forall(got(_) == "train"), s"got $got")
+    assert(got(8L) == "test" && got(9L) == "test")
+    assert(got(99L) == "undated", "null ts must be loud, not train/test")
+    // mass concentrated on one day: the day completing the mass is train
+    val heavy = (1 to 5).map(i => (i.toLong, new java.sql.Timestamp(base))) ++
+      (6 to 10).map(i => (i.toLong, new java.sql.Timestamp(base + day)))
+    val h = TextPipeline.temporalSplit(heavy.toDF("id", "ts"), col("ts"),
+      trainFrac = 0.5)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert((1 to 5).forall(i => h(i.toLong) == "train"))
+    assert((6 to 10).forall(i => h(i.toLong) == "test"))
+  }
+
+  test("tokenizerCoverage: OOV against the built vocab, token-less docs NULL rate") {
+    val docs = Seq(
+      (1L, "aa bb aa"), (2L, "aa cc"), (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // minCount=2 keeps only "aa" (freq 3); bb/cc are OOV
+    val got = TextPipeline.tokenizerCoverage(docs, col("doc_id"),
+      col("text"), minCount = 2L, maxSize = 10)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(got(0) == ((1L, 3L, 1L, Some(BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    assert(got(1) == ((2L, 2L, 1L, Some(0.5))))
+    assert(got(2) == ((3L, 0L, 0L, None)), "empty text: 0 tokens, NULL rate")
+    assert(got(3) == ((4L, 0L, 0L, None)), "null text kept via the spine")
+  }
+
+  test("urlDedupGroups: case/port/utm/fragment/slash variants collapse") {
+    val docs = Seq(
+      (1L, "https://Example.COM:443/a/?utm_source=x#f"),
+      (2L, "HTTPS://example.com/a"),
+      (3L, "http://h.com:80/p?utm_a=1&id=2"),
+      (4L, "https://example.com/b"))
+      .toDF("doc_id", "url")
+    val got = TextPipeline.urlDedupGroups(docs, col("doc_id"), col("url"))
+      .as[(String, Long, Long)].collect()
+    assert(got.toSet == Set(
+      ("https://example.com/a", 2L, 1L),
+      ("http://h.com/p?id=2", 1L, 3L),
+      ("https://example.com/b", 1L, 4L)), s"got ${got.toSeq}")
+  }
 }
