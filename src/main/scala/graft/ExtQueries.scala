@@ -5524,8 +5524,9 @@ object ExtQueries {
 
     // Pure IEEE replay: counts, divides, sqrt — bit-exact with no
     // quantization (the Experiment scaladoc's determinism class).
-    // Poisson-bootstrap replay: the frozen PoissonCumHex thresholds
-    // against the md5("id:r") 8-hex prefix (lexicographic == numeric),
+    // Poisson-bootstrap replay: one md5 digest per (unit, digest-index)
+    // sliced into four disjoint 8-hex windows (replicate r = 4d + win),
+    // the frozen PoissonCumHex thresholds (lexicographic == numeric),
     // 6dp decimal weighted sums, one IEEE divide per replicate mean,
     // rank-1/rank-39 order statistics with the (mean, r) tie-break and
     // NULLS LAST (all-zero replicates of tiny groups sort last).
@@ -5534,28 +5535,31 @@ object ExtQueries {
         |  SELECT event_type AS group_key, CAST(event_id AS VARCHAR) AS sid,
         |    CAST(round(value, 6) AS DECIMAL(28,6)) AS x
         |  FROM events WHERE value IS NOT NULL),
-        |ex AS (
-        |  SELECT b.*, t.r FROM base b
-        |  CROSS JOIN (SELECT unnest(range(-1, 40)) AS r) t),
+        |hx AS (
+        |  SELECT b.group_key, b.x, t.d,
+        |    CASE WHEN t.d >= 0
+        |      THEN md5(b.sid || ':' || CAST(t.d AS VARCHAR)) END AS h
+        |  FROM base b
+        |  CROSS JOIN (SELECT unnest(range(-1, 10)) AS d) t),
+        |wn AS (
+        |  SELECT group_key, x, d, h,
+        |    unnest(CASE WHEN d = -1 THEN [-1]
+        |           ELSE [0, 1, 2, 3] END) AS win
+        |  FROM hx),
         |w AS (
-        |  SELECT group_key, r, x,
-        |    CASE WHEN r = -1 THEN 1
-        |      WHEN substr(md5(sid || ':' || CAST(r AS VARCHAR)), 1, 8)
-        |        < '5e2d58d8' THEN 0
-        |      WHEN substr(md5(sid || ':' || CAST(r AS VARCHAR)), 1, 8)
-        |        < 'bc5ab1b1' THEN 1
-        |      WHEN substr(md5(sid || ':' || CAST(r AS VARCHAR)), 1, 8)
-        |        < 'eb715e1d' THEN 2
-        |      WHEN substr(md5(sid || ':' || CAST(r AS VARCHAR)), 1, 8)
-        |        < 'fb239797' THEN 3
-        |      WHEN substr(md5(sid || ':' || CAST(r AS VARCHAR)), 1, 8)
-        |        < 'ff1025f5' THEN 4
-        |      WHEN substr(md5(sid || ':' || CAST(r AS VARCHAR)), 1, 8)
-        |        < 'ffd90f3b' THEN 5
-        |      WHEN substr(md5(sid || ':' || CAST(r AS VARCHAR)), 1, 8)
-        |        < 'fffa8b71' THEN 6
+        |  SELECT group_key,
+        |    CASE WHEN d = -1 THEN -1 ELSE d * 4 + win END AS r,
+        |    x,
+        |    CASE WHEN d = -1 THEN 1
+        |      WHEN substr(h, win * 8 + 1, 8) < '5e2d58d8' THEN 0
+        |      WHEN substr(h, win * 8 + 1, 8) < 'bc5ab1b1' THEN 1
+        |      WHEN substr(h, win * 8 + 1, 8) < 'eb715e1d' THEN 2
+        |      WHEN substr(h, win * 8 + 1, 8) < 'fb239797' THEN 3
+        |      WHEN substr(h, win * 8 + 1, 8) < 'ff1025f5' THEN 4
+        |      WHEN substr(h, win * 8 + 1, 8) < 'ffd90f3b' THEN 5
+        |      WHEN substr(h, win * 8 + 1, 8) < 'fffa8b71' THEN 6
         |      ELSE 7 END AS w
-        |  FROM ex),
+        |  FROM wn),
         |m AS (
         |  SELECT group_key, r, SUM(w) AS sw, SUM(w * x) AS swx
         |  FROM w GROUP BY 1, 2),

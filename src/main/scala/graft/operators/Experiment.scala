@@ -144,24 +144,31 @@ object Experiment {
       value: Column,
       replicates: Int = 40,
       confidence: Double = 0.95): DataFrame = {
-    require(replicates >= 4, s"need >= 4 replicates, got $replicates")
+    require(replicates >= 4 && replicates % 4 == 0,
+      s"replicates must be a positive multiple of 4 (one md5 digest" +
+        s" feeds four 8-hex windows), got $replicates")
     require(confidence > 0 && confidence < 1,
       s"confidence must be in (0,1), got $confidence")
     val loRank = math.max(1,
       math.floor((1 - confidence) / 2 * replicates).toInt)
     val hiRank = math.min(replicates,
       math.ceil((1 + confidence) / 2 * replicates).toInt)
-    // The 8-branch threshold CASE references the digest 7 times, but it
-    // is deliberately NOT bound() here: whole-stage codegen's
-    // conditional subexpression elimination (SPARK-33337) already
-    // evaluates the repeated md5 once per row, while bound()'s
-    // transform-over-1-element-array is a higher-order function that
-    // falls OUT of codegen — the A/B forked receipts measured the
-    // bound() form 20-40% slower (6.5/7.2/10.1 s vs 5.4/5.8/7.1 s at
-    // sf0.1/10x/26x). The bound() discipline is for lambda contexts,
-    // where CSE cannot reach.
-    val u = substring(
-      md5(concat(col("sid"), lit(":"), col("r").cast("string"))), 1, 8)
+    // ONE digest feeds FOUR replicates: md5's 32 hex chars slice into
+    // four disjoint 8-hex (32-bit) windows with pairwise-independent
+    // bits — the cmsCells discipline ("one digest per occurrence beats
+    // depth salted digests on the hot path") — so the dominant cost
+    // drops from R md5s per unit to R/4. The digest is computed on the
+    // d-level row BEFORE the window explode, so it is hashed once and
+    // carried. Replicate number r = 4·d + win; the sentinel d = −1 row
+    // is the unweighted point estimate.
+    //
+    // The 8-branch threshold CASE references the window substring 7
+    // times, deliberately NOT bound(): conditional subexpression
+    // elimination (SPARK-33337) already evaluates it once per row in
+    // codegen, while bound()'s transform() is a higher-order function
+    // that falls OUT of codegen — forked A/B receipts measured the
+    // bound() form 20-40% slower (bench_r12_boundab_*).
+    val u = expr("substring(h, win * 8 + 1, 8)")
     val poissonW = PoissonCumHex.zipWithIndex
       .foldLeft(when(col("r") === -1, 1)) { case (acc, (hex, w)) =>
         acc.when(u < hex, w)
@@ -171,7 +178,15 @@ object Experiment {
       .filter(value.isNotNull)
       .select(group.as("group_key"), id.cast("string").as("sid"),
         round(value.cast("double"), 6).cast("decimal(28,6)").as("x"))
-      .withColumn("r", explode(sequence(lit(-1), lit(replicates - 1))))
+      .withColumn("d", explode(sequence(lit(-1), lit(replicates / 4 - 1))))
+      .withColumn("h",
+        when(col("d") >= 0,
+          md5(concat(col("sid"), lit(":"), col("d").cast("string")))))
+      .withColumn("win", explode(
+        when(col("d") === -1, array(lit(-1)))
+          .otherwise(array(lit(0), lit(1), lit(2), lit(3)))))
+      .withColumn("r",
+        when(col("d") === -1, -1).otherwise(col("d") * 4 + col("win")))
       .withColumn("w", poissonW)
       .groupBy("group_key", "r")
       .agg(sum(col("w").cast("long")).as("sw"),
