@@ -785,9 +785,13 @@ object Dedup {
       maxModP: Int = 32): Int = {
     val ratio = math.max(1L, n / baseN)
     val doublings = 63 - java.lang.Long.numberOfLeadingZeros(ratio)
-    // Shift in Long then min: baseModP << 28+ wraps Int (8 << 28 =
-    // Int.MinValue), which would pick a negative modulus at n ≳ 2e12.
-    math.min(maxModP.toLong, baseModP.toLong << math.min(60, doublings)).toInt
+    // Shift in Long with a FITS-BASED clamp (VERDICT r12 nit #1): the
+    // largest shift keeping baseModP << s positive in a Long is
+    // 62 − bitpos(baseModP) — a constant clamp (the old 60) still
+    // wrapped for any baseModP (8L << 60 = 2^63 < 0).
+    val fits = 62L - (63 - java.lang.Long.numberOfLeadingZeros(baseModP.toLong))
+    math.min(maxModP.toLong,
+      baseModP.toLong << math.min(fits, doublings.toLong)).toInt
   }
 
   /** [[substringFingerprintPairs]] with the sampling modulus sized from

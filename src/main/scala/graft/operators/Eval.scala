@@ -57,7 +57,8 @@ object Eval {
     * already in hand. */
   private[operators] def inlineCardinalityGuard(
       df: DataFrame, order: Column,
-      maxDistinct: Long, op: String): DataFrame = {
+      maxDistinct: Long, op: String,
+      paramName: String = "maxDistinct"): DataFrame = {
     val full = Window.orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     df.withColumn("_card", count(lit(1)).over(full))
@@ -65,10 +66,10 @@ object Eval {
         when(col("_card") <= maxDistinct, lit(1))
           .otherwise(raise_error(concat(
             lit(s"$op: "), col("_card").cast("string"),
-            lit(s" distinct values exceed maxDistinct=$maxDistinct — the" +
+            lit(s" distinct values exceed $paramName=$maxDistinct — the" +
               " post-aggregate window would run in ONE task at this" +
               " cardinality. Pre-round continuous scores (quantize=" +
-              "Some(d)) or raise maxDistinct deliberately.")))))
+              s"Some(d)) or raise $paramName deliberately.")))))
       .filter(col("_guard_ok") === 1)
       .drop("_card", "_guard_ok")
   }
@@ -541,7 +542,8 @@ object Eval {
     // the guard counts l's rows — l IS cells renamed, so this bounds
     // |cells| without a third evaluation of the corpus aggregate (the
     // window sorts the bounded cell table once, nothing corpus-sized)
-    val cd = inlineCardinalityGuard(l, col("va_l"), maxCells, "kendallTau")
+    val cd = inlineCardinalityGuard(l, col("va_l"), maxCells, "kendallTau",
+        paramName = "maxCells")
       .join(broadcast(r), col("va_l") < col("va_r"))
       .agg(coalesce(sum(col("n_l").cast("decimal(38,0)") * col("n_r") *
         when(col("vb_r") > col("vb_l"), 1)

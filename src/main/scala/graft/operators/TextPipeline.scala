@@ -812,10 +812,22 @@ object TextPipeline {
   def urlDedupGroups(docs: DataFrame, id: Column, url: Column): DataFrame = {
     val head = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
     val tail = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
-    val h2 = regexp_replace(head, ":443$|:80$", "")
+    // Default-port strip is SCHEME-AWARE (ADVICE r12): only :80 is the
+    // default for http and only :443 for https — 'http://host:443' is a
+    // real non-default-port resource and must NOT collapse into
+    // 'http://host'. Branch on the (lowercased) scheme, no backreference.
+    val h2 = when(head.startsWith("http://"), regexp_replace(head, ":80$", ""))
+      .when(head.startsWith("https://"), regexp_replace(head, ":443$", ""))
+      .otherwise(head)
     val t2 = regexp_replace(tail, "#.*$", "")          // fragment
-    val t3 = regexp_replace(t2, "utm_[^&#]*&", "")     // utm_ followed by more params
-    val t4 = regexp_replace(t3, "[?&]utm_[^&#]*$", "") // trailing utm_ + its separator
+    // utm_ strips anchor to a PARAMETER BOUNDARY (ADVICE r12: the
+    // unanchored 'utm_[^&#]*&' matched 'utm_' inside other parameter
+    // names — '?xutm_a=1&b=2' lost its real param). Three passes, all
+    // backreference- and lookahead-free (RE2-portable): after pass one
+    // removes every '&'-led utm param, any survivor is the FIRST param.
+    val t3 = regexp_replace(t2, "&utm_[^&#]*", "")      // non-first utm params
+    val t4a = regexp_replace(t3, "\\?utm_[^&#]*&", "?") // first is utm, more follow
+    val t4 = regexp_replace(t4a, "\\?utm_[^&#]*$", "")  // the only param is utm
     val t5 = regexp_replace(t4, "/+\\?", "?")          // slash(es) before the query
     val t6 = regexp_replace(t5, "/+$", "")             // trailing slash(es)
     docs

@@ -358,6 +358,15 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.sizedWinnowModP(3_000_000_000_000L) == 32)
     assert(Dedup.sizedWinnowModP(Long.MaxValue) == 32)
     assert(Dedup.sizedWinnowModP(Long.MaxValue, maxModP = 1 << 20) == (1 << 20))
+    // VERDICT r12 nit #1: the clamp must be FITS-BASED, not the constant
+    // 60 (8L << 60 = 2^63 wraps negative; baseModP=16 wrapped at 59).
+    // baseN=1 drives doublings to 62 — the cap must still win, positive.
+    assert(Dedup.sizedWinnowModP(Long.MaxValue, baseN = 1L) == 32)
+    assert(Dedup.sizedWinnowModP(Long.MaxValue, baseModP = 16, baseN = 1L) == 32)
+    assert(Dedup.sizedWinnowModP(Long.MaxValue, baseModP = 16, baseN = 1L,
+      maxModP = 1 << 20) == (1 << 20))
+    assert(Dedup.sizedWinnowModP(Long.MaxValue, baseModP = 1, baseN = 1L,
+      maxModP = Int.MaxValue) > 0, "deep-doubling shift must never wrap")
   }
 
   test("substringFingerprintPairsAuto == fixed path at oracle-fixture scale") {

@@ -241,7 +241,10 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[Throwable] {
       Eval.kendallTau(many, col("a"), col("b"), maxCells = 50).collect()
     }
-    assert(chain(e).contains("maxDistinct"), chain(e))
+    // ADVICE r12: the guard must name the CALLER'S parameter — kendallTau
+    // bounds cells via maxCells; 'maxDistinct' doesn't exist on it
+    assert(chain(e).contains("maxCells"), chain(e))
+    assert(!chain(e).contains("maxDistinct"), chain(e))
   }
 
   test("hardNegatives: gold anti-joined away, survivors re-ranked, extras pass through") {

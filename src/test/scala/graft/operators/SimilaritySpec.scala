@@ -483,4 +483,50 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got.length == again.length &&
       got.map(_._2).toSeq == again.map(_.getLong(1)).toSeq)
   }
+
+  test("mmrDiversify: anti-correlated candidate BOOSTED (unclamped max, ADVICE r12)") {
+    // id 3 is anti-correlated to pick 1 (cos = −1): the MMR formula
+    // subtracts (1−λ)·max_sim = −0.25, i.e. ADDS 0.25 — its score must
+    // beat the near-duplicate id 2 despite far lower relevance. The old
+    // 0-clamped msim scored id 3 at 0.075 < id 2's 0.125 and silently
+    // diverged from the oracle's unclamped MAX(sim).
+    val pool = Seq(
+      (1L, Array(1.0f, 0.0f), 0.9),
+      (2L, Array(1.0f, 0.0f), 0.5),  // exact duplicate of 1
+      (3L, Array(-1.0f, 0.0f), 0.1)) // anti-correlated to 1
+      .toDF("vec_id", "embedding", "rel")
+    val got = Similarity.mmrDiversify(pool, col("vec_id"), col("embedding"),
+      col("rel"), select = 3)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"negative max-sim must raise id 3 above the duplicate: ${got.toSeq}")
+    // score(3) = 0.75*0.1 − 0.25*(−1.0) = 0.325
+    assert(math.abs(got(1)._4 - 0.325) < 1e-9, s"got ${got(1)._4}")
+    // and the distributed path agrees exactly (the oracle semantics)
+    val dist = Similarity.mmrDiversify(pool, col("vec_id"), col("embedding"),
+      col("rel"), select = 3, driverPoolLimit = 0L)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(dist.toSeq == got.toSeq)
+  }
+
+  test("mmrDiversify: driver-side and distributed paths are bit-identical") {
+    // 40 deterministic pseudo-random vectors — both execution paths must
+    // produce the same picks AND the same IEEE-exact scores (the driver
+    // loop replays CosineSim + Spark round bit-for-bit)
+    val pool = (1 to 40).map { i =>
+      val v = Array.tabulate(8)(d =>
+        math.sin(i * 31 + d * 7).toFloat) // fixed, reproducible
+      (i.toLong, v, (math.cos(i).abs * 100).floor / 100.0)
+    }.toDF("vec_id", "embedding", "rel")
+    val local = Similarity.mmrDiversify(pool, col("vec_id"),
+      col("embedding"), col("rel"), select = 12)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val dist = Similarity.mmrDiversify(pool, col("vec_id"),
+      col("embedding"), col("rel"), select = 12, driverPoolLimit = 0L)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(local == dist, s"paths diverged:\n$local\nvs\n$dist")
+    assert(local.length == 12)
+    // lineage truncation kicks in past 8 picks on the distributed path —
+    // this run crossed it (select = 12) and still matched
+  }
 }

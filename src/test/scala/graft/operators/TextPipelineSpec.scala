@@ -814,4 +814,28 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
       ("http://h.com/p?id=2", 1L, 3L),
       ("https://example.com/b", 1L, 4L)), s"got ${got.toSeq}")
   }
+
+  test("urlDedupGroups: non-default ports kept; utm_ strip is boundary-anchored") {
+    // ADVICE r12: (a) 'http://host:443' is a REAL non-default port — it
+    // must not collapse into 'http://host' (and https://host:80 likewise);
+    // (b) 'utm_' inside ANOTHER parameter's name ('?xutm_a=1&b=2') must
+    // survive — the old unanchored pattern ate the real param after it.
+    val docs = Seq(
+      (1L, "http://h.com:443/p"),           // non-default port: distinct
+      (2L, "http://h.com/p"),
+      (3L, "https://h.com:80/p"),           // non-default port: distinct
+      (4L, "https://h.com/q?xutm_a=1&b=2"), // xutm_ is NOT a utm_ param
+      (5L, "https://h.com/q?utm_a=1&utm_b=2&b=2"), // both utm params drop
+      (6L, "https://h.com/r?utm_a=1&utm_b=2")) // all-utm query → bare path
+      .toDF("doc_id", "url")
+    val got = TextPipeline.urlDedupGroups(docs, col("doc_id"), col("url"))
+      .as[(String, Long, Long)].collect()
+    assert(got.toSet == Set(
+      ("http://h.com:443/p", 1L, 1L),
+      ("http://h.com/p", 1L, 2L),
+      ("https://h.com:80/p", 1L, 3L),
+      ("https://h.com/q?xutm_a=1&b=2", 1L, 4L),
+      ("https://h.com/q?b=2", 1L, 5L),
+      ("https://h.com/r", 1L, 6L)), s"got ${got.toSeq}")
+  }
 }
