@@ -256,12 +256,13 @@ object ExtQueries {
     // ── Bucketed co-located join — [EXT r13, VERDICT r12 ask #1]:
     //    orders and customer land as 8-bucket bucket-sorted managed
     //    tables on the join key (Ingest.writeBucketedTable — one file
-    //    per bucket, so the scan reports its sort order), then
-    //    sort-merge-join with ZERO Exchange and ZERO Sort under the
-    //    join (receipt: bench/plan_shapes_r13.json): the two big
-    //    shuffles a repeated fact⋈dim join pays at 100 TB are paid
-    //    ONCE at write time. merge hint pins SMJ (a broadcastable dim
-    //    at test scale would hide the bucket story the receipt needs).
+    //    per bucket), then sort-merge-join with ZERO Exchange under
+    //    the join (receipt: bench/plan_shapes_r13.json — smj feeds
+    //    straight off the bucket scans; the SMJ sorts are local, see
+    //    the writer's scaladoc): the two big shuffles a repeated
+    //    fact⋈dim join pays at 100 TB are paid ONCE at write time.
+    //    merge hint pins SMJ (a broadcastable dim at test scale would
+    //    hide the bucket story the receipt needs).
     "ext_bucketed_join" -> ((s, dir) => {
       val tag = s"${math.abs(dir.hashCode)}_pid${ProcessHandle.current().pid()}"
       val ot = s"graft_bkt_orders_$tag"

@@ -97,7 +97,11 @@ object Ingest {
       else {
         val payload =
           df.columns.filterNot(partitionCols.contains).toIndexedSeq.map(col)
-        df.repartition(parts :+
+        // explicit partition count: an unspecified-count repartition is
+        // fair game for AQE's coalescer, which at low volume folds the
+        // salt groups back into one task and silently undoes the split
+        val n = df.sparkSession.sessionState.conf.numShufflePartitions
+        df.repartition(n, parts :+
           pmod(xxhash64(payload: _*), lit(filesPerPartition.toLong)): _*)
       }
     clustered.write.mode(SaveMode.Overwrite)
@@ -107,16 +111,20 @@ object Ingest {
   /** [EXT] A5, BUCKETED tier (VERDICT r12 ask #1) — hash-bucketed,
     * bucket-sorted managed table: the storage-side half of a
     * shuffle-free join. Two tables bucketed on their join key with the
-    * SAME bucket count sort-merge-join with ZERO Exchange and ZERO Sort
-    * (receipt: `bench/plan_shapes_r13.json`, `ext_bucketed_join`) —
+    * SAME bucket count sort-merge-join with ZERO Exchange under the
+    * join (receipt: `bench/plan_shapes_r13.json`, `ext_bucketed_join`:
+    * smj=1 with both inputs scanning their 8 bucket files directly) —
     * at 100 TB that deletes the two largest shuffles a fact⋈fact join
     * pays, turning every repeated join on the bucket key into a local
-    * merge. Spark's bucket id is `pmod(murmur3, buckets)` — the SAME
-    * hash `repartition(buckets, cols)` uses, so pre-repartitioning
-    * lands each bucket in exactly one task → ONE FILE PER BUCKET,
-    * which is what lets the scan report its sort order (multi-file
-    * buckets force a re-sort; Spark only trusts `sortBy` metadata for
-    * single-file buckets).
+    * merge. The SMJ's Sorts remain but are LOCAL (no data movement,
+    * and linear over already-bucket-sorted runs): since 3.0 Spark
+    * distrusts `sortBy` metadata by default because multi-file buckets
+    * interleave (flip `spark.sql.legacy.bucketedTableScan
+    * .outputOrdering` to elide them — safe here, single-file buckets
+    * are guaranteed below). Spark's bucket id is `pmod(murmur3,
+    * buckets)` — the SAME hash `repartition(buckets, cols)` uses, so
+    * pre-repartitioning lands each bucket in exactly one task → ONE
+    * FILE PER BUCKET.
     *
     * The warehouse location of a same-named table from a PREVIOUS
     * session is cleared first: an in-memory catalog forgets its tables

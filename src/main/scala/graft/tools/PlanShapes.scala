@@ -1,0 +1,144 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+
+/** Plan-shape SNAPSHOT for the regression gate (VERDICT r12 ask #2):
+  * for each named contract query, record the STATIC physical plan's
+  * structural counts — exchanges, sorts, join strategies, scans, and
+  * per-scan pruning facts — as deterministic JSON, diffable across
+  * commits by tools/plan_shapes_compare.py.
+  *
+  * Why static (AQE off): the gate catches the `ext_roc_auc` class of
+  * regression — an uncached subtree silently re-evaluated per consumer
+  * shows up statically as "Exchange/scan count jumped" — and a static
+  * plan is byte-deterministic, while AQE's runtime re-plan depends on
+  * observed sizes. Exchange counts here are therefore the UPPER BOUND
+  * the optimizer committed to before AQE trims; that is exactly the
+  * number the gate must watch.
+  *
+  * Default query set: the 20 heaviest queries of the r12 round-close
+  * bench (they carry the plan complexity) plus the two r13 storage-
+  * layout queries whose VALUE is their plan shape (partition pruning,
+  * exchange-free bucketed join).
+  *
+  * Usage: runMain graft.tools.PlanShapes <sfDir> <out.json> [q1,q2,...]
+  */
+object PlanShapes {
+
+  /** 20 heaviest from bench/bench_r12_final_sf01_32c.json + storage. */
+  val DefaultQueries: Seq[String] = Seq(
+    "ext_bootstrap_ci", "ext_pca_power", "ext_semdedup", "ext_resample_fill",
+    "g5_corr_moments", "ext_quality_keeper", "ext_fuzzy_join",
+    "g6_quantiles_exact", "ext_rrf_fusion", "ext_minhash_neardup",
+    "ext_dedup_clusters", "ext_ppr", "g3_approx_distinct", "ext_mad",
+    "ext_skipgram_cooccur", "ext_triangles", "ext_incremental_neardup",
+    "ext_leakage_split", "ext_pagerank", "ext_kcore",
+    "ext_partitioned_scan", "ext_bucketed_join")
+
+  final case class ScanFacts(
+      partitionFilters: Seq[String], pushedFilters: String,
+      partitionsSelected: Option[Int], filesScanned: Option[Long],
+      filesTotal: Option[Long])
+
+  /** Structural counts of one physical plan. Node identity is the
+    * exec class simple name — stable across Spark minor versions. */
+  def shape(plan: SparkPlan): Map[String, Int] = {
+    val names = plan.collect { case n => n.getClass.getSimpleName }
+    names.groupBy(identity).map { case (k, v) => k -> v.size }
+  }
+
+  def scanFacts(plan: SparkPlan): Seq[ScanFacts] =
+    plan.collect { case s: FileSourceScanExec =>
+      val pf = s.partitionFilters.map(_.sql)
+      val pushed = s.metadata.getOrElse("PushedFilters", "[]")
+      val (sel, scanned, total) =
+        try {
+          val selected = s.selectedPartitions // post-pruning listing
+          val all = s.relation.location.inputFiles.length.toLong
+          (Option(selected.partitionCount),
+            Option(selected.totalNumberOfFiles), Option(all))
+        } catch {
+          case _: Throwable =>
+            (Option.empty[Int], Option.empty[Long], Option.empty[Long])
+        }
+      ScanFacts(pf, pushed, sel, scanned, total)
+    }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n") + "\""
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PlanShapes <sfDir> <out.json> [q1,q2,...]")
+    val dir = args(0)
+    val out = args(1)
+    val names =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSeq
+      else DefaultQueries
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "false") // static gate — see scaladoc
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // the structural families the gate watches, summed over exec classes
+    val families = Seq(
+      "exchanges" -> Seq("ShuffleExchangeExec"),
+      "broadcasts" -> Seq("BroadcastExchangeExec"),
+      "sorts" -> Seq("SortExec"),
+      "smj" -> Seq("SortMergeJoinExec"),
+      "bhj" -> Seq("BroadcastHashJoinExec"),
+      "shj" -> Seq("ShuffledHashJoinExec"),
+      "bnlj" -> Seq("BroadcastNestedLoopJoinExec"),
+      "cartesian" -> Seq("CartesianProductExec"),
+      "scans" -> Seq("FileSourceScanExec"),
+      "aggregates" -> Seq("HashAggregateExec", "ObjectHashAggregateExec",
+        "SortAggregateExec"),
+      "windows" -> Seq("WindowExec", "WindowGroupLimitExec"),
+      "generates" -> Seq("GenerateExec"))
+
+    val entries = names.sorted.flatMap { q =>
+      graft.SparkEntry.queries.get(q) match {
+        case None =>
+          System.err.println(s"[plan-shapes] unknown query: $q"); None
+        case Some(f) =>
+          val plan = f(spark, dir).queryExecution.executedPlan
+          val counts = shape(plan)
+          val fam = families.map { case (label, classes) =>
+            label -> classes.map(c => counts.getOrElse(c, 0)).sum
+          }
+          val scans = scanFacts(plan).map { sf =>
+            val fields = Seq(
+              "partition_filters" ->
+                sf.partitionFilters.map(jstr).mkString("[", ",", "]"),
+              "pushed_filters" -> jstr(sf.pushedFilters),
+              "partitions_selected" ->
+                sf.partitionsSelected.map(_.toString).getOrElse("null"),
+              "files_scanned" ->
+                sf.filesScanned.map(_.toString).getOrElse("null"),
+              "files_total" ->
+                sf.filesTotal.map(_.toString).getOrElse("null"))
+            fields.map { case (k, v) => s"${jstr(k)}: $v" }
+              .mkString("{", ", ", "}")
+          }
+          val body =
+            (fam.map { case (k, v) => s"${jstr(k)}: $v" } :+
+              (s"${jstr("scan_details")}: " +
+                scans.mkString("[", ", ", "]"))).mkString(", ")
+          Some(s"  ${jstr(q)}: {$body}")
+      }
+    }
+    val json = entries.mkString("{\n", ",\n", "\n}\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    println(s"[plan-shapes] wrote ${entries.size} query shapes to $out")
+    spark.stop()
+  }
+}

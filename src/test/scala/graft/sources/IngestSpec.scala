@@ -317,6 +317,91 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
       Seq(55, 66)) // attention → popularity rename
   }
 
+  test("writePartitioned: date-directory layout, pruned scan, one file per value") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-partwrite").toString + "/events"
+    val ev = spark.range(300).select(
+      col("id").as("event_id"),
+      date_add(lit(java.sql.Date.valueOf("2024-03-01")),
+        pmod(col("id"), lit(10)).cast("int")).as("d"),
+      (col("id") * 3).cast("double").as("v"))
+    Ingest.writePartitioned(ev, dir, Seq("d"))
+    // directory-per-value layout, ONE file per partition (no small-file spray)
+    val root = new java.io.File(dir)
+    val partDirs = root.listFiles().filter(_.getName.startsWith("d="))
+    assert(partDirs.length == 10, s"got ${partDirs.map(_.getName).toSeq}")
+    assert(partDirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    // a date predicate PRUNES: 2 of 10 partitions survive before file listing
+    val q = spark.read.parquet(dir)
+      .filter(col("d").isin(java.sql.Date.valueOf("2024-03-02"),
+        java.sql.Date.valueOf("2024-03-05")))
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "partition filters must reach the scan")
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 pruned partitions, got ${scan.selectedPartitions.partitionCount}")
+    assert(q.count() == 60)
+    // round trip: contents survive the layout
+    assert(spark.read.parquet(dir).agg(sum("v")).collect().head.getDouble(0)
+      == (0 until 300).map(_ * 3.0).sum)
+    // filesPerPartition > 1 splits each value deterministically — the
+    // salt separates a value across reducers, so give the local run a
+    // production-like reducer count (4 reducers would fold the salt
+    // groups right back together)
+    val dir2 = Files.createTempDirectory("graft-partwrite2").toString + "/events"
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      Ingest.writePartitioned(ev, dir2, Seq("d"), filesPerPartition = 3)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    val dirs2 = new java.io.File(dir2).listFiles().filter(_.getName.startsWith("d="))
+    val fileCounts = dirs2.map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(fileCounts.sum > 10 && fileCounts.max > 1,
+      s"salt must spread values over multiple files: ${fileCounts.toSeq}")
+    assert(fileCounts.max <= 3, s"never more than filesPerPartition: ${fileCounts.toSeq}")
+    assert(spark.read.parquet(dir2).count() == 300)
+  }
+
+  test("writeBucketedTable: co-bucketed SMJ has zero Exchange under the join") {
+    import org.apache.spark.sql.functions._
+    val facts = spark.range(2000).select(
+      col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+    val dim = spark.range(500).select(
+      col("id").as("dk"), concat(lit("g"), col("id") % 5).as("grp"))
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // static plan assertions (AQE wraps the tree in AdaptiveSparkPlanExec,
+      // hiding children from collect; the bucket story is identical either way)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Ingest.writeBucketedTable(facts, "graft_test_facts", 4, Seq("k"))
+      Ingest.writeBucketedTable(dim, "graft_test_dim", 4, Seq("dk"))
+      val j = spark.table("graft_test_facts").hint("merge")
+        .join(spark.table("graft_test_dim"), col("k") === col("dk"))
+      val plan = j.queryExecution.executedPlan
+      val smj = plan.collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s }
+      assert(smj.nonEmpty, s"expected SMJ, got\n$plan")
+      // the whole point: NO shuffle anywhere below the join — the bucket
+      // layout pre-paid both exchanges at write time
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty, s"bucketed join must not shuffle:\n$plan")
+      assert(j.count() == 500)
+      // one file per bucket (the repartition-by-bucket-hash guarantee)
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.forall(_.selectedPartitions.bucketsContainSingleFile))
+      // rewrite over an existing table (fresh-JVM leftover dirs included)
+      Ingest.writeBucketedTable(facts.limit(100), "graft_test_facts", 4, Seq("k"))
+      assert(spark.table("graft_test_facts").count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.sql("DROP TABLE IF EXISTS graft_test_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_test_dim")
+    }
+  }
+
   test("every shipped columnar/text format round-trips the same rows") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft-formats")

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Plan-shape regression gate (VERDICT r12 ask #2): diff two PlanShapes
+snapshots (bench/plan_shapes_r{N}.json) and flag STRUCTURAL regressions
+— the ext_roc_auc class (a guard silently re-evaluating its subtree)
+shows up statically as "exchanges/scans jumped", which this catches
+without any timing noise.
+
+Exit code 1 on any regression (count increased on a watched family, or
+a cartesian product appeared). Improvements and additions are reported
+but pass.
+
+Usage: plan_shapes_compare.py <old.json> <new.json>
+"""
+import json
+import sys
+
+WATCHED = ["exchanges", "broadcasts", "sorts", "smj", "bhj", "shj",
+           "bnlj", "cartesian", "scans", "aggregates", "windows",
+           "generates"]
+# families where an INCREASE is a regression signal (others informational)
+REGRESSING = ["exchanges", "sorts", "scans", "cartesian", "bnlj"]
+
+
+def main(old_path, new_path):
+    old = json.load(open(old_path))
+    new = json.load(open(new_path))
+    regressions, improvements, infos = [], [], []
+    for q in sorted(new):
+        if q not in old:
+            infos.append(f"NEW      {q}: no baseline shape")
+            continue
+        o, n = old[q], new[q]
+        for fam in WATCHED:
+            ov, nv = o.get(fam, 0), n.get(fam, 0)
+            if nv == ov:
+                continue
+            line = f"{q}: {fam} {ov} -> {nv}"
+            if fam in REGRESSING and nv > ov:
+                regressions.append("REGRESSED " + line)
+            elif fam in REGRESSING and nv < ov:
+                improvements.append("IMPROVED  " + line)
+            else:
+                infos.append(f"CHANGED  {line}")
+        if n.get("cartesian", 0) > 0:
+            regressions.append(f"REGRESSED {q}: cartesian product present")
+    for q in sorted(set(old) - set(new)):
+        infos.append(f"DROPPED  {q}: not in new snapshot")
+    for line in regressions + improvements + infos:
+        print(line)
+    print(f"\n{len(regressions)} regression(s), {len(improvements)} "
+          f"improvement(s), {len(infos)} note(s) over {len(new)} queries")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        print(__doc__)
+        sys.exit(2)
+    sys.exit(main(sys.argv[1], sys.argv[2]))
