@@ -199,7 +199,22 @@ object Bench {
         s""""errors":$errs,"sf":"${first.path("sf").asText()}"}"""
     println(json)
     writeArtifact(json)
+    // parse-stable FINAL stdout line (VERDICT r12 ask #7): the driver
+    // keeps only a ~2000-char stdout tail, which decapitates the full
+    // 190-query JSON line (BENCH_r11/r12 both recorded parsed:null) —
+    // so the LAST line is a compact headline the tail always holds
+    // whole; the per-query map lives in the committed artifact.
+    println(compactLine(total, "sharded-fork", shardJsons.map(_.path(
+      "queries").properties().size).sum, noise, errs, first.path("sf").asText()))
   }
+
+  private def compactLine(
+      total: Double, method: String, nQueries: Int,
+      noise: String, errs: String, sf: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""method":"$method","n_queries":$nQueries,"noise":$noise,""" +
+      s""""errors":$errs,"sf":"$sf",""" +
+      s""""queries_artifact":"bench/bench_latest.json"}"""
 
   private def writeArtifact(json: String): Unit =
     try {
@@ -351,6 +366,10 @@ object Bench {
     // regressions there unauditable from the round artifacts alone.
     writeArtifact(json)
     spark.stop()
+    // compact headline as the final stdout line — see runSharded
+    if (printLine)
+      println(compactLine(total, "single-jvm", results.count(_._5),
+        noise, errs, sfDir))
     json
   }
 }

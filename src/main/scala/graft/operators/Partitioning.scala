@@ -15,16 +15,14 @@ object Partitioning {
   /** Write `df` bucketed+sorted by `key` as a managed table. A join of
     * two tables bucketed the same way on the join key needs NO shuffle —
     * both sides are already hash-partitioned on disk, so the sort-merge
-    * join reads co-located buckets (BucketingSpec asserts the plan has
-    * no Exchange). At 100 TB this converts every recurring join/groupBy
-    * on the bucket key from a full shuffle into a local merge. */
+    * join reads co-located buckets (PartitioningSpec and IngestSpec
+    * assert the plan has no Exchange). At 100 TB this converts every
+    * recurring join/groupBy on the bucket key from a full shuffle into
+    * a local merge. Delegates to
+    * [[graft.sources.Ingest.writeBucketedTable]], which adds the
+    * one-file-per-bucket layout and the stale-warehouse-dir sweep. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
-      .mode("overwrite")
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .format("parquet")
-      .saveAsTable(table)
+    graft.sources.Ingest.writeBucketedTable(df, table, buckets, Seq(key))
 
   /** Equi-join with the LEFT side's hot keys salted across `factor`
     * sub-keys: left rows get a deterministic salt from `saltSource`
