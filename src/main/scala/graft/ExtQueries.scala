@@ -283,6 +283,76 @@ object ExtQueries {
         .orderBy("segment")
     }),
 
+    // ── CUPED variance-reduced A/B — [EXT r13]: per-user pre-period
+    //    (Jan 1–15) mean value as the covariate, post-period mean as
+    //    the metric, arm by user parity; θ pooled, adjusted arm means
+    //    by linearity — one scan, one output row
+    //    (Experiment.cupedAdjusted scaladoc).
+    "ext_cuped" -> ((s, dir) => {
+      val cut = lit(java.sql.Date.valueOf("2024-01-16"))
+      val pre = to_date(col("ts")) < cut
+      val units = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          sum(when(pre, round(col("value"), 6).cast("decimal(18,6)"))).as("sx"),
+          count(when(pre, lit(1))).as("nx"),
+          sum(when(!pre, round(col("value"), 6).cast("decimal(18,6)"))).as("sy"),
+          count(when(!pre, lit(1))).as("ny"))
+        .filter(col("nx") > 0 && col("ny") > 0)
+        .select(
+          when(pmod(col("user_id"), lit(2)) === 0, "control")
+            .otherwise("treat").as("arm"),
+          round(col("sx").cast("double") / col("nx").cast("double"), 6).as("x"),
+          round(col("sy").cast("double") / col("ny").cast("double"), 6).as("y"))
+      graft.operators.Experiment.cupedAdjusted(
+        units, col("arm"), col("y"), col("x"), "control", "treat")
+    }),
+
+    // ── QQ-shift drift — [EXT r13]: per-decile displacement between
+    //    the first and second half-month of event values; exact data
+    //    elements on both sides, shift = one subtraction — the WHERE
+    //    of a drift, not just its existence (Drift.qqShift scaladoc).
+    "ext_qq_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val cut = lit(java.sql.Date.valueOf("2024-01-16"))
+      graft.operators.Drift.qqShift(
+        e.filter(to_date(col("ts")) < cut),
+        e.filter(to_date(col("ts")) >= cut),
+        col("value"))
+    }),
+
+    // ── Zipf slope — [EXT r13]: OLS of ln(freq) on ln(rank) over the
+    //    top-100 token ranks, the "is this natural language?" corpus
+    //    screen; distributed top-N, bounded regression
+    //    (TfIdf.zipfSlope scaladoc).
+    "ext_zipf_slope" -> ((s, dir) =>
+      TfIdf.zipfSlope(t(s, dir, "documents"), col("text"), topN = 100)),
+
+    // ── Split-conformal calibration — [EXT r13]: per-event-type q̂
+    //    from the even-id calibration half, empirical coverage audited
+    //    on the odd-id half (Eval.conformalCoverage scaladoc).
+    "ext_conformal" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Eval.conformalCoverage(
+        e.filter(pmod(col("event_id"), lit(2)) === 0),
+        e.filter(pmod(col("event_id"), lit(2)) === 1),
+        col("event_type"), col("value"), alpha = 0.1)
+    }),
+
+    // ── Conversion lag — [EXT r13]: first-click→first-purchase delay
+    //    per user, exact p50/p90/p99 over converted users — the
+    //    latency half of the funnel (Events.conversionLag scaladoc).
+    "ext_conversion_lag" -> ((s, dir) =>
+      Events.conversionLag(t(s, dir, "events"))),
+
+    // ── Per-source duplication report — [EXT r13]: exact-dup mass per
+    //    source slice by content fingerprint; the triage number that
+    //    orders crawl feeds for demotion (Dedup.dupRateByGroup
+    //    scaladoc).
+    "ext_dedup_by_source" -> ((s, dir) =>
+      Dedup.dupRateByGroup(
+        t(s, dir, "documents"), col("source"), col("text"))),
+
     // ── Top-k per group via ranked window.
     "ext_topk_per_group" -> ((s, dir) => {
       Events.topKPerGroup(
@@ -2757,6 +2827,228 @@ object ExtQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    // CUPED replay: per-user pre/post means (decimal sums, 6dp), pooled
+    // θ from the moment identities, adjusted arm means by linearity —
+    // the same IEEE chain the operator runs.
+    "ext_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treat' END AS arm,
+        |    round(CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |        THEN CAST(round(value, 6) AS DECIMAL(18,6)) END) AS DOUBLE)
+        |      / COUNT(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |              THEN 1 END), 6) AS x,
+        |    round(CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |        THEN CAST(round(value, 6) AS DECIMAL(18,6)) END) AS DOUBLE)
+        |      / COUNT(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |              THEN 1 END), 6) AS y
+        |  FROM events GROUP BY 1, 2
+        |  HAVING COUNT(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |           THEN 1 END) > 0
+        |     AND COUNT(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |           THEN 1 END) > 0),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 'treat' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 'control'
+        |      THEN CAST(x AS DECIMAL(28,6)) END) AS DOUBLE) AS sxa,
+        |    CAST(SUM(CASE WHEN arm = 'treat'
+        |      THEN CAST(x AS DECIMAL(28,6)) END) AS DOUBLE) AS sxb,
+        |    CAST(SUM(CASE WHEN arm = 'control'
+        |      THEN CAST(y AS DECIMAL(28,6)) END) AS DOUBLE) AS sya,
+        |    CAST(SUM(CASE WHEN arm = 'treat'
+        |      THEN CAST(y AS DECIMAL(28,6)) END) AS DOUBLE) AS syb,
+        |    CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+        |  FROM u),
+        |m AS (
+        |  SELECT *,
+        |    CAST(n_a + n_b AS DOUBLE) AS n,
+        |    (sxa + sxb) / CAST(n_a + n_b AS DOUBLE) AS meanx,
+        |    (sya + syb) / CAST(n_a + n_b AS DOUBLE) AS meany
+        |  FROM a),
+        |th AS (
+        |  SELECT *,
+        |    CASE WHEN (sxx / n - meanx * meanx) > 0
+        |      THEN (sxy / n - meanx * meany) / (sxx / n - meanx * meanx)
+        |      ELSE 0.0 END AS theta
+        |  FROM m)
+        |SELECT n_a, n_b,
+        |  round(sya / n_a, 6) AS mean_y_a,
+        |  round(syb / n_b, 6) AS mean_y_b,
+        |  round(syb / n_b - sya / n_a, 6) AS lift,
+        |  round(theta, 6) AS theta,
+        |  round(sya / n_a - theta * (sxa / n_a - meanx), 6) AS adj_mean_y_a,
+        |  round(syb / n_b - theta * (sxb / n_b - meanx), 6) AS adj_mean_y_b,
+        |  round((syb / n_b - theta * (sxb / n_b - meanx))
+        |      - (sya / n_a - theta * (sxa / n_a - meanx)), 6) AS adj_lift
+        |FROM th""".stripMargin,
+
+    // QQ-shift replay: rank-pick ceil(p·n) per side (the g6 exact-
+    // quantile discipline), joined by decile level.
+    "ext_qq_drift" ->
+      """WITH lv AS (
+        |  SELECT CAST(unnest([10,20,30,40,50,60,70,80,90]) AS BIGINT)
+        |    AS level_pct),
+        |r AS (
+        |  SELECT value AS v, ROW_NUMBER() OVER (ORDER BY value) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) < DATE '2024-01-16' AND value IS NOT NULL),
+        |c AS (
+        |  SELECT value AS v, ROW_NUMBER() OVER (ORDER BY value) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) >= DATE '2024-01-16' AND value IS NOT NULL),
+        |rq AS (
+        |  SELECT l.level_pct, MAX(CASE WHEN r.rn =
+        |    CAST(ceil(l.level_pct / 100.0 * r.n) AS BIGINT) THEN r.v END)
+        |    AS q_ref
+        |  FROM r CROSS JOIN lv l GROUP BY 1),
+        |cq AS (
+        |  SELECT l.level_pct, MAX(CASE WHEN c.rn =
+        |    CAST(ceil(l.level_pct / 100.0 * c.n) AS BIGINT) THEN c.v END)
+        |    AS q_cur
+        |  FROM c CROSS JOIN lv l GROUP BY 1)
+        |SELECT level_pct, q_ref, q_cur, round(q_cur - q_ref, 6) AS shift
+        |FROM rq JOIN cq USING (level_pct) ORDER BY level_pct""".stripMargin,
+
+    // Zipf replay: buildVocab's tokenization, top-100 by (freq DESC,
+    // token), ln terms quantized 9dp into DECIMAL(28,9) sums, OLS
+    // slope/intercept as single IEEE divides.
+    "ext_zipf_slope" ->
+      """WITH freq AS (
+        |  SELECT term AS token, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents)
+        |  WHERE len(term) > 0 GROUP BY term),
+        |top AS (SELECT token, freq FROM freq ORDER BY freq DESC, token
+        |        LIMIT 100),
+        |rk AS (SELECT freq,
+        |  ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank FROM top),
+        |t AS (SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+        |             round(ln(CAST(freq AS DOUBLE)), 9) AS y FROM rk),
+        |s AS (SELECT
+        |  CAST(COUNT(*) AS BIGINT) AS n_ranks,
+        |  CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+        |  FROM t)
+        |SELECT n_ranks,
+        |  round(CASE WHEN n_ranks >= 2
+        |      AND (sxx - sx * sx / CAST(n_ranks AS DOUBLE)) > 0
+        |    THEN (sxy - sx * sy / CAST(n_ranks AS DOUBLE))
+        |       / (sxx - sx * sx / CAST(n_ranks AS DOUBLE)) END, 6) AS slope,
+        |  round(CASE WHEN n_ranks >= 2
+        |      AND (sxx - sx * sx / CAST(n_ranks AS DOUBLE)) > 0
+        |    THEN (sy - ((sxy - sx * sy / CAST(n_ranks AS DOUBLE))
+        |       / (sxx - sx * sx / CAST(n_ranks AS DOUBLE))) * sx)
+        |       / CAST(n_ranks AS DOUBLE) END, 6) AS intercept
+        |FROM s""".stripMargin,
+
+    // Split-conformal replay: per-type calibration mean, 6dp residuals,
+    // rank-pick ceil(0.9·n) per type, coverage on the odd-id half.
+    "ext_conformal" ->
+      """WITH cal AS (
+        |  SELECT event_type AS g, round(value, 6) AS y FROM events
+        |  WHERE event_id % 2 = 0 AND event_type IS NOT NULL
+        |    AND value IS NOT NULL),
+        |ev AS (
+        |  SELECT event_type AS g, round(value, 6) AS y FROM events
+        |  WHERE event_id % 2 = 1 AND event_type IS NOT NULL
+        |    AND value IS NOT NULL),
+        |pred AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_cal,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS pred
+        |  FROM cal GROUP BY 1),
+        |res AS (
+        |  SELECT c.g, round(abs(c.y - p.pred), 6) AS r
+        |  FROM cal c JOIN pred p ON c.g = p.g),
+        |rq AS (
+        |  SELECT g, r, ROW_NUMBER() OVER (PARTITION BY g ORDER BY r) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM res),
+        |qh AS (
+        |  SELECT g, MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |    THEN r END) AS qhat
+        |  FROM rq GROUP BY 1),
+        |cov AS (
+        |  SELECT e.g, CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |    round(CAST(SUM(CASE WHEN abs(e.y - p.pred) <= q.qhat
+        |        THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+        |  FROM ev e JOIN pred p ON e.g = p.g JOIN qh q ON e.g = q.g
+        |  GROUP BY 1)
+        |SELECT p.g AS group_key, p.n_cal,
+        |  COALESCE(c.n_eval, 0) AS n_eval,
+        |  round(p.pred, 6) AS pred, q.qhat, c.coverage
+        |FROM pred p JOIN qh q ON p.g = q.g LEFT JOIN cov c ON p.g = c.g
+        |ORDER BY group_key""".stripMargin,
+
+    // Conversion-lag replay: per-user first click/purchase, floor-
+    // second lag integers, rank-pick quantiles; LEFT JOIN ON TRUE keeps
+    // the counts row when nobody converts.
+    "ext_conversion_lag" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_from,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_to
+        |  FROM events GROUP BY 1),
+        |base AS (SELECT * FROM per WHERE t_from IS NOT NULL),
+        |conv AS (
+        |  SELECT CAST(epoch(date_trunc('second', t_to)) AS BIGINT)
+        |       - CAST(epoch(date_trunc('second', t_from)) AS BIGINT) AS lag_s
+        |  FROM base WHERE t_to IS NOT NULL
+        |    AND CAST(epoch(date_trunc('second', t_to)) AS BIGINT)
+        |     >= CAST(epoch(date_trunc('second', t_from)) AS BIGINT)),
+        |counts AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_from_users,
+        |    CAST(SUM(CASE WHEN t_to IS NOT NULL
+        |      AND CAST(epoch(date_trunc('second', t_to)) AS BIGINT)
+        |       >= CAST(epoch(date_trunc('second', t_from)) AS BIGINT)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |  FROM base),
+        |rq AS (
+        |  SELECT lag_s, ROW_NUMBER() OVER (ORDER BY lag_s) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM conv),
+        |q AS (
+        |  SELECT
+        |    MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |      THEN lag_s END) AS p50_lag_s,
+        |    MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |      THEN lag_s END) AS p90_lag_s,
+        |    MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+        |      THEN lag_s END) AS p99_lag_s
+        |  FROM rq HAVING COUNT(*) > 0)
+        |SELECT c.n_from_users, c.n_converted,
+        |  q.p50_lag_s, q.p90_lag_s, q.p99_lag_s
+        |FROM counts c LEFT JOIN q ON TRUE""".stripMargin,
+
+    // Per-source dup-rate replay: fingerprint = md5 of normalized text
+    // (the ext_fingerprint_dedup form), null text → the engine's
+    // sentinel class.
+    "ext_dedup_by_source" ->
+      """WITH fp AS (
+        |  SELECT CAST(source AS VARCHAR) AS group_key,
+        |    COALESCE(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+        |      '__null_text__') AS fp
+        |  FROM documents),
+        |g AS (SELECT group_key, fp, COUNT(*) AS n FROM fp GROUP BY 1, 2)
+        |SELECT group_key,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dupes,
+        |  round(CAST(1 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(SUM(n) AS DOUBLE), 6) AS dup_rate
+        |FROM g GROUP BY 1 ORDER BY group_key""".stripMargin,
 
     "ext_topk_per_group" ->
       """SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rank FROM (

@@ -114,6 +114,45 @@ object Dedup {
     exact(df, TextFunctions.fingerprint(text), id)
       .withColumnRenamed("dedup_key", "fingerprint")
 
+  /** Per-group duplication report: how much of each slice (source
+    * domain, language, crawl snapshot) is exact-duplicate mass — the
+    * FIRST number a curation review asks for per source, and the one
+    * that decides which crawl feeds get demoted before any expensive
+    * near-dup pass runs. dup_rate = 1 − distinct/total per group.
+    *
+    * Distinctness is by content fingerprint ([[TextFunctions
+    * .fingerprint]] — md5 of normalized text, the [[byFingerprint]]
+    * key), so the shuffle carries (group, 16-byte digest) pairs with
+    * map-side partial aggregation — bodies never move, the [[exact]]
+    * scale shape sliced by group.
+    *
+    * Determinism: counts are exact integers; dup_rate is one IEEE
+    * divide rounded 6. Null text fingerprints coalesce to the
+    * [[NullDigest]] sentinel (one "null-content" class per group, the
+    * incremental-dedup rule), so the report never silently drops the
+    * null slice.
+    *
+    * Output: one row per group — (group_key, n_docs, n_distinct,
+    * n_dupes, dup_rate), ordered. */
+  def dupRateByGroup(
+      df: DataFrame, group: Column, text: Column): DataFrame = {
+    val keyed = df.select(
+      group.cast("string").as("group_key"),
+      coalesce(TextFunctions.fingerprint(text), lit(NullDigest)).as("fp"))
+    keyed
+      .groupBy("group_key", "fp")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("group_key")
+      .agg(
+        sum("n").cast("long").as("n_docs"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("group_key"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dupes"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"))
+      .orderBy("group_key")
+  }
+
   /** Incremental ingest dedup: admit only `batch` rows whose content
     * fingerprint appears neither in the already-deduped `corpus` nor
     * earlier (lower id) in the batch itself — the shape of a daily crawl

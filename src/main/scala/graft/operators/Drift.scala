@@ -369,6 +369,52 @@ object Drift {
         when(col("n_a") > 0 && col("n_b") > 0, col("jsd")).as("jsd"))
   }
 
+  /** QQ-shift drift table: the per-quantile DISPLACEMENT between a
+    * reference and a current distribution — the readout that tells you
+    * WHERE a drift lives, which the scalar tests (KS/PSI/JSD) by
+    * design cannot: "p90 moved +40, the body didn't" is an actionable
+    * tail-inflation diagnosis; a KS statistic of 0.07 is not.
+    *
+    * Both quantile columns are EXACT data elements from
+    * [[Relational.exactQuantiles]]' range-bucketed distributed
+    * selection (rank ⌈p·n⌉, the g6 discipline) — never interpolated,
+    * so cross-engine equality is exact with NO float discipline; the
+    * shift is one IEEE subtraction of two exact elements.
+    *
+    * 100 TB shape: two exactQuantiles passes (each: sampled split
+    * points, tiny count shuffle, owning-cell rank-pick — see its
+    * scaladoc), then a broadcast cross of two 1-row frames unpivoted
+    * into |ps| rows. No corpus-sized window, no driver state beyond
+    * the bounded split/count pulls.
+    *
+    * Output: one row per requested quantile — (level_pct, q_ref,
+    * q_cur, shift), ordered by level. */
+  def qqShift(
+      ref: DataFrame, cur: DataFrame, value: Column,
+      ps: Seq[Double] = (1 to 9).map(_ / 10.0)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p < 1.0),
+      "quantile levels must be in (0, 1)")
+    def side(df: DataFrame, prefix: String): DataFrame =
+      Relational.exactQuantiles(
+        df.select(value.as("v")), lit(0), col("v"), ps)
+        .select(ps.map { p =>
+          val pct = math.round(p * 100)
+          col(s"p$pct").as(s"$prefix$pct")
+        }: _*)
+    val r = side(ref, "r")
+    val c = side(cur, "c")
+    val stacked = ps.map { p =>
+      val pct = math.round(p * 100)
+      s"${pct}L, r$pct, c$pct"
+    }.mkString(", ")
+    r.crossJoin(broadcast(c)) // two 1-row frames — scalar cross
+      .select(expr(
+        s"stack(${ps.length}, $stacked) AS (level_pct, q_ref, q_cur)"))
+      .withColumn("shift",
+        round(col("q_cur").cast("double") - col("q_ref").cast("double"), 6))
+      .orderBy("level_pct")
+  }
+
   def chi2Homogeneity(df: DataFrame, rowDim: Column, colDim: Column): DataFrame = {
     val cells = df
       .select(rowDim.cast("string").as("r"), colDim.cast("string").as("c"))

@@ -596,6 +596,72 @@ object Eval {
       .filter(col("neg_rank") <= k)
   }
 
+  /** Split-conformal interval calibration (Vovk et al.; Lei et al.
+    * JASA'18 form) per group — the distribution-free error bar for any
+    * point predictor: from a CALIBRATION split, take the (1−α)
+    * quantile q̂ of the nonconformity scores |y − ŷ|; the interval
+    * ŷ ± q̂ then covers fresh points with probability ≥ 1−α, no matter
+    * what the residual distribution looks like. The operator both
+    * CALIBRATES (q̂ per group) and AUDITS (empirical coverage on the
+    * held-out eval split — the number that catches a broken predictor
+    * or a drifted eval set).
+    *
+    * The predictor here is the calibration split's per-group mean (the
+    * simplest honest baseline — swap in any scored column upstream);
+    * q̂ is an EXACT residual element at rank ⌈(1−α)·n⌉ via
+    * [[graft.operators.Relational.exactQuantiles]] (the finite-sample
+    * ⌈(n+1)(1−α)⌉ correction shifts the rank by at most one — at
+    * corpus calibration sizes the coverage effect is ≤ 1/n; stated,
+    * not hidden).
+    *
+    * 100 TB shape: one aggregate for the G-row predictor table
+    * (broadcast back), one exactQuantiles selection over residuals
+    * (range-bucketed cells — no per-group window over raw rows), one
+    * broadcast join onto the eval scan for the coverage aggregate.
+    *
+    * Determinism: y quantized round(·,6); ŷ = decimal-sum/count IEEE
+    * divide; residuals round(|y − ŷ|, 6) — exact elements thereafter;
+    * coverage = covered/n IEEE divide rounded 6.
+    *
+    * Output: one row per group — (group_key, n_cal, n_eval, pred,
+    * qhat, coverage); a group absent from eval keeps its calibration
+    * row with NULL coverage. */
+  def conformalCoverage(
+      cal: DataFrame, eval_ : DataFrame,
+      group: Column, value: Column, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    def slim(df: DataFrame): DataFrame = df
+      .select(group.cast("string").as("group_key"),
+        round(value.cast("double"), 6).as("y"))
+      .filter(col("group_key").isNotNull && col("y").isNotNull)
+    val c = slim(cal)
+    val pred = c.groupBy("group_key")
+      .agg(count(lit(1)).as("n_cal"),
+        (sum(col("y").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("pred"))
+    val resid = c.join(broadcast(pred), Seq("group_key"))
+      .select(col("group_key"),
+        round(abs(col("y") - col("pred")), 6).as("r"))
+    val qhat = Relational.exactQuantiles(
+        resid, col("group_key"), col("r"), Seq(1.0 - alpha))
+      .select(col("group_key"),
+        col(s"p${math.round((1.0 - alpha) * 100)}").as("qhat"))
+    val cov = slim(eval_)
+      .join(broadcast(pred.select("group_key", "pred")), Seq("group_key"))
+      .join(broadcast(qhat), Seq("group_key"))
+      .groupBy("group_key")
+      .agg(count(lit(1)).as("n_eval"),
+        round(sum(when(
+            abs(col("y") - col("pred")) <= col("qhat"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("coverage"))
+    pred.join(broadcast(qhat), Seq("group_key"))
+      .join(cov, Seq("group_key"), "left")
+      .select(col("group_key"), col("n_cal"),
+        coalesce(col("n_eval"), lit(0L)).as("n_eval"),
+        round(col("pred"), 6).as("pred"), col("qhat"), col("coverage"))
+      .orderBy("group_key")
+  }
+
   def spearman(df: DataFrame, a: Column, b: Column,
       quantize: Option[Int] = None,
       maxDistinct: Long = 10000000L): DataFrame = {

@@ -373,6 +373,58 @@ object Events {
           .reduce(_ + _))
   }
 
+  /** Conversion-lag readout: how long users take from their first
+    * `fromType` event to their first subsequent `toType` event — the
+    * latency half of the funnel story ([[funnel]] counts WHO converts;
+    * this measures HOW FAST), reported as exact lag quantiles.
+    *
+    * Per user (one keyed aggregate): first `fromType` ts, first
+    * `toType` ts; a user CONVERTS when both exist and the `toType`
+    * first is not earlier. Lags are whole seconds of the
+    * floor-to-second timestamps (exact integers — engine-portable
+    * without any float discipline). Quantiles are exact data elements
+    * via [[Relational.exactQuantiles]] (rank ⌈p·n⌉, the g6
+    * discipline), NOT interpolation.
+    *
+    * 100 TB shape: one user-keyed conditional aggregate (map-side
+    * combine), then exactQuantiles' range-bucketed selection over the
+    * |converted users| lag table; counters ride the same aggregates;
+    * final row assembled from 1-row broadcasts.
+    *
+    * Output: ONE row — (n_from_users, n_converted, p50_lag_s,
+    * p90_lag_s, p99_lag_s); zero conversions → NULL quantiles (no lag
+    * distribution exists), counts still reported. */
+  def conversionLag(
+      events: DataFrame,
+      fromType: String = "click",
+      toType: String = "purchase"): DataFrame = {
+    val per = events
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === fromType, col("ts"))).as("t_from"),
+        min(when(col("event_type") === toType, col("ts"))).as("t_to"))
+      .filter(col("t_from").isNotNull)
+    val lags = per
+      .filter(col("t_to").isNotNull &&
+        col("t_to").cast("long") >= col("t_from").cast("long"))
+      .select((col("t_to").cast("long") - col("t_from").cast("long"))
+        .as("lag_s"))
+    val counts = per.agg(
+      count(lit(1)).as("n_from_users"),
+      sum(when(col("t_to").isNotNull &&
+        col("t_to").cast("long") >= col("t_from").cast("long"), 1L)
+        .otherwise(0L)).as("n_converted"))
+    val q = Relational.exactQuantiles(
+        lags, lit(0), col("lag_s"), Seq(0.5, 0.9, 0.99))
+      .select(col("p50").as("p50_lag_s"), col("p90").as("p90_lag_s"),
+        col("p99").as("p99_lag_s"))
+    // zero-conversion edge: exactQuantiles returns an EMPTY frame — a
+    // left cross via a constant key keeps the counts row visible
+    counts.withColumn("_k", lit(1))
+      .join(broadcast(q.withColumn("_k", lit(1))), Seq("_k"), "left")
+      .drop("_k")
+  }
+
   /** Top-k per group via ranked window — the distributed replacement for
     * the reference's client-side sort (ref backend/app.py:318-328). */
   def topKPerGroup(df: DataFrame, group: Column, rankBy: Seq[Column], k: Int): DataFrame =

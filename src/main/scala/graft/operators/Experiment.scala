@@ -83,6 +83,97 @@ object Experiment {
       (abs(z) >= critical).as("significant"))
   }
 
+  /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data", WSDM'13) — the standard upgrade to
+    * a mean-difference readout when a pre-experiment covariate exists:
+    *
+    *   θ = cov(X, Y) / var(X),   Ŷ = Y − θ·(X − x̄)
+    *
+    * removes the covariate-explained variance from the metric, so the
+    * same experiment detects smaller lifts (or needs fewer units). By
+    * linearity the ADJUSTED ARM MEANS need no second pass:
+    * mean(Ŷ | arm) = ȳ_arm − θ·(x̄_arm − x̄) — everything reads off ONE
+    * conditional aggregation of the unit table (the [[abTest]] missing-
+    * arm discipline: a zero-unit arm surfaces as n=0 with NULL means,
+    * never an empty frame).
+    *
+    * θ is estimated POOLED across both arms (the paper's choice —
+    * under randomization X ⊥ arm, so pooling is unbiased and halves
+    * the estimator's own noise).
+    *
+    * 100 TB shape: one scan, eight map-side-collapsed aggregates, one
+    * output row. No window, no join, no driver state.
+    *
+    * Determinism: x and y quantized round(·,6); their products
+    * round(·,6) into DECIMAL(28,6) sums (|Σ| < ~9·10⁹ tick bound —
+    * holds for metric-scale units; anchor epoch-scale covariates
+    * first); means and θ are IEEE divides of exact decimals; var(X)
+    * ≤ 0 (constant covariate) degrades to θ = 0 — the readout becomes
+    * the plain mean difference instead of an ANSI divide error.
+    *
+    * Output: ONE row — (n_a, n_b, mean_y_a, mean_y_b, lift, theta,
+    * adj_mean_y_a, adj_mean_y_b, adj_lift), 6dp. */
+  def cupedAdjusted(
+      units: DataFrame,
+      variant: Column,
+      metric: Column,
+      covariate: Column,
+      variantA: String,
+      variantB: String): DataFrame = {
+    require(variantA != variantB, "the two arms must differ")
+    def dec(c: Column): Column = c.cast("decimal(28,6)")
+    val slim = units
+      .select(variant.as("arm"),
+        round(metric.cast("double"), 6).as("y"),
+        round(covariate.cast("double"), 6).as("x"))
+      .filter(col("arm").isin(variantA, variantB) &&
+        col("x").isNotNull && col("y").isNotNull)
+    def armAgg(label: String, expr: Column): Column =
+      coalesce(sum(when(col("arm") === label, expr)), lit(0).cast("decimal(28,6)"))
+    val agg = slim.agg(
+      coalesce(sum(when(col("arm") === variantA, 1L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(col("arm") === variantB, 1L)), lit(0L)).as("n_b"),
+      armAgg(variantA, dec(col("x"))).as("sx_a"),
+      armAgg(variantB, dec(col("x"))).as("sx_b"),
+      armAgg(variantA, dec(col("y"))).as("sy_a"),
+      armAgg(variantB, dec(col("y"))).as("sy_b"),
+      coalesce(sum(dec(round(col("x") * col("y"), 6))),
+        lit(0).cast("decimal(28,6)")).as("sxy"),
+      coalesce(sum(dec(round(col("x") * col("x"), 6))),
+        lit(0).cast("decimal(28,6)")).as("sxx"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val nullD = lit(null).cast("double")
+    val meanYA = when(col("n_a") > 0,
+      col("sy_a").cast("double") / col("n_a").cast("double"))
+    val meanYB = when(col("n_b") > 0,
+      col("sy_b").cast("double") / col("n_b").cast("double"))
+    val meanXA = when(col("n_a") > 0,
+      col("sx_a").cast("double") / col("n_a").cast("double"))
+    val meanXB = when(col("n_b") > 0,
+      col("sx_b").cast("double") / col("n_b").cast("double"))
+    val meanX = when(n > 0,
+      (col("sx_a") + col("sx_b")).cast("double") / n)
+    val meanY = when(n > 0,
+      (col("sy_a") + col("sy_b")).cast("double") / n)
+    val varX = when(n > 0, col("sxx").cast("double") / n - meanX * meanX)
+    val covXY = when(n > 0, col("sxy").cast("double") / n - meanX * meanY)
+    val theta = when(varX > 0.0, covXY / varX).otherwise(lit(0.0))
+    val adjA = meanYA - theta * (meanXA - meanX)
+    val adjB = meanYB - theta * (meanXB - meanX)
+    agg.select(
+      col("n_a"), col("n_b"),
+      round(meanYA, 6).as("mean_y_a"),
+      round(meanYB, 6).as("mean_y_b"),
+      round(when(col("n_a") > 0 && col("n_b") > 0, meanYB - meanYA)
+        .otherwise(nullD), 6).as("lift"),
+      round(when(n > 0, theta).otherwise(nullD), 6).as("theta"),
+      round(adjA, 6).as("adj_mean_y_a"),
+      round(adjB, 6).as("adj_mean_y_b"),
+      round(when(col("n_a") > 0 && col("n_b") > 0, adjB - adjA)
+        .otherwise(nullD), 6).as("adj_lift"))
+  }
+
   /** Cumulative Poisson(λ=1) probabilities for weights 0..6, frozen as
     * 32-bit hex thresholds (⌊P(X ≤ k)·16⁸⌋, lowercase, zero-padded so
     * lexicographic compare == numeric compare). A unit's replicate-r

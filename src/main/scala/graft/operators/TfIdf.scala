@@ -85,6 +85,69 @@ object TfIdf {
       .select(col("token"), col("token_id"), col("freq"))
   }
 
+  /** Zipf-law fit over the corpus's token frequencies — the one-number
+    * "is this corpus natural language?" screen: natural text follows
+    * freq ∝ rank^(−s) with s ≈ 1; machine-generated spam, boilerplate
+    * floods, and template farms bend the curve (|slope| far from 1, or
+    * a poor fit). OLS of ln(freq) on ln(rank) over the top `topN`
+    * ranks:
+    *
+    *   slope = (Σxy − n·x̄·ȳ) / (Σxx − n·x̄²),  x = ln rank, y = ln freq
+    *
+    * Tokenization is [[buildVocab]]'s exactly (lowercase, [^a-z]+
+    * split), so the two operators' frequency tables can never fork.
+    *
+    * 100 TB shape: one corpus scan into a token-keyed count (map-side
+    * combine), a DISTRIBUTED top-N (TakeOrdered — never a global
+    * window over the vocabulary), then the regression over N rows —
+    * the post-aggregate bounded-table discipline; rank is a window
+    * over the N retained rows only.
+    *
+    * Determinism: ranks and freqs are exact integers; ln outputs are
+    * round(·,9) per term (the transcendental discipline), products
+    * round(·,9) into DECIMAL(28,9) sums (|xy| ≤ ln(N)·ln(corpus) —
+    * thousands at any scale, far inside the tick bound), final slope/
+    * intercept single IEEE divides rounded 6. Rank ties break by token
+    * (total order).
+    *
+    * Output: ONE row — (n_ranks, slope, intercept); fewer than 2
+    * distinct tokens → NULL slope (no line exists), not a divide
+    * error. */
+  def zipfSlope(docs: DataFrame, text: Column, topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val top = docs
+      .select(explode(split(lower(text), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topN) // distributed TakeOrdered — the window below sees ≤ topN rows
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("token")))
+        .cast("long"))
+    val terms = ranked.select(
+      round(log(col("rank").cast("double")), 9).as("x"),
+      round(log(col("freq").cast("double")), 9).as("y"))
+    def dsum(c: Column): Column = sum(round(c, 9).cast("decimal(28,9)"))
+    val agg = terms.agg(
+      count(lit(1)).as("n_ranks"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"))
+    val n = col("n_ranks").cast("double")
+    val denom = col("sxx").cast("double") - col("sx").cast("double") *
+      col("sx").cast("double") / n
+    val slope = (col("sxy").cast("double") - col("sx").cast("double") *
+      col("sy").cast("double") / n) / denom
+    val intercept = (col("sy").cast("double") - slope *
+      col("sx").cast("double")) / n
+    agg.select(
+      col("n_ranks"),
+      round(when(col("n_ranks") >= 2 && denom > 0.0, slope), 6).as("slope"),
+      round(when(col("n_ranks") >= 2 && denom > 0.0, intercept), 6)
+        .as("intercept"))
+  }
+
   /** Encode documents as token-id sequences under a vocabulary from
     * [[buildVocab]] — the tokenize step between scrubbed text and
     * sequence packing. Out-of-vocabulary tokens map to `oovId` (0; the

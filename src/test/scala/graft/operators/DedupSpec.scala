@@ -613,4 +613,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // empty doc: zero chunks, undefined (null) novelty, row kept
     assert(got(4L) == ((4L, 0L, 0L, 0L, None)))
   }
+
+  test("dupRateByGroup: per-slice dup mass; normalization + null class counted") {
+    val docs = Seq(
+      (1L, "siteA", "hello world"),
+      (2L, "siteA", "  Hello   WORLD "), // normalizes to the same content
+      (3L, "siteA", "unique text"),
+      (4L, "siteB", "x"), (5L, "siteB", "y"), (6L, "siteB", "z"),
+      (7L, "siteC", null.asInstanceOf[String]),
+      (8L, "siteC", null.asInstanceOf[String])) // null class deduped too
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.dupRateByGroup(docs, col("source"), col("text"))
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("siteA", 3L, 2L, 1L, BigDecimal(1.0 - 2.0 / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("siteB", 3L, 3L, 0L, 0.0),
+      ("siteC", 2L, 1L, 1L, 0.5)), s"got ${got.toSeq}")
+  }
 }

@@ -195,4 +195,24 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     val chi2 = got.map(_._5).sum
     assert(math.abs(chi2 - 20.0 / 3) < 1e-8)
   }
+
+  test("qqShift: exact elements per decile, constant shift detected exactly") {
+    // cur = ref + 100 pointwise: every decile must shift by exactly 100,
+    // and every quantile must be an ACTUAL element (rank ceil(p·n))
+    val ref = (1 to 10).map(_.toDouble).toDF("v")
+    val cur = (1 to 10).map(_ + 100.0).toDF("v")
+    val got = Drift.qqShift(ref, cur, col("v"))
+      .as[(Long, Double, Double, Double)].collect()
+    assert(got.length == 9)
+    assert(got.map(_._1).toSeq == (1 to 9).map(_ * 10L))
+    // ceil(0.1·10)=1st element .. ceil(0.9·10)=9th element
+    assert(got.head == ((10L, 1.0, 101.0, 100.0)), s"got ${got.head}")
+    assert(got(4) == ((50L, 5.0, 105.0, 100.0)))
+    assert(got(8) == ((90L, 9.0, 109.0, 100.0)))
+    assert(got.forall(_._4 == 100.0), s"got ${got.toSeq}")
+    // no drift → all shifts exactly 0 (same elements on both sides)
+    val same = Drift.qqShift(ref, ref, col("v"))
+      .as[(Long, Double, Double, Double)].collect()
+    assert(same.forall(_._4 == 0.0))
+  }
 }

@@ -247,6 +247,31 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     assert(!chain(e).contains("maxDistinct"), chain(e))
   }
 
+  test("conformalCoverage: hand qhat at ceil(0.9 n); coverage audited on eval") {
+    // group g: calibration values 1..10 → pred 5.5, residuals
+    // (4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,4.5) sorted → rank ceil(.9·10)=9
+    // picks 4.5 ⇒ the interval is [1, 10]
+    val cal = (1 to 10).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val ev = Seq(("g", 0.9), ("g", 1.0), ("g", 10.0), ("g", 10.1))
+      .toDF("grp", "v")
+    val got = Eval.conformalCoverage(cal, ev, col("grp"), col("v"))
+      .collect().head
+    assert(got.getAs[Long]("n_cal") == 10L)
+    assert(got.getAs[Long]("n_eval") == 4L)
+    assert(got.getAs[Double]("pred") == 5.5)
+    assert(got.getAs[Double]("qhat") == 4.5)
+    // 1.0 and 10.0 land inside (|y−5.5| = 4.5 ≤ 4.5); 0.9 and 10.1 out
+    assert(got.getAs[Double]("coverage") == 0.5)
+    // a group with no eval rows keeps its calibration row, NULL coverage
+    val got2 = Eval.conformalCoverage(
+      cal.union(Seq(("h", 1.0), ("h", 2.0)).toDF("grp", "v")),
+      ev, col("grp"), col("v")).collect()
+    assert(got2.length == 2)
+    val h = got2.find(_.getAs[String]("group_key") == "h").get
+    assert(h.getAs[Long]("n_eval") == 0L)
+    assert(h.isNullAt(h.fieldIndex("coverage")))
+  }
+
   test("hardNegatives: gold anti-joined away, survivors re-ranked, extras pass through") {
     val ranked = Seq(
       (1L, 10L, 0.9, 1L), (1L, 11L, 0.8, 2L), (1L, 12L, 0.7, 3L),

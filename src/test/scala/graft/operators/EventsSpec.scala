@@ -480,4 +480,32 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(got("const")._4.isEmpty, "constant series has no defined r")
     assert(got.values.forall(_._3 == 7L))
   }
+
+  test("conversionLag: first-click→first-purchase seconds, exact quantiles") {
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // users 1..5 convert with lags 10,20,30,40,50 s; user 6 clicked but
+    // never bought; user 7 bought BEFORE clicking (not a conversion);
+    // user 8 only bought (no click → not in the base population)
+    val rows =
+      (1 to 5).flatMap(u => Seq(
+        (u.toLong, "click", ts(0)), (u.toLong, "purchase", ts(u * 10L)))) ++
+        Seq((6L, "click", ts(0)),
+          (7L, "purchase", ts(0)), (7L, "click", ts(100)),
+          (8L, "purchase", ts(0)))
+    val events = rows.toDF("user_id", "event_type", "ts")
+    val got = Events.conversionLag(events).collect().head
+    assert(got.getAs[Long]("n_from_users") == 7L)
+    assert(got.getAs[Long]("n_converted") == 5L)
+    // ceil(.5·5)=3rd, ceil(.9·5)=5th, ceil(.99·5)=5th of (10,20,30,40,50)
+    assert(got.getAs[Long]("p50_lag_s") == 30L)
+    assert(got.getAs[Long]("p90_lag_s") == 50L)
+    assert(got.getAs[Long]("p99_lag_s") == 50L)
+    // zero conversions: counts survive, quantiles NULL
+    val none = Events.conversionLag(
+      Seq((1L, "click", ts(0))).toDF("user_id", "event_type", "ts"))
+      .collect().head
+    assert(none.getAs[Long]("n_from_users") == 1L)
+    assert(none.getAs[Long]("n_converted") == 0L)
+    assert(none.isNullAt(none.fieldIndex("p50_lag_s")))
+  }
 }

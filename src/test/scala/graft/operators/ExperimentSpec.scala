@@ -119,4 +119,47 @@ class ExperimentSpec extends AnyFunSuite with SparkSpec {
       true) // 1x1 cross join is fine whatever Spark picks; just run clean
     df.collect()
   }
+
+  test("cupedAdjusted: hand-computed theta; adjustment removes covariate lean") {
+    // covariate x perfectly predicts half the metric: y = x + arm_effect.
+    // Control drew lower x by bad luck — the raw lift overstates the
+    // true +1 effect; CUPED pulls it back.
+    val units = Seq(
+      ("control", 1.0, 1.0), ("control", 2.0, 2.0),
+      ("treat", 3.0, 4.0), ("treat", 4.0, 5.0))
+      .toDF("arm", "x", "y")
+    val got = Experiment.cupedAdjusted(
+      units, col("arm"), col("y"), col("x"), "control", "treat")
+      .collect().head
+    assert(got.getAs[Long]("n_a") == 2L && got.getAs[Long]("n_b") == 2L)
+    assert(got.getAs[Double]("mean_y_a") == 1.5)
+    assert(got.getAs[Double]("mean_y_b") == 4.5)
+    assert(got.getAs[Double]("lift") == 3.0)
+    // pooled moments: x̄=2.5, ȳ=3, Σxy/n=(1+4+12+20)/4=9.25 → cov=1.75;
+    // Σxx/n=(1+4+9+16)/4=7.5 → var=1.25; θ=1.4
+    assert(got.getAs[Double]("theta") == 1.4)
+    // adj_a = 1.5 − 1.4·(1.5−2.5) = 2.9; adj_b = 4.5 − 1.4·(3.5−2.5) = 3.1
+    assert(math.abs(got.getAs[Double]("adj_mean_y_a") - 2.9) < 1e-9)
+    assert(math.abs(got.getAs[Double]("adj_mean_y_b") - 3.1) < 1e-9)
+    assert(math.abs(got.getAs[Double]("adj_lift") - 0.2) < 1e-9,
+      "the covariate-explained lift must be removed")
+  }
+
+  test("cupedAdjusted: constant covariate degrades to the plain mean difference") {
+    val units = Seq(
+      ("control", 5.0, 1.0), ("control", 5.0, 3.0),
+      ("treat", 5.0, 4.0), ("treat", 5.0, 6.0))
+      .toDF("arm", "x", "y")
+    val got = Experiment.cupedAdjusted(
+      units, col("arm"), col("y"), col("x"), "control", "treat")
+      .collect().head
+    assert(got.getAs[Double]("theta") == 0.0, "var(x)=0 must give theta 0")
+    assert(got.getAs[Double]("adj_lift") == got.getAs[Double]("lift"))
+    // missing arm: n=0 row, NULL means — never an empty frame
+    val one = Experiment.cupedAdjusted(
+      units.filter(col("arm") === "treat"),
+      col("arm"), col("y"), col("x"), "control", "treat").collect()
+    assert(one.length == 1 && one.head.getAs[Long]("n_a") == 0L)
+    assert(one.head.isNullAt(one.head.fieldIndex("lift")))
+  }
 }

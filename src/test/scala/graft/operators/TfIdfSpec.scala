@@ -148,4 +148,28 @@ class TfIdfSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     assert(got.toSet == Set((3L, 4L))) // only the "shared" pair survives
   }
+
+  test("zipfSlope: a planted power law fits slope ~ -1; degenerate corpus NULL") {
+    // token i repeated floor(720/i) times, i = 1..12: freq ∝ 1/rank, so
+    // the ln-ln OLS slope must sit near −1 (floor() bends it slightly)
+    // letter-only tokens — the [^a-z]+ tokenizer would split digits off
+    val text = (1 to 12).flatMap(i =>
+      Seq.fill(720 / i)(s"tok${('a' + i).toChar}")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TfIdf.zipfSlope(docs, col("text"), topN = 12).collect().head
+    assert(got.getAs[Long]("n_ranks") == 12L)
+    val slope = got.getAs[Double]("slope")
+    assert(math.abs(slope + 1.0) < 0.02, s"expected ~-1, got $slope")
+    // intercept ~ ln(720) = 6.579...
+    assert(math.abs(got.getAs[Double]("intercept") - math.log(720.0)) < 0.05)
+    // determinism
+    val again = TfIdf.zipfSlope(docs, col("text"), topN = 12).collect().head
+    assert(again.getAs[Double]("slope") == slope)
+    // a single-token corpus has no line: NULL slope, not a divide error
+    val one = TfIdf.zipfSlope(
+      Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text"), col("text"))
+      .collect().head
+    assert(one.getAs[Long]("n_ranks") == 1L)
+    assert(one.isNullAt(one.fieldIndex("slope")))
+  }
 }
