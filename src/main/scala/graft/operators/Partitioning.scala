@@ -32,7 +32,26 @@ object Partitioning {
     * rows now spread over `factor` reducers instead of one.
     *
     * Cost: right side × factor — use for big-left/small-right joins
-    * where one left key dominates. */
+    * where one left key dominates.
+    *
+    * WHEN TO SALT vs AQE (keyed on [[Relational.keySkewProfile]];
+    * receipts: `bench/skew_receipt_104x.txt`, forked min-of-3 at 62.4M
+    * rows with top_share = 0.32): (1) if the right side broadcasts,
+    * skew is moot — no reducer-keyed shuffle exists. (2) In the
+    * sort-merge regime PREFER `spark.sql.adaptive.skewJoin` whenever
+    * it can fire: its split regroups MAP OUTPUTS at zero
+    * data-expansion cost — measured 8.95 s vs 10.89 s unhandled vs
+    * 54.99 s salted(8), and it flattens the reducer histogram hardest
+    * (max share 32.2% → 2.2%; salting floors at top_share/factor =
+    * 5.9%). Salting's |right|·factor replication (15.6M × 8 = 125M
+    * rows there) cost 6× more than AQE — and 5× more than ignoring
+    * the skew. (3) Salt ONLY when keySkewProfile shows a dominant key
+    * (top_share ≫ p99_n/n_rows) AND |right|·factor ≪ |left| (a true
+    * dim table) AND AQE cannot fire: the hot partition is fed by a
+    * single mapper (skew splits have map-block granularity — probe
+    * scaladoc), the skew is in a groupBy (AQE's rule only matches
+    * joins), or a downstream consumer must inherit the join's
+    * partitioning unsplit. */
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
