@@ -353,6 +353,37 @@ object ExtQueries {
       Dedup.dupRateByGroup(
         t(s, dir, "documents"), col("source"), col("text"))),
 
+    // ── Mergeable histogram-quantile rollup — [EXT r13]: fixed-grid
+    //    bin counts per event type + a global '__all__' estimate
+    //    merged FROM THE GRIDS (the kmv_rollup property for
+    //    quantiles); error ≤ one bin width by construction
+    //    (Sketches.histQuantileRollup scaladoc).
+    "ext_hist_quantiles" -> ((s, dir) =>
+      Sketches.histQuantileRollup(
+        t(s, dir, "events"), col("event_type"), col("value"),
+        lo = 0.0, hi = 500.0, bins = 250)),
+
+    // ── Greedy max-coverage subset selection — [EXT r13]: 5 picks
+    //    maximizing distinct-token coverage over a bounded 200-doc
+    //    pool; the lexical coreset-selection pass
+    //    (TextPipeline.greedyCoverageSelect scaladoc).
+    "ext_coverage_select" -> ((s, dir) =>
+      TextPipeline.greedyCoverageSelect(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        col("doc_id"), col("text"), select = 5)),
+
+    // ── Cross-entropy drift between corpus halves — [EXT r13]:
+    //    smoothed unigram model on even docs, both halves scored under
+    //    it; the gap is the KL-style text-distribution drift monitor
+    //    (TfIdf.crossEntropyDrift scaladoc).
+    "ext_ce_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TfIdf.crossEntropyDrift(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        col("text"))
+    }),
+
     // ── Top-k per group via ranked window.
     "ext_topk_per_group" -> ((s, dir) => {
       Events.topKPerGroup(
@@ -3049,6 +3080,120 @@ object ExtQueries {
         |  round(CAST(1 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)
         |    / CAST(SUM(n) AS DOUBLE), 6) AS dup_rate
         |FROM g GROUP BY 1 ORDER BY group_key""".stripMargin,
+
+    // Histogram-rollup replay: same clamp/floor binning, '__all__' from
+    // summed grids, first-bin-reaching-ceil(p·n) upper edges.
+    "ext_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT event_type AS group_key,
+        |    least(greatest(CAST(floor((value - CAST(0.0 AS DOUBLE))
+        |      / CAST(2.0 AS DOUBLE)) AS INTEGER), 0), 249) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT group_key, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |ga AS (
+        |  SELECT group_key, bin, c FROM g
+        |  UNION ALL
+        |  SELECT '__all__', bin, SUM(c) FROM g GROUP BY 2),
+        |cum AS (
+        |  SELECT group_key, bin, c,
+        |    SUM(c) OVER (PARTITION BY group_key ORDER BY bin) AS cum,
+        |    SUM(c) OVER (PARTITION BY group_key) AS n
+        |  FROM ga)
+        |SELECT group_key, CAST(MAX(n) AS BIGINT) AS n,
+        |  round(MIN(CASE WHEN cum >= ceil(0.5 * n) THEN CAST(0.0 AS DOUBLE)
+        |    + CAST(bin + 1 AS DOUBLE) * CAST(2.0 AS DOUBLE) END), 6) AS p50,
+        |  round(MIN(CASE WHEN cum >= ceil(0.9 * n) THEN CAST(0.0 AS DOUBLE)
+        |    + CAST(bin + 1 AS DOUBLE) * CAST(2.0 AS DOUBLE) END), 6) AS p90,
+        |  round(MIN(CASE WHEN cum >= ceil(0.99 * n) THEN CAST(0.0 AS DOUBLE)
+        |    + CAST(bin + 1 AS DOUBLE) * CAST(2.0 AS DOUBLE) END), 6) AS p99
+        |FROM cum GROUP BY 1 ORDER BY group_key""".stripMargin,
+
+    // Coverage-select replay: 5-round greedy CTE unroll (the MMR/BPE
+    // discipline) — each round counts REMAINING tokens per doc, picks
+    // (gain DESC, id), removes the pick's rows and its tokens.
+    "ext_coverage_select" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents WHERE doc_id < 200)
+        |  WHERE len(term) > 0),
+        |p1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM g
+        |       GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+        |g1 AS (SELECT * FROM g
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM p1)
+        |         AND term NOT IN
+        |           (SELECT term FROM g JOIN p1 USING (doc_id))),
+        |p2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM g1
+        |       GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+        |g2 AS (SELECT * FROM g1
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM p2)
+        |         AND term NOT IN
+        |           (SELECT term FROM g1 JOIN p2 USING (doc_id))),
+        |p3 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM g2
+        |       GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+        |g3 AS (SELECT * FROM g2
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM p3)
+        |         AND term NOT IN
+        |           (SELECT term FROM g2 JOIN p3 USING (doc_id))),
+        |p4 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM g3
+        |       GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+        |g4 AS (SELECT * FROM g3
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM p4)
+        |         AND term NOT IN
+        |           (SELECT term FROM g3 JOIN p4 USING (doc_id))),
+        |p5 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM g4
+        |       GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+        |final AS (
+        |  SELECT 1 AS rank, doc_id, gain FROM p1
+        |  UNION ALL SELECT 2, doc_id, gain FROM p2
+        |  UNION ALL SELECT 3, doc_id, gain FROM p3
+        |  UNION ALL SELECT 4, doc_id, gain FROM p4
+        |  UNION ALL SELECT 5, doc_id, gain FROM p5)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id AS id, gain,
+        |  CAST(SUM(gain) OVER (ORDER BY rank) AS BIGINT) AS covered_total
+        |FROM final ORDER BY rank""".stripMargin,
+
+    // Cross-entropy-drift replay: add-one unigram model with an OOV
+    // class from the even half, both halves scored under it; −ln p
+    // terms 9dp into DECIMAL(28,9) sums, drift from unrounded means.
+    "ext_ce_drift" ->
+      """WITH rtok AS (
+        |  SELECT term AS token FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents WHERE doc_id % 2 = 0)
+        |  WHERE len(term) > 0),
+        |ctok AS (
+        |  SELECT term AS token FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents WHERE doc_id % 2 = 1)
+        |  WHERE len(term) > 0),
+        |model AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        |          FROM rtok GROUP BY 1),
+        |stats AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_ref,
+        |                 CAST(COUNT(*) AS BIGINT) AS v_ref FROM model),
+        |refagg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ref_tokens,
+        |    CAST(SUM(CAST(round(-ln(
+        |        CAST(COALESCE(m.freq, 0) + 1 AS DOUBLE)
+        |        / CAST(s.n_ref + s.v_ref + 1 AS DOUBLE)), 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS ce_ref
+        |  FROM rtok t LEFT JOIN model m ON t.token = m.token
+        |  CROSS JOIN stats s),
+        |curagg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cur_tokens,
+        |    CAST(SUM(CAST(round(-ln(
+        |        CAST(COALESCE(m.freq, 0) + 1 AS DOUBLE)
+        |        / CAST(s.n_ref + s.v_ref + 1 AS DOUBLE)), 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS ce_cur
+        |  FROM ctok t LEFT JOIN model m ON t.token = m.token
+        |  CROSS JOIN stats s)
+        |SELECT r.n_ref_tokens, c.n_cur_tokens, s.v_ref,
+        |  round(r.ce_ref, 6) AS ce_ref, round(c.ce_cur, 6) AS ce_cur,
+        |  round(c.ce_cur - r.ce_ref, 6) AS drift
+        |FROM refagg r CROSS JOIN curagg c CROSS JOIN stats s""".stripMargin,
 
     "ext_topk_per_group" ->
       """SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rank FROM (

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** [EXT] Mergeable frequency/cardinality sketches the repo's surface was
@@ -408,6 +408,71 @@ object Sketches {
     *
     * Output: per-group rows (group_key, kmv_n) plus one ('__all__',
     * merged kmv_n) row. */
+  /** Mergeable QUANTILE rollup from fixed-grid histogram sketches —
+    * the [[kmvMergeRollup]] story for quantiles: per-group quantile
+    * estimates AND a global `__all__` estimate derived FROM THE GROUP
+    * GRIDS ALONE (bin-count vectors add), so coarser slices never
+    * re-scan the corpus. The third quantile tier next to exact
+    * selection ([[Relational.exactQuantiles]] — exact, two passes) and
+    * `approx_percentile` (g9 — sketch, not engine-portable): FIXED
+    * memory (`bins` longs per group), one pass, mergeable, and
+    * deterministic to the bin edge on every engine.
+    *
+    * Estimate: the value's bin is floor((v−lo)/(hi−lo)·bins) clamped
+    * to [0, bins); the p-quantile reports the UPPER EDGE of the first
+    * bin whose cumulative count reaches ⌈p·n⌉ — error ≤ one bin width
+    * by construction (callers pick bins for their tolerance; ±∞/out-of-
+    * range values clamp into the edge bins and are COUNTED, never
+    * dropped). Edges are lo + i·(hi−lo)/bins with the IEEE chain fixed
+    * by this signature — identical in the DuckDB replay.
+    *
+    * 100 TB shape: one scan → (group, bin) counts with map-side
+    * collapse (≤ G·bins rows total); per-group quantiles are a window
+    * over each group's ≤ bins rows; the global grid is a second ≤
+    * G·bins-row aggregate of the COUNTS, not the data.
+    *
+    * Output: one row per group plus `__all__` — (group_key, n, p50,
+    * p90, p99), bin-edge doubles rounded 6. */
+  def histQuantileRollup(
+      df: DataFrame, group: Column, value: Column,
+      lo: Double, hi: Double, bins: Int = 256,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(bins > 1, s"need > 1 bins, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1))
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((value.cast("double") - lit(lo)) / lit(width)).cast("int"),
+      lit(0)), lit(bins - 1))
+    val grid = df
+      .filter(value.isNotNull)
+      .select(group.cast("string").as("group_key"), bin.as("bin"))
+      .groupBy("group_key", "bin")
+      .agg(count(lit(1)).as("c"))
+    val all = grid.groupBy("bin") // merge = add the grids, never re-scan
+      .agg(sum("c").as("c"))
+      .select(lit("__all__").as("group_key"), col("bin"), col("c"))
+    val w = Window.partitionBy("group_key").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy("group_key")
+      .orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = grid.unionByName(all)
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(full))
+    val picks = ps.map { p =>
+      val pct = math.round(p * 100)
+      // first bin whose cumulative reaches ceil(p·n): its upper edge
+      round(min(when(col("cum") >= ceil(lit(p) * col("n")),
+        lit(lo) + (col("bin") + 1).cast("double") * lit(width))), 6)
+        .as(s"p$pct")
+    }
+    val aggs = max("n").cast("long").as("n") +: picks
+    cum.groupBy("group_key")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("group_key")
+  }
+
   def kmvMergeRollup(
       df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
     require(k > 1, s"KMV needs k > 1 (estimate uses k-1), got $k")

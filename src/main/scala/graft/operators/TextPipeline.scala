@@ -759,6 +759,122 @@ object TextPipeline {
     * NULL rate — unknown, not perfect).
     *
     * Output: (doc_id, n_tokens, n_oov, oov_rate 6dp). */
+  /** Greedy maximum-coverage subset selection — the coverage-driven
+    * data-selection pass (the max-coverage relaxation of facility
+    * location; greedy is the classic (1−1/e)-approximation): pick
+    * `select` documents that together cover the most DISTINCT tokens.
+    * Where [[Similarity.mmrDiversify]] diversifies by embedding
+    * geometry, this diversifies by exact vocabulary coverage — the
+    * cheap lexical variant of coreset selection for pretraining mixes.
+    *
+    * Greedy selection is inherently sequential, so the 100 TB contract
+    * is [[Similarity.mmrDiversify]]'s: candidate generation (quality
+    * top-N, a stratified sample) is the corpus-scale stage; selection
+    * runs on its BOUNDED pool. Hybrid execution, same split: pools at
+    * or under `driverPoolLimit` DISTINCT (doc, token) pairs run the
+    * greedy loop driver-side on one bounded collect; larger pools keep
+    * the distributed path — per round one count-per-doc aggregate, a
+    * 1-row argmax collect, and a broadcast anti-join that REMOVES the
+    * pick's tokens everywhere (so "gain" is always just the doc's
+    * remaining-token count, and fully-covered docs leave the pool by
+    * construction), lineage truncated every 4 picks.
+    *
+    * Tokenization is [[TfIdf.buildVocab]]'s (lowercase, [^a-z]+).
+    * Ties break to the lower id; selection STOPS EARLY when no
+    * remaining candidate adds coverage (gain 0 picks would be
+    * arbitrary noise). Both paths are exact-integer — no float
+    * discipline anywhere.
+    *
+    * Output: (rank, id, gain, covered_total), rank 1 = largest gain;
+    * covered_total = running distinct-token total. */
+  def greedyCoverageSelect(
+      pool: DataFrame, id: Column, text: Column, select: Int,
+      driverPoolLimit: Long = 65536L): DataFrame = {
+    require(select > 0, s"select must be positive, got $select")
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val grams = pool
+      .select(id.cast("long").as("id"),
+        explode(split(lower(text), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+      .persist()
+    try {
+      val n = grams.count() // sizes the pool AND materializes the persist
+      val picks =
+        if (n <= driverPoolLimit) coverageGreedyLocal(grams, select)
+        else coverageGreedyDistributed(grams, select)
+      picks.toDF("rank", "id", "gain", "covered_total").orderBy("rank")
+    } finally grams.unpersist()
+  }
+
+  /** Driver-side greedy max-coverage over a collected bounded pool. */
+  private def coverageGreedyLocal(
+      grams: DataFrame, select: Int): Seq[(Long, Long, Long, Long)] = {
+    // bounded: caller counted the pool at ≤ driverPoolLimit pairs
+    val byDoc = grams.collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (d, ts) => d -> ts.map(_._2) }
+    val covered = scala.collection.mutable.HashSet.empty[String]
+    val taken = scala.collection.mutable.HashSet.empty[Long]
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    var total = 0L
+    var r = 1
+    var done = false
+    while (r <= select && !done) {
+      var bestId = -1L
+      var bestGain = 0L
+      byDoc.foreach { case (d, ts) =>
+        if (!taken(d)) {
+          val g = ts.count(!covered(_)).toLong
+          if (g > bestGain || (g == bestGain && g > 0 && d < bestId)) {
+            bestId = d; bestGain = g
+          }
+        }
+      }
+      if (bestGain == 0) done = true // nothing left adds coverage
+      else {
+        taken += bestId
+        byDoc(bestId).foreach(covered += _)
+        total += bestGain
+        picks += ((r.toLong, bestId, bestGain, total))
+        r += 1
+      }
+    }
+    picks.toSeq
+  }
+
+  /** Distributed greedy max-coverage for oversized pools. */
+  private def coverageGreedyDistributed(
+      grams: DataFrame, select: Int): Seq[(Long, Long, Long, Long)] = {
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    var remaining = grams
+    var total = 0L
+    var done = false
+    for (r <- 1 to select if !done) {
+      val top = remaining.groupBy("id")
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id"))
+        .limit(1)
+        .collect() // bounded: one row
+      if (top.isEmpty) done = true // pool exhausted: coverage saturated
+      else {
+        val pid = top.head.getLong(0)
+        val gain = top.head.getLong(1)
+        total += gain
+        picks += ((r.toLong, pid, gain, total))
+        val pickToks = remaining.filter(col("id") === pid).select("token")
+        remaining = remaining
+          .filter(col("id") =!= pid)
+          .join(broadcast(pickToks), Seq("token"), "left_anti")
+        if (r % 4 == 0) remaining = remaining.localCheckpoint()
+      }
+    }
+    picks.toSeq
+  }
+
   def tokenizerCoverage(
       docs: DataFrame,
       id: Column,

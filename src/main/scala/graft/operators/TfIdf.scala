@@ -221,6 +221,68 @@ object TfIdf {
         (sum(col("neglogp")).cast("double") / count(lit(1))).as("nll"))
   }
 
+  /** Cross-entropy drift between two corpus snapshots — the LM-grade
+    * drift monitor: train a smoothed unigram model on the REFERENCE
+    * snapshot, score both snapshots' tokens under it; the gap
+    *
+    *   drift = CE(cur ‖ ref) − CE(ref ‖ ref)
+    *
+    * is (up to smoothing) the KL divergence of the current token
+    * distribution from the reference — it rises when the vocabulary
+    * shifts, a new domain floods in, or boilerplate takes over, BEFORE
+    * any downstream eval notices. Complements [[Drift]]'s numeric
+    * tests (those watch a column; this watches the text itself).
+    *
+    * Model: add-one smoothing with an explicit OOV class —
+    * p(t) = (c_ref(t) + 1) / (N_ref + V_ref + 1); a token unseen in
+    * ref gets p_oov = 1 / (N_ref + V_ref + 1), so current-side novel
+    * vocabulary is COUNTED (an unsmoothed model would −ln 0 them).
+    * Tokenization is [[buildVocab]]'s.
+    *
+    * 100 TB shape: one aggregate per side for token counts; scoring is
+    * a token-keyed equi-join of the CURRENT tokens against the
+    * vocabulary-sized model (counts shuffle, never text), collapsing
+    * map-side into per-side sums. No driver state.
+    *
+    * Determinism: each −ln p is round(·,9) (transcendental discipline)
+    * into DECIMAL(28,9) sums; means and the drift are IEEE divides/
+    * subtractions rounded 6.
+    *
+    * Output: ONE row — (n_ref_tokens, n_cur_tokens, v_ref, ce_ref,
+    * ce_cur, drift); an empty side yields NULL entropies (mean of
+    * nothing), never a divide error. */
+  def crossEntropyDrift(
+      ref: DataFrame, cur: DataFrame, text: Column): DataFrame = {
+    def toks(df: DataFrame): DataFrame = df
+      .select(explode(split(lower(text), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val rt = toks(ref)
+    val model = rt.groupBy("token").agg(count(lit(1)).as("freq"))
+    val stats = model.agg(
+      sum("freq").cast("long").as("n_ref"),
+      count(lit(1)).as("v_ref"))
+    def side(t: DataFrame, n: String): DataFrame = t
+      .join(model, Seq("token"), "left") // OOV keeps the row, freq null
+      .crossJoin(broadcast(stats))
+      .select(round(-log(
+        (coalesce(col("freq"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_ref") + col("v_ref") + lit(1L)).cast("double")), 9)
+        .as("nlp"))
+      .agg(count(lit(1)).as(s"n_$n"),
+        (sum(col("nlp").cast("decimal(28,9)")).cast("double") /
+          count(lit(1)).cast("double")).as(s"ce_$n"))
+    side(rt, "ref").crossJoin(broadcast(side(toks(cur), "cur")))
+      .crossJoin(broadcast(stats.select(col("v_ref"))))
+      .select(
+        col("n_ref").as("n_ref_tokens"),
+        col("n_cur").as("n_cur_tokens"),
+        col("v_ref"),
+        round(when(col("n_ref") > 0, col("ce_ref")), 6).as("ce_ref"),
+        round(when(col("n_cur") > 0, col("ce_cur")), 6).as("ce_cur"),
+        round(when(col("n_ref") > 0 && col("n_cur") > 0,
+          col("ce_cur") - col("ce_ref")), 6).as("drift"))
+  }
+
   /** Bigram language-model scoring with add-k smoothing: each document's
     * mean −ln p(w₂|w₁) under the corpus's own bigram model — the next
     * rung above [[unigramLogProb]] on the CCNet-style quality-filter

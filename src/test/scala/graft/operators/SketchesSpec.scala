@@ -270,4 +270,32 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(row.getDouble(row.fieldIndex("jaccard")) == 0.0)
     assert(row.getDouble(row.fieldIndex("join_rows_est")) == 0.0)
   }
+
+  test("histQuantileRollup: bin-edge quantiles, grid-merged __all__, clamped tails") {
+    // group a: values 1..10 on [0,10) with 10 bins (width 1): value v
+    // lands in bin v (10 clamps into bin 9, so bin 9 holds two). cum
+    // reaches ceil(.5·10)=5 at bin 5 → edge 6.0; reaches 9 at bin 9 →
+    // p90 edge 10.0
+    val a = (1 to 10).map(v => ("a", v.toDouble))
+    // group b: all mass at 2.5 (bin 2, edge 3.0) + an out-of-range
+    // value −50 clamped into bin 0 (counted, never dropped)
+    val b = Seq(("b", 2.5), ("b", 2.5), ("b", 2.5), ("b", -50.0))
+    val got = Sketches.histQuantileRollup(
+      (a ++ b).toDF("g", "v"), col("g"), col("v"),
+      lo = 0.0, hi = 10.0, bins = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("a") == ((10L, 6.0, 10.0)), s"got ${got("a")}") // p50, p90 edges
+    assert(got("b")._1 == 4L)
+    assert(got("b")._2 == 3.0, "p50 of b sits in bin 2 → upper edge 3.0")
+    // __all__ merges the GRIDS: 14 values, ceil(.5·14)=7 → need the
+    // merged cumulative, not either group's
+    assert(got("__all__")._1 == 14L)
+    assert(got("__all__")._2 == 4.0, s"got ${got("__all__")}")
+    // determinism: identical on re-run
+    val again = Sketches.histQuantileRollup(
+      (a ++ b).toDF("g", "v"), col("g"), col("v"), 0.0, 10.0, 10)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(again("a") == 6.0 && again("__all__") == 4.0)
+  }
 }

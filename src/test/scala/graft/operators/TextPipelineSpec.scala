@@ -815,6 +815,36 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
       ("https://example.com/b", 1L, 4L)), s"got ${got.toSeq}")
   }
 
+  test("greedyCoverageSelect: greedy picks by marginal coverage; ties to lower id") {
+    val docs = Seq(
+      (1L, "a b c d"),     // 4 tokens — picked first
+      (2L, "a b c"),       // fully inside doc 1 → gain 0 after pick 1
+      (3L, "e f"),         // 2 new
+      (4L, "d e"),         // after picks 1,3: nothing new
+      (5L, "g"),           // 1 new
+      (6L, "g"))           // duplicate of 5 → gain 0
+      .toDF("doc_id", "text")
+    val got = TextPipeline.greedyCoverageSelect(
+      docs, col("doc_id"), col("text"), select = 6)
+      .as[(Long, Long, Long, Long)].collect()
+    // greedy: 1 (+4), 3 (+2), 5 (+1) — then coverage saturates: STOP,
+    // no arbitrary gain-0 picks
+    assert(got.toSeq == Seq(
+      (1L, 1L, 4L, 4L), (2L, 3L, 2L, 6L), (3L, 5L, 1L, 7L)),
+      s"got ${got.toSeq}")
+    // distributed path agrees exactly
+    val dist = TextPipeline.greedyCoverageSelect(
+      docs, col("doc_id"), col("text"), select = 6, driverPoolLimit = 0L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(dist.toSeq == got.toSeq)
+    // ties: docs 10 and 11 both add 2 — lower id wins
+    val tie = Seq((11L, "x y"), (10L, "p q")).toDF("doc_id", "text")
+    val t1 = TextPipeline.greedyCoverageSelect(
+      tie, col("doc_id"), col("text"), select = 1)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(t1.head._2 == 10L)
+  }
+
   test("urlDedupGroups: non-default ports kept; utm_ strip is boundary-anchored") {
     // ADVICE r12: (a) 'http://host:443' is a REAL non-default port — it
     // must not collapse into 'http://host' (and https://host:80 likewise);

@@ -172,4 +172,30 @@ class TfIdfSpec extends AnyFunSuite with SparkSpec {
     assert(one.getAs[Long]("n_ranks") == 1L)
     assert(one.isNullAt(one.fieldIndex("slope")))
   }
+
+  test("crossEntropyDrift: identical halves ~ 0 drift; vocabulary shift raises it") {
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = Seq((1L, "aa bb aa"), (2L, "bb cc")).toDF("doc_id", "text")
+    // model: aa:2, bb:2, cc:1 → N=5, V=3, denom=9
+    val same = TfIdf.crossEntropyDrift(ref, ref, col("text")).collect().head
+    assert(same.getAs[Long]("n_ref_tokens") == 5L)
+    assert(same.getAs[Long]("v_ref") == 3L)
+    assert(same.getAs[Double]("drift") == 0.0, "same text, same model → 0")
+    // hand value: ce = (2·(−ln(3/9)) + 2·(−ln(3/9)) + 1·(−ln(2/9))) / 5
+    val want = BigDecimal(
+      (4 * r9(-math.log(3.0 / 9)) + r9(-math.log(2.0 / 9))) / 5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(same.getAs[Double]("ce_ref") == want,
+      s"got ${same.getAs[Double]("ce_ref")}, want $want")
+    // a current half full of NOVEL tokens scores the OOV class (p=1/9
+    // each) — cross-entropy must exceed the reference's own
+    val cur = Seq((3L, "zz yy xx ww")).toDF("doc_id", "text")
+    val drifted = TfIdf.crossEntropyDrift(ref, cur, col("text")).collect().head
+    assert(drifted.getAs[Double]("drift") > 0.5,
+      s"novel vocabulary must raise CE: ${drifted.getAs[Double]("drift")}")
+    assert(drifted.getAs[Double]("ce_cur") ==
+      BigDecimal(r9(-math.log(1.0 / 9)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
