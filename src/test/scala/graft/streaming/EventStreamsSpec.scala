@@ -744,6 +744,57 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental-dedup sink: idempotent admission across a restart") {
+    // the unbounded-corpus integration pattern the cdcScreenStream
+    // scaladoc names: run the batch dedup discipline per micro-batch via
+    // foreachBatch, appending only ADMITTED rows to the corpus. The sink
+    // is idempotent BY CONSTRUCTION — a replayed batch (restart after an
+    // uncommitted epoch, partial append included) re-screens against a
+    // corpus that already holds its rows, so re-admission filters to
+    // nothing. This test drives an actual stop/restart through it.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-febatch")
+    val src = root.resolve("src").toString
+    val chk = root.resolve("chk").toString
+    val corpusDir = root.resolve("corpus").toString
+    Seq((1L, "alpha content"), (2L, "beta content"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(corpusDir)
+    // arrivals, batch 1: 3 duplicates corpus doc 1; 4 is novel
+    Seq((3L, "alpha content"), (4L, "gamma content"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def start() = spark.readStream.schema(schema).parquet(src)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val corpus = batch.sparkSession.read.parquet(corpusDir)
+        val admitted = graft.operators.Dedup
+          .incremental(batch, corpus, col("text"), col("doc_id"), col("text"))
+          .select(col("keep_id").as("doc_id"))
+          .join(batch, Seq("doc_id"))
+          .select("doc_id", "text")
+        admitted.write.mode("append").parquet(corpusDir)
+        ()
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable()
+    // batch 2 lands (5 duplicates the just-admitted 4; 6 is novel) and
+    // the query stops with it possibly discovered but uncommitted
+    Seq((5L, "gamma content"), (6L, "delta content"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    q1.stop()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val corpus = spark.read.parquet(corpusDir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      assert(corpus.map(_._1).sorted.toSeq == Seq(1L, 2L, 4L, 6L),
+        s"exactly the novel-content docs, each once: ${corpus.toSeq}")
+      assert(corpus.map(_._2).distinct.length == 4,
+        "no content duplicated across the restart")
+    } finally q2.stop()
+  }
+
   test("kill-and-resume: checkpointed session stream restarts exactly-once") {
     // VERDICT r12 ask #3 — an ACTUAL restart through a durable sink, not
     // checkpoint-dir parity: the sessionize twin runs against a parquet

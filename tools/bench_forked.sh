@@ -43,8 +43,13 @@ for q in "${QS[@]}"; do
     -XX:ReservedCodeCacheSize="${SPARK_CODE_CACHE:-1g}" \
     $ADD_OPENS \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -cp "$CP" graft.Bench 2>"$TMP/$q.err" | tail -n 1 > "$TMP/$q.json" \
+    -cp "$CP" graft.Bench 2>"$TMP/$q.err" \
+    | grep '"queries"' | tail -n 1 > "$TMP/$q.json" \
     || { echo "[bench_forked] $q FAILED:" >&2; tail -5 "$TMP/$q.err" >&2; exit 1; }
+  # the FULL per-query JSON line (not the compact headline Bench now
+  # prints last — that one has no "queries" map)
+  [ -s "$TMP/$q.json" ] \
+    || { echo "[bench_forked] $q produced no full JSON line" >&2; exit 1; }
 done
 python3 - "$SF_DIR" "$OUT" "$TMP" "${QS[@]}" <<'PY'
 import json, sys
