@@ -26,7 +26,9 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
   */
 object PlanShapes {
 
-  /** 20 heaviest from bench/bench_r12_final_sf01_32c.json + storage. */
+  /** 20 heaviest from bench/bench_r12_final_sf01_32c.json + the r13
+    * additions (storage layouts + the 9 new operators), so every new
+    * query gets a structural baseline from its birth round. */
   val DefaultQueries: Seq[String] = Seq(
     "ext_bootstrap_ci", "ext_pca_power", "ext_semdedup", "ext_resample_fill",
     "g5_corr_moments", "ext_quality_keeper", "ext_fuzzy_join",
@@ -34,7 +36,10 @@ object PlanShapes {
     "ext_dedup_clusters", "ext_ppr", "g3_approx_distinct", "ext_mad",
     "ext_skipgram_cooccur", "ext_triangles", "ext_incremental_neardup",
     "ext_leakage_split", "ext_pagerank", "ext_kcore",
-    "ext_partitioned_scan", "ext_bucketed_join")
+    "ext_partitioned_scan", "ext_bucketed_join",
+    "ext_cuped", "ext_qq_drift", "ext_zipf_slope", "ext_conformal",
+    "ext_conversion_lag", "ext_dedup_by_source", "ext_hist_quantiles",
+    "ext_coverage_select", "ext_ce_drift")
 
   final case class ScanFacts(
       partitionFilters: Seq[String], pushedFilters: String,
