@@ -384,6 +384,40 @@ object ExtQueries {
         col("text"))
     }),
 
+    // ── Cluster-vs-source purity audit — [EXT r13]: do the near-dup
+    //    clusters respect the source slicing? Low multi-cluster purity
+    //    = cross-source syndication, the signature that makes
+    //    per-source dedup insufficient (Clustering.clusterPurity
+    //    scaladoc). Pairs/clusters = the ext_dedup_clusters machinery.
+    "ext_cluster_purity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = d.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      val pairs = a.join(b, col("id_b") === col("id_a") + 1)
+        .filter(round(graft.functions.expressions.GraftFunctions
+          .ngram_jaccard(col("ta"), col("tb"), 3), 6) >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val assign = Dedup.clusters(d.select(col("doc_id"), col("text")),
+        pairs, col("doc_id"), col("id_a"), col("id_b"))
+      Clustering.clusterPurity(assign, d,
+        col("id"), col("cluster_id"), col("doc_id"), col("source"))
+    }),
+
+    // ── Hájek/HT mean over an unequal-probability sample — [EXT r13]:
+    //    purchases kept with π=1, other types only in 3 of 16 md5 grid
+    //    cells (π=3/16); the self-normalizing 1/π reweighting reads
+    //    the population mean back out of the biased sample
+    //    (Eval.htMean scaladoc).
+    "ext_ht_mean" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val cell = substring(md5(col("event_id").cast("string")), 1, 1)
+      val kept = e.filter(col("event_type") === "purchase" ||
+        cell.isin("0", "1", "2"))
+      Eval.htMean(kept, col("value"),
+        when(col("event_type") === "purchase", lit(1.0))
+          .otherwise(lit(3.0 / 16.0)))
+    }),
+
     // ── Top-k per group via ranked window.
     "ext_topk_per_group" -> ((s, dir) => {
       Events.topKPerGroup(
@@ -3194,6 +3228,66 @@ object ExtQueries {
         |  round(r.ce_ref, 6) AS ce_ref, round(c.ce_cur, 6) AS ce_cur,
         |  round(c.ce_cur - r.ce_ref, 6) AS drift
         |FROM refagg r CROSS JOIN curagg c CROSS JOIN stats s""".stripMargin,
+
+    // Purity replay: the ext_dedup_clusters recursive pointer-jump plus
+    // a (cluster, source) majority readout.
+    "ext_cluster_purity" ->
+      """WITH RECURSIVE sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(2, length(trim(regexp_replace(lower(text),'\s+',' ','g'))) - 1)),
+        |      i -> substr(trim(regexp_replace(lower(text),'\s+',' ','g')), i, 3))) AS s
+        |  FROM documents),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM e0
+        |  UNION ALL SELECT id_b, id_a FROM e0),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON r.id = e.dst),
+        |cl AS (SELECT id AS doc_id, MIN(label) AS cid FROM reach GROUP BY id),
+        |cells AS (
+        |  SELECT c.cid, COALESCE(CAST(d.source AS VARCHAR), '__null__') AS lab,
+        |    COUNT(*) AS n
+        |  FROM cl c JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |per AS (SELECT cid, SUM(n) AS n, MAX(n) AS maj FROM cells GROUP BY 1)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_multi_clusters,
+        |  CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT)
+        |    AS n_multi_docs,
+        |  round(CAST(SUM(CASE WHEN n >= 2 THEN maj END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN n >= 2 THEN n END) AS DOUBLE), 6)
+        |    AS purity_multi,
+        |  round(CAST(SUM(maj) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+        |    AS purity_all
+        |FROM per""".stripMargin,
+
+    // HT replay: same md5 grid, exact-binary π, 9dp weights, 6dp w·y
+    // terms into decimal sums, one self-normalizing divide.
+    "ext_ht_mean" ->
+      """WITH kept AS (
+        |  SELECT round(value, 6) AS y,
+        |    CASE WHEN event_type = 'purchase' THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(3.0 AS DOUBLE) / CAST(16.0 AS DOUBLE) END AS p
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |     OR substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+        |        IN ('0', '1', '2')),
+        |w AS (SELECT y, round(CAST(1.0 AS DOUBLE) / p, 9) AS w
+        |      FROM kept WHERE y IS NOT NULL)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |  round(CAST(COALESCE(SUM(CAST(w AS DECIMAL(28,9))),
+        |    CAST(0 AS DECIMAL(28,9))) AS DOUBLE), 6) AS sum_weight,
+        |  round(CAST(SUM(CAST(round(w * y, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE), 6) AS ht_mean
+        |FROM w""".stripMargin,
 
     "ext_topk_per_group" ->
       """SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rank FROM (

@@ -397,4 +397,54 @@ object Clustering {
       .join(losers, col("keep_id") === col("drop_id"), "left_anti")
       .orderBy("keep_id")
   }
+
+  /** Cluster-vs-label PURITY audit: do the dedup/semantic clusters
+    * respect a known slicing (source domain, language, crawl
+    * snapshot)? High multi-cluster purity says near-duplicates live
+    * WITHIN slices (dedup is safe to run per-slice, and slice labels
+    * can proxy cluster identity); low purity says duplication crosses
+    * sources — the syndication/mirror signature that makes per-source
+    * dedup silently insufficient. The standard external-validation
+    * readout (purity = Σ_clusters max_label count / n) applied to the
+    * dedup pipeline's own output.
+    *
+    * 100 TB shape: one (cluster, label)-keyed count (map-side
+    * collapse), one ≤|clusters|-row aggregate per cluster, one final
+    * 1-row readout. No windows, no driver state.
+    *
+    * Singleton clusters are trivially pure, so the readout reports
+    * BOTH `purity_multi` (over clusters of size ≥ 2 — the number that
+    * means something) and `purity_all` (the textbook definition).
+    * NULL labels form their own class (counted, never dropped — the
+    * [[graft.operators.Dedup.dupRateByGroup]] rule). Counts are exact
+    * integers; each purity is one IEEE divide rounded 6; no multi-doc
+    * clusters → NULL purity_multi (undefined, not a divide error).
+    *
+    * Output: ONE row — (n_docs, n_clusters, n_multi_clusters,
+    * n_multi_docs, purity_multi, purity_all). */
+  def clusterPurity(
+      assign: DataFrame, labels: DataFrame,
+      id: Column, clusterId: Column,
+      labelId: Column, label: Column): DataFrame = {
+    val a = assign.select(id.as("id"), clusterId.as("cid"))
+    val l = labels.select(labelId.as("id"),
+      coalesce(label.cast("string"), lit("__null__")).as("lab"))
+    val cells = a.join(l, Seq("id"))
+      .groupBy("cid", "lab").agg(count(lit(1)).as("n"))
+    val per = cells.groupBy("cid")
+      .agg(sum("n").as("n"), max("n").as("maj"))
+    val multiN = sum(when(col("n") >= 2, col("n")))
+    val multiMaj = sum(when(col("n") >= 2, col("maj")))
+    per.agg(
+      sum("n").cast("long").as("n_docs"),
+      count(lit(1)).as("n_clusters"),
+      sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_multi_clusters"),
+      coalesce(multiN, lit(0L)).cast("long").as("n_multi_docs"),
+      round(when(multiN > 0,
+        multiMaj.cast("double") / multiN.cast("double")), 6)
+        .as("purity_multi"),
+      round(when(sum(col("n")) > 0,
+        sum("maj").cast("double") / sum("n").cast("double")), 6)
+        .as("purity_all"))
+  }
 }

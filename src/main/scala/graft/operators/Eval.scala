@@ -662,6 +662,57 @@ object Eval {
       .orderBy("group_key")
   }
 
+  /** Hájek (self-normalizing Horvitz–Thompson) mean over an UNEQUAL-
+    * PROBABILITY sample — the estimator every sampled eval needs: when
+    * rows were kept with known inclusion probabilities π (stratified
+    * eval sets, importance-sampled human-rating budgets), the plain
+    * sample mean is biased toward the over-sampled strata; weighting
+    * each row 1/π and self-normalizing,
+    *
+    *   mean̂ = Σ (y_i/π_i) / Σ (1/π_i)
+    *
+    * is consistent for the POPULATION mean without knowing N (the
+    * Hájek form of HT). The eval-side dual of the sampling operators
+    * (`quota/stratified/weighted` build the sample; this reads it
+    * back out unbiased).
+    *
+    * 100 TB shape: one scan, two decimal sums, one divide. No
+    * window, no join, no driver state.
+    *
+    * Determinism: w = round(1/π, 9) (a divide is IEEE-exact, but the
+    * quantize pins the decimal-sum input width); each w·y term
+    * round(·,6) into DECIMAL(28,6), w into DECIMAL(28,9); the mean is
+    * one IEEE divide rounded 6. A scored row with π outside (0, 1]
+    * FAILS LOUDLY from inside the weight expression itself (one scan —
+    * a separate count-the-bad-rows aggregate would re-evaluate the
+    * sample subtree, the ext_roc_auc lesson): a zero π is an
+    * impossible sample, and silently dropping it would bias the
+    * estimate. Null-y rows are excluded (no measurement).
+    *
+    * Output: ONE row — (n_sampled, sum_weight, ht_mean); an empty
+    * sample yields n=0 with NULL mean. */
+  def htMean(sample: DataFrame, value: Column, prob: Column): DataFrame = {
+    val w = when(col("p").isNotNull && col("p") > 0.0 && col("p") <= 1.0,
+      round(lit(1.0) / col("p"), 9))
+      .otherwise(raise_error(concat(
+        lit("htMean: inclusion probability "), col("p").cast("string"),
+        lit(" outside (0, 1] — fix the sampler, don't drop rows."))))
+    sample
+      .select(round(value.cast("double"), 6).as("y"),
+        prob.cast("double").as("p"))
+      .filter(col("y").isNotNull)
+      .select(col("y"), w.as("w"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        round(coalesce(sum(col("w").cast("decimal(28,9)")),
+          lit(0).cast("decimal(28,9)")).cast("double"), 6).as("sum_weight"),
+        round(when(count(lit(1)) > 0,
+          sum(round(col("w") * col("y"), 6).cast("decimal(28,6)"))
+            .cast("double") /
+            sum(col("w").cast("decimal(28,9)")).cast("double")), 6)
+          .as("ht_mean"))
+  }
+
   def spearman(df: DataFrame, a: Column, b: Column,
       quantize: Option[Int] = None,
       maxDistinct: Long = 10000000L): DataFrame = {

@@ -188,4 +188,40 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert((clustersOf(200L) & clustersOf(300L)).isEmpty)
     assert((clustersOf(100L) & clustersOf(300L)).isEmpty)
   }
+
+  test("clusterPurity: hand-computed majorities; singletons split out; null class") {
+    import org.apache.spark.sql.functions.col
+    // cluster 10: labels (a, a, b) → maj 2/3; cluster 20: (b, b) → pure;
+    // cluster 30: singleton (trivially pure); doc 6 has a NULL label
+    // that forms its own class inside cluster 20? — no, give it its own
+    // singleton cluster 40 to pin the null-class path
+    val assign = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L),
+      (7L, 30L), (6L, 40L))
+      .toDF("id", "cid")
+    val labels = Seq(
+      (1L, "a"), (2L, "a"), (3L, "b"),
+      (4L, "b"), (5L, "b"),
+      (7L, "c"), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "src")
+    val got = Clustering.clusterPurity(assign, labels,
+      col("id"), col("cid"), col("doc_id"), col("src")).collect().head
+    assert(got.getAs[Long]("n_docs") == 7L)
+    assert(got.getAs[Long]("n_clusters") == 4L)
+    assert(got.getAs[Long]("n_multi_clusters") == 2L)
+    assert(got.getAs[Long]("n_multi_docs") == 5L)
+    // multi: (2 + 2) / (3 + 2) = 0.8; all: (2 + 2 + 1 + 1) / 7
+    assert(got.getAs[Double]("purity_multi") == 0.8)
+    assert(got.getAs[Double]("purity_all") ==
+      BigDecimal(6.0 / 7.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // all-singleton clustering: purity_multi undefined (NULL), never 0/0
+    val single = Clustering.clusterPurity(
+      Seq((1L, 1L), (2L, 2L)).toDF("id", "cid"),
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "src"),
+      col("id"), col("cid"), col("doc_id"), col("src")).collect().head
+    assert(single.isNullAt(single.fieldIndex("purity_multi")))
+    assert(single.getAs[Double]("purity_all") == 1.0)
+  }
 }

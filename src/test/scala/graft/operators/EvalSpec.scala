@@ -247,6 +247,35 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     assert(!chain(e).contains("maxDistinct"), chain(e))
   }
 
+  test("htMean: Hajek reweighting recovers the stratum-biased mean; bad pi loud") {
+    // population: stratum A (y=10, π=1.0) and B (y=1.0, π=0.25) — the
+    // sample over-represents A relative to what 1-per-π expansion says;
+    // Hájek mean = (1·10 + 4·1) / (1 + 4) = 2.8
+    val s = Seq((10.0, 1.0), (1.0, 0.25)).toDF("y", "p")
+    val got = Eval.htMean(s, col("y"), col("p")).collect().head
+    assert(got.getAs[Long]("n_sampled") == 2L)
+    assert(got.getAs[Double]("sum_weight") == 5.0)
+    assert(got.getAs[Double]("ht_mean") == 2.8)
+    // equal probabilities degrade to the plain mean
+    val eq = Seq((2.0, 0.5), (4.0, 0.5)).toDF("y", "p")
+    assert(Eval.htMean(eq, col("y"), col("p"))
+      .collect().head.getAs[Double]("ht_mean") == 3.0)
+    // π outside (0, 1] fails LOUDLY (silently dropping would bias)
+    val bad = Seq((1.0, 0.0)).toDF("y", "p")
+    val e = intercept[Throwable] {
+      Eval.htMean(bad, col("y"), col("p")).collect()
+    }
+    def chain2(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain2(e).contains("inclusion probability"), chain2(e))
+    // empty sample: n=0, NULL mean, not an error
+    val none = Eval.htMean(s.filter(col("y") > 100), col("y"), col("p"))
+      .collect().head
+    assert(none.getAs[Long]("n_sampled") == 0L)
+    assert(none.isNullAt(none.fieldIndex("ht_mean")))
+  }
+
   test("conformalCoverage: hand qhat at ceil(0.9 n); coverage audited on eval") {
     // group g: calibration values 1..10 → pred 5.5, residuals
     // (4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,4.5) sorted → rank ceil(.9·10)=9
