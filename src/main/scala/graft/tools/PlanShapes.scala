@@ -39,7 +39,8 @@ object PlanShapes {
     "ext_partitioned_scan", "ext_bucketed_join",
     "ext_cuped", "ext_qq_drift", "ext_zipf_slope", "ext_conformal",
     "ext_conversion_lag", "ext_dedup_by_source", "ext_hist_quantiles",
-    "ext_coverage_select", "ext_ce_drift")
+    "ext_coverage_select", "ext_ce_drift", "ext_cluster_purity",
+    "ext_ht_mean")
 
   final case class ScanFacts(
       partitionFilters: Seq[String], pushedFilters: String,
