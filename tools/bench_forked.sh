@@ -37,6 +37,7 @@ IFS=',' read -ra QS <<< "$QUERIES"
 for q in "${QS[@]}"; do
   echo "[bench_forked] $q ..." >&2
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_QUERIES="$q" \
+  SPARK_GRAFT_BENCH_OUT="$TMP/$q.artifact.json" \
   SPARK_GRAFT_REPEATS="${SPARK_GRAFT_REPEATS:-5}" \
   SPARK_GRAFT_HEAVY_EXTRA="${SPARK_GRAFT_HEAVY_EXTRA:-4}" \
   java -Xmx"${SPARK_DRIVER_MEM:-32g}" \
