@@ -264,6 +264,9 @@ object ExtQueries {
     //    merge hint pins SMJ (a broadcastable dim at test scale would
     //    hide the bucket story the receipt needs).
     "ext_bucketed_join" -> ((s, dir) => {
+      // drop debris from crashed/finished foreign JVMs before creating
+      // this run's pid-tagged tables (VERDICT r13 what's-wrong #1)
+      Ingest.sweepStaleBucketTables(s, "graft_bkt_")
       val tag = s"${math.abs(dir.hashCode)}_pid${ProcessHandle.current().pid()}"
       val ot = s"graft_bkt_orders_$tag"
       val ct = s"graft_bkt_customer_$tag"

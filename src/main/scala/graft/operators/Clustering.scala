@@ -415,10 +415,12 @@ object Clustering {
     * Singleton clusters are trivially pure, so the readout reports
     * BOTH `purity_multi` (over clusters of size ≥ 2 — the number that
     * means something) and `purity_all` (the textbook definition).
-    * NULL labels form their own class (counted, never dropped — the
-    * [[graft.operators.Dedup.dupRateByGroup]] rule). Counts are exact
-    * integers; each purity is one IEEE divide rounded 6; no multi-doc
-    * clusters → NULL purity_multi (undefined, not a divide error).
+    * NULL labels form their own class, and so do assigned docs with
+    * NO label row at all (LEFT join, missing → `__null__` — counted,
+    * never dropped, the [[graft.operators.Dedup.dupRateByGroup]]
+    * rule). Counts are exact integers; each purity is one IEEE divide
+    * rounded 6; no multi-doc clusters → NULL purity_multi (undefined,
+    * not a divide error).
     *
     * Output: ONE row — (n_docs, n_clusters, n_multi_clusters,
     * n_multi_docs, purity_multi, purity_all). */
@@ -429,7 +431,8 @@ object Clustering {
     val a = assign.select(id.as("id"), clusterId.as("cid"))
     val l = labels.select(labelId.as("id"),
       coalesce(label.cast("string"), lit("__null__")).as("lab"))
-    val cells = a.join(l, Seq("id"))
+    val cells = a.join(l, Seq("id"), "left")
+      .select(col("cid"), coalesce(col("lab"), lit("__null__")).as("lab"))
       .groupBy("cid", "lab").agg(count(lit(1)).as("n"))
     val per = cells.groupBy("cid")
       .agg(sum("n").as("n"), max("n").as("maj"))

@@ -695,7 +695,10 @@ object Eval {
     val w = when(col("p").isNotNull && col("p") > 0.0 && col("p") <= 1.0,
       round(lit(1.0) / col("p"), 9))
       .otherwise(raise_error(concat(
-        lit("htMean: inclusion probability "), col("p").cast("string"),
+        lit("htMean: inclusion probability "),
+        // coalesce: a NULL p would null the whole concat and the job
+        // would die with an empty message instead of this diagnostic
+        coalesce(col("p").cast("string"), lit("NULL")),
         lit(" outside (0, 1] — fix the sampler, don't drop rows."))))
     sample
       .select(round(value.cast("double"), 6).as("y"),

@@ -394,20 +394,6 @@ object Sketches {
     both.select(packed.as("p")).select(col("p.*"))
   }
 
-  /** KMV MERGEABILITY rollup: per-group distinct estimates plus a
-    * global `__all__` estimate computed FROM THE PER-GROUP SKETCHES
-    * ALONE — union the groups' kept minima, keep the k smallest, apply
-    * the same estimator. Merging k-min sets is exact (the k smallest
-    * of a union are among the unions of k-smallests), so the rolled-up
-    * row equals what a direct global KMV over the raw data would
-    * produce (SketchesSpec pins the identity) — the property that lets
-    * a 100 TB pipeline keep per-partition/per-day sketches and answer
-    * ANY coarser distinct-count by merging k·|groups| longs instead of
-    * re-scanning the data. Below global saturation the merged estimate
-    * is the EXACT distinct count, same as the per-group rule.
-    *
-    * Output: per-group rows (group_key, kmv_n) plus one ('__all__',
-    * merged kmv_n) row. */
   /** Mergeable QUANTILE rollup from fixed-grid histogram sketches —
     * the [[kmvMergeRollup]] story for quantiles: per-group quantile
     * estimates AND a global `__all__` estimate derived FROM THE GROUP
@@ -473,6 +459,20 @@ object Sketches {
       .orderBy("group_key")
   }
 
+  /** KMV MERGEABILITY rollup: per-group distinct estimates plus a
+    * global `__all__` estimate computed FROM THE PER-GROUP SKETCHES
+    * ALONE — union the groups' kept minima, keep the k smallest, apply
+    * the same estimator. Merging k-min sets is exact (the k smallest
+    * of a union are among the unions of k-smallests), so the rolled-up
+    * row equals what a direct global KMV over the raw data would
+    * produce (SketchesSpec pins the identity) — the property that lets
+    * a 100 TB pipeline keep per-partition/per-day sketches and answer
+    * ANY coarser distinct-count by merging k·|groups| longs instead of
+    * re-scanning the data. Below global saturation the merged estimate
+    * is the EXACT distinct count, same as the per-group rule.
+    *
+    * Output: per-group rows (group_key, kmv_n) plus one ('__all__',
+    * merged kmv_n) row. */
   def kmvMergeRollup(
       df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
     require(k > 1, s"KMV needs k > 1 (estimate uses k-1), got $k")

@@ -746,19 +746,6 @@ object TextPipeline {
       .drop("cutoff_di")
   }
 
-  /** Tokenizer VOCABULARY COVERAGE (out-of-vocabulary rate) per
-    * document — the tokenizer-QA readout run after [[TfIdf.buildVocab]]:
-    * a doc whose tokens are mostly OOV will shatter into byte
-    * fallbacks at training time; per-source OOV aggregates decide
-    * whether the vocabulary needs retraining before the corpus ships.
-    *
-    * 100 TB shape: the vocabulary is top-`maxSize` by construction —
-    * BROADCAST; the corpus token stream probes it map-side and
-    * collapses to (doc, 2 counters) partials; one doc-keyed aggregate.
-    * The id spine keeps empty/null-text docs visible (n_tokens 0,
-    * NULL rate — unknown, not perfect).
-    *
-    * Output: (doc_id, n_tokens, n_oov, oov_rate 6dp). */
   /** Greedy maximum-coverage subset selection — the coverage-driven
     * data-selection pass (the max-coverage relaxation of facility
     * location; greedy is the classic (1−1/e)-approximation): pick
@@ -875,6 +862,19 @@ object TextPipeline {
     picks.toSeq
   }
 
+  /** Tokenizer VOCABULARY COVERAGE (out-of-vocabulary rate) per
+    * document — the tokenizer-QA readout run after [[TfIdf.buildVocab]]:
+    * a doc whose tokens are mostly OOV will shatter into byte
+    * fallbacks at training time; per-source OOV aggregates decide
+    * whether the vocabulary needs retraining before the corpus ships.
+    *
+    * 100 TB shape: the vocabulary is top-`maxSize` by construction —
+    * BROADCAST; the corpus token stream probes it map-side and
+    * collapses to (doc, 2 counters) partials; one doc-keyed aggregate.
+    * The id spine keeps empty/null-text docs visible (n_tokens 0,
+    * NULL rate — unknown, not perfect).
+    *
+    * Output: (doc_id, n_tokens, n_oov, oov_rate 6dp). */
   def tokenizerCoverage(
       docs: DataFrame,
       id: Column,

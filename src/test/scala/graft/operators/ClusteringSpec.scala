@@ -223,5 +223,17 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
       col("id"), col("cid"), col("doc_id"), col("src")).collect().head
     assert(single.isNullAt(single.fieldIndex("purity_multi")))
     assert(single.getAs[Double]("purity_all") == 1.0)
+    // assigned doc with NO label row at all: left-join keeps it in the
+    // __null__ class — counted, never dropped (ADVICE r13)
+    val missing = Clustering.clusterPurity(
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cid"),
+      Seq((1L, "a"), (2L, "a")).toDF("doc_id", "src"), // doc 3 absent
+      col("id"), col("cid"), col("doc_id"), col("src")).collect().head
+    assert(missing.getAs[Long]("n_docs") == 3L)
+    assert(missing.getAs[Long]("n_multi_docs") == 3L)
+    // majority label 'a' (2) over cluster size 3
+    assert(missing.getAs[Double]("purity_multi") ==
+      BigDecimal(2.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
   }
 }

@@ -402,6 +402,40 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sweepStaleBucketTables: foreign-pid debris goes, own-pid survives") {
+    import org.apache.spark.sql.functions._
+    val ownTag = s"pid${ProcessHandle.current().pid()}"
+    val own = s"graft_bkt_sweep_own_$ownTag"
+    val foreign = "graft_bkt_sweep_foreign_pid99999999"
+    val df = spark.range(10).select(col("id").as("k"))
+    try {
+      Ingest.writeBucketedTable(df, own, 2, Seq("k"))
+      Ingest.writeBucketedTable(df, foreign, 2, Seq("k"))
+      // plus an ORPHAN dir: a crashed JVM's catalog entry is gone but
+      // its managed directory remains
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val orphan = new org.apache.hadoop.fs.Path(
+        wh, "graft_bkt_sweep_orphan_pid88888888")
+      fs.mkdirs(orphan)
+      val swept = Ingest.sweepStaleBucketTables(spark, "graft_bkt_sweep_")
+      assert(swept == 2, s"expected foreign table + orphan dir, got $swept")
+      assert(!spark.catalog.tableExists(foreign))
+      assert(!fs.exists(orphan))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(wh, foreign)))
+      // own-pid table untouched and still readable
+      assert(spark.catalog.tableExists(own))
+      assert(spark.table(own).count() == 10)
+      // unrelated prefixes untouched by construction (filter is
+      // prefix-anchored); re-sweep is a no-op
+      assert(Ingest.sweepStaleBucketTables(spark, "graft_bkt_sweep_") == 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$own`")
+      spark.sql(s"DROP TABLE IF EXISTS `$foreign`")
+    }
+  }
+
   test("every shipped columnar/text format round-trips the same rows") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft-formats")

@@ -6,8 +6,9 @@ shows up statically as "exchanges/scans jumped", which this catches
 without any timing noise.
 
 Exit code 1 on any regression (count increased on a watched family, or
-a cartesian product appeared). Improvements and additions are reported
-but pass.
+a cartesian product appeared where the baseline had none). Improvements
+and additions are reported but pass; a baseline that deliberately
+carries a bounded cartesian stays green unless its count grows.
 
 Usage: plan_shapes_compare.py <old.json> <new.json>
 """
@@ -28,6 +29,11 @@ def main(old_path, new_path):
     for q in sorted(new):
         if q not in old:
             infos.append(f"NEW      {q}: no baseline shape")
+            # no baseline to diff against, but a cartesian in a
+            # brand-new query is still worth a red gate
+            if new[q].get("cartesian", 0) > 0:
+                regressions.append(
+                    f"REGRESSED {q}: cartesian product in new query")
             continue
         o, n = old[q], new[q]
         for fam in WATCHED:
@@ -41,8 +47,9 @@ def main(old_path, new_path):
                 improvements.append("IMPROVED  " + line)
             else:
                 infos.append(f"CHANGED  {line}")
-        if n.get("cartesian", 0) > 0:
-            regressions.append(f"REGRESSED {q}: cartesian product present")
+        # Cartesian INTRODUCTIONS/increases on baselined queries are
+        # already caught by the REGRESSING loop above (nv > ov); a
+        # baseline that deliberately carries one stays green.
     for q in sorted(set(old) - set(new)):
         infos.append(f"DROPPED  {q}: not in new snapshot")
     for line in regressions + improvements + infos:
