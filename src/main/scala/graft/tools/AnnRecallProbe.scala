@@ -41,11 +41,18 @@ object AnnRecallProbe {
       val hit = exact.join(ann, Seq("query_id", "vec_id"), "left_semi").count()
       println(f"lsh nPlanes=16 bands=$bands%2d: recall@$k = ${hit.toDouble / nExact}%.3f ($hit/$nExact)")
     }
-    for (nprobe <- Seq(4, 8, 12)) {
-      val ann = Similarity.ivfTopK(probes, corpus, k, nCells = 16, nprobe = nprobe)
+    for (nCells <- Seq(8, 16, 32); nprobe <- Seq(nCells / 2, nCells * 5 / 8,
+        nCells * 3 / 4, nCells * 7 / 8, nCells - 1, nCells).distinct) {
+      val ann = Similarity.ivfTopK(probes, corpus, k, nCells = nCells, nprobe = nprobe)
         .select("query_id", "vec_id")
       val hit = exact.join(ann, Seq("query_id", "vec_id"), "left_semi").count()
-      println(f"ivf nCells=16 nprobe=$nprobe%2d: recall@$k = ${hit.toDouble / nExact}%.3f ($hit/$nExact)")
+      println(f"ivf nCells=$nCells%2d nprobe=$nprobe%2d: recall@$k = ${hit.toDouble / nExact}%.3f ($hit/$nExact)")
+    }
+    for (refine <- Seq(40, 80, 160, 320, 640)) {
+      val ann = Similarity.pqTopK(probes, corpus, k, refine = refine)
+        .select("query_id", "vec_id")
+      val hit = exact.join(ann, Seq("query_id", "vec_id"), "left_semi").count()
+      println(f"pq m=8 ksub=16 refine=$refine%3d: recall@$k = ${hit.toDouble / nExact}%.3f ($hit/$nExact)")
     }
     spark.stop()
   }
