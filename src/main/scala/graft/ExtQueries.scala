@@ -305,6 +305,38 @@ object ExtQueries {
         .orderBy("segment")
     }),
 
+    // ── Bucket-PRUNED point lookup — [EXT r14, VERDICT r13 ask #2]:
+    //    the storage layout's second dividend. A point predicate on the
+    //    bucketed key lets Spark's bucket pruning
+    //    (FileSourceScanExec.optionalBucketSet) read the ONE bucket
+    //    file `pmod(murmur3(key), 8)` selects — receipt:
+    //    bench/plan_shapes_r14.json, buckets_selected 1 / buckets_total
+    //    8, files_scanned 1 / files_total 8 (one file per bucket is
+    //    writeBucketedTable's guarantee). DisableUnnecessaryBucketedScan
+    //    leaves pruned scans alone (it only reverts bucketed scans
+    //    WITHOUT a bucket filter), so the receipt holds with
+    //    autoBucketedScan at its default. At 100 TB this is the
+    //    difference between one task reading ~1/8 of the table's files
+    //    and a full scan — for free, from the same layout the join
+    //    already paid for. groupBy on the bucket key additionally rides
+    //    the bucket distribution: zero Exchange in the whole plan.
+    "ext_bucket_pruned_lookup" -> ((s, dir) => {
+      Ingest.sweepStaleBucketTables(s, "graft_bkt_")
+      val tag = s"${math.abs(dir.hashCode)}_pid${ProcessHandle.current().pid()}"
+      val tbl = s"graft_bkt_ordlkp_$tag"
+      if (!s.catalog.tableExists(tbl))
+        Ingest.writeBucketedTable(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          tbl, 8, Seq("o_custkey"))
+      s.table(tbl)
+        .filter(col("o_custkey") === 7L)
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("total_price"))
+    }),
+
     // ── CUPED variance-reduced A/B — [EXT r13]: per-user pre-period
     //    (Jan 1–15) mean value as the covariate, post-period mean as
     //    the metric, arm by user parity; θ pooled, adjusted arm means
@@ -2965,6 +2997,13 @@ object ExtQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    // bucketing is a physical layout, invisible to the semantics: the
+    // oracle is the plain point lookup over the raw parquet
+    "ext_bucket_pruned_lookup" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        |FROM orders WHERE o_custkey = 7 GROUP BY 1""".stripMargin,
 
     // CUPED replay: per-user pre/post means (decimal sums, 6dp), pooled
     // θ from the moment identities, adjusted arm means by linearity —

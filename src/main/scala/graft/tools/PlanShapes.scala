@@ -40,12 +40,14 @@ object PlanShapes {
     "ext_cuped", "ext_qq_drift", "ext_zipf_slope", "ext_conformal",
     "ext_conversion_lag", "ext_dedup_by_source", "ext_hist_quantiles",
     "ext_coverage_select", "ext_ce_drift", "ext_cluster_purity",
-    "ext_ht_mean")
+    "ext_ht_mean",
+    "ext_bucket_pruned_lookup")
 
   final case class ScanFacts(
       partitionFilters: Seq[String], pushedFilters: String,
       partitionsSelected: Option[Int], filesScanned: Option[Long],
-      filesTotal: Option[Long])
+      filesTotal: Option[Long],
+      bucketsSelected: Option[Int], bucketsTotal: Option[Int])
 
   /** Structural counts of one physical plan. Node identity is the
     * exec class simple name — stable across Spark minor versions. */
@@ -58,17 +60,34 @@ object PlanShapes {
     plan.collect { case s: FileSourceScanExec =>
       val pf = s.partitionFilters.map(_.sql)
       val pushed = s.metadata.getOrElse("PushedFilters", "[]")
+      // Bucket pruning (VERDICT r13 ask #2): optionalBucketSet is the
+      // BitSet of bucket ids a point/IN predicate on the bucket column
+      // selects; selectedPartitions does NOT reflect it (the file list
+      // is filtered later, in createBucketedReadRDD), so files_scanned
+      // must be recomputed through BucketingUtils.getBucketId.
+      val bTotal = s.relation.bucketSpec.map(_.numBuckets)
+      val bSel = s.optionalBucketSet.map(_.cardinality())
       val (sel, scanned, total) =
         try {
           val selected = s.selectedPartitions // post-pruning listing
           val all = s.relation.location.inputFiles.length.toLong
-          (Option(selected.partitionCount),
-            Option(selected.totalNumberOfFiles), Option(all))
+          val effective = s.optionalBucketSet match {
+            case Some(bits) =>
+              selected.toPartitionArray.map(_.urlEncodedPath).distinct
+                .count { p =>
+                  val name = p.substring(p.lastIndexOf('/') + 1)
+                  org.apache.spark.sql.execution.datasources.BucketingUtils
+                    .getBucketId(name)
+                    .exists(b => bits.get(b.asInstanceOf[Int]))
+                }.toLong
+            case None => selected.totalNumberOfFiles
+          }
+          (Option(selected.partitionCount), Option(effective), Option(all))
         } catch {
           case _: Throwable =>
             (Option.empty[Int], Option.empty[Long], Option.empty[Long])
         }
-      ScanFacts(pf, pushed, sel, scanned, total)
+      ScanFacts(pf, pushed, sel, scanned, total, bSel, bTotal)
     }
 
   private def jstr(s: String): String =
@@ -128,7 +147,11 @@ object PlanShapes {
               "files_scanned" ->
                 sf.filesScanned.map(_.toString).getOrElse("null"),
               "files_total" ->
-                sf.filesTotal.map(_.toString).getOrElse("null"))
+                sf.filesTotal.map(_.toString).getOrElse("null"),
+              "buckets_selected" ->
+                sf.bucketsSelected.map(_.toString).getOrElse("null"),
+              "buckets_total" ->
+                sf.bucketsTotal.map(_.toString).getOrElse("null"))
             fields.map { case (k, v) => s"${jstr(k)}: $v" }
               .mkString("{", ", ", "}")
           }
