@@ -305,6 +305,31 @@ object ExtQueries {
         .orderBy("segment")
     }),
 
+    // ── Z-ORDERED two-predicate scan — [EXT r14, VERDICT r13 ask #3]:
+    //    events rewritten z-clustered on (user_id, value) — two
+    //    UNCORRELATED keys — then filtered on a box over both. The
+    //    layout is semantically invisible (oracle: the plain SQL over
+    //    raw events); its value is the receipt
+    //    (bench/zorder_receipt_r14.txt, tools/ZorderReceiptProbe):
+    //    per-file min/max boxes overlap the predicate box on ~√files
+    //    under z-order vs ALL files on the non-sorted key under
+    //    single-key range clustering — at 100 TB, two-predicate
+    //    queries skip most of the table from parquet footers alone.
+    "ext_zorder_scan" -> ((s, dir) => {
+      val path = s"${fixtureRoot}_zorder_events_${math.abs(dir.hashCode)}"
+      Partitioning.writeZOrdered(
+        t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+        path, "user_id", "value", partitions = 16)
+      s.read.parquet(path)
+        .filter(col("user_id").between(40L, 79L) &&
+          col("value").between(100.0, 200.0))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // ── Bucket-PRUNED point lookup — [EXT r14, VERDICT r13 ask #2]:
     //    the storage layout's second dividend. A point predicate on the
     //    bucketed key lets Spark's bucket pruning
@@ -2997,6 +3022,15 @@ object ExtQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    // z-order is a physical layout, invisible to the semantics: the
+    // oracle is the plain box query over the raw parquet
+    "ext_zorder_scan" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 79 AND value BETWEEN 100.0 AND 200.0
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // bucketing is a physical layout, invisible to the semantics: the
     // oracle is the plain point lookup over the raw parquet

@@ -92,17 +92,25 @@ object Partitioning {
     * z-order. */
   def writeZOrdered(
       df: DataFrame, path: String, keyA: String, keyB: String,
-      partitions: Int, bits: Int = 16): Unit = {
+      partitions: Int, bits: Int = 16): Unit =
+    zorderClustered(df, keyA, keyB, partitions, bits)
+      .write.mode("overwrite").parquet(path)
+
+  /** The clustering TRANSFORM behind [[writeZOrdered]], reusable by any
+    * rewriter ([[graft.sources.Maintenance.compactParquet]]'s zorderBy
+    * path): returns `df` range-partitioned and sorted on the
+    * bit-interleaved z-value of the two keys, so whatever writes it
+    * produces files with tight min/max boxes on BOTH columns. Degenerate
+    * inputs (empty, all-null key) come back unchanged — any ordering of
+    * nothing is trivially clustered. One tiny (4-scalar) bounds
+    * aggregate; no window, no rank shuffle. */
+  def zorderClustered(
+      df: DataFrame, keyA: String, keyB: String,
+      partitions: Int, bits: Int = 16): DataFrame = {
     val Array(row) = df.agg(
       min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
       min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).collect()
-    if (row.isNullAt(0) || row.isNullAt(2)) {
-      // empty input or an all-null key column: min/max are NULL and
-      // there is nothing to grid — any ordering is trivially clustered,
-      // so write as-is instead of NPEing on the null aggregate
-      df.write.mode("overwrite").parquet(path)
-      return
-    }
+    if (row.isNullAt(0) || row.isNullAt(2)) return df
     val (loA, hiA, loB, hiB) = (row.getDouble(0), row.getDouble(1),
       row.getDouble(2), row.getDouble(3))
     val top = (1L << bits) - 1
@@ -116,7 +124,6 @@ object Partitioning {
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 
   private[graft] def sessionWarehouse(spark: SparkSession): String =

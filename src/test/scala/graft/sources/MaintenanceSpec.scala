@@ -49,4 +49,32 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     }
     assert(spark.read.parquet(dir).count() == 8000L)
   }
+
+  test("compaction with zorderBy bounds BOTH keys per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-z").toString + "/t"
+    // full 64x64 (a, b) grid, shuffled: no layout prunes anything
+    (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b))
+      .toDF("a", "b").repartition(16).write.parquet(dir)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")).map(_.length).sum
+
+    intercept[IllegalArgumentException] {
+      Maintenance.compactParquet(spark, dir,
+        sortBy = Some("a"), zorderBy = Some(("a", "b")))
+    }
+    val rep = Maintenance.compactParquet(spark, dir,
+      targetFileBytes = math.max(1L, bytes / 16),
+      zorderBy = Some(("a", "b")))
+    assert(rep.rows == 4096L)
+    assert(rep.filesAfter > 4, "need multiple files for a pruning claim")
+
+    def matching(c: String, v: Long): Long = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col(c))
+      .groupBy("f").agg(min(c).as("lo"), max(c).as("hi"))
+      .filter(col("lo") <= v && col("hi") >= v).count()
+    // a z-layout prunes point slices on EITHER column to ~sqrt(files)
+    assert(matching("a", 33L) <= rep.filesAfter / 2, "a-slice should prune")
+    assert(matching("b", 33L) <= rep.filesAfter / 2, "b-slice should prune")
+    assert(spark.read.parquet(dir).count() == 4096L)
+  }
 }
