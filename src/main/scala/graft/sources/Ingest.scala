@@ -108,6 +108,40 @@ object Ingest {
       .partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** DYNAMIC partition overwrite (VERDICT r13 ask #4) into a
+    * [[writePartitioned]] layout: replace ONLY the partitions present
+    * in `df`, leave every other partition's files untouched —
+    * `partitionOverwriteMode=dynamic` as a per-write option, so the
+    * session default (static, which would TRUNCATE the whole table
+    * root on Overwrite) is never changed globally. The idempotent
+    * re-ingest primitive at 100 TB: re-running yesterday's load
+    * rewrites yesterday's partitions and nothing else — append would
+    * duplicate, static overwrite would erase the other 3 650 days.
+    * Same one-task-per-partition clustering discipline as
+    * [[writePartitioned]] (explicit salt count when
+    * `filesPerPartition > 1`). */
+  def overwritePartitionsDynamic(
+      df: DataFrame, path: String, partitionCols: Seq[String],
+      filesPerPartition: Int = 1): Unit = {
+    require(partitionCols.nonEmpty,
+      "overwritePartitionsDynamic needs partition columns")
+    require(filesPerPartition >= 1,
+      s"filesPerPartition must be >= 1, got $filesPerPartition")
+    val parts = partitionCols.map(col)
+    val clustered =
+      if (filesPerPartition == 1) df.repartition(parts: _*)
+      else {
+        val payload =
+          df.columns.filterNot(partitionCols.contains).toIndexedSeq.map(col)
+        val n = df.sparkSession.sessionState.conf.numShufflePartitions
+        df.repartition(n, parts :+
+          pmod(xxhash64(payload: _*), lit(filesPerPartition.toLong)): _*)
+      }
+    clustered.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** [EXT] A5, BUCKETED tier (VERDICT r12 ask #1) — hash-bucketed,
     * bucket-sorted managed table: the storage-side half of a
     * shuffle-free join. Two tables bucketed on their join key with the

@@ -89,4 +89,60 @@ object Maintenance {
     }
     CompactionReport(dataFiles.length.toLong, filesAfter.toLong, totalBytes, rows)
   }
+
+  final case class PartitionCompaction(
+      partition: String, filesBefore: Long, filesAfter: Long, rows: Long)
+
+  /** PARTITION-AWARE compaction (VERDICT r13 ask #4) for a
+    * `partitionBy` layout ([[Ingest.writePartitioned]]'s): roll up
+    * small files WITHIN each leaf partition, touching ONLY partitions
+    * that need it. Every incremental append/stream adds a file per
+    * touched date; after N appends a hot date has N files. A whole-
+    * table rewrite would re-shuffle 100 TB to fix yesterday's
+    * partition — this walks the partition tree, skips every partition
+    * already at its target file count (no Spark job, just a listing),
+    * and compacts the rest one partition at a time with
+    * [[compactParquet]]'s crash-safe staging swap (each partition dir
+    * IS a plain parquet dir — partition values live in the path, not
+    * the files, so the per-partition rewrite never sees or disturbs
+    * them). Compactions run serially by design: each is its own
+    * many-task Spark job, and partition-level isolation means a crash
+    * mid-run leaves every partition either old or new, never mixed.
+    *
+    * Returns one report per COMPACTED partition (skipped partitions
+    * produce none — the test's proof that untouched dates are not
+    * rewritten). */
+  def compactPartitioned(
+      spark: SparkSession,
+      root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Seq[PartitionCompaction] = {
+    require(targetFileBytes > 0)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = fs.makeQualified(new Path(root)) // scheme-stable relativize
+    // leaf partitions: directories whose children include data FILES
+    def leaves(p: Path): Seq[Path] = {
+      val entries = fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      val subdirs = entries.filter(_.isDirectory)
+      if (subdirs.isEmpty) Seq(p)
+      else subdirs.toIndexedSeq.flatMap(d => leaves(d.getPath))
+    }
+    leaves(rootPath).flatMap { part =>
+      val files = fs.listStatus(part).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      if (files.length <= want) None // already compact: listing only, no job
+      else {
+        val rep = compactParquet(spark, part.toString, targetFileBytes)
+        Some(PartitionCompaction(
+          part.toString.stripPrefix(rootPath.toString).stripPrefix("/"),
+          rep.filesBefore, rep.filesAfter, rep.rows))
+      }
+    }
+  }
 }

@@ -436,6 +436,38 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("overwritePartitionsDynamic replaces only the partitions present in df") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-dynpart").toString + "/t"
+    val base = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"),
+      (3L, "2024-01-02"), (4L, "2024-01-02"),
+      (5L, "2024-01-03")).toDF("v", "day")
+    Ingest.writePartitioned(base, root, Seq("day"))
+    def files(day: String): Map[String, Long] =
+      new java.io.File(s"$root/day=$day").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val d1 = files("2024-01-01")
+    val d3 = files("2024-01-03")
+
+    // re-ingest day 2 only, with corrected values
+    val fixed = Seq((30L, "2024-01-02"), (31L, "2024-01-02")).toDF("v", "day")
+    Ingest.overwritePartitionsDynamic(fixed, root, Seq("day"))
+
+    assert(files("2024-01-01") == d1, "day 1 files must be byte-untouched")
+    assert(files("2024-01-03") == d3, "day 3 files must be byte-untouched")
+    val back = spark.read.parquet(root)
+    assert(back.count() == 5L) // 2 + 2 replaced + 1
+    assert(back.filter(col("day") === "2024-01-02")
+      .select("v").orderBy("v").collect().map(_.getLong(0)).toSeq == Seq(30L, 31L),
+      "day 2 fully replaced, not appended")
+    // idempotent: the same load twice converges (the re-run story)
+    Ingest.overwritePartitionsDynamic(fixed, root, Seq("day"))
+    assert(spark.read.parquet(root).count() == 5L)
+  }
+
   test("every shipped columnar/text format round-trips the same rows") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft-formats")

@@ -77,4 +77,37 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(matching("b", 33L) <= rep.filesAfter / 2, "b-slice should prune")
     assert(spark.read.parquet(dir).count() == 4096L)
   }
+
+  test("compactPartitioned rolls up only the fragmented partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/t"
+    // day 1: one clean file; day 2: 8 small appended files
+    val day1 = (1L to 100L).toDF("v").withColumn("day", lit("2024-01-01"))
+    day1.repartition(1).write.partitionBy("day").parquet(root)
+    (1 to 8).foreach { i =>
+      ((i * 1000L) to (i * 1000L + 99L)).toDF("v")
+        .withColumn("day", lit("2024-01-02"))
+        .repartition(1).write.mode("append").partitionBy("day").parquet(root)
+    }
+    def partFiles(day: String): Map[String, Long] =
+      new java.io.File(s"$root/day=$day").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val day1Before = partFiles("2024-01-01")
+    assert(partFiles("2024-01-02").size == 8)
+
+    val reports = Maintenance.compactPartitioned(spark, root, 1L << 30)
+    // ONLY the fragmented partition was touched
+    assert(reports.map(_.partition) == Seq("day=2024-01-02"))
+    assert(reports.head.filesBefore == 8L && reports.head.filesAfter == 1L)
+    assert(reports.head.rows == 800L)
+    assert(partFiles("2024-01-01") == day1Before,
+      "already-compact partition must not be rewritten")
+    assert(partFiles("2024-01-02").size == 1)
+    // the partitioned read still sees everything, partition column intact
+    val back = spark.read.parquet(root)
+    assert(back.count() == 900L)
+    assert(back.filter(col("day") === "2024-01-02").count() == 800L)
+    // idempotent: second run finds nothing to do
+    assert(Maintenance.compactPartitioned(spark, root, 1L << 30).isEmpty)
+  }
 }
