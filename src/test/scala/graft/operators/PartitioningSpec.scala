@@ -123,6 +123,66 @@ class PartitioningSpec extends AnyFunSuite with SparkSpec {
     assert(matchingFiles(rdir, "b", 33L) == 16, "b scatters across every file")
   }
 
+  test("chooseSkewStrategy pins every branch of the receipt rule") {
+    // 1. small right side → broadcast, regardless of skew
+    val b = Partitioning.chooseSkewStrategy(
+      topShare = 0.32, p99Share = 0.001, leftRows = 62000000L,
+      rightRows = 500000L)
+    assert(b.strategy == "broadcast")
+    // 2. no dominant key → plain (both caps: absolute 1% and 5×p99)
+    assert(Partitioning.chooseSkewStrategy(
+      0.005, 0.0005, 62000000L, 20000000L).strategy == "plain")
+    assert(Partitioning.chooseSkewStrategy(
+      0.02, 0.015, 62000000L, 20000000L).strategy == "plain")
+    // 3. dominant key + AQE available → aqe (the 104× receipt's winner)
+    val a = Partitioning.chooseSkewStrategy(
+      0.32, 0.001, 62000000L, 15600000L, aqeAvailable = true)
+    assert(a.strategy == "aqe")
+    // 4. dominant key, no AQE, dim-sized right → salt; factor floors the
+    //    hot key's share near p99 and clamps to [2, 64]
+    val s = Partitioning.chooseSkewStrategy(
+      0.32, 0.01, leftRows = 62000000L, rightRows = 100000L,
+      broadcastRowLimit = 50000L, aqeAvailable = false)
+    assert(s.strategy == "salt" && s.factor == 32)
+    val clamped = Partitioning.chooseSkewStrategy(
+      0.5, 0.00001, 62000000L, 100000L,
+      broadcastRowLimit = 50000L, aqeAvailable = false)
+    assert(clamped.strategy == "salt" && clamped.factor == 64)
+    // 5. dominant key, no AQE, fact-sized right → plain (the 125M-row
+    //    replication lesson: salting costs more than the skew)
+    val p = Partitioning.chooseSkewStrategy(
+      0.32, 0.001, 62000000L, 15600000L, aqeAvailable = false)
+    assert(p.strategy == "plain" && p.reason.contains("replicate"))
+  }
+
+  test("autoSkewJoin measures, decides, and joins correctly") {
+    // skewed left: key 0 owns half the rows over a long 1-row tail (so
+    // p99 reflects the background, not the hot key); right is
+    // dim-sized → with the default broadcast budget the decision is
+    // broadcast; the join result must equal the plain join either way
+    val left = ((1L to 50000L).map(i => (0L, i)) ++
+      (1L to 50000L).map(i => (i, i + 100000L))).toDF("k", "lv")
+    val right = (0L to 50L).map(i => (i, s"r$i")).toDF("rk", "rv")
+    val (joined, d) = Partitioning.autoSkewJoin(
+      left, right, "k", "rk", saltSource = col("lv"))
+    assert(d.strategy == "broadcast", d.toString)
+    assert(joined.count() == 50050L) // hot key 50000 + matched tail 1..50
+    // force the salt path: tiny broadcast budget + AQE off via conf
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (j2, d2) = Partitioning.autoSkewJoin(
+        left, right, "k", "rk", saltSource = col("lv"),
+        broadcastRowLimit = 10L)
+      assert(d2.strategy == "salt", d2.toString)
+      assert(d2.factor >= 2)
+      val plain = left.join(right, col("k") === col("rk"))
+        .orderBy("k", "lv").collect().toSeq
+      assert(j2.orderBy("k", "lv").collect().toSeq == plain,
+        "salted join must be result-identical to the plain join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+  }
+
   test("z-ordered write degrades gracefully on empty and all-null input") {
     import spark.implicits._
     val empty = Seq.empty[(java.lang.Long, java.lang.Long)].toDF("a", "b")
