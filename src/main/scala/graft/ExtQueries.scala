@@ -2356,9 +2356,12 @@ object ExtQueries {
         t(s, dir, "documents"), col("doc_id"), col("text"))),
 
     // ── Top principal component of the embedding corpus by 3-round
-    //    distributed power iteration — the anisotropy / rogue-dimension
-    //    audit; covariance-free, one corpus pass per round, O(d) driver
-    //    state (Similarity.pcaPower).
+    //    power iteration — the anisotropy / rogue-dimension audit. At
+    //    d=64 ≤ gramDimLimit this takes the r14 GRAM path: ONE corpus
+    //    scan builds the homogeneous moment matrix, all rounds run
+    //    driver-side (receipt: bench/pca_gram_receipt_r14.txt); wide
+    //    vectors keep the covariance-free one-pass-per-round path
+    //    (Similarity.pcaPower scaladoc).
     "ext_pca_power" -> ((s, dir) =>
       graft.operators.Similarity.pcaPower(
         t(s, dir, "embeddings"), col("embedding"), iters = 3)
@@ -2427,22 +2430,25 @@ object ExtQueries {
     * scalar per row, the 9dp-quantized per-dim sums, and the
     * re-quantized normalized direction — the PageRank/BPE CTE-unroll
     * oracle discipline applied to a d-vector state. */
+  /** GRAM-path replay (r14 — Similarity.pcaPowerGram): one pass builds
+    * the 9dp-quantized moment cells (U_j and G_jk; n = COUNT), then
+    * every power round is pure list arithmetic over the d²-cell CTE —
+    * the same ascending IEEE folds the driver runs:
+    * a_j = (Σ_k G_jk v_k) − c·U_j, sS = (Σ U_k v_k) − c·n,
+    * w_j = a_j − sS·m_j, v ← round(w/‖w‖, 9). */
   private def pcaPowerOracle(iters: Int): String = {
     val rounds = (1 to iters).map { t =>
       val vp = if (t == 1) "v0" else s"v${t - 1}"
       s"""c$t AS (SELECT list_sum(list_transform(range(1, 65),
          |  i -> m[i] * v[i])) AS c FROM mv CROSS JOIN $vp),
-         |s$t AS (SELECT embedding, list_sum(list_transform(range(1, 65),
-         |    i -> CAST(embedding[i] AS DOUBLE) * v[i])) - c AS s
-         |  FROM e CROSS JOIN $vp CROSS JOIN c$t),
-         |a$t AS (SELECT i, CAST(SUM(CAST(round(
-         |    s * CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(28,9)))
-         |    AS DOUBLE) AS aj
-         |  FROM s$t CROSS JOIN range(1, 65) r$t(i) GROUP BY i),
-         |ss$t AS (SELECT CAST(SUM(CAST(round(s, 9) AS DECIMAL(28,9)))
-         |    AS DOUBLE) AS sS FROM s$t),
-         |w$t AS (SELECT list(aj - (SELECT sS FROM ss$t) * m[i]
-         |    ORDER BY i) AS w FROM a$t CROSS JOIN mv),
+         |ss$t AS (SELECT list_sum(list_transform(range(1, 65),
+         |    k -> u[k] * v[k])) - c * CAST((SELECT n FROM st) AS DOUBLE) AS sS
+         |  FROM uv CROSS JOIN $vp CROSS JOIN c$t),
+         |w$t AS (SELECT list_transform(range(1, 65), j ->
+         |    (list_sum(list_transform(range(1, 65),
+         |       k -> g[(j - 1) * 64 + k] * v[k])) - c * u[j]) - sS * m[j]) AS w
+         |  FROM gl CROSS JOIN uv CROSS JOIN mv
+         |    CROSS JOIN $vp CROSS JOIN c$t CROSS JOIN ss$t),
          |v$t AS (SELECT list_transform(range(1, 65), i -> round(
          |    w[i] / sqrt(list_sum(list_transform(range(1, 65),
          |      j -> w[j] * w[j]))), 9)) AS v FROM w$t)""".stripMargin
@@ -2450,11 +2456,19 @@ object ExtQueries {
     s"""WITH e AS (SELECT embedding FROM embeddings
        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
-       |ms AS (SELECT i, CAST(SUM(CAST(round(
+       |gm AS (SELECT j, k, CAST(SUM(CAST(round(
+       |    CAST(embedding[j] AS DOUBLE) * CAST(embedding[k] AS DOUBLE), 9)
+       |    AS DECIMAL(28,9))) AS DOUBLE) AS gv
+       |  FROM e CROSS JOIN range(1, 65) rj(j) CROSS JOIN range(1, 65) rk(k)
+       |  GROUP BY j, k),
+       |gl AS (SELECT list(gv ORDER BY j, k) AS g FROM gm),
+       |us AS (SELECT i, CAST(SUM(CAST(round(
        |    CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(28,9)))
-       |    AS DOUBLE) AS sx
-       |  FROM e CROSS JOIN range(1, 65) rm(i) GROUP BY i),
-       |mv AS (SELECT list(sx / (SELECT n FROM st) ORDER BY i) AS m FROM ms),
+       |    AS DOUBLE) AS ux
+       |  FROM e CROSS JOIN range(1, 65) ru(i) GROUP BY i),
+       |uv AS (SELECT list(ux ORDER BY i) AS u FROM us),
+       |mv AS (SELECT list_transform(u, x -> x / nd) AS m
+       |  FROM uv CROSS JOIN (SELECT CAST(n AS DOUBLE) AS nd FROM st) ns),
        |v0 AS (SELECT list_transform(range(1, 65),
        |  i -> round(1.0 / sqrt(64.0), 9)) AS v),
        |$rounds

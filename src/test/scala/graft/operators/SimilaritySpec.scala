@@ -435,6 +435,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pcaPower: gram and covariance-free paths agree to convergence tolerance") {
+    // a 4-d cloud with a clear top component; both paths must land on
+    // the same axis and eigenvalue (they quantize at different points
+    // — moment cells vs per-row terms — so agreement is tolerance, not
+    // bit: the hybrid contract in pcaPowerGram's scaladoc)
+    val rnd = new scala.util.Random(77L)
+    val pts = (1 to 400).map { _ =>
+      val t = rnd.nextGaussian() * 3.0
+      Array(t + rnd.nextGaussian() * 0.1, 2 * t + rnd.nextGaussian() * 0.1,
+        rnd.nextGaussian() * 0.1, -t + rnd.nextGaussian() * 0.1)
+    }.toDF("v")
+    val gram = Similarity.pcaPower(pts, col("v"), iters = 5)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val passes = Similarity.pcaPower(pts, col("v"), iters = 5, gramDimLimit = 0)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val dot = gram.zip(passes).map { case (g, p) => g._2 * p._2 }.sum
+    assert(math.abs(math.abs(dot) - 1.0) < 1e-6,
+      s"paths disagree on the axis: |cos| = ${math.abs(dot)}")
+    assert(math.abs(gram.head._3 - passes.head._3) < 1e-5,
+      s"lambda: gram ${gram.head._3} vs passes ${passes.head._3}")
+  }
+
   test("dimVariance: dead dims flagged, live dim hand-computed, ragged excluded") {
     // dim0 constant 2, dim1 = i (0..9), dim2 constant 0
     val rows = (0 until 10).map(i => (i.toLong, Array(2.0f, i.toFloat, 0.0f)))
