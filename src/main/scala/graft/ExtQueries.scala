@@ -305,6 +305,69 @@ object ExtQueries {
         .orderBy("segment")
     }),
 
+    // ── BLOOM-screened join — [EXT r14]: lineitem ⋈ the ~10% of
+    //    orders above the price cut. The bloom of the small side's
+    //    keys culls the BIG side map-side before its exchange
+    //    (Partitioning.bloomSemiJoin scaladoc — at 100 TB, ~90% of
+    //    the fact table's shuffle bytes never leave the mappers); the
+    //    exact join removes the fpp-bounded false positives, so the
+    //    ORACLE is the plain SQL join — the screen must be invisible.
+    "ext_bloom_semijoin" -> ((s, dir) => {
+      val small = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .select("o_orderkey", "o_orderpriority")
+      Partitioning.bloomSemiJoin(
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        small, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ── CUBE aggregate — [EXT r14]: all four grouping levels of
+    //    (lang, source) in ONE pass (Spark expands grouping sets
+    //    before the partial aggregate — one shuffle, not four unioned
+    //    jobs); grouping_id disambiguates a rolled-up NULL from a data
+    //    NULL. The corpus-composition readout (per-cell, per-lang,
+    //    per-source, grand total) every mix report starts from.
+    "ext_cube_agg" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("gid"), col("lang"), col("source"))
+    }),
+
+    // ── PIVOT — [EXT r14]: per-source doc counts cross-tabbed over
+    //    the FIXED lang list (explicit pivot values — schema is static,
+    //    no pre-scan job, and the oracle can name the same columns).
+    //    count(*) semantics via sum-of-1: an absent (source, lang)
+    //    cell is NULL on both engines.
+    "ext_pivot_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(sum(lit(1L)))
+        .orderBy("source")
+    }),
+
+    // ── THEIL–SEN robust trend — [EXT r14]: median-of-pairwise-slopes
+    //    of the daily mean value per event_type (Relational.theilSen —
+    //    29.3% breakdown point vs OLS's single-outlier capture; pairs
+    //    from the ≤31-point POST-AGG daily table, never raw events).
+    "ext_theilsen" -> ((s, dir) => {
+      Relational.theilSen(
+        t(s, dir, "events"),
+        col("event_type"),
+        datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01"))),
+        col("value"))
+    }),
+
     // ── Z-ORDERED two-predicate scan — [EXT r14, VERDICT r13 ask #3]:
     //    events rewritten z-clustered on (user_id, value) — two
     //    UNCORRELATED keys — then filtered on a box over both. The
@@ -3036,6 +3099,66 @@ object ExtQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    // the bloom screen must be invisible: the oracle is the PLAIN join
+    "ext_bloom_semijoin" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000.0
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // GROUPING(lang, source) is the same bitmask Spark's grouping_id
+    // emits (lang = high bit)
+    "ext_cube_agg" ->
+      """SELECT lang, source,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY gid, lang, source""".stripMargin,
+
+    // conditional SUM(1) matches pivot-count semantics: empty cell =
+    // NULL (SUM over nothing), never 0
+    "ext_pivot_counts" ->
+      """SELECT source,
+        |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+        |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+        |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+        |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Theil–Sen replay: daily 6dp decimal means, all x<x' pairwise
+    // slopes rounded 9, median = value at rank ceil(n/2) (the g6 rank
+    // convention); groups need >= 2 distinct days by construction
+    "ext_theilsen" ->
+      """WITH pts AS (
+        |  SELECT event_type AS group_key,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS DOUBLE) AS x,
+        |    round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) / COUNT(*), 6) AS ym
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |np AS (SELECT group_key, CAST(COUNT(*) AS BIGINT) AS n_points
+        |  FROM pts GROUP BY 1),
+        |pr AS (
+        |  SELECT a.group_key,
+        |    round((b.ym - a.ym) / (b.x - a.x), 9) AS slope
+        |  FROM pts a JOIN pts b
+        |    ON a.group_key = b.group_key AND a.x < b.x),
+        |rk AS (
+        |  SELECT group_key, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY group_key ORDER BY slope) AS rn,
+        |    COUNT(*) OVER (PARTITION BY group_key) AS n_pairs
+        |  FROM pr)
+        |SELECT rk.group_key, np.n_points,
+        |  CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.5 * n_pairs) AS BIGINT)
+        |    THEN slope END) AS slope
+        |FROM rk JOIN np ON np.group_key = rk.group_key
+        |GROUP BY 1, 2 ORDER BY rk.group_key""".stripMargin,
 
     // z-order is a physical layout, invisible to the semantics: the
     // oracle is the plain box query over the raw parquet

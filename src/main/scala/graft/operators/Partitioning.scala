@@ -69,6 +69,35 @@ object Partitioning {
       .drop("__salt")
   }
 
+  /** BLOOM-screened equi-join — the shuffle reducer for a
+    * big ⋈ selective-but-unbroadcastable join: build a bloom filter of
+    * the small side's join keys (distributed `stat.bloomFilter` build;
+    * a 10⁸-key set is GBs as a hash table but ~120 MB at 1% fpp as a
+    * bloom), screen the BIG side map-side BEFORE its shuffle, then run
+    * the exact join on the survivors. At 100 TB the exchange under the
+    * join is the dominant cost; a 1% selective small side means ~99%
+    * of the big side's shuffle bytes never leave the mappers. False
+    * positives (fpp-bounded) survive the screen and are REMOVED by the
+    * exact join, so the result is row-identical to the plain join —
+    * the oracle contract (`ext_bloom_semijoin` hash-checks it). This
+    * is the manual form of Spark's own runtime row-level filtering
+    * (spark.sql.optimizer.runtime.bloomFilter), usable when the
+    * optimizer's heuristics won't fire or the filter should be reused
+    * across queries. Keys probe as their canonical string form on both
+    * sides (the sketch's putString contract — BloomMightContain
+    * scaladoc). */
+  def bloomSemiJoin(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = graft.operators.TextPipeline.gramBloom(
+      small.select(col(smallKey).cast("string")), expectedKeys, fpp)
+    big
+      .where(graft.functions.expressions.GraftFunctions
+        .bloom_might_contain(col(bigKey).cast("string"), bloom))
+      .join(small, big(bigKey) === small(smallKey))
+  }
+
   /** One skew-handling decision, with the reason spelled out so a plan
     * review can audit it. `strategy` ∈ broadcast | aqe | salt | plain. */
   final case class SkewDecision(strategy: String, factor: Int, reason: String)

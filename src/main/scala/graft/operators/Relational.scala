@@ -463,6 +463,82 @@ object Relational {
     * key; ZERO rows when it is empty or all keys are NULL (no keys ⇒
     * no profile — the same empty-input contract as [[Eval.spearman]];
     * the cross-joins propagate the empty quantile table). */
+  /** THEIL–SEN robust trend per group — the median of all pairwise
+    * slopes (Theil '50 / Sen '68): the robust replacement for the OLS
+    * slope ([[graft.operators.Events]] group-trend family) when the
+    * daily series carries outliers (a bot spike, a backfill day) that
+    * would own a least-squares fit; the estimator has a 29.3%
+    * breakdown point (OLS: one point).
+    *
+    * Contract: y is first aggregated to ONE point per (group, x) —
+    * the 6dp decimal-mean discipline — because duplicate x values make
+    * pairwise slopes undefined; pairwise slopes then come from a
+    * within-group self-join of that POST-AGGREGATION table, so the
+    * quadratic blow-up is over points-per-group, never rows.
+    * `maxPointsPerGroup` FAILS LOUDLY (inline raise_error anchored by
+    * the filter that reads it — the Eval guard discipline) before a
+    * wide group can go quadratic: at 100 TB a daily series is ≤ a few
+    * thousand points per group by construction, and a key that isn't
+    * belongs in a different estimator.
+    *
+    * Determinism: point means round(·,6) after DECIMAL(18,6) sums;
+    * each slope round(·,9); the median is the value at rank
+    * ceil(n/2) in slope order (the [[exactQuantiles]] / g6 rank
+    * convention — ties on equal slope values are rank-order-immune).
+    * Groups with < 2 distinct x have no defined slope and are
+    * EXCLUDED (not NULL-padded — a one-point trend is a lie).
+    *
+    * Output: (group_key, n_points, n_pairs, slope 9dp). */
+  def theilSen(
+      df: DataFrame, group: Column, x: Column, y: Column,
+      maxPointsPerGroup: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df
+      .select(group.cast("string").as("group_key"),
+        x.cast("double").as("x"), y.cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("group_key", "x")
+      .agg(round(
+        sum(round(col("y"), 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("ym"))
+      .withColumn("n_points",
+        count(lit(1)).over(Window.partitionBy("group_key")))
+      // anchored guard: the filter READS the guard expression, so
+      // Catalyst cannot prune it (the withCardinalityGuard lesson)
+      .filter(
+        when(col("n_points") > maxPointsPerGroup,
+          raise_error(concat(
+            lit(s"theilSen: group "), col("group_key"),
+            lit(s" has "), col("n_points").cast("string"),
+            lit(s" points > maxPointsPerGroup=$maxPointsPerGroup — "
+              + "pairwise slopes would go quadratic; pre-aggregate x"))))
+          .otherwise(lit(true)))
+    val a = pts.select(col("group_key"), col("x").as("xa"),
+      col("ym").as("ya"), col("n_points"))
+    val b = pts.select(col("group_key"), col("x").as("xb"),
+      col("ym").as("yb"))
+    val pairs = a.join(b, Seq("group_key"))
+      .filter(col("xa") < col("xb"))
+      .select(col("group_key"), col("n_points"),
+        round((col("yb") - col("ya")) / (col("xb") - col("xa")), 9)
+          .as("slope"))
+    // the median window runs over the bounded post-agg pair table
+    // (≤ maxPoints²/2 rows per group), never the corpus
+    val w = Window.partitionBy("group_key").orderBy("slope")
+    val wg = Window.partitionBy("group_key")
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(wg))
+      .groupBy("group_key")
+      .agg(
+        max(col("n_points")).as("n_points"),
+        max(col("n_pairs")).as("n_pairs"),
+        max(when(col("rn") ===
+          ceil(lit(0.5) * col("n_pairs")).cast("long"), col("slope")))
+          .as("slope"))
+      .orderBy("group_key")
+  }
+
   def keySkewProfile(df: DataFrame, key: Column): DataFrame = {
     val counts = df.select(key.cast("string").as("k"))
       .filter(col("k").isNotNull)

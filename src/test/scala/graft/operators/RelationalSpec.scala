@@ -191,4 +191,36 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, String, Long, Double, Long, Long, Long, Double)]
       .collect().head._3 == "x")
   }
+
+  test("theilSen: outlier-immune slope, duplicate-x aggregation, guard fires") {
+    // perfect line y = 2x + 1 on x = 0..8, ONE wild outlier at x=9:
+    // OLS would chase it; the pairwise-slope median stays 2.0
+    val pts = (0 to 8).map(x => ("g", x.toDouble, 2.0 * x + 1.0)) :+
+      (("g", 9.0, 1000.0))
+    val got = Relational.theilSen(pts.toDF("g", "x", "y"),
+      col("g"), col("x"), col("y"))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(got._2 == 10L && got._3 == 45L)
+    assert(got._4 == 2.0, s"median slope must shrug the outlier: $got")
+    // duplicate x values collapse to their 6dp mean before pairing
+    val dup = Seq(("g", 0.0, 1.0), ("g", 0.0, 3.0), ("g", 1.0, 4.0))
+    val g2 = Relational.theilSen(dup.toDF("g", "x", "y"),
+      col("g"), col("x"), col("y"))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(g2._2 == 2L && g2._3 == 1L && g2._4 == 2.0) // (4 - mean(1,3)) / 1
+    // single-point groups are excluded, multi-point ones survive
+    val mixed = Seq(("a", 0.0, 0.0), ("a", 1.0, 1.0), ("b", 5.0, 5.0))
+    val keys = Relational.theilSen(mixed.toDF("g", "x", "y"),
+      col("g"), col("x"), col("y")).select("group_key")
+      .as[String].collect().toSeq
+    assert(keys == Seq("a"))
+    // the quadratic guard fails loudly, not silently
+    val wide = (0 to 20).map(x => ("g", x.toDouble, x.toDouble))
+    val err = intercept[Exception] {
+      Relational.theilSen(wide.toDF("g", "x", "y"),
+        col("g"), col("x"), col("y"), maxPointsPerGroup = 10).collect()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("maxPointsPerGroup"),
+      s"got: ${err.getMessage}")
+  }
 }
