@@ -384,7 +384,7 @@ object ExtQueries {
         t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
         path, "user_id", "value", partitions = 16)
       s.read.parquet(path)
-        .filter(col("user_id").between(40L, 79L) &&
+        .filter(col("user_id").between(4L, 7L) &&
           col("value").between(100.0, 200.0))
         .groupBy("event_type")
         .agg(
@@ -3166,7 +3166,7 @@ object ExtQueries {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events
-        |WHERE user_id BETWEEN 40 AND 79 AND value BETWEEN 100.0 AND 200.0
+        |WHERE user_id BETWEEN 4 AND 7 AND value BETWEEN 100.0 AND 200.0
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // bucketing is a physical layout, invisible to the semantics: the
