@@ -41,7 +41,9 @@ object PlanShapes {
     "ext_conversion_lag", "ext_dedup_by_source", "ext_hist_quantiles",
     "ext_coverage_select", "ext_ce_drift", "ext_cluster_purity",
     "ext_ht_mean",
-    "ext_bucket_pruned_lookup")
+    "ext_bucket_pruned_lookup", "ext_zorder_scan", "ext_bloom_semijoin",
+    "ext_cube_agg", "ext_pivot_counts", "ext_theilsen",
+    "ext_ann_ivf_recall", "ext_ann_pq_recall")
 
   final case class ScanFacts(
       partitionFilters: Seq[String], pushedFilters: String,
