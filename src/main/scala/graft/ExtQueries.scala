@@ -327,12 +327,13 @@ object ExtQueries {
         .orderBy("o_orderpriority")
     }),
 
-    // ── CUBE aggregate — [EXT r14]: all four grouping levels of
-    //    (lang, source) in ONE pass (Spark expands grouping sets
-    //    before the partial aggregate — one shuffle, not four unioned
-    //    jobs); grouping_id disambiguates a rolled-up NULL from a data
-    //    NULL. The corpus-composition readout (per-cell, per-lang,
-    //    per-source, grand total) every mix report starts from.
+    // ── CUBE with grouping_id — [EXT r14]: g7_cube coalesces rollup
+    //    NULLs into an 'ALL' string, which CONFLATES a genuine NULL
+    //    key with the rollup level; this exposes the grouping_id
+    //    BITMASK (first grouping column = high bit — the contract a
+    //    downstream consumer keys on) plus a second aggregate, oracled
+    //    against DuckDB's GROUPING(). Still one pass — Spark expands
+    //    the grouping sets before the partial aggregate.
     "ext_cube_agg" -> ((s, dir) => {
       t(s, dir, "documents")
         .cube(col("lang"), col("source"))
@@ -343,16 +344,17 @@ object ExtQueries {
         .orderBy(col("gid"), col("lang"), col("source"))
     }),
 
-    // ── PIVOT — [EXT r14]: per-source doc counts cross-tabbed over
-    //    the FIXED lang list (explicit pivot values — schema is static,
-    //    no pre-scan job, and the oracle can name the same columns).
-    //    count(*) semantics via sum-of-1: an absent (source, lang)
-    //    cell is NULL on both engines.
+    // ── METRIC pivot — [EXT r14]: where g4_pivot cross-tabs COUNTS
+    //    (coalesced to 0), this pivots a measure — per-(source, lang)
+    //    total chars, decimal-summed — and keeps the NULL-cell
+    //    semantics a metric demands (an absent cell is UNKNOWN, not
+    //    0). Explicit pivot values: static schema, no pre-scan job,
+    //    and the oracle names the same columns.
     "ext_pivot_counts" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(col("source"))
         .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
-        .agg(sum(lit(1L)))
+        .agg(sum(col("n_chars")))
         .orderBy("source")
     }),
 
@@ -3122,11 +3124,11 @@ object ExtQueries {
     // NULL (SUM over nothing), never 0
     "ext_pivot_counts" ->
       """SELECT source,
-        |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
-        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
-        |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
-        |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
-        |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
+        |  CAST(SUM(CASE WHEN lang = 'de' THEN n_chars END) AS BIGINT) AS de,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN n_chars END) AS BIGINT) AS en,
+        |  CAST(SUM(CASE WHEN lang = 'es' THEN n_chars END) AS BIGINT) AS es,
+        |  CAST(SUM(CASE WHEN lang = 'fr' THEN n_chars END) AS BIGINT) AS fr,
+        |  CAST(SUM(CASE WHEN lang = 'zh' THEN n_chars END) AS BIGINT) AS zh
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // Theil–Sen replay: daily 6dp decimal means, all x<x' pairwise
