@@ -183,6 +183,24 @@ class PartitioningSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
   }
 
+  test("bloomSemiJoin: result-identical to the plain join; screen precedes the exchange") {
+    val big = (1L to 20000L).map(i => (i % 997L, i)).toDF("k", "payload")
+    val small = (0L to 96L).filter(_ % 7 == 0).map(i => (i, s"dim$i"))
+      .toDF("dk", "attr")
+    val got = Partitioning.bloomSemiJoin(big, small, "k", "dk")
+    val plain = big.join(small, col("k") === col("dk"))
+    assert(got.orderBy("k", "payload").collect().toSeq ==
+      plain.orderBy("k", "payload").collect().toSeq,
+      "the bloom screen must be invisible in the result")
+    // the screen is a Filter on the BIG side below the join (in this
+    // tiny test ConvertToLocalRelation folds it into the LocalRelation
+    // at optimize time — on a parquet scan it stays a map-side Filter,
+    // which is the point), so assert on the ANALYZED plan
+    val plan = got.queryExecution.analyzed.toString.toLowerCase
+    assert(plan.contains("bloommightcontain"),
+      s"bloom probe missing from the analyzed plan:\n$plan")
+  }
+
   test("z-ordered write degrades gracefully on empty and all-null input") {
     import spark.implicits._
     val empty = Seq.empty[(java.lang.Long, java.lang.Long)].toDF("a", "b")

