@@ -358,6 +358,24 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // ── INCREMENTAL aggregate maintenance — [EXT r14]: yesterday's
+    //    rollup state (events before Jan 16) merged with today's delta
+    //    state (the rest) must equal the one-shot recompute — which IS
+    //    the oracle, so a hash-green row certifies the algebraic-state
+    //    contract (Relational.aggState/mergeAggStates scaladoc).
+    //    Refresh cost O(|delta| + |keys|), never O(corpus).
+    "ext_incremental_agg" -> ((s, dir) => {
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val ev = t(s, dir, "events")
+      val yesterday = Relational.aggState(
+        ev.filter(col("ts") < cut), col("event_type"), col("value"))
+      val delta = Relational.aggState(
+        ev.filter(col("ts") >= cut || col("ts").isNull),
+        col("event_type"), col("value"))
+      Relational.finalizeAggState(
+        Relational.mergeAggStates(yesterday, delta))
+    }),
+
     // ── THEIL–SEN robust trend — [EXT r14]: median-of-pairwise-slopes
     //    of the daily mean value per event_type (Relational.theilSen —
     //    29.3% breakdown point vs OLS's single-outlier capture; pairs
@@ -3130,6 +3148,18 @@ object ExtQueries {
         |  CAST(SUM(CASE WHEN lang = 'fr' THEN n_chars END) AS BIGINT) AS fr,
         |  CAST(SUM(CASE WHEN lang = 'zh' THEN n_chars END) AS BIGINT) AS zh
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // the merged split-state must equal the one-shot recompute
+    "ext_incremental_agg" ->
+      """SELECT event_type AS group_key,
+        |  CAST(COUNT(value) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(CAST(round(value, 6) AS DECIMAL(18,6))),
+        |    CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CASE WHEN COUNT(value) > 0 THEN
+        |    round(CAST(COALESCE(SUM(CAST(round(value, 6) AS DECIMAL(18,6))),
+        |        CAST(0 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6)
+        |  END AS avg_value
+        |FROM events GROUP BY 1 ORDER BY group_key""".stripMargin,
 
     // Theil–Sen replay: daily 6dp decimal means, all x<x' pairwise
     // slopes rounded 9, median = value at rank ceil(n/2) (the g6 rank

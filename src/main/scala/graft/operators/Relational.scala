@@ -463,6 +463,54 @@ object Relational {
     * key; ZERO rows when it is empty or all keys are NULL (no keys ⇒
     * no profile — the same empty-input contract as [[Eval.spearman]];
     * the cross-joins propagate the empty quantile table). */
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the mergeable-state pattern
+    * that keeps a 100 TB rollup fresh without rescanning the corpus:
+    * [[aggState]] reduces a slice to per-key ALGEBRAIC state (count +
+    * exact DECIMAL(18,6) sum — both associative/commutative), and
+    * [[mergeAggStates]] folds any number of states (yesterday's
+    * table + today's delta, or per-partition states) into the same
+    * shape, so refresh cost is O(|delta| + |keys|), never O(corpus).
+    * [[finalizeAggState]] derives the non-mergeable readouts (mean)
+    * at the edge. The relational cousin of
+    * [[graft.operators.Sketches.kmvMergeRollup]]'s sketch-merge rule;
+    * exactness (not estimate) because count/sum ARE algebraic. The
+    * `ext_incremental_agg` oracle proves merged state == one-shot
+    * recompute over the whole corpus, hash-for-hash. */
+  def aggState(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.select(key.cast("string").as("group_key"),
+        round(value.cast("double"), 6).as("v"))
+      .groupBy("group_key")
+      .agg(
+        count(col("v")).as("n"),
+        coalesce(sum(col("v").cast("decimal(18,6)")),
+          lit(0).cast("decimal(18,6)")).as("sum6"))
+
+  /** Merge aggregate states (see [[aggState]]): union + re-aggregate —
+    * map-side combine collapses to |keys| rows per task, one tiny
+    * shuffle regardless of how many states are folded. */
+  def mergeAggStates(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeAggStates needs at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy("group_key")
+      .agg(
+        sum(col("n")).cast("long").as("n"),
+        sum(col("sum6")).cast("decimal(18,6)").as("sum6"))
+  }
+
+  /** Edge readout of an [[aggState]]: exact sum as double plus the
+    * derived mean (one IEEE divide, rounded 6) — derived metrics are
+    * computed from merged state, never merged themselves (a mean of
+    * means is wrong under unequal group sizes). */
+  def finalizeAggState(state: DataFrame): DataFrame =
+    state.select(
+      col("group_key"),
+      col("n"),
+      col("sum6").cast("double").as("sum_value"),
+      round(when(col("n") > 0,
+        col("sum6").cast("double") / col("n").cast("double")), 6)
+        .as("avg_value"))
+      .orderBy("group_key")
+
   /** THEIL–SEN robust trend per group — the median of all pairwise
     * slopes (Theil '50 / Sen '68): the robust replacement for the OLS
     * slope ([[graft.operators.Events]] group-trend family) when the

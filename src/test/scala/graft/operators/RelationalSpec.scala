@@ -192,6 +192,26 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       .collect().head._3 == "x")
   }
 
+  test("aggState/mergeAggStates: split-merge equals one-shot, any split, any order") {
+    val rows = (1 to 300).map(i => (s"k${i % 3}", i * 0.5)).toDF("k", "v")
+    val oneShot = Relational.finalizeAggState(
+      Relational.aggState(rows, col("k"), col("v"))).collect().toSeq
+    // 3-way split merged in a different order must be identical
+    val s1 = Relational.aggState(rows.filter(col("v") < 30), col("k"), col("v"))
+    val s2 = Relational.aggState(
+      rows.filter(col("v") >= 30 && col("v") < 100), col("k"), col("v"))
+    val s3 = Relational.aggState(rows.filter(col("v") >= 100), col("k"), col("v"))
+    val merged = Relational.finalizeAggState(
+      Relational.mergeAggStates(s3, s1, s2)).collect().toSeq
+    assert(merged == oneShot, "algebraic state must be split/order-invariant")
+    // a key absent from the delta survives the merge unchanged
+    val empty = Relational.aggState(rows.filter(lit(false)), col("k"), col("v"))
+    val withEmpty = Relational.finalizeAggState(
+      Relational.mergeAggStates(
+        Relational.aggState(rows, col("k"), col("v")), empty)).collect().toSeq
+    assert(withEmpty == oneShot)
+  }
+
   test("theilSen: outlier-immune slope, duplicate-x aggregation, guard fires") {
     // perfect line y = 2x + 1 on x = 0..8, ONE wild outlier at x=9:
     // OLS would chase it; the pairwise-slope median stays 2.0
