@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** [EXT] Table maintenance: small-file compaction. A 100 TB lakehouse
   * accretes small files from every incremental append, streaming
@@ -88,6 +88,32 @@ object Maintenance {
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
     CompactionReport(dataFiles.length.toLong, filesAfter.toLong, totalBytes, rows)
+  }
+
+  /** Per-file COLUMN-BOUNDS manifest: one row per data file with
+    * (n_rows, min/max per requested column) — the table a layout audit
+    * or a poor-man's file-skipping index queries (`bench/
+    * zorder_receipt_r14.txt` is built from exactly these boxes; Delta/
+    * Iceberg keep the same facts in their add-file stats). Computed by
+    * ONE scan grouped on `_metadata.file_path` (map-side collapse to
+    * |files| rows); at 100 TB you'd read footers instead of data —
+    * this is the exact-bounds bootstrap for layouts whose footers are
+    * stale or absent, and the audit tool either way.
+    *
+    * Output: (file, n_rows, <col>_min, <col>_max ...), one row per
+    * file, ordered by file. */
+  def fileStats(
+      spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fileStats needs at least one column")
+    import org.apache.spark.sql.functions._
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+    }
+    spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .orderBy("file")
   }
 
   final case class PartitionCompaction(

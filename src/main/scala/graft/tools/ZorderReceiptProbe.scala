@@ -60,11 +60,10 @@ object ZorderReceiptProbe {
     println(s"compactParquet zorderBy: files ${rep.filesBefore} -> ${rep.filesAfter}, rows ${rep.rows}")
 
     def boxes(path: String): DataFrame =
-      spark.read.parquet(path)
-        .select(input_file_name().as("f"), col("user_id"), col("value"))
-        .groupBy("f")
-        .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
-          min("value").as("vlo"), max("value").as("vhi"))
+      Maintenance.fileStats(spark, path, Seq("user_id", "value"))
+        .select(col("file").as("f"),
+          col("user_id_min").as("ulo"), col("user_id_max").as("uhi"),
+          col("value_min").as("vlo"), col("value_max").as("vhi"))
 
     def overlap(bx: DataFrame,
         u: Option[(Long, Long)], v: Option[(Double, Double)]): Long = {

@@ -78,6 +78,26 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() == 4096L)
   }
 
+  test("fileStats: per-file bounds match the layout; skipping audit works") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fstats").toString + "/t"
+    (1L to 1000L).toDF("k").withColumn("v", col("k") * 2)
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    val stats = Maintenance.fileStats(spark, dir, Seq("k", "v")).collect()
+    assert(stats.length == 4)
+    assert(stats.map(_.getAs[Long]("n_rows")).sum == 1000L)
+    // range-clustered: per-file k-ranges are disjoint and ordered
+    val ranges = stats.map(r => (r.getAs[Long]("k_min"), r.getAs[Long]("k_max")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"overlap: $a $b")
+      case _ =>
+    }
+    // the skipping audit: a point predicate overlaps exactly one box
+    val hit = stats.count { r =>
+      r.getAs[Long]("k_min") <= 500L && r.getAs[Long]("k_max") >= 500L }
+    assert(hit == 1, s"k=500 must fall in exactly one file's box, got $hit")
+  }
+
   test("compactPartitioned rolls up only the fragmented partitions") {
     val root = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/t"
     // day 1: one clean file; day 2: 8 small appended files
