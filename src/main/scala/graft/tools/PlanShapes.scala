@@ -43,7 +43,7 @@ object PlanShapes {
     "ext_ht_mean",
     "ext_bucket_pruned_lookup", "ext_zorder_scan", "ext_bloom_semijoin",
     "ext_cube_agg", "ext_pivot_counts", "ext_theilsen",
-    "ext_ann_ivf_recall", "ext_ann_pq_recall")
+    "ext_ann_ivf_recall", "ext_ann_pq_recall", "ext_incremental_agg")
 
   final case class ScanFacts(
       partitionFilters: Seq[String], pushedFilters: String,
