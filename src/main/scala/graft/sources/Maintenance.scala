@@ -116,6 +116,37 @@ object Maintenance {
       .orderBy("file")
   }
 
+  /** Vacuum CRASH DEBRIS from interrupted [[compactParquet]] swaps:
+    * a kill between staging-write and swap leaves hidden
+    * `.<name>__compact_staging` / `__compact_retired` siblings that
+    * readers never see (dot-prefixed) but that hold dead bytes
+    * forever. Sweeps any such dir under `root` (recursively, so
+    * partitioned layouts are covered) whose modification time is older
+    * than `ttlMillis` — the TTL keeps a CONCURRENT compaction's live
+    * staging dir safe, the same reasoning as object-store table-format
+    * vacuums. Returns the number of directories removed. */
+  def vacuumCompactionDebris(
+      spark: SparkSession, root: String,
+      ttlMillis: Long = 24L * 3600 * 1000): Int = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0
+    val cutoff = System.currentTimeMillis() - ttlMillis
+    var removed = 0
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) {
+        if ((n.endsWith("__compact_staging") || n.endsWith("__compact_retired"))
+            && st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, true)
+          removed += 1
+        } else if (!n.startsWith(".")) walk(st.getPath)
+      }
+    }
+    walk(rootPath)
+    removed
+  }
+
   final case class PartitionCompaction(
       partition: String, filesBefore: Long, filesAfter: Long, rows: Long)
 

@@ -71,6 +71,18 @@ object EventStreams {
       try_element_at(f, lit(5)).try_cast("double").as("value"))
   }
 
+  /** Dead-letter split for [[parseEventLines]] output: (good, bad).
+    * A row is DEAD if any REQUIRED field failed to parse (event_id,
+    * ts, user_id — value/event_type may be legitimately null); the bad
+    * frame keeps the original line's parsed remnants so the dead-letter
+    * sink can triage. Works identically on a stream or a batch frame —
+    * pure filters, no state. */
+  def deadLetterSplit(parsed: DataFrame): (DataFrame, DataFrame) = {
+    val dead = col("event_id").isNull || col("ts").isNull ||
+      col("user_id").isNull
+    (parsed.filter(!dead), parsed.filter(dead))
+  }
+
   /** Tumbling-window counts/sums per event type (batch twin:
     * Events.tumblingAgg). Watermark allows 10 min of lateness; append
     * mode emits each window once, when it finalizes. */

@@ -98,6 +98,30 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(hit == 1, s"k=500 must fall in exactly one file's box, got $hit")
   }
 
+  test("vacuumCompactionDebris: old crash debris goes, live staging survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate an interrupted swap inside a partition tree + a live one
+    val old1 = new org.apache.hadoop.fs.Path(root, ".t__compact_staging")
+    val old2 = new org.apache.hadoop.fs.Path(root, "day=2024-01-01/.p__compact_retired")
+    val live = new org.apache.hadoop.fs.Path(root, ".u__compact_staging_live")
+    fs.mkdirs(old1); fs.mkdirs(old2); fs.mkdirs(live)
+    // real data dir must survive regardless of age
+    val data = new org.apache.hadoop.fs.Path(root, "day=2024-01-01")
+    assert(fs.exists(data))
+    val removed = Maintenance.vacuumCompactionDebris(spark, root, ttlMillis = -1)
+    assert(removed == 2, s"exactly the two debris dirs: $removed")
+    assert(!fs.exists(old1) && !fs.exists(old2))
+    assert(fs.exists(live), "non-matching hidden dirs are not touched")
+    assert(fs.exists(data))
+    // with a real TTL, freshly-created debris (a CONCURRENT compaction)
+    // is left alone
+    fs.mkdirs(old1)
+    assert(Maintenance.vacuumCompactionDebris(spark, root) == 0)
+    assert(fs.exists(old1))
+  }
+
   test("compactPartitioned rolls up only the fragmented partitions") {
     val root = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/t"
     // day 1: one clean file; day 2: 8 small appended files

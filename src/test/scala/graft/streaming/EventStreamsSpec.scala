@@ -880,6 +880,11 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     val bad = got.filter(r => r.isNullAt(0))
     assert(bad.forall(r => r.isNullAt(2) && r.isNullAt(4)),
       "malformed numerics parse to NULL, never an ANSI error")
+    // dead-letter split: poison rows route out, good rows keep flowing
+    val (goodDf, deadDf) = EventStreams.deadLetterSplit(
+      EventStreams.parseEventLines(lines))
+    assert(goodDf.count() == 2 && deadDf.count() == 2)
+    assert(goodDf.collect().forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
   }
 
   test("socket source end-to-end: unbounded non-file ingestion feeds the windowed agg") {
