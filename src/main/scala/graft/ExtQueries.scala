@@ -2505,7 +2505,63 @@ object ExtQueries {
         .toDF("weight_idx", "weight")
         .select(col("weight_idx"), round(col("weight"), 9).as("weight"))
         .orderBy("weight_idx")
-    })
+    }),
+
+    // ── Multi-source BFS over the token co-occurrence graph: exact
+    //    hop distance from the graph's max-degree token (deterministic
+    //    tie-break: smallest token), 3 fixed expansion rounds — the
+    //    bounded-radius "within k links of the hub" set, next to
+    //    ext_ppr's flow-mass ranking (Graph.bfsHops scaladoc; oracle
+    //    unrolls the 3 rounds like ext_kcore's peels).
+    "ext_bfs_hops" -> ((s, dir) => {
+      val edges = TextPipeline.skipgramPairCounts(
+        t(s, dir, "documents"), col("text"), window = 1)
+      val und = edges.select(col("tok_a").as("x"), col("tok_b").as("y"))
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("u"),
+          greatest(col("x"), col("y")).as("v"))
+        .distinct()
+      val seed = und.select(col("u").as("node"))
+        .union(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .orderBy(col("degree").desc, col("node"))
+        .limit(1).select("node")
+      Graph.bfsHops(edges, col("tok_a"), col("tok_b"), seed, maxHops = 3)
+        .orderBy("node")
+    }),
+
+    // ── Per-user EWMA trend line over event values: trailing 8-lag
+    //    halving weights in exact integer form (mass 511 — odd, so no
+    //    6dp rounding-boundary tie can flip cross-engine), NULL on
+    //    warm-up rows — the smoothed per-entity metric a monitor
+    //    thresholds on instead of raw points (Events.ewmaSmooth
+    //    scaladoc; the oracle replays the 9 lag terms verbatim).
+    "ext_ewma" -> ((s, dir) =>
+      Events.ewmaSmooth(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("event_id"), col("value"))
+        .select(col("k").as("user_id"), col("id").as("event_id"),
+          col("x"), col("ewma"))
+        .orderBy("event_id")),
+
+    // ── CUSUM changepoint scan per event type: WHERE the daily-total
+    //    level most likely shifted — max-|CUSUM| day of the
+    //    integer-exact scaled scan S_d = n·P_d − d·T (Page '54;
+    //    Drift.cusumChangepoint scaladoc). The time-localized
+    //    complement to the PSI/KS two-snapshot drift family.
+    "ext_cusum" -> ((s, dir) =>
+      graft.operators.Drift.cusumChangepoint(t(s, dir, "events"), col("event_type"),
+        col("ts"), col("value"))
+        .orderBy("group_key")),
+
+    // ── Weekday-profile anomaly screen: every (type, day) scored
+    //    against ITS weekday slot's mean — integer-exact spike/dip
+    //    flags (cnt·n_dow vs 2·Σ_dow), zero-filled days counted as the
+    //    outages they are, every checked day kept in the readout
+    //    (Drift.weekdayAnomaly scaladoc).
+    "ext_weekday_anomaly" -> ((s, dir) =>
+      graft.operators.Drift.weekdayAnomaly(t(s, dir, "events"), col("event_type"),
+        col("ts"))
+        .orderBy("group_key", "di"))
   )
 
   /** Mechanical unroll of [[graft.operators.Similarity.pcaPower]]'s
@@ -2737,11 +2793,152 @@ object ExtQueries {
       |       valid_from, valid_to, valid_to IS NULL AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin
 
+  /** EWMA replay: the 9 lag terms verbatim — each an exact ×2^(8−j)
+    * binary scaling round(·,6)'d into a DECIMAL(28,6) sum over the odd
+    * weight mass 511 (Events.ewmaSmooth's no-rounding-tie argument); a
+    * missing lag (warm-up) or NULL value NULLs the sum on both engines
+    * identically. */
+  private val EwmaOracle: String = {
+    def xj(j: Int): String = if (j == 0) "x" else s"x$j"
+    val lags = (1 to 8).map(j => s"lag(x, $j) OVER w AS x$j")
+      .mkString(",\n    ")
+    val num = (0 to 8).map { j =>
+      val w = (1L << (8 - j)).toDouble.toString
+      s"CAST(round(${xj(j)} * $w, 6) AS DECIMAL(28,6))"
+    }.mkString("\n      + ")
+    s"""WITH b AS (
+       |  SELECT user_id, ts, event_id, round(CAST(value AS DOUBLE), 6) AS x
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_id IS NOT NULL),
+       |l AS (
+       |  SELECT user_id, event_id, x,
+       |    $lags
+       |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, event_id, x,
+       |  round(CAST(($num) AS DOUBLE) / 511.0, 6) AS ewma
+       |FROM l ORDER BY event_id""".stripMargin
+  }
+
+  /** BFS replay: the ext_kcore token-edge CTE, the max-degree seed
+    * (degree DESC, node ASC, LIMIT 1), then 3 unrolled frontier
+    * expansions — each a distinct-neighbors join anti-filtered against
+    * the labeled-so-far set (Graph.bfsHops's synchronous rounds). */
+  private val BfsHopsOracle: String = {
+    val base =
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |pl AS (
+        |  SELECT flatten(list_transform(range(1, least(1, len(t) - 1) + 1),
+        |           d -> list_transform(range(1, len(t) - d + 1),
+        |             i -> struct_pack(a := t[CAST(i AS INT)],
+        |                              b := t[CAST(i + d AS INT)])))) AS ps
+        |  FROM toks WHERE len(t) >= 2),
+        |raw AS (SELECT p['a'] AS a, p['b'] AS b
+        |        FROM (SELECT unnest(ps) AS p FROM pl)),
+        |e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |       FROM raw WHERE a <> b),
+        |und AS (SELECT u AS src, v AS dst FROM e0
+        |        UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT node, COUNT(*) AS degree FROM (
+        |  SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1),
+        |seed AS (SELECT node FROM deg ORDER BY degree DESC, node LIMIT 1),
+        |l0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM seed)""".stripMargin
+    val rounds = (1 to 3).map { r =>
+      val prevF = if (r == 1) "l0" else s"f${r - 1}"
+      s""",
+         |f$r AS (SELECT DISTINCT e.dst AS node
+         |  FROM und e JOIN $prevF f ON e.src = f.node
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM l${r - 1} l WHERE l.node = e.dst)),
+         |l$r AS (SELECT node, hops FROM l${r - 1}
+         |  UNION ALL SELECT node, CAST($r AS BIGINT) FROM f$r)""".stripMargin
+    }.mkString
+    base + rounds +
+      """
+        |SELECT node, hops FROM l3 ORDER BY node""".stripMargin
+  }
+
   /** The hand-written oracle literals; [[oracleSql]] adds entries
     * COMPOSED from these (the ANN recall certificates reuse the exact
     * top-k and full IVF/PQ replay SQL as CTEs — one source of truth
     * for each pipeline's replay). */
   private def baseOracleSql: Map[String, String] = Map(
+    "ext_bfs_hops" -> BfsHopsOracle,
+    "ext_ewma" -> EwmaOracle,
+
+    // CUSUM replay: 6dp-tick decimal daily totals, the integer-exact
+    // scaled scan S_d = n·P_d − d·T in DECIMAL(38,6) (28,6 operands so
+    // the ×DECIMAL(10,0) products fit DuckDB's 38-digit multiply
+    // ceiling), argmax by (|S| DESC, day ASC), divides only in the
+    // final readout.
+    "ext_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type AS group_key,
+        |    epoch_ms(date_trunc('day', ts)) // 86400000 AS di,
+        |    CAST(COALESCE(SUM(CAST(round(CAST(value AS DOUBLE), 6)
+        |      AS DECIMAL(28,6))), CAST(0 AS DECIMAL(28,6)))
+        |      AS DECIMAL(28,6)) AS xd
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |scanned AS (
+        |  SELECT group_key, di,
+        |    CAST(COUNT(*) OVER (PARTITION BY group_key) AS BIGINT) AS nd,
+        |    CAST(SUM(xd) OVER (PARTITION BY group_key)
+        |      AS DECIMAL(28,6)) AS total,
+        |    CAST(SUM(xd) OVER (PARTITION BY group_key ORDER BY di)
+        |      AS DECIMAL(28,6)) AS prefix,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY group_key ORDER BY di)
+        |      AS BIGINT) AS d_idx
+        |  FROM daily),
+        |s2 AS (
+        |  SELECT group_key, di, nd, total,
+        |    CAST(CAST(nd AS DECIMAL(10,0)) * prefix
+        |      - CAST(d_idx AS DECIMAL(10,0)) * total AS DECIMAL(38,6)) AS s
+        |  FROM scanned),
+        |peak AS (
+        |  SELECT group_key, nd, total, di, s,
+        |    ROW_NUMBER() OVER (PARTITION BY group_key
+        |      ORDER BY abs(s) DESC, di) AS rn
+        |  FROM s2)
+        |SELECT group_key, nd AS n_days, di AS cp_day,
+        |  round(CAST(s AS DOUBLE) / CAST(nd AS DOUBLE), 6) AS cusum,
+        |  round(CAST(total AS DOUBLE) / CAST(nd AS DOUBLE), 6) AS mean_daily
+        |FROM peak WHERE rn = 1 ORDER BY group_key""".stripMargin,
+
+    // Weekday-anomaly replay: zero-filled day spine (the ext_autocorr
+    // CTE), epoch-day mod 7 slots, full-partition weekday sums, the
+    // integer-exact spike/dip comparisons, one 6dp readout divide.
+    "ext_weekday_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type AS group_key,
+        |    epoch_ms(date_trunc('day', ts)) // 86400000 AS di
+        |  FROM events WHERE ts IS NOT NULL),
+        |d AS (
+        |  SELECT group_key, di, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT unnest(range((SELECT MIN(di) FROM d),
+        |    (SELECT MAX(di) FROM d) + 1)) AS di),
+        |f AS (
+        |  SELECT t.group_key, s.di, COALESCE(d.cnt, 0) AS cnt,
+        |    s.di % 7 AS dow
+        |  FROM (SELECT DISTINCT group_key FROM d) t
+        |  CROSS JOIN sp s
+        |  LEFT JOIN d ON d.group_key = t.group_key AND d.di = s.di),
+        |w AS (
+        |  SELECT group_key, di, dow, cnt,
+        |    CAST(COUNT(*) OVER (PARTITION BY group_key, dow) AS BIGINT)
+        |      AS n_dow,
+        |    CAST(SUM(cnt) OVER (PARTITION BY group_key, dow) AS BIGINT)
+        |      AS sum_dow
+        |  FROM f)
+        |SELECT group_key, di, CAST(dow AS BIGINT) AS dow, cnt, n_dow,
+        |  round(CAST(sum_dow AS DOUBLE) / CAST(n_dow AS DOUBLE), 6)
+        |    AS dow_mean,
+        |  cnt * n_dow > sum_dow * 2 AS is_spike,
+        |  cnt * n_dow * 2 < sum_dow AS is_dip
+        |FROM w ORDER BY group_key, di""".stripMargin,
+
     "ext_bpe_segment" -> BpeSegmentOracle,
     "ext_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies

@@ -434,4 +434,140 @@ object Drift {
           (col("o").cast("double") - col("e")) / col("e"), 9))
       .orderBy("r", "c")
   }
+
+  /** CUSUM changepoint scan per group — WHERE did the level of a daily
+    * series shift? For each group's daily-total series x_1..x_n the
+    * cumulative deviation from the series mean,
+    * C_d = Σ_{i≤d} (x_i − x̄), peaks (in |·|) at the most likely single
+    * changepoint (Page '54 CUSUM; the offline max-|CUSUM| form is the
+    * standard first-pass changepoint locator). The PSI/KS/JSD family
+    * asks "did the distribution move between two snapshots"; this asks
+    * the orthogonal time-localized question "when did the level move
+    * inside ONE window of history".
+    *
+    * Integer-exact trick: C_d = (n·P_d − d·T)/n where P_d is the prefix
+    * sum and T the total, so the scan compares S_d = n·P_d − d·T — all
+    * DECIMAL arithmetic on 6dp ticks, EXACT (no float accumulation
+    * anywhere); the only IEEE ops are the final readout divides. The
+    * argmax is min(struct(−|S_d|, d)) — deterministic tie-break to the
+    * earliest day.
+    *
+    * 100 TB shape: one map-side-collapsing aggregation to (group, day)
+    * rows, then calendar-bounded windows per group (the lagAutocorr
+    * class — state scales with days in range, not event volume) and a
+    * final |groups|-row argmax aggregation.
+    *
+    * Tick bound: |S_d| ≤ 2·n_days·Σ|x| ticks; at 6dp that holds under
+    * the 2^53 double-cast ceiling for Σ|value| up to ~10⁸ per group-day
+    * range — metric-scale values at any row count (the group_trend
+    * magnitude contract).
+    *
+    * Output: one row per group — (group_key, n_days, cp_day [epoch
+    * day, BIGINT], cusum [signed C_d at the peak, 6dp], mean_daily
+    * [x̄, 6dp]). Groups need ≥ 1 day; a flat series peaks at S=0, day 1. */
+  def cusumChangepoint(
+      events: DataFrame,
+      group: Column,
+      ts: Column,
+      value: Column): DataFrame = {
+    val daily = events.filter(ts.isNotNull)
+      .select(group.as("group_key"),
+        (unix_millis(date_trunc("day", ts)) / lit(86400000L))
+          .cast("long").as("di"),
+        round(value.cast("double"), 6).as("x"))
+      .groupBy("group_key", "di")
+      .agg(coalesce(sum(col("x").cast("decimal(28,6)")),
+        lit(0).cast("decimal(28,6)")).as("xd"))
+    val wOrd = Window.partitionBy("group_key").orderBy("di")
+    val wAll = Window.partitionBy("group_key")
+      .orderBy("di")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scanned = daily.select(
+      col("group_key"), col("di"),
+      count(lit(1)).over(wAll).as("nd"),
+      // 28,6 (not 38,6): the ×DECIMAL(10,0) products below must fit
+      // DuckDB's hard 38-digit multiply ceiling as well as Spark's
+      sum(col("xd")).over(wAll).cast("decimal(28,6)").as("total"),
+      sum(col("xd")).over(wOrd).cast("decimal(28,6)").as("prefix"),
+      row_number().over(wOrd).cast("long").as("d_idx"))
+      .select(col("group_key"), col("di"), col("nd"), col("total"),
+        (col("nd").cast("decimal(10,0)") * col("prefix") -
+          col("d_idx").cast("decimal(10,0)") * col("total"))
+          .cast("decimal(38,6)").as("s"))
+    scanned
+      .groupBy("group_key")
+      .agg(
+        max(col("nd")).as("n_days"),
+        max(col("total")).as("total"),
+        min(struct((lit(0).cast("decimal(38,6)") - abs(col("s"))).as("neg_abs"),
+          col("di").as("d"), col("s").as("s_at"))).as("peak"))
+      .select(
+        col("group_key"), col("n_days"),
+        col("peak.d").as("cp_day"),
+        round(col("peak.s_at").cast("double") /
+          col("n_days").cast("double"), 6).as("cusum"),
+        round(col("total").cast("double") /
+          col("n_days").cast("double"), 6).as("mean_daily"))
+  }
+
+  /** Weekday-profile anomaly screen — seasonal traffic data (weekly
+    * cycle) makes a GLOBAL daily-count threshold blind: a normal Monday
+    * looks like a spike against the weekend mean, and a dead Saturday
+    * hides. Score each (group, day) against the mean of ITS OWN weekday
+    * bucket instead. Companion to [[graft.operators.Events.lagAutocorr]]
+    * (which MEASURES the weekly cycle's strength; this one assumes it
+    * and flags residual days) and to Events.trailingZScore (per-entity
+    * trailing baseline; this is per-calendar-slot).
+    *
+    * Integer-exact flags: a day is a spike when cnt·n_dow > 2·Σ_dow
+    * (count above 2× its weekday mean) and a dip when 2·cnt·n_dow <
+    * Σ_dow (below half) — pure long arithmetic, no divide in the
+    * decision, so the flag is bit-deterministic on any engine; the 6dp
+    * dow_mean readout is the only IEEE op. Days with no events COUNT AS
+    * ZERO (the lagAutocorr zero-fill spine — a silent outage IS the
+    * anomaly this screen exists to catch), and the weekday bucket is
+    * epoch-day mod 7 (locale-free; 0 = Thursday), not a locale DOW.
+    *
+    * 100 TB shape: one map-side-collapsing aggregation to (group, day)
+    * rows, a broadcast day spine fills gaps, then one calendar-bounded
+    * window per (group, weekday-slot). Nothing scales with event volume
+    * past the first aggregate.
+    *
+    * Output: (group_key, di [epoch day], dow [0..6], cnt, n_dow,
+    * dow_mean 6dp, is_spike, is_dip) — EVERY day in the observed range,
+    * flags false on normal days (the B14 kept-empty-buckets
+    * discipline: the readout shows what was checked, not only what
+    * fired). */
+  def weekdayAnomaly(
+      events: DataFrame,
+      group: Column,
+      ts: Column): DataFrame = {
+    val days = events.filter(ts.isNotNull)
+      .select(group.as("group_key"),
+        (unix_millis(date_trunc("day", ts)) / lit(86400000L))
+          .cast("long").as("di"))
+      .groupBy("group_key", "di")
+      .agg(count(lit(1)).as("cnt"))
+    val spine = days.agg(min("di").as("lo"), max("di").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("di"))
+    val filled = days.select("group_key").distinct()
+      .crossJoin(broadcast(spine))
+      .join(days, Seq("group_key", "di"), "left")
+      .select(col("group_key"), col("di"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        pmod(col("di"), lit(7L)).cast("long").as("dow"))
+    val wDow = Window.partitionBy("group_key", "dow")
+      .orderBy("di")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    filled.select(
+      col("group_key"), col("di"), col("dow"), col("cnt"),
+      count(lit(1)).over(wDow).as("n_dow"),
+      sum(col("cnt")).over(wDow).as("sum_dow"))
+      .select(
+        col("group_key"), col("di"), col("dow"), col("cnt"), col("n_dow"),
+        round(col("sum_dow").cast("double") /
+          col("n_dow").cast("double"), 6).as("dow_mean"),
+        (col("cnt") * col("n_dow") > col("sum_dow") * 2).as("is_spike"),
+        (col("cnt") * col("n_dow") * 2 < col("sum_dow")).as("is_dip"))
+  }
 }

@@ -653,4 +653,67 @@ object Events {
       .orderBy(col("n_occ").desc, col("gram"))
       .limit(k)
   }
+
+  /** Bounded-lag EWMA smoothing per key — the per-entity trend line a
+    * monitoring pipeline draws through noisy point metrics (a user's
+    * event values, a source's daily quality score) before thresholding
+    * on it. The classic recursive EWMA (s_i = αx_i + (1−α)s_{i−1})
+    * carries unbounded history and is NOT expressible as a replayable
+    * bounded plan, so this is the standard truncated form at α = 1/2:
+    * a trailing window of `lags`+1 observations with geometric weights
+    * halving per step back. Rows with fewer than `lags` predecessors
+    * are WARM-UP: they keep their row with ewma NULL (counted, never
+    * dropped), the monitoring convention — a partially-warmed average
+    * silently mixes baselines.
+    *
+    * α is FIXED at 1/2, and that is a determinism feature, not a
+    * shortcut: the weights are emitted as the INTEGERS 2^(lags−j)
+    * (mass Σ = 2^(lags+1) − 1, e.g. 511 at lags = 8), so each weighted
+    * term x_j·2^k is an EXACT binary scaling (no rounding at all) that
+    * stays a ≤6dp decimal, the numerator is an exact DECIMAL(28,6)
+    * sum, and the readout quotient q = num/mass has, in 1e-6 ticks, a
+    * rational value with ODD denominator ≤ 511 — it can never land
+    * within 1/(2·511) ticks ≈ 1e-9 of a round(·,6) half-boundary, so
+    * Spark's exact-expansion HALF_UP and a replaying engine's
+    * scaled-double round CANNOT disagree (the tie flip a general-α
+    * weight mass produced in testing: num/1.9921875 lands exactly ON
+    * 6dp boundaries, and the two engines broke those ties apart).
+    * Generalizing to rational α = p/q means integer weights
+    * p^j·q^(lags−j) and the same odd-mass argument — add it when a
+    * caller needs it.
+    *
+    * 100 TB shape: one shuffle keyed on the (high-cardinality) entity
+    * key, then `lags`+1 bounded LAG reads over ONE window spec (one
+    * sort, one pass — Spark collapses same-spec window functions);
+    * no self-join, no spine, state per row is `lags`+1 values.
+    *
+    * Null values inside a full window poison that row's ewma to NULL
+    * (visible, not interpolated) — on both engines, by letting the
+    * NULL ride the decimal sum.
+    *
+    * Output: (k, ord, id, x, ewma) — input identity + the 6dp input +
+    * the smoothed value (6dp; NULL on warm-up/poisoned rows), one row
+    * per input row with non-null key/ord/id. */
+  def ewmaSmooth(
+      events: DataFrame,
+      key: Column,
+      ord: Column,
+      id: Column, // tie-break: (ord, id) must totally order rows per key
+      value: Column,
+      lags: Int = 8): DataFrame = {
+    require(lags >= 1 && lags <= 24, s"lags must be in [1,24], got $lags")
+    val w = Window.partitionBy("k").orderBy(col("ord"), col("id"))
+    val base = events.select(key.as("k"), ord.as("ord"), id.as("id"),
+      round(value.cast("double"), 6).as("x"))
+      .filter(col("k").isNotNull && col("ord").isNotNull && col("id").isNotNull)
+    val mass = (1L << (lags + 1)) - 1 // Σ 2^(lags−j), j = 0..lags — odd
+    val num = (0 to lags).map { j =>
+      val xj = if (j == 0) col("x") else lag(col("x"), j).over(w)
+      // ×2^(lags−j): exact binary scaling of a ≤6dp decimal — round is
+      // a documented no-op kept for the oracle's textual symmetry
+      round(xj * lit((1L << (lags - j)).toDouble), 6).cast("decimal(28,6)")
+    }.reduce(_ + _)
+    base.select(col("k"), col("ord"), col("id"), col("x"),
+      round(num.cast("double") / lit(mass.toDouble), 6).as("ewma"))
+  }
 }

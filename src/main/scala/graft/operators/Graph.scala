@@ -258,6 +258,65 @@ object Graph {
     degrees(e)
   }
 
+  /** Multi-source BFS hop distance, `maxHops` fixed expansion rounds:
+    * every node reachable from the seed set within `maxHops` undirected
+    * hops is labeled with its EXACT minimum hop count; nodes farther
+    * away (or disconnected) are absent from the output — the bounded-
+    * radius companion to [[personalizedPageRank]] (that one scores
+    * "how much seed mass flows here", this one answers the set
+    * question "is it within k links at all"), and the neighborhood-
+    * expansion primitive of seed-based curation: grow a trusted corpus
+    * region by exactly k co-occurrence links, no farther.
+    *
+    * Same FIXED-plan contract as [[pageRank]]/[[kCore]]: both engines
+    * replay an identical bounded recursion (no convergence test), so
+    * the oracle is a linear unroll. Within the radius the answer is
+    * exact, not approximate: a node first reached in round r has true
+    * distance r (BFS invariant), and synchronous rounds + the
+    * already-labeled anti-join make that deterministic regardless of
+    * partitioning. Seeds absent from the edge list are ignored
+    * (distance is a property of the graph, not the seed request).
+    *
+    * 100 TB shape: the doubled edge list is checkpoint-cut once (the
+    * [[pageRank]] lineage discipline); each round is one semi-join of
+    * the edges against the CURRENT frontier (shrinking working set,
+    * never the full labeled set), one distinct, and one anti-join
+    * against the labeled table — all keyed on the node id, nothing
+    * quadratic. Per-round state is (node, hops) rows only; the
+    * frontier and the labeled accumulator are cut per round so round r
+    * never re-derives rounds 1..r−1 (the r8 plan-duplication lesson).
+    *
+    * Output: (node, hops) — hops ∈ [0, maxHops], exact integers;
+    * unreached nodes absent by contract. */
+  def bfsHops(
+      edges: DataFrame,
+      a: Column,
+      b: Column,
+      seeds: DataFrame, // one column: node
+      maxHops: Int = 4,
+      checkpoint: Checkpointing.Mode = Checkpointing.Local): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val half = edges.select(a.as("src"), b.as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = checkpoint.cut(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labeled = checkpoint.cut(
+      und.select(col("src").as("node")).distinct()
+        .join(seeds.select(col("node")).distinct(), Seq("node"), "left_semi")
+        .withColumn("hops", lit(0L)))
+    var frontier = labeled.select("node")
+    (1 to maxHops).foreach { h =>
+      frontier = checkpoint.cut(
+        und.join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+          .select(col("dst").as("node")).distinct()
+          .join(labeled, Seq("node"), "left_anti"))
+      labeled = checkpoint.cut(
+        labeled.unionByName(frontier.withColumn("hops", lit(h.toLong))))
+    }
+    labeled
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected simple graph (self-loops dropped, parallel edges
     * collapsed). lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the fraction

@@ -215,4 +215,59 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Double, Double, Double)].collect()
     assert(same.forall(_._4 == 0.0))
   }
+
+  // epoch day d at noon — di in the operators is exactly d
+  private def dayTs(d: Long) =
+    new java.sql.Timestamp(d * 86400000L + 43200000L)
+
+  test("cusumChangepoint: a clean level shift peaks at the last pre-shift day") {
+    // daily totals 0,0,0,10,10,10 → S_d = 6·P_d − d·30 peaks |−90| at
+    // day 3 (the last low day); cusum = −90/6 = −15, mean 5
+    val rows = (1L to 6L).map(d => (d, dayTs(d), if (d <= 3) 0.0 else 10.0))
+      .toDF("g", "ts", "v").withColumn("g", lit("a"))
+    val got = Drift.cusumChangepoint(rows, col("g"), col("ts"), col("v"))
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq(("a", 6L, 3L, -15.0, 5.0)))
+  }
+
+  test("cusumChangepoint: flat series → S ≡ 0, earliest-day tie-break; groups independent") {
+    val flat = (1L to 4L).map(d => ("f", dayTs(d), 5.0))
+    val shift = (1L to 4L).map(d => ("s", dayTs(d), if (d <= 2) 0.0 else 8.0))
+    val got = Drift.cusumChangepoint((flat ++ shift).toDF("g", "ts", "v"),
+        col("g"), col("ts"), col("v"))
+      .orderBy("group_key")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got(0) == (("f", 4L, 1L, 0.0, 5.0)))
+    // daily totals 0,0,8,8: T=16; S_d = 4·P_d − d·16: −16, −32, −16,
+    // 0 → peak |−32| at day 2, cusum −32/4 = −8
+    assert(got(1) == (("s", 4L, 2L, -8.0, 4.0)))
+  }
+
+  test("weekdayAnomaly: slot-relative spike and dip flags, zero-filled days kept") {
+    // 21 days [100, 120], one group; weekday slot = di % 7.
+    // Slot 3 (days 101/108/115): counts 1,1,10 → 115 is a spike
+    // (10·3 > 2·12); its slot-mates become dips (2·1·3 < 12) — the
+    // slot mean is the baseline, by design. Slot 4 (days 102/109/116):
+    // counts 9,9,0 → 116 (NO events at all — zero-filled) is a dip and
+    // 102/109 stay normal. Empty slots (e.g. 5) flag nothing.
+    val events =
+      (Seq(101L -> 1, 108L -> 1, 115L -> 10, 102L -> 9, 109L -> 9) ++
+        Seq(100L -> 1, 120L -> 1)) // range anchors: spine spans 100..120
+        .flatMap { case (d, n) => Seq.fill(n)(("a", dayTs(d))) }
+        .toDF("g", "ts")
+    val got = Drift.weekdayAnomaly(events, col("g"), col("ts"))
+      .orderBy("di")
+      .as[(String, Long, Long, Long, Long, Double, Boolean, Boolean)]
+      .collect()
+    assert(got.length == 21) // every day in [100, 120] kept
+    val byDi = got.map(r => r._2 -> r).toMap
+    assert(byDi(115L)._4 == 10L && byDi(115L)._7, s"got ${byDi(115L)}")
+    assert(byDi(116L)._4 == 0L && byDi(116L)._8, s"got ${byDi(116L)}")
+    // dow is epoch-day mod 7, locale-free
+    assert(got.forall(r => r._3 == r._2 % 7))
+    // a busy-slot normal day: neither flag; slot mean readout is 6dp
+    assert(!byDi(102L)._7 && !byDi(102L)._8 && byDi(102L)._6 == 6.0)
+    // an all-empty slot day: zero vs zero-mean is NOT an anomaly
+    assert(!byDi(103L)._7 && !byDi(103L)._8)
+  }
 }

@@ -508,4 +508,38 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(none.getAs[Long]("n_converted") == 0L)
     assert(none.isNullAt(none.fieldIndex("p50_lag_s")))
   }
+
+  test("ewmaSmooth: integer halving weights over the odd mass, exact quotients") {
+    // lags=2 → weights 4,2,1, mass 7
+    val rows = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0), (1L, 4L, 4.0))
+      .toDF("k", "id", "v")
+    val got = Events.ewmaSmooth(rows, col("k"), col("id"), col("id"),
+        col("v"), lags = 2)
+      .orderBy("id")
+      .select("id", "ewma").as[(Long, Option[Double])].collect()
+    // warm-up rows (fewer than 2 predecessors) are NULL, kept
+    assert(got(0) == ((1L, None)))
+    assert(got(1) == ((2L, None)))
+    // (4·3 + 2·2 + 1·1)/7 = 17/7; (4·4 + 2·3 + 1·2)/7 = 24/7
+    assert(got(2) == ((3L, Some(2.428571))))
+    assert(got(3) == ((4L, Some(3.428571))))
+  }
+
+  test("ewmaSmooth: keys are independent; a NULL value poisons its window visibly") {
+    val rows = Seq(
+      (1L, 1L, Some(10.0)), (1L, 2L, Some(10.0)), (1L, 3L, Some(10.0)),
+      (2L, 1L, Some(1.0)), (2L, 2L, None), (2L, 3L, Some(1.0)),
+      (2L, 4L, Some(1.0)), (2L, 5L, Some(1.0)))
+      .toDF("k", "id", "v")
+    val got = Events.ewmaSmooth(rows, col("k"), col("id"), col("id"),
+        col("v"), lags = 2)
+      .orderBy("k", "id")
+      .select("k", "id", "ewma").as[(Long, Long, Option[Double])].collect()
+    // key 1: constant series smooths to itself exactly (70/7)
+    assert(got(2) == ((1L, 3L, Some(10.0))))
+    // key 2: the NULL at id=2 poisons every window containing it
+    // (ids 2, 3, 4) — ewma NULL, row kept; id=5's window is clean
+    assert(got.filter(_._1 == 2L).map(_._3).toSeq ==
+      Seq(None, None, None, None, Some(1.0)))
+  }
 }

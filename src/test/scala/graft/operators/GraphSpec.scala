@@ -367,4 +367,33 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val got = runKCore(g, 2)
     assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
   }
+
+  private def runBfs(
+      edges: Seq[(String, String)], seeds: Seq[String], h: Int): Map[String, Long] =
+    Graph.bfsHops(edges.toDF("a", "b"), col("a"), col("b"),
+        seeds.toDF("node"), maxHops = h)
+      .as[(String, Long)].collect().toMap
+
+  test("bfsHops: exact hop counts on a path, radius cut, unreached absent") {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    assert(runBfs(path, Seq("a"), 2) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    // edges are undirected: seeding the far end walks back
+    assert(runBfs(path, Seq("e"), 1) == Map("e" -> 0L, "d" -> 1L))
+  }
+
+  test("bfsHops: multi-source takes the MIN distance; cycles terminate") {
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    // two opposite seeds: everything within 1 hop of one of them
+    assert(runBfs(cycle, Seq("a", "c"), 3) ==
+      Map("a" -> 0L, "c" -> 0L, "b" -> 1L, "d" -> 1L))
+    // single seed on the 4-cycle: the far node is 2 via either arc
+    assert(runBfs(cycle, Seq("a"), 4) ==
+      Map("a" -> 0L, "b" -> 1L, "d" -> 1L, "c" -> 2L))
+  }
+
+  test("bfsHops: unknown seeds ignored; disconnected components unreached; self-loops dropped") {
+    val g = Seq(("a", "b"), ("b", "b"), ("x", "y"))
+    assert(runBfs(g, Seq("a", "zzz"), 3) == Map("a" -> 0L, "b" -> 1L))
+  }
 }
