@@ -2561,7 +2561,47 @@ object ExtQueries {
     "ext_weekday_anomaly" -> ((s, dir) =>
       graft.operators.Drift.weekdayAnomaly(t(s, dir, "events"), col("event_type"),
         col("ts"))
-        .orderBy("group_key", "di"))
+        .orderBy("group_key", "di")),
+
+    // ── Benford first-digit screen over order prices: per-digit
+    //    observed vs log10(1+1/d) expected share with χ² terms —
+    //    the fabricated/truncated-feed ingest gate; STRING digit
+    //    extraction (no log10 near powers of ten), all 9 digits kept
+    //    (Drift.benfordDigits scaladoc).
+    "ext_benford" -> ((s, dir) =>
+      graft.operators.Drift.benfordDigits(
+        t(s, dir, "lineitem"), col("l_extendedprice"))),
+
+    // ── Pairwise Pearson matrix over the four lineitem metrics — the
+    //    feature-redundancy screen: ONE aggregation computes all 14
+    //    moments, 6 pair rows explode from the single agg row; columns
+    //    pre-scaled to metric range (Pearson is affine-invariant) so
+    //    the 4dp product ticks stay under the 2^53 cast ceiling
+    //    (Eval.corrMatrix scaladoc).
+    "ext_corr_matrix" -> ((s, dir) =>
+      graft.operators.Eval.corrMatrix(t(s, dir, "lineitem"), Seq(
+        "disc100" -> col("l_discount") * 100,
+        "price_k" -> col("l_extendedprice") / 1000,
+        "qty" -> col("l_quantity"),
+        "tax100" -> col("l_tax") * 100))),
+
+    // ── Welch's unequal-variance t between the click and view arms on
+    //    event value — the continuous-metric A/B readout next to
+    //    ext_ab_test's proportion z and ext_cuped's variance-reduced
+    //    mean (Experiment.welchT scaladoc; one conditional
+    //    aggregation, one row).
+    "ext_welch_t" -> ((s, dir) =>
+      graft.operators.Experiment.welchT(t(s, dir, "events"),
+        col("event_type"), col("value"), "click", "view")),
+
+    // ── Mann–Whitney U between the same two arms: the rank-sum
+    //    stochastic-dominance test for heavy-tailed metrics —
+    //    integer-exact average ranks in half-units over the spearman
+    //    grouped-value window, tie-corrected normal z
+    //    (Experiment.mannWhitneyU scaladoc).
+    "ext_mann_whitney" -> ((s, dir) =>
+      graft.operators.Experiment.mannWhitneyU(t(s, dir, "events"),
+        col("event_type"), col("value"), "click", "view"))
   )
 
   /** Mechanical unroll of [[graft.operators.Similarity.pcaPower]]'s
@@ -2859,6 +2899,79 @@ object ExtQueries {
         |SELECT node, hops FROM l3 ORDER BY node""".stripMargin
   }
 
+  /** Benford replay: the same STRING first-digit extraction, the
+    * Drift.BenfordP literals as a VALUES spine (zero-count digits
+    * kept), counts exact, share/e/chi2 the same IEEE chain. */
+  private val BenfordOracle: String = {
+    val spine = graft.operators.Drift.BenfordP
+      .map { case (d, p) => s"(CAST($d AS BIGINT), $p)" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(CAST(l_extendedprice AS DOUBLE))
+       |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL
+       |    AND CAST(l_extendedprice AS DOUBLE) >= 1.0),
+       |o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(COALESCE(SUM(n_obs), 0) AS BIGINT) AS n_total FROM o),
+       |sp AS (SELECT * FROM (VALUES $spine) AS t(digit, p))
+       |SELECT sp.digit, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+       |  CASE WHEN n_total > 0 THEN
+       |    round(CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+       |      / CAST(n_total AS DOUBLE), 6) END AS share,
+       |  round(sp.p, 6) AS expected,
+       |  CASE WHEN n_total > 0 THEN
+       |    round((CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+       |        - CAST(n_total AS DOUBLE) * sp.p)
+       |      * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+       |        - CAST(n_total AS DOUBLE) * sp.p)
+       |      / (CAST(n_total AS DOUBLE) * sp.p), 9) END AS chi2_term
+       |FROM sp CROSS JOIN tot LEFT JOIN o ON o.digit = sp.digit
+       |ORDER BY sp.digit""".stripMargin
+  }
+
+  /** Correlation-matrix replay: one moment CTE (6dp values, 4dp
+    * product ticks, decimal sums), then one SELECT per pair over it —
+    * the same exact-decimal-to-double readout as the engine. */
+  private val CorrMatrixOracle: String = {
+    val cols = Seq(
+      "disc100" -> "CAST(l_discount AS DOUBLE) * 100",
+      "price_k" -> "CAST(l_extendedprice AS DOUBLE) / 1000",
+      "qty" -> "CAST(l_quantity AS DOUBLE)",
+      "tax100" -> "CAST(l_tax AS DOUBLE) * 100")
+    val names = cols.map(_._1)
+    val sel = cols.map { case (n, e) => s"round($e, 6) AS $n" }.mkString(",\n    ")
+    val notNull = names.map(n => s"$n IS NOT NULL").mkString(" AND ")
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    val moments =
+      (names.map(n => s"SUM(CAST($n AS DECIMAL(38,6))) AS s_$n") ++
+        names.map(n => s"SUM(CAST(round($n * $n, 4) AS DECIMAL(38,4))) AS q_$n") ++
+        pairs.map { case (a, b) =>
+          s"SUM(CAST(round($a * $b, 4) AS DECIMAL(38,4))) AS p_${a}_$b" })
+        .mkString(",\n    ")
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val rows = pairs.map { case (a, b) =>
+      val va = s"(${d("n")} * ${d(s"q_$a")} - ${d(s"s_$a")} * ${d(s"s_$a")})"
+      val vb = s"(${d("n")} * ${d(s"q_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")})"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |  CASE WHEN $va > 0.0 AND $vb > 0.0 THEN
+         |    round((${d("n")} * ${d(s"p_${a}_$b")} - ${d(s"s_$a")} * ${d(s"s_$b")})
+         |      / (sqrt($va) * sqrt($vb)), 6) END AS r
+         |FROM g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |  SELECT
+       |    $sel
+       |  FROM lineitem),
+       |f AS (SELECT * FROM b WHERE $notNull),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    $moments
+       |  FROM f)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   /** The hand-written oracle literals; [[oracleSql]] adds entries
     * COMPOSED from these (the ANN recall certificates reuse the exact
     * top-k and full IVF/PQ replay SQL as CTEs — one source of truth
@@ -2866,6 +2979,102 @@ object ExtQueries {
   private def baseOracleSql: Map[String, String] = Map(
     "ext_bfs_hops" -> BfsHopsOracle,
     "ext_ewma" -> EwmaOracle,
+    "ext_benford" -> BenfordOracle,
+    "ext_corr_matrix" -> CorrMatrixOracle,
+
+    // Welch replay: the same 6 conditional decimal sums, means and
+    // moment-identity variances (clamped at 0) in IEEE doubles, t and
+    // Welch-Satterthwaite df via the identical expression tree.
+    "ext_welch_t" ->
+      """WITH b AS (
+        |  SELECT event_type AS arm, round(CAST(value AS DOUBLE), 6) AS x
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |g AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN arm = 'click' THEN 1 END), 0)
+        |      AS BIGINT) AS n_a,
+        |    CAST(COALESCE(SUM(CASE WHEN arm = 'view' THEN 1 END), 0)
+        |      AS BIGINT) AS n_b,
+        |    SUM(CASE WHEN arm = 'click'
+        |      THEN CAST(x AS DECIMAL(38,6)) END) AS sa,
+        |    SUM(CASE WHEN arm = 'view'
+        |      THEN CAST(x AS DECIMAL(38,6)) END) AS sb,
+        |    SUM(CASE WHEN arm = 'click'
+        |      THEN CAST(round(x * x, 4) AS DECIMAL(38,4)) END) AS qa,
+        |    SUM(CASE WHEN arm = 'view'
+        |      THEN CAST(round(x * x, 4) AS DECIMAL(38,4)) END) AS qb
+        |  FROM b),
+        |m AS (SELECT n_a, n_b,
+        |    CASE WHEN n_a > 0
+        |      THEN CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) END AS ma,
+        |    CASE WHEN n_b > 0
+        |      THEN CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) END AS mb,
+        |    CASE WHEN n_a >= 2 THEN greatest(
+        |      (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |        / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0),
+        |      0.0) END AS va,
+        |    CASE WHEN n_b >= 2 THEN greatest(
+        |      (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |        / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0),
+        |      0.0) END AS vb
+        |  FROM g),
+        |m2 AS (SELECT *, va / CAST(n_a AS DOUBLE) AS ra,
+        |    vb / CAST(n_b AS DOUBLE) AS rb
+        |  FROM m),
+        |m3 AS (SELECT *, ra + rb AS se2 FROM m2)
+        |SELECT n_a, n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round(va, 6) AS var_a, round(vb, 6) AS var_b,
+        |  CASE WHEN sqrt(se2) > 0.0
+        |    THEN round((ma - mb) / sqrt(se2), 6) END AS t,
+        |  CASE WHEN se2 > 0.0 THEN round((se2 * se2)
+        |    / (ra * ra / (CAST(n_a AS DOUBLE) - 1.0)
+        |      + rb * rb / (CAST(n_b AS DOUBLE) - 1.0)), 6) END AS df
+        |FROM m3""".stripMargin,
+
+    // Mann-Whitney replay: grouped-value counts, the spearman
+    // 2-avgrank cumulative window, DECIMAL(19,0)-operand exact sums,
+    // the tie-corrected z in the identical IEEE expression tree.
+    "ext_mann_whitney" ->
+      """WITH r AS (
+        |  SELECT event_type AS arm, round(CAST(value AS DOUBLE), 6) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |c AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(COALESCE(SUM(CASE WHEN arm = 'click' THEN 1 END), 0)
+        |      AS BIGINT) AS cnt_a
+        |  FROM r GROUP BY 1),
+        |rk AS (SELECT cnt, cnt_a,
+        |    2 * (SUM(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |      + cnt + 1 AS r2
+        |  FROM c),
+        |g AS (SELECT
+        |    CAST(COALESCE(SUM(cnt_a), 0) AS BIGINT) AS n_a,
+        |    CAST(COALESCE(SUM(cnt - cnt_a), 0) AS BIGINT) AS n_b,
+        |    COALESCE(SUM(CAST(cnt_a AS DECIMAL(19,0))
+        |      * CAST(r2 AS DECIMAL(19,0))),
+        |      CAST(0 AS DECIMAL(38,0))) AS r2a,
+        |    COALESCE(SUM(CAST(cnt * cnt AS DECIMAL(19,0))
+        |      * CAST(cnt AS DECIMAL(19,0)) - cnt),
+        |      CAST(0 AS DECIMAL(38,0))) AS t3
+        |  FROM rk),
+        |g2 AS (SELECT n_a, n_b,
+        |    (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE)
+        |      * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0 AS u_a,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |      * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+        |        - CAST(t3 AS DOUBLE)
+        |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+        |      AS sigma2
+        |  FROM g)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN u_a END AS u_a,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND sigma2 > 0.0 THEN
+        |    round((u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+        |      / sqrt(sigma2), 6) END AS z
+        |FROM g2""".stripMargin,
 
     // CUSUM replay: 6dp-tick decimal daily totals, the integer-exact
     // scaled scan S_d = n·P_d − d·T in DECIMAL(38,6) (28,6 operands so

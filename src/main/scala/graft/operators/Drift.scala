@@ -510,6 +510,68 @@ object Drift {
           col("n_days").cast("double"), 6).as("mean_daily"))
   }
 
+  /** Benford first-digit screen — fabricated, truncated, or
+    * unit-mangled numeric feeds break Benford's law long before they
+    * break range checks, which makes the first-significant-digit
+    * distribution a classic cheap ingest-quality gate on naturally
+    * spanning magnitudes (prices, durations, counts). Expected share
+    * of leading digit d is log10(1 + 1/d) (Benford 1938; Newcomb
+    * 1881); the readout is per-digit observed vs expected with the
+    * χ² contribution, so both the verdict (Σ chi2_term against the
+    * 8-df bar) and WHICH digit broke ride one result.
+    *
+    * Digit extraction is STRING-based on the integer part
+    * (first char of the BIGINT floor) — deliberately not
+    * floor(v/10^floor(log10 v)): log10 is transcendental and lands
+    * exactly ON integer boundaries at powers of ten, where libm
+    * last-ulp differences flip the digit cross-engine. Integer
+    * stringification is identical everywhere. The cost: the screen
+    * covers v ≥ 1 only — rows below 1 are excluded from the digit
+    * population entirely (the contract is "first digit of the integer
+    * part", stated here rather than hidden; pre-scale sub-unit metrics
+    * before screening them).
+    *
+    * 100 TB shape: one map-side-collapsing aggregation to ≤ 9 rows,
+    * then a broadcast 9-digit spine (zero-count digits KEPT — the B14
+    * discipline; a digit that never occurs is the loudest signal).
+    *
+    * Determinism: counts exact; the expected probabilities are Scala
+    * double literals both engines parse identically (the lshPlanesSql
+    * move); share, e = n·p, and the χ² term are IEEE ops on those
+    * exact inputs, quantized 6/9dp at the edge.
+    *
+    * Output: (digit 1..9, n_obs, share 6dp, expected 6dp, chi2_term
+    * 9dp) — 9 rows always; NULL share/chi2 on an empty input. */
+  def benfordDigits(df: DataFrame, value: Column): DataFrame = {
+    val obs = df.select(value.cast("double").as("v"))
+      .filter(col("v").isNotNull && col("v") >= 1.0)
+      .select(substring(floor(col("v")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spine = obs
+      .agg(coalesce(sum(col("n_obs")), lit(0L)).as("n_total"))
+      .select(col("n_total"), explode(array(BenfordP.map { case (d, p) =>
+        struct(lit(d).as("digit"), lit(p).as("p"))
+      }: _*)).as("dp"))
+      .select(col("n_total"), col("dp.digit").as("digit"), col("dp.p").as("p"))
+    val o = coalesce(col("n_obs"), lit(0L)).cast("double")
+    val e = col("n_total").cast("double") * col("p")
+    spine.join(obs, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        when(col("n_total") > 0, round(o / col("n_total").cast("double"), 6))
+          .as("share"),
+        round(col("p"), 6).as("expected"),
+        when(col("n_total") > 0, round((o - e) * (o - e) / e, 9))
+          .as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** log10(1 + 1/d) for d = 1..9 — shared with the oracle emitter so
+    * both engines parse the identical shortest-round-trip literals. */
+  private[graft] val BenfordP: Seq[(Long, Double)] =
+    (1 to 9).map(d => (d.toLong, math.log10(1.0 + 1.0 / d)))
+
   /** Weekday-profile anomaly screen — seasonal traffic data (weekly
     * cycle) makes a GLOBAL daily-count threshold blind: a normal Monday
     * looks like a spike against the weekend mean, and a dead Saturday

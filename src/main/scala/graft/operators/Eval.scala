@@ -752,4 +752,74 @@ object Eval {
             sqrt(col("saa").cast("double") * col("sbb").cast("double")))
           .as("rho"))
   }
+
+  /** Pairwise Pearson correlation matrix over k numeric columns — the
+    * feature-redundancy screen run before a mix/weighting model eats
+    * the features (two columns at |r| → 1 are one signal twice;
+    * [[spearman]]/[[kendallTau]] answer the RANK version for one
+    * pair, this answers the linear version for all pairs at once).
+    *
+    * ONE aggregation computes every moment (k sums, k square-sums,
+    * k·(k−1)/2 cross-sums — all map-side-collapsing), then the
+    * k·(k−1)/2 output rows explode from that single row: a billion
+    * rows × 16 columns costs one scan, no per-pair passes, no shuffle
+    * beyond the single-row agg.
+    *
+    * r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)),
+    * over LISTWISE-complete rows (a null in ANY column drops the row
+    * for ALL pairs — one consistent n, the textbook matrix contract;
+    * pairwise-complete would need per-pair n and is a different
+    * operator).
+    *
+    * Determinism: inputs quantized round(·,6); squares and cross
+    * products round(·,4) into exact DECIMAL(38,4) sums (Σ ticks must
+    * stay under the 2^53 double-cast ceiling — pre-scale columns so
+    * |x·y| ≲ 10⁴ at your row count; Pearson is invariant under
+    * positive affine scaling, so rescaling is free); the final r is
+    * IEEE arithmetic on the exact decimal sums cast to double (the
+    * lagAutocorr readout pattern), rounded 6dp. A zero-variance
+    * column yields NULL r for its pairs (guarded), not a divide
+    * error.
+    *
+    * Output: (col_a, col_b, n, r) — one row per unordered pair
+    * (a before b in the caller's column order), ordered (col_a,
+    * col_b). */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    require(cols.size <= 16, s"k*(k-1)/2 pairs explode past 16 cols, got ${cols.size}")
+    val names = cols.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate column names: $names")
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    val base = df.select(cols.map { case (n, c) =>
+        round(c.cast("double"), 6).as(n) }: _*)
+      .filter(names.map(n => col(n).isNotNull).reduce(_ && _))
+    val aggs =
+      names.map(n => sum(col(n).cast("decimal(38,6)")).as(s"s_$n")) ++
+        names.map(n =>
+          sum(round(col(n) * col(n), 4).cast("decimal(38,4)")).as(s"q_$n")) ++
+        pairs.map { case (a, b) =>
+          sum(round(col(a) * col(b), 4).cast("decimal(38,4)")).as(s"p_${a}_$b") }
+    val g = base.agg(count(lit(1)).as("n"), aggs: _*)
+    val pairRows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"s_$a").cast("double").as("sa"),
+        col(s"s_$b").cast("double").as("sb"),
+        col(s"q_$a").cast("double").as("qa"),
+        col(s"q_$b").cast("double").as("qb"),
+        col(s"p_${a}_$b").cast("double").as("sp"))
+    }
+    val nD = col("n").cast("double")
+    val varA = nD * col("pr.qa") - col("pr.sa") * col("pr.sa")
+    val varB = nD * col("pr.qb") - col("pr.sb") * col("pr.sb")
+    g.select(col("n"), explode(array(pairRows: _*)).as("pr"))
+      .select(col("pr.col_a").as("col_a"), col("pr.col_b").as("col_b"),
+        col("n"),
+        when(varA > 0.0 && varB > 0.0,
+          round((nD * col("pr.sp") - col("pr.sa") * col("pr.sb")) /
+            (sqrt(varA) * sqrt(varB)), 6))
+          .as("r"))
+      .orderBy("col_a", "col_b")
+  }
 }

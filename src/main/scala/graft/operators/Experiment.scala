@@ -298,4 +298,155 @@ object Experiment {
         min(when(col("rn") === hiRank, col("mean_r"))).as("ci_hi"))
     point.join(ci, Seq("group_key")).orderBy("group_key")
   }
+
+  /** Welch's unequal-variance t-test between two arms on a CONTINUOUS
+    * metric — the [[abTest]] companion for value metrics (revenue per
+    * user, latency, tokens emitted) where the proportion z-test does
+    * not apply and pooling variances (Student's t) is wrong whenever
+    * the treatment changes the SPREAD as well as the mean — which is
+    * exactly what pipeline changes do.
+    *
+    *   t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)
+    *   df = (v_a/n_a + v_b/n_b)² /
+    *        ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))   (Welch '47)
+    *
+    * 100 TB shape: ONE conditional aggregation with map-side partials
+    * (6 sums), one output row — the [[abTest]] missing-arm discipline:
+    * a zero-unit arm surfaces as n=0 with NULL moments, never an empty
+    * frame.
+    *
+    * Determinism: x quantized round(·,6) into exact DECIMAL(38,6)
+    * sums; squares round(·,4) into DECIMAL(38,4) (tick bound: Σx²
+    * must stay under the 2^53 double-cast ceiling — holds for
+    * metric-scale values; pre-scale huge units). Sample variance via
+    * the moment identity v = (Σx² − (Σx)²/n)/(n−1) in IEEE doubles on
+    * the exact decimal sums (deterministic; the quantization, not the
+    * cancellation, bounds the error — documented contract). v < 0
+    * from quantization noise clamps to 0. Arms with n < 2 or a zero
+    * standard error yield NULL t/df, not a divide error.
+    *
+    * Output: ONE row — (n_a, n_b, mean_a, mean_b, var_a, var_b, t,
+    * df), means/vars/t/df 6dp. */
+  def welchT(
+      units: DataFrame,
+      variant: Column,
+      value: Column,
+      variantA: String,
+      variantB: String): DataFrame = {
+    require(variantA != variantB, "the two arms must differ")
+    def arm(label: String, e: Column): Column =
+      sum(when(col("arm") === label, e))
+    val g = units
+      .select(variant.as("arm"), round(value.cast("double"), 6).as("x"))
+      .filter(col("arm").isin(variantA, variantB) && col("x").isNotNull)
+      .agg(
+        coalesce(arm(variantA, lit(1L)), lit(0L)).as("n_a"),
+        coalesce(arm(variantB, lit(1L)), lit(0L)).as("n_b"),
+        arm(variantA, col("x").cast("decimal(38,6)")).as("sa"),
+        arm(variantB, col("x").cast("decimal(38,6)")).as("sb"),
+        arm(variantA, round(col("x") * col("x"), 4).cast("decimal(38,4)")).as("qa"),
+        arm(variantB, round(col("x") * col("x"), 4).cast("decimal(38,4)")).as("qb"))
+    def mean(s: String, n: String): Column =
+      when(col(n) > 0, col(s).cast("double") / col(n).cast("double"))
+    def variance(q: String, s: String, n: String): Column =
+      when(col(n) >= 2, greatest(
+        (col(q).cast("double") -
+          col(s).cast("double") * col(s).cast("double") /
+            col(n).cast("double")) /
+          (col(n).cast("double") - 1.0),
+        lit(0.0)))
+    val se2 = variance("qa", "sa", "n_a") / col("n_a").cast("double") +
+      variance("qb", "sb", "n_b") / col("n_b").cast("double")
+    val t = when(sqrt(se2) > 0.0,
+      (mean("sa", "n_a") - mean("sb", "n_b")) / sqrt(se2))
+    val dfW = {
+      val ra = variance("qa", "sa", "n_a") / col("n_a").cast("double")
+      val rb = variance("qb", "sb", "n_b") / col("n_b").cast("double")
+      when(se2 > 0.0, (se2 * se2) /
+        (ra * ra / (col("n_a").cast("double") - 1.0) +
+          rb * rb / (col("n_b").cast("double") - 1.0)))
+    }
+    g.select(col("n_a"), col("n_b"),
+      round(mean("sa", "n_a"), 6).as("mean_a"),
+      round(mean("sb", "n_b"), 6).as("mean_b"),
+      round(variance("qa", "sa", "n_a"), 6).as("var_a"),
+      round(variance("qb", "sb", "n_b"), 6).as("var_b"),
+      round(t, 6).as("t"),
+      round(dfW, 6).as("df"))
+  }
+
+  /** Mann–Whitney U rank-sum test between two arms — the distribution-
+    * free companion to [[welchT]]: when the metric is heavy-tailed,
+    * censored, or ordinal (latencies, scores with clamps), the rank
+    * test answers "does one arm stochastically dominate" without a
+    * normality assumption on the values. Average ranks for ties with
+    * the tie-corrected normal approximation (Mann & Whitney '47;
+    * standard large-sample form):
+    *
+    *   U_a = R_a − n_a(n_a+1)/2,  μ = n_a·n_b/2
+    *   σ² = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))),  z = (U_a − μ)/σ
+    *
+    * Rank mechanics are the [[Eval.spearman]] grouped-value form: ONE
+    * aggregation to (value, cnt, cnt_a) rows — the only thing that
+    * scales with data — then a cardinality-guarded cumulative window
+    * over DISTINCT values computes 2·avgrank = 2·(cum−cnt)+cnt+1
+    * exactly; R_a rides Σ cnt_a·r2 in DECIMAL(38,0) half-units
+    * (integer-exact, no float ranks anywhere). The tie term Σ(t³−t)
+    * is decimal-exact. The only IEEE ops are the final U/z readouts.
+    *
+    * 100 TB shape: one map-side-collapsing value aggregation, the
+    * spearman one-task guarded window over distinct VALUES (quantize
+    * via round(·,6) input discipline; the guard names the fix), one
+    * output row.
+    *
+    * Degenerate cases: an empty arm → NULL u_a/z; all values tied
+    * (σ = 0) → z NULL (no ordering evidence), u_a still reported.
+    *
+    * Output: ONE row — (n_a, n_b, u_a [may end in .5 under ties —
+    * exact], z 6dp). */
+  def mannWhitneyU(
+      units: DataFrame,
+      variant: Column,
+      value: Column,
+      variantA: String,
+      variantB: String,
+      maxDistinct: Long = 10000000L): DataFrame = {
+    require(variantA != variantB, "the two arms must differ")
+    val rows = units
+      .select(variant.as("arm"), round(value.cast("double"), 6).as("v"))
+      .filter(col("arm").isin(variantA, variantB) && col("v").isNotNull)
+    val counts = rows.groupBy("v").agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("arm") === variantA, 1L).otherwise(0L)).as("cnt_a"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = Eval.inlineCardinalityGuard(
+        counts, col("v"), maxDistinct, "mannWhitneyU")
+      .select(col("cnt"), col("cnt_a"),
+        (lit(2) * (sum("cnt").over(w) - col("cnt")) + col("cnt") + 1)
+          .as("r2")) // 2·avgrank — integer-exact under ties
+    // DECIMAL(19,0) operands keep every product inside the 38-digit
+    // multiply ceiling BOTH engines enforce; cnt² rides a long first
+    // (safe to cnt ~ 3e9 — one tied value holding 3e9 rows)
+    val g = ranked.agg(
+      coalesce(sum(col("cnt_a")), lit(0L)).as("n_a"),
+      coalesce(sum(col("cnt") - col("cnt_a")), lit(0L)).as("n_b"),
+      coalesce(sum(col("cnt_a").cast("decimal(19,0)") *
+        col("r2").cast("decimal(19,0)")),
+        lit(0).cast("decimal(38,0)")).as("r2a"),
+      coalesce(sum((col("cnt") * col("cnt")).cast("decimal(19,0)") *
+        col("cnt").cast("decimal(19,0)") - col("cnt")),
+        lit(0).cast("decimal(38,0)")).as("t3"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val n = nA + nB
+    val uA = (col("r2a").cast("double") - nA * (nA + 1.0)) / 2.0
+    val sigma2 = nA * nB / 12.0 *
+      ((n + 1.0) - col("t3").cast("double") / (n * (n - 1.0)))
+    val z = when(col("n_a") > 0 && col("n_b") > 0 && sigma2 > 0.0,
+      (uA - nA * nB / 2.0) / sqrt(sigma2))
+    g.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, uA).as("u_a"),
+      round(z, 6).as("z"))
+  }
 }

@@ -243,6 +243,33 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     assert(got(1) == (("s", 4L, 2L, -8.0, 4.0)))
   }
 
+  test("benfordDigits: string digit extraction, all 9 digits kept, sub-unit rows excluded") {
+    // digits: 1 (from 1.5 and 19), 2 (250, 2.0), 3 (31), 9 (950);
+    // 0.5 is below the v >= 1 contract line
+    val df = Seq(1.5, 19.0, 250.0, 2.0, 31.0, 950.0, 0.5).toDF("v")
+    val got = Drift.benfordDigits(df, col("v"))
+      .as[(Long, Long, Option[Double], Double, Option[Double])].collect()
+    assert(got.length == 9 && got.map(_._1).toSeq == (1L to 9L))
+    val byD = got.map(r => r._1 -> r).toMap
+    assert(byD(1L)._2 == 2L && byD(2L)._2 == 2L &&
+      byD(3L)._2 == 1L && byD(9L)._2 == 1L)
+    assert(byD(4L)._2 == 0L, "zero-count digits kept, not dropped")
+    assert(byD(1L)._3.contains(0.333333)) // 2/6 — the 0.5 row is out
+    assert(byD(1L)._4 == 0.30103, "expected share is log10(2) at 6dp")
+    // chi2 term for digit 1: e = 6·log10(2); (2−e)²/e at 9dp
+    val e1 = 6.0 * math.log10(2.0)
+    val want = BigDecimal((2.0 - e1) * (2.0 - e1) / e1)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byD(1L)._5.contains(want), s"got ${byD(1L)._5}")
+  }
+
+  test("benfordDigits: empty input gives 9 rows with zero counts and NULL shares") {
+    val got = Drift.benfordDigits(Seq.empty[Double].toDF("v"), col("v"))
+      .as[(Long, Long, Option[Double], Double, Option[Double])].collect()
+    assert(got.length == 9)
+    assert(got.forall(r => r._2 == 0L && r._3.isEmpty && r._5.isEmpty))
+  }
+
   test("weekdayAnomaly: slot-relative spike and dip flags, zero-filled days kept") {
     // 21 days [100, 120], one group; weekday slot = di % 7.
     // Slot 3 (days 101/108/115): counts 1,1,10 → 115 is a spike

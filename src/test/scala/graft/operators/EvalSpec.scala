@@ -436,4 +436,36 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     assert(top._4 > 3 * bottom._4,
       s"rank-1 agreement ${top._4} must dominate rank-10 ${bottom._4}")
   }
+
+  test("corrMatrix: exact ±1 on linear pairs, NULL on a constant column, hand value") {
+    val df = Seq((1.0, 2.0, -1.0, 7.0, 1.0), (2.0, 4.0, -2.0, 7.0, 3.0),
+      (3.0, 6.0, -3.0, 7.0, 2.0))
+      .toDF("x", "y2x", "negx", "c", "w")
+    val got = Eval.corrMatrix(df, Seq(
+      "c" -> col("c"), "negx" -> col("negx"), "w" -> col("w"),
+      "x" -> col("x"), "y2x" -> col("y2x")))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got.size == 10)
+    assert(got(("x", "y2x")).contains(1.0))
+    assert(got(("negx", "x")).contains(-1.0))
+    // constant column: zero variance → NULL for every pair with it
+    assert(got(("c", "x")).isEmpty && got(("c", "w")).isEmpty)
+    // x=(1,2,3), w=(1,3,2): r = (3·13 − 36)/sqrt(6)·sqrt(6) = 0.5
+    assert(got(("w", "x")).contains(0.5), s"got ${got(("w", "x"))}")
+  }
+
+  test("corrMatrix: listwise-complete n; pair order follows the caller") {
+    val df = Seq((Some(1.0), Some(1.0), Some(1.0)),
+      (Some(2.0), Some(3.0), None), // null in ANY column drops the row
+      (Some(3.0), Some(2.0), Some(2.0)),
+      (Some(4.0), Some(4.0), Some(3.0)))
+      .toDF("a", "b", "c")
+    val got = Eval.corrMatrix(df,
+      Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")))
+      .as[(String, String, Long, Option[Double])].collect()
+    assert(got.forall(_._3 == 3L), s"listwise n must be 3: ${got.toSeq}")
+    assert(got.map(r => (r._1, r._2)).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+  }
 }

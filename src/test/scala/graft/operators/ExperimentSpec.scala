@@ -162,4 +162,65 @@ class ExperimentSpec extends AnyFunSuite with SparkSpec {
     assert(one.length == 1 && one.head.getAs[Long]("n_a") == 0L)
     assert(one.head.isNullAt(one.head.fieldIndex("lift")))
   }
+
+  test("welchT: hand-computed t and Satterthwaite df; zero-variance arm") {
+    // a = 1,2,3,4 (mean 2.5, var 5/3), b = 2,2,2,2 (var 0):
+    // se² = (5/3)/4 = 5/12; t = .5/sqrt(5/12); df = se²²/(se²²/3) = 3
+    val units = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+      Seq.fill(4)(("b", 2.0))).toDF("arm", "v")
+    val got = Experiment.welchT(units, col("arm"), col("v"), "a", "b")
+      .collect().head
+    assert(got.getAs[Long]("n_a") == 4L && got.getAs[Long]("n_b") == 4L)
+    assert(got.getAs[Double]("mean_a") == 2.5 && got.getAs[Double]("mean_b") == 2.0)
+    assert(got.getAs[Double]("var_a") == 1.666667 && got.getAs[Double]("var_b") == 0.0)
+    assert(got.getAs[Double]("t") == 0.774597, s"got $got")
+    assert(got.getAs[Double]("df") == 3.0, s"got $got")
+  }
+
+  test("welchT: missing arm surfaces as n=0 with NULLs; both-constant arms give NULL t") {
+    val aOnly = Seq(("a", 1.0), ("a", 2.0)).toDF("arm", "v")
+    val m = Experiment.welchT(aOnly, col("arm"), col("v"), "a", "b")
+      .collect().head
+    assert(m.getAs[Long]("n_b") == 0L && m.isNullAt(m.fieldIndex("mean_b")))
+    assert(m.isNullAt(m.fieldIndex("t")) && m.isNullAt(m.fieldIndex("df")))
+    val const = (Seq.fill(3)(("a", 5.0)) ++ Seq.fill(3)(("b", 7.0)))
+      .toDF("arm", "v")
+    val c = Experiment.welchT(const, col("arm"), col("v"), "a", "b")
+      .collect().head
+    assert(c.getAs[Double]("var_a") == 0.0 && c.isNullAt(c.fieldIndex("t")),
+      "zero pooled spread carries no evidence — NULL, not a divide error")
+  }
+
+  test("mannWhitneyU: untied hand case, exact .5 half-unit U under ties") {
+    // a = {1,2}, b = {3,4}: R_a = 3, U_a = 0, σ² = 5/3, z = −2/sqrt(5/3)
+    val clean = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("arm", "v")
+    val g1 = Experiment.mannWhitneyU(clean, col("arm"), col("v"), "a", "b")
+      .collect().head
+    assert(g1.getAs[Long]("n_a") == 2L && g1.getAs[Long]("n_b") == 2L)
+    assert(g1.getAs[Double]("u_a") == 0.0)
+    assert(g1.getAs[Double]("z") == -1.549193, s"got $g1")
+    // a = {1,2}, b = {2,3}: the shared 2 gets avgrank 2.5 → R_a = 3.5,
+    // U_a = 0.5 EXACTLY; tie term t³−t = 6 → σ² = 1.5
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("arm", "v")
+    val g2 = Experiment.mannWhitneyU(tied, col("arm"), col("v"), "a", "b")
+      .collect().head
+    assert(g2.getAs[Double]("u_a") == 0.5, s"got $g2")
+    assert(g2.getAs[Double]("z") == -1.224745, s"got $g2")
+  }
+
+  test("mannWhitneyU: all-tied gives U but NULL z; empty arm gives NULL U and z") {
+    val allTied = (Seq.fill(2)(("a", 1.0)) ++ Seq.fill(2)(("b", 1.0)))
+      .toDF("arm", "v")
+    val g = Experiment.mannWhitneyU(allTied, col("arm"), col("v"), "a", "b")
+      .collect().head
+    // single value, cnt 4: avgrank 2.5, R_a = 5, U_a = 2; σ² = 0
+    assert(g.getAs[Double]("u_a") == 2.0 && g.isNullAt(g.fieldIndex("z")))
+    val aOnly = Seq(("a", 1.0)).toDF("arm", "v")
+    val e = Experiment.mannWhitneyU(aOnly, col("arm"), col("v"), "a", "b")
+      .collect().head
+    assert(e.getAs[Long]("n_a") == 1L && e.getAs[Long]("n_b") == 0L)
+    assert(e.isNullAt(e.fieldIndex("u_a")) && e.isNullAt(e.fieldIndex("z")))
+  }
 }
