@@ -2929,9 +2929,12 @@ object ExtQueries {
        |ORDER BY sp.digit""".stripMargin
   }
 
-  /** Correlation-matrix replay: one moment CTE (6dp values, 4dp
-    * product ticks, decimal sums), then one SELECT per pair over it —
-    * the same exact-decimal-to-double readout as the engine. */
+  /** Correlation-matrix replay: 6dp tick BIGINTs via the cross-engine-
+    * safe scale-0 round, exact long products into DECIMAL(26,0) sums,
+    * the n·Σxy − Σx·Σy cancellation in tightly-cast DECIMALs (9·29 and
+    * 19² products re-capped at 37 digits so the subtraction fits both
+    * engines' 38-digit ceiling), doubles only for the final
+    * divide+sqrt — Eval.corrMatrix's exact chain. */
   private val CorrMatrixOracle: String = {
     val cols = Seq(
       "disc100" -> "CAST(l_discount AS DOUBLE) * 100",
@@ -2939,25 +2942,30 @@ object ExtQueries {
       "qty" -> "CAST(l_quantity AS DOUBLE)",
       "tax100" -> "CAST(l_tax AS DOUBLE) * 100")
     val names = cols.map(_._1)
-    val sel = cols.map { case (n, e) => s"round($e, 6) AS $n" }.mkString(",\n    ")
+    val sel = cols.map { case (n, e) =>
+      s"CAST(round(($e) * 1000000, 0) AS BIGINT) AS $n" }.mkString(",\n    ")
     val notNull = names.map(n => s"$n IS NOT NULL").mkString(" AND ")
     val pairs = for {
       i <- names.indices; j <- (i + 1) until names.size
     } yield (names(i), names(j))
     val moments =
-      (names.map(n => s"SUM(CAST($n AS DECIMAL(38,6))) AS s_$n") ++
-        names.map(n => s"SUM(CAST(round($n * $n, 4) AS DECIMAL(38,4))) AS q_$n") ++
+      (names.map(n => s"CAST(SUM($n) AS BIGINT) AS s_$n") ++
+        names.map(n => s"SUM(CAST($n * $n AS DECIMAL(26,0))) AS q_$n") ++
         pairs.map { case (a, b) =>
-          s"SUM(CAST(round($a * $b, 4) AS DECIMAL(38,4))) AS p_${a}_$b" })
+          s"SUM(CAST($a * $b AS DECIMAL(26,0))) AS p_${a}_$b" })
         .mkString(",\n    ")
-    def d(c: String) = s"CAST($c AS DOUBLE)"
+    def cancel(prod: String, sa: String, sb: String): String =
+      s"""CAST(CAST(CAST(n AS DECIMAL(9,0)) * CAST($prod AS DECIMAL(29,0))
+         |      AS DECIMAL(37,0))
+         |    - CAST(CAST($sa AS DECIMAL(19,0)) * CAST($sb AS DECIMAL(19,0))
+         |      AS DECIMAL(37,0)) AS DOUBLE)""".stripMargin
     val rows = pairs.map { case (a, b) =>
-      val va = s"(${d("n")} * ${d(s"q_$a")} - ${d(s"s_$a")} * ${d(s"s_$a")})"
-      val vb = s"(${d("n")} * ${d(s"q_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")})"
+      val num = cancel(s"p_${a}_$b", s"s_$a", s"s_$b")
+      val va = cancel(s"q_$a", s"s_$a", s"s_$a")
+      val vb = cancel(s"q_$b", s"s_$b", s"s_$b")
       s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
          |  CASE WHEN $va > 0.0 AND $vb > 0.0 THEN
-         |    round((${d("n")} * ${d(s"p_${a}_$b")} - ${d(s"s_$a")} * ${d(s"s_$b")})
-         |      / (sqrt($va) * sqrt($vb)), 6) END AS r
+         |    round($num / (sqrt($va) * sqrt($vb)), 6) END AS r
          |FROM g""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH b AS (

@@ -771,15 +771,31 @@ object Eval {
     * pairwise-complete would need per-pair n and is a different
     * operator).
     *
-    * Determinism: inputs quantized round(·,6); squares and cross
-    * products round(·,4) into exact DECIMAL(38,4) sums (Σ ticks must
-    * stay under the 2^53 double-cast ceiling — pre-scale columns so
-    * |x·y| ≲ 10⁴ at your row count; Pearson is invariant under
-    * positive affine scaling, so rescaling is free); the final r is
-    * IEEE arithmetic on the exact decimal sums cast to double (the
-    * lagAutocorr readout pattern), rounded 6dp. A zero-variance
-    * column yields NULL r for its pairs (guarded), not a divide
-    * error.
+    * Arithmetic (the r14 CorrMomentsProbe receipt — this formulation
+    * is ~7× faster than per-row round→DECIMAL(38) moment sums, 0.88 s
+    * vs 6.07 s median at sf0.1×32c, because the hot loop is long
+    * multiplies instead of BigDecimal rounds): each value becomes a
+    * 6dp tick LONG once via round(x·10⁶, 0) — scale-0 round is
+    * cross-engine safe (no scaled-double re-round; both engines round
+    * the SAME double) — so every square/cross product is ONE exact
+    * long multiply (12dp ticks), summed into DECIMAL(26,0)→(38,0).
+    * Pre-scale contract: |x| ≤ ~2·10³ keeps xt·yt < 2^63 (Pearson is
+    * affine-invariant, rescaling is free); row-count bound ~10⁸ per
+    * the DECIMAL(29,0) operand cast below.
+    *
+    * The CANCELLATION runs IN DECIMAL — num = n·Σxy − Σx·Σy and both
+    * variance terms are computed exactly with tight operand casts
+    * (DECIMAL(9,0)·DECIMAL(29,0), DECIMAL(19,0)² — inside both
+    * engines' 38-digit multiply ceiling) — and only the three FINAL
+    * quantities are cast to double. Those can exceed 2^53 ticks, but
+    * a last-ulp cast difference on post-cancellation operands moves r
+    * by ~1e-16 relative — harmless at 6dp; casting the RAW moment
+    * sums instead (the lagAutocorr pattern) would amplify that ulp
+    * through the subtraction, which is why the cancellation must not
+    * happen in doubles here. Tick units cancel exactly (all three
+    * operands carry 10¹² ticks per value²), so no rescaling divide
+    * ever appears. A zero-variance column yields NULL r for its pairs
+    * (guarded), not a divide error.
     *
     * Output: (col_a, col_b, n, r) — one row per unordered pair
     * (a before b in the caller's column order), ordered (col_a,
@@ -792,33 +808,42 @@ object Eval {
     val pairs = for {
       i <- names.indices; j <- (i + 1) until names.size
     } yield (names(i), names(j))
+    // 6dp tick longs, ONE scale-0 round per value per row
     val base = df.select(cols.map { case (n, c) =>
-        round(c.cast("double"), 6).as(n) }: _*)
+        round(c.cast("double") * 1e6, 0).cast("long").as(n) }: _*)
       .filter(names.map(n => col(n).isNotNull).reduce(_ && _))
     val aggs =
-      names.map(n => sum(col(n).cast("decimal(38,6)")).as(s"s_$n")) ++
+      names.map(n => sum(col(n)).as(s"s_$n")) ++ // 6dp ticks, exact longs
         names.map(n =>
-          sum(round(col(n) * col(n), 4).cast("decimal(38,4)")).as(s"q_$n")) ++
+          sum((col(n) * col(n)).cast("decimal(26,0)")).as(s"q_$n")) ++
         pairs.map { case (a, b) =>
-          sum(round(col(a) * col(b), 4).cast("decimal(38,4)")).as(s"p_${a}_$b") }
+          sum((col(a) * col(b)).cast("decimal(26,0)")).as(s"p_${a}_$b") }
     val g = base.agg(count(lit(1)).as("n"), aggs: _*)
+    def nDec = col("n").cast("decimal(9,0)")
+    def big(c: Column) = c.cast("decimal(29,0)")
+    def sDec(c: Column) = c.cast("decimal(19,0)")
+    // products re-capped at DECIMAL(37,0) so the subtraction's width
+    // stays inside BOTH engines' 38-digit ceiling (add widens by 1)
+    def d37(c: Column) = c.cast("decimal(37,0)")
     val pairRows = pairs.map { case (a, b) =>
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        col(s"s_$a").cast("double").as("sa"),
-        col(s"s_$b").cast("double").as("sb"),
-        col(s"q_$a").cast("double").as("qa"),
-        col(s"q_$b").cast("double").as("qb"),
-        col(s"p_${a}_$b").cast("double").as("sp"))
+        // exact decimal cancellation; double only at the very edge
+        (d37(nDec * big(col(s"p_${a}_$b"))) -
+          d37(sDec(col(s"s_$a")) * sDec(col(s"s_$b"))))
+          .cast("double").as("num"),
+        (d37(nDec * big(col(s"q_$a"))) -
+          d37(sDec(col(s"s_$a")) * sDec(col(s"s_$a"))))
+          .cast("double").as("var_a"),
+        (d37(nDec * big(col(s"q_$b"))) -
+          d37(sDec(col(s"s_$b")) * sDec(col(s"s_$b"))))
+          .cast("double").as("var_b"))
     }
-    val nD = col("n").cast("double")
-    val varA = nD * col("pr.qa") - col("pr.sa") * col("pr.sa")
-    val varB = nD * col("pr.qb") - col("pr.sb") * col("pr.sb")
     g.select(col("n"), explode(array(pairRows: _*)).as("pr"))
       .select(col("pr.col_a").as("col_a"), col("pr.col_b").as("col_b"),
         col("n"),
-        when(varA > 0.0 && varB > 0.0,
-          round((nD * col("pr.sp") - col("pr.sa") * col("pr.sb")) /
-            (sqrt(varA) * sqrt(varB)), 6))
+        when(col("pr.var_a") > 0.0 && col("pr.var_b") > 0.0,
+          round(col("pr.num") /
+            (sqrt(col("pr.var_a")) * sqrt(col("pr.var_b"))), 6))
           .as("r"))
       .orderBy("col_a", "col_b")
   }

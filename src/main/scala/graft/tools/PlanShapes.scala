@@ -43,7 +43,10 @@ object PlanShapes {
     "ext_ht_mean",
     "ext_bucket_pruned_lookup", "ext_zorder_scan", "ext_bloom_semijoin",
     "ext_cube_agg", "ext_pivot_counts", "ext_theilsen",
-    "ext_ann_ivf_recall", "ext_ann_pq_recall", "ext_incremental_agg")
+    "ext_ann_ivf_recall", "ext_ann_pq_recall", "ext_incremental_agg",
+    // r14 batch 2 (this session's 8 — baselined from their birth round)
+    "ext_bfs_hops", "ext_ewma", "ext_cusum", "ext_weekday_anomaly",
+    "ext_benford", "ext_corr_matrix", "ext_welch_t", "ext_mann_whitney")
 
   final case class ScanFacts(
       partitionFilters: Seq[String], pushedFilters: String,
