@@ -2601,7 +2601,53 @@ object ExtQueries {
     //    (Experiment.mannWhitneyU scaladoc).
     "ext_mann_whitney" -> ((s, dir) =>
       graft.operators.Experiment.mannWhitneyU(t(s, dir, "events"),
-        col("event_type"), col("value"), "click", "view"))
+        col("event_type"), col("value"), "click", "view")),
+
+    // ── PR-AUC over the same stopword-score classifier as ext_roc_auc
+    //    — the imbalanced-eval readout ROC hides; block-exact step AP
+    //    over score groups (Eval.prAuc scaladoc).
+    "ext_pr_auc" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nTokens = size(filter(split(col("text"), " "),
+        tk => length(tk) > 0))
+      val scored = d
+        .filter(col("text").isNotNull && nTokens > 0)
+        .select(
+          (graft.functions.expressions.GraftFunctions.token_match_count(
+            col("text"), Seq("the", "a", "and", "of")).cast("double") /
+            nTokens.cast("double")).as("score"),
+          (col("lang") === "en").as("label"))
+      graft.operators.Eval.prAuc(scored, col("score"), col("label"))
+    }),
+
+    // ── k-anonymity audit over (nation, market segment) as the
+    //    quasi-identifier tuple: every combination with its occupancy
+    //    and the n < 5 re-identification flag — all combinations kept
+    //    (Privacy.kAnonymity scaladoc; pure integer arithmetic).
+    "ext_k_anonymity" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymity(t(s, dir, "customer"), Seq(
+        "c_nationkey" -> col("c_nationkey"),
+        "c_mktsegment" -> col("c_mktsegment")), k = 5)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // ── ε-DP count release per event type: real Laplace calibration,
+    //    SEEDED md5-derived uniforms (replayable release — re-running
+    //    must not refresh the noise), the 13-hex-digit positional
+    //    uniform and 9dp-quantized ln (Privacy.dpLaplaceCounts
+    //    scaladoc).
+    "ext_dp_counts" -> ((s, dir) =>
+      graft.operators.Privacy.dpLaplaceCounts(
+        t(s, dir, "events"), col("event_type"), epsilon = 1.0)
+        .orderBy("group_key")),
+
+    // ── Gopher/C4-style hard rule screen with per-rule attribution:
+    //    five divide-free integer gates + 6dp ratio readouts per doc
+    //    (TextPipeline.qualityRuleScreen scaladoc) — the tunable
+    //    complement to ext_text_quality's continuous score.
+    "ext_quality_rules" -> ((s, dir) =>
+      TextPipeline.qualityRuleScreen(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id"))
   )
 
   /** Mechanical unroll of [[graft.operators.Similarity.pcaPower]]'s
@@ -3083,6 +3129,132 @@ object ExtQueries {
         |    round((u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
         |      / sqrt(sigma2), 6) END AS z
         |FROM g2""".stripMargin,
+
+    // PR-AUC replay: the roc_auc scored CTE, descending-score block
+    // windows, per-block 9dp terms into a decimal sum.
+    "ext_pr_auc" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> list_contains(['the', 'a', 'and', 'of'], tk))) AS DOUBLE) /
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> len(tk) > 0)) AS DOUBLE) AS score,
+        |    lang = 'en' AS label
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(list_filter(string_split(text, ' '),
+        |    tk -> len(tk) > 0)) > 0),
+        |g AS (
+        |  SELECT score AS sc, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN COALESCE(label, false) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np
+        |  FROM s GROUP BY 1),
+        |c AS (
+        |  SELECT n, np,
+        |    SUM(np) OVER (ORDER BY sc DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+        |    SUM(n) OVER (ORDER BY sc DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    SUM(np) OVER () AS n_pos_all
+        |  FROM g),
+        |tt AS (
+        |  SELECT n, np,
+        |    CAST(CASE WHEN n_pos_all > 0 THEN
+        |      round((CAST(np AS DOUBLE) * CAST(cum_tp AS DOUBLE))
+        |        / (CAST(n_pos_all AS DOUBLE) * CAST(cum_n AS DOUBLE)), 9)
+        |      ELSE 0.0 END AS DECIMAL(28,9)) AS t
+        |  FROM c)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(n - np) AS BIGINT) AS n_neg,
+        |  CASE WHEN SUM(np) > 0
+        |    THEN round(CAST(SUM(t) AS DOUBLE), 6) END AS pr_auc
+        |FROM tt""".stripMargin,
+
+    // k-anonymity replay: one GROUP BY, one integer comparison.
+    "ext_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  COUNT(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // DP-counts replay: md5(key || ':42'), the 13-digit positional
+    // uniform over 2^52 (exact power-of-two divide), 9dp-quantized ln,
+    // 6dp noise — the identical deterministic release.
+    "ext_dp_counts" ->
+      """WITH g AS (
+        |  SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__')
+        |    AS group_key, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |hh AS (SELECT group_key, n, md5(group_key || ':42') AS h FROM g),
+        |u AS (SELECT group_key, n,
+        |  (CAST((
+        |    (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 281474976710656
+        |    + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 17592186044416
+        |    + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 1099511627776
+        |    + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 68719476736
+        |    + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 4294967296
+        |    + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 268435456
+        |    + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 16777216
+        |    + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1) * 1048576
+        |    + (strpos('0123456789abcdef', substring(h, 9, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substring(h, 11, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substring(h, 12, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substring(h, 13, 1)) - 1) * 1
+        |  ) AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+        |  FROM hh)
+        |SELECT group_key,
+        |  round(CAST(n AS DOUBLE) + round(
+        |    (CASE WHEN u - 0.5 >= 0 THEN -1.0 ELSE 1.0 END)
+        |      * round(ln(1.0 - 2.0 * abs(u - 0.5)), 9) / 1.0, 6), 6)
+        |    AS noisy_n,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM u ORDER BY group_key""".stripMargin,
+
+    // Quality-rule replay: the same list/regex counters ('g' flag —
+    // DuckDB replaces first match by default, Spark replaces all) and
+    // the same divide-free integer gates.
+    "ext_quality_rules" ->
+      """WITH b AS (
+        |  SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(t, ' '),
+        |    w -> len(w) > 0)) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(t, ' ', '', 'g')) AS BIGINT)
+        |    AS char_len,
+        |  CAST(len(list_filter(string_split(t, ' '),
+        |    w -> len(w) > 0 AND regexp_matches(w, '[A-Za-z]')))
+        |    AS BIGINT) AS alpha_words,
+        |  CAST(length(regexp_replace(t, '[A-Za-z0-9 ]', '', 'g'))
+        |    AS BIGINT) AS symbols,
+        |  CAST(length(t) AS BIGINT) AS total_chars,
+        |  CAST(len(list_filter(string_split(t, ' '),
+        |    w -> list_contains(['the', 'a', 'and', 'of', 'to', 'in'], w)))
+        |    AS BIGINT) AS stop_hits
+        |  FROM b)
+        |SELECT doc_id, n_words,
+        |  CASE WHEN n_words > 0 THEN round(
+        |    CAST(char_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END
+        |    AS mean_word_len,
+        |  CASE WHEN n_words > 0 THEN round(
+        |    CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END
+        |    AS alpha_frac,
+        |  CASE WHEN total_chars > 0 THEN round(
+        |    CAST(symbols AS DOUBLE) / CAST(total_chars AS DOUBLE), 6) END
+        |    AS symbol_frac,
+        |  stop_hits,
+        |  n_words >= 5 AND n_words <= 10000 AS r_len,
+        |  n_words > 0 AND char_len >= n_words * 2
+        |    AND char_len <= n_words * 12 AS r_wordlen,
+        |  n_words > 0 AND alpha_words * 10 >= n_words * 7 AS r_alpha,
+        |  stop_hits >= 2 AS r_stop,
+        |  symbols * 10 <= total_chars AS r_symbol,
+        |  (n_words >= 5 AND n_words <= 10000)
+        |    AND (n_words > 0 AND char_len >= n_words * 2
+        |      AND char_len <= n_words * 12)
+        |    AND (n_words > 0 AND alpha_words * 10 >= n_words * 7)
+        |    AND (stop_hits >= 2)
+        |    AND (symbols * 10 <= total_chars) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // CUSUM replay: 6dp-tick decimal daily totals, the integer-exact
     // scaled scan S_d = n·P_d − d·T in DECIMAL(38,6) (28,6 operands so

@@ -353,6 +353,64 @@ object Eval {
               .cast("double")).as("auc"))
   }
 
+  /** PR-AUC (average precision), the [[rocAuc]] companion for the
+    * imbalanced case every quality-classifier eval lives in: with 1%
+    * positives a model can hold AUC ≈ 0.9 while flooding the keep-set
+    * with false positives — precision-recall exposes that, ROC hides
+    * it. Block-exact step form over score GROUPS (ties are a block,
+    * not an arbitrary order):
+    *
+    *   AP = Σ_blocks (R_i − R_{i−1}) · P_i,
+    *   P_i = tp_i / n_i^cum,  R_i = tp_i / n_pos   (score descending)
+    *
+    * — equal to classic AP when scores are distinct, and a
+    * deterministic tie-consistent value (no per-row order dependence)
+    * when they are not.
+    *
+    * Same machinery and guard as [[rocAuc]]: one aggregation to the
+    * distinct-score table (the only data-sized step), a guarded
+    * cumulative window over score blocks, one output row. Each block
+    * term is IEEE arithmetic on exact integer counts quantized
+    * round(·,9) into a DECIMAL(28,9) sum (products stay under 2^53
+    * for n ≲ 10⁸ rows — quantize scores for bigger eval sets).
+    *
+    * Output: ONE row — (n_pos, n_neg, pr_auc 6dp); NULL pr_auc when
+    * there are no positives (undefined, not zero). */
+  def prAuc(scored: DataFrame, score: Column, label: Column,
+      quantize: Option[Int] = None,
+      maxDistinct: Long = 10000000L): DataFrame = {
+    val sRaw = score.cast("double")
+    val s = quantize.map(d => round(sRaw, d)).getOrElse(sRaw)
+    val perScore = scored
+      .select(s.as("s"),
+        when(coalesce(label, lit(false)), 1L).otherwise(0L).as("y"))
+      .filter(col("s").isNotNull)
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"), sum("y").as("np"))
+    val wDesc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val d = (c: Column) => c.cast("double")
+    val term = when(col("n_pos_all") > 0, round(
+      (d(col("np")) * d(col("cum_tp"))) /
+        (d(col("n_pos_all")) * d(col("cum_n"))), 9))
+      .otherwise(lit(0.0))
+    inlineCardinalityGuard(perScore, col("s").desc, maxDistinct, "prAuc")
+      .select(col("n"), col("np"),
+        sum("np").over(wDesc).as("cum_tp"),
+        sum("n").over(wDesc).as("cum_n"),
+        sum("np").over(wAll).as("n_pos_all"))
+      .select(col("n"), col("np"),
+        term.cast("decimal(28,9)").as("t"))
+      .agg(sum("np").as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"),
+        sum("t").as("ap"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0, round(col("ap").cast("double"), 6))
+          .as("pr_auc"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two labelers
     * (human raters, model vs heuristic, two model generations):
     *

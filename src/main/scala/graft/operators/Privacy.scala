@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Privacy screens for data release — the gate a pipeline runs
+  * before handing aggregates or slices to a downstream consumer who
+  * must not be able to re-identify rows: k-anonymity (does any
+  * quasi-identifier combination isolate fewer than k individuals?) and
+  * ε-differentially-private counts (release group volumes with
+  * calibrated Laplace noise instead of exact values).
+  *
+  * Both are single-aggregation operators: one map-side-collapsing
+  * groupBy each, output bounded by the number of combinations/groups —
+  * the 100 TB shape is the B12 class (a billion rows cost one scan).
+  */
+object Privacy {
+
+  /** k-anonymity audit over a quasi-identifier tuple (Sweeney 2002):
+    * every combination of the quasi columns with its occupancy and an
+    * `at_risk` flag (n < k — those rows isolate small groups and must
+    * be generalized or suppressed before release). NULL values form
+    * their own combination (both engines group NULLs together) — a
+    * NULL ZIP code is still a quasi-identifier value.
+    *
+    * The full combination table is returned, not only the risky rows
+    * (the B14 kept-empty-buckets discipline: the audit shows what was
+    * checked); risky-row-only is one `.filter(col("at_risk"))` away.
+    *
+    * Determinism: pure integer counts and one integer comparison —
+    * no float anywhere.
+    *
+    * Output: (quasi columns ..., n, at_risk), one row per observed
+    * combination. */
+  def kAnonymity(df: DataFrame, quasi: Seq[(String, Column)], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2 (k=1 flags nothing), got $k")
+    val names = quasi.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate names: $names")
+    df.select(quasi.map { case (n, c) => c.as(n) }: _*)
+      .groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+  }
+
+  /** ε-DP group counts via the Laplace mechanism (Dwork et al. 2006):
+    * each group's count is released as n + Lap(1/ε) — sensitivity 1
+    * for a count, so the noise scale is 1/ε. The mechanism is REAL
+    * (correctly calibrated Laplace), but the randomness is a SEEDED
+    * DETERMINISTIC hash of the group key — the repo's replayability
+    * contract (a second engine, or a re-run, produces the identical
+    * release; also the textbook "memoize your noise" defense against
+    * averaging attacks — re-running the release must NOT refresh the
+    * noise).
+    *
+    * Uniform construction, engine-portable: u = (h₁₃ + ½) / 2⁵²,
+    * where h₁₃ is the first 13 hex digits of md5(key ":" seed) read
+    * as an integer by an UNROLLED positional sum (13 exact
+    * multiply-adds — no hex cast, which SQL dialects disagree on).
+    * 2⁵² = 16¹³, so the divide is an exact power-of-two scaling and u
+    * is an exactly-representable double in (0,1), never 0 or 1 (the
+    * +½ keeps |u−½| < ½ strictly, so ln(1−2|u−½|) is finite).
+    * Inverse-CDF Laplace: noise = −sign(u−½) · ln(1−2|u−½|) / ε,
+    * with the ln quantized round(·,9) (the freshness-decay
+    * transcendental discipline) and the noise round(·,6).
+    *
+    * NULL group keys are coalesced to '__null__' and released too
+    * (counted, never dropped).
+    *
+    * Output: (group_key, noisy_n 6dp, epsilon) — the TRUE count is
+    * deliberately absent; this operator's output is the release. */
+  def dpLaplaceCounts(
+      df: DataFrame,
+      group: Column,
+      epsilon: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val counts = df
+      .select(coalesce(group.cast("string"), lit("__null__")).as("group_key"))
+      .groupBy("group_key").agg(count(lit(1)).as("n"))
+      .withColumn("h", md5(concat(col("group_key"), lit(":"), lit(seed.toString))))
+    // h13 = Σ digit_i · 16^(13−i): 13 exact long multiply-adds
+    val h13 = (1 to 13).map { i =>
+      (expr(s"instr('0123456789abcdef', substring(h, $i, 1))") - 1) *
+        lit(1L << (4 * (13 - i)))
+    }.reduce(_ + _)
+    val u = (h13.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val v = u - lit(0.5)
+    val lnq = round(log(lit(1.0) - lit(2.0) * abs(v)), 9)
+    val noise = round(
+      when(v >= 0, lit(-1.0)).otherwise(lit(1.0)) * lnq / lit(epsilon), 6)
+    counts.select(
+      col("group_key"),
+      round(col("n").cast("double") + noise, 6).as("noisy_n"),
+      lit(epsilon).as("epsilon"))
+  }
+}

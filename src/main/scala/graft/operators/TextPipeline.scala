@@ -1714,4 +1714,74 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Hard quality-RULE screen (the Gopher/C4 rule-bundle pattern —
+    * Rae et al. 2021 §A1.1, Raffel et al. 2020): five cheap structural
+    * gates with PER-RULE attribution, next to the continuous scores of
+    * [[graft.functions.TextFunctions.qualityScore]] — a curation run
+    * needs "WHICH rule kills how much of WHICH source" (tune the
+    * thresholds) rather than one opaque scalar.
+    *
+    *   r_len      word count ∈ [minWords, maxWords]
+    *   r_wordlen  mean word length ∈ [2, 12]
+    *   r_alpha    ≥ 70% of words contain a letter
+    *   r_stop     ≥ 2 stopword tokens (the "is it prose" gate)
+    *   r_symbol   ≤ 10% of characters outside [A-Za-z0-9 ]
+    *
+    * Every ratio rule is evaluated DIVIDE-FREE in exact integers
+    * (charLen ≥ 2·nWords, 10·alphaWords ≥ 7·nWords, 10·symbols ≤
+    * totalChars) — the flags are bit-deterministic on any engine with
+    * no float discipline at all; the 6dp ratio READOUTS next to them
+    * are the only IEEE ops. NULL text is screened as empty (all-false
+    * flags, row kept — a curation report that silently drops broken
+    * rows undercounts exactly the worst slice).
+    *
+    * 100 TB shape: one map pass (regex + list ops per row), no
+    * shuffle, no window, no join. Column-prunes to (id, text).
+    *
+    * Output: (doc_id, n_words, mean_word_len, alpha_frac, symbol_frac,
+    * stop_hits, r_len, r_wordlen, r_alpha, r_stop, r_symbol, keep). */
+  def qualityRuleScreen(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      minWords: Int = 5,
+      maxWords: Int = 10000): DataFrame = {
+    require(minWords >= 1 && maxWords > minWords,
+      s"need 1 <= minWords < maxWords, got [$minWords, $maxWords]")
+    val stops = Seq("the", "a", "and", "of", "to", "in")
+    val base = docs.select(id.as("doc_id"),
+      coalesce(text.cast("string"), lit("")).as("t"))
+    val words = filter(split(col("t"), " "), w => length(w) > 0)
+    val scored = base.select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      // Σ word lengths = non-space chars (split/filter drop only spaces)
+      length(regexp_replace(col("t"), " ", "")).cast("long").as("char_len"),
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long").as("alpha_words"),
+      length(regexp_replace(col("t"), "[A-Za-z0-9 ]", "")).cast("long").as("symbols"),
+      length(col("t")).cast("long").as("total_chars"),
+      GraftFunctions.token_match_count(col("t"), stops).cast("long").as("stop_hits"))
+    scored.select(
+      col("doc_id"), col("n_words"),
+      when(col("n_words") > 0, round(
+        col("char_len").cast("double") / col("n_words").cast("double"), 6))
+        .as("mean_word_len"),
+      when(col("n_words") > 0, round(
+        col("alpha_words").cast("double") / col("n_words").cast("double"), 6))
+        .as("alpha_frac"),
+      when(col("total_chars") > 0, round(
+        col("symbols").cast("double") / col("total_chars").cast("double"), 6))
+        .as("symbol_frac"),
+      col("stop_hits"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords).as("r_len"),
+      (col("n_words") > 0 && col("char_len") >= col("n_words") * 2 &&
+        col("char_len") <= col("n_words") * 12).as("r_wordlen"),
+      (col("n_words") > 0 &&
+        col("alpha_words") * 10 >= col("n_words") * 7).as("r_alpha"),
+      (col("stop_hits") >= 2).as("r_stop"),
+      (col("symbols") * 10 <= col("total_chars")).as("r_symbol"))
+      .withColumn("keep",
+        col("r_len") && col("r_wordlen") && col("r_alpha") &&
+          col("r_stop") && col("r_symbol"))
+  }
 }

@@ -437,6 +437,31 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
       s"rank-1 agreement ${top._4} must dominate rank-10 ${bottom._4}")
   }
 
+  test("prAuc: hand block AP, perfect separation = 1, ties form one block, no-positive NULL") {
+    // scores 3,2,1 with labels 1,0,1: blocks desc → terms
+    // (1/2)·(1/1) + 0 + (1/2)·(2/3) = 0.833333333
+    val g = Seq((3.0, true), (2.0, false), (1.0, true)).toDF("s", "y")
+    val r = Eval.prAuc(g, col("s"), col("y"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(r == ((2L, 1L, Some(0.833333))), s"got $r")
+    // perfect separation: every positive above every negative → AP 1
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("s", "y")
+    assert(Eval.prAuc(perfect, col("s"), col("y"))
+      .as[(Long, Long, Option[Double])].collect().head ==
+      ((2L, 2L, Some(1.0))))
+    // tied scores are ONE block: {1.0: pos, 1.0: neg} → P = 1/2 at R 1
+    val tied = Seq((1.0, true), (1.0, false)).toDF("s", "y")
+    assert(Eval.prAuc(tied, col("s"), col("y"))
+      .as[(Long, Long, Option[Double])].collect().head ==
+      ((1L, 1L, Some(0.5))))
+    // no positives: AP undefined → NULL, not 0
+    val neg = Seq((1.0, false), (0.5, false)).toDF("s", "y")
+    assert(Eval.prAuc(neg, col("s"), col("y"))
+      .as[(Long, Long, Option[Double])].collect().head ==
+      ((0L, 2L, None)))
+  }
+
   test("corrMatrix: exact ±1 on linear pairs, NULL on a constant column, hand value") {
     val df = Seq((1.0, 2.0, -1.0, 7.0, 1.0), (2.0, 4.0, -2.0, 7.0, 3.0),
       (3.0, 6.0, -3.0, 7.0, 2.0))

@@ -868,4 +868,33 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
       ("https://h.com/q?b=2", 1L, 5L),
       ("https://h.com/r", 1L, 6L)), s"got ${got.toSeq}")
   }
+
+  test("qualityRuleScreen: per-rule attribution — each bad doc fails exactly its rule") {
+    val docs = Seq(
+      (1L, Some("the quick brown fox jumps over a lazy dog of doom")), // clean
+      (2L, Some("too short of a")), // 4 words → r_len only
+      (3L, Some("the ####### $$$$$ of %%%%% @@@@@ !!!!! stuff here ok")), // symbols
+      (4L, Some("the 12345 67890 11111 22222 33333 44444 55555 66666 of")), // alpha
+      (5L, Some("zzz yyy xxx www vvv uuu ttt sss")), // no stopwords
+      (6L, Some("the antidisestablishmentarian incomprehensibilities of " +
+        "extraordinarily hyperconscientiousness manifestations " +
+        "internationalization")), // mean word len > 12
+      (7L, None)) // null text: kept, keep=false
+      .toDF("doc_id", "text")
+    val got = TextPipeline.qualityRuleScreen(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = (1 to 5).map(j =>
+      got(i).getAs[Boolean](got(i).fieldIndex("r_len") + j - 1))
+    assert(got(0).getAs[Boolean]("keep"), s"clean doc must pass: ${got(0)}")
+    assert(flags(1) == Seq(false, true, true, true, true), s"got ${got(1)}")
+    assert(!got(2).getAs[Boolean]("r_symbol") && got(2).getAs[Boolean]("r_len"))
+    assert(!got(3).getAs[Boolean]("r_alpha"), s"got ${got(3)}")
+    assert(!got(4).getAs[Boolean]("r_stop") && got(4).getAs[Boolean]("r_alpha"))
+    assert(!got(5).getAs[Boolean]("r_wordlen"), s"got ${got(5)}")
+    assert((1 to 6).forall(i => !got(i).getAs[Boolean]("keep")))
+    // NULL text: row present, zero words, NULL readouts, all-false keep
+    assert(got(6).getAs[Long]("n_words") == 0L)
+    assert(got(6).isNullAt(got(6).fieldIndex("mean_word_len")))
+    assert(!got(6).getAs[Boolean]("keep"))
+  }
 }
