@@ -2647,7 +2647,59 @@ object ExtQueries {
     "ext_quality_rules" -> ((s, dir) =>
       TextPipeline.qualityRuleScreen(
         t(s, dir, "documents"), col("doc_id"), col("text"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ── Decile lift/gains table over the stopword-score classifier:
+    //    rank-deterministic buckets (score DESC, doc_id tie-break,
+    //    integer ntile arithmetic), per-decile rate / cumulative
+    //    capture / lift (Eval.liftTable scaladoc) — prices the cutoff
+    //    that ext_roc_auc/ext_pr_auc only rank.
+    "ext_lift_table" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nTokens = size(filter(split(col("text"), " "),
+        tk => length(tk) > 0))
+      val scored = d
+        .filter(col("text").isNotNull && nTokens > 0)
+        .select(col("doc_id"),
+          (graft.functions.expressions.GraftFunctions.token_match_count(
+            col("text"), Seq("the", "a", "and", "of")).cast("double") /
+            nTokens.cast("double")).as("score"),
+          (col("lang") === "en").as("label"))
+      graft.operators.Eval.liftTable(
+        scored, col("score"), col("doc_id"), col("label"))
+    }),
+
+    // ── Per-class precision/recall/F1 of the lang-id heuristic against
+    //    the stored label — the per-class truth behind
+    //    ext_cohens_kappa's single scalar (Eval.confusionMatrix
+    //    scaladoc; one cell aggregation, margins in the k²-row world).
+    "ext_confusion_matrix" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      graft.operators.Eval.confusionMatrix(
+        d, col("lang"), TextFunctions.langId(col("text")))
+    }),
+
+    // ── Sample-ratio-mismatch gate on the click/view split against a
+    //    50/50 design: χ² goodness-of-fit with zero-count designed arms
+    //    kept and undesigned arms failing loudly
+    //    (Experiment.sampleRatioCheck scaladoc).
+    "ext_srm_check" -> ((s, dir) =>
+      graft.operators.Experiment.sampleRatioCheck(
+        t(s, dir, "events").filter(col("event_type").isin("click", "view")),
+        col("event_type"),
+        Seq("click" -> 0.5, "view" -> 0.5))),
+
+    // ── Embedding centroid drift per label between the even and odd
+    //    vec_id halves: cosine of per-label per-dim SUM vectors (the
+    //    divide-free centroid identity) — the re-embed sanity gate
+    //    (Drift.centroidDrift scaladoc).
+    "ext_centroid_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Drift.centroidDrift(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        col("label"), col("embedding"))
+    })
   )
 
   /** Mechanical unroll of [[graft.operators.Similarity.pcaPower]]'s
@@ -3168,6 +3220,172 @@ object ExtQueries {
         |  CASE WHEN SUM(np) > 0
         |    THEN round(CAST(SUM(t) AS DOUBLE), 6) END AS pr_auc
         |FROM tt""".stripMargin,
+
+    // Lift-table replay: same (score DESC, doc_id) total order,
+    // integer ntile arithmetic ((rn-1)*10 // n + 1), cumulative
+    // capture window, exact-integer lift divides.
+    "ext_lift_table" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> list_contains(['the', 'a', 'and', 'of'], tk))) AS DOUBLE) /
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> len(tk) > 0)) AS DOUBLE) AS score,
+        |    lang = 'en' AS label
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(list_filter(string_split(text, ' '),
+        |    tk -> len(tk) > 0)) > 0),
+        |r AS (
+        |  SELECT CASE WHEN COALESCE(label, false) THEN 1 ELSE 0 END AS y,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |      AS rn,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n_all,
+        |    CAST(SUM(CASE WHEN COALESCE(label, false) THEN 1 ELSE 0 END)
+        |      OVER () AS BIGINT) AS pos_all
+        |  FROM s),
+        |bkt AS (
+        |  SELECT y, n_all, pos_all, (rn - 1) * 10 // n_all + 1 AS bucket
+        |  FROM r),
+        |pb AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    MAX(n_all) AS n_all, MAX(pos_all) AS pos_all
+        |  FROM bkt GROUP BY 1),
+        |cum AS (
+        |  SELECT *, CAST(SUM(n_pos) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_pos
+        |  FROM pb)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |  CASE WHEN pos_all > 0 THEN round(
+        |    CAST(cum_pos AS DOUBLE) / CAST(pos_all AS DOUBLE), 6) END
+        |    AS cum_capture,
+        |  CASE WHEN pos_all > 0 THEN round(
+        |    (CAST(n_pos AS DOUBLE) * CAST(n_all AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(pos_all AS DOUBLE)), 6) END
+        |    AS lift
+        |FROM cum ORDER BY bucket""".stripMargin,
+
+    // Confusion replay: the kappa langId vote chain as predictions,
+    // full-outer margins, diagonal tp, guarded P/R/F1.
+    "ext_confusion_matrix" ->
+      """WITH v AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+        |         WHEN de >= es AND de > 0 THEN 'de'
+        |         WHEN es > 0 THEN 'es'
+        |         ELSE 'unk' END AS p
+        |  FROM (SELECT lang,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','is'))) AS en,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('der','die','das','und','ist'))) AS de,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('el','la','los','y','es'))) AS es
+        |    FROM documents WHERE text IS NOT NULL)),
+        |cells AS (
+        |  SELECT a, p, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM v WHERE a IS NOT NULL AND p IS NOT NULL GROUP BY 1, 2),
+        |ma AS (SELECT a AS label, CAST(SUM(n) AS BIGINT) AS n_actual
+        |       FROM cells GROUP BY 1),
+        |mp AS (SELECT p AS label, CAST(SUM(n) AS BIGINT) AS n_pred
+        |       FROM cells GROUP BY 1),
+        |dg AS (SELECT a AS label, n AS tp FROM cells WHERE a = p),
+        |j AS (
+        |  SELECT COALESCE(ma.label, mp.label) AS label,
+        |    COALESCE(n_actual, 0) AS n_actual,
+        |    COALESCE(n_pred, 0) AS n_pred
+        |  FROM ma FULL OUTER JOIN mp ON ma.label = mp.label)
+        |SELECT j.label, n_actual, n_pred,
+        |  CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+        |  CAST(n_pred - COALESCE(tp, 0) AS BIGINT) AS fp,
+        |  CAST(n_actual - COALESCE(tp, 0) AS BIGINT) AS fn,
+        |  CASE WHEN n_pred > 0 THEN round(
+        |    CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END
+        |    AS precision,
+        |  CASE WHEN n_actual > 0 THEN round(
+        |    CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_actual AS DOUBLE), 6) END
+        |    AS recall,
+        |  CASE WHEN n_pred + n_actual > 0 THEN round(
+        |    CAST(COALESCE(tp, 0) * 2 AS DOUBLE)
+        |      / CAST(n_pred + n_actual AS DOUBLE), 6) END AS f1
+        |FROM j LEFT JOIN dg ON j.label = dg.label
+        |ORDER BY j.label""".stripMargin,
+
+    // SRM replay: designed-arm VALUES spine, zero-count arms kept,
+    // 9dp terms, the decimal-summed verdict.
+    "ext_srm_check" ->
+      """WITH o AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS arm,
+        |    CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(COALESCE(SUM(n_obs), 0) AS BIGINT) AS n_total
+        |        FROM o),
+        |sp AS (SELECT * FROM (VALUES ('click', 0.5), ('view', 0.5))
+        |       AS t(arm, share)),
+        |terms AS (
+        |  SELECT sp.arm, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+        |    CAST(sp.share AS DOUBLE) AS share,
+        |    round(CAST(n_total AS DOUBLE) * CAST(sp.share AS DOUBLE), 6)
+        |      AS expected_n,
+        |    CASE WHEN n_total > 0 THEN round(
+        |      (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+        |        - CAST(n_total AS DOUBLE) * CAST(sp.share AS DOUBLE))
+        |      * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+        |        - CAST(n_total AS DOUBLE) * CAST(sp.share AS DOUBLE))
+        |      / (CAST(n_total AS DOUBLE) * CAST(sp.share AS DOUBLE)), 9)
+        |      ELSE 0.0 END AS chi2_term
+        |  FROM sp CROSS JOIN tot LEFT JOIN o ON o.arm = sp.arm)
+        |SELECT arm, n_obs, share, expected_n, chi2_term,
+        |  CAST(SUM(CAST(chi2_term AS DECIMAL(28,9))) OVER () AS DOUBLE)
+        |    AS chi2_total,
+        |  CAST(SUM(CAST(chi2_term AS DECIMAL(28,9))) OVER () AS DOUBLE)
+        |    > 3.841 AS srm
+        |FROM terms ORDER BY arm""".stripMargin,
+
+    // Centroid-drift replay: 64-dim positional sums per (label, half),
+    // the divide-free cosine of SUM vectors, 6dp products.
+    "ext_centroid_drift" ->
+      """WITH d AS (SELECT unnest(range(1, 65)) AS pos),
+        |sa AS (
+        |  SELECT label AS lab, pos,
+        |    CAST(SUM(CAST(round(CAST(embedding[CAST(pos AS INT)] AS DOUBLE), 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE) AS s_a
+        |  FROM embeddings CROSS JOIN d
+        |  WHERE vec_id % 2 = 0 AND label IS NOT NULL
+        |    AND embedding[CAST(pos AS INT)] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT label AS lab, pos,
+        |    CAST(SUM(CAST(round(CAST(embedding[CAST(pos AS INT)] AS DOUBLE), 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE) AS s_b
+        |  FROM embeddings CROSS JOIN d
+        |  WHERE vec_id % 2 = 1 AND label IS NOT NULL
+        |    AND embedding[CAST(pos AS INT)] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT sa.lab,
+        |    CAST(SUM(CAST(round(s_a * s_b, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS dot,
+        |    CAST(SUM(CAST(round(s_a * s_a, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS na2,
+        |    CAST(SUM(CAST(round(s_b * s_b, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS nb2
+        |  FROM sa JOIN sb ON sa.lab = sb.lab AND sa.pos = sb.pos
+        |  GROUP BY 1),
+        |na AS (SELECT label AS lab, CAST(COUNT(*) AS BIGINT) AS n_a
+        |       FROM embeddings WHERE vec_id % 2 = 0 AND label IS NOT NULL
+        |       GROUP BY 1),
+        |nb AS (SELECT label AS lab, CAST(COUNT(*) AS BIGINT) AS n_b
+        |       FROM embeddings WHERE vec_id % 2 = 1 AND label IS NOT NULL
+        |       GROUP BY 1)
+        |SELECT f.lab AS label, n_a, n_b,
+        |  CASE WHEN na2 > 0 AND nb2 > 0 THEN
+        |    round(dot / (sqrt(na2) * sqrt(nb2)), 6) END AS cos_drift
+        |FROM f JOIN na ON f.lab = na.lab JOIN nb ON f.lab = nb.lab
+        |ORDER BY label""".stripMargin,
 
     // k-anonymity replay: one GROUP BY, one integer comparison.
     "ext_k_anonymity" ->

@@ -572,6 +572,66 @@ object Drift {
   private[graft] val BenfordP: Seq[(Long, Double)] =
     (1 to 9).map(d => (d.toLong, math.log10(1.0 + 1.0 / d)))
 
+  /** Embedding centroid drift per label between two snapshots — did a
+    * re-embed, model bump, or upstream text change MOVE a class's
+    * region of embedding space? The scalar-drift family (PSI/KS/JSD)
+    * watches value distributions; this watches vector geometry, per
+    * label: cosine between the two snapshots' class centroids (1 =
+    * unmoved; the standard re-embedding sanity gate before mixing old
+    * and new vectors in one index).
+    *
+    * Divide-free centroid trick: cos(Σa/n_a, Σb/n_b) = cos(Σa, Σb) —
+    * cosine is invariant under positive scaling, so the per-dimension
+    * SUM vectors stand in for the centroids and no mean divide exists
+    * anywhere.
+    *
+    * 100 TB shape: posexplode to (label, dim, value) — the only
+    * data-sized step, a map — then one aggregation to |labels|·d rows
+    * and a second to |labels|; dot/norm fold over d rows per label.
+    * No driver state, no collect, dims discovered from the data.
+    *
+    * Determinism: values quantized round(·,6) into exact DECIMAL(28,6)
+    * per-dim sums (ticks < 2^53 for |v| ≤ 1 up to ~10⁹ rows/label);
+    * per-dim products are IEEE on the exact sums cast to double,
+    * quantized round(·,6) into decimal sums; one sqrt+divide per label
+    * at the readout, 6dp. Zero-norm sides yield NULL cosine (guarded).
+    *
+    * Output: (label, n_a, n_b, cos_drift), one row per label present
+    * in BOTH snapshots (a label missing one side has no drift to
+    * measure — it is a coverage question for [[psi]]). */
+  def centroidDrift(
+      a: DataFrame,
+      b: DataFrame,
+      label: Column,
+      vec: Column): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame = df
+      .select(label.as("lab"), posexplode(vec).as(Seq("pos", "v")))
+      .filter(col("lab").isNotNull && col("v").isNotNull)
+      .groupBy("lab", "pos")
+      .agg(
+        sum(round(col("v").cast("double"), 6).cast("decimal(28,6)"))
+          .cast("double").as(s"s_$tag"))
+    val nOf = (df: DataFrame, tag: String) => df
+      .select(label.as("lab")).filter(col("lab").isNotNull)
+      .groupBy("lab").agg(count(lit(1)).as(s"n_$tag"))
+    val dims = side(a, "a").join(side(b, "b"), Seq("lab", "pos"))
+    val folded = dims
+      .groupBy("lab")
+      .agg(
+        sum(round(col("s_a") * col("s_b"), 6).cast("decimal(28,6)")).as("dot"),
+        sum(round(col("s_a") * col("s_a"), 6).cast("decimal(28,6)")).as("na2"),
+        sum(round(col("s_b") * col("s_b"), 6).cast("decimal(28,6)")).as("nb2"))
+    folded
+      .join(nOf(a, "a"), Seq("lab"))
+      .join(nOf(b, "b"), Seq("lab"))
+      .select(col("lab").as("label"), col("n_a"), col("n_b"),
+        when(col("na2") > 0 && col("nb2") > 0, round(
+          col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))),
+          6)).as("cos_drift"))
+      .orderBy("label")
+  }
+
   /** Weekday-profile anomaly screen — seasonal traffic data (weekly
     * cycle) makes a GLOBAL daily-count threshold blind: a normal Monday
     * looks like a spike against the weekend mean, and a dead Saturday

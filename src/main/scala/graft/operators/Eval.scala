@@ -411,6 +411,125 @@ object Eval {
           .as("pr_auc"))
   }
 
+  /** Decile lift/gains table — the targeting readout behind "send the
+    * campaign to the top 20% by score": bucket the population by score
+    * rank, report each bucket's positive rate, cumulative capture of
+    * all positives, and lift over the base rate. [[rocAuc]]/[[prAuc]]
+    * score the RANKING; this prices the CUTOFF.
+    *
+    * Buckets are rank-defined with an EXPLICIT total order
+    * (score DESC, id ASC) and the ntile arithmetic written out as
+    * integer ops — bucket = (rn−1)·B div n + 1 — because engine ntile
+    * implementations place tied scores order-dependently; here a tie
+    * is broken by the caller's id and the assignment is
+    * bit-deterministic anywhere.
+    *
+    * 100 TB shape: this is the repo's ONE deliberate rank-everything
+    * operator class — the window sorts (score, id) across the eval
+    * population; eval sets are sampled by construction (the
+    * maxRows guard names the contract loudly rather than letting a
+    * corpus-sized sort hide inside a "cheap readout").
+    *
+    * Determinism: counts exact; rate/capture/lift are IEEE divides of
+    * exact longs, 6dp.
+    *
+    * Output: (bucket 1..B, n, n_pos, rate, cum_capture, lift) — every
+    * bucket row present, base-rate-zero lifts NULL. */
+  def liftTable(
+      scored: DataFrame,
+      score: Column,
+      id: Column,
+      label: Column,
+      buckets: Int = 10,
+      maxRows: Long = 100000000L): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"buckets in [2,1000], got $buckets")
+    val base = scored
+      .select(score.cast("double").as("s"), id.as("tie"),
+        when(coalesce(label, lit(false)), 1L).otherwise(0L).as("y"))
+      .filter(col("s").isNotNull)
+    val wRank = Window.orderBy(col("s").desc, col("tie"))
+    val wAll = Window.orderBy(col("s").desc, col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = inlineCardinalityGuard(
+      base, col("s").desc, maxRows, "liftTable", "maxRows")
+      .select(col("y"),
+        row_number().over(wRank).cast("long").as("rn"),
+        count(lit(1)).over(wAll).as("n_all"),
+        sum("y").over(wAll).as("pos_all"))
+      .select(col("y"), col("n_all"), col("pos_all"),
+        (expr("(rn - 1) * " + buckets + " div n_all") + 1L).as("bucket"))
+    val perBucket = ranked
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        max("n_all").as("n_all"), max("pos_all").as("pos_all"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .select(col("bucket"), col("n"), col("n_pos"),
+        col("n_all"), col("pos_all"),
+        sum("n_pos").over(wCum).as("cum_pos"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("rate"),
+        when(col("pos_all") > 0, round(
+          col("cum_pos").cast("double") / col("pos_all").cast("double"), 6))
+          .as("cum_capture"),
+        when(col("pos_all") > 0, round(
+          (col("n_pos").cast("double") * col("n_all").cast("double")) /
+            (col("n").cast("double") * col("pos_all").cast("double")), 6))
+          .as("lift"))
+      .orderBy("bucket")
+  }
+
+  /** Per-class confusion readout — precision/recall/F1 per label from
+    * one (actual, predicted) cell aggregation: the per-class truth
+    * behind [[cohensKappa]]'s single agreement scalar (a 95%-accurate
+    * language-ID model that destroys one minority language shows up
+    * HERE). Classes present on either side appear; tp/fp/fn derive
+    * from the cell table and the two margins without rescanning.
+    *
+    * 100 TB shape: one aggregation to ≤ k² cells; margins and the
+    * diagonal join inside the ≤ k²-row world (broadcast). One scan.
+    *
+    * Determinism: counts exact; P/R/F1 are guarded IEEE divides, 6dp
+    * (zero-denominator → NULL, the "no predictions for this class"
+    * truth rather than a fake 0).
+    *
+    * Output: (label, n_actual, n_pred, tp, fp, fn, precision, recall,
+    * f1), one row per class, ordered by label. */
+  def confusionMatrix(df: DataFrame, actual: Column, predicted: Column): DataFrame = {
+    val cells = df
+      .select(actual.cast("string").as("a"), predicted.cast("string").as("p"))
+      .filter(col("a").isNotNull && col("p").isNotNull)
+      .groupBy("a", "p").agg(count(lit(1)).as("n"))
+    val actualM = cells.groupBy(col("a").as("label"))
+      .agg(sum("n").as("n_actual"))
+    val predM = cells.groupBy(col("p").as("label"))
+      .agg(sum("n").as("n_pred"))
+    val diag = cells.filter(col("a") === col("p"))
+      .select(col("a").as("label"), col("n").as("tp"))
+    val d = (c: Column) => c.cast("double")
+    actualM
+      .join(predM, Seq("label"), "full_outer")
+      .join(diag, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("label"), col("n_actual"), col("n_pred"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_actual") - col("tp")).as("fn"),
+        when(col("n_pred") > 0, round(d(col("tp")) / d(col("n_pred")), 6))
+          .as("precision"),
+        when(col("n_actual") > 0, round(d(col("tp")) / d(col("n_actual")), 6))
+          .as("recall"),
+        when(col("n_pred") + col("n_actual") > 0,
+          round(d(col("tp") * 2) /
+            d(col("n_pred") + col("n_actual")), 6))
+          .as("f1"))
+      .orderBy("label")
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two labelers
     * (human raters, model vs heuristic, two model generations):
     *

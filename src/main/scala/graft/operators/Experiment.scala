@@ -375,6 +375,81 @@ object Experiment {
       round(dfW, 6).as("df"))
   }
 
+  /** Sample-ratio-mismatch (SRM) check — the FIRST gate on any A/B
+    * readout: if the assignment split itself deviates from its design
+    * (a crashing variant drops users, a bot filter eats one arm), every
+    * downstream metric comparison is garbage, and the failure is
+    * invisible to [[abTest]]/[[welchT]]. χ² goodness-of-fit of the
+    * observed arm counts against the DESIGNED shares:
+    *
+    *   χ² = Σ_arms (o − e)² / e,   e = share · n_total
+    *
+    * flagged against a caller-set critical value (default 3.841 =
+    * χ²₍₁₎ at 5%, the two-arm case; pass the right quantile for more
+    * arms — no chi-square inverse lives in either engine).
+    *
+    * Arms in the design but absent from the data appear with n_obs = 0
+    * (the loudest SRM there is); arms in the data but NOT in the
+    * design are a configuration error and fail loudly rather than
+    * silently diluting the test. Shares must sum to 1 within 1e-9.
+    *
+    * 100 TB shape: one map-side-collapsing count per arm, then
+    * broadcast-joined against the tiny design table; the verdict is a
+    * full-frame window over ≤ |arms| rows.
+    *
+    * Determinism: counts exact; e and each term are IEEE ops on exact
+    * inputs (shares are caller literals both engines parse), terms 9dp,
+    * the flag compares the 9dp decimal SUM — bit-stable.
+    *
+    * Output: (arm, n_obs, share, expected_n 6dp, chi2_term 9dp,
+    * chi2_total 9dp, srm) — one row per designed arm; `srm` true when
+    * χ² exceeds `critical`. */
+  def sampleRatioCheck(
+      units: DataFrame,
+      variant: Column,
+      design: Seq[(String, Double)],
+      critical: Double = 3.841): DataFrame = {
+    require(design.size >= 2, s"need >= 2 designed arms, got ${design.size}")
+    require(design.map(_._1).distinct.size == design.size, "duplicate arms")
+    require(design.forall(_._2 > 0), s"shares must be positive: $design")
+    require(math.abs(design.map(_._2).sum - 1.0) < 1e-9,
+      s"shares must sum to 1, got ${design.map(_._2).sum}")
+    require(critical > 0, s"critical must be positive, got $critical")
+    val designed = design.map(_._1)
+    val obs = units
+      .select(variant.cast("string").as("arm"))
+      .filter(col("arm").isNotNull)
+      .withColumn("known",
+        when(col("arm").isin(designed: _*), col("arm"))
+          .otherwise(raise_error(concat(
+            lit("sampleRatioCheck: observed arm '"), col("arm"),
+            lit(s"' is not in the design ${designed.mkString("{", ",", "}")}" +
+              " — fix the assignment config, don't dilute the test.")))))
+      .groupBy(col("known").as("arm")).agg(count(lit(1)).as("n_obs"))
+    val spine = obs // 1-row agg → designed-arm spine (zero-count arms kept)
+      .agg(coalesce(sum(col("n_obs")), lit(0L)).as("n_total"))
+      .select(col("n_total"), explode(array(design.map { case (a, sh) =>
+        struct(lit(a).as("arm"), lit(sh).as("share"))
+      }: _*)).as("d"))
+      .select(col("n_total"), col("d.arm").as("arm"), col("d.share").as("share"))
+    val e = col("n_total").cast("double") * col("share")
+    val o = coalesce(col("n_obs"), lit(0L)).cast("double")
+    val wAll = Window.orderBy("arm")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    spine.join(obs, Seq("arm"), "left")
+      .select(col("arm"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("share"),
+        round(e, 6).as("expected_n"),
+        when(col("n_total") > 0, round((o - e) * (o - e) / e, 9))
+          .otherwise(lit(0.0)).as("chi2_term"))
+      .withColumn("chi2_total",
+        sum(col("chi2_term").cast("decimal(28,9)")).over(wAll)
+          .cast("double"))
+      .withColumn("srm", col("chi2_total") > critical)
+      .orderBy("arm")
+  }
+
   /** Mann–Whitney U rank-sum test between two arms — the distribution-
     * free companion to [[welchT]]: when the metric is heavy-tailed,
     * censored, or ordinal (latencies, scores with clamps), the rank

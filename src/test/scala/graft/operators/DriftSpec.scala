@@ -243,6 +243,28 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     assert(got(1) == (("s", 4L, 2L, -8.0, 4.0)))
   }
 
+  test("centroidDrift: identical halves cos 1, orthogonal 0, opposite -1; one-sided labels absent") {
+    def emb(rows: Seq[(String, Seq[Float])]) =
+      rows.toDF("label", "embedding")
+    val a = emb(Seq(("same", Seq(1f, 0f)), ("orth", Seq(1f, 0f)),
+      ("opp", Seq(0f, 2f)), ("only_a", Seq(1f, 1f))))
+    val b = emb(Seq(("same", Seq(2f, 0f)), ("orth", Seq(0f, 3f)),
+      ("opp", Seq(0f, -1f))))
+    val got = Drift.centroidDrift(a, b, col("label"), col("embedding"))
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("same", "orth", "opp"), s"got $got")
+    assert(got("same")._4.contains(1.0)) // scaling is invisible
+    assert(got("orth")._4.contains(0.0))
+    assert(got("opp")._4.contains(-1.0))
+    // a zero-sum side has no direction: NULL, not a divide error
+    val z = Drift.centroidDrift(
+      emb(Seq(("x", Seq(0f, 0f)))), emb(Seq(("x", Seq(1f, 0f)))),
+      col("label"), col("embedding"))
+      .as[(String, Long, Long, Option[Double])].collect()
+    assert(z.head._4.isEmpty)
+  }
+
   test("benfordDigits: string digit extraction, all 9 digits kept, sub-unit rows excluded") {
     // digits: 1 (from 1.5 and 19), 2 (250, 2.0), 3 (31), 9 (950);
     // 0.5 is below the v >= 1 contract line

@@ -462,6 +462,48 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
       ((0L, 2L, None)))
   }
 
+  test("liftTable: hand deciles — top-loaded positives, exact capture and lift") {
+    // scores 10..1, ids 1..10, positives on the top five, 5 buckets of 2
+    val rows = (1 to 10).map(i => (i.toLong, 11.0 - i, i <= 5))
+      .toDF("id", "s", "y")
+    val got = Eval.liftTable(rows, col("s"), col("id"), col("y"), buckets = 5)
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double])]
+      .collect()
+    assert(got.map(_._1).toSeq == (1L to 5L))
+    assert(got.forall(_._2 == 2L))
+    // bucket 1: both positive → rate 1, capture 2/5, lift (2·10)/(2·5)=2
+    assert(got(0) == ((1L, 2L, 2L, 1.0, Some(0.4), Some(2.0))), s"got ${got(0)}")
+    // bucket 3 straddles the boundary: 1 of 2 positive, capture complete
+    assert(got(2) == ((3L, 2L, 1L, 0.5, Some(1.0), Some(1.0))))
+    assert(got(4) == ((5L, 2L, 0L, 0.0, Some(1.0), Some(0.0))))
+    // no positives anywhere: rate 0, capture/lift NULL (not fake zeros)
+    val none = Eval.liftTable(rows.withColumn("y", lit(false)),
+        col("s"), col("id"), col("y"), buckets = 5)
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double])]
+      .collect()
+    assert(none.forall(r => r._5.isEmpty && r._6.isEmpty))
+  }
+
+  test("confusionMatrix: per-class P/R/F1 from hand cells; one-sided classes guarded") {
+    val rows = Seq.fill(3)(("en", "en")) ++ Seq(("en", "de")) ++
+      Seq.fill(2)(("de", "de")) ++ Seq(("es", "de")) ++ Seq(("en", "fr"))
+    val got = Eval.confusionMatrix(rows.toDF("a", "p"), col("a"), col("p"))
+      .as[(String, Long, Long, Long, Long, Long,
+        Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // en: actual 5, pred 3, tp 3 → P 1.0, R 0.6, F1 6/8
+    assert(got("en") == (("en", 5L, 3L, 3L, 0L, 2L,
+      Some(1.0), Some(0.6), Some(0.75))), s"got ${got("en")}")
+    // de: actual 2, pred 4, tp 2 → P 0.5, R 1.0, F1 4/6
+    assert(got("de") == (("de", 2L, 4L, 2L, 2L, 0L,
+      Some(0.5), Some(1.0), Some(0.666667))))
+    // es: never predicted → precision NULL, recall 0
+    assert(got("es")._7.isEmpty && got("es")._8.contains(0.0))
+    // fr: predicted only → recall NULL, precision 0
+    assert(got("fr")._2 == 0L && got("fr")._8.isEmpty &&
+      got("fr")._7.contains(0.0))
+  }
+
   test("corrMatrix: exact ±1 on linear pairs, NULL on a constant column, hand value") {
     val df = Seq((1.0, 2.0, -1.0, 7.0, 1.0), (2.0, 4.0, -2.0, 7.0, 3.0),
       (3.0, 6.0, -3.0, 7.0, 2.0))

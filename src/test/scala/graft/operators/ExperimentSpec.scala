@@ -163,6 +163,42 @@ class ExperimentSpec extends AnyFunSuite with SparkSpec {
     assert(one.head.isNullAt(one.head.fieldIndex("lift")))
   }
 
+  test("sampleRatioCheck: balanced split passes, planted 70/30 flags, empty arm kept") {
+    val design = Seq("a" -> 0.5, "b" -> 0.5)
+    val balanced = (Seq.fill(500)("a") ++ Seq.fill(500)("b")).toDF("arm")
+    val ok = Experiment.sampleRatioCheck(balanced, col("arm"), design)
+      .collect()
+    assert(ok.forall(!_.getAs[Boolean]("srm")))
+    assert(ok.forall(_.getAs[Double]("chi2_total") == 0.0))
+    // 700/300 vs 50/50: chi2 = 2·(200²/500) = 160 >> 3.841
+    val skewed = (Seq.fill(700)("a") ++ Seq.fill(300)("b")).toDF("arm")
+    val bad = Experiment.sampleRatioCheck(skewed, col("arm"), design)
+      .collect()
+    assert(bad.forall(_.getAs[Boolean]("srm")))
+    assert(bad.head.getAs[Double]("chi2_total") == 160.0, s"got ${bad.head}")
+    // a designed arm with ZERO units still appears — the loudest SRM
+    val oneArm = Seq.fill(10)("a").toDF("arm")
+    val z = Experiment.sampleRatioCheck(oneArm, col("arm"), design)
+      .orderBy("arm").collect()
+    assert(z.length == 2 && z(1).getAs[Long]("n_obs") == 0L &&
+      z(1).getAs[Boolean]("srm"))
+  }
+
+  test("sampleRatioCheck: undesigned arms and bad shares fail loudly") {
+    val design = Seq("a" -> 0.5, "b" -> 0.5)
+    val rogue = (Seq.fill(5)("a") ++ Seq.fill(5)("c")).toDF("arm")
+    val e = intercept[Throwable] {
+      Experiment.sampleRatioCheck(rogue, col("arm"), design).collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("not in the design"), chain(e))
+    intercept[IllegalArgumentException] {
+      Experiment.sampleRatioCheck(rogue, col("arm"), Seq("a" -> 0.6, "b" -> 0.5))
+    }
+  }
+
   test("welchT: hand-computed t and Satterthwaite df; zero-variance arm") {
     // a = 1,2,3,4 (mean 2.5, var 5/3), b = 2,2,2,2 (var 0):
     // se² = (5/3)/4 = 5/12; t = .5/sqrt(5/12); df = se²²/(se²²/3) = 3
