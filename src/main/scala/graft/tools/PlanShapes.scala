@@ -46,7 +46,11 @@ object PlanShapes {
     "ext_ann_ivf_recall", "ext_ann_pq_recall", "ext_incremental_agg",
     // r14 batch 2 (this session's 8 — baselined from their birth round)
     "ext_bfs_hops", "ext_ewma", "ext_cusum", "ext_weekday_anomaly",
-    "ext_benford", "ext_corr_matrix", "ext_welch_t", "ext_mann_whitney")
+    "ext_benford", "ext_corr_matrix", "ext_welch_t", "ext_mann_whitney",
+    // r14 batch 3+4 (eval/privacy)
+    "ext_pr_auc", "ext_k_anonymity", "ext_dp_counts", "ext_quality_rules",
+    "ext_lift_table", "ext_confusion_matrix", "ext_srm_check",
+    "ext_centroid_drift")
 
   final case class ScanFacts(
       partitionFilters: Seq[String], pushedFilters: String,
