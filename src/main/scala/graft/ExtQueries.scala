@@ -1537,6 +1537,17 @@ object ExtQueries {
     "ext_retention" -> ((s, dir) =>
       Events.retention(t(s, dir, "events"))),
 
+    // ── Kaplan–Meier time-to-first-high-value-purchase — [EXT r14]:
+    //    product-limit survival with right-censoring at last-seen;
+    //    never-converting users shape the curve instead of being
+    //    dropped or miscounted as failures. Factors accumulate as
+    //    DECIMAL(18,6)-quantized lns (the unigram-nll xsum discipline)
+    //    (Events.kaplanMeier scaladoc).
+    "ext_kaplan_meier" -> ((s, dir) =>
+      Events.kaplanMeier(
+        t(s, dir, "events"),
+        col("event_type") === "purchase" && col("value") > 200.0)),
+
     // ── Ordered funnel: earliest view → click → purchase chain per
     //    user in ONE exchange (k full-partition window mins over
     //    user_id, sequential dependency riding the same partitioning) —
@@ -1726,6 +1737,16 @@ object ExtQueries {
       Sketches.kmvMergeRollup(
         t(s, dir, "events"), col("event_type"), col("user_id"), k = 64)
         .orderBy("group_key")),
+
+    // ── Portable HyperLogLog with register-level replay — [EXT r14]:
+    //    fixed 256-register state per group AND engine-auditable (the
+    //    DuckDB oracle rebuilds every register from the same md5
+    //    bits); '__all__' merges the per-type REGISTERS (max per
+    //    bucket), the fold that answers coarser distinct counts
+    //    without re-scanning (Sketches.hllRegisterRollup scaladoc).
+    "ext_hll_distinct" -> ((s, dir) =>
+      Sketches.hllRegisterRollup(
+        t(s, dir, "events"), col("event_type"), col("user_id"), p = 8)),
 
     // ── Sketch-based join-size estimation — [EXT r12]: the planning
     //    statistic computed BEFORE committing to a join strategy; KMV
@@ -2603,6 +2624,39 @@ object ExtQueries {
       graft.operators.Experiment.mannWhitneyU(t(s, dir, "events"),
         col("event_type"), col("value"), "click", "view")),
 
+    // ── Difference-in-differences across the ext_cuped cutoff
+    //    (2024-01-16) with the user_id%2 cohorts — [EXT r14]: nets out
+    //    cohort gap + common time trend in one 4-cell conditional
+    //    aggregation; SE from the welchT moment identity per cell
+    //    (Experiment.diffInDiff scaladoc).
+    "ext_diff_in_diff" -> ((s, dir) =>
+      graft.operators.Experiment.diffInDiff(
+        t(s, dir, "events"),
+        treated = pmod(col("user_id"), lit(2)) === 1,
+        post = to_date(col("ts")) >= lit(java.sql.Date.valueOf("2024-01-16")),
+        value = col("value"))),
+
+    // ── Propensity-style nearest-score matching with replacement —
+    //    [EXT r14]: every odd-user (treated) unit matches the
+    //    closest even-user control on its 6dp mean event value via two
+    //    window reads over ONE sort (no join); unmatched treated rows
+    //    stay visible with NULL controls
+    //    (Experiment.nearestScoreMatch scaladoc).
+    "ext_psm_match" -> ((s, dir) => {
+      val units = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double") / count(lit(1)).cast("double"), 6).as("score"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purchases"))
+      graft.operators.Experiment.nearestScoreMatch(
+        units, col("user_id"),
+        treated = pmod(col("user_id"), lit(2)) === 1,
+        score = col("score"), outcome = col("purchases"),
+        caliper = 2.0)
+    }),
+
     // ── PR-AUC over the same stopword-score classifier as ext_roc_auc
     //    — the imbalanced-eval readout ROC hides; block-exact step AP
     //    over score groups (Eval.prAuc scaladoc).
@@ -3137,6 +3191,232 @@ object ExtQueries {
         |    / (ra * ra / (CAST(n_a AS DOUBLE) - 1.0)
         |      + rb * rb / (CAST(n_b AS DOUBLE) - 1.0)), 6) END AS df
         |FROM m3""".stripMargin,
+
+    // DiD replay: the same 4-cell conditional decimal sums, means,
+    // per-cell moment-identity variance/n terms, did/se/t via the
+    // identical IEEE expression tree (subtraction order preserved).
+    "ext_diff_in_diff" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 = 1 AS tr,
+        |    CAST(ts AS DATE) >= DATE '2024-01-16' AS po,
+        |    round(CAST(value AS DOUBLE), 6) AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |g AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN NOT tr AND NOT po THEN 1 END), 0)
+        |      AS BIGINT) AS n_c_pre,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT tr AND po THEN 1 END), 0)
+        |      AS BIGINT) AS n_c_post,
+        |    CAST(COALESCE(SUM(CASE WHEN tr AND NOT po THEN 1 END), 0)
+        |      AS BIGINT) AS n_t_pre,
+        |    CAST(COALESCE(SUM(CASE WHEN tr AND po THEN 1 END), 0)
+        |      AS BIGINT) AS n_t_post,
+        |    SUM(CASE WHEN NOT tr AND NOT po
+        |      THEN CAST(x AS DECIMAL(38,6)) END) AS s_c_pre,
+        |    SUM(CASE WHEN NOT tr AND po
+        |      THEN CAST(x AS DECIMAL(38,6)) END) AS s_c_post,
+        |    SUM(CASE WHEN tr AND NOT po
+        |      THEN CAST(x AS DECIMAL(38,6)) END) AS s_t_pre,
+        |    SUM(CASE WHEN tr AND po
+        |      THEN CAST(x AS DECIMAL(38,6)) END) AS s_t_post,
+        |    SUM(CASE WHEN NOT tr AND NOT po
+        |      THEN CAST(round(x * x, 4) AS DECIMAL(38,4)) END) AS q_c_pre,
+        |    SUM(CASE WHEN NOT tr AND po
+        |      THEN CAST(round(x * x, 4) AS DECIMAL(38,4)) END) AS q_c_post,
+        |    SUM(CASE WHEN tr AND NOT po
+        |      THEN CAST(round(x * x, 4) AS DECIMAL(38,4)) END) AS q_t_pre,
+        |    SUM(CASE WHEN tr AND po
+        |      THEN CAST(round(x * x, 4) AS DECIMAL(38,4)) END) AS q_t_post
+        |  FROM b),
+        |m AS (SELECT *,
+        |    CASE WHEN n_c_pre > 0 THEN CAST(s_c_pre AS DOUBLE)
+        |      / CAST(n_c_pre AS DOUBLE) END AS m_c_pre,
+        |    CASE WHEN n_c_post > 0 THEN CAST(s_c_post AS DOUBLE)
+        |      / CAST(n_c_post AS DOUBLE) END AS m_c_post,
+        |    CASE WHEN n_t_pre > 0 THEN CAST(s_t_pre AS DOUBLE)
+        |      / CAST(n_t_pre AS DOUBLE) END AS m_t_pre,
+        |    CASE WHEN n_t_post > 0 THEN CAST(s_t_post AS DOUBLE)
+        |      / CAST(n_t_post AS DOUBLE) END AS m_t_post,
+        |    CASE WHEN n_c_pre >= 2 THEN greatest(
+        |      (CAST(q_c_pre AS DOUBLE) - CAST(s_c_pre AS DOUBLE)
+        |        * CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))
+        |      / (CAST(n_c_pre AS DOUBLE) - 1.0), 0.0) END
+        |      / CAST(n_c_pre AS DOUBLE) AS r_c_pre,
+        |    CASE WHEN n_c_post >= 2 THEN greatest(
+        |      (CAST(q_c_post AS DOUBLE) - CAST(s_c_post AS DOUBLE)
+        |        * CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE))
+        |      / (CAST(n_c_post AS DOUBLE) - 1.0), 0.0) END
+        |      / CAST(n_c_post AS DOUBLE) AS r_c_post,
+        |    CASE WHEN n_t_pre >= 2 THEN greatest(
+        |      (CAST(q_t_pre AS DOUBLE) - CAST(s_t_pre AS DOUBLE)
+        |        * CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+        |      / (CAST(n_t_pre AS DOUBLE) - 1.0), 0.0) END
+        |      / CAST(n_t_pre AS DOUBLE) AS r_t_pre,
+        |    CASE WHEN n_t_post >= 2 THEN greatest(
+        |      (CAST(q_t_post AS DOUBLE) - CAST(s_t_post AS DOUBLE)
+        |        * CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE))
+        |      / (CAST(n_t_post AS DOUBLE) - 1.0), 0.0) END
+        |      / CAST(n_t_post AS DOUBLE) AS r_t_post
+        |  FROM g),
+        |m2 AS (SELECT *,
+        |    (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did,
+        |    sqrt(r_c_pre + r_c_post + r_t_pre + r_t_post) AS se
+        |  FROM m)
+        |SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+        |  round(m_c_pre, 6) AS mean_c_pre,
+        |  round(m_c_post, 6) AS mean_c_post,
+        |  round(m_t_pre, 6) AS mean_t_pre,
+        |  round(m_t_post, 6) AS mean_t_post,
+        |  round(did, 6) AS did, round(se, 6) AS se,
+        |  CASE WHEN se > 0.0 THEN round(did / se, 6) END AS t
+        |FROM m2""".stripMargin,
+
+    // PSM replay: identical unit collapse (4dp decimal-mean score),
+    // one sort, the same below/above IGNORE NULLS window reads, the
+    // same pick rule (tie below, caliper 2.0).
+    "ext_psm_match" ->
+      """WITH units AS (
+        |  SELECT user_id,
+        |    round(CAST(SUM(CAST(round(CAST(value AS DOUBLE), 6)
+        |        AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+        |      6) AS score,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS purchases
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT user_id AS uid, user_id % 2 = 1 AS tr,
+        |    round(score, 6) AS s,
+        |    round(CAST(purchases AS DOUBLE), 6) AS y
+        |  FROM units WHERE user_id IS NOT NULL AND score IS NOT NULL),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN NOT tr
+        |        THEN struct_pack(s := s, uid := uid, y := y) END
+        |        IGNORE NULLS)
+        |      OVER (ORDER BY s, CAST(tr AS INT), uid
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lo,
+        |    first_value(CASE WHEN NOT tr
+        |        THEN struct_pack(s := s, uid := uid, y := y) END
+        |        IGNORE NULLS)
+        |      OVER (ORDER BY s, CAST(tr AS INT), uid
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS hi
+        |  FROM m),
+        |p AS (
+        |  SELECT *, CASE WHEN lo IS NOT NULL AND (hi IS NULL
+        |      OR (s - (lo).s) <= ((hi).s - s)) THEN lo ELSE hi END AS pk
+        |  FROM w WHERE tr),
+        |p2 AS (
+        |  SELECT *, CASE WHEN abs((pk).s - s) <= 2.0 THEN pk END AS mt
+        |  FROM p)
+        |SELECT uid AS t_id, (mt).uid AS c_id,
+        |  s AS score_t, (mt).s AS score_c,
+        |  round(abs((mt).s - s), 6) AS gap,
+        |  y AS y_t, (mt).y AS y_c
+        |FROM p2 ORDER BY t_id""".stripMargin,
+
+    // KM replay: same per-user collapse, life table, exact windowed
+    // risk counts, DECIMAL(18,6)-quantized ln factors (the unigram-nll
+    // xsum discipline), exp at the end.
+    "ext_kaplan_meier" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MIN(CAST(ts AS DATE)) AS first_d,
+        |    MAX(CAST(ts AS DATE)) AS last_d,
+        |    MIN(CASE WHEN event_type = 'purchase' AND value > 200.0
+        |      THEN CAST(ts AS DATE) END) AS event_d
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |u AS (
+        |  SELECT CASE WHEN event_d IS NOT NULL
+        |      THEN datediff('day', first_d, event_d)
+        |      ELSE datediff('day', first_d, last_d) END AS t_days,
+        |    event_d IS NOT NULL AS observed
+        |  FROM pu),
+        |life AS (
+        |  SELECT t_days,
+        |    CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_events,
+        |    CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS c_censored
+        |  FROM u GROUP BY 1),
+        |lt AS (
+        |  SELECT t_days, d_events, c_censored,
+        |    SUM(d_events + c_censored) OVER ()
+        |      - COALESCE(SUM(d_events + c_censored) OVER (ORDER BY t_days
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM life),
+        |lt2 AS (
+        |  SELECT *,
+        |    CASE WHEN d_events < n_risk
+        |      THEN CAST(ln(1.0 - CAST(d_events AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)) AS DECIMAL(18,6)) END AS ln_term,
+        |    CASE WHEN d_events = n_risk THEN 1 ELSE 0 END AS dead
+        |  FROM lt)
+        |SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk,
+        |  d_events, c_censored,
+        |  CASE WHEN MAX(dead) OVER (ORDER BY t_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |    THEN 0.0
+        |    ELSE round(exp(CAST(COALESCE(
+        |      SUM(ln_term) OVER (ORDER BY t_days
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      CAST(0 AS DECIMAL(18,6))) AS DOUBLE)), 6) END AS s_km
+        |FROM lt2 ORDER BY t_days""".stripMargin,
+
+    // HLL replay: every register rebuilt from the same md5 bits
+    // (bucket = first 2 hex chars, rank from the 52-bit tail's leading
+    // zeros), exact BIGINT harmonic numerator, the identical IEEE
+    // estimator chain; '__all__' folds registers with max-per-bucket.
+    "ext_hll_distinct" ->
+      """WITH v AS (
+        |  SELECT event_type AS group_key,
+        |    md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rr AS (
+        |  SELECT group_key,
+        |    CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS b,
+        |    length(regexp_extract(substr(h, 3, 13), '^(0*)', 1)) AS z,
+        |    substr(h, 3, 13) AS tail
+        |  FROM v),
+        |r2 AS (
+        |  SELECT group_key, b,
+        |    CASE WHEN z = 13 THEN 53
+        |      ELSE 4 * z + (CASE
+        |        WHEN CAST(concat('0x',
+        |          substr(tail, CAST(z + 1 AS INT), 1)) AS BIGINT) >= 8 THEN 0
+        |        WHEN CAST(concat('0x',
+        |          substr(tail, CAST(z + 1 AS INT), 1)) AS BIGINT) >= 4 THEN 1
+        |        WHEN CAST(concat('0x',
+        |          substr(tail, CAST(z + 1 AS INT), 1)) AS BIGINT) >= 2 THEN 2
+        |        ELSE 3 END) + 1 END AS rho
+        |  FROM rr),
+        |regs AS (
+        |  SELECT group_key, b, MAX(rho) AS mj FROM r2 GROUP BY 1, 2),
+        |allregs AS (
+        |  SELECT '__all__' AS group_key, b, MAX(mj) AS mj
+        |  FROM regs GROUP BY 2),
+        |unioned AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs),
+        |est AS (
+        |  SELECT group_key,
+        |    CAST(COUNT(*) AS BIGINT) AS n_regs,
+        |    CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - mj AS INT))
+        |      AS BIGINT) AS s_present
+        |  FROM unioned GROUP BY 1),
+        |fin AS (
+        |  SELECT group_key, n_regs,
+        |    CAST(256 - n_regs AS BIGINT) AS v_zero,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+        |      / CAST(s_present + (256 - n_regs) * 9007199254740992
+        |        AS DOUBLE) AS raw
+        |  FROM est)
+        |SELECT group_key, n_regs, v_zero,
+        |  round(CASE WHEN raw <= 640.0 AND v_zero > 0
+        |    THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
+        |    ELSE raw END, 4) AS hll_n
+        |FROM fin ORDER BY group_key""".stripMargin,
 
     // Mann-Whitney replay: grouped-value counts, the spearman
     // 2-avgrank cumulative window, DECIMAL(19,0)-operand exact sums,

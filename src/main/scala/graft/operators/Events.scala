@@ -716,4 +716,80 @@ object Events {
     base.select(col("k"), col("ord"), col("id"), col("x"),
       round(num.cast("double") / lit(mass.toDouble), 6).as("ewma"))
   }
+
+  /** Kaplan–Meier product-limit survival estimate (Kaplan & Meier '58)
+    * for time-to-first TARGET event with right-censoring — the
+    * time-to-value readout [[retention]] cannot give: retention counts
+    * who is still around per offset, KM estimates WHEN the target
+    * happens while handling users who never reach it (censored at
+    * last-seen, not silently dropped or counted as failures — either
+    * of which biases the curve, the reason KM exists).
+    *
+    * Per user: origin = first event day, duration = days to the first
+    * `target` event (observed) or to the last-seen day (censored).
+    * Life table over distinct durations t_i: n_i (at risk = users with
+    * duration ≥ t_i), d_i (observed at t_i), c_i (censored at t_i);
+    * S(t) = Π_{t_i ≤ t} (1 − d_i/n_i).
+    *
+    * Determinism: each factor's ln(1 − d_i/n_i) is quantized to
+    * DECIMAL(18,6) BEFORE the cumulative sum (the
+    * [[graft.operators.TfIdf.unigramLogProb]] xsum discipline — the
+    * decimal sum is exact and order-independent; libm's last-ulp ln
+    * skew dies in the quantization), exp at the end, 6dp. A d_i = n_i
+    * row (everyone left fails — only possible at the last timepoint,
+    * since the risk set empties) yields S = 0 exactly, no ln(0).
+    *
+    * 100 TB shape: events collapse to ONE row per user (two
+    * conditional min/max aggregates in one pass), the life table to
+    * ≤ |distinct durations| rows — calendar-bounded, so the ordered
+    * windows run over a bounded spine, never over users. The
+    * observation-window end rides a 1-row broadcast.
+    *
+    * Output: one row per distinct duration — (t_days, n_risk,
+    * d_events, c_censored, s_km 6dp), ordered by t_days. */
+  def kaplanMeier(
+      events: DataFrame, target: Column): DataFrame = {
+    val perUser = events
+      .select(col("user_id"), to_date(col("ts")).as("d"), target.as("hit"))
+      .filter(col("user_id").isNotNull && col("d").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        min(col("d")).as("first_d"),
+        max(col("d")).as("last_d"),
+        min(when(col("hit"), col("d"))).as("event_d"))
+      .select(
+        when(col("event_d").isNotNull,
+          datediff(col("event_d"), col("first_d")))
+          .otherwise(datediff(col("last_d"), col("first_d")))
+          .cast("long").as("t_days"),
+        col("event_d").isNotNull.as("observed"))
+    val life = perUser
+      .groupBy("t_days")
+      .agg(
+        sum(when(col("observed"), 1L).otherwise(0L)).as("d_events"),
+        sum(when(col("observed"), 0L).otherwise(1L)).as("c_censored"))
+    val ord = Window.orderBy("t_days")
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    life
+      .withColumn("n_risk",
+        sum(col("d_events") + col("c_censored")).over(
+          ord.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)) -
+          coalesce(sum(col("d_events") + col("c_censored")).over(before),
+            lit(0L)))
+      .withColumn("ln_term",
+        when(col("d_events") < col("n_risk"),
+          log(lit(1.0) - col("d_events").cast("double") /
+            col("n_risk").cast("double")).cast("decimal(18,6)"))
+          .otherwise(lit(null).cast("decimal(18,6)")))
+      .withColumn("s_km",
+        when(max(when(col("d_events") === col("n_risk"), 1).otherwise(0))
+          .over(upto) === 1, lit(0.0))
+          .otherwise(round(
+            exp(coalesce(sum(col("ln_term")).over(upto),
+              lit(0).cast("decimal(18,6)")).cast("double")), 6)))
+      .select("t_days", "n_risk", "d_events", "c_censored", "s_km")
+      .orderBy("t_days")
+  }
 }

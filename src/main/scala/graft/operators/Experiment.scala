@@ -524,4 +524,137 @@ object Experiment {
       when(col("n_a") > 0 && col("n_b") > 0, uA).as("u_a"),
       round(z, 6).as("z"))
   }
+
+  /** Difference-in-differences (Card & Krueger '94 design) — the
+    * quasi-experimental readout for rollouts WITHOUT randomized
+    * assignment: when a change ships to one cohort at a known date,
+    * `(treat_post − treat_pre) − (ctrl_post − ctrl_pre)` nets out both
+    * the permanent cohort gap and the common time trend, which a naive
+    * post-only comparison ([[welchT]] on the post window) conflates
+    * with the effect. Parallel pre-trends are the caller's design
+    * assumption, as everywhere.
+    *
+    * SE via the four-cell independent-means formula
+    * sqrt(Σ v_i/n_i) — the [[welchT]] moment identity per cell
+    * (v = (Σx² − (Σx)²/n)/(n−1)) on the same decimal-quantized sums
+    * (x 6dp → DECIMAL(38,6), x² 4dp → DECIMAL(38,4); same tick-bound
+    * caveat).
+    *
+    * 100 TB shape: ONE conditional aggregation — 4 cells × 3 sums with
+    * map-side partials, one output row. A cell with n = 0 (e.g. the
+    * treatment cohort has no pre-period data) yields NULL means/did —
+    * visible, never a silent zero.
+    *
+    * Output: ONE row — (n_c_pre, n_c_post, n_t_pre, n_t_post, 4 cell
+    * means 6dp, did 6dp, se 6dp, t 6dp). */
+  def diffInDiff(
+      df: DataFrame, treated: Column, post: Column,
+      value: Column): DataFrame = {
+    val base = df.select(
+      treated.as("tr"), post.as("po"),
+      round(value.cast("double"), 6).as("x"))
+      .filter(col("tr").isNotNull && col("po").isNotNull && col("x").isNotNull)
+    def cell(tr: Boolean, po: Boolean, e: Column): Column =
+      sum(when(col("tr") === tr && col("po") === po, e))
+    def cellAggs(tag: String, tr: Boolean, po: Boolean): Seq[Column] = Seq(
+      coalesce(cell(tr, po, lit(1L)), lit(0L)).as(s"n_$tag"),
+      cell(tr, po, col("x").cast("decimal(38,6)")).as(s"s_$tag"),
+      cell(tr, po, round(col("x") * col("x"), 4).cast("decimal(38,4)"))
+        .as(s"q_$tag"))
+    val aggs = cellAggs("c_pre", tr = false, po = false) ++
+      cellAggs("c_post", tr = false, po = true) ++
+      cellAggs("t_pre", tr = true, po = false) ++
+      cellAggs("t_post", tr = true, po = true)
+    val g = base.agg(aggs.head, aggs.tail: _*)
+    def mean(tag: String): Column =
+      when(col(s"n_$tag") > 0,
+        col(s"s_$tag").cast("double") / col(s"n_$tag").cast("double"))
+    def vOverN(tag: String): Column =
+      when(col(s"n_$tag") >= 2, greatest(
+        (col(s"q_$tag").cast("double") -
+          col(s"s_$tag").cast("double") * col(s"s_$tag").cast("double") /
+            col(s"n_$tag").cast("double")) /
+          (col(s"n_$tag").cast("double") - 1.0),
+        lit(0.0))) / col(s"n_$tag").cast("double")
+    val did = (mean("t_post") - mean("t_pre")) -
+      (mean("c_post") - mean("c_pre"))
+    val se = sqrt(vOverN("c_pre") + vOverN("c_post") +
+      vOverN("t_pre") + vOverN("t_post"))
+    g.select(
+      col("n_c_pre"), col("n_c_post"), col("n_t_pre"), col("n_t_post"),
+      round(mean("c_pre"), 6).as("mean_c_pre"),
+      round(mean("c_post"), 6).as("mean_c_post"),
+      round(mean("t_pre"), 6).as("mean_t_pre"),
+      round(mean("t_post"), 6).as("mean_t_post"),
+      round(did, 6).as("did"),
+      round(se, 6).as("se"),
+      round(when(se > 0.0, did / se), 6).as("t"))
+  }
+
+  /** Nearest-neighbor score matching WITH replacement (the standard
+    * propensity-score matching estimator, Rosenbaum & Rubin '83;
+    * with-replacement keeps matching embarrassingly parallel — the
+    * without-replacement variant is a sequential assignment problem
+    * with no distributed form) — every treated unit matches the
+    * control whose score is closest, if within `caliper`; unmatched
+    * treated units stay VISIBLE with a NULL control, never dropped
+    * (dropping them silently redefines the estimand).
+    *
+    * Mechanics: one global sort by (score, is-control-first, id); each
+    * treated row reads the nearest control BELOW via
+    * `last_value(ignore nulls)` over the preceding frame and the
+    * nearest ABOVE via `first_value(ignore nulls)` over the following
+    * frame — two window reads over one sort, no join. Tie (equal
+    * distance) breaks BELOW; equal-score controls resolve to the
+    * highest id below / lowest above (the sort order — deterministic,
+    * and the DuckDB oracle replays the identical window spec).
+    *
+    * 100 TB shape: matching runs over UNITS (users), which the caller
+    * has already collapsed from corpus-scale events — a units table is
+    * orders of magnitude smaller than its event log. The full-order
+    * window is the deliberate trade (the `ext_lift_table` class) and
+    * is guarded: more than `maxUnits` rows fails loudly instead of
+    * silently single-tasking; band-by-score-quantile with boundary
+    * replication is the documented escape hatch past that.
+    *
+    * Output: one row per treated unit — (t_id, c_id nullable,
+    * score_t, score_c, gap = |score_t − score_c| both 6dp-exact from
+    * the caller's quantized scores, y_t, y_c), ordered by t_id. */
+  def nearestScoreMatch(
+      units: DataFrame, id: Column, treated: Column,
+      score: Column, outcome: Column,
+      caliper: Double, maxUnits: Long = 10000000L): DataFrame = {
+    require(caliper > 0, s"caliper must be positive, got $caliper")
+    val base = units.select(
+      id.cast("long").as("uid"), treated.as("tr"),
+      round(score.cast("double"), 6).as("s"),
+      round(outcome.cast("double"), 6).as("y"))
+      .filter(col("uid").isNotNull && col("tr").isNotNull && col("s").isNotNull)
+    val guarded = graft.operators.Eval.inlineCardinalityGuard(
+      base, struct(col("s"), col("tr"), col("uid")),
+      maxUnits, "nearestScoreMatch", "maxUnits")
+    val ord = Window.orderBy(col("s"), col("tr").cast("int"), col("uid"))
+    val below = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val above = ord.rowsBetween(1, Window.unboundedFollowing)
+    val ctrl = struct(col("s"), col("uid"), col("y"))
+    val withNbrs = guarded
+      .withColumn("lo",
+        last(when(!col("tr"), ctrl), ignoreNulls = true).over(below))
+      .withColumn("hi",
+        first(when(!col("tr"), ctrl), ignoreNulls = true).over(above))
+      .filter(col("tr"))
+    val dLo = col("s") - col("lo.s")
+    val dHi = col("hi.s") - col("s")
+    val pick = when(col("lo").isNotNull &&
+      (col("hi").isNull || dLo <= dHi), col("lo"))
+      .otherwise(col("hi")) // hi, or NULL when both sides are empty
+    withNbrs
+      .withColumn("m", when(abs(pick("s") - col("s")) <= caliper, pick))
+      .select(
+        col("uid").as("t_id"), col("m.uid").as("c_id"),
+        col("s").as("score_t"), col("m.s").as("score_c"),
+        round(abs(col("m.s") - col("s")), 6).as("gap"),
+        col("y").as("y_t"), col("m.y").as("y_c"))
+      .orderBy("t_id")
+  }
 }

@@ -494,4 +494,82 @@ object Sketches {
         kmvEstimate(col("hs"), k).as("kmv_n"))
     groups.unionByName(merged)
   }
+
+  /** PORTABLE HyperLogLog (Flajolet et al. '07) with register-level
+    * replay — the third leg of the distinct-count family: Spark's
+    * built-in `approx_count_distinct` (g3) is HLL++ but its sketch is
+    * JVM-private (no second engine can audit a register), and KMV
+    * ([[kmvDistinct]]) is exactly replayable but keeps k longs per
+    * group. This one is BOTH fixed-size and replayable: the state is
+    * m = 2^p max-rank registers derived from md5 prefixes, so DuckDB
+    * rebuilds every register bit-for-bit (`ext_hll_distinct` oracle)
+    * and the estimate is a pure deterministic function of them.
+    *
+    * Register math (all exact integers until the final divide):
+    * bucket = first p/4 hex chars of md5(value); the next 13 hex chars
+    * are the 52-bit tail whose leading-zero count sets the rank —
+    * rho = 4·(leading '0' hex chars) + zeros-within-first-nonzero-digit
+    * + 1, capped at 53 for an all-zero tail. Σ 2^−M_j is carried as
+    * the exact BIGINT Σ 2^(53−M_j) (≤ m·2^53 < 2^63, no float sum):
+    * raw = (α_m·m²·2^53) / Σint with α_m = 0.7213/(1 + 1.079/m)
+    * (m ≥ 128 regime), linear-counting fallback m·ln(m/V) below
+    * 2.5·m when V (empty registers) > 0 — ln's last-ulp libm skew is
+    * absorbed by the 4dp output round (the [[TfIdf.unigramLogProb]]
+    * argument).
+    *
+    * MERGEABILITY is the point (the [[kmvMergeRollup]] story): the
+    * `__all__` row is computed from the per-group REGISTERS alone —
+    * max per bucket across groups — and max-of-maxes makes that
+    * identical to a direct global HLL (SketchesSpec pins the
+    * identity). A 100 TB pipeline keeps m longs per (day, source) and
+    * answers any coarser distinct count by folding registers, never
+    * re-scanning.
+    *
+    * 100 TB shape: one scan → (group, bucket) max-rank partials
+    * (map-side collapse to ≤ G·m rows); estimates aggregate m rows per
+    * group; the rollup folds G·m register rows. Null values are
+    * DROPPED (the [[joinSizeEstimate]] rule — both engines agree).
+    *
+    * Output: one row per group plus `__all__` — (group_key, n_regs
+    * populated, v_zero empty registers, hll_n estimate 4dp). */
+  def hllRegisterRollup(
+      df: DataFrame, group: Column, value: Column, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 12 && p % 4 == 0,
+      s"p must be 4, 8 or 12 (whole md5 hex chars), got $p")
+    val m = 1 << p
+    val h = md5(value.cast("string"))
+    val bucket = conv(substring(h, 1, p / 4), 16, 10).cast("long")
+    val tail = substring(h, p / 4 + 1, 13)
+    val zHex = length(regexp_extract(tail, "^(0*)", 1))
+    val d = conv(tail.substr(zHex + 1, lit(1)), 16, 10).cast("long")
+    val inDigit = when(d >= 8, 0).when(d >= 4, 1).when(d >= 2, 2).otherwise(3)
+    val rho = when(zHex === 13, lit(53))
+      .otherwise(zHex * 4 + inDigit + 1)
+    val regs = df
+      .filter(value.isNotNull)
+      .select(group.cast("string").as("group_key"), bucket.as("b"), rho.as("r"))
+      .groupBy("group_key", "b")
+      .agg(max("r").as("mj"))
+    def estimate(r: DataFrame): DataFrame = {
+      val sumInt = r.groupBy("group_key").agg(
+        count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(cast(1 as bigint), 53 - mj)")).as("s_present"))
+      // α_m·m²·2^53 / Σint, linear counting below 2.5m; the float
+      // expression ORDER is mirrored textually in the DuckDB oracle so
+      // both engines run the identical IEEE chain
+      val vZero = lit(m.toLong) - col("n_regs")
+      val sInt = col("s_present") + vZero * lit(9007199254740992L) // 2^53
+      val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+        lit((m.toLong * m).toDouble) * lit(9007199254740992.0) /
+        sInt.cast("double")
+      sumInt.select(
+        col("group_key"), col("n_regs"), vZero.as("v_zero"),
+        round(when(raw <= lit(2.5 * m) && vZero > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / vZero.cast("double")))
+          .otherwise(raw), 4).as("hll_n"))
+    }
+    val merged = regs.groupBy("b").agg(max("mj").as("mj"))
+      .select(lit("__all__").as("group_key"), col("b"), col("mj"))
+    estimate(regs).unionByName(estimate(merged)).orderBy("group_key")
+  }
 }

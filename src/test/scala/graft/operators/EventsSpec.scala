@@ -542,4 +542,61 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(got.filter(_._1 == 2L).map(_._3).toSeq ==
       Seq(None, None, None, None, Some(1.0)))
   }
+
+  // ── kaplanMeier ────────────────────────────────────────────────────
+
+  private def day(d: Int) = new Timestamp(1704067200000L + d * 86400000L)
+
+  /** The operator's exact float discipline: ln factors quantized to
+    * 6dp decimals before summation, exp at the end, 6dp. */
+  private def kmChain(factors: Seq[(Long, Long)]): Double = {
+    val sum = factors.map { case (d, n) =>
+      BigDecimal(math.log(1.0 - d.toDouble / n.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    BigDecimal(math.exp(sum.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("kaplanMeier: hand-built life table with censoring") {
+    // A converts at day 3, B censored at last-seen day 5, C converts
+    // immediately (t=0)
+    val ev = Seq(
+      (1L, day(0), "view", 10.0), (1L, day(3), "buy", 10.0),
+      (2L, day(0), "view", 10.0), (2L, day(5), "view", 10.0),
+      (3L, day(0), "buy", 10.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Events.kaplanMeier(ev, col("event_type") === "buy")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val s0 = kmChain(Seq(1L -> 3L))            // t=0: d=1, n=3
+    val s3 = kmChain(Seq(1L -> 3L, 1L -> 2L))  // t=3: d=1, n=2
+    assert(got == Seq(
+      (0L, 3L, 1L, 0L, s0),
+      (3L, 2L, 1L, 0L, s3),
+      (5L, 1L, 0L, 1L, s3))) // censoring never moves the curve
+  }
+
+  test("kaplanMeier: everyone failing at the last timepoint lands S=0, no ln(0)") {
+    val ev = Seq(
+      (1L, day(0), "view", 0.0), (1L, day(2), "buy", 0.0),
+      (2L, day(0), "view", 0.0), (2L, day(2), "buy", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Events.kaplanMeier(ev, col("event_type") === "buy")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 2L, 2L, 0L, 0.0)))
+  }
+
+  test("kaplanMeier: null user/ts rows are excluded; target checks value too") {
+    val ev = Seq(
+      (Some(1L), Some(day(0)), "buy", 300.0),
+      (Some(1L), Some(day(4)), "buy", 100.0), // below threshold: not a hit
+      (None, Some(day(1)), "buy", 300.0),
+      (Some(2L), None, "buy", 300.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Events.kaplanMeier(
+      ev, col("event_type") === "buy" && col("value") > 200.0)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // only user 1 survives the filters; converts at its first day (t=0)
+    assert(got == Seq((0L, 1L, 1L, 0L, 0.0)))
+  }
 }

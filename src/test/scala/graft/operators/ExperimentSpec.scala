@@ -259,4 +259,84 @@ class ExperimentSpec extends AnyFunSuite with SparkSpec {
     assert(e.getAs[Long]("n_a") == 1L && e.getAs[Long]("n_b") == 0L)
     assert(e.isNullAt(e.fieldIndex("u_a")) && e.isNullAt(e.fieldIndex("z")))
   }
+
+  // ── diffInDiff ─────────────────────────────────────────────────────
+
+  test("diffInDiff: hand-computed 4-cell estimate, se, t") {
+    val rows = Seq(
+      (false, false, 1.0), (false, false, 3.0), // ctrl pre:  mean 2, var 2
+      (false, true, 2.0), (false, true, 4.0),   // ctrl post: mean 3, var 2
+      (true, false, 1.0), (true, false, 5.0),   // trt pre:   mean 3, var 8
+      (true, true, 7.0), (true, true, 9.0))     // trt post:  mean 8, var 2
+      .toDF("tr", "po", "v")
+    val got = Experiment.diffInDiff(rows, col("tr"), col("po"), col("v"))
+      .collect().head
+    assert(Seq("n_c_pre", "n_c_post", "n_t_pre", "n_t_post")
+      .map(c => got.getAs[Long](c)) == Seq(2L, 2L, 2L, 2L))
+    assert(got.getAs[Double]("did") == (8.0 - 3.0) - (3.0 - 2.0))
+    val se = math.sqrt(2.0 / 2 + 2.0 / 2 + 8.0 / 2 + 2.0 / 2)
+    assert(got.getAs[Double]("se") == r6(se))
+    assert(got.getAs[Double]("t") == r6(4.0 / se))
+  }
+
+  test("diffInDiff: an empty cell surfaces as n=0 with NULL means/did") {
+    val rows = Seq( // no treated-pre data at all
+      (false, false, 1.0), (false, true, 2.0), (true, true, 3.0))
+      .toDF("tr", "po", "v")
+    val got = Experiment.diffInDiff(rows, col("tr"), col("po"), col("v"))
+      .collect().head
+    assert(got.getAs[Long]("n_t_pre") == 0L)
+    assert(got.isNullAt(got.fieldIndex("mean_t_pre")))
+    assert(got.isNullAt(got.fieldIndex("did")))
+  }
+
+  // ── nearestScoreMatch ──────────────────────────────────────────────
+
+  test("nearestScoreMatch: nearest control, tie breaks below, caliper nulls") {
+    val units = Seq(
+      (1L, true, 1.4, 10.0),  // nearest is control 2 below (0.4 < 3.6)
+      (2L, false, 1.0, 1.0),
+      (3L, true, 3.0, 20.0),  // tie: |3-1|=|5-3| → below → control 2
+      (4L, false, 5.0, 2.0),
+      (5L, true, 9.0, 30.0))  // nearest gap 4 > caliper 2 → unmatched
+      .toDF("id", "tr", "s", "y")
+    val got = Experiment.nearestScoreMatch(units,
+      col("id"), col("tr"), col("s"), col("y"), caliper = 2.0)
+      .as[(Long, Option[Long], Double, Option[Double], Option[Double],
+        Double, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, Some(2L), 1.4, Some(1.0), Some(0.4), 10.0, Some(1.0)),
+      (3L, Some(2L), 3.0, Some(1.0), Some(2.0), 20.0, Some(1.0)),
+      (5L, None, 9.0, None, None, 30.0, None)))
+  }
+
+  test("nearestScoreMatch: equal-score control wins with gap 0; above side used") {
+    val units = Seq(
+      (1L, false, 2.0, 1.0),
+      (2L, true, 2.0, 5.0),  // control at the same score sorts below: gap 0
+      (3L, true, 0.5, 7.0))  // only controls ABOVE exist → hi side
+      .toDF("id", "tr", "s", "y")
+    val got = Experiment.nearestScoreMatch(units,
+      col("id"), col("tr"), col("s"), col("y"), caliper = 5.0)
+      .as[(Long, Option[Long], Double, Option[Double], Option[Double],
+        Double, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      (2L, Some(1L), 2.0, Some(2.0), Some(0.0), 5.0, Some(1.0)),
+      (3L, Some(1L), 0.5, Some(2.0), Some(1.5), 7.0, Some(1.0))))
+  }
+
+  test("nearestScoreMatch: maxUnits guard fails loudly past the cap") {
+    val units = Seq(
+      (1L, true, 1.0, 1.0), (2L, false, 2.0, 1.0), (3L, false, 3.0, 1.0))
+      .toDF("id", "tr", "s", "y")
+    val e = intercept[Exception] {
+      Experiment.nearestScoreMatch(units, col("id"), col("tr"),
+        col("s"), col("y"), caliper = 1.0, maxUnits = 2L).collect()
+    }
+    assert(e.getMessage.contains("nearestScoreMatch") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("nearestScoreMatch"))
+  }
 }

@@ -298,4 +298,75 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
     assert(again("a") == 6.0 && again("__all__") == 4.0)
   }
+
+  // ── hllRegisterRollup ──────────────────────────────────────────────
+
+  /** Serial replay of one value's (bucket, rho) register update. */
+  private def hllReg(v: String): (Long, Int) = {
+    val h = md5hex(v)
+    val b = java.lang.Long.parseLong(h.substring(0, 2), 16)
+    val tail = h.substring(2, 15) // 13 hex chars = 52 bits
+    val z = tail.takeWhile(_ == '0').length
+    val rho =
+      if (z == 13) 53
+      else {
+        val d = Integer.parseInt(tail.charAt(z).toString, 16)
+        val in = if (d >= 8) 0 else if (d >= 4) 1 else if (d >= 2) 2 else 3
+        4 * z + in + 1
+      }
+    (b, rho)
+  }
+
+  test("hllRegisterRollup: registers match the serial md5 replay") {
+    val vals = (0L until 300L).map(v => ("g", v))
+    val got = Sketches
+      .hllRegisterRollup(vals.toDF("g", "v"), col("g"), col("v"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // serial HLL over the same md5 register math
+    val regs = scala.collection.mutable.Map.empty[Long, Int]
+    vals.foreach { case (_, v) =>
+      val (b, r) = hllReg(v.toString)
+      regs(b) = math.max(regs.getOrElse(b, 0), r)
+    }
+    val m = 256
+    val vZero = m - regs.size
+    val sInt = regs.values.map(r => 1L << (53 - r)).sum +
+      vZero.toLong * (1L << 53)
+    val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+      9007199254740992.0 / sInt.toDouble
+    val est =
+      if (raw <= 640.0 && vZero > 0) 256.0 * math.log(256.0 / vZero)
+      else raw
+    val exp = BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(got("g")._2 == regs.size && got("g")._3 == vZero)
+    assert(got("g")._4 == exp, s"${got("g")._4} vs $exp")
+    // one group: the '__all__' fold of a single sketch is that sketch
+    assert(got("__all__")._4 == got("g")._4)
+  }
+
+  test("hllRegisterRollup: estimate within 10% at 256 registers; nulls dropped") {
+    val df = (0L until 2000L).map(v => ("t", Some(v))) :+ (("t", None))
+    val got = Sketches
+      .hllRegisterRollup(df.toDF("g", "v"), col("g"), col("v"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(math.abs(got("t") - 2000.0) / 2000.0 < 0.10,
+      s"HLL estimate ${got("t")} off by >10% from 2000")
+  }
+
+  test("hllRegisterRollup: '__all__' equals a direct global HLL (merge identity)") {
+    val df = (0L until 1500L).map(v => (s"g${v % 3}", v)).toDF("g", "v")
+    val rolled = Sketches.hllRegisterRollup(df, col("g"), col("v"))
+      .filter(col("group_key") === "__all__")
+      .as[(String, Long, Long, Double)].collect().head
+    val direct = Sketches
+      .hllRegisterRollup(df.withColumn("g", lit("one")), col("g"), col("v"))
+      .filter(col("group_key") === "one")
+      .as[(String, Long, Long, Double)].collect().head
+    // max-of-maxes register fold == registers of the union
+    assert(rolled._2 == direct._2 && rolled._3 == direct._3 &&
+      rolled._4 == direct._4)
+  }
 }
