@@ -189,6 +189,16 @@ object ExtQueries {
       TextPipeline.sourceOverlapMatrix(t(s, dir, "documents"),
         col("text"), col("source"), n = 5)),
 
+    // ── Boilerplate-shingle screen — [EXT r14]: per source, the word
+    //    trigrams recurring across ≥ 2% of that source's docs (df is
+    //    DISTINCT-doc frequency) — the within-source template detector
+    //    next to ext_source_overlap's cross-source one; strip before
+    //    dedup or templates glue unrelated docs into near-dup clusters
+    //    (TextPipeline.boilerplateShingles scaladoc).
+    "ext_boilerplate" -> ((s, dir) =>
+      TextPipeline.boilerplateShingles(t(s, dir, "documents"),
+        col("text"), col("source"), n = 3, minDf = 2L, minRatio = 0.02)),
+
     // ── JSON extraction from the events props column. The extracted key
     //    is nullable (missing/malformed $.k): coalesce to sentinel -1 on
     //    BOTH engines, because Spark sorts NULL groups first and DuckDB
@@ -209,6 +219,14 @@ object ExtQueries {
     // ── Gap sessionization (30 min), per-user session stats.
     "ext_sessionize" -> ((s, dir) =>
       Events.sessionStats(t(s, dir, "events"), gapMs = 1800000L)),
+
+    // ── First-order Markov transition matrix over per-user event
+    //    sequences — [EXT r14]: global row-normalized P(next|current)
+    //    with the (ts, event_id) total tie-break; rows of P sum to 1,
+    //    a user's last event emits no transition
+    //    (Events.transitionMatrix scaladoc).
+    "ext_markov_transitions" -> ((s, dir) =>
+      Events.transitionMatrix(t(s, dir, "events"))),
 
     // ── As-of join: latest click value at-or-before each purchase, per
     //    user. Spark side is the union+carry-forward composition
@@ -1959,6 +1977,18 @@ object ExtQueries {
         col("tok_a"), col("tok_b"), col("n_ab"))
         .orderBy(col("pr").desc, col("node"))),
 
+    // ── HITS hubs/authorities on the same co-occurrence graph —
+    //    [EXT r14]: the role-splitting companion to ext_pagerank
+    //    (authorities = pointed to by good hubs, hubs = pointing to
+    //    good authorities); fixed 3 rounds, L1-normalized,
+    //    DECIMAL(28,12)-accumulated matvecs, oracle-unrolled
+    //    (Graph.hits scaladoc).
+    "ext_hits" -> ((s, dir) =>
+      Graph.hits(
+        TextPipeline.skipgramPairCounts(
+          t(s, dir, "documents"), col("text"), window = 1),
+        col("tok_a"), col("tok_b"), col("n_ab"))),
+
     // ── Personalized PageRank from the 's%'-token seed set: relevance
     //    radiates from seeds through co-occurrence links — the
     //    seed-expanded curation primitive; same fixed-round decimal
@@ -2584,6 +2614,16 @@ object ExtQueries {
         col("ts"))
         .orderBy("group_key", "di")),
 
+    // ── Additive seasonal decomposition of per-type daily volume —
+    //    [EXT r14]: y = trend (centered 7-day MA) + seasonal (centered
+    //    weekday-slot means) + remainder; where ext_weekday_anomaly
+    //    flags deviations this SPLITS the series, so an oncall can
+    //    tell Monday-dip from feed-decay from incident
+    //    (Drift.seasonalDecompose scaladoc).
+    "ext_seasonal_decompose" -> ((s, dir) =>
+      graft.operators.Drift.seasonalDecompose(
+        t(s, dir, "events"), col("event_type"), col("ts"))),
+
     // ── Benford first-digit screen over order prices: per-digit
     //    observed vs log10(1+1/d) expected share with χ² terms —
     //    the fabricated/truncated-feed ingest gate; STRING digit
@@ -3051,6 +3091,56 @@ object ExtQueries {
         |SELECT node, hops FROM l3 ORDER BY node""".stripMargin
   }
 
+  /** HITS replay: the ext_pagerank edge CTE, uniform h₀, then 3
+    * unrolled rounds of a ← L1-normalize(Aᵀh), h ← L1-normalize(A·a),
+    * each matvec an exact DECIMAL(28,12) product sum and each
+    * normalizer the exact decimal fold of those sums (Graph.hits's
+    * fixed-round contract). */
+  private val HitsOracle: String = {
+    val base =
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |pl AS (
+        |  SELECT flatten(list_transform(range(1, least(1, len(t) - 1) + 1),
+        |           d -> list_transform(range(1, len(t) - d + 1),
+        |             i -> struct_pack(a := t[CAST(i AS INT)],
+        |                              b := t[CAST(i + d AS INT)])))) AS ps
+        |  FROM toks WHERE len(t) >= 2),
+        |e AS MATERIALIZED (
+        |  SELECT p['a'] AS src, p['b'] AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+        |  FROM (SELECT unnest(ps) AS p FROM pl) GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+        |h0 AS (SELECT node, 1.0 / CAST(n_nodes AS DOUBLE) AS s
+        |       FROM nodes CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to 3).map { r =>
+      s""",
+         |a${r}r AS (SELECT e.dst AS node,
+         |    SUM(CAST(h${r - 1}.s * e.w AS DECIMAL(28,12))) AS raw
+         |  FROM e JOIN h${r - 1} ON h${r - 1}.node = e.src GROUP BY 1),
+         |a${r}t AS (SELECT SUM(raw) AS tot FROM a${r}r),
+         |a$r AS (SELECT n.node, CASE WHEN tot > 0
+         |    THEN CAST(COALESCE(raw, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+         |      / CAST(tot AS DOUBLE) ELSE 0.0 END AS s
+         |  FROM nodes n CROSS JOIN a${r}t
+         |  LEFT JOIN a${r}r ON a${r}r.node = n.node),
+         |h${r}r AS (SELECT e.src AS node,
+         |    SUM(CAST(a$r.s * e.w AS DECIMAL(28,12))) AS raw
+         |  FROM e JOIN a$r ON a$r.node = e.dst GROUP BY 1),
+         |h${r}t AS (SELECT SUM(raw) AS tot FROM h${r}r),
+         |h$r AS (SELECT n.node, CASE WHEN tot > 0
+         |    THEN CAST(COALESCE(raw, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+         |      / CAST(tot AS DOUBLE) ELSE 0.0 END AS s
+         |  FROM nodes n CROSS JOIN h${r}t
+         |  LEFT JOIN h${r}r ON h${r}r.node = n.node)""".stripMargin
+    }.mkString
+    base + rounds +
+      """
+        |SELECT h3.node, round(h3.s, 6) AS hub, round(a3.s, 6) AS authority
+        |FROM h3 JOIN a3 USING (node)
+        |ORDER BY authority DESC, hub DESC, node""".stripMargin
+  }
+
   /** Benford replay: the same STRING first-digit extraction, the
     * Drift.BenfordP literals as a VALUES spine (zero-count digits
     * kept), counts exact, share/e/chi2 the same IEEE chain. */
@@ -3141,6 +3231,100 @@ object ExtQueries {
     "ext_ewma" -> EwmaOracle,
     "ext_benford" -> BenfordOracle,
     "ext_corr_matrix" -> CorrMatrixOracle,
+    "ext_hits" -> HitsOracle,
+
+    // Seasonal-decomposition replay: the weekday-anomaly spine, the
+    // same centered-7 window (full-window check), DECIMAL(18,6)
+    // detrended quantization, exact slot-mean sums, the identical
+    // centering and remainder IEEE chains.
+    "ext_seasonal_decompose" ->
+      """WITH e AS (
+        |  SELECT event_type AS group_key,
+        |    epoch_ms(date_trunc('day', ts)) // 86400000 AS di
+        |  FROM events WHERE ts IS NOT NULL),
+        |d AS (
+        |  SELECT group_key, di, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT unnest(range((SELECT MIN(di) FROM d),
+        |    (SELECT MAX(di) FROM d) + 1)) AS di),
+        |f AS (
+        |  SELECT t.group_key, s.di, COALESCE(d.cnt, 0) AS cnt,
+        |    s.di % 7 AS dow
+        |  FROM (SELECT DISTINCT group_key FROM d) t
+        |  CROSS JOIN sp s
+        |  LEFT JOIN d ON d.group_key = t.group_key AND d.di = s.di),
+        |tr AS (
+        |  SELECT *, CASE WHEN COUNT(*) OVER w7 = 7
+        |    THEN CAST(SUM(cnt) OVER w7 AS DOUBLE) / 7.0 END AS trend
+        |  FROM f WINDOW w7 AS (PARTITION BY group_key ORDER BY di
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT *, CAST(round(CAST(cnt AS DOUBLE) - trend, 6)
+        |    AS DECIMAL(18,6)) AS det
+        |  FROM tr),
+        |sl AS (
+        |  SELECT group_key, dow,
+        |    CAST(SUM(det) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m_raw
+        |  FROM t2 WHERE det IS NOT NULL GROUP BY 1, 2),
+        |sl2 AS (SELECT *, CAST(m_raw AS DECIMAL(18,6)) AS m_q FROM sl),
+        |se AS (
+        |  SELECT group_key, dow,
+        |    m_raw - CAST(SUM(m_q) OVER (PARTITION BY group_key) AS DOUBLE)
+        |      / CAST(COUNT(*) OVER (PARTITION BY group_key) AS DOUBLE)
+        |      AS s_w
+        |  FROM sl2)
+        |SELECT t2.group_key, t2.di, CAST(t2.dow AS BIGINT) AS dow, t2.cnt,
+        |  round(trend, 6) AS trend, round(s_w, 6) AS seasonal,
+        |  round(CAST(cnt AS DOUBLE) - trend - s_w, 6) AS remainder
+        |FROM t2 LEFT JOIN se ON se.group_key = t2.group_key
+        |  AND se.dow = t2.dow
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Markov replay: the same (ts, event_id)-ordered per-user lead,
+    // exact cell counts, windowed row totals, one IEEE divide.
+    "ext_markov_transitions" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM b),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_ab,
+        |  CAST(SUM(n_ab) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS n_from,
+        |  round(CAST(n_ab AS DOUBLE)
+        |    / CAST(SUM(n_ab) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+        |    AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // Boilerplate replay: per-doc DISTINCT trigrams (list_distinct
+    // before unnest = the document-frequency rule), exact counts,
+    // the same ratio threshold and (source, df desc, gram) order.
+    "ext_boilerplate" ->
+      """WITH tok AS (
+        |  SELECT source, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT source, unnest(list_distinct(list_transform(
+        |    range(1, len(ts) - 1),
+        |    i -> array_to_string(list_slice(ts, i, i + 2), ' ')))) AS gram
+        |  FROM tok),
+        |df AS (
+        |  SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM g GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |       FROM documents GROUP BY 1)
+        |SELECT df.source, gram, df, n_docs,
+        |  round(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS df_ratio
+        |FROM df JOIN nd USING (source)
+        |WHERE CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) >= 0.02
+        |ORDER BY source, df DESC, gram""".stripMargin,
 
     // Welch replay: the same 6 conditional decimal sums, means and
     // moment-identity variances (clamped at 0) in IEEE doubles, t and

@@ -692,4 +692,88 @@ object Drift {
         (col("cnt") * col("n_dow") > col("sum_dow") * 2).as("is_spike"),
         (col("cnt") * col("n_dow") * 2 < col("sum_dow")).as("is_dip"))
   }
+
+  /** Classical additive seasonal decomposition (the moving-average
+    * method behind STL's initial pass; period 7 on daily counts):
+    * y = trend + seasonal + remainder, where [[weekdayAnomaly]] only
+    * FLAGS weekday deviations, this SPLITS the series — the readout
+    * that tells an ingest-volume oncall whether a Monday drop is the
+    * usual Monday (seasonal), a decaying feed (trend), or an incident
+    * (remainder).
+    *
+    *  - trend_t: centered 7-day moving average, defined only where all
+    *    7 neighbors exist (first/last 3 days stay NULL — visible, not
+    *    zero-filled);
+    *  - seasonal_w: mean detrended value per weekday slot, CENTERED by
+    *    subtracting the plain mean of the 7 slot means (so seasonal
+    *    sums to ~0 and trend keeps the level);
+    *  - remainder_t = y_t − trend_t − seasonal_w(t).
+    *
+    * Weekday slot = di mod 7 (the [[weekdayAnomaly]] idiom — calendar
+    * names add nothing and engines disagree on week starts). Missing
+    * days are zero-filled from the [[weekdayAnomaly]] spine first —
+    * a gap IS a real zero of the count series.
+    *
+    * Determinism: trend = exact 7-long-sum / 7.0 (one IEEE divide);
+    * detrended quantizes round(y − trend, 6) → DECIMAL(18,6) before
+    * the slot means (exact order-free sums); the slot-mean centering
+    * sums seven 6dp-quantized means exactly. Every emitted float is
+    * one IEEE chain off exact decimals, rounded 6dp.
+    *
+    * 100 TB shape: events collapse to (group, day) counts in one
+    * map-side-partial aggregate; everything after runs on the
+    * calendar-bounded spine (windows partitioned BY GROUP over ≤
+    * |days| rows each). Nothing downstream scales with event volume.
+    *
+    * Output: (group_key, di, dow, cnt, trend, seasonal, remainder),
+    * trend/remainder NULL on the 3-day edges, ordered (group_key, di). */
+  def seasonalDecompose(
+      events: DataFrame, group: Column, ts: Column): DataFrame = {
+    val days = events.filter(ts.isNotNull)
+      .select(group.as("group_key"),
+        (unix_millis(date_trunc("day", ts)) / lit(86400000L))
+          .cast("long").as("di"))
+      .groupBy("group_key", "di")
+      .agg(count(lit(1)).as("cnt"))
+    val spine = days.agg(min("di").as("lo"), max("di").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("di"))
+    val filled = days.select("group_key").distinct()
+      .crossJoin(broadcast(spine))
+      .join(days, Seq("group_key", "di"), "left")
+      .select(col("group_key"), col("di"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        pmod(col("di"), lit(7L)).cast("long").as("dow"))
+    val wTrend = Window.partitionBy("group_key").orderBy("di")
+      .rowsBetween(-3, 3)
+    val trended = filled
+      .withColumn("trend",
+        when(count(lit(1)).over(wTrend) === 7,
+          sum("cnt").over(wTrend).cast("double") / lit(7.0)))
+      .withColumn("det",
+        round(col("cnt").cast("double") - col("trend"), 6)
+          .cast("decimal(18,6)"))
+    val slots = trended
+      .filter(col("det").isNotNull)
+      .groupBy("group_key", "dow")
+      .agg((sum("det").cast("double") /
+        count(lit(1)).cast("double")).as("m_raw"))
+      .withColumn("m_q", col("m_raw").cast("decimal(18,6)"))
+    val wSlots = Window.partitionBy("group_key")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val seasonal = slots
+      .withColumn("grand",
+        sum("m_q").over(wSlots).cast("double") /
+          count(lit(1)).over(wSlots).cast("double"))
+      .select(col("group_key"), col("dow"),
+        (col("m_raw") - col("grand")).as("s_w"))
+    trended
+      .join(seasonal, Seq("group_key", "dow"), "left")
+      .select(
+        col("group_key"), col("di"), col("dow"), col("cnt"),
+        round(col("trend"), 6).as("trend"),
+        round(col("s_w"), 6).as("seasonal"),
+        round(col("cnt").cast("double") - col("trend") - col("s_w"), 6)
+          .as("remainder"))
+      .orderBy("group_key", "di")
+  }
 }

@@ -717,6 +717,50 @@ object Events {
       round(num.cast("double") / lit(mass.toDouble), 6).as("ewma"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next = b | current = a) with exact bigram counts —
+    * the behavioral-model readout next to [[sequenceNgrams]]'s
+    * per-user top-k patterns: this is the GLOBAL row-normalized
+    * matrix (simulation / next-event prediction / anomaly scoring
+    * input), not a pattern mine.
+    *
+    * Sequence order is (ts, event_id) per user — the repo's total
+    * tie-break discipline (same-millisecond events are real at scale;
+    * an under-specified sort is nondeterministic shuffle order, the
+    * FIXTURES gotcha). Transitions never cross users. n_from sums the
+    * OUTGOING transitions of a state (so rows of P sum to 1 exactly;
+    * a user's last event emits no transition — absorbing-tail
+    * convention).
+    *
+    * 100 TB shape: one user-partitioned window lag (the [[sessionStats]]
+    * exchange), then a map-side-collapsing count to ≤ |types|² cells;
+    * the row totals are a window over the cell table, not a second
+    * scan. Exact integers; one IEEE divide, 6dp.
+    *
+    * Output: (from_type, to_type, n_ab, n_from, p 6dp), observed
+    * cells only, ordered (from_type, to_type). */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val cells = pairs
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_ab"))
+    val wRow = Window.partitionBy("from_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("n_from", sum("n_ab").over(wRow))
+      .withColumn("p",
+        round(col("n_ab").cast("double") / col("n_from").cast("double"), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Kaplan–Meier product-limit survival estimate (Kaplan & Meier '58)
     * for time-to-first TARGET event with right-censoring — the
     * time-to-value readout [[retention]] cannot give: retention counts

@@ -391,4 +391,78 @@ object Graph {
             (col("degree") * (col("degree") - 1)))
           .otherwise(lit(0.0)).as("lcc"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg '99) — the second classical
+    * link-analysis readout next to [[pageRank]]: PageRank scores
+    * IMPORTANCE (random-surfer mass), HITS separates two ROLES —
+    * authorities (pointed to by good hubs) and hubs (pointing to good
+    * authorities) — which is exactly the curation split between
+    * "canonical reference docs" and "good index/survey docs" on a
+    * citation or co-occurrence graph.
+    *
+    * Power iteration on the weighted adjacency: per round,
+    * a ← normalize(Aᵀh), h ← normalize(A·a), L1 normalization (sum=1;
+    * keeps everything in exact-divide land — the L2 variant differs
+    * only by a global constant per round and would drag a sqrt into
+    * the normalization chain for nothing). Fixed `iterations` rounds,
+    * not convergence-tested: the same fixed-round oracle-unrollable
+    * contract as [[pageRank]].
+    *
+    * Determinism: each matvec accumulates per-edge products quantized
+    * to DECIMAL(28,12) (exact, order-free sums); the round's
+    * normalizer is the exact decimal sum OF those sums; every score
+    * is one IEEE divide of two exact decimals. A graph whose round
+    * total is 0 (no edges) yields all-zero scores, guarded, not 0/0.
+    *
+    * 100 TB shape: the [[pageRank]] shape — edges checkpointed once,
+    * ONE key-partitioned shuffle per matvec (dst-keyed then
+    * src-keyed), the normalizer rides a 1-row broadcast, node scores
+    * never collect to the driver.
+    *
+    * Output: (node, hub 6dp, authority 6dp), ordered by authority
+    * desc, hub desc, node. */
+  def hits(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      weight: Column,
+      iterations: Int = 3,
+      checkpoint: Checkpointing.Mode = Checkpointing.Local): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val eCut = checkpoint.cut(
+      edges.select(src.as("src"), dst.as("dst"), weight.cast("double").as("w")))
+    val nodes = checkpoint.cut(
+      eCut.select(col("src").as("node"))
+        .union(eCut.select(col("dst").as("node")))
+        .distinct())
+    val n = nodes.groupBy().agg(count(lit(1)).as("n_nodes"))
+    def normalized(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(sum("raw").as("tot")) // exact decimal fold
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          when(col("tot") > 0,
+            coalesce(col("raw"), lit(0).cast("decimal(28,12)"))
+              .cast("double") / col("tot").cast("double"))
+            .otherwise(lit(0.0)).as("s"))
+    }
+    var hub = nodes.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("n_nodes").cast("double")).as("s"))
+    var auth: DataFrame = hub
+    (1 to iterations).foreach { _ =>
+      auth = normalized(eCut
+        .join(hub.select(col("node").as("src"), col("s").as("hs")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum((col("hs") * col("w")).cast("decimal(28,12)")).as("raw")))
+      hub = normalized(eCut
+        .join(auth.select(col("node").as("dst"), col("s").as("as_")),
+          Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum((col("as_") * col("w")).cast("decimal(28,12)")).as("raw")))
+    }
+    hub.select(col("node"), round(col("s"), 6).as("hub"))
+      .join(auth.select(col("node"), round(col("s"), 6).as("authority")),
+        Seq("node"))
+      .orderBy(col("authority").desc, col("hub").desc, col("node"))
+  }
 }

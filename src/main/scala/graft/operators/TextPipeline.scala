@@ -1386,6 +1386,61 @@ object TextPipeline {
       .orderBy("source_a", "source_b")
   }
 
+  /** Boilerplate-shingle screen: per source, the word n-grams that
+    * recur across an outsized FRACTION of that source's documents —
+    * navigation chrome, license footers, cookie banners, templated
+    * intros. The CCNet/RefinedWeb-family cleanup step that is
+    * WITHIN-source by design: [[sourceOverlapMatrix]] asks "which
+    * corpora share text", this asks "which text is a template of its
+    * own corpus" — the grams a curation pass strips from every doc of
+    * that source before dedup (template mass otherwise glues unrelated
+    * docs into near-dup clusters).
+    *
+    * df = DISTINCT docs of the source containing the gram (multiple
+    * occurrences inside one doc count once — templates repeat across
+    * docs, spam repeats within one; [[repetitionMetrics]] owns the
+    * latter). Thresholds: df ≥ `minDf` AND df/n_docs ≥ `minRatio` —
+    * the ratio keeps the screen calibrated as the corpus grows (a
+    * fixed absolute df would flag random collisions at 100 TB).
+    *
+    * 100 TB shape: one corpus scan → per-doc DISTINCT grams (map-side
+    * explode + distinct collapses inside the aggregate), one
+    * (source, gram)-keyed count, broadcast-joined per-source doc
+    * totals (|sources| rows). Output is bounded by the thresholds —
+    * grams above 5% of a billion-doc source are a handful by
+    * construction. Exact integer counts; one IEEE divide, 6dp.
+    *
+    * Output: (source, gram, df, n_docs, df_ratio 6dp), ordered by
+    * (source, df desc, gram). */
+  def boilerplateShingles(
+      docs: DataFrame, text: Column, source: Column,
+      n: Int = 3, minDf: Long = 2L, minRatio: Double = 0.05): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(minDf >= 2, s"minDf < 2 would flag every gram, got $minDf")
+    val perSource = docs
+      .select(source.as("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    val df = docs
+      .select(source.as("source"),
+        graft.functions.expressions.GraftFunctions.word_ngrams(text, n)
+          .as("grams"))
+      // array_distinct BEFORE the explode: one row per (doc, gram), so
+      // the count below is a document frequency, never an occurrence
+      // count
+      .select(col("source"), explode(array_distinct(col("grams"))).as("gram"))
+      .groupBy("source", "gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    df.join(broadcast(perSource), Seq("source"))
+      .withColumn("df_ratio",
+        round(col("df").cast("double") / col("n_docs").cast("double"), 6))
+      .filter(col("df").cast("double") / col("n_docs").cast("double")
+        >= minRatio)
+      .select("source", "gram", "df", "n_docs", "df_ratio")
+      .orderBy(col("source"), col("df").desc, col("gram"))
+  }
+
   /** Weighted systematic (grid) sampling: pick ~`quota` documents with
     * probability proportional to an INTEGER weight (token count, byte
     * size, a scaled quality score), deterministically and seed-free —

@@ -319,4 +319,44 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     // an all-empty slot day: zero vs zero-mean is NOT an anomaly
     assert(!byDi(103L)._7 && !byDi(103L)._8)
   }
+
+  // ── seasonalDecompose ──────────────────────────────────────────────
+
+  test("seasonalDecompose: pure period-7 series splits exactly, zero remainder") {
+    // cnt(d) = 10 + (d mod 7) over 3 full weeks: trend = 13 on every
+    // interior day, seasonal(dow) = dow − 3, remainder = 0 — all
+    // arithmetic integer-exact in doubles
+    val rows = for {
+      d <- 0L until 21L
+      k <- 0L until (10L + d % 7)
+    } yield (k, dayTs(d), "g")
+    val got = Drift.seasonalDecompose(
+      rows.toDF("k", "ts", "g"), col("g"), col("ts"))
+      .collect()
+    assert(got.length == 21)
+    got.foreach { r =>
+      val di = r.getAs[Long]("di")
+      val dow = r.getAs[Long]("dow")
+      assert(r.getAs[Long]("cnt") == 10L + di % 7)
+      assert(dow == di % 7)
+      if (di >= 3 && di <= 17) { // interior: full centered-7 window
+        assert(r.getAs[Double]("trend") == 13.0)
+        assert(r.getAs[Double]("remainder") == 0.0)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("trend")))
+        assert(r.isNullAt(r.fieldIndex("remainder")))
+      }
+      assert(r.getAs[Double]("seasonal") == dow.toDouble - 3.0)
+    }
+  }
+
+  test("seasonalDecompose: a missing day is a REAL zero of the series") {
+    val rows = (0L until 8L).filterNot(_ == 3L)
+      .flatMap(d => (0L until 5L).map(k => (k, dayTs(d), "g")))
+    val got = Drift.seasonalDecompose(
+      rows.toDF("k", "ts", "g"), col("g"), col("ts"))
+      .collect().map(r => r.getAs[Long]("di") -> r.getAs[Long]("cnt")).toMap
+    assert(got(3L) == 0L) // spine-filled, not absent
+    assert(got.size == 8)
+  }
 }

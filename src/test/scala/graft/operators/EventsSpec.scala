@@ -543,6 +543,31 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       Seq(None, None, None, None, Some(1.0)))
   }
 
+  // ── transitionMatrix ───────────────────────────────────────────────
+
+  test("transitionMatrix: row-normalized counts, no cross-user transitions") {
+    val ev = Seq(
+      (1L, ts(0), 10L, "a"), (1L, ts(1), 11L, "b"), (1L, ts(2), 12L, "a"),
+      (2L, ts(0), 20L, "b"), (2L, ts(5), 21L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.transitionMatrix(ev)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // u1: a→b, b→a; u2: b→b — NOT a→b across the user boundary
+    assert(got == Seq(
+      ("a", "b", 1L, 1L, 1.0),
+      ("b", "a", 1L, 2L, 0.5),
+      ("b", "b", 1L, 2L, 0.5)))
+  }
+
+  test("transitionMatrix: same-timestamp events order by event_id") {
+    val ev = Seq(
+      (1L, ts(0), 2L, "d"), (1L, ts(0), 1L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.transitionMatrix(ev)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("c", "d", 1L, 1L, 1.0))) // c (id 1) precedes d (id 2)
+  }
+
   // ── kaplanMeier ────────────────────────────────────────────────────
 
   private def day(d: Int) = new Timestamp(1704067200000L + d * 86400000L)

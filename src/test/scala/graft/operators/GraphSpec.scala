@@ -396,4 +396,42 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val g = Seq(("a", "b"), ("b", "b"), ("x", "y"))
     assert(runBfs(g, Seq("a", "zzz"), 3) == Map("a" -> 0L, "b" -> 1L))
   }
+
+  // ── hits ───────────────────────────────────────────────────────────
+
+  private def runHits(
+      edges: Seq[(String, String, Long)], iters: Int): Map[String, (Double, Double)] =
+    Graph.hits(edges.toDF("s", "d", "w"), col("s"), col("d"), col("w"),
+      iterations = iters)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("hits: one hand-computed round on the 2-hub/2-authority graph") {
+    // h1→{a1,a2}, h2→a1, unit weights, 4 nodes, h0 = 0.25 each:
+    // a_raw = (a1: 0.5, a2: 0.25) → a = (2/3, 1/3)
+    // h_raw = (h1: 2/3+1/3 = 1, h2: 2/3) → h = (0.6, 0.4)
+    val got = runHits(
+      Seq(("h1", "a1", 1L), ("h1", "a2", 1L), ("h2", "a1", 1L)), iters = 1)
+    assert(got("a1") == (0.0, 0.666667) && got("a2") == (0.0, 0.333333))
+    assert(got("h1") == (0.6, 0.0) && got("h2") == (0.4, 0.0))
+  }
+
+  test("hits: L1 mass 1 on both scores, role separation persists at 3 rounds") {
+    val got = runHits(
+      Seq(("h1", "a1", 2L), ("h1", "a2", 1L), ("h2", "a1", 1L),
+        ("a1", "h2", 1L)), // a back-edge: a1 is also a (weak) hub
+      iters = 3)
+    val hubSum = got.values.map(_._1).sum
+    val authSum = got.values.map(_._2).sum
+    assert(math.abs(hubSum - 1.0) < 1e-4 && math.abs(authSum - 1.0) < 1e-4)
+    assert(got("a1")._2 > got("a2")._2, "two in-edges beat one")
+    assert(got("h1")._1 > got("h2")._1, "pointing at the top authority wins")
+  }
+
+  test("hits: deterministic across runs; edge weights shift authority") {
+    val e = Seq(("h", "a", 1L), ("h", "b", 9L), ("g", "a", 1L))
+    assert(runHits(e, 3) == runHits(e, 3))
+    val got = runHits(e, 3)
+    assert(got("b")._2 > got("a")._2, "the weight-9 edge dominates")
+  }
 }

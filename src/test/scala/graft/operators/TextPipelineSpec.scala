@@ -897,4 +897,35 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got(6).isNullAt(got(6).fieldIndex("mean_word_len")))
     assert(!got(6).getAs[Boolean]("keep"))
   }
+
+  // ── boilerplateShingles ────────────────────────────────────────────
+
+  test("boilerplateShingles: df counts docs once, thresholds and order hold") {
+    val docs = Seq(
+      // trigram repeated WITHIN doc 1: df contribution stays 1
+      (1L, "s", "the cookie banner x the cookie banner"),
+      (2L, "s", "y the cookie banner z"),
+      (3L, "s", "nothing shared here at all"),
+      (4L, "t", "unrelated source text entirely")) // keeps its own n_docs
+      .toDF("doc_id", "source", "text")
+    val got = TextPipeline.boilerplateShingles(
+      docs, col("text"), col("source"), n = 3, minDf = 2L, minRatio = 0.5)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("s", "the cookie banner", 2L, 3L, 0.666667)))
+  }
+
+  test("boilerplateShingles: ratio gate scales with corpus size") {
+    // same df=2 template, but 10 docs in the source → ratio 0.2 < 0.5
+    val docs = ((1L to 2L).map(i => (i, "s", "a b c filler")) ++
+      (3L to 10L).map(i => (i, "s", s"unique$i words here")))
+      .toDF("doc_id", "source", "text")
+    val kept = TextPipeline.boilerplateShingles(
+      docs, col("text"), col("source"), n = 3, minDf = 2L, minRatio = 0.5)
+      .count()
+    assert(kept == 0, "a fixed absolute df must NOT survive the ratio gate")
+    val loose = TextPipeline.boilerplateShingles(
+      docs, col("text"), col("source"), n = 3, minDf = 2L, minRatio = 0.1)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(loose.map(_._2).sorted == Seq("a b c", "b c filler"))
+  }
 }
