@@ -220,6 +220,14 @@ object ExtQueries {
     "ext_sessionize" -> ((s, dir) =>
       Events.sessionStats(t(s, dir, "events"), gapMs = 1800000L)),
 
+    // ── RFM segmentation — [EXT r14]: recency/frequency/monetary
+    //    quintiles over the user base (anchor-stable integer recency,
+    //    exact decimal monetary, user_id tie-breaks in every NTILE)
+    //    mapped to the classic action segments
+    //    (Events.rfmSegments scaladoc).
+    "ext_rfm_segments" -> ((s, dir) =>
+      Events.rfmSegments(t(s, dir, "events"))),
+
     // ── First-order Markov transition matrix over per-user event
     //    sequences — [EXT r14]: global row-normalized P(next|current)
     //    with the (ts, event_id) total tie-break; rows of P sum to 1,
@@ -1549,6 +1557,20 @@ object ExtQueries {
         t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
 
+    // ── Two-snapshot schema-health drift — [EXT r14]: ext_profile's
+    //    vitals (null rates, distinct counts) computed over the pre-
+    //    and post-cutoff halves of events and diffed per column — the
+    //    ingest regression gate that fires before any semantic query
+    //    notices a feed change (Relational.profileDrift scaladoc).
+    "ext_profile_drift" -> ((s, dir) => {
+      val cut = lit(java.sql.Date.valueOf("2024-01-16"))
+      val e = t(s, dir, "events")
+      Relational.profileDrift(
+        e.filter(to_date(col("ts")) < cut),
+        e.filter(to_date(col("ts")) >= cut),
+        Seq("event_type", "user_id", "value", "props"))
+    }),
+
     // ── Cohort retention triangle: first-activity-day cohorts × day
     //    offsets, distinct active users per cell — Events.retention;
     //    cohort day is a window min, never a first-day self-join.
@@ -1688,6 +1710,16 @@ object ExtQueries {
       TfIdf.bigramLogProb(
         t(s, dir, "documents"), col("doc_id"), col("text"), k = 0.5)
         .orderBy("doc_id")),
+
+    // ── Interpolated Kneser–Ney bigram model — [EXT r14]: absolute
+    //    discount + CONTINUATION-probability backoff (the KenLM/SRILM
+    //    default) next to ext_bigram_nll's add-k baseline; exact
+    //    integer count table, one fixed-shape IEEE chain per bigram
+    //    (TfIdf.kneserNeyBigrams scaladoc).
+    "ext_kneser_ney" -> ((s, dir) =>
+      TfIdf.kneserNeyBigrams(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        discount = 0.75, minCount = 3L)),
 
     // ── All-pairs TF-IDF cosine ≥ 0.25 via inverted-index self-join
     //    with the Bayardo df-cap prune — the sparse-vector complement
@@ -2724,6 +2756,19 @@ object ExtQueries {
         "c_mktsegment" -> col("c_mktsegment")), k = 5)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // ── ℓ-diversity audit over the same quasi-identifier pair —
+    //    [EXT r14]: the attribute-disclosure gate k-anonymity misses
+    //    (a large group whose SENSITIVE value is homogeneous still
+    //    leaks); sensitive = account-balance band (1000s), distinct-ℓ +
+    //    entropy-ℓ with 6dp-quantized entropy terms
+    //    (Privacy.lDiversity scaladoc).
+    "ext_l_diversity" -> ((s, dir) =>
+      graft.operators.Privacy.lDiversity(t(s, dir, "customer"), Seq(
+        "c_nationkey" -> col("c_nationkey"),
+        "c_mktsegment" -> col("c_mktsegment")),
+        sensitive = floor(col("c_acctbal") / 1000).cast("long"), l = 3)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     // ── ε-DP count release per event type: real Laplace calibration,
     //    SEEDED md5-derived uniforms (replayable release — re-running
     //    must not refresh the noise), the 13-hex-digit positional
@@ -3325,6 +3370,155 @@ object ExtQueries {
         |FROM df JOIN nd USING (source)
         |WHERE CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) >= 0.02
         |ORDER BY source, df DESC, gram""".stripMargin,
+
+    // KN replay: the bigram_nll cell table, windowed context counts,
+    // distinct-continuation counts, the identical left-associated
+    // discount + backoff IEEE chain.
+    "ext_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      t -> len(t) > 0) AS a
+        |  FROM documents),
+        |bi AS (
+        |  SELECT a[i] AS tok_a, a[i + 1] AS tok_b
+        |  FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+        |        FROM toks WHERE len(a) >= 2) s),
+        |cells AS (
+        |  SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM bi GROUP BY 1, 2),
+        |ctx AS (
+        |  SELECT *,
+        |    CAST(SUM(n_ab) OVER (PARTITION BY tok_a) AS BIGINT) AS c_a,
+        |    CAST(COUNT(*) OVER (PARTITION BY tok_a) AS BIGINT) AS n1p_a,
+        |    CAST(COUNT(*) OVER (PARTITION BY tok_b) AS BIGINT) AS n1p_b
+        |  FROM cells),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1p_total FROM cells)
+        |SELECT tok_a, tok_b, n_ab, c_a, n1p_a,
+        |  round(CAST(n1p_b AS DOUBLE) / CAST(n1p_total AS DOUBLE), 6)
+        |    AS p_cont,
+        |  round((CAST(n_ab AS DOUBLE) - 0.75) / CAST(c_a AS DOUBLE)
+        |    + 0.75 * CAST(n1p_a AS DOUBLE) / CAST(c_a AS DOUBLE)
+        |      * (CAST(n1p_b AS DOUBLE) / CAST(n1p_total AS DOUBLE)), 6)
+        |    AS p_kn
+        |FROM ctx CROSS JOIN tot
+        |WHERE n_ab >= 3 ORDER BY tok_a, tok_b""".stripMargin,
+
+    // ℓ-diversity replay: identical class collapse ('__null__' kept),
+    // windowed group totals, 6dp-quantized p·ln p terms, exp(−H), the
+    // same flag.
+    "ext_l_diversity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    COALESCE(CAST(CAST(floor(c_acctbal / 1000) AS BIGINT)
+        |      AS VARCHAR), '__null__') AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT *,
+        |    CAST(SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment)
+        |      AS BIGINT) AS n
+        |  FROM cls),
+        |t AS (
+        |  SELECT *,
+        |    CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(18,6)) AS term
+        |  FROM g)
+        |SELECT c_nationkey, c_mktsegment,
+        |  MAX(n) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+        |  round(exp(-CAST(SUM(term) AS DOUBLE)), 4) AS entropy_l,
+        |  CAST(COUNT(*) AS BIGINT) < 3 AS at_risk
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Profile-drift replay: one vitals aggregate per half (exact
+    // counts), the same per-column rate/delta/ratio IEEE chain.
+    "ext_profile_drift" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+        |    CAST(COUNT(event_type) AS BIGINT) AS nn_et,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nd_et,
+        |    CAST(COUNT(user_id) AS BIGINT) AS nn_uid,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_uid,
+        |    CAST(COUNT(value) AS BIGINT) AS nn_val,
+        |    CAST(COUNT(DISTINCT value) AS BIGINT) AS nd_val,
+        |    CAST(COUNT(props) AS BIGINT) AS nn_pr,
+        |    CAST(COUNT(DISTINCT props) AS BIGINT) AS nd_pr
+        |  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'),
+        |b AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+        |    CAST(COUNT(event_type) AS BIGINT) AS nn_et,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nd_et,
+        |    CAST(COUNT(user_id) AS BIGINT) AS nn_uid,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_uid,
+        |    CAST(COUNT(value) AS BIGINT) AS nn_val,
+        |    CAST(COUNT(DISTINCT value) AS BIGINT) AS nd_val,
+        |    CAST(COUNT(props) AS BIGINT) AS nn_pr,
+        |    CAST(COUNT(DISTINCT props) AS BIGINT) AS nd_pr
+        |  FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'),
+        |rows_ AS (
+        |  SELECT 'event_type' AS col_, a.nn_et AS nn_a, a.nd_et AS nd_a,
+        |         b.nn_et AS nn_b, b.nd_et AS nd_b, n_a, n_b
+        |    FROM a CROSS JOIN b
+        |  UNION ALL
+        |  SELECT 'props', a.nn_pr, a.nd_pr, b.nn_pr, b.nd_pr, n_a, n_b
+        |    FROM a CROSS JOIN b
+        |  UNION ALL
+        |  SELECT 'user_id', a.nn_uid, a.nd_uid, b.nn_uid, b.nd_uid,
+        |         n_a, n_b
+        |    FROM a CROSS JOIN b
+        |  UNION ALL
+        |  SELECT 'value', a.nn_val, a.nd_val, b.nn_val, b.nd_val, n_a, n_b
+        |    FROM a CROSS JOIN b)
+        |SELECT col_ AS "column", n_a, n_b,
+        |  round(CAST(n_a - nn_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+        |    AS null_rate_a,
+        |  round(CAST(n_b - nn_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+        |    AS null_rate_b,
+        |  round(round(CAST(n_b - nn_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+        |    - round(CAST(n_a - nn_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6), 6)
+        |    AS null_rate_delta,
+        |  nd_a AS n_distinct_a, nd_b AS n_distinct_b,
+        |  CASE WHEN nd_a > 0
+        |    THEN round(CAST(nd_b AS DOUBLE) / CAST(nd_a AS DOUBLE), 6) END
+        |    AS distinct_ratio
+        |FROM rows_ ORDER BY col_""".stripMargin,
+
+    // RFM replay: same anchor-stable integer recency, exact decimal
+    // monetary (coalesced to 0), three NTILE windows with the
+    // identical user_id tie-breaks, the same segment CASE order.
+    "ext_rfm_segments" ->
+      """WITH anch AS (SELECT MAX(epoch_ms(ts)) AS anchor_ms FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST((anchor_ms - MAX(epoch_ms(ts))) // 86400000 AS BIGINT)
+        |      AS days_since,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    COALESCE(SUM(CAST(round(CAST(value AS DOUBLE), 6)
+        |      AS DECIMAL(18,6))), CAST(0 AS DECIMAL(18,6))) AS monetary
+        |  FROM events CROSS JOIN anch
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id, anchor_ms),
+        |sc AS (
+        |  SELECT *,
+        |    CAST(ntile(5) OVER (ORDER BY days_since DESC, user_id)
+        |      AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY n_events ASC, user_id)
+        |      AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id)
+        |      AS BIGINT) AS m_score
+        |  FROM u)
+        |SELECT user_id, days_since, n_events,
+        |  CAST(monetary AS DOUBLE) AS monetary,
+        |  r_score, f_score, m_score,
+        |  CASE
+        |    WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |      THEN 'champion'
+        |    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+        |    WHEN r_score >= 4 AND f_score <= 2 THEN 'new_user'
+        |    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |    ELSE 'regular' END AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
 
     // Welch replay: the same 6 conditional decimal sums, means and
     // moment-identity variances (clamped at 0) in IEEE doubles, t and

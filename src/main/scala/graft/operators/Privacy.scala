@@ -94,4 +94,61 @@ object Privacy {
       round(col("n").cast("double") + noise, 6).as("noisy_n"),
       lit(epsilon).as("epsilon"))
   }
+
+  /** ℓ-diversity audit (Machanavajjhala et al. '07) — the attribute-
+    * disclosure gate [[kAnonymity]] cannot provide: a group can hold
+    * k=50 people and STILL leak ("all 50 share one diagnosis"), so
+    * each quasi-identifier combination is scored by the diversity of
+    * its SENSITIVE values — distinct-ℓ (how many values appear at
+    * all) and entropy-ℓ = exp(H) (the effective number of equally-
+    * likely values; a 99:1 group has distinct-ℓ 2 but entropy-ℓ
+    * ≈ 1.06, and entropy catches it).
+    *
+    * NULL sensitive values form the class '__null__' — counted, never
+    * dropped (a missing diagnosis field is itself information, and a
+    * group that is 100% NULL is perfectly homogeneous).
+    *
+    * Determinism: class counts exact; each entropy term
+    * (c/n)·ln(c/n) is quantized to DECIMAL(18,6) before the per-group
+    * sum (the unigram-nll xsum discipline — exact, order-free), one
+    * exp at the end, 4dp.
+    *
+    * 100 TB shape: one (quasi..., class)-keyed aggregate with
+    * map-side partials, then a group-keyed fold of its ≤
+    * |combinations|·|classes| rows. Nothing scales past the first
+    * aggregate.
+    *
+    * Output: (quasi columns ..., n, l_distinct, entropy_l 4dp,
+    * at_risk = l_distinct < l). */
+  def lDiversity(
+      df: DataFrame, quasi: Seq[(String, Column)],
+      sensitive: Column, l: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2 (l=1 flags nothing), got $l")
+    val names = quasi.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate names: $names")
+    val classes = df
+      .select(quasi.map { case (n, c) => c.as(n) } :+
+        coalesce(sensitive.cast("string"), lit("__null__")).as("s"): _*)
+      .groupBy((names :+ "s").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(names.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val p = col("c").cast("double") / col("n").cast("double")
+    classes
+      .withColumn("n", sum("c").over(w))
+      .withColumn("term", (p * log(p)).cast("decimal(18,6)"))
+      .groupBy(names.map(col): _*)
+      .agg(
+        max(col("n")).as("n"),
+        count(lit(1)).as("l_distinct"),
+        sum(col("term")).as("h_sum"))
+      .select(names.map(col) ++ Seq(
+        col("n"),
+        col("l_distinct"),
+        round(exp(-col("h_sum").cast("double")), 4).as("entropy_l"),
+        (col("l_distinct") < l).as("at_risk")): _*)
+  }
 }

@@ -434,6 +434,66 @@ object Relational {
       .orderBy("column")
   }
 
+  /** Two-snapshot SCHEMA-HEALTH drift: [[profile]] run over two slices
+    * of the same table (yesterday/today, pre/post a pipeline change)
+    * and diffed per column — the ingest regression gate that catches
+    * "the upstream feed started emitting NULL props" or "user_id
+    * cardinality halved" BEFORE any semantic query notices. The
+    * statistical-drift family (PSI/KS/JSD) compares value
+    * DISTRIBUTIONS of one column; this compares the structural vitals
+    * of every column at once.
+    *
+    * Per column: row counts, null rates and their delta, distinct
+    * counts and their ratio (b/a; NULL when a side has 0 distinct —
+    * visible, not a fake 0). Exact integer counts; rates/ratios are
+    * single IEEE divides, 6dp.
+    *
+    * 100 TB shape: one aggregate PER SIDE (count-distincts expand the
+    * scan map-side but collapse to one row before the shuffle — the
+    * [[profile]] shape), then a 1×1 cross join and a map-side per-
+    * column explode. Output is |columns| rows.
+    *
+    * Output: (column, n_a, n_b, null_rate_a, null_rate_b,
+    * null_rate_delta, n_distinct_a, n_distinct_b, distinct_ratio),
+    * ordered by column. */
+  def profileDrift(
+      dfA: DataFrame, dfB: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profileDrift needs at least one column")
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val aggs = count(lit(1)).as(s"n_$tag") +: columns.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"__${c}__nn_$tag"),
+          count_distinct(col(c)).as(s"__${c}__nd_$tag"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    def rate(c: String, tag: String): Column =
+      round((col(s"n_$tag") - col(s"__${c}__nn_$tag")).cast("double") /
+        col(s"n_$tag").cast("double"), 6)
+    val one = side(dfA, "a").crossJoin(side(dfB, "b"))
+    val perCol = explode(array(columns.map { c =>
+      struct(
+        lit(c).as("column"),
+        rate(c, "a").as("null_rate_a"),
+        rate(c, "b").as("null_rate_b"),
+        round(rate(c, "b") - rate(c, "a"), 6).as("null_rate_delta"),
+        col(s"__${c}__nd_a").as("n_distinct_a"),
+        col(s"__${c}__nd_b").as("n_distinct_b"),
+        when(col(s"__${c}__nd_a") > 0,
+          round(col(s"__${c}__nd_b").cast("double") /
+            col(s"__${c}__nd_a").cast("double"), 6)).as("distinct_ratio"))
+    }: _*))
+    one.select(col("n_a"), col("n_b"), perCol.as("p"))
+      .select(col("p.column").as("column"), col("n_a"), col("n_b"),
+        col("p.null_rate_a").as("null_rate_a"),
+        col("p.null_rate_b").as("null_rate_b"),
+        col("p.null_rate_delta").as("null_rate_delta"),
+        col("p.n_distinct_a").as("n_distinct_a"),
+        col("p.n_distinct_b").as("n_distinct_b"),
+        col("p.distinct_ratio").as("distinct_ratio"))
+      .orderBy("column")
+  }
+
   /** Key-skew profile — the "should I salt this join?" diagnostic run
     * BEFORE keying a 100 TB shuffle on a column: per-key row counts
     * summarized as cardinality, hottest key, exact count quantiles,

@@ -366,6 +366,78 @@ object TfIdf {
           .as("bigram_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney '95;
+    * the Chen & Goodman '98 interpolated form with a single absolute
+    * discount D) — the production n-gram smoothing next to
+    * [[bigramLogProb]]'s add-k baseline: add-k hallucinates mass for
+    * contexts it never saw proportional to RAW unigram frequency,
+    * while KN backs off to the CONTINUATION probability — "in how many
+    * distinct contexts does this word complete a bigram" — which is
+    * what makes it the default in every serious LM toolkit (KenLM,
+    * SRILM):
+    *
+    *   p_kn(b|a) = (c(ab) − D)/c(a·) + (D·N1+(a·)/c(a·)) · p_cont(b)
+    *   p_cont(b) = N1+(·b) / N1+(··)
+    *
+    * (observed bigrams only, so c(ab) ≥ 1 > D — the max(·,0) clamp of
+    * the general form is vacuous here and omitted).
+    *
+    * Determinism: every count is an exact integer; the probability is
+    * one fixed-shape IEEE chain over them (term + (D·N1a/ca)·pcont,
+    * left-associated — the DuckDB oracle mirrors it textually), 6dp.
+    *
+    * 100 TB shape: ONE bigram aggregate (map-side partials) is the
+    * only corpus-volume shuffle; c(a·)/N1+(a·)/N1+(·b) are windows
+    * over that vocabulary-bounded cell table (partitioned by token —
+    * never a single-task window), N1+(··) rides a 1-row broadcast.
+    * `minCount` bounds the OUTPUT only — the model counts always come
+    * from the full table, so the filter never biases the estimates.
+    *
+    * Output: (tok_a, tok_b, n_ab, c_a, n1p_a, p_cont 6dp, p_kn 6dp)
+    * for bigrams with n_ab ≥ minCount, ordered (tok_a, tok_b). */
+  def kneserNeyBigrams(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      discount: Double = 0.75,
+      minCount: Long = 3L): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val arr = filter(split(lower(text), "[^a-z]+"), t => length(t) > 0)
+    val cells = docs
+      .select(id.as("doc_id"), arr.as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(zip_with(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), size(col("a")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("tok_a"), col("bg.w2").as("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_ab"))
+    val wA = Window.partitionBy("tok_a")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wB = Window.partitionBy("tok_b")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tot = cells.agg(count(lit(1)).as("n1p_total"))
+    val d = lit(discount)
+    cells
+      .withColumn("c_a", sum("n_ab").over(wA))
+      .withColumn("n1p_a", count(lit(1)).over(wA))
+      .withColumn("n1p_b", count(lit(1)).over(wB))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_ab") >= minCount)
+      .select(
+        col("tok_a"), col("tok_b"), col("n_ab"), col("c_a"), col("n1p_a"),
+        round(col("n1p_b").cast("double") /
+          col("n1p_total").cast("double"), 6).as("p_cont"),
+        round(
+          (col("n_ab").cast("double") - d) / col("c_a").cast("double") +
+            d * col("n1p_a").cast("double") / col("c_a").cast("double") *
+              (col("n1p_b").cast("double") /
+                col("n1p_total").cast("double")), 6).as("p_kn"))
+      .orderBy("tok_a", "tok_b")
+  }
+
   /** All-pairs document cosine similarity over df-pruned TF-IDF vectors
     * — the batch "which documents are topically near-duplicates"
     * operator (the sparse-vector complement of the embedding near-dup

@@ -543,6 +543,42 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       Seq(None, None, None, None, Some(1.0)))
   }
 
+  // ── rfmSegments ────────────────────────────────────────────────────
+
+  test("rfmSegments: engineered quintiles land the classic segments") {
+    // user i (1..10): i events, last active day i, value i per event —
+    // all three metrics rank users identically, 2 per tile
+    val ev = (1L to 10L).flatMap { i =>
+      (0L until i).map(j => (i, day(i.toInt), i.toDouble + j * 0.0))
+    }.toDF("user_id", "ts", "value")
+    val got = Events.rfmSegments(ev)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(got(10L).getAs[Long]("days_since") == 0L)
+    assert(got(1L).getAs[Long]("days_since") == 9L)
+    assert(got(10L).getAs[Long]("r_score") == 5L &&
+      got(10L).getAs[Long]("f_score") == 5L &&
+      got(10L).getAs[Long]("m_score") == 5L)
+    assert(got(10L).getAs[String]("segment") == "champion")
+    assert(got(9L).getAs[String]("segment") == "champion")
+    assert(got(1L).getAs[String]("segment") == "hibernating")
+    assert(got(5L).getAs[String]("segment") == "regular")
+    assert(got(5L).getAs[Double]("monetary") == 25.0) // 5 events × 5.0
+  }
+
+  test("rfmSegments: all-NULL values coalesce to monetary 0; guard fires") {
+    val ev = Seq(
+      (1L, day(0), Option.empty[Double]), (2L, day(1), Some(3.0)))
+      .toDF("user_id", "ts", "value")
+    val got = Events.rfmSegments(ev)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(got(1L).getAs[Double]("monetary") == 0.0)
+    val e = intercept[Exception] {
+      Events.rfmSegments(ev, maxUsers = 1L).collect()
+    }
+    assert(e.getMessage.contains("rfmSegments") ||
+      e.getCause != null && e.getCause.getMessage.contains("rfmSegments"))
+  }
+
   // ── transitionMatrix ───────────────────────────────────────────────
 
   test("transitionMatrix: row-normalized counts, no cross-user transitions") {

@@ -54,4 +54,47 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
     assert(tight.zip(loose).forall { case (t, l) => t >= l },
       s"eps 0.1 must not shrink any noise vs eps 1.0: $tight vs $loose")
   }
+
+  // ── lDiversity ─────────────────────────────────────────────────────
+
+  /** The operator's exact entropy chain: 6dp-quantized p·ln p terms,
+    * exact sum, exp, 4dp. */
+  private def entropyL(counts: Seq[Long]): Double = {
+    val n = counts.sum.toDouble
+    val h = counts.map { c =>
+      BigDecimal(c / n * math.log(c / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    BigDecimal(math.exp(-h.toDouble))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("lDiversity: a big-but-homogeneous group flags where kAnonymity passes") {
+    val rows =
+      Seq.fill(9)(("g1", Some("flu"))) :+ (("g1", Some("hiv"))) // 9:1 skew
+    val got = Privacy.lDiversity(rows.toDF("zip", "dx"),
+      Seq("zip" -> col("zip")), col("dx"), l = 3)
+      .collect().head
+    assert(got.getAs[Long]("n") == 10L)
+    assert(got.getAs[Long]("l_distinct") == 2L)
+    assert(got.getAs[Boolean]("at_risk")) // 2 < 3: k=10 would pass, ℓ flags
+    // entropy-ℓ ≈ 1.38 "effective values", far from the 2 distinct
+    assert(got.getAs[Double]("entropy_l") == entropyL(Seq(9L, 1L)))
+  }
+
+  test("lDiversity: NULL sensitive is its own class; uniform group is safe") {
+    val rows = Seq(
+      ("a", Option.empty[String]), ("a", None), // all-NULL: homogeneous
+      ("b", Some("x")), ("b", Some("y")), ("b", Some("z")))
+      .toDF("zip", "dx")
+    val got = Privacy.lDiversity(rows, Seq("zip" -> col("zip")),
+      col("dx"), l = 3)
+      .collect().map(r => r.getAs[String]("zip") -> r).toMap
+    assert(got("a").getAs[Long]("l_distinct") == 1L)
+    assert(got("a").getAs[Double]("entropy_l") == 1.0) // exp(0): one class
+    assert(got("a").getAs[Boolean]("at_risk"))
+    assert(got("b").getAs[Long]("l_distinct") == 3L)
+    assert(!got("b").getAs[Boolean]("at_risk"))
+    assert(got("b").getAs[Double]("entropy_l") == entropyL(Seq(1L, 1L, 1L)))
+  }
 }

@@ -243,4 +243,40 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage != null && err.getMessage.contains("maxPointsPerGroup"),
       s"got: ${err.getMessage}")
   }
+
+  // ── profileDrift ───────────────────────────────────────────────────
+
+  test("profileDrift: null-rate deltas and distinct ratios per column") {
+    val a = Seq(
+      (Some("x"), Some(1)), (Some("y"), Some(1)),
+      (Some("x"), Some(2)), (None, Some(2)))
+      .toDF("c1", "c2")
+    val b = Seq(
+      (Some("x"), Option.empty[Int]), (None, None),
+      (None, Some(1)), (Some("z"), Some(2)))
+      .toDF("c1", "c2")
+    val got = Relational.profileDrift(a, b, Seq("c1", "c2"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val r1 = got("c1")
+    assert(r1.getAs[Long]("n_a") == 4L && r1.getAs[Long]("n_b") == 4L)
+    assert(r1.getAs[Double]("null_rate_a") == 0.25)
+    assert(r1.getAs[Double]("null_rate_b") == 0.5)
+    assert(r1.getAs[Double]("null_rate_delta") == 0.25)
+    assert(r1.getAs[Long]("n_distinct_a") == 2L)
+    assert(r1.getAs[Long]("n_distinct_b") == 2L)
+    assert(r1.getAs[Double]("distinct_ratio") == 1.0)
+    val r2 = got("c2")
+    assert(r2.getAs[Double]("null_rate_delta") == 0.5)
+    assert(r2.getAs[Double]("distinct_ratio") == 1.0)
+  }
+
+  test("profileDrift: an all-NULL side yields NULL ratio, never a fake 0") {
+    val a = Seq(Option.empty[String], None).toDF("c")
+    val b = Seq(Some("v"), Some("w")).toDF("c")
+    val got = Relational.profileDrift(a, b, Seq("c")).collect().head
+    assert(got.getAs[Double]("null_rate_a") == 1.0)
+    assert(got.getAs[Double]("null_rate_b") == 0.0)
+    assert(got.getAs[Long]("n_distinct_a") == 0L)
+    assert(got.isNullAt(got.fieldIndex("distinct_ratio")))
+  }
 }

@@ -198,4 +198,53 @@ class TfIdfSpec extends AnyFunSuite with SparkSpec {
       BigDecimal(r9(-math.log(1.0 / 9)))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  // ── kneserNeyBigrams ───────────────────────────────────────────────
+
+  test("kneserNeyBigrams: hand-computed discount + continuation backoff") {
+    // corpus bigrams: (a,b)×2, (b,a)×1, (a,c)×1
+    // c(a·)=3, c(b·)=1; N1+(a·)=2, N1+(b·)=1
+    // N1+(·b)=1, N1+(·a)=1, N1+(·c)=1, N1+(··)=3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("id", "txt")
+    val got = TfIdf.kneserNeyBigrams(
+      docs, col("id"), col("txt"), discount = 0.75, minCount = 1L)
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pkn(c: Long, ca: Long, n1a: Long, n1b: Long): Double =
+      r6((c.toDouble - 0.75) / ca + 0.75 * n1a.toDouble / ca *
+        (n1b.toDouble / 3.0))
+    assert(got == Seq(
+      ("a", "b", 2L, 3L, 2L, r6(1.0 / 3), pkn(2, 3, 2, 1)),
+      ("a", "c", 1L, 3L, 2L, r6(1.0 / 3), pkn(1, 3, 2, 1)),
+      ("b", "a", 1L, 1L, 1L, r6(1.0 / 3), pkn(1, 1, 1, 1))))
+  }
+
+  test("kneserNeyBigrams: continuation beats raw frequency for burst tokens") {
+    // 'z' is frequent but ONLY ever follows 'q' (one continuation
+    // context); 'y' is rarer but completes many contexts — after an
+    // unseen-ish context 'a', KN must NOT prefer z the way raw
+    // unigram counts would. We check the continuation probabilities
+    // that drive that: p_cont(y) > p_cont(z) despite count(z) > count(y).
+    val docs = Seq(
+      (1L, "q z q z q z q z q z q z"),
+      (2L, "b y c y d y e y")).toDF("id", "txt")
+    val got = TfIdf.kneserNeyBigrams(
+      docs, col("id"), col("txt"), minCount = 1L)
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect()
+    val pContZ = got.filter(_._2 == "z").head._6
+    val pContY = got.filter(_._2 == "y").head._6
+    assert(pContY > pContZ, s"p_cont(y)=$pContY must beat p_cont(z)=$pContZ")
+    // minCount bounds OUTPUT only: the q→z row keeps model counts
+    // computed over everything
+    val filtered = TfIdf.kneserNeyBigrams(
+      docs, col("id"), col("txt"), minCount = 6L)
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(filtered.map(r => (r._1, r._2)) == Seq(("q", "z")))
+    assert(filtered.head._7 ==
+      got.filter(r => r._1 == "q" && r._2 == "z").head._7)
+  }
 }
