@@ -516,6 +516,15 @@ object ExtQueries {
     "ext_zipf_slope" -> ((s, dir) =>
       TfIdf.zipfSlope(t(s, dir, "documents"), col("text"), topN = 100)),
 
+    // ── Church–Gale token burstiness — [EXT r14]: within-doc
+    //    recurrence (cf/df) + the Poisson df ratio that separates
+    //    topical terms (ratio ≪ 1) from glue words (≈ 1) without
+    //    IDF's corpus-size sensitivity (TfIdf.tokenBurstiness
+    //    scaladoc).
+    "ext_token_burstiness" -> ((s, dir) =>
+      TfIdf.tokenBurstiness(
+        t(s, dir, "documents"), col("doc_id"), col("text"), minDf = 5L)),
+
     // ── Split-conformal calibration — [EXT r13]: per-event-type q̂
     //    from the even-id calibration half, empirical coverage audited
     //    on the odd-id half (Eval.conformalCoverage scaladoc).
@@ -1576,6 +1585,28 @@ object ExtQueries {
     //    cohort day is a window min, never a first-day self-join.
     "ext_retention" -> ((s, dir) =>
       Events.retention(t(s, dir, "events"))),
+
+    // ── Longest consecutive-day activity streaks per user —
+    //    [EXT r14]: gaps-and-islands over the distinct (user, day)
+    //    collapse; longest + the streak ending at last-seen, all
+    //    integers (Events.activityStreaks scaladoc).
+    "ext_activity_streaks" -> ((s, dir) =>
+      Events.activityStreaks(t(s, dir, "events"))),
+
+    // ── Daily growth accounting — [EXT r14]: active = new + retained
+    //    + resurrected and Δactive = new + resurrected − churned hold
+    //    row-by-row; churn read from the SAME per-user lag, never an
+    //    anti-join of snapshots (Events.growthAccounting scaladoc).
+    "ext_growth_accounting" -> ((s, dir) =>
+      Events.growthAccounting(t(s, dir, "events"))),
+
+    // ── DAU/WAU/MAU + stickiness via the sweep-line sliding distinct
+    //    — [EXT r14]: per-user coverage segments emit ±1 deltas, a
+    //    running sum over the calendar spine IS the trailing distinct
+    //    count — no window-DISTINCT, no spine×users range join
+    //    (Events.stickiness scaladoc).
+    "ext_stickiness" -> ((s, dir) =>
+      Events.stickiness(t(s, dir, "events"))),
 
     // ── Kaplan–Meier time-to-first-high-value-purchase — [EXT r14]:
     //    product-limit survival with right-censoring at last-seen;
@@ -3186,6 +3217,61 @@ object ExtQueries {
         |ORDER BY authority DESC, hub DESC, node""".stripMargin
   }
 
+  /** Stickiness replay: Events.stickiness's sweep line per reach —
+    * per-user coverage segments (gap > reach starts a new one),
+    * ±1 boundary deltas clipped at the range end, a running sum over
+    * the day spine — generated once per (reach, name). */
+  private val StickinessOracle: String = {
+    val base =
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ms(date_trunc('day', ts)) // 86400000 AS di
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |sp AS (
+        |  SELECT unnest(range((SELECT MIN(di) FROM ud),
+        |    (SELECT MAX(di) FROM ud) + 1)) AS di)""".stripMargin
+    val reaches = Seq((0, "dau"), (6, "wau"), (27, "mau"))
+    val blocks = reaches.map { case (r, name) =>
+      s""",
+         |seg_$name AS (
+         |  SELECT user_id, di, CASE WHEN di - lag(di)
+         |      OVER (PARTITION BY user_id ORDER BY di) <= $r
+         |    THEN 0 ELSE 1 END AS new_seg
+         |  FROM ud),
+         |sid_$name AS (
+         |  SELECT user_id, di, SUM(new_seg) OVER (PARTITION BY user_id
+         |    ORDER BY di ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS seg_id
+         |  FROM seg_$name),
+         |gg_$name AS (
+         |  SELECT user_id, seg_id, MIN(di) AS from_di, MAX(di) + $r AS to_di
+         |  FROM sid_$name GROUP BY 1, 2),
+         |dd_$name AS (
+         |  SELECT di, SUM(d) AS dd FROM (
+         |    SELECT from_di AS di, 1 AS d FROM gg_$name
+         |    UNION ALL
+         |    SELECT least(to_di, (SELECT MAX(di) FROM ud)) + 1, -1
+         |    FROM gg_$name
+         |    WHERE least(to_di, (SELECT MAX(di) FROM ud)) + 1
+         |      <= (SELECT MAX(di) FROM ud)) u
+         |  GROUP BY 1),
+         |cum_$name AS (
+         |  SELECT sp.di, CAST(SUM(COALESCE(dd, 0)) OVER (ORDER BY sp.di
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS $name
+         |  FROM sp LEFT JOIN dd_$name USING (di))""".stripMargin
+    }.mkString
+    base + blocks +
+      """
+        |SELECT c0.di, c0.dau, c6.wau, c27.mau,
+        |  round(CASE WHEN c27.mau > 0
+        |    THEN CAST(c0.dau AS DOUBLE) / CAST(c27.mau AS DOUBLE) END, 6)
+        |    AS stickiness
+        |FROM cum_dau c0 JOIN cum_wau c6 USING (di)
+        |JOIN cum_mau c27 USING (di)
+        |ORDER BY di""".stripMargin
+  }
+
   /** Benford replay: the same STRING first-digit extraction, the
     * Drift.BenfordP literals as a VALUES spine (zero-count digits
     * kept), counts exact, share/e/chi2 the same IEEE chain. */
@@ -3277,6 +3363,96 @@ object ExtQueries {
     "ext_benford" -> BenfordOracle,
     "ext_corr_matrix" -> CorrMatrixOracle,
     "ext_hits" -> HitsOracle,
+    "ext_stickiness" -> StickinessOracle,
+
+    // Streaks replay: the same distinct user-day collapse and the
+    // di − row_number() island key, exact integer rollups.
+    "ext_activity_streaks" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ms(date_trunc('day', ts)) // 86400000 AS di
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |isl AS (
+        |  SELECT user_id, di,
+        |    di - row_number() OVER (PARTITION BY user_id ORDER BY di)
+        |      AS island
+        |  FROM ud),
+        |g AS (
+        |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+        |    MAX(di) AS last_di
+        |  FROM isl GROUP BY 1, 2),
+        |g2 AS (
+        |  SELECT *, MAX(last_di) OVER (PARTITION BY user_id) AS user_last
+        |  FROM g)
+        |SELECT user_id,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  CAST(MAX(CASE WHEN last_di = user_last THEN len END) AS BIGINT)
+        |    AS ending_streak
+        |FROM g2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Growth-accounting replay: the same per-user lag/lead reads,
+    // day-keyed exact counts, spine-joined with zero fills.
+    "ext_growth_accounting" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ms(date_trunc('day', ts)) // 86400000 AS di
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (
+        |  SELECT user_id, di,
+        |    lag(di) OVER (PARTITION BY user_id ORDER BY di) AS prev_di,
+        |    lead(di) OVER (PARTITION BY user_id ORDER BY di) AS next_di
+        |  FROM ud),
+        |infl AS (
+        |  SELECT di, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |    CAST(SUM(CASE WHEN prev_di IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN prev_di = di - 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN prev_di IS NOT NULL AND prev_di < di - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM l GROUP BY 1),
+        |ch AS (
+        |  SELECT di + 1 AS di, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM l WHERE next_di IS NULL OR next_di > di + 1
+        |  GROUP BY 1),
+        |sp AS (
+        |  SELECT unnest(range((SELECT MIN(di) FROM ud),
+        |    (SELECT MAX(di) FROM ud) + 1)) AS di)
+        |SELECT sp.di,
+        |  CAST(COALESCE(n_active, 0) AS BIGINT) AS n_active,
+        |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM sp LEFT JOIN infl USING (di) LEFT JOIN ch USING (di)
+        |ORDER BY di""".stripMargin,
+
+    // Burstiness replay: the same (doc, token) double aggregate, one
+    // exp on an exact rational, the identical IEEE chain.
+    "ext_token_burstiness" ->
+      """WITH tok AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents)
+        |  WHERE len(term) > 0),
+        |pd AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+        |       FROM documents WHERE doc_id IS NOT NULL),
+        |tt AS (
+        |  SELECT term AS token, CAST(SUM(c) AS BIGINT) AS cf,
+        |    CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM pd GROUP BY 1 HAVING COUNT(*) >= 5)
+        |SELECT token, cf, df,
+        |  round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burst,
+        |  round(CAST(df AS DOUBLE) / (CAST(n_docs AS DOUBLE)
+        |    * (1.0 - exp(-(CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+        |    6) AS df_poisson_ratio
+        |FROM tt CROSS JOIN nd ORDER BY token""".stripMargin,
 
     // Seasonal-decomposition replay: the weekday-anomaly spine, the
     // same centered-7 window (full-window check), DECIMAL(18,6)

@@ -717,6 +717,186 @@ object Events {
       round(num.cast("double") / lit(mass.toDouble), 6).as("ewma"))
   }
 
+  /** Longest consecutive-day activity streaks per user — the classic
+    * gaps-and-islands readout (di − row_number() is constant within a
+    * run of consecutive days): engagement depth that plain activity
+    * counts hide (60 scattered active days and a 60-day streak are
+    * different users), and for interaction-log curation the "sustained
+    * usage" signal a fine-tuning mix can weight by.
+    *
+    * `ending_streak` is the island containing the user's LAST active
+    * day — "how long had they been active when last seen" (anchor-free
+    * and therefore deterministic; calling it "current" would smuggle
+    * in a wall clock).
+    *
+    * 100 TB shape: the event log collapses to distinct (user, day) in
+    * one aggregate; the island window partitions BY USER over ≤ |days|
+    * rows each — one exchange, no spine, no self-join. All integers.
+    *
+    * Output: (user_id, n_active_days, n_streaks, longest_streak,
+    * ending_streak), ordered by user_id. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val userDays = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        (unix_millis(date_trunc("day", col("ts"))) / lit(86400000L))
+          .cast("long").as("di"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("di")
+    val islands = userDays
+      .withColumn("island", col("di") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"), max("di").as("last_di"))
+    val wu = Window.partitionBy("user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    islands
+      .withColumn("user_last", max("last_di").over(wu))
+      .groupBy("user_id")
+      .agg(
+        sum("len").cast("long").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").cast("long").as("longest_streak"),
+        max(when(col("last_di") === col("user_last"), col("len")))
+          .cast("long").as("ending_streak"))
+      .orderBy("user_id")
+  }
+
+  /** Daily GROWTH ACCOUNTING (the Social-Capital decomposition):
+    * every day's active users split into new (first day ever),
+    * retained (also active yesterday) and resurrected (seen before,
+    * not yesterday), plus the day's churned (active yesterday, not
+    * today) — the identity active(d) = new + retained + resurrected
+    * and the balance active(d) − active(d−1) = new + resurrected −
+    * churned hold row-by-row, which is what makes the readout an
+    * accounting rather than a dashboard of unrelated counts.
+    *
+    * Day 0 of the observed range reports churned = 0 by construction
+    * (no "yesterday" inside the window); churn on the day AFTER the
+    * range's last day is out of frame. Missing interior days appear
+    * with all-zero inflows and the previous day's full churn — a dead
+    * day is real data (the [[Drift.seasonalDecompose]] spine rule).
+    *
+    * 100 TB shape: distinct (user, day) in one aggregate, a per-user
+    * lag window (one exchange), then a day-keyed count collapse onto
+    * the broadcast calendar spine. Churn is the same lag read from
+    * the other side (next_di), never an anti-join of day snapshots.
+    * All exact integers.
+    *
+    * Output: (di, n_active, n_new, n_retained, n_resurrected,
+    * n_churned), one row per day in the observed range. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val userDays = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        (unix_millis(date_trunc("day", col("ts"))) / lit(86400000L))
+          .cast("long").as("di"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("di")
+    val lagged = userDays
+      .withColumn("prev_di", lag("di", 1).over(w))
+      .withColumn("next_di", lead("di", 1).over(w))
+    val inflow = lagged.groupBy("di").agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("prev_di").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev_di") === col("di") - 1, 1L).otherwise(0L))
+        .as("n_retained"),
+      sum(when(col("prev_di").isNotNull && col("prev_di") < col("di") - 1,
+        1L).otherwise(0L)).as("n_resurrected"))
+    // a user active at di churns at di+1 when the next active day is
+    // not di+1 (or never comes)
+    val churn = lagged
+      .filter(col("next_di").isNull || col("next_di") > col("di") + 1)
+      .select((col("di") + 1).as("di"))
+      .groupBy("di").agg(count(lit(1)).as("n_churned"))
+    val spine = userDays.agg(min("di").as("lo"), max("di").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("di"))
+    spine
+      .join(inflow, Seq("di"), "left")
+      .join(churn, Seq("di"), "left")
+      .select(col("di"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("di")
+  }
+
+  /** DAU/WAU/MAU engagement with the DAU/MAU stickiness ratio —
+    * computed as a SWEEP LINE, not a window-distinct: a user's day
+    * set D contributes to wau(d) exactly on ∪_{t∈D} [t, t+6], so the
+    * per-user days merge into disjoint coverage segments (gaps-and-
+    * islands with reach 6: a new segment starts when the gap exceeds
+    * the window), each segment emits +1/−1 boundary deltas, and a
+    * running sum over the day spine IS the sliding distinct count —
+    * the [[concurrencyPeaks]] trick pointed at "distinct users in the
+    * last k days".
+    *
+    * Why not count(distinct) over a range window: engines disagree on
+    * (and mostly refuse) DISTINCT in windows, and the naive
+    * spine×user-days range join shuffles |days|·avg-DAU rows. The
+    * sweep line shuffles one delta pair per user SEGMENT (≤ one per
+    * user-day, usually far fewer), and the only ordered pass is over
+    * the calendar-bounded spine.
+    *
+    * Determinism: pure integers until the one stickiness divide, 6dp
+    * (NULL on a 28-day-dead stretch, never 0/0). Trailing windows
+    * clip at the range end; days before the first activity don't
+    * exist (the spine starts at min di). The user-day collapse is
+    * re-derived once per window reach — three honest linear scans;
+    * persist the (user, day) table upstream when it is hot.
+    *
+    * Output: (di, dau, wau, mau, stickiness = dau/mau 6dp), one row
+    * per observed-range day. */
+  def stickiness(events: DataFrame): DataFrame = {
+    val userDays = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        (unix_millis(date_trunc("day", col("ts"))) / lit(86400000L))
+          .cast("long").as("di"))
+      .distinct()
+    val bounds = userDays.agg(min("di").as("lo"), max("di").as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("di"))
+    val wSpine = Window.orderBy("di")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // coverage counter for a trailing window reaching `reach` days
+    // past each active day: merge per-user days into disjoint
+    // segments, emit +1/−1 boundary deltas, running-sum on the spine
+    def coverage(reach: Int, name: String): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy("di")
+      val seg = userDays
+        .withColumn("new_seg",
+          when(col("di") - lag("di", 1).over(w) <= reach, 0).otherwise(1))
+        .withColumn("seg_id", sum("new_seg").over(
+          Window.partitionBy("user_id").orderBy("di")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "seg_id")
+        .agg(min("di").as("from_di"), (max("di") + reach).as("to_di"))
+        .crossJoin(broadcast(bounds))
+      val plus = seg.select(col("from_di").as("di"), lit(1L).as("d"))
+      val minus = seg
+        .filter(least(col("to_di"), col("hi")) + 1 <= col("hi"))
+        .select((least(col("to_di"), col("hi")) + 1).as("di"),
+          lit(-1L).as("d"))
+      plus.unionByName(minus)
+        .groupBy("di").agg(sum("d").as("dd"))
+        .select(col("di"), col("dd"))
+        .join(spine, Seq("di"), "right")
+        .select(col("di"), coalesce(col("dd"), lit(0L)).as("dd"))
+        .withColumn(name, sum("dd").over(wSpine))
+        .drop("dd")
+    }
+    coverage(0, "dau")
+      .join(coverage(6, "wau"), Seq("di"))
+      .join(coverage(27, "mau"), Seq("di"))
+      .select(col("di"), col("dau"), col("wau"), col("mau"),
+        round(when(col("mau") > 0,
+          col("dau").cast("double") / col("mau").cast("double")), 6)
+          .as("stickiness"))
+      .orderBy("di")
+  }
+
   /** RFM segmentation (the classic recency/frequency/monetary
     * customer-value grid of direct-marketing practice, Hughes '94):
     * every user scored 1–5 on how RECENTLY they acted, how OFTEN, and

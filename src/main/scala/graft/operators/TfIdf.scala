@@ -366,6 +366,59 @@ object TfIdf {
           .as("bigram_nll"))
   }
 
+  /** Token BURSTINESS screen (Church & Gale '95: content words are
+    * bursty — they recur within the documents that contain them —
+    * while function words scatter Poisson-like): per token, the
+    * within-doc recurrence rate burst = cf/df and the Poisson
+    * document-frequency ratio df / (N·(1−e^{−cf/N})) — the
+    * denominator is the df a memoryless token with the same corpus
+    * frequency would have, so ratio ≪ 1 marks topical/template terms
+    * and ratio ≈ 1 marks glue words. The curation uses: keyword-ness
+    * scoring without IDF's corpus-size sensitivity, and spotting
+    * spam/template tokens whose burstiness is pathological.
+    *
+    * Determinism: cf/df/N are exact integers; burst is one IEEE
+    * divide; the Poisson term is one exp on an exact rational —
+    * last-ulp libm skew dies in the 6dp output round (the
+    * [[unigramLogProb]] argument, one transcendental deep here).
+    *
+    * 100 TB shape: one (doc, token) aggregate (map-side partials)
+    * carrying both the occurrence and the presence count, collapsed
+    * to a vocabulary-bounded token table; N rides a 1-row broadcast.
+    * `minDf` bounds the OUTPUT, not the counts.
+    *
+    * Output: (token, cf, df, burst 6dp, df_poisson_ratio 6dp) for
+    * tokens with df ≥ minDf, ordered by token. */
+  def tokenBurstiness(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      minDf: Long = 5L): DataFrame = {
+    val perDoc = docs
+      .select(id.as("doc_id"),
+        explode(split(lower(text), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+    val nDocs = docs.select(id.as("doc_id")).filter(col("doc_id").isNotNull)
+      .agg(count(lit(1)).as("n_docs"))
+    perDoc
+      .groupBy("token")
+      .agg(sum("c").cast("long").as("cf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("token"), col("cf"), col("df"),
+        round(col("cf").cast("double") / col("df").cast("double"), 6)
+          .as("burst"),
+        round(col("df").cast("double") /
+          (col("n_docs").cast("double") *
+            (lit(1.0) - exp(-(col("cf").cast("double") /
+              col("n_docs").cast("double"))))), 6)
+          .as("df_poisson_ratio"))
+      .orderBy("token")
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney '95;
     * the Chen & Goodman '98 interpolated form with a single absolute
     * discount D) — the production n-gram smoothing next to

@@ -50,7 +50,13 @@ object PlanShapes {
     // r14 batch 3+4 (eval/privacy)
     "ext_pr_auc", "ext_k_anonymity", "ext_dp_counts", "ext_quality_rules",
     "ext_lift_table", "ext_confusion_matrix", "ext_srm_check",
-    "ext_centroid_drift")
+    "ext_centroid_drift",
+    // r14 session-3 twelve (survival/causal, time-series, text-LM,
+    // privacy/profile) — baselined from their birth round
+    "ext_hll_distinct", "ext_kaplan_meier", "ext_diff_in_diff",
+    "ext_psm_match", "ext_seasonal_decompose", "ext_markov_transitions",
+    "ext_hits", "ext_boilerplate", "ext_kneser_ney", "ext_l_diversity",
+    "ext_profile_drift", "ext_rfm_segments")
 
   final case class ScanFacts(
       partitionFilters: Seq[String], pushedFilters: String,

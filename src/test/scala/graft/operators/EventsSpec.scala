@@ -543,6 +543,61 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       Seq(None, None, None, None, Some(1.0)))
   }
 
+  // ── activityStreaks / growthAccounting / stickiness ────────────────
+
+  test("activityStreaks: islands, longest vs ending, multi-visit days collapse") {
+    val ev = (Seq(0, 0, 1, 2, 5, 6, 9).map(d => (1L, day(d))) ++
+      Seq(4, 5).map(d => (2L, day(d))))
+      .toDF("user_id", "ts")
+    val got = Events.activityStreaks(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 3L, 3L, 1L), // [0-2],[5-6],[9] — ends on the singleton
+      (2L, 2L, 1L, 2L, 2L)))
+  }
+
+  test("growthAccounting: identity holds; dead day carries the churn") {
+    val ev = (Seq(0, 1, 3).map(d => (1L, day(d))) :+ ((2L, day(1))))
+      .toDF("user_id", "ts")
+    val got = Events.growthAccounting(ev)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val b = got.head._1 // epoch day of day(0) — expectations are offsets
+    assert(got == Seq(
+      (b, 1L, 1L, 0L, 0L, 0L),
+      (b + 1, 2L, 1L, 1L, 0L, 0L),
+      (b + 2, 0L, 0L, 0L, 0L, 2L), // both users drop off after day 1
+      (b + 3, 1L, 0L, 0L, 1L, 0L))) // u1 resurrects across the gap
+    got.foreach { r => // active = new + retained + resurrected, per row
+      assert(r._2 == r._3 + r._4 + r._5)
+    }
+  }
+
+  test("stickiness: sweep-line trailing windows match hand coverage") {
+    val ev = (Seq(0, 10).map(d => (1L, day(d))) :+ ((2L, day(0))))
+      .toDF("user_id", "ts")
+    val raw = Events.stickiness(ev)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+    val b = raw.map(_._1).min // epoch day of day(0)
+    val got = raw.map(r => (r._1 - b) -> r.copy(_1 = r._1 - b)).toMap
+    assert(got(0L) == (0L, 2L, 2L, 2L, Some(1.0)))
+    // day 5: nobody active, both still inside the 7-day window of day 0
+    assert(got(5L) == (5L, 0L, 2L, 2L, Some(0.0)))
+    // day 7: day-0 activity has left the 7-day window
+    assert(got(7L) == (7L, 0L, 0L, 2L, Some(0.0)))
+    // day 10: u1 returns; u2 still in the 28-day window
+    assert(got(10L) == (10L, 1L, 1L, 2L, Some(0.5)))
+  }
+
+  test("stickiness: a >28-day dead stretch yields NULL, not 0/0") {
+    val ev = Seq((1L, day(0)), (1L, day(40))).toDF("user_id", "ts")
+    val raw = Events.stickiness(ev)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+    val b = raw.map(_._1).min
+    val got = raw.map(r => (r._1 - b) -> r.copy(_1 = r._1 - b)).toMap
+    assert(got(35L)._4 == 0L && got(35L)._5.isEmpty) // mau 0 → NULL
+    assert(got(40L) == (40L, 1L, 1L, 1L, Some(1.0)))
+  }
+
   // ── rfmSegments ────────────────────────────────────────────────────
 
   test("rfmSegments: engineered quintiles land the classic segments") {

@@ -199,6 +199,37 @@ class TfIdfSpec extends AnyFunSuite with SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  // ── tokenBurstiness ────────────────────────────────────────────────
+
+  test("tokenBurstiness: bursty topical term vs Poisson-flat glue word") {
+    // 'topic' appears 10× in each of 5 docs (of 20); 'glue' once
+    // everywhere
+    val docs = (1L to 20L).map { i =>
+      val topic = if (i <= 5) Seq.fill(10)("topic") else Nil
+      (i, (topic :+ "glue").mkString(" "))
+    }.toDF("id", "txt")
+    val got = TfIdf.tokenBurstiness(docs, col("id"), col("txt"), minDf = 5L)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ratio(cf: Long, df: Long, n: Long) =
+      r6(df.toDouble / (n.toDouble * (1.0 - math.exp(-(cf.toDouble / n)))))
+    assert(got("topic") == ("topic", 50L, 5L, 10.0, ratio(50, 5, 20)))
+    assert(got("glue") == ("glue", 20L, 20L, 1.0, ratio(20, 20, 20)))
+    // the screen's whole point: bursty ratio far under 1, glue above
+    assert(got("topic")._5 < 0.5 && got("glue")._5 > 1.0)
+  }
+
+  test("tokenBurstiness: minDf bounds output, not the corpus counts") {
+    val docs = Seq((1L, "rare rare"), (2L, "common"), (3L, "common"),
+      (4L, "common"), (5L, "common"), (6L, "common")).toDF("id", "txt")
+    val got = TfIdf.tokenBurstiness(docs, col("id"), col("txt"), minDf = 5L)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("common")) // df(rare)=1 < 5: out
+    assert(got.head._2 == 5L && got.head._3 == 5L)
+  }
+
   // ── kneserNeyBigrams ───────────────────────────────────────────────
 
   test("kneserNeyBigrams: hand-computed discount + continuation backoff") {
