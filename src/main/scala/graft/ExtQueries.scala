@@ -516,6 +516,18 @@ object ExtQueries {
     "ext_zipf_slope" -> ((s, dir) =>
       TfIdf.zipfSlope(t(s, dir, "documents"), col("text"), topN = 100)),
 
+    // ── Monroe "Fightin' Words" log-odds (informative Dirichlet
+    //    prior) between src0 and src1 — [EXT r14]: what distinguishes
+    //    corpus A from B with rare-word shrinkage and per-token
+    //    uncertainty; the corpus-comparison readout raw frequency
+    //    deltas and TF-IDF both get wrong (TfIdf.logOddsWords
+    //    scaladoc).
+    "ext_log_odds_words" -> ((s, dir) =>
+      TfIdf.logOddsWords(
+        t(s, dir, "documents"), col("text"), col("source"),
+        sourceA = "src0", sourceB = "src1",
+        priorScale = 10.0, minCount = 5L)),
+
     // ── Church–Gale token burstiness — [EXT r14]: within-doc
     //    recurrence (cf/df) + the Poisson df ratio that separates
     //    topical terms (ratio ≪ 1) from glue words (≈ 1) without
@@ -1586,6 +1598,13 @@ object ExtQueries {
     "ext_retention" -> ((s, dir) =>
       Events.retention(t(s, dir, "events"))),
 
+    // ── Cohort LTV triangle — [EXT r14]: retention's revenue twin;
+    //    per-offset revenue and cumulative value per COHORT MEMBER
+    //    (churned members drag the average — the point), exact
+    //    decimal accumulation end-to-end (Events.cohortLtv scaladoc).
+    "ext_cohort_ltv" -> ((s, dir) =>
+      Events.cohortLtv(t(s, dir, "events"))),
+
     // ── Longest consecutive-day activity streaks per user —
     //    [EXT r14]: gaps-and-islands over the distinct (user, day)
     //    collapse; longest + the streak ending at last-seen, all
@@ -2046,6 +2065,24 @@ object ExtQueries {
     //    good authorities); fixed 3 rounds, L1-normalized,
     //    DECIMAL(28,12)-accumulated matvecs, oracle-unrolled
     //    (Graph.hits scaladoc).
+    // ── Common-neighbor link prediction over the above-mean
+    //    co-occurrence backbone — [EXT r14]: Jaccard + Adamic-Adar for
+    //    ABSENT edges only; the mean threshold keeps graph density
+    //    scale-invariant, and the degCap prunes hub wedge-centers
+    //    (quadratic fan-out, near-zero AA weight)
+    //    (Graph.linkPrediction scaladoc).
+    "ext_link_prediction" -> ((s, dir) => {
+      val counts = TextPipeline.skipgramPairCounts(
+        t(s, dir, "documents"), col("text"), window = 1)
+      val mean = counts.agg(
+        (sum(col("n_ab")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_n"))
+      val backbone = counts.crossJoin(broadcast(mean))
+        .filter(col("n_ab").cast("double") > col("mean_n"))
+      Graph.linkPrediction(backbone, col("tok_a"), col("tok_b"),
+        minCommon = 2L, degCap = 64L)
+    }),
+
     "ext_hits" -> ((s, dir) =>
       Graph.hits(
         TextPipeline.skipgramPairCounts(
@@ -2849,6 +2886,22 @@ object ExtQueries {
         d, col("lang"), TextFunctions.langId(col("text")))
     }),
 
+    // ── McNemar paired comparison of two is-English rules (stopword
+    //    count ≥ 3 vs n_chars ≥ 300) on the SAME docs — [EXT r14]:
+    //    only discordant pairs carry information; correlated errors
+    //    make unpaired comparisons overstate the sample
+    //    (Eval.mcnemar scaladoc).
+    "ext_mcnemar" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      graft.operators.Eval.mcnemar(
+        d,
+        predA = graft.functions.expressions.GraftFunctions
+          .token_match_count(col("text"),
+            Seq("the", "a", "and", "of")) >= 3,
+        predB = col("n_chars") >= 300L,
+        truth = col("lang") === "en")
+    }),
+
     // ── Sample-ratio-mismatch gate on the click/view split against a
     //    50/50 design: χ² goodness-of-fit with zero-count designed arms
     //    kept and undesigned arms failing loudly
@@ -3364,6 +3417,164 @@ object ExtQueries {
     "ext_corr_matrix" -> CorrMatrixOracle,
     "ext_hits" -> HitsOracle,
     "ext_stickiness" -> StickinessOracle,
+
+    // McNemar replay: the lift_table stopword counter, the same
+    // paired cells and the continuity-corrected χ² chain.
+    "ext_mcnemar" ->
+      """WITH b AS (
+        |  SELECT len(list_filter(string_split(text, ' '),
+        |      tk -> list_contains(['the', 'a', 'and', 'of'], tk))) >= 3
+        |      AS pa,
+        |    n_chars >= 300 AS pb, lang = 'en' AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT pa = y AS ra, pb = y AS rb FROM b
+        |  WHERE pa IS NOT NULL AND pb IS NOT NULL AND y IS NOT NULL),
+        |g AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_both_right,
+        |    CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_both_wrong,
+        |    CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a_only,
+        |    CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b_only
+        |  FROM f),
+        |x AS (
+        |  SELECT *, CASE WHEN n_a_only + n_b_only > 0 THEN round(
+        |    greatest(abs(CAST(n_a_only AS DOUBLE)
+        |        - CAST(n_b_only AS DOUBLE)) - 1.0, 0.0)
+        |    * greatest(abs(CAST(n_a_only AS DOUBLE)
+        |        - CAST(n_b_only AS DOUBLE)) - 1.0, 0.0)
+        |    / (CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE)), 6)
+        |    END AS chi2
+        |  FROM g)
+        |SELECT n, n_both_right, n_both_wrong, n_a_only, n_b_only,
+        |  chi2, chi2 > 3.841 AS significant
+        |FROM x""".stripMargin,
+
+    // Fightin'-Words replay: one (token, side) aggregate, the full-
+    // vocabulary prior, the identical two-ln + sqrt IEEE chain.
+    "ext_log_odds_words" ->
+      """WITH tk AS (
+        |  SELECT side, term FROM (
+        |    SELECT source AS side,
+        |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |    FROM documents WHERE source IN ('src0', 'src1'))
+        |  WHERE len(term) > 0),
+        |cells AS (
+        |  SELECT term AS token,
+        |    CAST(SUM(CASE WHEN side = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ya,
+        |    CAST(SUM(CASE WHEN side = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS yb
+        |  FROM tk GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(ya) AS BIGINT) AS na,
+        |    CAST(SUM(yb) AS BIGINT) AS nb,
+        |    CAST(SUM(ya + yb) AS BIGINT) AS ntot
+        |  FROM cells),
+        |e AS (
+        |  SELECT token, ya, yb, na, nb,
+        |    10.0 * (CAST(ya + yb AS DOUBLE) / CAST(ntot AS DOUBLE))
+        |      AS alpha
+        |  FROM cells CROSS JOIN tot
+        |  WHERE ya + yb >= 5),
+        |d AS (
+        |  SELECT *,
+        |    ln((CAST(ya AS DOUBLE) + alpha) / (CAST(na AS DOUBLE) + 10.0
+        |      - CAST(ya AS DOUBLE) - alpha))
+        |    - ln((CAST(yb AS DOUBLE) + alpha) / (CAST(nb AS DOUBLE) + 10.0
+        |      - CAST(yb AS DOUBLE) - alpha)) AS delta
+        |  FROM e)
+        |SELECT token, ya AS n_a_tok, yb AS n_b_tok,
+        |  round(delta, 6) AS delta,
+        |  round(delta / sqrt(1.0 / (CAST(ya AS DOUBLE) + alpha)
+        |    + 1.0 / (CAST(yb AS DOUBLE) + alpha)), 6) AS z
+        |FROM d ORDER BY token""".stripMargin,
+
+    // Cohort-LTV replay: the retention cohort window, exact decimal
+    // revenue, the same cumulative fold and per-member divide.
+    "ext_cohort_ltv" ->
+      """WITH b AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    COALESCE(CAST(round(CAST(value AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (
+        |  SELECT *, MIN(d) OVER (PARTITION BY user_id) AS cohort FROM b),
+        |sizes AS (
+        |  SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
+        |  FROM c GROUP BY 1),
+        |cells AS (
+        |  SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |    CAST(d - cohort AS BIGINT) AS day_offset,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+        |    SUM(v) AS rev
+        |  FROM c GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, SUM(rev) OVER (PARTITION BY cohort_day
+        |    ORDER BY day_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM cells JOIN sizes USING (cohort_day))
+        |SELECT cohort_day, day_offset, cohort_size, n_active,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(cum_rev AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)
+        |    AS cum_ltv
+        |FROM w ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // Link-prediction replay: the pagerank edge CTE, the above-mean
+    // backbone, capped wedge centers with 9dp-quantized 1/ln(deg)
+    // terms, the anti-joined absent-pair readout.
+    "ext_link_prediction" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |pl AS (
+        |  SELECT flatten(list_transform(range(1, least(1, len(t) - 1) + 1),
+        |           d -> list_transform(range(1, len(t) - d + 1),
+        |             i -> struct_pack(a := t[CAST(i AS INT)],
+        |                              b := t[CAST(i + d AS INT)])))) AS ps
+        |  FROM toks WHERE len(t) >= 2),
+        |cells AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(ps) AS p FROM pl) GROUP BY 1, 2),
+        |m AS (SELECT CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |        AS mean_n FROM cells),
+        |und AS (
+        |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM cells CROSS JOIN m
+        |  WHERE CAST(n AS DOUBLE) > mean_n AND a IS NOT NULL
+        |    AND b IS NOT NULL AND a <> b),
+        |adj AS (SELECT u AS z, v AS nb FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY 1),
+        |centers AS (
+        |  SELECT adj.z, adj.nb,
+        |    CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 9) AS DECIMAL(18,9))
+        |      AS aa_term
+        |  FROM adj JOIN deg ON deg.z = adj.z
+        |  WHERE deg <= 64),
+        |pairs AS (
+        |  SELECT n1.nb AS x, n2.nb AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS common,
+        |    SUM(n1.aa_term) AS aa
+        |  FROM centers n1 JOIN centers n2 ON n1.z = n2.z
+        |  WHERE n1.nb < n2.nb
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |absent AS (
+        |  SELECT p.* FROM pairs p
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM und WHERE und.u = p.x AND und.v = p.y))
+        |SELECT x AS node_a, y AS node_b, common,
+        |  round(CAST(common AS DOUBLE)
+        |    / CAST(dx.deg + dy.deg - common AS DOUBLE), 6) AS jaccard,
+        |  round(CAST(aa AS DOUBLE), 6) AS adamic_adar
+        |FROM absent
+        |JOIN deg dx ON dx.z = absent.x
+        |JOIN deg dy ON dy.z = absent.y
+        |ORDER BY node_a, node_b""".stripMargin,
 
     // Streaks replay: the same distinct user-day collapse and the
     // di − row_number() island key, exact integer rollups.

@@ -1024,4 +1024,56 @@ object Eval {
           .as("r"))
       .orderBy("col_a", "col_b")
   }
+
+  /** McNemar's paired test (McNemar '47, Edwards continuity
+    * correction) — the right way to compare TWO CLASSIFIERS on the
+    * SAME items: two independent [[confusionMatrix]] readouts ignore
+    * the pairing, and with correlated errors (both models fail on the
+    * same hard docs — the normal case) the unpaired comparison wildly
+    * overstates the sample. Only the DISCORDANT pairs carry
+    * information:
+    *
+    *   χ² = (max(|b − c| − 1, 0))² / (b + c)
+    *
+    * with b = A right & B wrong, c = A wrong & B right (the max(·,0)
+    * keeps the b = c case at 0 instead of Edwards' spurious
+    * 1/(b+c)). No discordant pairs → NULL χ², not 0/0: the models are
+    * indistinguishable ON THIS DATA, which is a finding, not a zero.
+    *
+    * Rows where either prediction or the truth is NULL are dropped —
+    * a pair is only a pair when both models answered and the answer
+    * is known; n reports what was compared.
+    *
+    * 100 TB shape: ONE conditional aggregation (4 exact cell counts
+    * with map-side partials), one output row, one IEEE divide.
+    *
+    * Output: ONE row — (n, n_both_right, n_both_wrong, n_a_only,
+    * n_b_only, chi2 6dp, significant = χ² > critical). */
+  def mcnemar(
+      df: DataFrame, predA: Column, predB: Column, truth: Column,
+      critical: Double = 3.841): DataFrame = {
+    val base = df
+      .select(predA.as("pa"), predB.as("pb"), truth.as("y"))
+      .filter(col("pa").isNotNull && col("pb").isNotNull &&
+        col("y").isNotNull)
+      .select((col("pa") === col("y")).as("ra"),
+        (col("pb") === col("y")).as("rb"))
+    val g = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("ra") && col("rb"), 1L).otherwise(0L))
+        .as("n_both_right"),
+      sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L))
+        .as("n_both_wrong"),
+      sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n_a_only"),
+      sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n_b_only"))
+    val b = col("n_a_only").cast("double")
+    val c = col("n_b_only").cast("double")
+    val num = greatest(abs(b - c) - lit(1.0), lit(0.0))
+    val chi2 = when(col("n_a_only") + col("n_b_only") > 0,
+      round(num * num / (b + c), 6))
+    g.select(col("n"), col("n_both_right"), col("n_both_wrong"),
+      col("n_a_only"), col("n_b_only"),
+      chi2.as("chi2"),
+      (chi2 > critical).as("significant"))
+  }
 }

@@ -717,6 +717,58 @@ object Events {
       round(num.cast("double") / lit(mass.toDouble), 6).as("ewma"))
   }
 
+  /** Cohort LTV triangle — [[retention]]'s revenue twin: retention
+    * counts WHO comes back per (first-day cohort, day offset); this
+    * accumulates WHAT they are worth — per-offset revenue and the
+    * running cumulative value PER COHORT MEMBER, the curve whose
+    * asymptote is the cohort's lifetime value and whose day-k reads
+    * feed payback-period decisions. Divided by the FULL cohort size
+    * (not that day's actives): the standard convention, so churned
+    * members drag the average — that is the point.
+    *
+    * Determinism: revenue accumulates as exact DECIMAL(18,6) sums
+    * (null values contribute 0, rows still count as activity); the
+    * cumulative sum runs over the SAME decimals (order-free); one
+    * IEEE divide per cell, 6dp.
+    *
+    * 100 TB shape: one user-partitioned window pins each user's
+    * cohort (the [[retention]] shape), one (cohort, offset) aggregate
+    * with map-side partials, then a cumulative window partitioned by
+    * cohort over its calendar-bounded offsets.
+    *
+    * Output: (cohort_day, day_offset, cohort_size, n_active, revenue
+    * 6dp, cum_ltv 6dp), ordered (cohort_day, day_offset). */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val base = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        coalesce(round(col("value"), 6).cast("decimal(18,6)"),
+          lit(0).cast("decimal(18,6)")).as("v"))
+      .withColumn("cohort", min(col("d")).over(w))
+    val sizes = base
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"))
+      .agg(count_distinct(col("user_id")).as("cohort_size"))
+    val cells = base
+      .groupBy(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+      .agg(
+        count_distinct(col("user_id")).as("n_active"),
+        sum(col("v")).as("rev"))
+    val cum = Window.partitionBy("cohort_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .withColumn("cum_rev", sum("rev").over(cum)) // exact decimal fold
+      .select(col("cohort_day"), col("day_offset"), col("cohort_size"),
+        col("n_active"),
+        col("rev").cast("double").as("revenue"),
+        round(col("cum_rev").cast("double") /
+          col("cohort_size").cast("double"), 6).as("cum_ltv"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Longest consecutive-day activity streaks per user — the classic
     * gaps-and-islands readout (di − row_number() is constant within a
     * run of consecutive days): engagement depth that plain activity

@@ -392,6 +392,80 @@ object Graph {
           .otherwise(lit(0.0)).as("lcc"))
   }
 
+  /** Common-neighbor LINK PREDICTION (Liben-Nowell & Kleinberg '03):
+    * for non-adjacent node pairs, how strongly the graph "wants" the
+    * edge — common-neighbor count, Jaccard over neighborhoods, and
+    * Adamic–Adar (common neighbors weighted 1/ln(degree): a shared
+    * rare neighbor is evidence, a shared hub is not). On the token
+    * co-occurrence graph this surfaces near-synonym/related-term
+    * pairs that never co-occur directly; on an entity graph,
+    * candidate record links.
+    *
+    * The `degCap` prune is load-bearing twice: a hub as wedge CENTER
+    * generates deg² candidate pairs (the quadratic blowup), and its
+    * 1/ln(deg) weight is the signal floor anyway — dropping
+    * deg > degCap centers is the [[TfIdf.allPairsCosine]] dfCap
+    * argument re-applied to graphs. Hubs still appear as ENDPOINTS;
+    * only their wedge-center role is pruned, and their full degree
+    * still drives their own Jaccard denominator.
+    *
+    * Determinism: degrees and common counts exact; each Adamic–Adar
+    * term 1/ln(deg) is quantized round(·,9) → DECIMAL(18,9) before
+    * the pair sum (the [[Events.freshnessDecay]] transcendental
+    * discipline), one divide for Jaccard, 6dp outputs. A wedge center
+    * has degree ≥ 2, so ln(deg) ≥ ln 2 — no zero divisor exists.
+    *
+    * 100 TB shape: one undirected-edge distinct, a degree aggregate,
+    * the capped wedge self-join keyed on the CENTER (fan-out ≤
+    * degCap² per center), one (pair)-keyed aggregate, and two
+    * degree joins AQE broadcasts when the vocabulary is small (the
+    * node table is NOT bounded in general — no forced hint); existing
+    * edges leave via one anti-join.
+    *
+    * Output: (node_a, node_b, common, jaccard 6dp, adamic_adar 6dp)
+    * for non-adjacent pairs with common ≥ minCommon, node_a < node_b,
+    * ordered (node_a, node_b). */
+  def linkPrediction(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      minCommon: Long = 2L,
+      degCap: Long = 64L): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    require(degCap >= 2, s"degCap must be >= 2, got $degCap")
+    val und = edges
+      .select(src.cast("string").as("a"), dst.cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val adj = und.select(col("u").as("z"), col("v").as("n"))
+      .unionByName(und.select(col("v").as("z"), col("u").as("n")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+    val centers = adj.join(deg.filter(col("deg") <= degCap), Seq("z"))
+      .withColumn("aa_term",
+        round(lit(1.0) / log(col("deg").cast("double")), 9)
+          .cast("decimal(18,9)"))
+    val n1 = centers.select(col("z"), col("n").as("x"), col("aa_term"))
+    val n2 = centers.select(col("z"), col("n").as("y"))
+    val pairs = n1.join(n2, Seq("z"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common"), sum("aa_term").as("aa"))
+      .filter(col("common") >= minCommon)
+      .join(und.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_anti") // predict only ABSENT edges
+    pairs
+      .join(deg.select(col("z").as("x"), col("deg").as("deg_x")), Seq("x"))
+      .join(deg.select(col("z").as("y"), col("deg").as("deg_y")), Seq("y"))
+      .select(col("x").as("node_a"), col("y").as("node_b"), col("common"),
+        round(col("common").cast("double") /
+          (col("deg_x") + col("deg_y") - col("common")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("aa").cast("double"), 6).as("adamic_adar"))
+      .orderBy("node_a", "node_b")
+  }
+
   /** HITS hubs-and-authorities (Kleinberg '99) — the second classical
     * link-analysis readout next to [[pageRank]]: PageRank scores
     * IMPORTANCE (random-surfer mass), HITS separates two ROLES —
@@ -436,7 +510,12 @@ object Graph {
         .union(eCut.select(col("dst").as("node")))
         .distinct())
     val n = nodes.groupBy().agg(count(lit(1)).as("n_nodes"))
-    def normalized(raw: DataFrame): DataFrame = {
+    // each round's matvec is referenced TWICE (normalizer + join) and
+    // feeds the next round's matvec — without a per-round cut the
+    // re-evaluation doubles per round (the r8 plan-duplication
+    // lesson, measured 6.9 s → the pageRank-class cost after the cut)
+    def normalized(rawUncut: DataFrame): DataFrame = {
+      val raw = checkpoint.cut(rawUncut)
       val tot = raw.agg(sum("raw").as("tot")) // exact decimal fold
       nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(tot))

@@ -56,7 +56,9 @@ object PlanShapes {
     "ext_hll_distinct", "ext_kaplan_meier", "ext_diff_in_diff",
     "ext_psm_match", "ext_seasonal_decompose", "ext_markov_transitions",
     "ext_hits", "ext_boilerplate", "ext_kneser_ney", "ext_l_diversity",
-    "ext_profile_drift", "ext_rfm_segments")
+    "ext_profile_drift", "ext_rfm_segments",
+    "ext_activity_streaks", "ext_growth_accounting", "ext_stickiness",
+    "ext_token_burstiness")
 
   final case class ScanFacts(
       partitionFilters: Seq[String], pushedFilters: String,

@@ -535,4 +535,38 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(r => (r._1, r._2)).toSeq ==
       Seq(("a", "b"), ("a", "c"), ("b", "c")))
   }
+
+  // ── mcnemar ────────────────────────────────────────────────────────
+
+  test("mcnemar: hand-computed cells and continuity-corrected chi2") {
+    // truth 't' everywhere; 4 both-right, 2 both-wrong, 3 A-only,
+    // 1 B-only → χ² = (|3−1|−1)²/4 = 0.25
+    val rows =
+      Seq.fill(4)(("t", "t", "t")) ++ Seq.fill(2)(("f", "f", "t")) ++
+        Seq.fill(3)(("t", "f", "t")) :+ (("f", "t", "t"))
+    val got = Eval.mcnemar(rows.toDF("pa", "pb", "y"),
+      col("pa"), col("pb"), col("y")).collect().head
+    assert(got.getAs[Long]("n") == 10L)
+    assert(got.getAs[Long]("n_both_right") == 4L &&
+      got.getAs[Long]("n_both_wrong") == 2L)
+    assert(got.getAs[Long]("n_a_only") == 3L &&
+      got.getAs[Long]("n_b_only") == 1L)
+    assert(got.getAs[Double]("chi2") == 0.25)
+    assert(!got.getAs[Boolean]("significant"))
+  }
+
+  test("mcnemar: b = c lands chi2 0; zero discordant lands NULL, not 0/0") {
+    val tied = Seq(("t", "f", "t"), ("f", "t", "t"),
+      ("t", "f", "t"), ("f", "t", "t"))
+    val g1 = Eval.mcnemar(tied.toDF("pa", "pb", "y"),
+      col("pa"), col("pb"), col("y")).collect().head
+    assert(g1.getAs[Double]("chi2") == 0.0) // max(|2−2|−1, 0)² = 0
+    val agree = Seq(("t", "t", "t"), ("f", "f", "t"),
+      (null, "t", "t")) // null prediction: pair dropped from n
+    val g2 = Eval.mcnemar(agree.toDF("pa", "pb", "y"),
+      col("pa"), col("pb"), col("y")).collect().head
+    assert(g2.getAs[Long]("n") == 2L)
+    assert(g2.isNullAt(g2.fieldIndex("chi2")))
+    assert(g2.isNullAt(g2.fieldIndex("significant")))
+  }
 }

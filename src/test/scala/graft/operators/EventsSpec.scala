@@ -543,6 +543,21 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       Seq(None, None, None, None, Some(1.0)))
   }
 
+  // ── cohortLtv ──────────────────────────────────────────────────────
+
+  test("cohortLtv: cumulative value per cohort MEMBER, nulls count as 0") {
+    val ev = Seq(
+      (1L, day(0), Some(10.0)), (1L, day(1), Some(5.0)),
+      (2L, day(0), Option.empty[Double])) // active, worthless, still sized
+      .toDF("user_id", "ts", "value")
+    val got = Events.cohortLtv(ev)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    val cd = got.head._1 // cohort day string of day(0)
+    assert(got == Seq(
+      (cd, 0L, 2L, 2L, 10.0, 5.0),   // 10 over 2 members
+      (cd, 1L, 2L, 1L, 5.0, 7.5)))   // churned u2 drags the average
+  }
+
   // ── activityStreaks / growthAccounting / stickiness ────────────────
 
   test("activityStreaks: islands, longest vs ending, multi-visit days collapse") {

@@ -434,4 +434,38 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val got = runHits(e, 3)
     assert(got("b")._2 > got("a")._2, "the weight-9 edge dominates")
   }
+
+  // ── linkPrediction ─────────────────────────────────────────────────
+
+  test("linkPrediction: 4-cycle predicts both diagonals exactly") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("s", "d")
+    val got = Graph.linkPrediction(edges, col("s"), col("d"))
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    // diagonals: common {b,d} resp {a,c}; all degrees 2 →
+    // jaccard 2/(2+2−2)=1; AA = 2·round(1/ln 2, 9)
+    val aa = BigDecimal(2 * BigDecimal(1.0 / math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      ("a", "c", 2L, 1.0, aa),
+      ("b", "d", 2L, 1.0, aa)))
+  }
+
+  test("linkPrediction: hub wedge-centers pruned by degCap; edges never predicted") {
+    val star = Seq("x1", "x2", "x3", "x4", "x5").map(("h", _)) :+
+      (("x1", "x2"))
+    val loose = Graph.linkPrediction(star.toDF("s", "d"), col("s"), col("d"),
+      minCommon = 1L, degCap = 10L)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    // all xi–xj pairs via center h except the existing x1–x2 edge
+    assert(loose.size == 9)
+    assert(!loose.exists(r => r._1 == "x1" && r._2 == "x2"),
+      "an existing edge must never be predicted")
+    assert(!loose.exists(r => r._1 == "h" || r._2 == "h"))
+    val capped = Graph.linkPrediction(star.toDF("s", "d"), col("s"), col("d"),
+      minCommon = 1L, degCap = 4L) // hub deg 5 > cap: no wedge centers left
+      .collect()
+    assert(capped.isEmpty)
+  }
 }

@@ -199,6 +199,52 @@ class TfIdfSpec extends AnyFunSuite with SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  // ── logOddsWords ───────────────────────────────────────────────────
+
+  test("logOddsWords: hand-computed Dirichlet-prior delta and z") {
+    val docs = Seq(
+      (1L, "A", "alpha alpha alpha common common"),
+      (2L, "B", "beta beta beta common common")).toDF("id", "src", "txt")
+    val got = TfIdf.logOddsWords(docs, col("txt"), col("src"),
+      sourceA = "A", sourceB = "B", priorScale = 10.0, minCount = 1L)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def chain(ya: Long, yb: Long): (Double, Double) = {
+      val (na, nb, ntot) = (5.0, 5.0, 10.0)
+      val a = 10.0 * ((ya + yb) / ntot)
+      val d = math.log((ya + a) / (na + 10.0 - ya - a)) -
+        math.log((yb + a) / (nb + 10.0 - yb - a))
+      (r6(d), r6(d / math.sqrt(1.0 / (ya + a) + 1.0 / (yb + a))))
+    }
+    val (dA, zA) = chain(3, 0)
+    assert(got("alpha") == ("alpha", 3L, 0L, dA, zA))
+    val (dB, zB) = chain(0, 3)
+    assert(got("beta") == ("beta", 0L, 3L, dB, zB))
+    val (dC, zC) = chain(2, 2)
+    assert(dC == 0.0 && zC == 0.0 && got("common")._4 == 0.0)
+    assert(zA > 0 && zB < 0 && zA == -zB) // symmetric corpus, symmetric z
+  }
+
+  test("logOddsWords: minCount bounds output; prior still uses full vocab") {
+    val docs = Seq(
+      (1L, "A", "x x x x x rare"),
+      (2L, "B", "y y y y y")).toDF("id", "src", "txt")
+    val got = TfIdf.logOddsWords(docs, col("txt"), col("src"),
+      "A", "B", priorScale = 10.0, minCount = 5L)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("x", "y")) // 'rare' (1 < 5) excluded
+    // ntot includes 'rare': alpha(x) = 10·5/11, not 10·5/10 — pin via
+    // the replayed chain
+    val a = 10.0 * (5.0 / 11.0)
+    val d = math.log((5.0 + a) / (6.0 + 10.0 - 5.0 - a)) -
+      math.log((0.0 + a) / (5.0 + 10.0 - 0.0 - a))
+    val exp = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(got.find(_._1 == "x").get._4 == exp)
+  }
+
   // ── tokenBurstiness ────────────────────────────────────────────────
 
   test("tokenBurstiness: bursty topical term vs Poisson-flat glue word") {
