@@ -516,6 +516,16 @@ object ExtQueries {
     "ext_zipf_slope" -> ((s, dir) =>
       TfIdf.zipfSlope(t(s, dir, "documents"), col("text"), topN = 100)),
 
+    // ── Corpus saturation curve — [EXT r14]: word-trigram first-
+    //    occurrence counts per acquisition slice (id-range buckets, no
+    //    global sort) — the diminishing-returns table a data-buying
+    //    decision reads; empty slices kept (TfIdf.saturationCurve
+    //    scaladoc).
+    "ext_saturation_curve" -> ((s, dir) =>
+      TfIdf.saturationCurve(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, buckets = 10)),
+
     // ── Monroe "Fightin' Words" log-odds (informative Dirichlet
     //    prior) between src0 and src1 — [EXT r14]: what distinguishes
     //    corpus A from B with rare-word shrinkage and per-token
@@ -527,6 +537,15 @@ object ExtQueries {
         t(s, dir, "documents"), col("text"), col("source"),
         sourceA = "src0", sourceB = "src1",
         priorScale = 10.0, minCount = 5L)),
+
+    // ── Per-dimension embedding whitening — [EXT r14]: the PQ/LSH
+    //    preprocessing stats (welchT moment identity per dimension)
+    //    plus standardized probe rows as the auditable sample
+    //    (Similarity.whitenEmbeddings scaladoc).
+    "ext_embedding_whiten" -> ((s, dir) =>
+      Similarity.whitenEmbeddings(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        probeIds = 4L)),
 
     // ── Church–Gale token burstiness — [EXT r14]: within-doc
     //    recurrence (cf/df) + the Poisson df ratio that separates
@@ -794,6 +813,17 @@ object ExtQueries {
     //    every true pair here has J >= 0.928. The cost-oriented
     //    corpus-calibrated regime (Dedup.calibrateMinhashBands) is
     //    receipted in tools/LshSizing + SCALE.md and ScalaTest.
+    // ── Near-dup threshold sensitivity sweep — [EXT r14]: one
+    //    minhash pass at the lowest policy threshold, then per-t pair
+    //    and touched-doc counts — the dedup-policy table; a cliff
+    //    between rows marks template families entering the net
+    //    (Dedup.neardupThresholdSweep scaladoc).
+    "ext_dedup_threshold_sweep" -> ((s, dir) =>
+      Dedup.neardupThresholdSweep(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+        shingleN = 5, numHashes = 64, bands = 8)),
+
     "ext_minhash_neardup" -> ((s, dir) => {
       Dedup.minhashNearDupPairs(
         t(s, dir, "documents"), col("doc_id"), col("text"),
@@ -1573,6 +1603,16 @@ object ExtQueries {
     // ── One-pass column profile over the documents drop — per-column
     //    non-null/distinct counts and stringified min/max, single scan
     //    via one multi-distinct aggregate — Relational.profile.
+    // ── Cross-source quantile-calibration map — [EXT r14]: per-source
+    //    exact interior deciles vs the global distribution at the same
+    //    levels + shift; the rank-based normalization table a mixing
+    //    pass applies before combining per-source scores
+    //    (Relational.quantileCalibration scaladoc).
+    "ext_quantile_calibration" -> ((s, dir) =>
+      Relational.quantileCalibration(
+        t(s, dir, "documents"), col("source"), col("n_chars"),
+        tiles = 10)),
+
     "ext_profile" -> ((s, dir) =>
       Relational.profile(
         t(s, dir, "documents"),
@@ -1597,6 +1637,21 @@ object ExtQueries {
     //    cohort day is a window min, never a first-day self-join.
     "ext_retention" -> ((s, dir) =>
       Events.retention(t(s, dir, "events"))),
+
+    // ── Per-day activity concentration — [EXT r14]: HHI / effective
+    //    user count / top share of daily volume — the bot-day gate a
+    //    plain count can't see; DECIMAL(19,0) squares (the
+    //    mannWhitney overflow rule) (Events.activityConcentration
+    //    scaladoc).
+    "ext_activity_concentration" -> ((s, dir) =>
+      Events.activityConcentration(t(s, dir, "events"))),
+
+    // ── Kneedle knee of the user rank-coverage curve — [EXT r14]:
+    //    the principled "core users" cutoff (argmax of cum_share −
+    //    rank share, earliest-rank ties) (Events.activityKnee
+    //    scaladoc).
+    "ext_activity_knee" -> ((s, dir) =>
+      Events.activityKnee(t(s, dir, "events"))),
 
     // ── Cohort LTV triangle — [EXT r14]: retention's revenue twin;
     //    per-offset revenue and cumulative value per COHORT MEMBER
@@ -1844,6 +1899,14 @@ object ExtQueries {
     //    bits); '__all__' merges the per-type REGISTERS (max per
     //    bucket), the fold that answers coarser distinct counts
     //    without re-scanning (Sketches.hllRegisterRollup scaladoc).
+    // ── Hill tail-index of the event value distribution — [EXT
+    //    r14]: α over the top-100 order statistics; α < 2 retires
+    //    means/z-scores for this column (Relational.hillTailIndex
+    //    scaladoc).
+    "ext_hill_tail" -> ((s, dir) =>
+      Relational.hillTailIndex(
+        t(s, dir, "events"), col("value"), k = 100)),
+
     "ext_hll_distinct" -> ((s, dir) =>
       Sketches.hllRegisterRollup(
         t(s, dir, "events"), col("event_type"), col("user_id"), p = 8)),
@@ -2886,6 +2949,25 @@ object ExtQueries {
         d, col("lang"), TextFunctions.langId(col("text")))
     }),
 
+    // ── Best 1-D Gini split of the stopword-ratio score against
+    //    lang='en' — [EXT r14]: the CART-stump threshold a curation
+    //    cutoff should be SET at, with the impurity drop as evidence;
+    //    distinct-score windows, guarded (Eval.bestSplit scaladoc).
+    "ext_best_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nTokens = size(filter(split(col("text"), " "),
+        tk => length(tk) > 0))
+      val scored = d
+        .filter(col("text").isNotNull && nTokens > 0 &&
+          col("lang").isNotNull)
+        .select(
+          (graft.functions.expressions.GraftFunctions.token_match_count(
+            col("text"), Seq("the", "a", "and", "of")).cast("double") /
+            nTokens.cast("double")).as("score"),
+          (col("lang") === "en").as("label"))
+      graft.operators.Eval.bestSplit(scored, col("score"), col("label"))
+    }),
+
     // ── McNemar paired comparison of two is-English rules (stopword
     //    count ≥ 3 vs n_chars ≥ 300) on the SAME docs — [EXT r14]:
     //    only discordant pairs carry information; correlated errors
@@ -3575,6 +3657,271 @@ object ExtQueries {
         |JOIN deg dx ON dx.z = absent.x
         |JOIN deg dy ON dy.z = absent.y
         |ORDER BY node_a, node_b""".stripMargin,
+
+    // Saturation replay: the same id-range buckets (integer floor
+    // division), trigram min-bucket first occurrences, spine-kept
+    // empty slices, windowed cumulative.
+    "ext_saturation_curve" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+        |bd AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM b0),
+        |bk AS (
+        |  SELECT doc_id, text,
+        |    (doc_id - lo) * 10 // (hi - lo + 1) AS bucket
+        |  FROM b0 CROSS JOIN bd),
+        |dp AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |       FROM bk GROUP BY 1),
+        |fs AS (
+        |  SELECT gram, MIN(bucket) AS bucket FROM (
+        |    SELECT bucket, unnest(list_transform(
+        |      range(1, len(ts) - 1),
+        |      i -> array_to_string(list_slice(ts, i, i + 2), ' ')))
+        |      AS gram
+        |    FROM (SELECT bucket, string_split(text, ' ') AS ts FROM bk) u)
+        |  GROUP BY 1),
+        |ng AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_grams
+        |       FROM fs GROUP BY 1),
+        |sp AS (SELECT unnest(range(0, 10)) AS bucket)
+        |SELECT sp.bucket,
+        |  CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(new_grams, 0) AS BIGINT) AS new_grams,
+        |  CAST(SUM(COALESCE(new_grams, 0)) OVER (ORDER BY sp.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_grams,
+        |  round(CASE WHEN COALESCE(n_docs, 0) > 0
+        |    THEN CAST(COALESCE(new_grams, 0) AS DOUBLE)
+        |      / CAST(n_docs AS DOUBLE) END, 6) AS new_per_doc
+        |FROM sp LEFT JOIN dp USING (bucket) LEFT JOIN ng USING (bucket)
+        |ORDER BY bucket""".stripMargin,
+
+    // Hill replay: top-(k+1) order statistics, 6dp-quantized
+    // ln(x/x_tail) terms, the identical guarded estimator.
+    "ext_hill_tail" ->
+      """WITH pos AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL AND value > 0.0),
+        |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pos FROM pos),
+        |top AS (
+        |  SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn
+        |  FROM pos QUALIFY rn <= 101),
+        |xt AS (SELECT MAX(CASE WHEN rn = 101 THEN v END) AS x_tail
+        |       FROM top),
+        |terms AS (
+        |  SELECT CAST(ln(v / x_tail) AS DECIMAL(18,6)) AS t
+        |  FROM top CROSS JOIN xt
+        |  WHERE rn <= 100 AND x_tail IS NOT NULL),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_eff, SUM(t) AS s
+        |       FROM terms)
+        |SELECT n_pos, CAST(100 AS BIGINT) AS k,
+        |  round(x_tail, 6) AS x_tail,
+        |  CASE WHEN k_eff = 100 AND CAST(s AS DOUBLE) > 0.0
+        |    THEN round(100.0 / CAST(s AS DOUBLE), 6) END AS alpha
+        |FROM ag CROSS JOIN np CROSS JOIN xt""".stripMargin,
+
+    // Best-split replay: the lift_table score, per-score cells,
+    // cumulative windows, the identical weighted-Gini chain, the
+    // smallest-threshold argmin.
+    "ext_best_split" ->
+      """WITH s AS (
+        |  SELECT round(CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> list_contains(['the', 'a', 'and', 'of'], tk)))
+        |      AS DOUBLE)
+        |    / CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> len(tk) > 0)) AS DOUBLE), 6) AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL
+        |    AND len(list_filter(string_split(text, ' '),
+        |      tk -> len(tk) > 0)) > 0),
+        |ps_ AS (
+        |  SELECT sc, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(y) AS BIGINT) AS p
+        |  FROM s GROUP BY 1),
+        |cv AS (
+        |  SELECT sc,
+        |    CAST(SUM(c) OVER w AS BIGINT) AS ln_,
+        |    CAST(SUM(p) OVER w AS BIGINT) AS lp,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(p) OVER () AS BIGINT) AS np
+        |  FROM ps_ WINDOW w AS (ORDER BY sc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT *, n - ln_ AS rn_, np - lp AS rp FROM cv),
+        |gs AS (
+        |  SELECT *, round((
+        |    CASE WHEN ln_ > 0 THEN (1.0
+        |      - (CAST(lp AS DOUBLE) / CAST(ln_ AS DOUBLE))
+        |        * (CAST(lp AS DOUBLE) / CAST(ln_ AS DOUBLE))
+        |      - (1.0 - CAST(lp AS DOUBLE) / CAST(ln_ AS DOUBLE))
+        |        * (1.0 - CAST(lp AS DOUBLE) / CAST(ln_ AS DOUBLE)))
+        |      * CAST(ln_ AS DOUBLE) ELSE 0.0 END
+        |    + CASE WHEN rn_ > 0 THEN (1.0
+        |      - (CAST(rp AS DOUBLE) / CAST(rn_ AS DOUBLE))
+        |        * (CAST(rp AS DOUBLE) / CAST(rn_ AS DOUBLE))
+        |      - (1.0 - CAST(rp AS DOUBLE) / CAST(rn_ AS DOUBLE))
+        |        * (1.0 - CAST(rp AS DOUBLE) / CAST(rn_ AS DOUBLE)))
+        |      * CAST(rn_ AS DOUBLE) ELSE 0.0 END)
+        |    / CAST(n AS DOUBLE), 6) AS gini_split
+        |  FROM g)
+        |SELECT n, np AS n_pos,
+        |  round(1.0 - (CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+        |    - (1.0 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (1.0 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |    AS gini_root,
+        |  sc AS best_threshold, gini_split,
+        |  round((1.0 - (CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+        |    - (1.0 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (1.0 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    - gini_split, 6) AS gain,
+        |  ln_ AS left_n, lp AS left_pos, rn_ AS right_n, rp AS right_pos
+        |FROM gs ORDER BY gini_split, sc LIMIT 1""".stripMargin,
+
+    // Sweep replay: the minhash oracle's exact quadratic char-5-gram
+    // Jaccard ground truth (full recall certified at these settings),
+    // bucketed per policy threshold.
+    "ext_dedup_threshold_sweep" ->
+      """WITH sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(2, length(trim(regexp_replace(lower(text),'\s+',' ','g'))) - 3)),
+        |      i -> substr(trim(regexp_replace(lower(text),'\s+',' ','g')), i, 5))) AS s
+        |  FROM documents),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+        |f AS (SELECT threshold, id_a, id_b FROM pr CROSS JOIN th
+        |      WHERE j >= threshold),
+        |pc AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |       FROM f GROUP BY 1),
+        |dc AS (SELECT threshold, CAST(COUNT(DISTINCT doc) AS BIGINT)
+        |         AS n_docs
+        |       FROM (SELECT threshold, id_a AS doc FROM f
+        |             UNION ALL SELECT threshold, id_b FROM f) u
+        |       GROUP BY 1)
+        |SELECT round(th.threshold, 2) AS threshold,
+        |  CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs
+        |FROM th LEFT JOIN pc USING (threshold)
+        |LEFT JOIN dc USING (threshold)
+        |ORDER BY threshold""".stripMargin,
+
+    // Quantile-calibration replay: the qq_drift ceil(p·n) rank picks
+    // per source and globally, joined on the level.
+    "ext_quantile_calibration" ->
+      """WITH lv AS (
+        |  SELECT CAST(unnest([10,20,30,40,50,60,70,80,90]) AS BIGINT)
+        |    AS pct),
+        |r AS (
+        |  SELECT source AS g, n_chars AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |gq AS (
+        |  SELECT g AS group_key, pct,
+        |    MAX(CASE WHEN rn = CAST(ceil(pct / 100.0 * n) AS BIGINT)
+        |      THEN v END) AS gv
+        |  FROM r CROSS JOIN lv GROUP BY 1, 2),
+        |a AS (
+        |  SELECT n_chars AS v,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |aq AS (
+        |  SELECT pct,
+        |    MAX(CASE WHEN rn = CAST(ceil(pct / 100.0 * n) AS BIGINT)
+        |      THEN v END) AS av
+        |  FROM a CROSS JOIN lv GROUP BY 1)
+        |SELECT group_key, pct,
+        |  CAST(gv AS DOUBLE) AS group_value,
+        |  CAST(av AS DOUBLE) AS global_value,
+        |  round(CAST(av AS DOUBLE) - CAST(gv AS DOUBLE), 6) AS shift
+        |FROM gq JOIN aq USING (pct)
+        |ORDER BY group_key, pct""".stripMargin,
+
+    // Whitening replay: 1-based list index − 1 = posexplode's dim;
+    // the welchT per-dimension moments, the same z chain.
+    "ext_embedding_whiten" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |    round(CAST(e[CAST(i AS INT)] AS DOUBLE), 6) AS x
+        |  FROM (SELECT vec_id, embedding AS e,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings
+        |        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) s),
+        |st AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+        |    SUM(CAST(round(x * x, 4) AS DECIMAL(38,4))) AS q
+        |  FROM c GROUP BY 1),
+        |st2 AS (
+        |  SELECT dim,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    sqrt(greatest((CAST(q AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0),
+        |      0.0)) AS std
+        |  FROM st)
+        |SELECT vec_id, dim, x,
+        |  round(CASE WHEN std > 0.0 THEN (x - mean) / std END, 6) AS z
+        |FROM c JOIN st2 USING (dim)
+        |WHERE vec_id < 4
+        |ORDER BY vec_id, dim""".stripMargin,
+
+    // Concentration replay: same (day, user) collapse, DECIMAL(19,0)
+    // squares, the three IEEE readout divides.
+    "ext_activity_concentration" ->
+      """WITH pu AS (
+        |  SELECT epoch_ms(date_trunc('day', ts)) // 86400000 AS di,
+        |    user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT di, CAST(SUM(c) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(MAX(c) AS BIGINT) AS top_c,
+        |    SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS sq
+        |  FROM pu GROUP BY 1)
+        |SELECT di, n_events, n_users,
+        |  round(CAST(top_c AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+        |    AS top_share,
+        |  round(CAST(sq AS DOUBLE) / (CAST(n_events AS DOUBLE)
+        |    * CAST(n_events AS DOUBLE)), 6) AS hhi,
+        |  round(CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)
+        |    / CAST(sq AS DOUBLE), 6) AS eff_users
+        |FROM g ORDER BY di""".stripMargin,
+
+    // Knee replay: the same ranked cumulative curve, the identical
+    // gap chain, earliest-rank argmax.
+    "ext_activity_knee" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT c, user_id,
+        |    ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS r,
+        |    COUNT(*) OVER () AS u_cnt,
+        |    SUM(c) OVER () AS n_tot,
+        |    SUM(c) OVER (ORDER BY c DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM u),
+        |g AS (
+        |  SELECT *, CAST(cum AS DOUBLE) / CAST(n_tot AS DOUBLE)
+        |    - CAST(r AS DOUBLE) / CAST(u_cnt AS DOUBLE) AS gap
+        |  FROM r)
+        |SELECT CAST(u_cnt AS BIGINT) AS n_users,
+        |  CAST(n_tot AS BIGINT) AS n_events,
+        |  CAST(r AS BIGINT) AS knee_rank,
+        |  round(CAST(r AS DOUBLE) / CAST(u_cnt AS DOUBLE), 6)
+        |    AS knee_user_pct,
+        |  round(CAST(cum AS DOUBLE) / CAST(n_tot AS DOUBLE), 6)
+        |    AS knee_cum_share,
+        |  round(gap, 6) AS max_gap
+        |FROM g ORDER BY gap DESC, r LIMIT 1""".stripMargin,
 
     // Streaks replay: the same distinct user-day collapse and the
     // di − row_number() island key, exact integer rollups.

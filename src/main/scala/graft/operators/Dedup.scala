@@ -1314,4 +1314,64 @@ object Dedup {
         (col("n_novel").cast("double") / col("n_distinct").cast("double"))
           .as("novelty"))
   }
+
+  /** Near-dup THRESHOLD SENSITIVITY sweep — the policy table behind
+    * "dedup at 0.8 or 0.7?": one [[minhashNearDupPairs]] pass at the
+    * LOWEST candidate threshold, then per policy threshold the pair
+    * count and the number of documents any ≥-t pair touches. A cliff
+    * between two rows (pairs exploding as t drops) marks template
+    * families entering the net; a flat table says the corpus's
+    * near-dup structure is insensitive and the cheaper-recall
+    * setting is safe.
+    *
+    * The pair pipeline runs ONCE (at min(thresholds)) — the sweep is
+    * conditional counting over its verified exact-Jaccard output,
+    * never a re-run per threshold. Candidate recall follows the LSH
+    * banding curve AT THE LOW THRESHOLD (the banded-recall contract
+    * of [[minhashNearDupPairs]]); rows are counts of the PIPELINE's
+    * policy output, which is exactly what the policy decision is
+    * about.
+    *
+    * 100 TB shape: the sweep adds one |thresholds|-fan-out explode of
+    * the (already near-dup-sized) pair table and two bounded
+    * aggregates. Exact integers throughout.
+    *
+    * Output: (threshold 2dp, n_pairs, n_docs), one row per requested
+    * threshold (zero rows kept as 0 — the B14 discipline), ordered
+    * by threshold. */
+  def neardupThresholdSweep(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+      shingleN: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 8): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t < 1),
+      s"thresholds must be in (0,1), got $thresholds")
+    val ts = thresholds.sorted
+    val pairs = minhashNearDupPairs(df, id, text,
+      shingleN = shingleN, numHashes = numHashes, bands = bands,
+      threshold = ts.head)
+    val tCol = explode(array(ts.map(t => lit(t)): _*)).as("threshold")
+    val fanned = pairs.select(col("id_a"), col("id_b"), col("jaccard"),
+      tCol)
+      .filter(col("jaccard") >= col("threshold"))
+    val pairCounts = fanned.groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = fanned
+      .select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("doc"))
+      .groupBy("threshold")
+      .agg(count_distinct(col("doc")).as("n_docs"))
+    val spine = df.sparkSession
+      .createDataFrame(ts.map(Tuple1(_))).toDF("threshold")
+    spine
+      .join(pairCounts, Seq("threshold"), "left")
+      .join(docCounts, Seq("threshold"), "left")
+      .select(round(col("threshold"), 2).as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("threshold")
+  }
 }

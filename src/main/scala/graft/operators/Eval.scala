@@ -1025,6 +1025,81 @@ object Eval {
       .orderBy("col_a", "col_b")
   }
 
+  /** Best 1-D GINI SPLIT (the CART stump step, Breiman et al. '84):
+    * the threshold t on a continuous score minimizing the weighted
+    * Gini impurity of {score ≤ t} vs {score > t} against a boolean
+    * label — the principled way to SET a curation cutoff
+    * (quality-score keep/drop lines are usually eyeballed; this reads
+    * the split the data supports, with the impurity drop as its
+    * evidence).
+    *
+    * Candidates are the distinct observed scores (the split value is
+    * always achievable; midpoints buy nothing on a step function).
+    * The t = max(score) candidate (empty right side) is legal and
+    * scores as the root impurity — never selected unless nothing
+    * splits, which is itself the finding.
+    *
+    * Determinism: per-score positive/total counts are exact; left/
+    * right cumulatives are windows over the DISTINCT-SCORE table
+    * ([[rocAuc]]'s shape, same cardinality guard — never a window
+    * over raw rows); the impurity chain is IEEE on exact integers;
+    * argmin tie-breaks to the SMALLEST threshold. Gini of an empty
+    * side is 0 with weight 0 (guarded, no 0/0).
+    *
+    * 100 TB shape: one (score)-keyed aggregate with map-side
+    * partials, two windows over ≤ |distinct scores| rows, a 1-row
+    * argmin.
+    *
+    * Output: ONE row — (n, n_pos, gini_root 6dp, best_threshold,
+    * gini_split 6dp, gain 6dp, left_n, left_pos, right_n,
+    * right_pos). */
+  def bestSplit(
+      df: DataFrame, score: Column, label: Column,
+      maxDistinct: Long = 10000000L): DataFrame = {
+    val base = df
+      .select(round(score.cast("double"), 6).as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .filter(col("s").isNotNull && label.isNotNull)
+    val perScore = base.groupBy("s")
+      .agg(count(lit(1)).as("c"), sum("y").as("p"))
+    val guarded = inlineCardinalityGuard(
+      perScore, col("s"), maxDistinct, "bestSplit")
+    val cum = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def gini(pos: Column, n: Column): Column = {
+      val pr = pos.cast("double") / n.cast("double")
+      lit(1.0) - pr * pr - (lit(1.0) - pr) * (lit(1.0) - pr)
+    }
+    val curve = guarded
+      .withColumn("ln_", sum("c").over(cum))
+      .withColumn("lp", sum("p").over(cum))
+      .withColumn("n", sum("c").over(full))
+      .withColumn("np", sum("p").over(full))
+      .withColumn("rn_", col("n") - col("ln_"))
+      .withColumn("rp", col("np") - col("lp"))
+      .withColumn("gini_split", round(
+        (when(col("ln_") > 0, gini(col("lp"), col("ln_")) *
+          col("ln_").cast("double")).otherwise(lit(0.0)) +
+          when(col("rn_") > 0, gini(col("rp"), col("rn_")) *
+            col("rn_").cast("double")).otherwise(lit(0.0))) /
+          col("n").cast("double"), 6))
+    curve
+      .orderBy(col("gini_split"), col("s"))
+      .limit(1)
+      .select(
+        col("n").cast("long").as("n"), col("np").cast("long").as("n_pos"),
+        round(gini(col("np"), col("n")), 6).as("gini_root"),
+        col("s").as("best_threshold"),
+        col("gini_split"),
+        round(gini(col("np"), col("n")) - col("gini_split"), 6).as("gain"),
+        col("ln_").cast("long").as("left_n"),
+        col("lp").cast("long").as("left_pos"),
+        col("rn_").cast("long").as("right_n"),
+        col("rp").cast("long").as("right_pos"))
+  }
+
   /** McNemar's paired test (McNemar '47, Edwards continuity
     * correction) — the right way to compare TWO CLASSIFIERS on the
     * SAME items: two independent [[confusionMatrix]] readouts ignore

@@ -717,6 +717,105 @@ object Events {
       round(num.cast("double") / lit(mass.toDouble), 6).as("ewma"))
   }
 
+  /** Per-day ACTIVITY CONCENTRATION — is today's volume real, or one
+    * account? Per day: the Herfindahl index of per-user event shares,
+    * its inverse (the EFFECTIVE number of equally-active users — 500
+    * events from 50 balanced users reads eff≈50; the same 500 from
+    * one bot reads eff≈1), and the top user's share. The bot/spam
+    * volume gate a plain daily count can't see, and per-day so it
+    * composes with [[Drift.weekdayAnomaly]]'s calendar.
+    *
+    * Determinism: HHI = Σc_u² / N² in exact integers — per-user
+    * counts square into DECIMAL(19,0) products (the mannWhitney
+    * overflow discipline: c ~ 3·10⁹ squares past Long), summed in
+    * DECIMAL(38,0); eff/top/hhi are single IEEE divides, 6dp.
+    *
+    * 100 TB shape: one (day, user) aggregate with map-side partials,
+    * one day-keyed fold — nothing scales past the first aggregate.
+    *
+    * Output: (di, n_events, n_users, top_share, hhi, eff_users), one
+    * row per active day, ordered by di. */
+  def activityConcentration(events: DataFrame): DataFrame = {
+    val perUser = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        (unix_millis(date_trunc("day", col("ts"))) / lit(86400000L))
+          .cast("long").as("di"))
+      .groupBy("di", "user_id")
+      .agg(count(lit(1)).as("c"))
+    perUser.groupBy("di").agg(
+      sum("c").cast("long").as("n_events"),
+      count(lit(1)).as("n_users"),
+      max("c").cast("long").as("top_c"),
+      sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+        .as("sq"))
+      .select(col("di"), col("n_events"), col("n_users"),
+        round(col("top_c").cast("double") /
+          col("n_events").cast("double"), 6).as("top_share"),
+        round(col("sq").cast("double") /
+          (col("n_events").cast("double") * col("n_events").cast("double")),
+          6).as("hhi"),
+        round(col("n_events").cast("double") *
+          col("n_events").cast("double") / col("sq").cast("double"), 6)
+          .as("eff_users"))
+      .orderBy("di")
+  }
+
+  /** Activity-curve KNEE (the Kneedle construction, Satopaa et al.
+    * '11, on the rank–cumulative-share curve): users sorted by event
+    * count descending; the knee is the rank maximizing
+    * cum_share(r) − r/U — the point where adding more users stops
+    * buying coverage. THE principled cutoff for "core user" sets,
+    * cache sizing, and how deep a curation pass should mine an
+    * interaction log (the same curve a working-set analysis draws).
+    *
+    * Determinism: the curve's inputs are exact integers (cumulative
+    * event counts in a rank window, rank, totals); the gap is one
+    * IEEE chain on them, computed identically by the oracle; the
+    * argmax tie-breaks to the EARLIEST rank. Ties inside the count
+    * sort break by user_id (the repo's total-order rule).
+    *
+    * 100 TB shape: events collapse to one row per user; the ranked
+    * window runs over the bounded user table (the
+    * [[rfmSegments]]/[[Experiment.nearestScoreMatch]] guarded trade).
+    *
+    * Output: ONE row — (n_users, n_events, knee_rank, knee_user_pct
+    * 6dp, knee_cum_share 6dp, max_gap 6dp). */
+  def activityKnee(
+      events: DataFrame, maxUsers: Long = 10000000L): DataFrame = {
+    val units = events
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("c"))
+    val guarded = Eval.inlineCardinalityGuard(
+      units, col("user_id"), maxUsers, "activityKnee", "maxUsers")
+    val ord = Window.orderBy(col("c").desc, col("user_id"))
+    val full = Window.orderBy(col("c").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = Window.orderBy(col("c").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = guarded
+      .withColumn("r", row_number().over(ord))
+      .withColumn("u", count(lit(1)).over(full))
+      .withColumn("n", sum("c").over(full))
+      .withColumn("cum", sum("c").over(cum))
+      .select(col("r").cast("long").as("r"), col("u"), col("n"),
+        col("cum"),
+        (col("cum").cast("double") / col("n").cast("double") -
+          col("r").cast("double") / col("u").cast("double")).as("gap"))
+    curve
+      .orderBy(col("gap").desc, col("r"))
+      .limit(1)
+      .select(col("u").cast("long").as("n_users"),
+        col("n").cast("long").as("n_events"),
+        col("r").as("knee_rank"),
+        round(col("r").cast("double") / col("u").cast("double"), 6)
+          .as("knee_user_pct"),
+        round(col("cum").cast("double") / col("n").cast("double"), 6)
+          .as("knee_cum_share"),
+        round(col("gap"), 6).as("max_gap"))
+  }
+
   /** Cohort LTV triangle — [[retention]]'s revenue twin: retention
     * counts WHO comes back per (first-day cohort, day offset); this
     * accumulates WHAT they are worth — per-offset revenue and the

@@ -494,6 +494,106 @@ object Relational {
       .orderBy("column")
   }
 
+  /** Hill TAIL-INDEX estimator (Hill '75) over the top-k order
+    * statistics: α = k / Σᵢ≤k ln(xᵢ/x₍k+1₎). The heavy-tail gate for
+    * value-like columns — α < 2 means infinite variance (means and
+    * z-scores stop meaning anything; use [[Eval]]'s rank tests and
+    * medians), α < 1 means even the mean diverges. A winsorization /
+    * outlier policy should read THIS, not an eyeballed histogram.
+    *
+    * Only positive values enter (ln); the estimator needs k+1 of
+    * them or α is NULL — visible, never a truncated-k silently
+    * different estimate. k is caller-set (the classic Hill-plot
+    * stability range is k ≈ √n; sweep k upstream if needed).
+    *
+    * Determinism: the top-(k+1) selection is a distributed
+    * TakeOrdered on (value desc) — equal values give equal ln terms,
+    * so tie order cannot change the sum; each ln(xᵢ/x₍k+1₎) is
+    * quantized to DECIMAL(18,6) before the exact sum (the
+    * [[graft.operators.TfIdf.unigramLogProb]] xsum rule), one divide,
+    * 6dp.
+    *
+    * 100 TB shape: one scan feeding a k+1-row distributed top-k —
+    * no global sort, no window; the k-row tail fits one task by
+    * construction.
+    *
+    * Output: ONE row — (n_pos, k, x_tail 6dp, alpha 6dp). */
+  def hillTailIndex(
+      df: DataFrame, value: Column, k: Int = 100): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val pos = df
+      .select(value.cast("double").as("v"))
+      .filter(col("v").isNotNull && col("v") > 0.0)
+    val nPos = pos.agg(count(lit(1)).as("n_pos"))
+    val top = pos.orderBy(col("v").desc).limit(k + 1)
+    val w = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tail = top
+      .withColumn("rn", row_number().over(Window.orderBy(col("v").desc)))
+      .withColumn("x_tail", min(when(col("rn") === k + 1, col("v"))).over(w))
+    val terms = tail
+      .filter(col("rn") <= k && col("x_tail").isNotNull)
+      .select(log(col("v") / col("x_tail")).cast("decimal(18,6)").as("t"),
+        col("x_tail"))
+    terms
+      .agg(count(lit(1)).as("k_eff"), sum("t").as("s"),
+        min("x_tail").as("x_tail"))
+      .crossJoin(broadcast(nPos))
+      .select(col("n_pos"), lit(k.toLong).as("k"),
+        round(col("x_tail"), 6).as("x_tail"),
+        round(when(col("k_eff") === k && col("s").cast("double") > 0.0,
+          lit(k.toDouble) / col("s").cast("double")), 6).as("alpha"))
+  }
+
+  /** Cross-group QUANTILE-CALIBRATION map — the fix for "source A's
+    * quality scores run hot": per group, the exact interior k-tile
+    * values next to the global distribution's values at the SAME
+    * levels, plus the shift. A curation pass applies the map to put
+    * per-source scores (or lengths, or classifier outputs) on one
+    * comparable scale before mixing — rank-based calibration, immune
+    * to the scale/offset drift that breaks plain z-scoring across
+    * heterogeneous classifiers. [[Drift.qqShift]] is the TWO-snapshot
+    * diagnostic; this is the every-group actionable table.
+    *
+    * Quantiles are [[exactQuantiles]] rank picks (value at rank
+    * ⌈p·n⌉ — exact elements, never interpolation, the g6
+    * convention), so every emitted value EXISTS in the data and the
+    * DuckDB oracle replays the identical pick. The global row set
+    * rides a second exactQuantiles pass over the same scan.
+    *
+    * 100 TB shape: two range-bucketed exactQuantiles passes (no
+    * per-group window over raw rows — its scaladoc), a map-side
+    * unpivot of the two ≤ |groups|-row results, one broadcast join
+    * on the tile level.
+    *
+    * Output: (group_key, pct, group_value, global_value, shift =
+    * global − group 6dp), (tiles−1) rows per group, ordered
+    * (group_key, pct). */
+  def quantileCalibration(
+      df: DataFrame, group: Column, value: Column,
+      tiles: Int = 10): DataFrame = {
+    require(tiles >= 2 && tiles <= 100, s"tiles must be in [2,100], got $tiles")
+    val ps = (1 until tiles).map(_.toDouble / tiles)
+    val pcts = ps.map(p => math.round(p * 100).toInt)
+    val base = df.select(group.cast("string").as("g"), value.as("v"))
+    val perGroup = exactQuantiles(base, col("g"), col("v"), ps)
+    val global = exactQuantiles(
+      base.select(lit("__all__").as("g"), col("v")), col("g"), col("v"), ps)
+    def unpivot(q: DataFrame, tag: String): DataFrame = q
+      .select(col("group_key"), explode(array(pcts.map(pc =>
+        struct(lit(pc.toLong).as("pct"),
+          col(s"p$pc").cast("double").as(tag))): _*)).as("x"))
+      .select(col("group_key"), col("x.pct").as("pct"),
+        col(s"x.$tag").as(tag))
+    unpivot(perGroup, "group_value")
+      .join(broadcast(unpivot(global, "global_value").drop("group_key")),
+        Seq("pct"))
+      .select(col("group_key"), col("pct"), col("group_value"),
+        col("global_value"),
+        round(col("global_value") - col("group_value"), 6).as("shift"))
+      .orderBy("group_key", "pct")
+  }
+
   /** Key-skew profile — the "should I salt this join?" diagnostic run
     * BEFORE keying a 100 TB shuffle on a column: per-key row counts
     * summarized as cardinality, hottest key, exact count quantiles,

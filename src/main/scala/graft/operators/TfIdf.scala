@@ -366,6 +366,75 @@ object TfIdf {
           .as("bigram_nll"))
   }
 
+  /** Corpus SATURATION curve — the diminishing-returns readout for
+    * data acquisition (the empirical Heaps'-law table): split the
+    * corpus into `buckets` acquisition slices by id range, then per
+    * slice count the word n-grams seen for the FIRST time there. When
+    * new-grams-per-doc flattens, the next crawl of the same source
+    * buys redundancy, not coverage — the number a data-buying
+    * decision actually needs, next to [[ngramNovelty]]'s per-doc
+    * score.
+    *
+    * Slices come from the id RANGE (bucket = (id−lo)·buckets ∕
+    * (hi−lo+1), exact integer arithmetic), NOT a global rank — no
+    * corpus-wide sort, and ids are the acquisition order by
+    * construction in append-only ingestion (sparse/skewed ids skew
+    * slice SIZES, never first-seen attribution; n_docs per slice is
+    * in the output precisely so that skew is visible).
+    *
+    * 100 TB shape: one gram explode → (gram)-keyed MIN-bucket
+    * aggregate (map-side partials; grams shuffle once), a ≤
+    * `buckets`-row fold, and a 1-row id-bounds broadcast. All exact
+    * integers; the one divide per row is the readout.
+    *
+    * Output: (bucket, n_docs, new_grams, cum_grams, new_per_doc 6dp),
+    * every bucket in [0, buckets) kept (empty slices show 0 — the B14
+    * discipline), ordered by bucket. */
+  def saturationCurve(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      buckets: Int = 10): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2,1000], got $buckets")
+    val base = docs
+      .filter(id.isNotNull)
+      .select(id.cast("long").as("doc_id"), text.as("txt"))
+    val bounds = base.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("txt"),
+        ((col("doc_id") - col("lo")) * buckets /
+          (col("hi") - col("lo") + 1)).cast("long").as("bucket"))
+    val docsPer = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    val firstSeen = bucketed
+      .select(col("bucket"),
+        explode(graft.functions.expressions.GraftFunctions
+          .word_ngrams(col("txt"), n)).as("gram"))
+      .groupBy("gram")
+      .agg(min("bucket").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("new_grams"))
+    val spine = docs.sparkSession.range(0, buckets)
+      .select(col("id").as("bucket"))
+    val cum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(docsPer, Seq("bucket"), "left")
+      .join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+      .withColumn("cum_grams", sum("new_grams").over(cum))
+      .withColumn("new_per_doc",
+        round(when(col("n_docs") > 0,
+          col("new_grams").cast("double") / col("n_docs").cast("double")),
+          6))
+      .orderBy("bucket")
+  }
+
   /** "Fightin' Words" log-odds with an informative Dirichlet prior
     * (Monroe, Colaresi & Quinn '08) — WHAT distinguishes corpus A
     * from corpus B, done right: raw frequency differences are

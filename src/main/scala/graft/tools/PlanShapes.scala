@@ -58,7 +58,13 @@ object PlanShapes {
     "ext_hits", "ext_boilerplate", "ext_kneser_ney", "ext_l_diversity",
     "ext_profile_drift", "ext_rfm_segments",
     "ext_activity_streaks", "ext_growth_accounting", "ext_stickiness",
-    "ext_token_burstiness")
+    "ext_token_burstiness",
+    "ext_mcnemar", "ext_log_odds_words", "ext_cohort_ltv",
+    "ext_link_prediction",
+    "ext_quantile_calibration", "ext_embedding_whiten",
+    "ext_activity_concentration", "ext_activity_knee",
+    "ext_saturation_curve", "ext_hill_tail", "ext_best_split",
+    "ext_dedup_threshold_sweep")
 
   final case class ScanFacts(
       partitionFilters: Seq[String], pushedFilters: String,

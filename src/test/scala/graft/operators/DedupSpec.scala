@@ -631,4 +631,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       ("siteB", 3L, 3L, 0L, 0.0),
       ("siteC", 2L, 1L, 1L, 0.5)), s"got ${got.toSeq}")
   }
+
+  // ── neardupThresholdSweep ──────────────────────────────────────────
+
+  test("neardupThresholdSweep: monotone policy table, zero rows kept") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // identical: jaccard 1.0 at every threshold
+      (3L, base + " with a different tail appended here"), // partial dup
+      (4L, "completely unrelated content about other things entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.neardupThresholdSweep(docs, col("doc_id"), col("text"),
+      thresholds = Seq(0.5, 0.9))
+      .as[(Double, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(0.5, 0.9))
+    val by = got.map(r => r._1 -> r).toMap
+    assert(by(0.9)._2 >= 1L, "the identical pair must clear 0.9")
+    assert(by(0.5)._2 >= by(0.9)._2, "pair counts must be monotone in t")
+    assert(by(0.5)._3 >= by(0.9)._3)
+    // no near-dups at all → the policy rows still exist, all zero
+    val clean = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val zeros = Dedup.neardupThresholdSweep(clean, col("doc_id"),
+      col("text"), thresholds = Seq(0.5, 0.9))
+      .as[(Double, Long, Long)].collect().toSeq
+    assert(zeros == Seq((0.5, 0L, 0L), (0.9, 0L, 0L)))
+  }
 }

@@ -536,6 +536,45 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
       Seq(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
+  // ── bestSplit ──────────────────────────────────────────────────────
+
+  test("bestSplit: the CART stump lands on the planted boundary") {
+    // scores 1..4, 10 rows each; 10% positive below 2.5, 90% above →
+    // the boundary is between 2 and 3, i.e. threshold 2
+    val rows = Seq(1, 2, 3, 4).flatMap { sVal =>
+      (1 to 10).map(i => (sVal.toDouble,
+        if (sVal <= 2) i <= 1 else i <= 9))
+    }
+    val got = Eval.bestSplit(rows.toDF("s", "y"), col("s"), col("y"))
+      .collect().head
+    assert(got.getAs[Double]("best_threshold") == 2.0)
+    assert(got.getAs[Long]("n") == 40L && got.getAs[Long]("n_pos") == 20L)
+    assert(got.getAs[Long]("left_n") == 20L &&
+      got.getAs[Long]("left_pos") == 2L)
+    assert(got.getAs[Long]("right_n") == 20L &&
+      got.getAs[Long]("right_pos") == 18L)
+    // both sides 0.1/0.9 → weighted gini 0.18; root 0.5; gain 0.32
+    def g(p: Double) = 1.0 - p * p - (1.0 - p) * (1.0 - p)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Double]("gini_split") == r6(g(0.1)))
+    assert(got.getAs[Double]("gini_root") == 0.5)
+    assert(got.getAs[Double]("gain") == r6(0.5 - r6(g(0.1))))
+  }
+
+  test("bestSplit: unsplittable data keeps the root as its own answer") {
+    // one score value only: the single candidate IS "no split" (empty
+    // right side) and scores the root impurity
+    val rows = (1 to 10).map(i => (3.0, i <= 4))
+    val got = Eval.bestSplit(rows.toDF("s", "y"), col("s"), col("y"))
+      .collect().head
+    assert(got.getAs[Double]("best_threshold") == 3.0)
+    assert(got.getAs[Double]("gini_split") ==
+      got.getAs[Double]("gini_root"))
+    assert(got.getAs[Double]("gain") == 0.0)
+    assert(got.getAs[Long]("right_n") == 0L)
+  }
+
   // ── mcnemar ────────────────────────────────────────────────────────
 
   test("mcnemar: hand-computed cells and continuity-corrected chi2") {

@@ -543,6 +543,41 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       Seq(None, None, None, None, Some(1.0)))
   }
 
+  // ── activityConcentration / activityKnee ───────────────────────────
+
+  test("activityConcentration: HHI, effective users, top share per day") {
+    val ev = (Seq.fill(3)((1L, day(0))) :+ ((2L, day(0)))) ++
+      Seq((1L, day(1)), (2L, day(1))) // balanced day
+    val got = Events.activityConcentration(ev.toDF("user_id", "ts"))
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    val b = got.head._1
+    assert(got == Seq(
+      // day 0: counts 3,1 → top 0.75, hhi 10/16, eff 16/10
+      (b, 4L, 2L, 0.75, 0.625, 1.6),
+      // day 1: perfectly balanced → hhi 1/2, eff = n_users
+      (b + 1, 2L, 2L, 0.5, 0.5, 2.0)))
+  }
+
+  test("activityKnee: argmax of cumulative-share gap, earliest-rank ties") {
+    // counts 10,5,1,1,1 → knee at rank 2 (cum 15/18 vs 2/5 of users)
+    val ev = (1L to 5L).flatMap { u =>
+      val c = u match { case 1 => 10; case 2 => 5; case _ => 1 }
+      (0 until c).map(_ => (u, day(u.toInt)))
+    }.toDF("user_id", "ts")
+    val got = Events.activityKnee(ev)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 == 5L && got._2 == 18L && got._3 == 2L)
+    assert(got._4 == 0.4 && got._5 == r6(15.0 / 18.0))
+    assert(got._6 == r6(15.0 / 18.0 - 2.0 / 5.0))
+    // degenerate flat curve: gap 0 everywhere → earliest rank wins
+    val flat = Seq((1L, day(0)), (2L, day(0))).toDF("user_id", "ts")
+    val g2 = Events.activityKnee(flat)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(g2._3 == 1L && g2._6 == 0.0)
+  }
+
   // ── cohortLtv ──────────────────────────────────────────────────────
 
   test("cohortLtv: cumulative value per cohort MEMBER, nulls count as 0") {

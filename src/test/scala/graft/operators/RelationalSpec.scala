@@ -244,6 +244,48 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       s"got: ${err.getMessage}")
   }
 
+  // ── hillTailIndex ──────────────────────────────────────────────────
+
+  test("hillTailIndex: matches the serial quantized-ln chain; guards thin data") {
+    val vals = (1 to 150).map(_.toDouble)
+    val got = Relational.hillTailIndex(vals.toDF("v"), col("v"), k = 20)
+      .collect().head
+    assert(got.getAs[Long]("n_pos") == 150L && got.getAs[Long]("k") == 20L)
+    assert(got.getAs[Double]("x_tail") == 130.0)
+    val s = (131 to 150).map { v =>
+      BigDecimal(math.log(v / 130.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val exp = BigDecimal(20.0 / s.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Double]("alpha") == exp)
+    // k+1 positives unavailable → NULL alpha, never a shrunken-k guess
+    val thin = Relational.hillTailIndex(
+      (1 to 50).map(_.toDouble).toDF("v"), col("v"), k = 100)
+      .collect().head
+    assert(thin.getAs[Long]("n_pos") == 50L)
+    assert(thin.isNullAt(thin.fieldIndex("alpha")))
+  }
+
+  // ── quantileCalibration ────────────────────────────────────────────
+
+  test("quantileCalibration: exact rank picks per group vs global, shifts") {
+    val df = ((1 to 100).map(v => ("A", v.toLong)) ++
+      (101 to 200).map(v => ("B", v.toLong))).toDF("g", "v")
+    val got = Relational.quantileCalibration(df, col("g"), col("v"),
+      tiles = 4)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // group quartiles: A → 25/50/75, B → 125/150/175; global (1..200)
+    // at ceil(p·200): 50/100/150
+    assert(got == Seq(
+      ("A", 25L, 25.0, 50.0, 25.0),
+      ("A", 50L, 50.0, 100.0, 50.0),
+      ("A", 75L, 75.0, 150.0, 75.0),
+      ("B", 25L, 125.0, 50.0, -75.0),
+      ("B", 50L, 150.0, 100.0, -50.0),
+      ("B", 75L, 175.0, 150.0, -25.0)))
+  }
+
   // ── profileDrift ───────────────────────────────────────────────────
 
   test("profileDrift: null-rate deltas and distinct ratios per column") {

@@ -551,4 +551,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     // lineage truncation kicks in past 8 picks on the distributed path —
     // this run crossed it (select = 12) and still matched
   }
+
+  // ── whitenEmbeddings ───────────────────────────────────────────────
+
+  test("whitenEmbeddings: per-dim standardization; constant dim yields NULL z") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 10.0f)),
+      (1L, Seq(3.0f, 10.0f)),
+      (2L, Seq(5.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.whitenEmbeddings(emb, col("vec_id"),
+      col("embedding"), probeIds = 4L)
+      .as[(Long, Long, Double, Option[Double])].collect().toSeq
+    // dim 0: mean 3, sample std 2 → z = −1, 0, 1; dim 1 constant → NULL
+    assert(got == Seq(
+      (0L, 0L, 1.0, Some(-1.0)), (0L, 1L, 10.0, None),
+      (1L, 0L, 3.0, Some(0.0)), (1L, 1L, 10.0, None),
+      (2L, 0L, 5.0, Some(1.0)), (2L, 1L, 10.0, None)))
+  }
+
+  test("whitenEmbeddings: stats come from the corpus, probes only surface") {
+    val emb = ((0L to 1L) ++ (10L to 19L)).map(i => (i, Seq(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.whitenEmbeddings(emb, col("vec_id"),
+      col("embedding"), probeIds = 2L)
+      .as[(Long, Long, Double, Option[Double])].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L), "only probe ids surface")
+    // mean over ALL 12 vectors (not the 2 probes): recompute the chain
+    val xs = ((0L to 1L) ++ (10L to 19L)).map(_.toDouble)
+    val n = xs.size
+    val mean = xs.sum / n
+    val std = math.sqrt((xs.map(x => x * x).sum - xs.sum * xs.sum / n) /
+      (n - 1.0))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head._4.contains(r6((0.0 - mean) / std)))
+  }
 }

@@ -199,6 +199,37 @@ class TfIdfSpec extends AnyFunSuite with SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  // ── saturationCurve ────────────────────────────────────────────────
+
+  test("saturationCurve: first-occurrence attribution, flat tail, zero slices") {
+    val docs = Seq(
+      (0L, "p q r s"), (1L, "p q r"),        // bucket 0: grams pqr, qrs
+      (2L, "p q r t"), (3L, "z z z"),        // bucket 1: new qrt, zzz
+      (4L, "p q r"), (5L, "p q r"),          // buckets 2-4: nothing new
+      (6L, "p q r"), (7L, "p q r"),
+      (8L, "p q r"), (9L, "p q r")).toDF("id", "txt")
+    val got = TfIdf.saturationCurve(docs, col("id"), col("txt"),
+      n = 3, buckets = 5)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 2L, Some(1.0)),
+      (1L, 2L, 2L, 4L, Some(1.0)),
+      (2L, 2L, 0L, 4L, Some(0.0)),
+      (3L, 2L, 0L, 4L, Some(0.0)),
+      (4L, 2L, 0L, 4L, Some(0.0))))
+  }
+
+  test("saturationCurve: sparse ids skew slice sizes, never attribution") {
+    val docs = Seq((0L, "a b c"), (9L, "x y z")).toDF("id", "txt")
+    val got = TfIdf.saturationCurve(docs, col("id"), col("txt"),
+      n = 3, buckets = 5)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq(
+      (0L, 1L, 1L), (1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L),
+      (4L, 1L, 1L))) // empty interior slices KEPT with zeros
+    assert(got(2)._5.isEmpty) // no docs → NULL rate, not 0/0
+  }
+
   // ── logOddsWords ───────────────────────────────────────────────────
 
   test("logOddsWords: hand-computed Dirichlet-prior delta and z") {
