@@ -228,6 +228,13 @@ object ExtQueries {
     "ext_rfm_segments" -> ((s, dir) =>
       Events.rfmSegments(t(s, dir, "events"))),
 
+    // ── Per-type inter-arrival cadence — [EXT r14]: exact
+    //    p50/p90/p99 floor-second gaps between consecutive events of
+    //    each type; the feed-health baseline that moves before daily
+    //    counts do (Events.interarrivalStats scaladoc).
+    "ext_interarrival" -> ((s, dir) =>
+      Events.interarrivalStats(t(s, dir, "events"))),
+
     // ── First-order Markov transition matrix over per-user event
     //    sequences — [EXT r14]: global row-normalized P(next|current)
     //    with the (ts, event_id) total tie-break; rows of P sum to 1,
@@ -813,6 +820,20 @@ object ExtQueries {
     //    every true pair here has J >= 0.928. The cost-oriented
     //    corpus-calibrated regime (Dedup.calibrateMinhashBands) is
     //    receipted in tools/LshSizing + SCALE.md and ScalaTest.
+    // ── Chapman capture–recapture corpus-size estimate — [EXT r14]:
+    //    two seeded md5-thresholded "crawls" of documents → how much
+    //    content neither saw (the buy-a-third-crawl question); the
+    //    contract query knows ground truth n=|documents| so the
+    //    estimator is certified, not asserted
+    //    (Dedup.captureRecapture scaladoc).
+    "ext_capture_recapture" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def crawl(tag: String) =
+        conv(substring(md5(concat(lit(tag),
+          col("doc_id").cast("string"))), 1, 2), 16, 10).cast("long") < 154
+      Dedup.captureRecapture(d, crawl("crawlA:"), crawl("crawlB:"))
+    }),
+
     // ── Near-dup threshold sensitivity sweep — [EXT r14]: one
     //    minhash pass at the lowest policy threshold, then per-t pair
     //    and touched-doc counts — the dedup-policy table; a cliff
@@ -1637,6 +1658,14 @@ object ExtQueries {
     //    cohort day is a window min, never a first-day self-join.
     "ext_retention" -> ((s, dir) =>
       Events.retention(t(s, dir, "events"))),
+
+    // ── Theil-T inequality of event value across types, decomposed
+    //    within/between — [EXT r14]: tells a mix planner whether
+    //    rebalancing groups or capping inside groups fixes the skew;
+    //    Gini can't decompose (Drift.theilDecomposition scaladoc).
+    "ext_theil_index" -> ((s, dir) =>
+      graft.operators.Drift.theilDecomposition(
+        t(s, dir, "events"), col("event_type"), col("value"))),
 
     // ── Per-day activity concentration — [EXT r14]: HHI / effective
     //    user count / top share of daily volume — the bot-day gate a
@@ -3776,6 +3805,36 @@ object ExtQueries {
         |    - gini_split, 6) AS gain,
         |  ln_ AS left_n, lp AS left_pos, rn_ AS right_n, rp AS right_pos
         |FROM gs ORDER BY gini_split, sc LIMIT 1""".stripMargin,
+
+    // Capture-recapture replay: the same md5-thresholded memberships
+    // and the Chapman chain.
+    "ext_capture_recapture" ->
+      """WITH b AS (
+        |  SELECT
+        |    CAST(concat('0x', substr(md5(concat('crawlA:',
+        |      CAST(doc_id AS VARCHAR))), 1, 2)) AS BIGINT) < 154 AS a,
+        |    CAST(concat('0x', substr(md5(concat('crawlB:',
+        |      CAST(doc_id AS VARCHAR))), 1, 2)) AS BIGINT) < 154 AS b
+        |  FROM documents),
+        |g AS (SELECT
+        |    CAST(SUM(CASE WHEN a OR b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_total_seen,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS m_overlap
+        |  FROM b),
+        |h AS (SELECT *,
+        |    CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+        |      / CAST(m_overlap + 1 AS DOUBLE) - 1.0 AS n_hat_raw
+        |  FROM g)
+        |SELECT n_total_seen, n_a, n_b, m_overlap,
+        |  round(n_hat_raw, 2) AS n_hat,
+        |  round(CASE WHEN n_hat_raw > 0.0
+        |    THEN CAST(n_a AS DOUBLE) / n_hat_raw END, 6) AS coverage_a,
+        |  round(CASE WHEN n_hat_raw > 0.0
+        |    THEN CAST(n_b AS DOUBLE) / n_hat_raw END, 6) AS coverage_b
+        |FROM h""".stripMargin,
 
     // Sweep replay: the minhash oracle's exact quadratic char-5-gram
     // Jaccard ground truth (full recall certified at these settings),

@@ -1315,6 +1315,52 @@ object Dedup {
           .as("novelty"))
   }
 
+  /** CAPTURE–RECAPTURE corpus-size estimate (Chapman '51 bias-
+    * corrected Lincoln–Petersen): treat two overlapping crawls as
+    * wildlife captures — N̂ = (n_a+1)(n_b+1)/(m+1) − 1 from their
+    * sizes and fingerprint overlap m — and the answer is how much
+    * content EXISTS that neither crawl saw, i.e. each crawl's true
+    * coverage. The data-acquisition question ("is a third crawl of
+    * this source worth buying?") that dedup rates alone cannot
+    * answer: high overlap means the source is exhausted, low overlap
+    * means the crawls are each seeing a sliver.
+    *
+    * Membership here is the caller's columns (real deployments pass
+    * actual crawl tags); the contract query simulates two seeded
+    * md5-thresholded samples so the estimator is exercised against a
+    * KNOWN ground truth. Assumes independent captures (as always for
+    * Lincoln–Petersen — correlated crawls bias N̂ low; stated, not
+    * hidden).
+    *
+    * 100 TB shape: ONE scan, four conditional exact counts, one
+    * output row. Chapman's +1s keep the estimator finite at m = 0.
+    *
+    * Output: ONE row — (n_total_seen, n_a, n_b, m_overlap, n_hat
+    * 2dp, coverage_a 6dp, coverage_b 6dp) where coverage_x =
+    * n_x/N̂. */
+  def captureRecapture(
+      df: DataFrame, inA: Column, inB: Column): DataFrame = {
+    val base = df.select(
+      coalesce(inA, lit(false)).as("a"),
+      coalesce(inB, lit(false)).as("b"))
+    val g = base.agg(
+      sum(when(col("a") || col("b"), 1L).otherwise(0L))
+        .as("n_total_seen"),
+      sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("b"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("m_overlap"))
+    val nHat = (col("n_a") + 1).cast("double") *
+      (col("n_b") + 1).cast("double") /
+      (col("m_overlap") + 1).cast("double") - lit(1.0)
+    g.select(col("n_total_seen"), col("n_a"), col("n_b"),
+      col("m_overlap"),
+      round(nHat, 2).as("n_hat"),
+      round(when(nHat > 0.0, col("n_a").cast("double") / nHat), 6)
+        .as("coverage_a"),
+      round(when(nHat > 0.0, col("n_b").cast("double") / nHat), 6)
+        .as("coverage_b"))
+  }
+
   /** Near-dup THRESHOLD SENSITIVITY sweep — the policy table behind
     * "dedup at 0.8 or 0.7?": one [[minhashNearDupPairs]] pass at the
     * LOWEST candidate threshold, then per policy threshold the pair

@@ -172,6 +172,86 @@ object Drift {
             (col("n_a").cast("double") * col("n_b").cast("double")))).as("reject"))
   }
 
+  /** THEIL-T inequality with within/between decomposition (Theil '67;
+    * the decomposability [[giniConcentration]] lacks — Gini gives one
+    * number, Theil splits it): how unequal is a VALUE (doc length,
+    * user revenue, tokens per source) across rows, and how much of
+    * that inequality lives INSIDE groups vs BETWEEN group means:
+    *
+    *   T_g = (1/n_g) Σ_{i∈g} (x_i/μ_g)·ln(x_i/μ_g)
+    *   T_between = Σ_g (n_g μ_g / Σx) · ln(μ_g/μ)
+    *   T_total = Σ_g w_g·T_g + T_between,  w_g = group's value share
+    *
+    * The mix-planning readout: a high between-share says rebalancing
+    * SOURCES fixes the skew; a high within-share says the skew is
+    * intrinsic to each source and per-source caps are the lever.
+    *
+    * Only x > 0 rows enter (ln is undefined otherwise — the standard
+    * Theil domain; screen zero/negative upstream). Per-row terms
+    * quantize
+    * ln(x/μ_g) to DECIMAL(18,6) before the exact x-weighted decimal
+    * sums (the unigram-nll xsum rule; one transcendental deep).
+    * μ uses exact decimal sums of 6dp-quantized x.
+    *
+    * 100 TB shape: two scans (group moments, then terms against the
+    * broadcast ≤|groups|-row moment table), both map-side-collapsing;
+    * the decomposition folds |groups| rows.
+    *
+    * Output: one row per group — (group_key, n, value_share 6dp,
+    * theil_within 6dp) — plus ('__between__', total n, 1.0,
+    * T_between) and ('__total__', n, 1.0, T_total), ordered by
+    * group_key. */
+  def theilDecomposition(
+      df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df
+      .select(group.cast("string").as("g"),
+        round(value.cast("double"), 6).as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull && col("x") > 0.0)
+    val moments = base.groupBy("g")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("x").cast("decimal(38,6)")).as("s_g"))
+    val tot = moments.agg(
+      sum("n_g").as("n"), sum("s_g").as("s"))
+    val mu = col("s_g").cast("double") / col("n_g").cast("double")
+    val withTerms = base
+      .join(broadcast(moments), Seq("g"))
+      .select(col("g"),
+        (col("x") * log(col("x") / mu).cast("decimal(18,6)")
+          .cast("double")).cast("decimal(28,6)").as("term"))
+      .groupBy("g")
+      .agg(sum("term").as("t_sum"))
+    val perGroup = moments.join(withTerms, Seq("g"))
+      .crossJoin(broadcast(tot))
+      .select(col("g"), col("n_g"), col("s_g"), col("n"), col("s"),
+        (col("s_g").cast("double") / col("s").cast("double"))
+          .as("share"),
+        // T_g = Σ x·q(ln(x/μ_g)) / Σ_g x  (= (1/n_g)Σ(x/μ_g)ln(·))
+        (col("t_sum").cast("double") / col("s_g").cast("double"))
+          .as("t_g"),
+        (log(mu / (col("s").cast("double") / col("n").cast("double")))
+          .cast("decimal(18,6)").cast("double")).as("ln_mu_ratio"))
+    val groups = perGroup.select(col("g").as("group_key"),
+      col("n_g").as("n"), round(col("share"), 6).as("value_share"),
+      round(col("t_g"), 6).as("theil"))
+    val between = perGroup
+      .select((col("share") * col("ln_mu_ratio")).cast("decimal(28,12)")
+        .as("bt"),
+        (col("share") * col("t_g")).cast("decimal(28,12)").as("wt"),
+        col("n"))
+      .groupBy("n")
+      .agg(sum("bt").as("tb"), sum("wt").as("tw"))
+    val brows = between.select(
+      lit("__between__").as("group_key"), col("n"),
+      lit(1.0).as("value_share"),
+      round(col("tb").cast("double"), 6).as("theil"))
+      .unionByName(between.select(
+        lit("__total__").as("group_key"), col("n"),
+        lit(1.0).as("value_share"),
+        round(col("tw").cast("double") + col("tb").cast("double"), 6)
+          .as("theil")))
+    groups.unionByName(brows).orderBy("group_key")
+  }
+
   /** Gini concentration of row mass across the values of `group` — the
     * one-number mixture-health readout for a training corpus ("is 90%
     * of the data three domains?"): 0 = perfectly even shares, → 1 =

@@ -717,6 +717,50 @@ object Events {
       round(num.cast("double") / lit(mass.toDouble), 6).as("ewma"))
   }
 
+  /** Per-type INTER-ARRIVAL cadence profile: floor-second gaps
+    * between consecutive events of each type (arrival process, not
+    * per-user — [[sessionStats]] owns the user view) with exact
+    * p50/p90/p99. The feed-health baseline: a p99 gap that doubles
+    * means the upstream producer is stuttering long before the daily
+    * count moves, and the p50 IS the type's native cadence for
+    * freshness SLOs.
+    *
+    * Determinism: gaps are exact integer seconds (floor of a
+    * millisecond difference) over the (ts, event_id) total order;
+    * quantiles are [[Relational.exactQuantiles]] rank picks — exact
+    * elements, engine-replayable, never interpolation.
+    *
+    * 100 TB shape: one type-partitioned lag window (types are few
+    * but each partition is a calendar-ordered stream — the window
+    * key is the type, matching the downstream per-type consumer),
+    * then exactQuantiles' range-bucketed selection. For a
+    * two-type-only 100 TB log, pre-split by type upstream.
+    *
+    * Output: (group_key, n_gaps, p50, p90, p99), one row per type
+    * with ≥ 1 gap, ordered by group_key. */
+  def interarrivalStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("gap",
+        ((col("ms") - lag("ms", 1).over(w)) / lit(1000L)).cast("long"))
+      .filter(col("gap").isNotNull)
+    val q = Relational.exactQuantiles(
+      gaps, col("event_type"), col("gap"), Seq(0.5, 0.9, 0.99))
+    val n = gaps.groupBy(col("event_type").as("group_key"))
+      .agg(count(lit(1)).as("n_gaps"))
+    n.join(q, Seq("group_key"))
+      .select(col("group_key"), col("n_gaps"),
+        col("p50").cast("long").as("p50"),
+        col("p90").cast("long").as("p90"),
+        col("p99").cast("long").as("p99"))
+      .orderBy("group_key")
+  }
+
   /** Per-day ACTIVITY CONCENTRATION — is today's volume real, or one
     * account? Per day: the Herfindahl index of per-user event shares,
     * its inverse (the EFFECTIVE number of equally-active users — 500
