@@ -3836,6 +3836,87 @@ object ExtQueries {
         |    THEN CAST(n_b AS DOUBLE) / n_hat_raw END, 6) AS coverage_b
         |FROM h""".stripMargin,
 
+    // Inter-arrival replay: per-type lag over the (ts, event_id)
+    // total order, floor-second gaps via integer division (the
+    // engine's double-divide + cast-long truncates; gaps are >= 0 so
+    // `//` is identical), then the g6 exact rank picks at
+    // ceil(p * n) per type.
+    "ext_interarrival" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, ts, epoch_ms(ts) AS ms
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |g AS (
+        |  SELECT event_type AS group_key,
+        |    (ms - LAG(ms) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id)) // 1000 AS gap
+        |  FROM e),
+        |gg AS (SELECT group_key, gap FROM g WHERE gap IS NOT NULL),
+        |rk AS (
+        |  SELECT group_key, gap,
+        |    ROW_NUMBER() OVER (PARTITION BY group_key ORDER BY gap)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY group_key) AS n
+        |  FROM gg)
+        |SELECT group_key, CAST(MAX(n) AS BIGINT) AS n_gaps,
+        |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |    THEN gap END) AS BIGINT) AS p50,
+        |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |    THEN gap END) AS BIGINT) AS p90,
+        |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+        |    THEN gap END) AS BIGINT) AS p99
+        |FROM rk GROUP BY group_key ORDER BY group_key""".stripMargin,
+
+    // Theil-T replay: the same grouped decimal moments, per-row
+    // x-weighted ln terms quantized to DECIMAL(18,6) before the
+    // DECIMAL(28,6) sums (the unigram-nll xsum rule), the share /
+    // within / between chain, and the '__between__'/'__total__'
+    // spine rows.
+    "ext_theil_index" ->
+      """WITH base AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS g,
+        |    round(CAST(value AS DOUBLE), 6) AS x
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND round(CAST(value AS DOUBLE), 6) > 0.0),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    SUM(CAST(x AS DECIMAL(38,6))) AS s_g
+        |  FROM base GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n, SUM(s_g) AS s FROM m),
+        |tm AS (
+        |  SELECT b.g,
+        |    SUM(CAST(b.x * CAST(CAST(ln(b.x
+        |      / (CAST(m.s_g AS DOUBLE) / CAST(m.n_g AS DOUBLE)))
+        |      AS DECIMAL(18,6)) AS DOUBLE) AS DECIMAL(28,6))) AS t_sum
+        |  FROM base b JOIN m ON b.g = m.g GROUP BY 1),
+        |pg AS (
+        |  SELECT m.g, m.n_g,
+        |    CAST(m.s_g AS DOUBLE) / CAST(t.s AS DOUBLE) AS share,
+        |    CAST(tm.t_sum AS DOUBLE) / CAST(m.s_g AS DOUBLE) AS t_g,
+        |    CAST(CAST(ln((CAST(m.s_g AS DOUBLE) / CAST(m.n_g AS DOUBLE))
+        |      / (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+        |      AS DECIMAL(18,6)) AS DOUBLE) AS ln_mu_ratio,
+        |    t.n AS n_tot
+        |  FROM m JOIN tm ON m.g = tm.g CROSS JOIN tot t),
+        |btw AS (
+        |  SELECT CAST(MAX(n_tot) AS BIGINT) AS n,
+        |    SUM(CAST(share * ln_mu_ratio AS DECIMAL(28,12))) AS tb,
+        |    SUM(CAST(share * t_g AS DECIMAL(28,12))) AS tw
+        |  FROM pg)
+        |SELECT g AS group_key, n_g AS n,
+        |  round(share, 6) AS value_share, round(t_g, 6) AS theil
+        |FROM pg
+        |UNION ALL
+        |SELECT '__between__', n, CAST(1.0 AS DOUBLE),
+        |  round(CAST(tb AS DOUBLE), 6) FROM btw
+        |UNION ALL
+        |SELECT '__total__', n, CAST(1.0 AS DOUBLE),
+        |  round(CAST(tw AS DOUBLE) + CAST(tb AS DOUBLE), 6) FROM btw
+        |ORDER BY group_key""".stripMargin,
+
     // Sweep replay: the minhash oracle's exact quadratic char-5-gram
     // Jaccard ground truth (full recall certified at these settings),
     // bucketed per policy threshold.

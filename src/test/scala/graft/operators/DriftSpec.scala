@@ -359,4 +359,38 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == 0L) // spine-filled, not absent
     assert(got.size == 8)
   }
+
+  // ── theilDecomposition ──────────────────────────────────────────────
+
+  test("theilDecomposition: pure within-group inequality, zero between") {
+    // a: x=[1,3] (mu=2); b: x=[2,2] (mu=2). Group means equal ->
+    // T_between = 0. T_a = (1*ln(.5) + 3*ln(1.5))/4 = .523248/4
+    // with ln quantized 6dp: = 0.130812. T_b = 0.
+    // T_total = .5*T_a = 0.065406. Zero/negative x rows drop.
+    val df = Seq(
+      ("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 2.0),
+      ("b", 0.0), ("b", -1.0))
+      .toDF("g", "x")
+    val got = Drift.theilDecomposition(df, col("g"), col("x"))
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("__between__", 4L, 1.0, 0.0),
+      ("__total__", 4L, 1.0, 0.065406),
+      ("a", 2L, 0.5, 0.130812),
+      ("b", 2L, 0.5, 0.0)))
+  }
+
+  test("theilDecomposition: pure between-group inequality, zero within") {
+    // a: x=[1]; b: x=[3]. Singleton groups -> x = mu_g -> T_g = 0.
+    // shares .25/.75; T_between = .25*ln(.5) + .75*ln(1.5)
+    // (6dp-quantized logs) = -0.17328675 + 0.30409875 = 0.130812.
+    val df = Seq(("a", 1.0), ("b", 3.0)).toDF("g", "x")
+    val got = Drift.theilDecomposition(df, col("g"), col("x"))
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("__between__", 2L, 1.0, 0.130812),
+      ("__total__", 2L, 1.0, 0.130812),
+      ("a", 1L, 0.25, 0.0),
+      ("b", 1L, 0.75, 0.0)))
+  }
 }

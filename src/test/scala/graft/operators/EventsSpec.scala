@@ -765,4 +765,45 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     // only user 1 survives the filters; converts at its first day (t=0)
     assert(got == Seq((0L, 1L, 1L, 0L, 0.0)))
   }
+
+  // ── interarrivalStats ────────────────────────────────────────────────
+
+  private def tsMs(ms: Long) = new Timestamp(1699999200000L + ms)
+
+  test("interarrivalStats: floor-second gaps, exact rank picks, " +
+      "single-event types dropped") {
+    // type a: events at 0 / 1.5s / 6.5s / 16.5s -> gaps [1, 5, 10]
+    //   (1.5s gap floors to 1 — sub-second truncation pinned);
+    // type b: one event -> zero gaps -> no output row.
+    val ev = Seq(
+      (1L, 1L, tsMs(0L), "a", 1.0),
+      (2L, 1L, tsMs(1500L), "a", 1.0),
+      (3L, 1L, tsMs(6500L), "a", 1.0),
+      (4L, 1L, tsMs(16500L), "a", 1.0),
+      (5L, 2L, tsMs(0L), "b", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.interarrivalStats(ev)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // n=3 sorted gaps [1,5,10]: p50 rank ceil(1.5)=2 -> 5,
+    // p90 rank ceil(2.7)=3 -> 10, p99 rank ceil(2.97)=3 -> 10
+    assert(got == Seq(("a", 3L, 5L, 10L, 10L)))
+  }
+
+  test("interarrivalStats: same-ts ties break on event_id; null rows drop") {
+    // type c at 1.0s (ids 7 and 6 tied) then 3.0s: order (ts, event_id)
+    // = 6, 7, 8 -> gaps [0, 2]; null ts / type / id rows are excluded.
+    val ev = Seq(
+      (Some(7L), 1L, Some(tsMs(1000L)), Some("c"), 1.0),
+      (Some(6L), 1L, Some(tsMs(1000L)), Some("c"), 1.0),
+      (Some(8L), 1L, Some(tsMs(3000L)), Some("c"), 1.0),
+      (None, 1L, Some(tsMs(2000L)), Some("c"), 1.0),
+      (Some(9L), 1L, None, Some("c"), 1.0),
+      (Some(10L), 1L, Some(tsMs(4000L)), None, 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.interarrivalStats(ev)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // n=2 sorted gaps [0,2]: p50 rank ceil(1.0)=1 -> 0,
+    // p90 rank ceil(1.8)=2 -> 2, p99 rank ceil(1.98)=2 -> 2
+    assert(got == Seq(("c", 2L, 0L, 2L, 2L)))
+  }
 }
