@@ -280,6 +280,35 @@ object ExtQueries {
         .orderBy("event_type")
     }),
 
+    // ── Measure-then-pick skew join — [EXT r15, VERDICT r14 ask #7]:
+    //    Partitioning.autoSkewJoin end-to-end. The left key funnels
+    //    every 'click' into one hot key (42 — ~20% of rows vs a
+    //    ~0.1-0.7% p99 key share), the right side (customer) exceeds
+    //    the 1k-row broadcast budget, and AQE is on → the profiler
+    //    must pick the 'aqe' branch at every SF. The decision is
+    //    EMITTED as a column, so the DuckDB oracle (plain join +
+    //    literal 'aqe') pins both the join parity AND the branch —
+    //    a strategy flip is a hash mismatch, not a silent plan drift.
+    "ext_auto_skew_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull)
+        .select(
+          when(col("event_type") === "click", lit(42L))
+            .otherwise(col("user_id")).as("jk"),
+          col("value"), col("event_id"))
+      val c = t(s, dir, "customer")
+      val (joined, d) = Partitioning.autoSkewJoin(
+        e, c, "jk", "c_custkey",
+        saltSource = col("event_id"), broadcastRowLimit = 1000L)
+      joined.groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .withColumn("strategy", lit(d.strategy))
+        .orderBy("c_custkey")
+    }),
+
     // ── Partitioned storage layout — [EXT r13, VERDICT r12 ask #1]:
     //    write the events table date-PARTITIONED
     //    (Ingest.writePartitioned — one task per date, no small-file
@@ -5435,6 +5464,24 @@ object ExtQueries {
         |       CAST(SUM(u.user_total) AS DOUBLE) AS sum_user_total
         |FROM events e JOIN u ON e.user_id = u.user_id
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // autoSkewJoin replay: the decision must be invisible in the rows
+    // (plain join parity) and the branch itself is pinned by the
+    // literal 'aqe' — hot key 42 is dominant, customer outgrows the
+    // 1k broadcast budget, AQE is on in the session.
+    "ext_auto_skew_join" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN event_type = 'click' THEN 42
+        |    ELSE user_id END AS jk,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL)
+        |SELECT c.c_custkey, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(l.v) AS DOUBLE) AS sum_value,
+        |  'aqe' AS strategy
+        |FROM l JOIN customer c ON l.jk = c.c_custkey
+        |GROUP BY 1 ORDER BY c.c_custkey""".stripMargin,
 
     // Partitioned-layout replay: partitioning never changes results —
     // the oracle answers the same 3-day question straight off the

@@ -22,6 +22,15 @@ WATCHED = ["exchanges", "broadcasts", "sorts", "smj", "bhj", "shj",
 REGRESSING = ["exchanges", "sorts", "scans", "cartesian", "bnlj"]
 
 
+def _rt_rows(shape):
+    """Sum of rt_rows_read over a query's scans, or None when the
+    snapshot predates the runtime fields / the query isn't
+    runtime-gated."""
+    vals = [s.get("rt_rows_read") for s in shape.get("scan_details", [])]
+    vals = [v for v in vals if v is not None and v >= 0]
+    return sum(vals) if vals else None
+
+
 def main(old_path, new_path):
     old = json.load(open(old_path))
     new = json.load(open(new_path))
@@ -50,6 +59,21 @@ def main(old_path, new_path):
         # Cartesian INTRODUCTIONS/increases on baselined queries are
         # already caught by the REGRESSING loop above (nv > ov); a
         # baseline that deliberately carries one stays green.
+        # Runtime skipping profile (VERDICT r14 ask #3): rt_rows_read is
+        # the post-execution row count surviving parquet row-group
+        # min/max skipping on the layout queries (PlanShapes
+        # RuntimeGated). The writes are deterministic at a fixed SF, so
+        # a >10% rise means the clustering layout stopped skipping —
+        # the regression the static files_scanned field cannot see.
+        orr = _rt_rows(o)
+        nrr = _rt_rows(n)
+        if orr is not None and nrr is not None and nrr > orr * 1.10:
+            regressions.append(
+                f"REGRESSED {q}: rt_rows_read {orr} -> {nrr} "
+                f"(row-group skipping degraded)")
+        elif orr is not None and nrr is not None and nrr < orr * 0.90:
+            improvements.append(
+                f"IMPROVED  {q}: rt_rows_read {orr} -> {nrr}")
     for q in sorted(set(old) - set(new)):
         infos.append(f"DROPPED  {q}: not in new snapshot")
     for line in regressions + improvements + infos:
