@@ -1037,19 +1037,37 @@ object Events {
     * Determinism: pure integers until the one stickiness divide, 6dp
     * (NULL on a 28-day-dead stretch, never 0/0). Trailing windows
     * clip at the range end; days before the first activity don't
-    * exist (the spine starts at min di). The user-day collapse is
-    * re-derived once per window reach — three honest linear scans;
-    * persist the (user, day) table upstream when it is hot.
+    * exist (the spine starts at min di).
+    *
+    * The (user, day) working set feeds FOUR consumers (bounds + the
+    * three coverage reaches). `materialize = true` computes it ONCE
+    * via eager localCheckpoint instead of re-running the scan +
+    * distinct shuffle per reach — but the forked fresh-JVM A/B
+    * (StickinessPersistProbe,
+    * bench/stickiness_persist_receipt_r15.txt) says re-scan WINS at
+    * every probe scale: min-of-3 0.75 s vs 1.04 s at sf0.1 and
+    * 1.08 s vs 1.79 s at 26×. Writing |users×days| rows to
+    * executor-local disk costs more than three codegen'd re-scans of
+    * a cache-warm columnar table — the same crossover recorded at
+    * [[Relational.exactQuantiles]], so re-scan is the DEFAULT here
+    * exactly as it is there. Flip it only when the events input is
+    * itself expensive to recompute (a long upstream lineage, a remote
+    * object store where three extra full reads are real I/O) —
+    * checkpoint blocks also have no lineage to recompute on executor
+    * loss.
     *
     * Output: (di, dau, wau, mau, stickiness = dau/mau 6dp), one row
     * per observed-range day. */
-  def stickiness(events: DataFrame): DataFrame = {
-    val userDays = events
+  def stickiness(
+      events: DataFrame, materialize: Boolean = false): DataFrame = {
+    val userDaysPlan = events
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"),
         (unix_millis(date_trunc("day", col("ts"))) / lit(86400000L))
           .cast("long").as("di"))
       .distinct()
+    val userDays =
+      if (materialize) userDaysPlan.localCheckpoint(true) else userDaysPlan
     val bounds = userDays.agg(min("di").as("lo"), max("di").as("hi"))
     val spine = bounds
       .select(explode(sequence(col("lo"), col("hi"))).as("di"))

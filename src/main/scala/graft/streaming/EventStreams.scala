@@ -60,7 +60,18 @@ object EventStreams {
     * non-replayable, nothing file-shaped), a Kafka `value` column
     * after `CAST(value AS STRING)`, or a batch DataFrame of the same
     * lines (the twin the spec pins parity against). Pure map-side
-    * expressions — no shuffle, whole-stage codegen. */
+    * expressions — no shuffle, whole-stage codegen.
+    *
+    * REPLAY CONTRACT: a socket leg cannot participate in exactly-once
+    * recovery — the source offers no offsets to rewind, so rows in
+    * flight at a crash are lost with the connection. The production
+    * shape stages the feed first (socket → this parser → parquet
+    * staging sink), then runs all stateful work off the FILE source
+    * over the staging dir, whose checkpointed restart IS exactly-once
+    * — composed end-to-end (kill + resume of the stateful leg while
+    * the socket keeps feeding) in EventStreamsSpec "socket composes
+    * with the restart harness". Kafka-class sources with real offsets
+    * may skip the stage. */
   def parseEventLines(lines: DataFrame): DataFrame = {
     val f = split(col("value"), ",")
     lines.select(
