@@ -863,6 +863,71 @@ object ExtQueries {
       Dedup.captureRecapture(d, crawl("crawlA:"), crawl("crawlB:"))
     }),
 
+    // ── t-closeness audit — [EXT r15]: the third rung of the release
+    //    ladder after ext_k_anonymity / ext_l_diversity — bounds the
+    //    sensitive DISTRIBUTION per quasi-group via ordered EMD
+    //    (cumulative share differences over acctbal bands); a
+    //    "diverse" group whose salary mix sits far from the
+    //    population still leaks (Privacy.tCloseness scaladoc).
+    "ext_t_closeness" -> ((s, dir) =>
+      graft.operators.Privacy.tCloseness(t(s, dir, "customer"), Seq(
+        "c_nationkey" -> col("c_nationkey"),
+        "c_mktsegment" -> col("c_mktsegment")),
+        sensitive = floor(col("c_acctbal") / 1000).cast("long"), t = 0.2)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // ── Unicode script mix per source — [EXT r15]: codepoint-class
+    //    shares (Latin/digit/Cyrillic/CJK/Arabic/other) — the
+    //    multilingual health readout the lang TAG can't give; a 'en'
+    //    source growing a CJK share is mislabeled or contaminated
+    //    (TextPipeline.scriptMix scaladoc).
+    "ext_script_mix" -> ((s, dir) =>
+      TextPipeline.scriptMix(
+        t(s, dir, "documents"), col("source"), col("text"))),
+
+    // ── Heaps'-law exponent fit — [EXT r15]: V = K·N^β over the
+    //    acquisition curve, OLS on 6dp-quantized (ln N, ln V) points
+    //    with r² fit quality — ext_saturation_curve compressed to one
+    //    thresholdable exponent (TfIdf.heapsLaw scaladoc).
+    "ext_heaps_law" -> ((s, dir) =>
+      TfIdf.heapsLaw(
+        t(s, dir, "documents"), col("doc_id"), col("text"), buckets = 10)),
+
+    // ── Wald SPRT over the event stream — [EXT r15]: always-valid
+    //    sequential test of H1 p=0.2 vs H0 p=0.1 on the purchase
+    //    share, exact decimal LLR walk in (ts, event_id) order,
+    //    first-boundary-crossing decision point carried in the
+    //    readout (Eval.sprt scaladoc).
+    "ext_sprt" -> ((s, dir) =>
+      graft.operators.Eval.sprt(
+        t(s, dir, "events"), col("ts"), col("event_id"),
+        col("event_type") === "purchase", p0 = 0.1, p1 = 0.2)),
+
+    // ── Holt linear forecast — [EXT r15]: trend-aware double-
+    //    exponential smoothing of per-type daily counts on the shared
+    //    calendar spine (missing day = REAL zero), sequential
+    //    aggregate() fold per group, h=7 forecast + one-step RMSE
+    //    (Drift.holtForecast scaladoc).
+    "ext_holt_forecast" -> ((s, dir) =>
+      graft.operators.Drift.holtForecast(
+        t(s, dir, "events"), col("event_type"), col("ts"),
+        alpha = 0.5, beta = 0.3, horizon = 7)),
+
+    // ── Matryoshka truncation recall CERTIFICATE — [EXT r15]: exact
+    //    top-10 over the 32-dim PREFIX vs exact full-64-dim top-10 —
+    //    the measured price of halving index memory/scan bytes/FLOPs
+    //    across an ANN tier; same semi-join contract as
+    //    ext_ann_ivf_recall (Similarity.matryoshkaTopK scaladoc).
+    "ext_matryoshka_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      annRecallReadout(
+        Similarity.bruteForceTopK(probes, corpus, 10),
+        Similarity.matryoshkaTopK(probes, corpus, 10, dims = 32))
+    }),
+
     // ── Near-dup threshold sensitivity sweep — [EXT r14]: one
     //    minhash pass at the lowest policy threshold, then per-t pair
     //    and touched-doc counts — the dedup-policy table; a cliff
@@ -3945,6 +4010,239 @@ object ExtQueries {
         |SELECT '__total__', n, CAST(1.0 AS DOUBLE),
         |  round(CAST(tw AS DOUBLE) + CAST(tb AS DOUBLE), 6) FROM btw
         |ORDER BY group_key""".stripMargin,
+
+    // t-closeness replay: same acctbal bands, (group × global-band)
+    // spine, ordered cumulative share diffs, |cum| quantized to
+    // DECIMAL(18,6) before the order-free sum, one divide by k-1.
+    "ext_t_closeness" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS s
+        |  FROM customer
+        |  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |    AND c_acctbal IS NOT NULL),
+        |gd AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS gc
+        |         FROM base GROUP BY 1),
+        |gt AS (SELECT CAST(SUM(gc) AS BIGINT) AS gn,
+        |         CAST(COUNT(*) AS BIGINT) AS k FROM gd),
+        |cells AS (
+        |  SELECT c_nationkey, c_mktsegment, s, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2, 3),
+        |grp AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.n,
+        |    SUM(CAST(COALESCE(ce.c, 0) AS DOUBLE) / CAST(g.n AS DOUBLE)
+        |        - CAST(gl.gc AS DOUBLE) / CAST(gt.gn AS DOUBLE))
+        |      OVER (PARTITION BY g.c_nationkey, g.c_mktsegment
+        |        ORDER BY gl.s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+        |  FROM grp g CROSS JOIN gd gl CROSS JOIN gt
+        |  LEFT JOIN cells ce ON ce.c_nationkey = g.c_nationkey
+        |    AND ce.c_mktsegment = g.c_mktsegment AND ce.s = gl.s),
+        |terms AS (
+        |  SELECT c_nationkey, c_mktsegment, n,
+        |    CAST(abs(cd) AS DECIMAL(18,6)) AS term
+        |  FROM cum),
+        |emd AS (
+        |  SELECT c_nationkey, c_mktsegment, n,
+        |    round(CASE WHEN (SELECT k FROM gt) > 1
+        |      THEN CAST(SUM(term) AS DOUBLE)
+        |        / CAST((SELECT k FROM gt) - 1 AS DOUBLE)
+        |      ELSE 0.0 END, 6) AS emd
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, n, emd, emd > 0.2 AS at_risk
+        |FROM emd ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // Script-mix replay: identical BMP character classes (literal
+    // range endpoints), non-whitespace denominator, integer sums,
+    // single 6dp divides.
+    "ext_script_mix" ->
+      """WITH pc AS (
+        |  SELECT COALESCE(CAST(source AS VARCHAR), '__null__') AS group_key,
+        |    length(regexp_replace(COALESCE(text, ''), '\s', '', 'g')) AS nc,
+        |    length(regexp_replace(COALESCE(text, ''), '[^A-Za-z]', '', 'g')) AS lat,
+        |    length(regexp_replace(COALESCE(text, ''), '[^0-9]', '', 'g')) AS dig,
+        |    length(regexp_replace(COALESCE(text, ''), '[^Ѐ-ӿ]', '', 'g')) AS cyr,
+        |    length(regexp_replace(COALESCE(text, ''), '[^一-鿿]', '', 'g')) AS cjk,
+        |    length(regexp_replace(COALESCE(text, ''), '[^؀-ۿ]', '', 'g')) AS ara
+        |  FROM documents),
+        |g AS (
+        |  SELECT group_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |    CAST(SUM(lat) AS BIGINT) AS s_lat,
+        |    CAST(SUM(dig) AS BIGINT) AS s_dig,
+        |    CAST(SUM(cyr) AS BIGINT) AS s_cyr,
+        |    CAST(SUM(cjk) AS BIGINT) AS s_cjk,
+        |    CAST(SUM(ara) AS BIGINT) AS s_ara
+        |  FROM pc GROUP BY 1)
+        |SELECT group_key, n_docs, n_chars,
+        |  round(CASE WHEN n_chars > 0
+        |    THEN CAST(s_lat AS DOUBLE) / CAST(n_chars AS DOUBLE) END, 6)
+        |    AS latin_share,
+        |  round(CASE WHEN n_chars > 0
+        |    THEN CAST(s_dig AS DOUBLE) / CAST(n_chars AS DOUBLE) END, 6)
+        |    AS digit_share,
+        |  round(CASE WHEN n_chars > 0
+        |    THEN CAST(s_cyr AS DOUBLE) / CAST(n_chars AS DOUBLE) END, 6)
+        |    AS cyrillic_share,
+        |  round(CASE WHEN n_chars > 0
+        |    THEN CAST(s_cjk AS DOUBLE) / CAST(n_chars AS DOUBLE) END, 6)
+        |    AS cjk_share,
+        |  round(CASE WHEN n_chars > 0
+        |    THEN CAST(s_ara AS DOUBLE) / CAST(n_chars AS DOUBLE) END, 6)
+        |    AS arabic_share,
+        |  round(CASE WHEN n_chars > 0
+        |    THEN CAST(n_chars - s_lat - s_dig - s_cyr - s_cjk - s_ara
+        |      AS DOUBLE) / CAST(n_chars AS DOUBLE) END, 6) AS other_share
+        |FROM g ORDER BY group_key""".stripMargin,
+
+    // Heaps replay: the saturation bucket spine over UNIGRAM
+    // lowercase tokens, cumulative (tokens, vocab) points,
+    // 6dp-quantized lns, exact decimal OLS moment sums, final IEEE
+    // slope/intercept/r2.
+    "ext_heaps_law" ->
+      """WITH b0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(COALESCE(text, '')),
+        |      '[^a-z]+'), tk -> len(tk) > 0) AS tk
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |bd AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM b0),
+        |bk AS (
+        |  SELECT doc_id, tk, (doc_id - lo) * 10 // (hi - lo + 1) AS bucket
+        |  FROM b0 CROSS JOIN bd),
+        |tp AS (SELECT bucket, CAST(SUM(len(tk)) AS BIGINT) AS nt
+        |       FROM bk GROUP BY 1),
+        |fs AS (
+        |  SELECT tok, MIN(bucket) AS bucket
+        |  FROM (SELECT bucket, unnest(tk) AS tok FROM bk) u GROUP BY 1),
+        |nv AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nv
+        |       FROM fs GROUP BY 1),
+        |sp AS (SELECT unnest(range(0, 10)) AS bucket),
+        |cumt AS (
+        |  SELECT sp.bucket,
+        |    SUM(COALESCE(nt, 0)) OVER (ORDER BY sp.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    SUM(COALESCE(nv, 0)) OVER (ORDER BY sp.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v
+        |  FROM sp LEFT JOIN tp USING (bucket) LEFT JOIN nv USING (bucket)),
+        |pts AS (
+        |  SELECT cum_n, cum_v,
+        |    CAST(ln(CAST(cum_n AS DOUBLE)) AS DECIMAL(18,6)) AS x,
+        |    CAST(ln(CAST(cum_v AS DOUBLE)) AS DECIMAL(18,6)) AS y
+        |  FROM cumt WHERE cum_n > 0 AND cum_v > 0),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+        |    CAST(MAX(cum_n) AS BIGINT) AS n_tokens,
+        |    CAST(MAX(cum_v) AS BIGINT) AS vocab,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy,
+        |    MIN(x) < MAX(x) AS x_varies, MIN(y) < MAX(y) AS y_varies
+        |  FROM pts),
+        |d AS (
+        |  SELECT *,
+        |    n_points * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    n_points * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |    n_points * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+        |  FROM m)
+        |SELECT n_points, n_tokens, vocab,
+        |  round(CASE WHEN n_points >= 2 AND x_varies AND den > 0.0
+        |    THEN num / den END, 6) AS beta,
+        |  round(CASE WHEN n_points >= 2 AND x_varies AND den > 0.0
+        |    THEN exp((CAST(sy AS DOUBLE) - (num / den) * CAST(sx AS DOUBLE))
+        |      / CAST(n_points AS DOUBLE)) END, 6) AS k_coef,
+        |  round(CASE WHEN n_points >= 2 AND x_varies AND y_varies
+        |      AND den > 0.0 AND deny > 0.0
+        |    THEN (num * num) / (den * deny) END, 6) AS r2
+        |FROM d""".stripMargin,
+
+    // SPRT replay: identical 6dp-quantized per-event increments,
+    // exact decimal LLR window in (ts, event_id) order, the same
+    // ln(19)/-ln(19) boundaries, first-crossing argmin.
+    "ext_sprt" ->
+      """WITH b AS (
+        |  SELECT ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ln(CAST(0.2 AS DOUBLE) / CAST(0.1 AS DOUBLE))
+        |        AS DECIMAL(18,6))
+        |      ELSE CAST(ln((1.0 - CAST(0.2 AS DOUBLE))
+        |        / (1.0 - CAST(0.1 AS DOUBLE))) AS DECIMAL(18,6))
+        |    END AS term
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+        |w AS (
+        |  SELECT x, term,
+        |    ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+        |    SUM(term) OVER (ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+        |  FROM b),
+        |bounds AS (
+        |  SELECT ln((1.0 - 0.05) / 0.05) AS a, ln(0.05 / (1.0 - 0.05)) AS bb),
+        |cr AS (
+        |  SELECT MIN(rn) AS rn_first FROM w CROSS JOIN bounds
+        |  WHERE CAST(llr AS DOUBLE) >= a OR CAST(llr AS DOUBLE) <= bb),
+        |f AS (
+        |  SELECT w.rn, w.llr FROM w JOIN cr ON w.rn = cr.rn_first),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS n_success,
+        |    round(CAST(SUM(term) AS DOUBLE), 6) AS llr_final
+        |  FROM w)
+        |SELECT agg.n, agg.n_success, agg.llr_final,
+        |  CASE WHEN f.rn IS NULL THEN 'continue'
+        |    WHEN CAST(f.llr AS DOUBLE) >= bounds.a THEN 'accept_h1'
+        |    ELSE 'accept_h0' END AS decision,
+        |  CAST(f.rn AS BIGINT) AS n_at_decision,
+        |  round(CAST(f.llr AS DOUBLE), 6) AS llr_at_decision
+        |FROM agg CROSS JOIN bounds LEFT JOIN f ON TRUE""".stripMargin,
+
+    // Holt replay: same calendar spine (missing day = zero), the
+    // recursive-CTE sequential fold of the identical IEEE recurrence,
+    // 6dp readouts.
+    "ext_holt_forecast" ->
+      """WITH RECURSIVE days AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS g,
+        |    epoch_ms(date_trunc('day', ts)) // 86400000 AS di,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |bd AS (SELECT MIN(di) AS lo, MAX(di) AS hi FROM days),
+        |sp AS (SELECT unnest(range((SELECT lo FROM bd),
+        |  (SELECT hi FROM bd) + 1)) AS di),
+        |gs AS (SELECT DISTINCT g FROM days),
+        |ser AS (
+        |  SELECT gs.g, sp.di,
+        |    CAST(COALESCE(d.cnt, 0) AS DOUBLE) AS x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY gs.g ORDER BY sp.di)
+        |      AS BIGINT) AS idx
+        |  FROM gs CROSS JOIN sp
+        |  LEFT JOIN days d ON d.g = gs.g AND d.di = sp.di),
+        |nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days FROM ser
+        |       GROUP BY 1),
+        |rec AS (
+        |  SELECT g, idx, x AS l, CAST(0.0 AS DOUBLE) AS b,
+        |    CAST(0.0 AS DOUBLE) AS sse
+        |  FROM ser WHERE idx = 1
+        |  UNION ALL
+        |  SELECT s.g, s.idx,
+        |    0.5 * s.x + 0.5 * (r.l + r.b) AS l,
+        |    0.3 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b AS b,
+        |    r.sse + (s.x - (r.l + r.b)) * (s.x - (r.l + r.b)) AS sse
+        |  FROM rec r JOIN ser s ON s.g = r.g AND s.idx = r.idx + 1),
+        |fin AS (
+        |  SELECT r.g, r.l, r.b, r.sse FROM rec r
+        |  JOIN nn ON nn.g = r.g AND r.idx = nn.n_days)
+        |SELECT fin.g AS group_key, nn.n_days,
+        |  round(fin.l, 6) AS level, round(fin.b, 6) AS trend,
+        |  round(fin.l + 7.0 * fin.b, 6) AS forecast_h,
+        |  round(CASE WHEN nn.n_days > 1
+        |    THEN sqrt(fin.sse / CAST(nn.n_days - 1 AS DOUBLE)) END, 6)
+        |    AS rmse
+        |FROM fin JOIN nn ON nn.g = fin.g ORDER BY group_key""".stripMargin,
 
     // Sweep replay: the minhash oracle's exact quadratic char-5-gram
     // Jaccard ground truth (full recall certified at these settings),
@@ -9768,7 +10066,44 @@ object ExtQueries {
        |  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  /** 32-dim-prefix exact top-10 (the ext_ann_lsh_recall SQL with the
+    * dot/norm ranges cut to the prefix) — the ANN side of
+    * ext_matryoshka_recall. */
+  private val MatryoshkaTopSql: String =
+    """WITH p AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |sc AS (
+      |  SELECT p.query_id, e.vec_id,
+      |    round(
+      |      list_sum(list_transform(range(1, 33),
+      |        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(range(1, 33),
+      |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(range(1, 33),
+      |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+      |      6) AS sim
+      |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.query_id),
+      |r AS (
+      |  SELECT query_id, vec_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM sc)
+      |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
     "ext_ann_ivf_recall" -> annRecallOracle("ext_ann_ivf"),
-    "ext_ann_pq_recall" -> annRecallOracle("ext_ann_pq"))
+    "ext_ann_pq_recall" -> annRecallOracle("ext_ann_pq"),
+    "ext_matryoshka_recall" ->
+      s"""WITH ann AS (
+         |$MatryoshkaTopSql),
+         |exact AS (
+         |${baseOracleSql("ext_ann_lsh_recall")})
+         |SELECT e.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+         |  round(CAST(count(a.vec_id) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE), 6) AS recall
+         |FROM exact e LEFT JOIN ann a
+         |  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)
 }

@@ -856,4 +856,93 @@ object Drift {
           .as("remainder"))
       .orderBy("group_key", "di")
   }
+
+  /** Holt LINEAR (double-exponential) forecast of the per-group daily
+    * count series (Holt '57) — the trend-aware upgrade of a plain
+    * EWMA: level and trend co-evolve as
+    *
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * and the h-step forecast is l + h·b. The feed-health use: the
+    * one-step RMSE is the volume-surprise baseline ([[cusumChangepoint]]
+    * finds WHERE it broke; this says how noisy "normal" is), and
+    * forecast_h is tomorrow-plus-a-week's expected volume for capacity
+    * planning. Seasonality is deliberately out of scope —
+    * [[seasonalDecompose]] owns period structure; run this on its
+    * deseasonalized remainder when the series has a weekly pulse.
+    *
+    * Missing days on the shared calendar spine are REAL zeros of the
+    * series (the [[seasonalDecompose]] rule — a feed that went dark
+    * must drag the level down, not vanish from the fold).
+    *
+    * Determinism: the recurrence is a SEQUENTIAL fold in day order —
+    * order-defined by construction — over exact integer daily counts;
+    * level/trend/SSE stay IEEE doubles through the fold (+/× only:
+    * exact-rounded and engine-identical; no transcendental enters),
+    * readouts round 6dp. The fold runs as `aggregate()` over each
+    * group's ≤|days| array — groups distribute, the array is
+    * calendar-bounded, nothing collects.
+    *
+    * 100 TB shape: one (group, day) aggregate with map-side partials
+    * collapses a billion events to |groups|·|days| rows; the fold
+    * costs |days| per group. The window in a 100 TB deployment is a
+    * rolling 30–90 day spine, so the array never grows with corpus
+    * size — only with calendar reach.
+    *
+    * Output: (group_key, n_days, level 6dp, trend 6dp, forecast_h 6dp
+    * = level + h·trend, rmse 6dp one-step; rmse NULL when n_days < 2),
+    * one row per group, ordered by group_key. */
+  def holtForecast(
+      events: DataFrame, group: Column, ts: Column,
+      alpha: Double = 0.5, beta: Double = 0.3,
+      horizon: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha/beta in (0,1): $alpha $beta")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val days = events.filter(ts.isNotNull && group.isNotNull)
+      .select(group.cast("string").as("group_key"),
+        (unix_millis(date_trunc("day", ts)) / lit(86400000L))
+          .cast("long").as("di"))
+      .groupBy("group_key", "di")
+      .agg(count(lit(1)).as("cnt"))
+    val spine = days.agg(min("di").as("lo"), max("di").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("di"))
+    val series = days.select("group_key").distinct()
+      .crossJoin(broadcast(spine))
+      .join(days, Seq("group_key", "di"), "left")
+      .select(col("group_key"), col("di"),
+        coalesce(col("cnt"), lit(0L)).cast("double").as("x"))
+      .groupBy("group_key")
+      .agg(transform(array_sort(collect_list(struct(col("di"), col("x")))),
+        e => e.getField("x")).as("xs"))
+    val a = lit(alpha)
+    val b = lit(beta)
+    series.select(
+      col("group_key"),
+      size(col("xs")).cast("long").as("n_days"),
+      aggregate(
+        slice(col("xs"), lit(2), size(col("xs")) - 1),
+        struct(element_at(col("xs"), 1).as("l"), lit(0.0).as("b"),
+          lit(0.0).as("sse")),
+        (s, x) => struct(
+          (a * x + (lit(1.0) - a) * (s.getField("l") + s.getField("b")))
+            .as("l"),
+          (b * ((a * x + (lit(1.0) - a)
+              * (s.getField("l") + s.getField("b"))) - s.getField("l"))
+            + (lit(1.0) - b) * s.getField("b")).as("b"),
+          (s.getField("sse")
+            + (x - (s.getField("l") + s.getField("b")))
+            * (x - (s.getField("l") + s.getField("b")))).as("sse")))
+        .as("st"))
+      .select(col("group_key"), col("n_days"),
+        round(col("st.l"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        round(col("st.l") + lit(horizon.toDouble) * col("st.b"), 6)
+          .as("forecast_h"),
+        round(when(col("n_days") > 1,
+          sqrt(col("st.sse") / (col("n_days") - 1).cast("double"))), 6)
+          .as("rmse"))
+      .orderBy("group_key")
+  }
 }

@@ -1151,4 +1151,75 @@ object Eval {
       chi2.as("chi2"),
       (chi2 > critical).as("significant"))
   }
+
+  /** Sequential probability ratio test (Wald '45) over an ordered
+    * Bernoulli stream — the ALWAYS-VALID complement to the fixed-n
+    * tests here ([[welchT]], [[mannWhitney]]): an experimenter who
+    * peeks at a fixed-n p-value every day inflates false positives;
+    * SPRT is built to be read continuously and STOPS ITSELF. Walks
+    * the stream in (ts, id) order accumulating the log-likelihood
+    * ratio of H1: p = p1 against H0: p = p0,
+    *
+    *   Λ_n = Σ_i [ x_i·ln(p1/p0) + (1−x_i)·ln((1−p1)/(1−p0)) ]
+    *
+    * and decides at the first n where Λ ≥ A = ln((1−β)/α) (accept H1)
+    * or Λ ≤ B = ln(β/(1−α)) (accept H0); the report carries that
+    * first-crossing point even though the full stream is scanned
+    * (the decision an online monitor WOULD have made, datestamped).
+    *
+    * Determinism: the two per-event increments quantize once to
+    * DECIMAL(18,6) (the transcendental rule); Λ accumulates as an
+    * exact decimal window sum in (ts, id) order; boundaries compare
+    * in doubles at the end. The final Λ is the order-free decimal
+    * total, identical to the last window row.
+    *
+    * 100 TB shape: one scan + one global-ordered window — the
+    * sequence IS the semantics, so the sort is irreducible; a
+    * per-variant wrapper partitions the window by arm. For a
+    * continuously-running monitor, keep (n, successes) as mergeable
+    * state and re-derive Λ incrementally ([[graft.operators
+    * .Relational]] incremental-agg discipline).
+    *
+    * Output: one row — (n, n_success, llr_final 6dp, decision
+    * ∈ accept_h1|accept_h0|continue, n_at_decision, llr_at_decision
+    * 6dp; the *_at_decision fields are NULL while `continue`). */
+  def sprt(
+      df: DataFrame, ts: Column, id: Column, success: Column,
+      p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need distinct p0, p1 in (0,1): $p0 $p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha/beta in (0,1): $alpha $beta")
+    val l1 = log(lit(p1) / lit(p0)).cast("decimal(18,6)")
+    val l0 = log((lit(1.0) - lit(p1)) / (lit(1.0) - lit(p0)))
+      .cast("decimal(18,6)")
+    val a = math.log((1.0 - beta) / alpha)
+    val b = math.log(beta / (1.0 - alpha))
+    val wOrd = Window.orderBy(col("__ts"), col("__id"))
+    val walked = df
+      .filter(ts.isNotNull && id.isNotNull)
+      .select(ts.as("__ts"), id.as("__id"),
+        when(success, lit(1L)).otherwise(lit(0L)).as("x"),
+        when(success, l1).otherwise(l0).as("term"))
+      .select(col("x"), col("term"),
+        row_number().over(wOrd).as("rn"),
+        sum("term").over(wOrd.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).as("llr"))
+    walked
+      .withColumn("crossed",
+        col("llr").cast("double") >= a || col("llr").cast("double") <= b)
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("n_success"),
+        round(sum("term").cast("double"), 6).as("llr_final"),
+        min(when(col("crossed"),
+          struct(col("rn"), col("llr")))).as("first"))
+      .select(col("n"), col("n_success"), col("llr_final"),
+        when(col("first").isNull, lit("continue"))
+          .when(col("first.llr").cast("double") >= a, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"),
+        col("first.rn").cast("long").as("n_at_decision"),
+        round(col("first.llr").cast("double"), 6).as("llr_at_decision"))
+  }
 }

@@ -151,4 +151,83 @@ object Privacy {
         round(exp(-col("h_sum").cast("double")), 4).as("entropy_l"),
         (col("l_distinct") < l).as("at_risk")): _*)
   }
+
+  /** t-closeness audit over a quasi-identifier tuple (Li, Li &
+    * Venkatasubramanian, ICDE '07) — the third rung of the release
+    * ladder: [[kAnonymity]] bounds group SIZE, [[lDiversity]] bounds
+    * sensitive-value VARIETY, and t-closeness bounds the sensitive
+    * DISTRIBUTION itself — a group whose salary mix is "diverse" but
+    * skewed far from the population still tells an attacker plenty.
+    * A group is t-close when the Earth Mover's Distance between its
+    * sensitive distribution and the GLOBAL one is ≤ t; for an ordered
+    * attribute over k categories the EMD has the closed form
+    *
+    *   EMD = (1/(k−1)) · Σ_i |Σ_{j≤i} (p_j − q_j)|
+    *
+    * (cumulative share differences — the paper's ordered-distance
+    * instantiation).
+    *
+    * `sensitive` must be an ORDERED integer band (the caller
+    * discretizes, e.g. `floor(salary/1000)`) — EMD's ground distance
+    * needs the order, so NULL bands are screened out (a null cannot
+    * sit on an ordered axis; audit null-rate separately via
+    * [[graft.operators.Relational.profile]]-class screens).
+    *
+    * Determinism: shares are single IEEE divides; the cumulative sum
+    * runs in the window's band order (engine-identical); each
+    * |cum diff| quantizes to DECIMAL(18,6) before the order-free
+    * per-group sum; one final divide, 6dp.
+    *
+    * 100 TB shape: one (quasi × band) aggregate with map-side
+    * partials, the ≤|bands|-row global table broadcast onto the
+    * group spine, one calendar-free window over ≤|bands| rows per
+    * group. Nothing scales past the first aggregate.
+    *
+    * NULL quasi values are screened out along with NULL bands (the
+    * per-band spine join keys on the quasi tuple, which must compare
+    * equal to itself — audit null rates upstream; [[kAnonymity]]
+    * keeps NULL combinations because it never re-joins them).
+    *
+    * Output: (quasi columns ..., n, emd 6dp, at_risk = emd > t), one
+    * row per combination. */
+  def tCloseness(
+      df: DataFrame, quasi: Seq[(String, Column)],
+      sensitive: Column, t: Double): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0.0 && t < 1.0, s"t must be in (0,1), got $t")
+    val names = quasi.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate names: $names")
+    val base = df
+      .select(quasi.map { case (n, c) => c.as(n) } :+
+        sensitive.cast("long").as("s"): _*)
+      .filter(names.map(col(_).isNotNull).reduce(_ && _) &&
+        col("s").isNotNull)
+    val glob = base.groupBy("s").agg(count(lit(1)).as("gc"))
+    val gt = glob.agg(
+      sum("gc").as("gn"), count(lit(1)).as("k"))
+    val cells = base
+      .groupBy((names :+ "s").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    val groups = cells.groupBy(names.map(col): _*).agg(sum("c").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(names.map(col): _*).orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    groups
+      .crossJoin(broadcast(glob))
+      .join(cells, names :+ "s", "left")
+      .crossJoin(broadcast(gt))
+      .withColumn("diff",
+        coalesce(col("c"), lit(0L)).cast("double") / col("n").cast("double")
+          - col("gc").cast("double") / col("gn").cast("double"))
+      .withColumn("term", abs(sum("diff").over(w)).cast("decimal(18,6)"))
+      .groupBy(names.map(col): _*)
+      .agg(max("n").as("n"), max("k").as("k"), sum("term").as("emd_sum"))
+      .select(names.map(col) ++ Seq(
+        col("n"),
+        round(when(col("k") > 1,
+          col("emd_sum").cast("double") / (col("k") - 1).cast("double"))
+          .otherwise(lit(0.0)), 6).as("emd")): _*)
+      .withColumn("at_risk", col("emd") > t)
+  }
 }

@@ -1839,4 +1839,66 @@ object TextPipeline {
         col("r_len") && col("r_wordlen") && col("r_alpha") &&
           col("r_stop") && col("r_symbol"))
   }
+
+  /** Unicode SCRIPT mix per group — the multilingual-corpus health
+    * readout a `lang` tag can't give (the tag says what a doc claims;
+    * the codepoints say what it IS): per group, the share of
+    * non-whitespace characters in each major script block — Latin
+    * letters, ASCII digits, Cyrillic (U+0400–04FF), CJK unified
+    * ideographs (U+4E00–9FFF), Arabic (U+0600–06FF) — plus the
+    * remainder. The screens it feeds: a "en" source growing a CJK
+    * share is mislabeled or contaminated; an "other" share spike is
+    * mojibake/markup; per-script shares are the denominator for
+    * script-aware tokenizer-coverage budgets.
+    *
+    * Blocks are BMP ranges, so character counts agree across engines
+    * (UTF-16 units = codepoints below the surrogate range); counting
+    * is `length(regexp_replace(text, [^block], ""))` — codegen'd
+    * built-ins, one map pass, no explode.
+    *
+    * Determinism: per-group counts are exact integer sums; the six
+    * shares are single IEEE divides, 6dp. NULL group keys coalesce to
+    * '__null__'; NULL texts count as zero characters (kept in
+    * n_docs — an all-null group reads NULL shares, never 0/0).
+    *
+    * 100 TB shape: one scan, map-side-collapsing aggregate, output
+    * bounded by |groups|.
+    *
+    * Output: (group_key, n_docs, n_chars, latin_share, digit_share,
+    * cyrillic_share, cjk_share, arabic_share, other_share), ordered
+    * by group_key. */
+  def scriptMix(docs: DataFrame, group: Column, text: Column): DataFrame = {
+    val t = coalesce(text, lit(""))
+    def cnt(clazz: String): Column =
+      length(regexp_replace(t, s"[^$clazz]", "")).cast("long")
+    val nonWs = length(regexp_replace(t, "\\s", "")).cast("long")
+    val agg = docs
+      .select(
+        coalesce(group.cast("string"), lit("__null__")).as("group_key"),
+        nonWs.as("nc"),
+        cnt("A-Za-z").as("lat"),
+        cnt("0-9").as("dig"),
+        cnt("Ѐ-ӿ").as("cyr"),
+        cnt("一-鿿").as("cjk"),
+        cnt("؀-ۿ").as("ara"))
+      .groupBy("group_key")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nc").as("n_chars"),
+        sum("lat").as("s_lat"), sum("dig").as("s_dig"),
+        sum("cyr").as("s_cyr"), sum("cjk").as("s_cjk"),
+        sum("ara").as("s_ara"))
+    def share(c: Column): Column =
+      round(when(col("n_chars") > 0,
+        c.cast("double") / col("n_chars").cast("double")), 6)
+    agg.select(col("group_key"), col("n_docs"),
+      col("n_chars").cast("long").as("n_chars"),
+      share(col("s_lat")).as("latin_share"),
+      share(col("s_dig")).as("digit_share"),
+      share(col("s_cyr")).as("cyrillic_share"),
+      share(col("s_cjk")).as("cjk_share"),
+      share(col("s_ara")).as("arabic_share"),
+      share(col("n_chars") - col("s_lat") - col("s_dig") - col("s_cyr")
+        - col("s_cjk") - col("s_ara")).as("other_share"))
+      .orderBy("group_key")
+  }
 }

@@ -435,6 +435,120 @@ object TfIdf {
       .orderBy("bucket")
   }
 
+  /** Heaps'-law fit V = K·N^β over the corpus acquisition curve
+    * (Heaps '78; Herdan '60): how fast does VOCABULARY grow as TOKENS
+    * accumulate? β ≈ 0.4–0.6 is natural text; β near 1 means every
+    * slice brings its own vocabulary (OCR noise, random ids, mixed
+    * scripts) and dedup/quality screens are underperforming; β near 0
+    * means the feed went stale (the [[saturationCurve]] readout,
+    * compressed to one exponent a dashboard can threshold).
+    *
+    * Same acquisition slicing as [[saturationCurve]] (doc-id ranges —
+    * ingestion order, no global sort): per slice, total tokens and
+    * first-seen vocabulary; cumulative points (N_i, V_i) over the
+    * slice spine; ordinary least squares on (ln N_i, ln V_i) gives
+    * β = slope and K = exp(intercept), with r² as the fit-quality
+    * readout (a low r² says the corpus does NOT follow a power law —
+    * e.g. a mid-stream domain shift — and β alone would mislead).
+    *
+    * Tokenization is the [[buildVocab]] contract: lowercase, split on
+    * non-letter runs, empties dropped.
+    *
+    * Determinism: slice token/vocab counts are exact integers; each
+    * ln quantizes to DECIMAL(18,6) (the hill-tail transcendental
+    * rule); the OLS moment sums are exact decimal folds of quantized
+    * products (order-free); slope/intercept/r² are the final IEEE
+    * divides, 6dp.
+    *
+    * 100 TB shape: one token explode with a map-side-collapsing
+    * (gram → min bucket) aggregate — identical cost profile to
+    * [[saturationCurve]] — then OLS over ≤ `buckets` rows on the
+    * driver-free spine. Nothing scales past the first-seen aggregate.
+    *
+    * Output: one row — (n_points, n_tokens, vocab, beta 6dp,
+    * k_coef 6dp, r2 6dp); NULL beta/k/r2 when fewer than 2 usable
+    * points or a degenerate (constant-x) curve. */
+  def heapsLaw(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2,1000], got $buckets")
+    val base = docs
+      .filter(id.isNotNull)
+      .select(id.cast("long").as("doc_id"),
+        lower(text).as("txt"))
+    val bounds = base.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .select(col("doc_id"),
+        ((col("doc_id") - col("lo")) * buckets /
+          (col("hi") - col("lo") + 1)).cast("long").as("bucket"),
+        filter(split(col("txt"), "[^a-z]+"), t => length(t) > 0)
+          .as("toks"))
+    val tokensPer = bucketed.groupBy("bucket")
+      .agg(sum(size(col("toks")).cast("long")).as("n_tokens"))
+    val firstSeen = bucketed
+      .select(col("bucket"), explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_vocab"))
+    val spine = docs.sparkSession.range(0, buckets)
+      .select(col("id").as("bucket"))
+    val cum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = spine
+      .join(tokensPer, Seq("bucket"), "left")
+      .join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_tokens"), lit(0L)).as("nt"),
+        coalesce(col("new_vocab"), lit(0L)).as("nv"))
+      .withColumn("cum_n", sum("nt").over(cum))
+      .withColumn("cum_v", sum("nv").over(cum))
+      .filter(col("cum_n") > 0 && col("cum_v") > 0)
+      .select(
+        col("cum_n"), col("cum_v"),
+        log(col("cum_n").cast("double")).cast("decimal(18,6)").as("x"),
+        log(col("cum_v").cast("double")).cast("decimal(18,6)").as("y"))
+    pts.agg(
+      count(lit(1)).as("n_points"),
+      max("cum_n").as("n_tokens"),
+      max("cum_v").as("vocab"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      // exact degeneracy screens: double-rounded moment differences
+      // can land a hair off zero on a constant axis; the decimal
+      // min/max comparison cannot
+      (min("x") < max("x")).as("x_varies"),
+      (min("y") < max("y")).as("y_varies"))
+      .select(col("n_points"), col("n_tokens"), col("vocab"),
+        col("x_varies"), col("y_varies"),
+        (col("n_points") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          .as("num"),
+        (col("n_points") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          .as("den"),
+        (col("n_points") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double"))
+          .as("deny"),
+        col("sx").cast("double").as("sxd"),
+        col("sy").cast("double").as("syd"))
+      .select(col("n_points"), col("n_tokens"), col("vocab"),
+        round(when(col("n_points") >= 2 && col("x_varies") &&
+            col("den") > 0.0,
+          col("num") / col("den")), 6).as("beta"),
+        round(when(col("n_points") >= 2 && col("x_varies") &&
+            col("den") > 0.0,
+          exp((col("syd") - (col("num") / col("den")) * col("sxd"))
+            / col("n_points").cast("double"))), 6).as("k_coef"),
+        round(when(col("n_points") >= 2 && col("x_varies") &&
+            col("y_varies") && col("den") > 0.0 && col("deny") > 0.0,
+          (col("num") * col("num")) / (col("den") * col("deny"))), 6)
+          .as("r2"))
+  }
+
   /** "Fightin' Words" log-odds with an informative Dirichlet prior
     * (Monroe, Colaresi & Quinn '08) — WHAT distinguishes corpus A
     * from corpus B, done right: raw frequency differences are

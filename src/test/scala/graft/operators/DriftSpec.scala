@@ -380,6 +380,56 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
       ("b", 2L, 0.5, 0.0)))
   }
 
+  // ── holtForecast ────────────────────────────────────────────────────
+
+  test("holtForecast: hand-walked level/trend/SSE on a linear ramp") {
+    // daily counts [2,4,6,8], alpha=.5, beta=.3:
+    //   t2: err 2,   l 3,      b 0.3,     sse 4
+    //   t3: err 2.7, l 4.65,   b 0.705,   sse 11.29
+    //   t4: err 2.645, l 6.6775, b 1.10175, sse 18.286025
+    val rows = Seq(0L -> 2, 1L -> 4, 2L -> 6, 3L -> 8).flatMap {
+      case (d, k) => (0 until k).map(j => (d * 10 + j, dayTs(d), "g"))
+    }
+    val got = Drift.holtForecast(
+      rows.toDF("event_id", "ts", "g"), col("g"), col("ts"),
+      alpha = 0.5, beta = 0.3, horizon = 7).collect().head
+    assert(got.getAs[Long]("n_days") == 4L)
+    assert(got.getAs[Double]("level") == 6.6775)
+    assert(got.getAs[Double]("trend") == 1.10175)
+    assert(got.getAs[Double]("forecast_h") == 14.38975)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Double]("rmse") == r6(math.sqrt(18.286025 / 3.0)))
+  }
+
+  test("holtForecast: a missing day is a REAL zero that drags the level") {
+    // days 0 and 2 with 3 events each, day 1 dark:
+    //   t2 (x=0): err -3,  l 1.5,   b -0.45,   sse 9
+    //   t3 (x=3): err 1.95, l 2.025, b -0.1575, sse 12.8025
+    val rows = Seq(0L, 2L).flatMap(d =>
+      (0 until 3).map(j => (d * 10 + j, dayTs(d), "g")))
+    val got = Drift.holtForecast(
+      rows.toDF("event_id", "ts", "g"), col("g"), col("ts"),
+      alpha = 0.5, beta = 0.3, horizon = 7).collect().head
+    assert(got.getAs[Long]("n_days") == 3L)
+    assert(got.getAs[Double]("level") == 2.025)
+    assert(got.getAs[Double]("trend") == -0.1575)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Double]("rmse") == r6(math.sqrt(12.8025 / 2.0)))
+  }
+
+  test("holtForecast: single-day group reads its count as level, NULL rmse") {
+    val rows = (0 until 4).map(j => (j.toLong, dayTs(5L), "g"))
+    val got = Drift.holtForecast(
+      rows.toDF("event_id", "ts", "g"), col("g"), col("ts")).collect().head
+    assert(got.getAs[Long]("n_days") == 1L)
+    assert(got.getAs[Double]("level") == 4.0)
+    assert(got.getAs[Double]("trend") == 0.0)
+    assert(got.getAs[Double]("forecast_h") == 4.0)
+    assert(got.isNullAt(got.fieldIndex("rmse")))
+  }
+
   test("theilDecomposition: pure between-group inequality, zero within") {
     // a: x=[1]; b: x=[3]. Singleton groups -> x = mu_g -> T_g = 0.
     // shares .25/.75; T_between = .25*ln(.5) + .75*ln(1.5)

@@ -608,4 +608,45 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     assert(g2.isNullAt(g2.fieldIndex("chi2")))
     assert(g2.isNullAt(g2.fieldIndex("significant")))
   }
+
+  // ── sprt ─────────────────────────────────────────────────────────
+
+  private def sprtTs(n: Long) = new java.sql.Timestamp(1700000000000L + n * 1000L)
+
+  test("sprt: H1 boundary crossing at the hand-computed step, final LLR after it") {
+    // p0=.25, p1=.75: increments ±q6(ln 3) = ±1.098612; A = ln 19 =
+    // 2.944439. s,s,s crosses at n=3 (3.295836); the trailing f,f pull
+    // the FINAL llr back to 1.098612 but the decision stands at rn 3.
+    val ev = Seq(true, true, true, false, false).zipWithIndex
+      .map { case (x, i) => (i.toLong, sprtTs(i.toLong), x) }
+      .toDF("id", "ts", "x")
+    val got = Eval.sprt(ev, col("ts"), col("id"), col("x"),
+      p0 = 0.25, p1 = 0.75).collect().head
+    assert(got.getAs[Long]("n") == 5L)
+    assert(got.getAs[Long]("n_success") == 3L)
+    assert(got.getAs[Double]("llr_final") == 1.098612)
+    assert(got.getAs[String]("decision") == "accept_h1")
+    assert(got.getAs[Long]("n_at_decision") == 3L)
+    assert(got.getAs[Double]("llr_at_decision") == 3.295836)
+  }
+
+  test("sprt: H0 crossing on an all-failure stream; undecided stream continues") {
+    val lose = Seq(false, false, false).zipWithIndex
+      .map { case (x, i) => (i.toLong, sprtTs(i.toLong), x) }
+      .toDF("id", "ts", "x")
+    val g1 = Eval.sprt(lose, col("ts"), col("id"), col("x"),
+      p0 = 0.25, p1 = 0.75).collect().head
+    assert(g1.getAs[String]("decision") == "accept_h0")
+    assert(g1.getAs[Long]("n_at_decision") == 3L)
+    assert(g1.getAs[Double]("llr_at_decision") == -3.295836)
+    val mid = Seq(true, false).zipWithIndex
+      .map { case (x, i) => (i.toLong, sprtTs(i.toLong), x) }
+      .toDF("id", "ts", "x")
+    val g2 = Eval.sprt(mid, col("ts"), col("id"), col("x"),
+      p0 = 0.25, p1 = 0.75).collect().head
+    assert(g2.getAs[String]("decision") == "continue")
+    assert(g2.isNullAt(g2.fieldIndex("n_at_decision")))
+    assert(g2.isNullAt(g2.fieldIndex("llr_at_decision")))
+    assert(g2.getAs[Double]("llr_final") == 0.0)
+  }
 }

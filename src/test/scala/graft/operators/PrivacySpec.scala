@@ -97,4 +97,31 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
     assert(!got("b").getAs[Boolean]("at_risk"))
     assert(got("b").getAs[Double]("entropy_l") == entropyL(Seq(1L, 1L, 1L)))
   }
+
+  test("tCloseness: planted EMDs — skewed groups flag, global-mirroring group reads 0") {
+    // global bands: 0 -> 3 rows, 1 -> 3 rows (q = .5/.5, k = 2).
+    // a = (0,0): cum diff .5 -> EMD .5; b = (1,1): EMD .5;
+    // c = (0,1): mirrors global -> EMD 0. Null band and null quasi
+    // rows are screened (neither enters the global counts: 3/3 holds).
+    val rows = Seq(
+      ("a", Some(0L)), ("a", Some(0L)),
+      ("b", Some(1L)), ("b", Some(1L)),
+      ("c", Some(0L)), ("c", Some(1L)),
+      ("a", None)) ++ Seq((null.asInstanceOf[String], Some(0L)))
+    val got = Privacy.tCloseness(rows.toDF("g", "s"),
+        Seq("g" -> col("g")), col("s"), t = 0.2)
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("a", 2L, 0.5, true),
+      ("b", 2L, 0.5, true),
+      ("c", 2L, 0.0, false)))
+  }
+
+  test("tCloseness: single global band degenerates to EMD 0, never 0/0") {
+    val got = Privacy.tCloseness(
+        Seq(("a", 1L), ("b", 1L)).toDF("g", "s"),
+        Seq("g" -> col("g")), col("s"), t = 0.2)
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(("a", 1L, 0.0, false), ("b", 1L, 0.0, false)))
+  }
 }

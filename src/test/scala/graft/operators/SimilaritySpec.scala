@@ -587,4 +587,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.head._4.contains(r6((0.0 - mean) / std)))
   }
+
+  test("matryoshkaTopK: a prefix-identical impostor wins the truncated " +
+      "ranking that the full ranking rejects") {
+    // probe q=[1,0,0,0]; corpus: id 10 = [1,0,10,0] (full cos ~0.0995,
+    // 2-dim prefix cos 1.0), id 20 = [1,0,0,0] (full cos 1.0, prefix
+    // 1.0). Full top-1 is 20; the 2-dim prefix ties them at 1.0 and
+    // the vec_id tie-break hands top-1 to the impostor 10 — exactly
+    // the neighbor swap the recall certificate must surface.
+    val probes = Seq((1L, Seq(1f, 0f, 0f, 0f)))
+      .toDF("query_id", "query_vec")
+    val corpus = Seq(
+      (10L, Seq(1f, 0f, 10f, 0f)),
+      (20L, Seq(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val full = Similarity.bruteForceTopK(probes, corpus, 1)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(full.map(_._2) == Seq(20L))
+    val trunc = Similarity.matryoshkaTopK(probes, corpus, 1, dims = 2)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(trunc.map(_._2) == Seq(10L))
+    assert(trunc.head._3 == 1.0)
+  }
 }

@@ -928,4 +928,34 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
       .as[(String, String, Long, Long, Double)].collect().toSeq
     assert(loose.map(_._2).sorted == Seq("a b c", "b c filler"))
   }
+
+  test("scriptMix: planted multi-script shares, whitespace excluded, " +
+      "null text and null group handled") {
+    val docs = Seq(
+      (Some("x"), Some("abc 123")), // 6 non-ws: 3 latin, 3 digit
+      // 3 cyrillic + 2 CJK + 1 arabic = 6 non-ws chars
+      (Some("y"), Some("где 中文 ش")),
+      (Some("z"), None), // null text: 0 chars, NULL shares
+      (None, Some("!!"))) // null group -> '__null__', 2 'other' chars
+      .toDF("src", "text")
+    val got = TextPipeline.scriptMix(docs, col("src"), col("text"))
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    val x = got("x")
+    assert(x.getAs[Long]("n_chars") == 6L)
+    assert(x.getAs[Double]("latin_share") == 0.5)
+    assert(x.getAs[Double]("digit_share") == 0.5)
+    assert(x.getAs[Double]("other_share") == 0.0)
+    val y = got("y")
+    assert(y.getAs[Long]("n_chars") == 6L)
+    assert(y.getAs[Double]("cyrillic_share") == 0.5)
+    assert(y.getAs[Double]("cjk_share") == 0.333333)
+    assert(y.getAs[Double]("arabic_share") == 0.166667)
+    assert(y.getAs[Double]("latin_share") == 0.0)
+    val z = got("z")
+    assert(z.getAs[Long]("n_docs") == 1L && z.getAs[Long]("n_chars") == 0L)
+    assert(z.isNullAt(z.fieldIndex("latin_share")))
+    val nul = got("__null__")
+    assert(nul.getAs[Long]("n_chars") == 2L)
+    assert(nul.getAs[Double]("other_share") == 1.0)
+  }
 }

@@ -355,4 +355,43 @@ class TfIdfSpec extends AnyFunSuite with SparkSpec {
     assert(filtered.head._7 ==
       got.filter(r => r._1 == "q" && r._2 == "z").head._7)
   }
+
+  test("heapsLaw: all-unique tokens fit beta=1, k=1, r2=1 exactly") {
+    // every token globally unique -> cum_v == cum_n at every point ->
+    // the quantized (x, y) pairs are IDENTICAL, so OLS is exact.
+    // Tokens are pure a-z two-letter words (digits are SEPARATORS
+    // under the buildVocab tokenization contract).
+    val docs = (0L until 10L)
+      .map(i => (i, (0 to i.toInt).map(j =>
+        s"${('a' + i.toInt).toChar}${('a' + j).toChar}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TfIdf.heapsLaw(docs, col("doc_id"), col("text"), buckets = 10)
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got._1 == 10L && got._2 == 55L && got._3 == 55L)
+    assert(got._4.contains(1.0) && got._5.contains(1.0) &&
+      got._6.contains(1.0))
+  }
+
+  test("heapsLaw: saturated vocabulary reads beta=0; flat curve guards NULL") {
+    // docs 1..9 reuse doc 0's three words -> V constant at 3, N grows:
+    // slope 0, k = exp(q6(ln 3)) = 2.999999, r2 NULL — the y_varies
+    // decimal screen fires exactly (the double-rounded deny would
+    // land a hair off zero and lie).
+    val sat = (0L until 10L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val g1 = TfIdf.heapsLaw(sat, col("doc_id"), col("text"), buckets = 10)
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(g1._4.contains(0.0))
+    assert(g1._5.contains(2.999999)) // exp(q6(ln 3)) rounded 6dp
+    assert(g1._6.isEmpty)
+    // one doc -> every cumulative point identical -> zero x-variance ->
+    // the whole fit is NULL, never a divide-by-zero
+    val one = Seq((5L, "solo words here")).toDF("doc_id", "text")
+    val g2 = TfIdf.heapsLaw(one, col("doc_id"), col("text"), buckets = 10)
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(g2._4.isEmpty && g2._5.isEmpty && g2._6.isEmpty)
+  }
 }
