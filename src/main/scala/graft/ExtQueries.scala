@@ -1816,6 +1816,25 @@ object ExtQueries {
         t(s, dir, "events"),
         col("event_type") === "purchase" && col("value") > 200.0)),
 
+    // ── Nelson–Aalen cumulative hazard — [EXT r15]: the additive twin
+    //    of ext_kaplan_meier over the same right-censored life table —
+    //    hazard INCREMENTS as the readout, with the classical variance
+    //    band (Events.nelsonAalen scaladoc).
+    "ext_nelson_aalen" -> ((s, dir) =>
+      Events.nelsonAalen(
+        t(s, dir, "events"),
+        col("event_type") === "purchase" && col("value") > 200.0)),
+
+    // ── Two-sample log-rank test — [EXT r15]: did the (hash-assigned)
+    //    treatment arm reach the target FASTER under censoring — the
+    //    survival counterpart of ext_ab_test's final-rate z; exact
+    //    decimal (O−E) and V sums (Events.logrank scaladoc).
+    "ext_logrank" -> ((s, dir) =>
+      Events.logrank(
+        t(s, dir, "events"),
+        treat = col("user_id") % 2 === 1,
+        target = col("event_type") === "purchase" && col("value") > 200.0)),
+
     // ── Ordered funnel: earliest view → click → purchase chain per
     //    user in ONE exchange (k full-partition window mins over
     //    user_id, sequential dependency riding the same partitioning) —
@@ -4944,6 +4963,130 @@ object ExtQueries {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |      CAST(0 AS DECIMAL(18,6))) AS DOUBLE)), 6) END AS s_km
         |FROM lt2 ORDER BY t_days""".stripMargin,
+
+    // Nelson–Aalen replay: the KM life table, 6dp-quantized d/n and
+    // d/n² increments, exact decimal cumulative sums.
+    "ext_nelson_aalen" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MIN(CAST(ts AS DATE)) AS first_d,
+        |    MAX(CAST(ts AS DATE)) AS last_d,
+        |    MIN(CASE WHEN event_type = 'purchase' AND value > 200.0
+        |      THEN CAST(ts AS DATE) END) AS event_d
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |u AS (
+        |  SELECT CASE WHEN event_d IS NOT NULL
+        |      THEN datediff('day', first_d, event_d)
+        |      ELSE datediff('day', first_d, last_d) END AS t_days,
+        |    event_d IS NOT NULL AS observed
+        |  FROM pu),
+        |life AS (
+        |  SELECT t_days,
+        |    CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_events,
+        |    CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS c_censored
+        |  FROM u GROUP BY 1),
+        |lt AS (
+        |  SELECT t_days, d_events, c_censored,
+        |    SUM(d_events + c_censored) OVER ()
+        |      - COALESCE(SUM(d_events + c_censored) OVER (ORDER BY t_days
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM life),
+        |lt2 AS (
+        |  SELECT *,
+        |    CAST(CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |      AS DECIMAL(18,6)) AS h_term,
+        |    CAST(CAST(d_events AS DOUBLE)
+        |      / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))
+        |      AS DECIMAL(18,6)) AS v_term
+        |  FROM lt)
+        |SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk,
+        |  d_events, c_censored,
+        |  round(CAST(SUM(h_term) OVER (ORDER BY t_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE), 6) AS h_na,
+        |  round(CAST(SUM(v_term) OVER (ORDER BY t_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE), 6) AS var_na
+        |FROM lt2 ORDER BY t_days""".stripMargin,
+
+    // Log-rank replay: per-user collapse with the parity arm, pooled
+    // life table with per-arm at-risk reverse cumsums, 6dp-quantized
+    // (O−E) and hypergeometric-V terms, one final divide.
+    "ext_logrank" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MIN(CAST(ts AS DATE)) AS first_d,
+        |    MAX(CAST(ts AS DATE)) AS last_d,
+        |    MIN(CASE WHEN event_type = 'purchase' AND value > 200.0
+        |      THEN CAST(ts AS DATE) END) AS event_d,
+        |    MAX(user_id % 2 = 1) AS g
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |u AS (
+        |  SELECT CASE WHEN event_d IS NOT NULL
+        |      THEN datediff('day', first_d, event_d)
+        |      ELSE datediff('day', first_d, last_d) END AS t_days,
+        |    event_d IS NOT NULL AS observed, g
+        |  FROM pu),
+        |life AS (
+        |  SELECT t_days,
+        |    CAST(SUM(CASE WHEN observed AND g THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN observed AND NOT g THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d0,
+        |    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS a0
+        |  FROM u GROUP BY 1),
+        |st AS (
+        |  SELECT *,
+        |    SUM(a1) OVER () - COALESCE(SUM(a1) OVER (ORDER BY t_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+        |    SUM(a0) OVER () - COALESCE(SUM(a0) OVER (ORDER BY t_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0
+        |  FROM life),
+        |tm AS (
+        |  SELECT *, n1 + n0 AS n, d1 + d0 AS d,
+        |    CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE) AS p1
+        |  FROM st WHERE d1 + d0 > 0),
+        |terms AS (
+        |  SELECT
+        |    CAST(CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * p1
+        |      AS DECIMAL(18,6)) AS ome,
+        |    CASE WHEN n > 1 THEN CAST(CAST(d AS DOUBLE) * p1 * (1.0 - p1)
+        |        * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |        AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END AS v
+        |  FROM tm),
+        |tot AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+        |    CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_control,
+        |    CAST(SUM(CASE WHEN g AND observed THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d_treat,
+        |    CAST(SUM(CASE WHEN NOT g AND observed THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d_control
+        |  FROM u),
+        |sm AS (
+        |  SELECT COALESCE(SUM(ome), CAST(0 AS DECIMAL(18,6))) AS ome,
+        |    COALESCE(SUM(v), CAST(0 AS DECIMAL(18,6))) AS vs
+        |  FROM terms)
+        |SELECT n_treat, n_control, d_treat, d_control,
+        |  round(CAST(ome AS DOUBLE), 6) AS o_minus_e,
+        |  round(CAST(vs AS DOUBLE), 6) AS var_sum,
+        |  CASE WHEN CAST(vs AS DOUBLE) > 0.0
+        |    THEN round(CAST(ome AS DOUBLE) * CAST(ome AS DOUBLE)
+        |      / CAST(vs AS DOUBLE), 6) END AS chi2,
+        |  (CASE WHEN CAST(vs AS DOUBLE) > 0.0
+        |    THEN round(CAST(ome AS DOUBLE) * CAST(ome AS DOUBLE)
+        |      / CAST(vs AS DOUBLE), 6) END) > 3.841 AS significant
+        |FROM tot CROSS JOIN sm""".stripMargin,
 
     // HLL replay: every register rebuilt from the same md5 bits
     // (bucket = first 2 hex chars, rank from the 52-bit tail's leading

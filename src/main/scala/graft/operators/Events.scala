@@ -1260,20 +1260,8 @@ object Events {
     * d_events, c_censored, s_km 6dp), ordered by t_days. */
   def kaplanMeier(
       events: DataFrame, target: Column): DataFrame = {
-    val perUser = events
-      .select(col("user_id"), to_date(col("ts")).as("d"), target.as("hit"))
-      .filter(col("user_id").isNotNull && col("d").isNotNull)
-      .groupBy("user_id")
-      .agg(
-        min(col("d")).as("first_d"),
-        max(col("d")).as("last_d"),
-        min(when(col("hit"), col("d"))).as("event_d"))
-      .select(
-        when(col("event_d").isNotNull,
-          datediff(col("event_d"), col("first_d")))
-          .otherwise(datediff(col("last_d"), col("first_d")))
-          .cast("long").as("t_days"),
-        col("event_d").isNotNull.as("observed"))
+    val perUser = survivalDurations(events, target)
+      .select("t_days", "observed")
     val life = perUser
       .groupBy("t_days")
       .agg(
@@ -1302,5 +1290,174 @@ object Events {
               lit(0).cast("decimal(18,6)")).cast("double")), 6)))
       .select("t_days", "n_risk", "d_events", "c_censored", "s_km")
       .orderBy("t_days")
+  }
+
+  /** Shared per-user duration collapse of the survival family
+    * ([[kaplanMeier]] / [[nelsonAalen]] / [[logrank]]): origin = first
+    * event day, duration = days to the first `target` event (observed)
+    * or to the last-seen day (right-censored). One conditional-min/max
+    * aggregate pass — a billion events per user fold map-side. */
+  private def survivalDurations(
+      events: DataFrame, target: Column): DataFrame =
+    events
+      .select(col("user_id"), to_date(col("ts")).as("d"), target.as("hit"))
+      .filter(col("user_id").isNotNull && col("d").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        min(col("d")).as("first_d"),
+        max(col("d")).as("last_d"),
+        min(when(col("hit"), col("d"))).as("event_d"))
+      .select(col("user_id"),
+        when(col("event_d").isNotNull,
+          datediff(col("event_d"), col("first_d")))
+          .otherwise(datediff(col("last_d"), col("first_d")))
+          .cast("long").as("t_days"),
+        col("event_d").isNotNull.as("observed"))
+
+  /** Nelson–Aalen cumulative-hazard estimate (Nelson '72, Aalen '78)
+    * over the same right-censored life table as [[kaplanMeier]]:
+    * H(t) = Σ_{t_i ≤ t} d_i/n_i. The additive twin of KM's product —
+    * preferred when hazard INCREMENTS are the readout (a per-day
+    * conversion-pressure curve; its slope change is where the offer
+    * email landed) and the standard input to crude hazard-ratio reads
+    * between snapshots. Includes the classical variance estimate
+    * Σ d_i/n_i² for a dashboard's confidence band.
+    *
+    * Determinism: each d_i/n_i (and d_i/n_i²) quantizes to
+    * DECIMAL(18,6) before the exact cumulative decimal sum — the KM
+    * ln-term discipline, without the exp (H is already additive).
+    *
+    * 100 TB shape: identical to [[kaplanMeier]] — one per-user
+    * collapse, a calendar-bounded life table, ordered windows over
+    * that spine only.
+    *
+    * Output: one row per distinct duration — (t_days, n_risk,
+    * d_events, c_censored, h_na 6dp, var_na 6dp), ordered by t_days. */
+  def nelsonAalen(events: DataFrame, target: Column): DataFrame = {
+    val life = survivalDurations(events, target)
+      .groupBy("t_days")
+      .agg(
+        sum(when(col("observed"), 1L).otherwise(0L)).as("d_events"),
+        sum(when(col("observed"), 0L).otherwise(1L)).as("c_censored"))
+    val ord = Window.orderBy("t_days")
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    life
+      .withColumn("n_risk",
+        sum(col("d_events") + col("c_censored")).over(
+          ord.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)) -
+          coalesce(sum(col("d_events") + col("c_censored")).over(before),
+            lit(0L)))
+      .withColumn("h_term",
+        (col("d_events").cast("double") / col("n_risk").cast("double"))
+          .cast("decimal(18,6)"))
+      .withColumn("v_term",
+        (col("d_events").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk").cast("double")))
+          .cast("decimal(18,6)"))
+      .select(col("t_days"), col("n_risk"), col("d_events"),
+        col("c_censored"),
+        round(sum("h_term").over(upto).cast("double"), 6).as("h_na"),
+        round(sum("v_term").over(upto).cast("double"), 6).as("var_na"))
+      .orderBy("t_days")
+  }
+
+  /** Two-sample LOG-RANK test (Mantel '66) on the time-to-target
+    * split by `treat` — did the treatment arm reach the target FASTER,
+    * accounting for right-censoring? The survival counterpart of
+    * [[graft.operators.Experiment.abTest]]'s final-rate z: a treatment
+    * that accelerates conversion without changing the eventual rate is
+    * invisible to the rate test and loud here. At each pooled event
+    * time t_i with n_i at risk (n1_i in treatment) and d_i events
+    * (d1_i in treatment):
+    *
+    *   E1_i = d_i·n1_i/n_i
+    *   V_i  = d_i·(n1_i/n_i)·(1−n1_i/n_i)·(n_i−d_i)/(n_i−1)
+    *   χ²   = (Σ(d1_i − E1_i))² / ΣV_i   (~χ²₁ under H0)
+    *
+    * `treat` must be constant per user (an assignment hash, a cohort
+    * flag); rows are collapsed to one user first, taking the user's
+    * max — mixed assignments surface as treat, never a crash.
+    *
+    * Determinism: per-time (d1−E1) and V terms quantize to
+    * DECIMAL(18,6) before the order-free exact sums; the one final
+    * divide is IEEE, 6dp. V_i's n_i = 1 singularity is an exact-zero
+    * term (its d_i ∈ {0,1} carries no between-arm information).
+    *
+    * 100 TB shape: the [[kaplanMeier]] profile — one per-user
+    * collapse, one calendar-bounded life table with two extra
+    * conditional sums, windows over the duration spine only.
+    *
+    * Output: one row — (n_treat, n_control, d_treat, d_control,
+    * o_minus_e 6dp, var_sum 6dp, chi2 6dp, significant vs the 0.05
+    * critical value 3.841; chi2 NULL when no variance accrues). */
+  def logrank(
+      events: DataFrame, treat: Column, target: Column,
+      critical: Double = 3.841): DataFrame = {
+    val durs = events
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        target.as("hit"), treat.as("g"))
+      .filter(col("user_id").isNotNull && col("d").isNotNull &&
+        col("g").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        min(col("d")).as("first_d"),
+        max(col("d")).as("last_d"),
+        min(when(col("hit"), col("d"))).as("event_d"),
+        max(col("g")).as("g"))
+      .select(
+        when(col("event_d").isNotNull,
+          datediff(col("event_d"), col("first_d")))
+          .otherwise(datediff(col("last_d"), col("first_d")))
+          .cast("long").as("t_days"),
+        col("event_d").isNotNull.as("observed"), col("g"))
+    val life = durs.groupBy("t_days").agg(
+      sum(when(col("observed") && col("g"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("observed") && !col("g"), 1L).otherwise(0L)).as("d0"),
+      sum(when(col("g"), 1L).otherwise(0L)).as("a1"),
+      sum(when(!col("g"), 1L).otherwise(0L)).as("a0"))
+    val ord = Window.orderBy("t_days")
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val all = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val staged = life
+      .withColumn("n1", sum("a1").over(all) -
+        coalesce(sum("a1").over(before), lit(0L)))
+      .withColumn("n0", sum("a0").over(all) -
+        coalesce(sum("a0").over(before), lit(0L)))
+      .withColumn("n", col("n1") + col("n0"))
+      .withColumn("d", col("d1") + col("d0"))
+      .filter(col("d") > 0)
+      .withColumn("p1", col("n1").cast("double") / col("n").cast("double"))
+      .withColumn("ome_term",
+        (col("d1").cast("double") - col("d").cast("double") * col("p1"))
+          .cast("decimal(18,6)"))
+      .withColumn("v_term",
+        when(col("n") > 1,
+          (col("d").cast("double") * col("p1") * (lit(1.0) - col("p1"))
+            * (col("n") - col("d")).cast("double")
+            / (col("n") - 1).cast("double")).cast("decimal(18,6)"))
+          .otherwise(lit(0).cast("decimal(18,6)")))
+    val totals = durs.agg(
+      sum(when(col("g"), 1L).otherwise(0L)).as("n_treat"),
+      sum(when(!col("g"), 1L).otherwise(0L)).as("n_control"),
+      sum(when(col("g") && col("observed"), 1L).otherwise(0L))
+        .as("d_treat"),
+      sum(when(!col("g") && col("observed"), 1L).otherwise(0L))
+        .as("d_control"))
+    val sums = staged.agg(
+      coalesce(sum("ome_term"), lit(0).cast("decimal(18,6)")).as("ome"),
+      coalesce(sum("v_term"), lit(0).cast("decimal(18,6)")).as("vs"))
+    val chi2 = when(col("vs").cast("double") > 0.0,
+      round(col("ome").cast("double") * col("ome").cast("double")
+        / col("vs").cast("double"), 6))
+    totals.crossJoin(broadcast(sums))
+      .select(col("n_treat"), col("n_control"), col("d_treat"),
+        col("d_control"),
+        round(col("ome").cast("double"), 6).as("o_minus_e"),
+        round(col("vs").cast("double"), 6).as("var_sum"),
+        chi2.as("chi2"),
+        (chi2 > critical).as("significant"))
   }
 }

@@ -766,6 +766,66 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((0L, 1L, 1L, 0L, 0.0)))
   }
 
+  // ── nelsonAalen / logrank ───────────────────────────────────────────
+
+  test("nelsonAalen: hand-built life table, exact quantized hazard cumsum") {
+    // u1 converts at t=2, u2 censored at t=4, u3 converts at t=0:
+    //   t0: d1 n3 -> H 1/3 = .333333, V 1/9 = .111111
+    //   t2: d1 n2 -> H + .5 = .833333, V + .25 = .361111
+    //   t4: c1 n1 -> carries forward
+    val ev = Seq(
+      (1L, day(0), "view", 1.0), (1L, day(2), "buy", 300.0),
+      (2L, day(0), "view", 1.0), (2L, day(4), "view", 1.0),
+      (3L, day(0), "buy", 300.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Events.nelsonAalen(ev, col("event_type") === "buy")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 1L, 0L, 0.333333, 0.111111),
+      (2L, 2L, 1L, 0L, 0.833333, 0.361111),
+      (4L, 1L, 0L, 1L, 0.833333, 0.361111)))
+  }
+
+  test("logrank: hand-computed O-E and hypergeometric variance terms") {
+    // treat (odd ids): u1 t=1 obs, u3 t=2 obs.
+    // control: u2 t=3 censored, u4 t=3 obs.
+    //   t1: n=4 d=1 p1=.5  -> O-E .5,      V .25
+    //   t2: n=3 d=1 p1=1/3 -> O-E .666667, V .222222
+    //   t3: n=2 d=1 p1=0   -> O-E 0,       V 0
+    val ev = Seq(
+      (1L, day(0), "view", 1.0), (1L, day(1), "buy", 1.0),
+      (3L, day(0), "view", 1.0), (3L, day(2), "buy", 1.0),
+      (2L, day(0), "view", 1.0), (2L, day(3), "view", 1.0),
+      (4L, day(0), "view", 1.0), (4L, day(3), "buy", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Events.logrank(ev, col("user_id") % 2 === 1,
+      col("event_type") === "buy").collect().head
+    assert(got.getAs[Long]("n_treat") == 2L)
+    assert(got.getAs[Long]("n_control") == 2L)
+    assert(got.getAs[Long]("d_treat") == 2L)
+    assert(got.getAs[Long]("d_control") == 1L)
+    assert(got.getAs[Double]("o_minus_e") == 1.166667)
+    assert(got.getAs[Double]("var_sum") == 0.472222)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Double]("chi2") ==
+      r6(1.166667 * 1.166667 / 0.472222))
+    assert(!got.getAs[Boolean]("significant"))
+  }
+
+  test("logrank: a single-arm population accrues no variance -> NULL chi2") {
+    val ev = Seq(
+      (1L, day(0), "view", 1.0), (1L, day(1), "buy", 1.0),
+      (3L, day(0), "view", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Events.logrank(ev, col("user_id") % 2 === 1,
+      col("event_type") === "buy").collect().head
+    assert(got.getAs[Long]("n_treat") == 2L)
+    assert(got.getAs[Long]("n_control") == 0L)
+    assert(got.isNullAt(got.fieldIndex("chi2")))
+    assert(got.isNullAt(got.fieldIndex("significant")))
+  }
+
   // ── interarrivalStats ────────────────────────────────────────────────
 
   private def tsMs(ms: Long) = new Timestamp(1699999200000L + ms)
