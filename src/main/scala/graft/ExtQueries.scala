@@ -893,6 +893,19 @@ object ExtQueries {
       TfIdf.heapsLaw(
         t(s, dir, "documents"), col("doc_id"), col("text"), buckets = 10)),
 
+    // ── Simpson's-paradox slope screen — [EXT r15]: pooled vs
+    //    within-group OLS slope of value ~ day, flagging sign flips —
+    //    the confounding trap a pooled trend readout walks into on
+    //    group-structured data; one scan, mergeable decimal moments
+    //    (Eval.simpsonsSlope scaladoc).
+    "ext_simpsons_slope" -> ((s, dir) =>
+      graft.operators.Eval.simpsonsSlope(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        col("event_type"),
+        (unix_millis(date_trunc("day", col("ts"))) / lit(86400000L))
+          .cast("long"),
+        col("value"))),
+
     // ── Wald SPRT over the event stream — [EXT r15]: always-valid
     //    sequential test of H1 p=0.2 vs H0 p=0.1 on the purchase
     //    share, exact decimal LLR walk in (ts, event_id) order,
@@ -4178,6 +4191,53 @@ object ExtQueries {
         |      AND den > 0.0 AND deny > 0.0
         |    THEN (num * num) / (den * deny) END, 6) AS r2
         |FROM d""".stripMargin,
+
+    // Simpson replay: same quantized decimal moments per group, the
+    // pooled row as the SUM of group moments, identical slope chain,
+    // exact min<max variance screens.
+    "ext_simpsons_slope" ->
+      """WITH base AS (
+        |  SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g,
+        |    CAST(round(CAST(epoch_ms(date_trunc('day', ts)) // 86400000
+        |      AS DOUBLE), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS sxx,
+        |    MIN(x) AS minx, MAX(x) AS maxx
+        |  FROM base GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(sx) AS sx,
+        |    SUM(sy) AS sy, SUM(sxy) AS sxy, SUM(sxx) AS sxx,
+        |    MIN(minx) AS minx, MAX(maxx) AS maxx
+        |  FROM m),
+        |ps AS (
+        |  SELECT CASE WHEN n >= 2 AND minx < maxx
+        |      AND (n * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+        |    THEN (n * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (n * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS ps
+        |  FROM p),
+        |gs AS (
+        |  SELECT g AS group_key, n,
+        |    round(CASE WHEN n >= 2 AND minx < maxx
+        |        AND (n * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+        |      THEN (n * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (n * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6)
+        |      AS slope
+        |  FROM m)
+        |SELECT gs.group_key, gs.n, gs.slope,
+        |  round(ps.ps, 6) AS pooled_slope,
+        |  gs.slope * round(ps.ps, 6) < 0.0 AS flips
+        |FROM gs CROSS JOIN ps ORDER BY gs.group_key""".stripMargin,
 
     // SPRT replay: identical 6dp-quantized per-event increments,
     // exact decimal LLR window in (ts, event_id) order, the same

@@ -856,6 +856,63 @@ case class PqLut(child: Expression, cb: Array[Array[Array[Double]]])
 }
 
 /** Column-level constructors. */
+/** Single-pass Unicode script profile of a text column: one loop over
+  * the UTF-16 units counting [non-whitespace, Latin letters, ASCII
+  * digits, Cyrillic U+0400–04FF, CJK U+4E00–9FFF, Arabic U+0600–06FF]
+  * — the six counts `TextPipeline.scriptMix` needs, which as built-ins
+  * cost SIX independent `regexp_replace` passes over every document
+  * (measured 26.6 s at the 104× replica; this expression: see
+  * bench/script_mix_expr receipt). Whitespace is the Java regex `\s`
+  * ASCII set, and counting is per UTF-16 unit — both exactly matching
+  * the regexp_replace/length formulation the DuckDB oracle replays,
+  * surrogate halves included.
+  *
+  * doGenCode (not CodegenFallback): the loop lives in a static helper
+  * compiled once; generated code is one call per row, no boxed eval,
+  * whole-stage codegen stays fused. */
+case class ScriptCounts(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ScriptCounts.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.ScriptCounts.count($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ScriptCounts = copy(child = newChild)
+}
+
+object ScriptCounts {
+  /** The one-pass counter the interpreted and generated paths share. */
+  def count(s: UTF8String): ArrayData = {
+    val str = s.toString
+    var nc = 0L; var lat = 0L; var dig = 0L
+    var cyr = 0L; var cjk = 0L; var ara = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val c = str.charAt(i)
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (!isWs) nc += 1L
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) lat += 1L
+      else if (c >= '0' && c <= '9') dig += 1L
+      else if (c >= 'Ѐ' && c <= 'ӿ') cyr += 1L
+      else if (c >= '一' && c <= '鿿') cjk += 1L
+      else if (c >= '؀' && c <= 'ۿ') ara += 1L
+      i += 1
+    }
+    new GenericArrayData(Array(nc, lat, dig, cyr, cjk, ara))
+  }
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -877,6 +934,9 @@ object GraftFunctions {
 
   def word_ngrams(text: Column, n: Int): Column =
     column(WordNgrams(expression(text), n))
+
+  def script_counts(text: Column): Column =
+    column(ScriptCounts(expression(text)))
 
   def winnowed_fingerprints(text: Column, k: Int, modP: Int): Column =
     column(WinnowedFingerprints(expression(text), k, modP))

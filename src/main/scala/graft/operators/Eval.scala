@@ -1152,6 +1152,67 @@ object Eval {
       (chi2 > critical).as("significant"))
   }
 
+  /** Simpson's-paradox screen (Simpson '51; the Yule–Simpson
+    * association reversal): fit the OLS slope of y~x POOLED and
+    * WITHIN each group, and flag groups whose within-slope has the
+    * opposite sign — the classic confounding trap an aggregate-level
+    * dashboard walks into ("quality rises with length overall" while
+    * it FALLS inside every source, because sources differ in both).
+    * The screen to run before trusting any pooled trend readout
+    * ([[graft.operators.Relational]] theilSen, [[welchT]], a
+    * lift table) on group-structured data.
+    *
+    * One scan: per-group decimal moment tuples (n, Σx, Σy, Σxy, Σx²
+    * over 6dp-quantized values — exact, order-free, mergeable), then
+    * the pooled moments are the SUM of the group rows (algebraic
+    * state — the incremental-agg discipline), so the pooled slope
+    * costs |groups| rows, never a second scan.
+    *
+    * Determinism: quantized decimal moments; slopes are final IEEE
+    * divides, 6dp; a group (or the pool) with zero x-variance reads
+    * NULL slope — screened by the exact decimal min<max comparison
+    * (the [[graft.operators.TfIdf.heapsLaw]] rule), never by a
+    * double-rounded moment difference. `flips` is NULL when either
+    * slope is NULL.
+    *
+    * Output: (group_key, n, slope 6dp, pooled_slope 6dp, flips), one
+    * row per group, ordered by group_key. */
+  def simpsonsSlope(
+      df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val base = df
+      .select(coalesce(group.cast("string"), lit("__null__")).as("g"),
+        round(x.cast("double"), 6).cast("decimal(18,6)").as("x"),
+        round(y.cast("double"), 6).cast("decimal(18,6)").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val m = base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      min("x").as("minx"), max("x").as("maxx"))
+    def slope(n: Column, sx: Column, sy: Column, sxy: Column,
+        sxx: Column, varies: Column): Column = {
+      val num = (n.cast("double") * sxy.cast("double")) -
+        (sx.cast("double") * sy.cast("double"))
+      val den = (n.cast("double") * sxx.cast("double")) -
+        (sx.cast("double") * sx.cast("double"))
+      when(n >= 2 && varies && den > 0.0, num / den)
+    }
+    val pooled = m.agg(
+      sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+      sum("sxy").as("sxy"), sum("sxx").as("sxx"),
+      min("minx").as("minx"), max("maxx").as("maxx"))
+      .select(slope(col("n"), col("sx"), col("sy"), col("sxy"),
+        col("sxx"), col("minx") < col("maxx")).as("ps"))
+    m.crossJoin(broadcast(pooled))
+      .select(col("g").as("group_key"), col("n"),
+        round(slope(col("n"), col("sx"), col("sy"), col("sxy"),
+          col("sxx"), col("minx") < col("maxx")), 6).as("slope"),
+        round(col("ps"), 6).as("pooled_slope"))
+      .withColumn("flips", col("slope") * col("pooled_slope") < 0.0)
+      .orderBy("group_key")
+  }
+
   /** Sequential probability ratio test (Wald '45) over an ordered
     * Bernoulli stream — the ALWAYS-VALID complement to the fixed-n
     * tests here ([[welchT]], [[mannWhitney]]): an experimenter who

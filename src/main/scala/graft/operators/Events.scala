@@ -730,24 +730,45 @@ object Events {
     * quantiles are [[Relational.exactQuantiles]] rank picks — exact
     * elements, engine-replayable, never interpolation.
     *
-    * 100 TB shape: one type-partitioned lag window (types are few
-    * but each partition is a calendar-ordered stream — the window
-    * key is the type, matching the downstream per-type consumer),
-    * then exactQuantiles' range-bucketed selection. For a
-    * two-type-only 100 TB log, pre-split by type upstream.
+    * 100 TB shape: the lag runs in (type, DAY) windows — parallelism
+    * is types × days, not types — and the one cross-day gap per
+    * (type, day) is stitched from a calendar-bounded boundary table
+    * (per-day last arrival, lagged over the tiny types × days spine
+    * and broadcast back). A plain type-partitioned window funnels
+    * each type through ONE task: forked min-of-3 at the 104× replica
+    * 60.7 s → 15.5 s (3.9×; 26×: 12.8 → 10.0 s —
+    * bench/bench_r15_newops_104x vs bench/interarrival_fix_104x) —
+    * identical output, the oracle pins it. Then exactQuantiles'
+    * range-bucketed selection.
     *
     * Output: (group_key, n_gaps, p50, p90, p99), one row per type
     * with ≥ 1 gap, ordered by group_key. */
   def interarrivalStats(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("ts"), col("event_id"))
-    val gaps = events
+    val base = events
       .filter(col("event_type").isNotNull && col("ts").isNotNull &&
         col("event_id").isNotNull)
       .select(col("event_type"), col("ts"), col("event_id"),
-        unix_millis(col("ts")).as("ms"))
+        unix_millis(col("ts")).as("ms"),
+        (unix_millis(date_trunc("day", col("ts"))) / lit(86400000L))
+          .cast("long").as("di"))
+    val wDay = Window.partitionBy("event_type", "di")
+      .orderBy(col("ts"), col("event_id"))
+    // per-(type, day) boundary: the day's LAST arrival in the same
+    // (ts, event_id) total order, lagged one day forward on the
+    // calendar-bounded spine so each day's FIRST row can close the
+    // cross-midnight gap
+    val bounds = base.groupBy("event_type", "di")
+      .agg(max(struct(col("ts"), col("event_id"), col("ms"))).as("last"))
+      .select(col("event_type"), col("di"),
+        lag(col("last.ms"), 1).over(
+          Window.partitionBy("event_type").orderBy("di")).as("prev_last_ms"))
+    val gaps = base
+      .withColumn("prev_ms", lag("ms", 1).over(wDay))
+      .withColumn("rn", row_number().over(wDay))
+      .join(broadcast(bounds), Seq("event_type", "di"))
       .withColumn("gap",
-        ((col("ms") - lag("ms", 1).over(w)) / lit(1000L)).cast("long"))
+        ((col("ms") - when(col("rn") === 1, col("prev_last_ms"))
+          .otherwise(col("prev_ms"))) / lit(1000L)).cast("long"))
       .filter(col("gap").isNotNull)
     val q = Relational.exactQuantiles(
       gaps, col("event_type"), col("gap"), Seq(0.5, 0.9, 0.99))

@@ -1853,8 +1853,13 @@ object TextPipeline {
     *
     * Blocks are BMP ranges, so character counts agree across engines
     * (UTF-16 units = codepoints below the surrogate range); counting
-    * is `length(regexp_replace(text, [^block], ""))` — codegen'd
-    * built-ins, one map pass, no explode.
+    * is ONE loop over the UTF-16 units per document via the
+    * [[graft.functions.expressions.ScriptCounts]] codegen expression —
+    * the six-`regexp_replace` formulation (which the DuckDB oracle
+    * still replays, proving equivalence) re-scans every document six
+    * times through the regex engine: forked min-of-3 at the 104×
+    * replica 26.6 s → 0.68 s (39×; 26×: 7.9 → 0.76 s —
+    * bench/script_mix_expr receipts).
     *
     * Determinism: per-group counts are exact integer sums; the six
     * shares are single IEEE divides, 6dp. NULL group keys coalesce to
@@ -1868,19 +1873,19 @@ object TextPipeline {
     * cyrillic_share, cjk_share, arabic_share, other_share), ordered
     * by group_key. */
   def scriptMix(docs: DataFrame, group: Column, text: Column): DataFrame = {
-    val t = coalesce(text, lit(""))
-    def cnt(clazz: String): Column =
-      length(regexp_replace(t, s"[^$clazz]", "")).cast("long")
-    val nonWs = length(regexp_replace(t, "\\s", "")).cast("long")
+    val counts = graft.functions.expressions.GraftFunctions
+      .script_counts(coalesce(text, lit("")))
     val agg = docs
       .select(
         coalesce(group.cast("string"), lit("__null__")).as("group_key"),
-        nonWs.as("nc"),
-        cnt("A-Za-z").as("lat"),
-        cnt("0-9").as("dig"),
-        cnt("Ѐ-ӿ").as("cyr"),
-        cnt("一-鿿").as("cjk"),
-        cnt("؀-ۿ").as("ara"))
+        counts.as("sc"))
+      .select(col("group_key"),
+        element_at(col("sc"), 1).as("nc"),
+        element_at(col("sc"), 2).as("lat"),
+        element_at(col("sc"), 3).as("dig"),
+        element_at(col("sc"), 4).as("cyr"),
+        element_at(col("sc"), 5).as("cjk"),
+        element_at(col("sc"), 6).as("ara"))
       .groupBy("group_key")
       .agg(count(lit(1)).as("n_docs"),
         sum("nc").as("n_chars"),

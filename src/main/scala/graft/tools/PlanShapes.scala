@@ -69,7 +69,12 @@ object PlanShapes {
     // the profiler deterministically lands on the 'plain' branch — the
     // 'aqe' branch is pinned by the query's own oracle, which emits
     // the decision as a column) + the two new-operator baselines
-    "ext_auto_skew_join", "ext_interarrival", "ext_theil_index")
+    "ext_auto_skew_join", "ext_interarrival", "ext_theil_index",
+    // r15 batch 2 (privacy/text/ts/eval/ANN/survival) — baselined from
+    // their birth round
+    "ext_t_closeness", "ext_script_mix", "ext_heaps_law", "ext_sprt",
+    "ext_holt_forecast", "ext_matryoshka_recall", "ext_nelson_aalen",
+    "ext_logrank", "ext_simpsons_slope")
 
   /** Queries whose VALUE is runtime file/row-group skipping that a
     * static plan cannot see (VERDICT r14 ask #3: `ext_zorder_scan`

@@ -609,6 +609,38 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     assert(g2.isNullAt(g2.fieldIndex("significant")))
   }
 
+  // ── simpsonsSlope ────────────────────────────────────────────────
+
+  test("simpsonsSlope: planted Yule-Simpson reversal flags both groups") {
+    // within both groups y FALLS with x (slope -1); across groups the
+    // high-x group has high y, so the pooled slope is +396/404 =
+    // +0.980198 — the textbook reversal.
+    val pts = Seq(
+      ("a", 0.0, 2.0), ("a", 1.0, 1.0),
+      ("b", 10.0, 12.0), ("b", 11.0, 11.0))
+    val got = Eval.simpsonsSlope(pts.toDF("g", "x", "y"),
+        col("g"), col("x"), col("y"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Boolean])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 2L, Some(-1.0), Some(0.980198), Some(true)),
+      ("b", 2L, Some(-1.0), Some(0.980198), Some(true))))
+  }
+
+  test("simpsonsSlope: constant-x group reads NULL slope and NULL flips") {
+    val pts = Seq(
+      ("a", 5.0, 1.0), ("a", 5.0, 9.0), // zero x-variance
+      ("b", 0.0, 0.0), ("b", 1.0, 1.0))
+    val got = Eval.simpsonsSlope(pts.toDF("g", "x", "y"),
+        col("g"), col("x"), col("y"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Boolean])]
+      .collect().toSeq
+    val a = got.find(_._1 == "a").get
+    assert(a._3.isEmpty && a._5.isEmpty)
+    val b = got.find(_._1 == "b").get
+    assert(b._3.contains(1.0) && b._5.contains(false))
+  }
+
   // ── sprt ─────────────────────────────────────────────────────────
 
   private def sprtTs(n: Long) = new java.sql.Timestamp(1700000000000L + n * 1000L)
