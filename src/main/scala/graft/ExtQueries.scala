@@ -893,6 +893,16 @@ object ExtQueries {
       TfIdf.heapsLaw(
         t(s, dir, "documents"), col("doc_id"), col("text"), buckets = 10)),
 
+    // ── RAKE keyphrase extraction — [EXT r15]: stopword-boundary
+    //    candidate runs, corpus-wide deg/freq word scores, exact
+    //    decimal phrase sums, top-50 — the metadata-enrichment op for
+    //    topic routing / boilerplate families (TfIdf.rakeKeyphrases
+    //    scaladoc).
+    "ext_rake_keyphrases" -> ((s, dir) =>
+      TfIdf.rakeKeyphrases(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        k = 50, minCount = 2L)),
+
     // ── Simpson's-paradox slope screen — [EXT r15]: pooled vs
     //    within-group OLS slope of value ~ day, flagging sign flips —
     //    the confounding trap a pooled trend readout walks into on
@@ -4191,6 +4201,62 @@ object ExtQueries {
         |      AND den > 0.0 AND deny > 0.0
         |    THEN (num * num) / (den * deny) END, 6) AS r2
         |FROM d""".stripMargin,
+
+    // RAKE replay: positional token explode, boundary run-ids via the
+    // same cumulative window, corpus deg/freq, decimal word-score
+    // sums over distinct phrase words, (score DESC, phrase) top-50.
+    "ext_rake_keyphrases" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS ts
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |ex AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts
+        |       FROM t),
+        |tk AS (SELECT doc_id, i AS pos, ts[CAST(i AS INT)] AS tok FROM ex),
+        |mk AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN len(tok) = 0 OR list_contains(
+        |      ['the','a','an','and','of','to','in','is','it','for',
+        |       'on','with','as','at','by','or'], tok)
+        |    THEN 1 ELSE 0 END AS is_b
+        |  FROM tk),
+        |rn AS (
+        |  SELECT *, SUM(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM mk),
+        |runs AS (SELECT doc_id, run_id, pos, tok FROM rn WHERE is_b = 0),
+        |ph AS (
+        |  SELECT doc_id, run_id, string_agg(tok, ' ' ORDER BY pos)
+        |    AS phrase
+        |  FROM runs GROUP BY 1, 2),
+        |wl AS (
+        |  SELECT doc_id, run_id, tok,
+        |    COUNT(*) OVER (PARTITION BY doc_id, run_id) AS run_len
+        |  FROM runs),
+        |w AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(run_len) AS BIGINT) AS deg
+        |  FROM wl GROUP BY 1),
+        |ws AS (SELECT tok,
+        |  CAST(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+        |    AS DECIMAL(18,6)) AS w_score
+        |  FROM w),
+        |pw AS (
+        |  SELECT p.doc_id, p.run_id, p.phrase,
+        |    unnest(list_distinct(string_split(p.phrase, ' '))) AS tok
+        |  FROM ph p),
+        |sc AS (
+        |  SELECT pw.doc_id, pw.run_id, pw.phrase,
+        |    SUM(ws.w_score) AS score, CAST(COUNT(*) AS BIGINT) AS n_words
+        |  FROM pw JOIN ws USING (tok) GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT phrase, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |    CAST(MAX(n_words) AS BIGINT) AS n_words,
+        |    round(CAST(MAX(score) AS DOUBLE), 6) AS score
+        |  FROM sc GROUP BY 1)
+        |SELECT phrase, n_docs, n_occurrences, n_words, score FROM agg
+        |WHERE n_occurrences >= 2
+        |ORDER BY score DESC, phrase LIMIT 50""".stripMargin,
 
     // Simpson replay: same quantized decimal moments per group, the
     // pooled row as the SUM of group moments, identical slope chain,

@@ -814,4 +814,89 @@ object TfIdf {
       .select(col("id_a"), col("id_b"),
         round(col("cos_raw"), 6).as("cosine"))
   }
+
+  /** The stopword boundary set for [[rakeKeyphrases]] — deliberately
+    * small and FIXED (scores are only comparable under one boundary
+    * set; DuckDB oracles embed the same list). */
+  val RakeStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "or")
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal runs of non-stopword tokens (stopwords and
+    * punctuation are BOUNDARIES, never content), each word scores
+    * deg(w)/freq(w) over the whole corpus — deg counts co-occurring
+    * words within candidates, so words living in longer phrases
+    * outrank equally-frequent loners — and a phrase scores the sum of
+    * its word scores. The metadata-enrichment op of a training
+    * pipeline: corpus-level keyphrases for topic routing, dedup keys
+    * for boilerplate families, retrieval anchors.
+    *
+    * Shape, one declarative chain: posexplode tokens → boundary
+    * run-ids via a per-doc cumulative window (runs = phrases, no
+    * regex backtracking, no UDF) → per-corpus word freq/deg
+    * aggregates → score join → per-phrase-text rollup → top-k.
+    *
+    * Determinism: freq/deg are exact integers; deg/freq per word
+    * quantizes to DECIMAL(18,6) (one divide), phrase score is the
+    * exact decimal sum of word scores over the phrase's DISTINCT
+    * words (set semantics — a repeated word counts once, the RAKE
+    * convention); ties break (score DESC, phrase ASC).
+    *
+    * 100 TB shape: token explode with map-side-collapsing word
+    * aggregates (vocabulary-bounded state); phrases shuffle once on
+    * their text for the rollup; the only window is per-document over
+    * that document's own tokens. Top-k rides a global sort of the
+    * ≤|distinct phrases| rollup — cap it upstream with minCount when
+    * phrase cardinality explodes.
+    *
+    * Output: (phrase, n_docs, n_occurrences, n_words, score 6dp),
+    * top `k` by (score DESC, phrase), ordered the same. */
+  def rakeKeyphrases(
+      docs: DataFrame, id: Column, text: Column,
+      k: Int = 50, minCount: Long = 2L): DataFrame = {
+    require(k >= 1 && minCount >= 1)
+    val toks = docs
+      .filter(id.isNotNull && text.isNotNull)
+      .select(id.cast("long").as("doc_id"),
+        posexplode(split(lower(text), "[^a-z]+")).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = toks
+      .withColumn("is_b",
+        (length(col("tok")) === 0 ||
+          col("tok").isin(RakeStopwords: _*)).cast("int"))
+      .withColumn("run_id", sum("is_b").over(wDoc))
+      .filter(col("is_b") === 0)
+    val phrases = runs
+      .groupBy("doc_id", "run_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok"))).as("phrase"))
+    val withLen = runs.withColumn("run_len",
+      count(lit(1)).over(Window.partitionBy("doc_id", "run_id")))
+    val words = withLen.groupBy("tok").agg(
+      count(lit(1)).as("freq"),
+      sum("run_len").as("deg"))
+    val wordScores = words.select(col("tok"),
+      (col("deg").cast("double") / col("freq").cast("double"))
+        .cast("decimal(18,6)").as("w_score"))
+    val scored = phrases
+      .select(col("doc_id"), col("run_id"), col("phrase"),
+        explode(array_distinct(split(col("phrase"), " "))).as("tok"))
+      .join(wordScores, Seq("tok"))
+      .groupBy("doc_id", "run_id", "phrase")
+      .agg(sum("w_score").as("score"), count(lit(1)).as("n_words"))
+    scored.groupBy("phrase")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        max("n_words").as("n_words"),
+        max("score").as("score"))
+      .filter(col("n_occurrences") >= minCount)
+      .select(col("phrase"), col("n_docs"), col("n_occurrences"),
+        col("n_words"), round(col("score").cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
 }

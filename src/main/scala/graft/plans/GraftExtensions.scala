@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{CdcChunks, CosineSim, MinHashSig, NgramJaccard, RollingHash, SimHash64, TokenMatchCount, WinnowedFingerprints, WordNgrams, ZOrder2}
+import graft.functions.expressions.{CdcChunks, CosineSim, MinHashSig, NgramJaccard, RollingHash, ScriptCounts, SimHash64, TokenMatchCount, WinnowedFingerprints, WordNgrams, ZOrder2}
 
 /** Optimizer rule: self-similarity is the identity — `ngram_jaccard(x,
   * x, n)` folds to 1.0 at plan time, so a self-join pipeline (dedup
@@ -120,7 +120,10 @@ object GraftExtensions {
     ("token_match_count",
       new ExpressionInfo(classOf[TokenMatchCount].getName, "token_match_count"),
       (args: Seq[Expression]) => TokenMatchCount(
-        args.head, stringSeqArg(args(1), "words"))))
+        args.head, stringSeqArg(args(1), "words"))),
+    ("script_counts",
+      new ExpressionInfo(classOf[ScriptCounts].getName, "script_counts"),
+      (args: Seq[Expression]) => ScriptCounts(args.head)))
 
   /** Retro-fit registration into an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -74,7 +74,7 @@ object PlanShapes {
     // their birth round
     "ext_t_closeness", "ext_script_mix", "ext_heaps_law", "ext_sprt",
     "ext_holt_forecast", "ext_matryoshka_recall", "ext_nelson_aalen",
-    "ext_logrank", "ext_simpsons_slope")
+    "ext_logrank", "ext_simpsons_slope", "ext_rake_keyphrases")
 
   /** Queries whose VALUE is runtime file/row-group skipping that a
     * static plan cannot see (VERDICT r14 ask #3: `ext_zorder_scan`

@@ -356,6 +356,42 @@ class TfIdfSpec extends AnyFunSuite with SparkSpec {
       got.filter(r => r._1 == "q" && r._2 == "z").head._7)
   }
 
+  test("rakeKeyphrases: hand-scored phrases, stopword boundaries, " +
+      "multi-occurrence rollup") {
+    // doc 1 "deep learning of deep networks": 'of' is a boundary ->
+    // runs [deep learning], [deep networks]; doc 2 "deep learning".
+    // deg/freq: deep 6/3=2, learning 4/2=2, networks 2/1=2.
+    // "deep learning": 2 occurrences in 2 docs, score 4.0;
+    // "deep networks": 1 occurrence, score 4.0.
+    val docs = Seq(
+      (1L, "deep learning of deep networks"),
+      (2L, "deep learning"))
+      .toDF("doc_id", "text")
+    val got = TfIdf.rakeKeyphrases(docs, col("doc_id"), col("text"),
+        k = 10, minCount = 1L)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("deep learning", 2L, 2L, 2L, 4.0),
+      ("deep networks", 1L, 1L, 2L, 4.0)))
+    // minCount screens the singleton
+    val kept = TfIdf.rakeKeyphrases(docs, col("doc_id"), col("text"),
+        k = 10, minCount = 2L)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(kept == Seq(("deep learning", 2L, 2L, 2L, 4.0)))
+  }
+
+  test("rakeKeyphrases: punctuation splits runs; longer runs outrank loners") {
+    // "the cat! sat on a mat" -> runs [cat sat], [mat]:
+    // cat 2/1, sat 2/1, mat 1/1 -> "cat sat" 4.0 > "mat" 1.0
+    val docs = Seq((1L, "The cat! sat on a mat")).toDF("doc_id", "text")
+    val got = TfIdf.rakeKeyphrases(docs, col("doc_id"), col("text"),
+        k = 10, minCount = 1L)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("cat sat", 1L, 1L, 2L, 4.0),
+      ("mat", 1L, 1L, 1L, 1.0)))
+  }
+
   test("heapsLaw: all-unique tokens fit beta=1, k=1, r2=1 exactly") {
     // every token globally unique -> cum_v == cum_n at every point ->
     // the quantized (x, y) pairs are IDENTICAL, so OLS is exact.
