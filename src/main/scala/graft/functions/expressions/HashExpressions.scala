@@ -862,10 +862,11 @@ case class PqLut(child: Expression, cb: Array[Array[Array[Double]]])
   * — the six counts `TextPipeline.scriptMix` needs, which as built-ins
   * cost SIX independent `regexp_replace` passes over every document
   * (measured 26.6 s at the 104× replica; this expression: see
-  * bench/script_mix_expr receipt). Whitespace is the Java regex `\s`
-  * ASCII set, and counting is per UTF-16 unit — both exactly matching
-  * the regexp_replace/length formulation the DuckDB oracle replays,
-  * surrogate halves included.
+  * bench/script_mix_expr receipt). Whitespace is the RE2 `\s` set
+  * `[\t\n\f\r ]` (NO vertical tab — RE2 and Java regex disagree on
+  * U+000B, and the DuckDB oracle is RE2), and counting advances per
+  * Unicode CODEPOINT (a surrogate pair counts once), exactly matching
+  * the oracle's regexp_replace/length(), which is codepoint-length.
   *
   * doGenCode (not CodegenFallback): the loop lives in a static helper
   * compiled once; generated code is one call per row, no boxed eval,
@@ -898,16 +899,16 @@ object ScriptCounts {
     var i = 0
     val n = str.length
     while (i < n) {
-      val c = str.charAt(i)
-      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
-        c == '\f' || c == '\r'
+      val cp = str.codePointAt(i)
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' ||
+        cp == '\f' || cp == '\r'
       if (!isWs) nc += 1L
-      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) lat += 1L
-      else if (c >= '0' && c <= '9') dig += 1L
-      else if (c >= 'Ѐ' && c <= 'ӿ') cyr += 1L
-      else if (c >= '一' && c <= '鿿') cjk += 1L
-      else if (c >= '؀' && c <= 'ۿ') ara += 1L
-      i += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) lat += 1L
+      else if (cp >= '0' && cp <= '9') dig += 1L
+      else if (cp >= 'Ѐ' && cp <= 'ӿ') cyr += 1L
+      else if (cp >= '一' && cp <= '鿿') cjk += 1L
+      else if (cp >= '؀' && cp <= 'ۿ') ara += 1L
+      i += Character.charCount(cp)
     }
     new GenericArrayData(Array(nc, lat, dig, cyr, cjk, ara))
   }

@@ -1230,16 +1230,26 @@ object Eval {
     *
     * Determinism: the two per-event increments quantize once to
     * DECIMAL(18,6) (the transcendental rule); Λ accumulates as an
-    * exact decimal window sum in (ts, id) order; boundaries compare
+    * exact decimal prefix sum in (ts, id) order; boundaries compare
     * in doubles at the end. The final Λ is the order-free decimal
-    * total, identical to the last window row.
+    * total, identical to the last prefix row.
     *
-    * 100 TB shape: one scan + one global-ordered window — the
-    * sequence IS the semantics, so the sort is irreducible; a
-    * per-variant wrapper partitions the window by arm. For a
-    * continuously-running monitor, keep (n, successes) as mergeable
-    * state and re-derive Λ incrementally ([[graft.operators
-    * .Relational]] incremental-agg discipline).
+    * 100 TB shape: the sequence is the SEMANTICS, not the plan — Λ is
+    * a prefix sum of exact decimals, so it distributes by the
+    * interarrival day-stitch recipe ([[graft.operators.Events
+    * .interarrivalStats]]): rank + prefix-sum inside (calendar day)
+    * windows — parallelism is the day count — then running-sum the
+    * tiny per-day (count, Λ-total) spine and broadcast each day's
+    * exact offsets back; rn and Λ per row are bit-identical to the
+    * global walk (decimal addition is exact), so the first crossing
+    * is too. An earlier draft used one unpartitioned ordered window
+    * and funneled every event through a single task (20.7× wall at
+    * the 104× replica — SCALE.md r15); this shape replaced it with
+    * the oracle pinning identical output. `ts` must therefore be a
+    * timestamp (the day bucket is `date_trunc('day', ts)`, monotone
+    * in the order). For a continuously-running monitor, keep
+    * (n, successes) as mergeable state and re-derive Λ incrementally
+    * ([[graft.operators.Relational]] incremental-agg discipline).
     *
     * Output: one row — (n, n_success, llr_final 6dp, decision
     * ∈ accept_h1|accept_h0|continue, n_at_decision, llr_at_decision
@@ -1247,40 +1257,101 @@ object Eval {
   def sprt(
       df: DataFrame, ts: Column, id: Column, success: Column,
       p0: Double, p1: Double,
-      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame =
+    sprtImpl(df, None, ts, id, success, p0, p1, alpha, beta)
+
+  /** Per-arm [[sprt]] — the form an experimentation platform actually
+    * runs: each treatment arm walks its OWN Λ stream against the same
+    * (p0, p1, α, β) design and stops itself independently. Same
+    * day-stitched distributed prefix sum as [[sprt]], with every
+    * window and spine additionally keyed by arm — parallelism is
+    * arms × days.
+    *
+    * Output: one row per arm — (arm, n, n_success, llr_final,
+    * decision, n_at_decision, llr_at_decision), ordered by arm. */
+  def sprtByArm(
+      df: DataFrame, arm: Column, ts: Column, id: Column,
+      success: Column, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame =
+    sprtImpl(df, Some(arm), ts, id, success, p0, p1, alpha, beta)
+
+  private def sprtImpl(
+      df: DataFrame, arm: Option[Column], ts: Column, id: Column,
+      success: Column, p0: Double, p1: Double,
+      alpha: Double, beta: Double): DataFrame = {
     require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
       s"need distinct p0, p1 in (0,1): $p0 $p1")
     require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
       s"alpha/beta in (0,1): $alpha $beta")
+    // α + β ≥ 1 inverts the boundaries (A ≤ B): every first row would
+    // trivially "cross" and the readout would report a spurious accept
+    require(alpha + beta < 1,
+      s"degenerate SPRT design: alpha + beta must be < 1, got $alpha + $beta")
     val l1 = log(lit(p1) / lit(p0)).cast("decimal(18,6)")
     val l0 = log((lit(1.0) - lit(p1)) / (lit(1.0) - lit(p0)))
       .cast("decimal(18,6)")
     val a = math.log((1.0 - beta) / alpha)
     val b = math.log(beta / (1.0 - alpha))
-    val wOrd = Window.orderBy(col("__ts"), col("__id"))
-    val walked = df
-      .filter(ts.isNotNull && id.isNotNull)
-      .select(ts.as("__ts"), id.as("__id"),
+    val armKey = arm.map(_ => "__arm").toSeq
+    val keep = arm.map(c => ts.isNotNull && id.isNotNull && c.isNotNull)
+      .getOrElse(ts.isNotNull && id.isNotNull)
+    val base = df
+      .filter(keep)
+      .select((arm.map(_.as("__arm")).toSeq ++ Seq(
+        ts.as("__ts"), id.as("__id"),
+        (unix_millis(date_trunc("day", ts)) / lit(86400000L))
+          .cast("long").as("__di"),
         when(success, lit(1L)).otherwise(lit(0L)).as("x"),
-        when(success, l1).otherwise(l0).as("term"))
-      .select(col("x"), col("term"),
-        row_number().over(wOrd).as("rn"),
-        sum("term").over(wOrd.rowsBetween(
-          Window.unboundedPreceding, Window.currentRow)).as("llr"))
-    walked
-      .withColumn("crossed",
-        col("llr").cast("double") >= a || col("llr").cast("double") <= b)
-      .agg(
-        count(lit(1)).as("n"),
-        sum("x").as("n_success"),
-        round(sum("term").cast("double"), 6).as("llr_final"),
-        min(when(col("crossed"),
-          struct(col("rn"), col("llr")))).as("first"))
-      .select(col("n"), col("n_success"), col("llr_final"),
-        when(col("first").isNull, lit("continue"))
-          .when(col("first.llr").cast("double") >= a, lit("accept_h1"))
-          .otherwise(lit("accept_h0")).as("decision"),
-        col("first.rn").cast("long").as("n_at_decision"),
-        round(col("first.llr").cast("double"), 6).as("llr_at_decision"))
+        when(success, l1).otherwise(l0).as("term"))): _*)
+    // rank + Λ-prefix inside each (arm, day) window: parallelism is
+    // arms × days, never one task
+    val wDay = Window
+      .partitionBy((armKey :+ "__di").map(col): _*)
+      .orderBy(col("__ts"), col("__id"))
+    val walkedDay = base.select(
+      (armKey :+ "__di").map(col) ++ Seq(
+        col("x"), col("term"),
+        row_number().over(wDay).as("rn_day"),
+        sum("term").over(wDay.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).as("llr_day")): _*)
+    // tiny (arm, day) totals spine: running-sum the day offsets in
+    // order, then broadcast them back — exact decimals, so offset +
+    // within-day prefix is bit-identical to the global walk
+    val wSpine = Window.partitionBy(armKey.map(col): _*).orderBy("__di")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base
+      .groupBy((armKey :+ "__di").map(col): _*)
+      .agg(count(lit(1)).as("day_n"), sum("term").as("day_sum"))
+      .select((armKey :+ "__di").map(col) ++ Seq(
+        coalesce(sum("day_n").over(wSpine), lit(0L)).as("off_n"),
+        coalesce(sum("day_sum").over(wSpine),
+          lit(0).cast("decimal(38,6)")).as("off_llr")): _*)
+    val walked = walkedDay
+      .join(broadcast(offsets), armKey :+ "__di")
+      .select((armKey.map(col) ++ Seq(
+        col("x"), col("term"),
+        (col("off_n") + col("rn_day")).as("rn"),
+        (col("off_llr") + col("llr_day")).as("llr"))): _*)
+    val crossed = walked.withColumn("crossed",
+      col("llr").cast("double") >= a || col("llr").cast("double") <= b)
+    val aggCols = Seq(
+      sum("x").as("n_success"),
+      round(sum("term").cast("double"), 6).as("llr_final"),
+      min(when(col("crossed"),
+        struct(col("rn"), col("llr")))).as("first"))
+    val agged = arm match {
+      case Some(_) => crossed.groupBy(col("__arm").as("arm"))
+        .agg(count(lit(1)).as("n"), aggCols: _*)
+      case None => crossed
+        .agg(count(lit(1)).as("n"), aggCols: _*)
+    }
+    agged.select((arm.map(_ => col("arm")).toSeq ++ Seq(
+      col("n"), col("n_success"), col("llr_final"),
+      when(col("first").isNull, lit("continue"))
+        .when(col("first.llr").cast("double") >= a, lit("accept_h1"))
+        .otherwise(lit("accept_h0")).as("decision"),
+      col("first.rn").cast("long").as("n_at_decision"),
+      round(col("first.llr").cast("double"), 6).as("llr_at_decision"))): _*)
+      .transform(d => if (arm.isDefined) d.orderBy("arm") else d)
   }
 }

@@ -1062,8 +1062,10 @@ object Events {
     *
     * The (user, day) working set feeds FOUR consumers (bounds + the
     * three coverage reaches). `materialize = true` computes it ONCE
-    * via eager localCheckpoint instead of re-running the scan +
-    * distinct shuffle per reach — but the forked fresh-JVM A/B
+    * via lazy localCheckpoint (the block materializes on the FIRST
+    * action over the returned frame — construction stays side-effect
+    * free like every other operator here) instead of re-running the
+    * scan + distinct shuffle per reach — but the forked fresh-JVM A/B
     * (StickinessPersistProbe,
     * bench/stickiness_persist_receipt_r15.txt) says re-scan WINS at
     * every probe scale: min-of-3 0.75 s vs 1.04 s at sf0.1 and
@@ -1088,7 +1090,7 @@ object Events {
           .cast("long").as("di"))
       .distinct()
     val userDays =
-      if (materialize) userDaysPlan.localCheckpoint(true) else userDaysPlan
+      if (materialize) userDaysPlan.localCheckpoint(false) else userDaysPlan
     val bounds = userDays.agg(min("di").as("lo"), max("di").as("hi"))
     val spine = bounds
       .select(explode(sequence(col("lo"), col("hi"))).as("di"))

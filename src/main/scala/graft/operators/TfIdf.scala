@@ -478,7 +478,7 @@ object TfIdf {
     val base = docs
       .filter(id.isNotNull)
       .select(id.cast("long").as("doc_id"),
-        lower(text).as("txt"))
+        lower(coalesce(text, lit(""))).as("txt"))
     val bounds = base.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
     val bucketed = base.crossJoin(broadcast(bounds))
       .select(col("doc_id"),
@@ -898,5 +898,58 @@ object TfIdf {
         col("n_words"), round(col("score").cast("double"), 6).as("score"))
       .orderBy(col("score").desc, col("phrase"))
       .limit(k)
+  }
+
+  /** Good–Turing frequency-of-frequencies profile (Good '53): how much
+    * of the corpus' probability mass sits at each observed count r,
+    * and the smoothed count r* = (r+1)·N_{r+1}/N_r. The row at r = 1
+    * IS the headline: its `mass_share` (N₁/N) is the Good–Turing
+    * estimate of UNSEEN mass — how much vocabulary the next crawl
+    * slice will surface that this corpus has never seen. Read with
+    * [[heapsLaw]]: Heaps says how fast vocabulary grows, Good–Turing
+    * says how much probability the growth carries — the coverage
+    * number a tokenizer/vocab freeze decision needs.
+    *
+    * Tokenization is the [[buildVocab]] contract: lowercase, split on
+    * non-letter runs, empties dropped.
+    *
+    * Determinism: N_r and N are exact integer aggregates; mass_share
+    * and r* are single IEEE divides, 6dp. The r spine keeps EMPTY
+    * count classes (n_types = 0, mass_share 0, NULL r*) so the
+    * readout shape is fixed — the b14 empty-bucket discipline.
+    *
+    * 100 TB shape: one token explode into a (token → count) aggregate
+    * with map-side partials, then a second ≤|vocab|-row aggregate to
+    * counts-of-counts; the spine join broadcasts `maxR` rows. Nothing
+    * scales past the first aggregate.
+    *
+    * Output: (r, n_types, mass_share 6dp, gt_rstar 6dp), one row per
+    * r in [1, maxR], ordered by r; gt_rstar is NULL when N_r or
+    * N_{r+1} is 0 (the estimator is undefined there). */
+  def goodTuring(docs: DataFrame, text: Column, maxR: Int = 10): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, s"maxR must be in [1,1000], got $maxR")
+    val freqs = docs
+      .select(explode(filter(
+        split(lower(coalesce(text, lit(""))), "[^a-z]+"),
+        t => length(t) > 0)).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("r"))
+    val cofc = freqs.groupBy("r").agg(count(lit(1)).as("n_types"))
+    val tot = freqs.agg(sum("r").cast("long").as("n_tokens"))
+    val spine = docs.sparkSession.range(1, maxR + 1).toDF("r")
+    spine
+      .join(cofc, Seq("r"), "left")
+      .join(
+        cofc.select((col("r") - 1).as("r"), col("n_types").as("n_next")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        round(col("r").cast("double") *
+          coalesce(col("n_types"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("mass_share"),
+        round((col("r") + 1).cast("double") * col("n_next").cast("double") /
+          col("n_types").cast("double"), 6).as("gt_rstar"))
+      .orderBy("r")
   }
 }

@@ -681,4 +681,54 @@ class EvalSpec extends AnyFunSuite with SparkSpec {
     assert(g2.isNullAt(g2.fieldIndex("llr_at_decision")))
     assert(g2.getAs[Double]("llr_final") == 0.0)
   }
+
+  test("sprt: day-stitched walk crossing calendar days keeps exact rn/llr") {
+    // events every 10 hours span three calendar days; walk t,t,f,t,t
+    // with ±q6(ln 3) increments first crosses A = ln 19 = 2.944439 at
+    // rn 5 (1.098612, 2.197224, 1.098612, 2.197224, 3.295836) — the
+    // per-day offsets must stitch to the same exact decimals
+    val ev = Seq(true, true, false, true, true).zipWithIndex
+      .map { case (x, i) =>
+        (i.toLong,
+          new java.sql.Timestamp(1700000000000L + i * 36000000L), x) }
+      .toDF("id", "ts", "x")
+    val got = Eval.sprt(ev, col("ts"), col("id"), col("x"),
+      p0 = 0.25, p1 = 0.75).collect().head
+    assert(got.getAs[Long]("n") == 5L)
+    assert(got.getAs[Long]("n_success") == 4L)
+    assert(got.getAs[String]("decision") == "accept_h1")
+    assert(got.getAs[Long]("n_at_decision") == 5L)
+    assert(got.getAs[Double]("llr_at_decision") == 3.295836)
+    assert(got.getAs[Double]("llr_final") == 3.295836)
+  }
+
+  test("sprtByArm: arms walk and decide independently") {
+    // interleaved timestamps: arm A all-success (accept_h1 at its rn
+    // 3), arm B all-failure (accept_h0 at its rn 3)
+    val rows = (0 until 6).map { i =>
+      val a = i % 2 == 0
+      (i.toLong, sprtTs(i.toLong), if (a) "A" else "B", a)
+    }.toDF("id", "ts", "arm", "x")
+    val got = Eval.sprtByArm(rows, col("arm"), col("ts"), col("id"),
+      col("x"), p0 = 0.25, p1 = 0.75)
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    assert(got.keySet == Set("A", "B"))
+    val a = got("A")
+    assert(a.getAs[Long]("n") == 3L)
+    assert(a.getAs[String]("decision") == "accept_h1")
+    assert(a.getAs[Long]("n_at_decision") == 3L)
+    assert(a.getAs[Double]("llr_at_decision") == 3.295836)
+    val b = got("B")
+    assert(b.getAs[String]("decision") == "accept_h0")
+    assert(b.getAs[Long]("n_at_decision") == 3L)
+    assert(b.getAs[Double]("llr_at_decision") == -3.295836)
+  }
+
+  test("sprt: degenerate design alpha + beta >= 1 is rejected") {
+    val ev = Seq((1L, sprtTs(1L), true)).toDF("id", "ts", "x")
+    intercept[IllegalArgumentException] {
+      Eval.sprt(ev, col("ts"), col("id"), col("x"),
+        p0 = 0.25, p1 = 0.75, alpha = 0.6, beta = 0.5)
+    }
+  }
 }

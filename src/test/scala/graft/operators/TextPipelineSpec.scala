@@ -958,4 +958,17 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(nul.getAs[Long]("n_chars") == 2L)
     assert(nul.getAs[Double]("other_share") == 1.0)
   }
+
+  test("scriptMix: RE2/codepoint oracle semantics — vertical tab is NOT " +
+      "whitespace, a non-BMP emoji counts once") {
+    // DuckDB's regexp_replace is RE2: \s = [\t\n\f\r ] WITHOUT U+000B,
+    // and length() is codepoints, so 'a<VT>b<emoji>' has 4 chars —
+    // a, VT, b, U+1F642 (one, not two surrogate halves)
+    val docs = Seq(("v", "a\u000Bb\ud83d\ude42")).toDF("src", "text")
+    val got = TextPipeline.scriptMix(docs, col("src"), col("text"))
+      .collect().head
+    assert(got.getAs[Long]("n_chars") == 4L)
+    assert(got.getAs[Double]("latin_share") == 0.5)
+    assert(got.getAs[Double]("other_share") == 0.5)
+  }
 }
