@@ -893,6 +893,15 @@ object ExtQueries {
       TfIdf.heapsLaw(
         t(s, dir, "documents"), col("doc_id"), col("text"), buckets = 10)),
 
+    // ── Good–Turing frequency-of-frequencies — [EXT r16]: probability
+    //    mass per observed count r and the smoothed count
+    //    r* = (r+1)·N_{r+1}/N_r; the r = 1 row's mass_share (N₁/N) is
+    //    the unseen-vocabulary mass estimate — the coverage number a
+    //    tokenizer/vocab freeze decision reads next to ext_heaps_law's
+    //    growth exponent (TfIdf.goodTuring scaladoc).
+    "ext_good_turing" -> ((s, dir) =>
+      TfIdf.goodTuring(t(s, dir, "documents"), col("text"), maxR = 10)),
+
     // ── RAKE keyphrase extraction — [EXT r15]: stopword-boundary
     //    candidate runs, corpus-wide deg/freq word scores, exact
     //    decimal phrase sums, top-50 — the metadata-enrichment op for
@@ -924,6 +933,17 @@ object ExtQueries {
     "ext_sprt" -> ((s, dir) =>
       graft.operators.Eval.sprt(
         t(s, dir, "events"), col("ts"), col("event_id"),
+        col("event_type") === "purchase", p0 = 0.1, p1 = 0.2)),
+
+    // ── Per-arm Wald SPRT — [EXT r16]: the experimentation-platform
+    //    form: each arm (user-randomized split: user_id mod 2) walks
+    //    its own LLR stream against the same design and stops itself
+    //    independently; day-stitched windows keyed by (arm, day)
+    //    (Eval.sprtByArm scaladoc).
+    "ext_sprt_arms" -> ((s, dir) =>
+      graft.operators.Eval.sprtByArm(
+        t(s, dir, "events"), (col("user_id") % 2).cast("long"),
+        col("ts"), col("event_id"),
         col("event_type") === "purchase", p0 = 0.1, p1 = 0.2)),
 
     // ── Holt linear forecast — [EXT r15]: trend-aware double-
@@ -1326,6 +1346,22 @@ object ExtQueries {
         .unpivot(Array.empty[org.apache.spark.sql.Column], "stage", "n_docs")
         .orderBy("stage")
     }),
+
+    // ── Composed end-to-end training-data pipeline — [EXT r16]: the
+    //    daily pretraining-prep shape as ONE contract query chaining
+    //    three already-oracled stages THROUGH each other: quality
+    //    screen (langId == 'en' AND qualityScore >= 0.5) → minhash
+    //    banded-LSH near-dup dedup (exact-jaccard verify >= 0.5,
+    //    min-label clusters, keep each cluster's min doc_id) →
+    //    concat-and-chunk sequence packing of the survivors.
+    //    Composition is what this pins: schema and determinism
+    //    contracts crack at the seams, not inside operators. The
+    //    oracle replays every stage as a CTE over the EXACT quadratic
+    //    jaccard ground truth, so the hash match doubles as a recall
+    //    certificate for LSH-after-filter.
+    "ext_pipeline_e2e" -> ((s, dir) =>
+      graft.operators.Pipelines.curateDedupPack(
+        t(s, dir, "documents"), col("doc_id"), col("text"))),
 
     // ── Sequence packing, concat-and-chunk: documents lay back-to-back
     //    per shard (pmod(doc_id, 8)) and the token stream cuts every 512
@@ -4344,6 +4380,50 @@ object ExtQueries {
         |  CAST(f.rn AS BIGINT) AS n_at_decision,
         |  round(CAST(f.llr AS DOUBLE), 6) AS llr_at_decision
         |FROM agg CROSS JOIN bounds LEFT JOIN f ON TRUE""".stripMargin,
+
+    // Per-arm SPRT replay: the ext_sprt walk partitioned by the
+    // user-randomized arm (user_id mod 2), one decision row per arm.
+    "ext_sprt_arms" ->
+      """WITH b AS (
+        |  SELECT CAST(user_id % 2 AS BIGINT) AS arm, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ln(CAST(0.2 AS DOUBLE) / CAST(0.1 AS DOUBLE))
+        |        AS DECIMAL(18,6))
+        |      ELSE CAST(ln((1.0 - CAST(0.2 AS DOUBLE))
+        |        / (1.0 - CAST(0.1 AS DOUBLE))) AS DECIMAL(18,6))
+        |    END AS term
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |w AS (
+        |  SELECT arm, x, term,
+        |    ROW_NUMBER() OVER (PARTITION BY arm ORDER BY ts, event_id) AS rn,
+        |    SUM(term) OVER (PARTITION BY arm ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+        |  FROM b),
+        |bounds AS (
+        |  SELECT ln((1.0 - 0.05) / 0.05) AS a, ln(0.05 / (1.0 - 0.05)) AS bb),
+        |cr AS (
+        |  SELECT arm, MIN(rn) AS rn_first FROM w CROSS JOIN bounds
+        |  WHERE CAST(llr AS DOUBLE) >= a OR CAST(llr AS DOUBLE) <= bb
+        |  GROUP BY arm),
+        |f AS (
+        |  SELECT w.arm, w.rn, w.llr FROM w
+        |  JOIN cr ON w.arm = cr.arm AND w.rn = cr.rn_first),
+        |agg AS (
+        |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS n_success,
+        |    round(CAST(SUM(term) AS DOUBLE), 6) AS llr_final
+        |  FROM w GROUP BY arm)
+        |SELECT agg.arm, agg.n, agg.n_success, agg.llr_final,
+        |  CASE WHEN f.rn IS NULL THEN 'continue'
+        |    WHEN CAST(f.llr AS DOUBLE) >= bounds.a THEN 'accept_h1'
+        |    ELSE 'accept_h0' END AS decision,
+        |  CAST(f.rn AS BIGINT) AS n_at_decision,
+        |  round(CAST(f.llr AS DOUBLE), 6) AS llr_at_decision
+        |FROM agg CROSS JOIN bounds LEFT JOIN f ON agg.arm = f.arm
+        |ORDER BY agg.arm""".stripMargin,
 
     // Holt replay: same calendar spine (missing day = zero), the
     // recursive-CTE sequential fold of the identical IEEE recurrence,
@@ -7456,6 +7536,95 @@ object ExtQueries {
     // against Spark's INT64 5 fails even though every cell compares
     // equal (the r5 `hash_match: false` root cause; this was the ONLY
     // oracle in the contract with a HUGEINT output column).
+    // Good–Turing replay: same [^a-z]+ tokenization, exact integer
+    // counts-of-counts, single IEEE divides at the end; the r spine
+    // keeps empty count classes, NULL r* where the estimator is
+    // undefined.
+    "ext_good_turing" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(COALESCE(text, '')), '[^a-z]+'),
+        |    t -> t <> '')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM toks GROUP BY tok),
+        |c AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_types FROM f GROUP BY r),
+        |n AS (SELECT CAST(SUM(r) AS BIGINT) AS n_tokens FROM f),
+        |sp AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS r)
+        |SELECT sp.r, CAST(COALESCE(c.n_types, 0) AS BIGINT) AS n_types,
+        |  round(CAST(sp.r AS DOUBLE) * CAST(COALESCE(c.n_types, 0) AS DOUBLE)
+        |    / CAST(n.n_tokens AS DOUBLE), 6) AS mass_share,
+        |  round(CAST(sp.r + 1 AS DOUBLE) * CAST(c2.n_types AS DOUBLE)
+        |    / CAST(c.n_types AS DOUBLE), 6) AS gt_rstar
+        |FROM sp
+        |LEFT JOIN c ON sp.r = c.r
+        |LEFT JOIN c c2 ON c2.r = sp.r + 1
+        |CROSS JOIN n
+        |ORDER BY sp.r""".stripMargin,
+
+    // Composed-pipeline replay: quality screen (the ext_curation_funnel
+    // lang/quality formulas) → EXACT quadratic 5-gram jaccard >= 0.5
+    // pairs among survivors → recursive min-label components → keeper =
+    // component min → the ext_seq_pack offset/chunk formulas. The
+    // engine's banded LSH must surface exactly the ground-truth pairs
+    // for the downstream hash to match.
+    "ext_pipeline_e2e" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+        |v AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(ts, t -> t IN ('the','a','and','of','is'))) AS en,
+        |    len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS de,
+        |    len(list_filter(ts, t -> t IN ('el','la','los','y','es'))) AS es,
+        |    0.4 * least(1.0, CAST(len(ts) AS DOUBLE) / 100.0)
+        |    + 0.4 * least(1.0, CAST(len(list_filter(ts,
+        |        t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |        / len(ts) * 5.0)
+        |    + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |        / length(text)) AS quality
+        |  FROM toks),
+        |q AS MATERIALIZED (
+        |  SELECT doc_id, text FROM v
+        |  WHERE en >= de AND en >= es AND en > 0 AND quality >= 0.5),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(2, length(trim(regexp_replace(lower(text),'\s+',' ','g'))) - 3)),
+        |      i -> substr(trim(regexp_replace(lower(text),'\s+',' ','g')), i, 5))) AS s
+        |  FROM q),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM e0
+        |  UNION ALL SELECT id_b, id_a FROM e0),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS label FROM q
+        |  UNION
+        |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON r.id = e.dst),
+        |cl AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+        |k AS (
+        |  SELECT q.doc_id, q.text FROM q JOIN cl ON q.doc_id = cl.id
+        |  WHERE q.doc_id = cl.cluster_id),
+        |d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM k),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens, start_off,
+        |       CAST(start_off // 512 AS BIGINT) AS first_chunk,
+        |       CAST((start_off + greatest(n_tokens, 1) - 1) // 512 AS BIGINT)
+        |         AS last_chunk,
+        |       CAST((start_off + greatest(n_tokens, 1) - 1) // 512
+        |         - start_off // 512 + 1 AS BIGINT) AS n_chunks
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "ext_seq_pack" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** [EXT r16] Composed end-to-end curation pipelines — the daily shape
+  * of a pretraining-data run chained THROUGH its stages rather than
+  * proven operator-by-operator. Every stage is an already-oracled
+  * primitive; what this object pins is the SEAMS: schema carried
+  * between stages, determinism of keeper selection feeding packing,
+  * and the LSH recall contract surviving an upstream filter.
+  */
+object Pipelines {
+
+  /** Quality screen → minhash near-dup dedup → concat-and-chunk
+    * sequence packing, as one composed dataflow:
+    *
+    *  1. screen: keep docs with [[TextFunctions.langId]] == "en" AND
+    *     [[TextFunctions.qualityScore]] >= `minQuality` (computed
+    *     map-side in the scan, no shuffle);
+    *  2. dedup: [[Dedup.minhashNearDupPairs]] (banded LSH candidates,
+    *     exact-jaccard verify at `threshold`) → [[Dedup.clusters]]
+    *     (min-label components) → keep each cluster's MIN doc id;
+    *  3. pack: [[Packing.concatChunk]] of the survivors (per-shard
+    *     offset windows, integer chunk math).
+    *
+    * 100 TB shape: inherits each stage's (screen is a map-side
+    * filter before any shuffle, so the expensive LSH/cluster stages
+    * see only survivors; packing windows are per-shard). No stage
+    * adds a shuffle beyond its own published shape.
+    *
+    * Output: the [[Packing.concatChunk]] schema (doc_id, shard,
+    * n_tokens, start_off, first_chunk, last_chunk, n_chunks) over the
+    * screened, deduplicated corpus, ordered by doc_id. */
+  def curateDedupPack(
+      docs: DataFrame, id: Column, text: Column,
+      minQuality: Double = 0.5,
+      shingleN: Int = 5, numHashes: Int = 64, bands: Int = 8,
+      threshold: Double = 0.5,
+      capacity: Int = 512, nShards: Int = 8): DataFrame = {
+    val screened = docs
+      .filter(TextFunctions.langId(text) === "en" &&
+        TextFunctions.qualityScore(text) >= minQuality)
+      .select(id.as("doc_id"), text.as("text"))
+    val pairs = Dedup.minhashNearDupPairs(
+      screened, col("doc_id"), col("text"),
+      shingleN = shingleN, numHashes = numHashes, bands = bands,
+      threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+    val keepers = Dedup.clusters(
+        screened, pairs, col("doc_id"), col("id_a"), col("id_b"))
+      .filter(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"))
+      .join(screened, Seq("doc_id"))
+    Packing.concatChunk(keepers, col("doc_id"),
+      TextFunctions.tokenCount(col("text")),
+      capacity = capacity, nShards = nShards)
+      .orderBy("doc_id")
+  }
+}

@@ -430,4 +430,26 @@ class TfIdfSpec extends AnyFunSuite with SparkSpec {
       .collect().head
     assert(g2._4.isEmpty && g2._5.isEmpty && g2._6.isEmpty)
   }
+
+  test("goodTuring: hand-computed counts-of-counts, empty classes kept, " +
+      "undefined r* is NULL") {
+    // tokens: a×3, b×2, c×1 → N=6, N1=N2=N3=1
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TfIdf.goodTuring(docs, col("text"), maxR = 10).collect()
+    assert(got.length == 10)
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_types") == 1L)
+    assert(r1.getAs[Double]("mass_share") == 0.166667)
+    assert(r1.getAs[Double]("gt_rstar") == 2.0)
+    val r2 = got(1)
+    assert(r2.getAs[Double]("mass_share") == 0.333333)
+    assert(r2.getAs[Double]("gt_rstar") == 3.0)
+    val r3 = got(2)
+    assert(r3.getAs[Double]("mass_share") == 0.5)
+    assert(r3.isNullAt(r3.fieldIndex("gt_rstar"))) // N4 = 0: undefined
+    val r4 = got(3)
+    assert(r4.getAs[Long]("n_types") == 0L)
+    assert(r4.getAs[Double]("mass_share") == 0.0)
+    assert(r4.isNullAt(r4.fieldIndex("gt_rstar")))
+  }
 }
