@@ -17,64 +17,24 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
   * the optimizer committed to before AQE trims; that is exactly the
   * number the gate must watch.
   *
-  * Default query set: the 20 heaviest queries of the r12 round-close
-  * bench (they carry the plan complexity) plus the two r13 storage-
-  * layout queries whose VALUE is their plan shape (partition pruning,
-  * exchange-free bucketed join).
+  * Default query set: EVERY `SparkEntry.queries` key (VERDICT r15 ask
+  * #4 — the gate's zero-regression claim must cover the whole contract
+  * surface, not a curated subset; static capture is one plan build per
+  * query, seconds each, so there is no cost reason to sample). Queries
+  * that cannot produce a batch physical plan would go in [[Excluded]]
+  * with a reason — currently none.
   *
   * Usage: runMain graft.tools.PlanShapes <sfDir> <out.json> [q1,q2,...]
   */
 object PlanShapes {
 
-  /** 20 heaviest from bench/bench_r12_final_sf01_32c.json + the r13
-    * additions (storage layouts + the 9 new operators), so every new
-    * query gets a structural baseline from its birth round. */
-  val DefaultQueries: Seq[String] = Seq(
-    "ext_bootstrap_ci", "ext_pca_power", "ext_semdedup", "ext_resample_fill",
-    "g5_corr_moments", "ext_quality_keeper", "ext_fuzzy_join",
-    "g6_quantiles_exact", "ext_rrf_fusion", "ext_minhash_neardup",
-    "ext_dedup_clusters", "ext_ppr", "g3_approx_distinct", "ext_mad",
-    "ext_skipgram_cooccur", "ext_triangles", "ext_incremental_neardup",
-    "ext_leakage_split", "ext_pagerank", "ext_kcore",
-    "ext_partitioned_scan", "ext_bucketed_join",
-    "ext_cuped", "ext_qq_drift", "ext_zipf_slope", "ext_conformal",
-    "ext_conversion_lag", "ext_dedup_by_source", "ext_hist_quantiles",
-    "ext_coverage_select", "ext_ce_drift", "ext_cluster_purity",
-    "ext_ht_mean",
-    "ext_bucket_pruned_lookup", "ext_zorder_scan", "ext_bloom_semijoin",
-    "ext_cube_agg", "ext_pivot_counts", "ext_theilsen",
-    "ext_ann_ivf_recall", "ext_ann_pq_recall", "ext_incremental_agg",
-    // r14 batch 2 (this session's 8 — baselined from their birth round)
-    "ext_bfs_hops", "ext_ewma", "ext_cusum", "ext_weekday_anomaly",
-    "ext_benford", "ext_corr_matrix", "ext_welch_t", "ext_mann_whitney",
-    // r14 batch 3+4 (eval/privacy)
-    "ext_pr_auc", "ext_k_anonymity", "ext_dp_counts", "ext_quality_rules",
-    "ext_lift_table", "ext_confusion_matrix", "ext_srm_check",
-    "ext_centroid_drift",
-    // r14 session-3 twelve (survival/causal, time-series, text-LM,
-    // privacy/profile) — baselined from their birth round
-    "ext_hll_distinct", "ext_kaplan_meier", "ext_diff_in_diff",
-    "ext_psm_match", "ext_seasonal_decompose", "ext_markov_transitions",
-    "ext_hits", "ext_boilerplate", "ext_kneser_ney", "ext_l_diversity",
-    "ext_profile_drift", "ext_rfm_segments",
-    "ext_activity_streaks", "ext_growth_accounting", "ext_stickiness",
-    "ext_token_burstiness",
-    "ext_mcnemar", "ext_log_odds_words", "ext_cohort_ltv",
-    "ext_link_prediction",
-    "ext_quantile_calibration", "ext_embedding_whiten",
-    "ext_activity_concentration", "ext_activity_knee",
-    "ext_saturation_curve", "ext_hill_tail", "ext_best_split",
-    "ext_dedup_threshold_sweep",
-    // r15: measure-then-pick skew join (under this AQE-off static gate
-    // the profiler deterministically lands on the 'plain' branch — the
-    // 'aqe' branch is pinned by the query's own oracle, which emits
-    // the decision as a column) + the two new-operator baselines
-    "ext_auto_skew_join", "ext_interarrival", "ext_theil_index",
-    // r15 batch 2 (privacy/text/ts/eval/ANN/survival) — baselined from
-    // their birth round
-    "ext_t_closeness", "ext_script_mix", "ext_heaps_law", "ext_sprt",
-    "ext_holt_forecast", "ext_matryoshka_recall", "ext_nelson_aalen",
-    "ext_logrank", "ext_simpsons_slope", "ext_rake_keyphrases")
+  /** Contract queries with no static batch plan to snapshot (none
+    * today — every `SparkEntry.queries` entry is a batch DataFrame;
+    * streaming operators are spec-verified, not contract queries). */
+  val Excluded: Set[String] = Set.empty
+
+  def DefaultQueries: Seq[String] =
+    (graft.SparkEntry.queries.keySet -- Excluded).toSeq.sorted
 
   /** Queries whose VALUE is runtime file/row-group skipping that a
     * static plan cannot see (VERDICT r14 ask #3: `ext_zorder_scan`
