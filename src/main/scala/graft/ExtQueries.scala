@@ -893,6 +893,15 @@ object ExtQueries {
       TfIdf.heapsLaw(
         t(s, dir, "documents"), col("doc_id"), col("text"), buckets = 10)),
 
+    // ── MTLD lexical diversity — [EXT r16]: length-invariant
+    //    type/token diversity via factor-counting walks (forward +
+    //    reversed, canonical 0.72 threshold); templated text scores
+    //    low at any length. Pure map-side aggregate() fold per doc —
+    //    no shuffle, no UDF (TextPipeline.mtld scaladoc).
+    "ext_mtld" -> ((s, dir) =>
+      TextPipeline.mtld(
+        t(s, dir, "documents"), col("doc_id"), col("text"))),
+
     // ── Good–Turing frequency-of-frequencies — [EXT r16]: probability
     //    mass per observed count r and the smoothed count
     //    r* = (r+1)·N_{r+1}/N_r; the r = 1 row's mass_share (N₁/N) is
@@ -7536,6 +7545,77 @@ object ExtQueries {
     // against Spark's INT64 5 fails even though every cell compares
     // equal (the r5 `hash_match: false` root cause; this was the ONLY
     // oracle in the contract with a HUGEINT output column).
+    // MTLD replay: the same ordered double recurrence, unrolled as a
+    // recursive CTE over (doc, direction, position) — one recursion
+    // step per token position, every doc and both directions advancing
+    // in parallel (the holt/pack_greedy fold pattern; DuckDB's
+    // list_reduce cannot carry a struct+list accumulator). The
+    // engine's aggregate() does the identical ordered arithmetic, so
+    // the 6dp readouts hash-match.
+    "ext_mtld" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(COALESCE(text, '')),
+        |      '[^a-z]+'), t -> t <> '') AS ts
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |nt AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM d),
+        |tok AS (
+        |  SELECT doc_id, 'f' AS dir,
+        |    CAST(unnest(range(1, len(ts) + 1)) AS BIGINT) AS idx,
+        |    unnest(ts) AS tok
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'b',
+        |    CAST(unnest(range(1, len(ts) + 1)) AS BIGINT),
+        |    unnest(list_reverse(ts))
+        |  FROM d),
+        |rec AS (
+        |  SELECT doc_id, dir, CAST(0 AS BIGINT) AS idx, CAST(0.0 AS DOUBLE) AS f,
+        |    CAST([] AS VARCHAR[]) AS seg, 0 AS n
+        |  FROM d CROSS JOIN (SELECT unnest(['f', 'b']) AS dir)
+        |  UNION ALL
+        |  SELECT r.doc_id, r.dir, r.idx + 1,
+        |    CASE WHEN CAST(len(CASE WHEN list_contains(r.seg, t.tok) THEN r.seg
+        |        ELSE list_append(r.seg, t.tok) END) AS DOUBLE)
+        |        / CAST(r.n + 1 AS DOUBLE) < 0.72
+        |      THEN r.f + 1.0 ELSE r.f END,
+        |    CASE WHEN CAST(len(CASE WHEN list_contains(r.seg, t.tok) THEN r.seg
+        |        ELSE list_append(r.seg, t.tok) END) AS DOUBLE)
+        |        / CAST(r.n + 1 AS DOUBLE) < 0.72
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE CASE WHEN list_contains(r.seg, t.tok) THEN r.seg
+        |        ELSE list_append(r.seg, t.tok) END END,
+        |    CASE WHEN CAST(len(CASE WHEN list_contains(r.seg, t.tok) THEN r.seg
+        |        ELSE list_append(r.seg, t.tok) END) AS DOUBLE)
+        |        / CAST(r.n + 1 AS DOUBLE) < 0.72
+        |      THEN 0 ELSE r.n + 1 END
+        |  FROM rec r JOIN tok t
+        |    ON t.doc_id = r.doc_id AND t.dir = r.dir AND t.idx = r.idx + 1),
+        |fin AS (
+        |  SELECT r.doc_id, r.dir,
+        |    r.f + CASE WHEN r.n > 0
+        |      THEN (1.0 - CAST(len(r.seg) AS DOUBLE) / CAST(r.n AS DOUBLE))
+        |        / (1.0 - 0.72) ELSE 0.0 END AS fac
+        |  FROM rec r JOIN nt ON nt.doc_id = r.doc_id WHERE r.idx = nt.n_tokens),
+        |p AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN dir = 'f' THEN fac END) AS ff,
+        |    MAX(CASE WHEN dir = 'b' THEN fac END) AS fb
+        |  FROM fin GROUP BY doc_id)
+        |SELECT nt.doc_id, nt.n_tokens,
+        |  round(CASE WHEN p.ff > 0.0
+        |    THEN CAST(nt.n_tokens AS DOUBLE) / p.ff END, 6) AS mtld_fwd,
+        |  round(CASE WHEN p.fb > 0.0
+        |    THEN CAST(nt.n_tokens AS DOUBLE) / p.fb END, 6) AS mtld_bwd,
+        |  round(CASE WHEN p.ff > 0.0 AND p.fb > 0.0
+        |    THEN (CAST(nt.n_tokens AS DOUBLE) / p.ff
+        |      + CAST(nt.n_tokens AS DOUBLE) / p.fb) / 2.0
+        |    ELSE COALESCE(CASE WHEN p.ff > 0.0
+        |        THEN CAST(nt.n_tokens AS DOUBLE) / p.ff END,
+        |      CASE WHEN p.fb > 0.0
+        |        THEN CAST(nt.n_tokens AS DOUBLE) / p.fb END) END, 6) AS mtld
+        |FROM nt JOIN p ON p.doc_id = nt.doc_id ORDER BY nt.doc_id""".stripMargin,
+
     // Good–Turing replay: same [^a-z]+ tokenization, exact integer
     // counts-of-counts, single IEEE divides at the end; the r spine
     // keeps empty count classes, NULL r* where the estimator is

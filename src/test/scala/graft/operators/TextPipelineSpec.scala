@@ -959,6 +959,25 @@ class TextPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(nul.getAs[Double]("other_share") == 1.0)
   }
 
+  test("mtld: hand-walked factor counting; all-distinct walk is undefined") {
+    // "a b a b a b a b": TTR hits 2/3 < 0.72 at positions 3 and 6 (two
+    // full factors), tail TTR = 1 adds nothing -> 8 / 2 = 4.0 both ways
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "one two three four"), // all distinct: factors 0 -> NULL
+      (3L, "x x x")) // factor at pos 2, tail TTR 1 -> 3 / 1 = 3.0
+      .toDF("doc_id", "text")
+    val got = TextPipeline.mtld(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Double]("mtld_fwd") == 4.0)
+    assert(got(1L).getAs[Double]("mtld_bwd") == 4.0)
+    assert(got(1L).getAs[Double]("mtld") == 4.0)
+    assert(got(2L).getAs[Long]("n_tokens") == 4L)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("mtld_fwd")))
+    assert(got(2L).isNullAt(got(2L).fieldIndex("mtld")))
+    assert(got(3L).getAs[Double]("mtld") == 3.0)
+  }
+
   test("scriptMix: RE2/codepoint oracle semantics — vertical tab is NOT " +
       "whitespace, a non-BMP emoji counts once") {
     // DuckDB's regexp_replace is RE2: \s = [\t\n\f\r ] WITHOUT U+000B,
