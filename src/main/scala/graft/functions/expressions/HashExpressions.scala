@@ -914,6 +914,76 @@ object ScriptCounts {
   }
 }
 
+/** One-pass MTLD walk (McCarthy & Jarvis '10) over a text column:
+  * lowercases with Spark's own `UTF8String.toLowerCase` (bit-identical
+  * to `lower()`), tokenizes by [a-z] runs (≡ `split(lower(t),
+  * '[^a-z]+')` with empties dropped), and runs the forward and
+  * reversed factor-counting recurrences with a reusable HashSet.
+  * Returns [n_tokens, factors_fwd, factors_bwd] as doubles. The
+  * `aggregate()` HOF formulation is semantically identical but
+  * evaluates interpreted per token (HOF lambdas do not codegen) and
+  * allocates a fresh segment array per step — measured 12.7 s at the
+  * 104× replica vs this expression (bench/bench_r16_mtld_* vs
+  * bench_r16_mtldexpr_*).
+  *
+  * doGenCode (not CodegenFallback): one static call per row, no boxed
+  * eval, whole-stage codegen stays fused. */
+case class MtldFactors(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MtldFactors.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.MtldFactors.compute($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MtldFactors = copy(child = newChild)
+}
+
+object MtldFactors {
+  /** The shared interpreted/generated path. */
+  def compute(s: UTF8String): ArrayData = {
+    val str = s.toLowerCase.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      if (str.charAt(i) >= 'a' && str.charAt(i) <= 'z') {
+        var j = i + 1
+        while (j < n && str.charAt(j) >= 'a' && str.charAt(j) <= 'z') j += 1
+        toks.add(str.substring(i, j))
+        i = j
+      } else i += 1
+    }
+    val k = toks.size
+    def walk(reversed: Boolean): Double = {
+      var f = 0.0
+      val seg = new java.util.HashSet[String]()
+      var segN = 0
+      var p = 0
+      while (p < k) {
+        seg.add(toks.get(if (reversed) k - 1 - p else p))
+        segN += 1
+        if (seg.size.toDouble / segN.toDouble < 0.72) {
+          f += 1.0; seg.clear(); segN = 0
+        }
+        p += 1
+      }
+      if (segN > 0)
+        f += (1.0 - seg.size.toDouble / segN.toDouble) / (1.0 - 0.72)
+      f
+    }
+    new GenericArrayData(Array(k.toDouble, walk(false), walk(true)))
+  }
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -938,6 +1008,9 @@ object GraftFunctions {
 
   def script_counts(text: Column): Column =
     column(ScriptCounts(expression(text)))
+
+  def mtld_factors(text: Column): Column =
+    column(MtldFactors(expression(text)))
 
   def winnowed_fingerprints(text: Column, k: Int, modP: Int): Column =
     column(WinnowedFingerprints(expression(text), k, modP))

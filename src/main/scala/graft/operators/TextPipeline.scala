@@ -1922,55 +1922,40 @@ object TextPipeline {
     * Tokenization is the [[TfIdf.buildVocab]] contract (lowercase,
     * non-letter splits, empties dropped).
     *
-    * Determinism: the fold is a pure double recurrence over each
-    * doc's token array via `aggregate()` (codegen'd, no UDF) — the
-    * same ordered arithmetic the oracle replays with `list_reduce`;
-    * factor counts are whole doubles, TTRs are single divides of
-    * small ints, readouts 6dp. A doc whose walk never completes a
-    * factor (TTR pinned at 1 — all-distinct tokens) reads NULL: the
-    * estimator is undefined there, not infinite.
+    * Determinism: the walk is a pure double recurrence in token
+    * order — factor counts are whole doubles, TTRs are single divides
+    * of small ints, readouts 6dp — identical arithmetic in the custom
+    * [[graft.functions.expressions.MtldFactors]] expression (one
+    * codegen'd pass per doc, reusable HashSet segment) and in the
+    * oracle's recursive-CTE unroll. An `aggregate()` HOF draft was
+    * semantically identical but evaluates its lambda interpreted per
+    * token and allocates a fresh segment array per step: 12.7 s at
+    * the 104× replica vs the expression's receipt
+    * (bench/bench_r16_mtld_104x vs bench_r16_mtldexpr_104x). A doc
+    * whose walk never completes a factor (TTR pinned at 1 —
+    * all-distinct tokens) reads NULL: the estimator is undefined
+    * there, not infinite.
     *
-    * 100 TB shape: entirely map-side — one projection computes both
-    * passes per document, no shuffle, no state wider than one doc's
-    * current segment (segments self-truncate at the 0.72 decay, so
-    * the working set stays tens of tokens).
+    * 100 TB shape: entirely map-side — one expression call computes
+    * the count and both passes per document, no shuffle, no state
+    * wider than one doc's current segment (segments self-truncate at
+    * the 0.72 decay, so the working set stays tens of tokens).
     *
     * Output: (doc_id, n_tokens, mtld_fwd 6dp, mtld_bwd 6dp, mtld
     * 6dp = mean of the finite passes' values, NULL when both are
     * undefined), ordered by doc_id. */
   def mtld(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = filter(
-      split(lower(coalesce(text, lit(""))), "[^a-z]+"),
-      t => length(t) > 0)
-    def emptySeg = array().cast("array<string>")
-    def factors(ts: Column): Column = aggregate(
-      ts,
-      struct(lit(0.0).as("f"), emptySeg.as("seg"), lit(0).as("n")),
-      (s, t) => {
-        val seg2 = when(array_contains(s.getField("seg"), t),
-          s.getField("seg"))
-          .otherwise(array_union(s.getField("seg"), array(t)))
-        val n2 = s.getField("n") + 1
-        val ttr = size(seg2).cast("double") / n2.cast("double")
-        when(ttr < 0.72,
-          struct((s.getField("f") + lit(1.0)).as("f"),
-            emptySeg.as("seg"), lit(0).as("n")))
-          .otherwise(struct(s.getField("f").as("f"),
-            seg2.as("seg"), n2.as("n")))
-      },
-      s => s.getField("f") + when(s.getField("n") > 0,
-        (lit(1.0) - size(s.getField("seg")).cast("double") /
-          s.getField("n").cast("double")) / (lit(1.0) - lit(0.72)))
-        .otherwise(lit(0.0)))
     val mt = (n: Column, f: Column) =>
       when(f > 0.0, n.cast("double") / f)
     docs
       .filter(id.isNotNull)
-      .select(id.as("doc_id"), toks.as("ts"))
+      .select(id.as("doc_id"),
+        graft.functions.expressions.GraftFunctions
+          .mtld_factors(coalesce(text, lit(""))).as("m"))
       .select(col("doc_id"),
-        size(col("ts")).cast("long").as("n_tokens"),
-        factors(col("ts")).as("ff"),
-        factors(reverse(col("ts"))).as("fb"))
+        element_at(col("m"), 1).cast("long").as("n_tokens"),
+        element_at(col("m"), 2).as("ff"),
+        element_at(col("m"), 3).as("fb"))
       .select(col("doc_id"), col("n_tokens"),
         round(mt(col("n_tokens"), col("ff")), 6).as("mtld_fwd"),
         round(mt(col("n_tokens"), col("fb")), 6).as("mtld_bwd"),

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{CdcChunks, CosineSim, MinHashSig, NgramJaccard, RollingHash, ScriptCounts, SimHash64, TokenMatchCount, WinnowedFingerprints, WordNgrams, ZOrder2}
+import graft.functions.expressions.{CdcChunks, CosineSim, MinHashSig, MtldFactors, NgramJaccard, RollingHash, ScriptCounts, SimHash64, TokenMatchCount, WinnowedFingerprints, WordNgrams, ZOrder2}
 
 /** Optimizer rule: self-similarity is the identity — `ngram_jaccard(x,
   * x, n)` folds to 1.0 at plan time, so a self-join pipeline (dedup
@@ -123,7 +123,10 @@ object GraftExtensions {
         args.head, stringSeqArg(args(1), "words"))),
     ("script_counts",
       new ExpressionInfo(classOf[ScriptCounts].getName, "script_counts"),
-      (args: Seq[Expression]) => ScriptCounts(args.head)))
+      (args: Seq[Expression]) => ScriptCounts(args.head)),
+    ("mtld_factors",
+      new ExpressionInfo(classOf[MtldFactors].getName, "mtld_factors"),
+      (args: Seq[Expression]) => MtldFactors(args.head)))
 
   /** Retro-fit registration into an already-built session. */
   def register(spark: SparkSession): Unit = {

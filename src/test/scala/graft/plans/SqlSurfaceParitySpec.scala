@@ -89,7 +89,8 @@ class SqlSurfaceParitySpec extends AnyFunSuite with SparkSpec {
     "cdc_chunks" -> ("cdc_chunks(t, 16, 4)", GF.cdc_chunks(col("t"), 16, 4)),
     "token_match_count" -> ("token_match_count(t, array('the', 'fox'))",
       GF.token_match_count(col("t"), Seq("the", "fox"))),
-    "script_counts" -> ("script_counts(t)", GF.script_counts(col("t"))))
+    "script_counts" -> ("script_counts(t)", GF.script_counts(col("t"))),
+    "mtld_factors" -> ("mtld_factors(t)", GF.mtld_factors(col("t"))))
 
   test("every registered SQL function round-trips against its Column twin") {
     import spark.implicits._
