@@ -818,6 +818,24 @@ object ExtQueries {
         Similarity.ivfTopK(probes, corpus, 10))
     }),
 
+    // ── IVF nprobe OPERATING CURVE — [EXT r16]: the single-point
+    //    recall certificate above, swept across nprobe ∈ {2,4,8,16}
+    //    from ONE index build and ONE max-fan-out probe (mine-once;
+    //    each sweep point is a filter + per-(nprobe, query) top-k,
+    //    never a re-probe) — the recall-vs-cost curve an IVF operator
+    //    tunes against, certified per point by the oracle's full
+    //    independent replay of both pipelines at every nprobe
+    //    (Similarity.ivfNprobeSweep scaladoc; expected monotone
+    //    ≈ nprobe/nCells + ranked-probe bonus on this isotropic
+    //    corpus, 1.0 at nprobe = nCells = 16).
+    "ext_ann_nprobe_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfNprobeSweep(probes, corpus, 10)
+    }),
+
     // ── PQ recall CERTIFICATE — same contract as ext_ann_ivf_recall
     //    for pqTopK (8×16 codebooks, refine=40): DuckDB replays exact
     //    top-10 + the whole sample→codes→LUT→coarse→re-rank pipeline
@@ -10609,6 +10627,88 @@ object ExtQueries {
       |FROM r WHERE rank <= 10""".stripMargin
 
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    // nprobe-sweep replay: the ext_ann_ivf pipeline with the probe
+    // fan-out kept at max(sweep)=16 and each sweep point recovered by
+    // filtering on the probe rank, overlapped per point against the
+    // brute-force exact top-10 — four certified recall points from one
+    // replay, mirroring the engine's mine-once shape.
+    "ext_ann_nprobe_sweep" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings
+        |  ORDER BY (vec_id * 2654435761) % 2147483647, vec_id LIMIT 16),
+        |cs AS (
+        |  SELECT e.vec_id, c.cell_id, e.embedding,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(c.centroid[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))))),
+        |      6) AS csim
+        |  FROM embeddings e CROSS JOIN cent c),
+        |asgn AS (
+        |  SELECT vec_id, cell_id, embedding FROM (
+        |    SELECT vec_id, cell_id, embedding,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id) AS rn
+        |    FROM cs) WHERE rn = 1),
+        |probed AS (
+        |  SELECT vec_id AS query_id, cell_id, embedding AS qv,
+        |    CAST(rn AS BIGINT) AS cell_rank FROM (
+        |    SELECT vec_id, cell_id, embedding,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id) AS rn
+        |    FROM cs WHERE vec_id < 5) WHERE rn <= 16),
+        |sc AS (
+        |  SELECT p.query_id, p.cell_rank, a.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(p.qv[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM probed p JOIN asgn a ON a.cell_id = p.cell_id
+        |  WHERE a.vec_id <> p.query_id),
+        |sw AS (SELECT CAST(unnest([2, 4, 8, 16]) AS BIGINT) AS nprobe),
+        |annk AS (
+        |  SELECT nprobe, query_id, vec_id FROM (
+        |    SELECT sw.nprobe, sc.query_id, sc.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY sw.nprobe, sc.query_id
+        |        ORDER BY sc.sim DESC, sc.vec_id) AS rank
+        |    FROM sc JOIN sw ON sc.cell_rank <= sw.nprobe)
+        |  WHERE rank <= 10),
+        |p2 AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |esc AS (
+        |  SELECT p2.query_id, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM embeddings e CROSS JOIN p2 WHERE e.vec_id <> p2.query_id),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM esc) WHERE rank <= 10),
+        |esw AS (
+        |  SELECT sw.nprobe, e.query_id, e.vec_id FROM exact e CROSS JOIN sw)
+        |SELECT esw.nprobe, esw.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+        |  round(CAST(count(a.vec_id) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS recall
+        |FROM esw LEFT JOIN annk a
+        |  ON esw.nprobe = a.nprobe AND esw.query_id = a.query_id
+        |  AND esw.vec_id = a.vec_id
+        |GROUP BY esw.nprobe, esw.query_id
+        |ORDER BY esw.nprobe, esw.query_id""".stripMargin,
+
     "ext_ann_ivf_recall" -> annRecallOracle("ext_ann_ivf"),
     "ext_ann_pq_recall" -> annRecallOracle("ext_ann_pq"),
     "ext_matryoshka_recall" ->

@@ -54,6 +54,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     ivf.foreach(r => assert(bf(r.getAs[Long]("vec_id")) == r.getAs[Double]("sim")))
   }
 
+  test("ivfNprobeSweep: recall is monotone in nprobe and exact at nCells") {
+    val got = Similarity.ivfNprobeSweep(probes, corpus, 3,
+      nCells = 3, sweep = Seq(1, 2, 3)).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Double]("recall")))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L)) // one probe -> 3 rows
+    val byN = got.toMap
+    assert(byN(1L) <= byN(2L) && byN(2L) <= byN(3L)) // filters only shrink
+    assert(byN(3L) == 1.0) // probing every cell IS the exact search
+  }
+
   test("portableRank matches the BigInt reference at replica-scale ids") {
     // The naive (id * 2654435761) % 2147483647 overflows Long under ANSI
     // once id > ~3.47e9 — exactly the ids a 10x ScaleReplica (stride 1e9)
