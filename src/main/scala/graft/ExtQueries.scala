@@ -2323,6 +2323,17 @@ object ExtQueries {
         materialize = true)
         .orderBy("group_key")),
 
+    // ── Exact WEIGHTED quantiles — [EXT r16]: quantity-weighted
+    //    price quartiles per returnflag (smallest value whose exact
+    //    decimal cumulative weight reaches q·W); duplicates collapse
+    //    map-side before the one per-group ordered window, picks are
+    //    conditional MINs in one final aggregate — no explode
+    //    (Relational.weightedQuantiles scaladoc).
+    "ext_weighted_quantiles" -> ((s, dir) =>
+      Relational.weightedQuantiles(
+        t(s, dir, "lineitem"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_quantity"))),
+
     // ── Interval analytics: peak concurrency per (event_type, day) —
     //    each event an interval of `value` seconds, sweep-line deltas,
     //    day-clipped so the window partition grows with the time range
@@ -9205,6 +9216,35 @@ object ExtQueries {
 
     // fences replayed as the same ⌈p·n⌉ rank picks as the g6/MAD
     // family; clip + both means decimal-quantized per value.
+    // Weighted-quantile replay: same collapse → exact decimal
+    // cumulative weights → q·W double threshold → conditional-MIN
+    // picks.
+    "ext_weighted_quantiles" ->
+      """WITH b AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |    round(CAST(l_extendedprice AS DOUBLE), 6) AS v,
+        |    CAST(l_quantity AS DECIMAL(18,6)) AS w
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_quantity > 0),
+        |c AS (SELECT g, v, SUM(w) AS w FROM b GROUP BY g, v),
+        |t AS (SELECT g, SUM(w) AS tw FROM c GROUP BY g),
+        |cu AS (
+        |  SELECT g, v,
+        |    SUM(w) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        |  FROM c)
+        |SELECT cu.g AS group_key,
+        |  round(CAST(MIN(t.tw) AS DOUBLE), 6) AS w_total,
+        |  MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.25 * CAST(t.tw AS DOUBLE)
+        |    THEN v END) AS p25,
+        |  MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.5 * CAST(t.tw AS DOUBLE)
+        |    THEN v END) AS p50,
+        |  MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.75 * CAST(t.tw AS DOUBLE)
+        |    THEN v END) AS p75
+        |FROM cu JOIN t ON cu.g = t.g
+        |GROUP BY cu.g ORDER BY group_key""".stripMargin,
+
     "ext_winsorized_mean" ->
       """WITH b AS (
         |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v

@@ -321,4 +321,27 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(got.getAs[Long]("n_distinct_a") == 0L)
     assert(got.isNullAt(got.fieldIndex("distinct_ratio")))
   }
+
+  test("weightedQuantiles: heavy weight drags every quartile; uniform " +
+      "weights reduce to lower-quantile rank picks") {
+    val rows = Seq(
+      ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 10.0, 8.0), // W=10, heavy tail
+      ("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0), ("b", 4.0, 1.0),
+      ("c", 5.0, 0.0)) // non-positive weight: dropped, group vanishes
+      .toDF("g", "v", "w")
+    val got = Relational.weightedQuantiles(
+      rows, col("g"), col("v"), col("w"))
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    assert(got.keySet == Set("a", "b"))
+    val a = got("a")
+    assert(a.getAs[Double]("w_total") == 10.0)
+    // cum weights 1, 2, 10: every q*W in {2.5, 5, 7.5} lands on 10.0
+    assert(a.getAs[Double]("p25") == 10.0)
+    assert(a.getAs[Double]("p50") == 10.0)
+    assert(a.getAs[Double]("p75") == 10.0)
+    val b = got("b")
+    assert(b.getAs[Double]("p25") == 1.0)
+    assert(b.getAs[Double]("p50") == 2.0)
+    assert(b.getAs[Double]("p75") == 3.0)
+  }
 }
