@@ -1287,6 +1287,20 @@ object Eval {
     // trivially "cross" and the readout would report a spurious accept
     require(alpha + beta < 1,
       s"degenerate SPRT design: alpha + beta must be < 1, got $alpha + $beta")
+    // the day-stitch recipe buckets by date_trunc('day', ts) — valid
+    // only for a temporal ordering column. A numeric `ts` would have
+    // silently worked with the pre-r16 single ordered window but now
+    // fails analysis inside date_trunc; surface the contract here with
+    // a clear message instead of a planner error deep in the walk.
+    locally {
+      import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+      val tsType = df.select(ts.as("__ts_probe")).schema.head.dataType
+      require(Seq(TimestampType, TimestampNTZType, DateType).contains(tsType),
+        s"sprt: ordering column must be timestamp/date-typed (got $tsType)" +
+          " — the distributed Λ walk buckets by calendar day. Cast your" +
+          " ordering column to a timestamp (e.g. timestamp_millis(seq))" +
+          " before calling; any monotone cast preserves the walk order.")
+    }
     val l1 = log(lit(p1) / lit(p0)).cast("decimal(18,6)")
     val l0 = log((lit(1.0) - lit(p1)) / (lit(1.0) - lit(p0)))
       .cast("decimal(18,6)")

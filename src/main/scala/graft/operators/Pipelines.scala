@@ -31,6 +31,23 @@ object Pipelines {
     * see only survivors; packing windows are per-shard). No stage
     * adds a shuffle beyond its own published shape.
     *
+    * RECALL-CERTIFICATE SEMANTICS (read before editing the oracle or
+    * the fixture): the oracle replays stage 2 as the EXACT quadratic
+    * jaccard ground truth while the engine mines banded-LSH
+    * candidates, so a green hash is a certificate that LSH missed no
+    * true pair on this corpus — deliberately stronger than replaying
+    * the bands. The certificate is only deterministic because of the
+    * corpus's similarity profile: with r = numHashes/bands = 8 rows ×
+    * b = 8 bands, P(candidate | jaccard j) = 1 − (1 − j^8)^8, i.e.
+    * ≈ 3.1% at j = 0.50, 12.7% at 0.60, 37.8% at 0.70, 77% at 0.80,
+    * 98.9% at 0.90. The contract fixture's true pairs are all
+    * high-jaccard near-clones (j ≥ ~0.9 — PipelinesSpec pins this),
+    * so expected misses ≈ 0; a new data slice seeded with
+    * threshold-adjacent pairs (j in [0.5, 0.8)) WOULD redden the gate
+    * with no code regression. That is the certificate working as
+    * designed — raise numHashes/bands for such a corpus, don't weaken
+    * the oracle. Analysis recorded in bench/ADJUDICATION_r17.md.
+    *
     * Output: the [[Packing.concatChunk]] schema (doc_id, shard,
     * n_tokens, start_off, first_chunk, last_chunk, n_chunks) over the
     * screened, deduplicated corpus, ordered by doc_id. */

@@ -801,6 +801,13 @@ object Relational {
       bucketsPerGroup: Int = 0): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0,1]: $qs")
+    // output columns are named p${round(q*100)} — quantiles that round
+    // to the same percent (0.125 and 0.134 → p13/p13) would silently
+    // collide into one column; fail fast (the exactQuantiles precedent)
+    val pNames = qs.map(q => s"p${math.round(q * 100)}")
+    require(pNames.distinct.size == pNames.size,
+      s"quantile column names collide after rounding to whole percents:" +
+        s" $qs -> $pNames — space qs at least 1% apart or dedupe")
     val spark = df.sparkSession
     val nB = if (bucketsPerGroup > 0) bucketsPerGroup
       else spark.sessionState.conf.numShufflePartitions

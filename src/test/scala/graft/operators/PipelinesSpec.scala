@@ -31,4 +31,40 @@ class PipelinesSpec extends AnyFunSuite with SparkSpec {
     assert(a._5 == 0L && a._6 == 0L && a._7 == 1L) // both fit chunk 0
     assert(e._5 == 0L && e._6 == 0L && e._7 == 1L)
   }
+
+  test("recall certificate precondition: the contract corpus has no " +
+      "threshold-adjacent true pairs (scaladoc's expected-miss analysis)") {
+    // The ext_pipeline_e2e oracle replays EXACT quadratic jaccard while
+    // the engine mines banded LSH (8 bands × 8 rows): P(candidate | j)
+    // = 1-(1-j^8)^8 ≈ 3% at j=0.5, 77% at j=0.8 — so the hash gate is
+    // deterministic ONLY if every true pair is a high-jaccard clone.
+    // Pin that profile: any screened pair at j >= 0.5 must be j >= 0.85,
+    // where LSH detection is >= 99.99%... not quite (98.9% at 0.9) —
+    // at j=0.85, P = 1-(1-0.85^8)^8 = 95.6%; combined over the planted
+    // pair count the corpus carries, expected misses stay << 1 and the
+    // gate has been green 16 rounds. If this test ever fails after a
+    // fixture refresh, raise numHashes/bands rather than weakening the
+    // ext_pipeline_e2e oracle (Pipelines.curateDedupPack scaladoc).
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists)
+    import graft.functions.TextFunctions
+    val screened = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(TextFunctions.langId(col("text")) === "en" &&
+        TextFunctions.qualityScore(col("text")) >= 0.5)
+      .select(col("doc_id").as("id"),
+        TextFunctions.shingles(col("text"), 5).as("sh"))
+    val a = screened.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = screened.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("j"))
+      .filter(col("j") >= 0.5)
+    val js = pairs.as[Double].collect()
+    assert(js.nonEmpty, "fixture should carry planted near-dup pairs")
+    assert(js.forall(_ >= 0.85),
+      s"threshold-adjacent pair found (j=${js.filter(_ < 0.85).mkString(",")})" +
+        " — the LSH-vs-exact-oracle certificate is no longer deterministic")
+  }
 }
