@@ -424,11 +424,14 @@ object Eval {
     * is broken by the caller's id and the assignment is
     * bit-deterministic anywhere.
     *
-    * 100 TB shape: this is the repo's ONE deliberate rank-everything
-    * operator class — the window sorts (score, id) across the eval
-    * population; eval sets are sampled by construction (the
-    * maxRows guard names the contract loudly rather than letting a
-    * corpus-sized sort hide inside a "cheap readout").
+    * 100 TB shape [r17]: the global (score DESC, id) rank comes from
+    * [[Relational.bucketedGlobalRank]] — sampled score split points,
+    * per-bucket windows, exact count offsets — so no task sorts more
+    * than ~n/B rows even on a corpus-sized population; totals ride in
+    * once as a broadcast aggregate. Bit-identical to the single
+    * ranked window this replaces (r16 ran it under a 1e8-row guard;
+    * `maxRows` survives as a spine-checked data-contract backstop,
+    * default unbounded).
     *
     * Determinism: counts exact; rate/capture/lift are IEEE divides of
     * exact longs, 6dp.
@@ -441,23 +444,23 @@ object Eval {
       id: Column,
       label: Column,
       buckets: Int = 10,
-      maxRows: Long = 100000000L): DataFrame = {
+      maxRows: Long = Long.MaxValue): DataFrame = {
     require(buckets >= 2 && buckets <= 1000, s"buckets in [2,1000], got $buckets")
     val base = scored
       .select(score.cast("double").as("s"), id.as("tie"),
         when(coalesce(label, lit(false)), 1L).otherwise(0L).as("y"))
       .filter(col("s").isNotNull)
-    val wRank = Window.orderBy(col("s").desc, col("tie"))
-    val wAll = Window.orderBy(col("s").desc, col("tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranked = inlineCardinalityGuard(
-      base, col("s").desc, maxRows, "liftTable", "maxRows")
-      .select(col("y"),
-        row_number().over(wRank).cast("long").as("rn"),
-        count(lit(1)).over(wAll).as("n_all"),
-        sum("y").over(wAll).as("pos_all"))
-      .select(col("y"), col("n_all"), col("pos_all"),
-        (expr("(rn - 1) * " + buckets + " div n_all") + 1L).as("bucket"))
+    // materialize=false: base is a narrow projection of the input scan
+    // — columnar re-scan per rank pass beats checkpointing a
+    // corpus-sized eval set (the exactQuantiles default trade); totals
+    // (n_all, pos_all) ride the rank spine free via cumSums
+    val ranked = Relational.bucketedGlobalRank(base, "s",
+        descending = true, tieBreaks = Seq("tie"), cumSums = Seq("y"),
+        budget = maxRows, op = "liftTable", budgetName = "maxRows")
+      .select(col("y"), col("_n_tot").as("n_all"),
+        col("_tot_y").as("pos_all"),
+        (expr("(_rank - 1) * " + buckets + " div _n_tot") + 1L)
+          .as("bucket"))
     val perBucket = ranked
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),

@@ -840,34 +840,36 @@ object Events {
     * argmax tie-breaks to the EARLIEST rank. Ties inside the count
     * sort break by user_id (the repo's total-order rule).
     *
-    * 100 TB shape: events collapse to one row per user; the ranked
-    * window runs over the bounded user table (the
-    * [[rfmSegments]]/[[Experiment.nearestScoreMatch]] guarded trade).
+    * 100 TB shape [r17]: events collapse to one row per user; rank
+    * and the cumulative event count then come from
+    * [[Relational.bucketedGlobalRank]] (range-bucketed exact rank +
+    * exact long prefix sums, parallelism = bucket count), totals from
+    * one broadcast aggregate — bit-identical to the single ranked
+    * window this replaces (r16 ran it under a 10M-user guard;
+    * `maxUsers` survives as a spine-checked backstop, default
+    * unbounded). The argmax is a top-1 (per-partition heads, merged).
     *
     * Output: ONE row — (n_users, n_events, knee_rank, knee_user_pct
     * 6dp, knee_cum_share 6dp, max_gap 6dp). */
   def activityKnee(
-      events: DataFrame, maxUsers: Long = 10000000L): DataFrame = {
+      events: DataFrame, maxUsers: Long = Long.MaxValue): DataFrame = {
     val units = events
       .filter(col("user_id").isNotNull)
       .groupBy("user_id")
       .agg(count(lit(1)).as("c"))
-    val guarded = Eval.inlineCardinalityGuard(
-      units, col("user_id"), maxUsers, "activityKnee", "maxUsers")
-    val ord = Window.orderBy(col("c").desc, col("user_id"))
-    val full = Window.orderBy(col("c").desc, col("user_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = Window.orderBy(col("c").desc, col("user_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val curve = guarded
-      .withColumn("r", row_number().over(ord))
-      .withColumn("u", count(lit(1)).over(full))
-      .withColumn("n", sum("c").over(full))
-      .withColumn("cum", sum("c").over(cum))
-      .select(col("r").cast("long").as("r"), col("u"), col("n"),
-        col("cum"),
-        (col("cum").cast("double") / col("n").cast("double") -
-          col("r").cast("double") / col("u").cast("double")).as("gap"))
+    // materialize=true: units carries a full event-log aggregation —
+    // re-running it per rank pass is the wrong side of the re-scan
+    // trade (bucketedGlobalRank scaladoc); totals ride the spine free
+    val curve = Relational.bucketedGlobalRank(units, "c",
+      descending = true, tieBreaks = Seq("user_id"), cumSums = Seq("c"),
+      budget = maxUsers, op = "activityKnee", budgetName = "maxUsers",
+      materialize = true)
+      .select(col("_rank").as("r"), col("_n_tot").as("u"),
+        col("_tot_c").as("n"),
+        col("c_cum").as("cum"),
+        (col("c_cum").cast("double") / col("_tot_c").cast("double") -
+          col("_rank").cast("double") / col("_n_tot").cast("double"))
+          .as("gap"))
     curve
       .orderBy(col("gap").desc, col("r"))
       .limit(1)
@@ -1153,18 +1155,23 @@ object Events {
     * carries the user_id tie-break (both engines define NTILE
     * identically: earlier buckets take the remainder rows).
     *
-    * 100 TB shape: the event log collapses to one row per user in a
-    * single map-side-partial aggregate; the three NTILE windows run
-    * over the USER table — the deliberate bounded-units trade of
-    * [[Experiment.nearestScoreMatch]], guarded by `maxUsers` (fail
-    * loudly, never silently single-task an unbounded window; past the
-    * guard, band by metric quantiles from a sampled CDF).
+    * 100 TB shape [r17]: the event log collapses to one row per user
+    * in a single map-side-partial aggregate; each NTILE then computes
+    * from an exact RANGE-BUCKETED global rank
+    * ([[Relational.bucketedGlobalRank]] — sampled split points,
+    * per-bucket windows, exact count offsets from the tiny spine) via
+    * [[Relational.ntileFromRank]] (tile is a pure integer function of
+    * (rank, U)), so parallelism is the bucket count, never one task.
+    * Scores are bit-identical to the three unpartitioned ntile windows
+    * this replaces (r16 and earlier, which ran under a 10M-user
+    * guard); `maxUsers` survives as a data-contract backstop riding
+    * the offset spine, default unbounded.
     *
     * Output: (user_id, days_since, n_events, monetary, r_score,
     * f_score, m_score, segment), ordered by user_id. */
   def rfmSegments(
       events: DataFrame, tiles: Int = 5,
-      maxUsers: Long = 10000000L): DataFrame = {
+      maxUsers: Long = Long.MaxValue): DataFrame = {
     require(tiles >= 2 && tiles <= 10, s"tiles must be in [2,10], got $tiles")
     val anchor = events.agg(max(unix_millis(col("ts"))).as("anchor_ms"))
     val units = events
@@ -1177,19 +1184,23 @@ object Events {
         count(lit(1)).as("n_events"),
         coalesce(sum(round(col("value"), 6).cast("decimal(18,6)")),
           lit(0).cast("decimal(18,6)")).as("monetary"))
-    val guarded = Eval.inlineCardinalityGuard(
-      units, col("user_id"), maxUsers, "rfmSegments", "maxUsers")
-    val r = ntile(tiles).over(
-      Window.orderBy(col("days_since").desc, col("user_id")))
-    val f = ntile(tiles).over(
-      Window.orderBy(col("n_events").asc, col("user_id")))
-    val m = ntile(tiles).over(
-      Window.orderBy(col("monetary").asc, col("user_id")))
+    // three exact global ranks over the SHARED materialized user table
+    // (Relational.multiRanked: checkpoint once, rank independently,
+    // id-join — never chained, which multiplies input evaluations 3ⁿ);
+    // U comes off the rank spine for free (_n_tot)
+    val rankedUnits = Relational.multiRanked(units, "user_id",
+      Seq(("days_since", true, "_r_rank"),
+        ("n_events", false, "_f_rank"),
+        ("monetary", false, "_m_rank")),
+      budget = maxUsers, op = "rfmSegments", budgetName = "maxUsers")
     val hi = tiles - 1 // >= hi is "top", <= tiles-hi+... keep 4/2 for 5
-    val scored = guarded
-      .withColumn("r_score", r)
-      .withColumn("f_score", f)
-      .withColumn("m_score", m)
+    val scored = rankedUnits
+      .withColumn("r_score",
+        Relational.ntileFromRank(col("_r_rank"), col("_n_tot"), tiles))
+      .withColumn("f_score",
+        Relational.ntileFromRank(col("_f_rank"), col("_n_tot"), tiles))
+      .withColumn("m_score",
+        Relational.ntileFromRank(col("_m_rank"), col("_n_tot"), tiles))
     scored
       .withColumn("segment",
         when(col("r_score") >= hi && col("f_score") >= hi &&

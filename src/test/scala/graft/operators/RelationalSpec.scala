@@ -344,4 +344,58 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(b.getAs[Double]("p50") == 2.0)
     assert(b.getAs[Double]("p75") == 3.0)
   }
+
+  // ── bucketedGlobalRank / ntileFromRank (r17) ───────────────────────
+
+  test("bucketedGlobalRank: rank and running sums bit-match the global " +
+      "window across forced buckets, asc and desc, with key ties") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random rows with heavy key ties
+    val rows = (0 until 2000).map { i =>
+      val k = (i * 2654435761L % 97).toDouble // 97 distinct keys, ties
+      val v = (i * 40503L % 11) + 1L
+      (i.toLong, k, v)
+    }.toDF("id", "k", "v")
+    for (desc <- Seq(true, false)) {
+      val got = Relational.bucketedGlobalRank(rows, "k", descending = desc,
+        tieBreaks = Seq("id"), cumSums = Seq("v"), buckets = 8)
+      val ord = if (desc) Seq(col("k").desc, col("id").asc)
+        else Seq(col("k").asc, col("id").asc)
+      val w = Window.orderBy(ord: _*)
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = rows
+        .withColumn("_rank", row_number().over(w).cast("long"))
+        .withColumn("v_cum", sum("v").over(wc))
+      val mismatches = got.select("id", "_rank", "v_cum")
+        .except(want.select("id", "_rank", "v_cum")).count()
+      assert(mismatches == 0L, s"desc=$desc: $mismatches rank/cum mismatches")
+      assert(got.count() == 2000L)
+    }
+  }
+
+  test("ntileFromRank matches ntile() for every (n, t) in the fuzz grid") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 2, 3, 7, 10, 23, 100); t <- Seq(2, 3, 5, 7, 10)) {
+      val rows = (1 to n).map(_.toLong).toDF("r")
+      val got = rows.select(col("r"),
+        Relational.ntileFromRank(col("r"), lit(n.toLong), t).as("nt"))
+      val want = rows.select(col("r"),
+        ntile(t).over(Window.orderBy("r")).cast("long").as("nt"))
+      val bad = got.except(want).count()
+      assert(bad == 0L, s"n=$n t=$t: $bad ntile mismatches")
+    }
+  }
+
+  test("bucketedGlobalRank: the budget backstop fires on the spine") {
+    val rows = (0 until 50).map(i => (i.toLong, i.toDouble)).toDF("id", "k")
+    val e = intercept[Exception] {
+      Relational.bucketedGlobalRank(rows, "k", descending = false,
+        tieBreaks = Seq("id"), budget = 10L, op = "backstopTest",
+        budgetName = "maxRows").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("backstopTest")),
+      s"expected backstop message, got: ${messages(e).mkString(" | ")}")
+  }
 }
