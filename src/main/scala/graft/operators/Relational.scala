@@ -830,18 +830,24 @@ object Relational {
           coalesce(expr("size(filter(bs, b -> b <= v))"), lit(0)))
         .drop("bs")
     }
+    // ONE spine carrying both the exclusive bucket offset and the group
+    // total (two window sums over the tiny groups × buckets table) —
+    // previously `offs` and `tot` were separate dataframes, so the whole
+    // scan→collapse→bucket subtree was planned (and its post-shuffle
+    // half executed) once more per broadcast, and `cum` paid two joins.
     val wb = bucketed.groupBy("g", "bucket").agg(sum("w").as("bw"))
     val wOff = Window.partitionBy("g").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = wb.select(col("g"), col("bucket"),
+    val wTot = Window.partitionBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val spine = wb.select(col("g"), col("bucket"),
       coalesce(sum("bw").over(wOff),
-        lit(0).cast("decimal(38,6)")).as("boff"))
-    val tot = wb.groupBy("g").agg(sum("bw").as("tw"))
+        lit(0).cast("decimal(38,6)")).as("boff"),
+      sum("bw").over(wTot).as("tw"))
     val win = Window.partitionBy("g", "bucket").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bucketed.withColumn("cwl", sum("w").over(win))
-      .join(broadcast(offs), Seq("g", "bucket"))
-      .join(broadcast(tot), Seq("g"))
+      .join(broadcast(spine), Seq("g", "bucket"))
       .withColumn("cw", col("boff") + col("cwl"))
     val picks = qs.map { q =>
       min(when(col("cw").cast("double") >= lit(q) * col("tw").cast("double"),
