@@ -662,7 +662,8 @@ object ExtQueries {
           .ngram_jaccard(col("ta"), col("tb"), 3), 6) >= 0.5)
         .select(col("id_a"), col("id_b"))
       val assign = Dedup.clusters(d.select(col("doc_id"), col("text")),
-        pairs, col("doc_id"), col("id_a"), col("id_b"))
+        pairs, col("doc_id"), col("id_a"), col("id_b"),
+        nodesDistinct = true) // doc_id is the table key
       Clustering.clusterPurity(assign, d,
         col("id"), col("cluster_id"), col("doc_id"), col("source"))
     }),
@@ -1076,7 +1077,8 @@ object ExtQueries {
         .filter(round(graft.functions.expressions.GraftFunctions
           .ngram_jaccard(col("ta"), col("tb"), 3), 6) >= 0.5)
         .select(col("id_a"), col("id_b"))
-      Dedup.clusters(d, pairs, col("doc_id"), col("id_a"), col("id_b"))
+      Dedup.clusters(d, pairs, col("doc_id"), col("id_a"), col("id_b"),
+        nodesDistinct = true) // doc_id is the table key
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     }),
@@ -1094,7 +1096,8 @@ object ExtQueries {
           .ngram_jaccard(col("ta"), col("tb"), 3), 6) >= 0.5)
         .select(col("id_a"), col("id_b"))
       val clusters = Dedup
-        .clusters(d, pairs, col("doc_id"), col("id_a"), col("id_b"))
+        .clusters(d, pairs, col("doc_id"), col("id_a"), col("id_b"),
+          nodesDistinct = true) // doc_id is the table key
         .select(col("id").as("doc_id"), col("cluster_id"))
       val quality = d.select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("quality"))

@@ -249,9 +249,19 @@ object Dedup {
       seed: Long = 42L,
       bucketCap: Int = 1000,
       topK: Option[Int] = None,
-      estimateMargin: Double = Double.PositiveInfinity): DataFrame = {
+      estimateMargin: Double = Double.PositiveInfinity,
+      rehydrateFrom: Option[DataFrame] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     val named = df.select(id.as("id"), text.as("txt"))
+    // `rehydrateFrom`: optional (id, text) SUPERSET of `df` (same id →
+    // same text, ids unique — e.g. the unfiltered base table when `df`
+    // is an expensive filtered view of it). The verify stage joins
+    // candidate ids — all of which came from `df` — against it, so the
+    // result is identical while the two rehydration scans skip
+    // recomputing the upstream filter.
+    val hydrate = rehydrateFrom
+      .map(_.select(id.as("id"), text.as("txt")))
+      .getOrElse(named)
     // The signature comes from the custom MinHashSig expression (one JVM
     // loop per row — see functions.expressions.HashExpressions); banding
     // is one let-bound expression, and the shuffle carries only
@@ -268,6 +278,17 @@ object Dedup {
         }: _*)
       }).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+      // LAZY persist: this tiny (id, band, bhash) proxy (bands rows/doc,
+      // ~24 B each) is consumed up to four times in one action — the
+      // skew-guard sizes aggregate, its anti-join probe, and both sides
+      // of the candidate self-join — and each consumer otherwise re-runs
+      // the scan + shingle + k-hash signature pass, the operator's
+      // single most expensive stage (measured: the sig pass alone is
+      // ~0.5 s of ext_pipeline_e2e's 2.4 s pairs stage at sf0.1, and it
+      // ran 3-4x). Persisting the proxy — never text — computes it once;
+      // blocks are freed by the ContextCleaner when the plan is GC'd
+      // (and explicitly by the bench's per-query unpersist sweep).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew guard: drop degenerate hot buckets, observably (see capBuckets)
     val pruned = capBuckets(banded, Seq("band", "bhash"), bucketCap, "minhash")
     val pairs = pruned.select(col("band"), col("bhash"), col("id").as("id_a"))
@@ -297,8 +318,8 @@ object Dedup {
     // verify stage: join texts back by id (shuffles candidate ids, not
     // bodies) and compute the exact Jaccard once per surviving pair.
     val verified = prefiltered
-      .join(named.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
-      .join(named.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
+      .join(hydrate.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
+      .join(hydrate.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
       .withColumn("jaccard",
         round(graft.functions.expressions.GraftFunctions
           .ngram_jaccard(col("txt_a"), col("txt_b"), shingleN), 6))
@@ -1009,13 +1030,21 @@ object Dedup {
     * checkpoint() — same lineage cut, HDFS-backed.
     *
     * `nodes` must contain every id that may appear in `pairs`;
-    * isolated nodes become singleton clusters. */
+    * isolated nodes become singleton clusters. Pass `nodesDistinct =
+    * true` when node ids are already unique (a table key) to skip the
+    * init round's distinct exchange. */
   def clusters(
       nodes: DataFrame, pairs: DataFrame,
       id: Column, idA: Column, idB: Column,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50,
+      nodesDistinct: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Observation
     import org.apache.spark.storage.StorageLevel
+    // (r17 measured-and-rejected: pre-partitioning this cache by dst so
+    // the per-round pull join reuses the partitioning — the extra
+    // materialization exchange cost more than the per-round reuse
+    // returned on every clusters-consuming query; same-epoch interleaved
+    // A/B in bench/clusters_edges_repartition_receipt_r17.txt.)
     val edges = pairs.select(idA.as("src"), idB.as("dst"))
       .union(pairs.select(idB.as("src"), idA.as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1029,8 +1058,12 @@ object Dedup {
       val d = obs.get("lsum").asInstanceOf[java.math.BigDecimal]
       (out, if (d == null) java.math.BigDecimal.ZERO else d)
     }
+    // `nodesDistinct = true` (caller guarantees unique node ids — e.g.
+    // the table key) skips the init round's distinct exchange entirely
+    val nodeIds = if (nodesDistinct) nodes.select(id.as("id"))
+      else nodes.select(id.as("id")).distinct()
     var (labels, prevSum) = checkpointWithSum(
-      nodes.select(id.as("id")).distinct().withColumn("label", col("id")))
+      nodeIds.withColumn("label", col("id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -1058,6 +1091,8 @@ object Dedup {
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1
+      if (sys.env.contains("GRAFT_DEBUG_CLUSTERS"))
+        System.err.println(s"[clusters] round $it sum=$s t=${System.nanoTime()}")
     }
     edges.unpersist()
     // no silent caps: a partially-converged labeling is NOT a clustering
@@ -1396,9 +1431,15 @@ object Dedup {
     require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t < 1),
       s"thresholds must be in (0,1), got $thresholds")
     val ts = thresholds.sorted
+    // LAZY persist: the mined pair table (ids + jaccard, never text) is
+    // consumed by BOTH the pair-count and the touched-doc-count branch;
+    // without it each branch re-runs the whole LSH + exact-verify
+    // subtree, so "pairs mined once" held only per-branch. Same
+    // lifecycle note as minhashNearDupPairs' banded proxy.
     val pairs = minhashNearDupPairs(df, id, text,
       shingleN = shingleN, numHashes = numHashes, bands = bands,
       threshold = ts.head)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tCol = explode(array(ts.map(t => lit(t)): _*)).as("threshold")
     val fanned = pairs.select(col("id_a"), col("id_b"), col("jaccard"),
       tCol)

@@ -770,12 +770,14 @@ object Events {
         ((col("ms") - when(col("rn") === 1, col("prev_last_ms"))
           .otherwise(col("prev_ms"))) / lit(1000L)).cast("long"))
       .filter(col("gap").isNotNull)
-    val q = Relational.exactQuantiles(
-      gaps, col("event_type"), col("gap"), Seq(0.5, 0.9, 0.99))
-    val n = gaps.groupBy(col("event_type").as("group_key"))
-      .agg(count(lit(1)).as("n_gaps"))
-    n.join(q, Seq("group_key"))
-      .select(col("group_key"), col("n_gaps"),
+    // n_gaps rides exactQuantiles' own pass-1 count fold (emitN) — the
+    // old separate count(*) aggregate + join re-evaluated the whole
+    // two-window gaps lineage once more for a number the selection pass
+    // had already computed.
+    Relational.exactQuantiles(
+      gaps, col("event_type"), col("gap"), Seq(0.5, 0.9, 0.99),
+      emitN = true)
+      .select(col("group_key"), col("n").as("n_gaps"),
         col("p50").cast("long").as("p50"),
         col("p90").cast("long").as("p90"),
         col("p99").cast("long").as("p99"))

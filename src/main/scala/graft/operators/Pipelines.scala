@@ -61,16 +61,23 @@ object Pipelines {
       .filter(TextFunctions.langId(text) === "en" &&
         TextFunctions.qualityScore(text) >= minQuality)
       .select(id.as("doc_id"), text.as("text"))
+    // Text rehydration joins (the LSH verify stage, the keeper join)
+    // key on ids that are ALREADY screened, so they hydrate from the
+    // raw table: same rows, minus a langId+qualityScore recompute per
+    // rehydration pass (guide §2.3 — the screen runs once per scan
+    // that actually needs it, not once per join).
+    val raw = docs.select(id.as("doc_id"), text.as("text"))
     val pairs = Dedup.minhashNearDupPairs(
       screened, col("doc_id"), col("text"),
       shingleN = shingleN, numHashes = numHashes, bands = bands,
-      threshold = threshold)
+      threshold = threshold, rehydrateFrom = Some(raw))
       .select(col("id_a"), col("id_b"))
     val keepers = Dedup.clusters(
-        screened, pairs, col("doc_id"), col("id_a"), col("id_b"))
+        screened, pairs, col("doc_id"), col("id_a"), col("id_b"),
+        nodesDistinct = true) // doc_id is the table key
       .filter(col("id") === col("cluster_id"))
       .select(col("id").as("doc_id"))
-      .join(screened, Seq("doc_id"))
+      .join(raw, Seq("doc_id"))
     Packing.concatChunk(keepers, col("doc_id"),
       TextFunctions.tokenCount(col("text")),
       capacity = capacity, nShards = nShards)

@@ -188,7 +188,13 @@ object Relational {
     * approx_percentile path — sketches, no exact ranks, no pulls. */
   def exactQuantiles(
       df: DataFrame, group: Column, value: Column, ps: Seq[Double],
-      bucketsPerGroup: Int = 0, materialize: Boolean = false): DataFrame = {
+      bucketsPerGroup: Int = 0, materialize: Boolean = false,
+      emitN: Boolean = false): DataFrame = {
+    // `emitN` adds an `n` column (the group's non-null row count) after
+    // group_key: pass 1's driver fold already sums the per-cell counts,
+    // so the count is FREE here — a caller that joins a separate
+    // count(*) aggregate onto the quantiles pays one extra full
+    // evaluation of `df` for a number this pass computed and threw away.
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0))
     import scala.jdk.CollectionConverters._
     val spark = df.sparkSession
@@ -235,10 +241,13 @@ object Relational {
     val countRows = bucketed.groupBy("group_key", "bucket")
       .agg(count(lit(1)).as("c")).collect() // ≤ G·B rows
     val groupField = base.schema.fields.head
+    val groupNs = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
     val targetRows: Seq[org.apache.spark.sql.Row] =
       countRows.groupBy(_.get(0)).toSeq.flatMap { case (g, rows) =>
         val cells = rows.sortBy(_.getInt(1)).map(r => (r.getInt(1), r.getLong(2)))
         val n = cells.iterator.map(_._2).sum
+        groupNs += org.apache.spark.sql.Row(g, n)
         var acc = 0L
         val offs = cells.map { case (b, c) => val o = acc; acc += c; (b, o, c) }
         ps.zipWithIndex.flatMap { case (p, i) =>
@@ -265,10 +274,24 @@ object Relational {
     val picks = ps.zipWithIndex.map { case (p, i) =>
       max(when(col("p_idx") === i, col("v"))).as(s"p${math.round(p * 100)}")
     }
-    bucketed.join(targetsDf, Seq("group_key", "bucket"))
+    val qs = bucketed.join(targetsDf, Seq("group_key", "bucket"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === col("lrank"))
       .groupBy("group_key").agg(picks.head, picks.tail: _*)
+    if (!emitN) qs
+    else {
+      // the per-group n computed by pass 1's driver fold, attached as a
+      // broadcast literal table — zero extra passes over `df`
+      val nDf = broadcast(spark.createDataFrame(
+        groupNs.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          groupField,
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false)))))
+      qs.join(nDf, Seq("group_key"))
+        .select(col("group_key") +: col("n") +:
+          ps.map(p => col(s"p${math.round(p * 100)}")): _*)
+    }
   }
 
   /** Median absolute deviation per group — the robust scale estimate
@@ -286,6 +309,10 @@ object Relational {
   def medianAbsDeviation(
       df: DataFrame, group: Column, value: Column,
       bucketsPerGroup: Int = 0, materialize: Boolean = false): DataFrame = {
+    // (r17 measured-and-rejected: persisting this G-row median table for
+    // its two consumers — the cache materialization barrier cost more
+    // than the saved rank-pick replay at every measured position; paired
+    // A/B in bench/r17_interarrival_mad_receipts.txt.)
     val med = exactQuantiles(df, group, value.cast("double"), Seq(0.5),
       bucketsPerGroup, materialize)
       .select(col("group_key"), col("p50").as("median"))
