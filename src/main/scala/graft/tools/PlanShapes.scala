@@ -50,6 +50,14 @@ object PlanShapes {
     Set("ext_zorder_scan", "ext_partitioned_scan",
       "ext_bucket_pruned_lookup")
 
+  /** GRAFT_PLANSHAPES_RT=all executes EVERY captured query so the
+    * rt_rows_read/rt_files_read fields are populated for the whole
+    * surface (VERDICT r16 ask #6) — one full-surface capture per round
+    * close; the default stays the seconds-fast static tool with the
+    * three layout queries executed. */
+  private def rtAll: Boolean =
+    sys.env.get("GRAFT_PLANSHAPES_RT").contains("all")
+
   final case class ScanFacts(
       partitionFilters: Seq[String], pushedFilters: String,
       partitionsSelected: Option[Int], filesScanned: Option[Long],
@@ -108,8 +116,12 @@ object PlanShapes {
     val names =
       if (args.length > 2) args(2).split(",").map(_.trim).toSeq
       else DefaultQueries
+    // master core count never affects plan shape (shuffle.partitions is
+    // pinned); GRAFT_PLANSHAPES_CPUS only speeds up the rt=all full-
+    // surface EXECUTION capture
+    val cpus = sys.env.getOrElse("GRAFT_PLANSHAPES_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -150,13 +162,20 @@ object PlanShapes {
           // so executedPlan is final — no re-plan between the static
           // snapshot and this execution.
           val rtScans: Seq[(Long, Long)] =
-            if (!RuntimeGated.contains(q)) Seq.empty
+            if (!rtAll && !RuntimeGated.contains(q)) Seq.empty
             else {
               plan.execute().count()
-              plan.collect { case s: FileSourceScanExec =>
+              val rts = plan.collect { case s: FileSourceScanExec =>
                 (s.metrics.get("numOutputRows").map(_.value).getOrElse(-1L),
                   s.metrics.get("numFiles").map(_.value).getOrElse(-1L))
               }
+              // full-surface executions leave per-query artifacts
+              // (persisted proxies, checkpoint blocks) — the Bench
+              // hygiene sweep, so 278 executions don't tax each other
+              spark.sharedState.cacheManager.clearCache()
+              spark.sparkContext.getPersistentRDDs.values
+                .foreach(_.unpersist(blocking = false))
+              rts
             }
           val scans = scanFacts(plan).zipWithIndex.map { case (sf, i) =>
             val rt = rtScans.lift(i)
